@@ -1,0 +1,315 @@
+package graft
+
+/** DuckDB-equivalent ANSI SQL for every SQL-expressible entry in
+  * [[SparkEntry.queries]]. Conventions (mirrored in the Spark plans):
+  *
+  *  - epoch seconds via `epoch_ns(ts)//1000000000` — exact integer floor,
+  *    immune to ns→µs truncation and double rounding.
+  *  - double aggregates via `CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)`
+  *    — exact, order-independent, engine-identical.
+  *  - `COUNT`/sums surfaced as BIGINT (DuckDB's HUGEINT sums are cast).
+  *  - ties broken by unique ids; regexes restricted to the RE2∩Java
+  *    common subset (no lookaround, explicit ASCII classes).
+  */
+object OracleSql {
+
+  private val stopwordList =
+    graft.operators.TextAnalysis.defaultMarkers.toSeq.sortBy(_._1)
+      .flatMap(_._2).map(w => s"'$w'").mkString(", ")
+
+  /** Word shingle list (distinct) as a DuckDB expression. */
+  private def shingleExpr(n: Int): String =
+    s"""CASE WHEN len(words) < $n THEN [array_to_string(words, ' ')]
+       |     ELSE list_distinct([array_to_string(words[i:i+${n - 1}], ' ')
+       |                         for i in range(1, len(words) - ${n - 1} + 1)])
+       |END""".stripMargin
+
+  private val decSum = (x: String, as: String) =>
+    s"CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE) AS $as"
+  private val decAvg = (x: String, as: String) =>
+    s"CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE)/COUNT($x) AS $as"
+
+  val sql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${decSum("l_quantity", "sum_qty")},
+         |  ${decSum("l_extendedprice", "sum_base_price")},
+         |  ${decSum("l_extendedprice*(1.0-l_discount)", "sum_disc_price")},
+         |  ${decSum("l_extendedprice*(1.0-l_discount)*(1.0+l_tax)", "sum_charge")},
+         |  ${decAvg("l_quantity", "avg_qty")},
+         |  ${decAvg("l_discount", "avg_disc")},
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey,
+         |  epoch_ns(o_orderdate)//1000000000 AS o_orderdate_s,
+         |  o_orderpriority,
+         |  ${decSum("l_extendedprice*(1.0-l_discount)", "revenue")}
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+         |  ${decSum("l_extendedprice*(1.0-l_discount)", "revenue")}
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY 1""".stripMargin,
+
+    "q_a1_downsample_max" ->
+      """SELECT epoch_ns(date_trunc('hour', ts))//1000000000 AS bucket_s,
+        |  user_id, MAX(value) AS max_value, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_a2_hourly_rollup" ->
+      s"""SELECT epoch_ns(date_trunc('hour', ts))//1000000000 AS bucket_s,
+         |  event_type, COUNT(*) AS n, ${decSum("value", "sum_value")}
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_a3_directory" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  CONCAT(event_type, ', ', user_id) AS combo
+        |FROM events""".stripMargin,
+
+    "q_a4_sliding_average" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_ns(ts)//1000000000 AS epoch_s, value FROM events)
+        |SELECT event_id, user_id, epoch_s,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        |    / COUNT(value) OVER w AS sliding_avg
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+        |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_a5_historic_average" ->
+      s"""SELECT epoch_ns(date_trunc('hour', ts))//1000000000 AS bucket_s,
+         |  user_id, ${decAvg("value", "avg_value")}, COUNT(*) AS n
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_s3_historic_range" ->
+      s"""WITH e AS (SELECT epoch_ns(ts)//1000000000 AS es, value FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |    AND ts < TIMESTAMP '2024-01-12 00:00:00')
+         |SELECT (es//600)*600 AS bucket_s,
+         |  ${decAvg("value", "avg_value")}, COUNT(*) AS n
+         |FROM e GROUP BY 1""".stripMargin,
+
+    "q_f_pushdown_scan" ->
+      s"""SELECT event_id, user_id, epoch_ns(ts)//1000000000 AS epoch_s, value
+         |FROM events
+         |WHERE event_type = 'click'
+         |  AND user_id IN (${(1L to 40L).mkString(", ")})
+         |  AND value >= 5.0 AND value < 50.0
+         |  AND ts >= TIMESTAMP '2024-01-03 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-25 00:00:00'""".stripMargin,
+
+    "q_j1_recombine" ->
+      """SELECT a.event_id, a.user_id, a.event_type, b.value, c.epoch_s
+        |FROM (SELECT event_id, user_id, event_type FROM events) a
+        |JOIN (SELECT event_id, value FROM events) b ON a.event_id = b.event_id
+        |JOIN (SELECT event_id, epoch_ns(ts)//1000000000 AS epoch_s
+        |      FROM events) c ON a.event_id = c.event_id""".stripMargin,
+
+    "q_j2_semi_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${decSum("o_totalprice", "total")}
+         |FROM orders
+         |WHERE o_custkey IN
+         |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         |GROUP BY 1""".stripMargin,
+
+    "q_j3_dim_probe" ->
+      s"""SELECT user_id, event_type, COUNT(*) AS n,
+         |  ${decSum("value", "sum_value")}
+         |FROM events
+         |WHERE user_id IN (SELECT DISTINCT user_id FROM events
+         |  WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-08 00:00:00')
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_o1_time_sort" ->
+      """SELECT epoch_ns(date_trunc('day', ts))//1000000000 AS bucket_s,
+        |  MAX(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_t3_dedup_pk" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_ns(date_trunc('minute', ts))//1000000000 AS bucket_s,
+        |    event_id FROM events)
+        |SELECT user_id, bucket_s, event_id FROM e
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id, bucket_s ORDER BY event_id) = 1""".stripMargin,
+
+    "q_x_concat_split" ->
+      """SELECT c_custkey, CONCAT(c_name, ', ', c_custkey) AS combo,
+        |  str_split(CONCAT(c_name, ', ', c_custkey), ', ')[2] AS part2
+        |FROM customer""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS epoch_us
+        |    FROM events),
+        |  f AS (SELECT user_id, event_id, epoch_us,
+        |    CASE WHEN lag(epoch_us) OVER w IS NULL
+        |           OR epoch_us - lag(epoch_us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us, event_id)),
+        |  g AS (SELECT user_id, event_id, epoch_us,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |    FROM f)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(epoch_us)//1000000 AS session_start_s
+        |FROM g GROUP BY 1, 2""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) AS n_subwords
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH base AS (SELECT doc_id, text, length(text) AS n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+         |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      x -> list_contains([$stopwordList], lower(x)))) AS n_stop
+         |  FROM documents),
+         |r AS (SELECT *,
+         |    CAST(GREATEST(n_chars, 1) AS DOUBLE) AS safe_chars,
+         |    CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS safe_toks
+         |  FROM base),
+         |m AS (SELECT doc_id,
+         |    CAST(n_chars AS BIGINT) AS n_chars,
+         |    CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / safe_toks AS avg_token_len,
+         |    CAST(n_punct AS DOUBLE) / safe_chars AS punct_ratio,
+         |    CAST(n_digit AS DOUBLE) / safe_chars AS digit_ratio,
+         |    CAST(n_upper AS DOUBLE) / safe_chars AS upper_ratio,
+         |    CAST(n_stop AS DOUBLE) / safe_toks AS stopword_ratio
+         |  FROM r)
+         |SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
+         |  digit_ratio, upper_ratio, stopword_ratio,
+         |  LEAST(1.0, stopword_ratio * 2.0 +
+         |    (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0
+         |          THEN 0.5 ELSE 0.0 END)
+         |    - punct_ratio - digit_ratio) AS quality_score
+         |FROM m""".stripMargin,
+
+    "q_text_langid" -> {
+      val markers = graft.operators.TextAnalysis.defaultMarkers
+      val langs = markers.keys.toSeq.sorted
+      val scoreCols = langs.map { l =>
+        val list = markers(l).map(w => s"'$w'").mkString(", ")
+        s"""CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+           |      x -> list_contains([$list], x))) AS BIGINT) AS score_$l""".stripMargin
+      }.mkString(",\n    ")
+      val m = langs.map(l => s"score_$l").mkString(", ")
+      val cases = langs.map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
+      s"""WITH s AS (SELECT doc_id, lang,
+         |    $scoreCols
+         |  FROM documents),
+         |g AS (SELECT *, GREATEST($m) AS m FROM s)
+         |SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+         |  CASE WHEN m = 0 THEN 'und' $cases END AS predicted_lang
+         |FROM g""".stripMargin
+    },
+
+    "q_text_fingerprint" ->
+      s"""WITH w AS (SELECT doc_id, md5(text) AS md5_fp,
+         |    regexp_split_to_array(trim(text), '\\s+') AS words FROM documents)
+         |SELECT doc_id, md5_fp,
+         |  list_min(list_transform(${shingleExpr(5)}, s -> md5(s))) AS min_shingle_fp
+         |FROM w""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+        |g AS (SELECT content_md5, COUNT(*) AS dup_count, MIN(doc_id) AS keep_id
+        |      FROM d GROUP BY 1)
+        |SELECT doc_id, d.content_md5, dup_count, keep_id,
+        |  doc_id = keep_id AS keep
+        |FROM d JOIN g USING (content_md5)""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
+         |sh AS (SELECT doc_id AS id, unnest(${shingleExpr(3)}) AS shingle FROM w),
+         |sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE a.id < b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common,
+         |  CAST(n_common AS DOUBLE)
+         |    / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.id = id_a
+         |JOIN sizes sb ON sb.id = id_b
+         |WHERE CAST(n_common AS DOUBLE)
+         |    / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.10""".stripMargin,
+
+    "q_sim_topk_dot" ->
+      """WITH qe AS (SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding) AS x FROM embeddings WHERE vec_id < 10),
+        |ce AS (SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding) AS x FROM embeddings),
+        |s AS (SELECT qid AS query_id, cid AS corpus_id,
+        |    CAST(SUM(CAST(CAST(qe.x AS DOUBLE) * CAST(ce.x AS DOUBLE)
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS score
+        |  FROM qe JOIN ce ON qe.i = ce.i GROUP BY 1, 2)
+        |SELECT query_id, corpus_id, score,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS BIGINT)
+        |    AS rank
+        |FROM s QUALIFY rank <= 5""".stripMargin,
+
+    "q_sim_topk_cosine" ->
+      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding) AS x FROM embeddings),
+        |norms AS (SELECT vec_id,
+        |    sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |      AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+        |  FROM el GROUP BY 1),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS dot
+        |  FROM el q JOIN el c ON q.i = c.i
+        |  WHERE q.vec_id < 10 GROUP BY 1, 2),
+        |sc AS (SELECT query_id, corpus_id,
+        |    dot / (nq.nrm * nc.nrm) AS score
+        |  FROM s JOIN norms nq ON nq.vec_id = query_id
+        |         JOIN norms nc ON nc.vec_id = corpus_id)
+        |SELECT query_id, corpus_id, score,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS BIGINT)
+        |    AS rank
+        |FROM sc QUALIFY rank <= 5""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT 'image' AS kind, COUNT(*) AS n,
+        |  CAST(MAX(doc_id % 640 + 32) AS INTEGER) AS max_width,
+        |  CAST(MAX(doc_id % 480 + 32) AS INTEGER) AS max_height
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,13 +1,358 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.TimeSeries
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal), each with equivalent
+  * DuckDB SQL in [[oracleSql]] where SQL-expressible.
+  *
+  * Oracle-parity conventions (why the queries look the way they do):
+  *  - `events.ts` is stored with nanosecond precision; Spark truncates to
+  *    microseconds on read. Queries therefore never emit raw timestamps —
+  *    time buckets and order keys are epoch-second BIGINTs, which floor
+  *    identically in both engines.
+  *  - Aggregates over DOUBLE measures sum fixed-scale DECIMALs (exact,
+  *    order-independent) and surface the result as DOUBLE — bit-identical
+  *    under any partitioning and in both engines. Per-row double arithmetic
+  *    (ratios, products) is deterministic IEEE and needs no such care.
+  *  - Ties are always broken by a unique id so row_number/top-k are
+  *    deterministic.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Epoch seconds (floor). Via TimestampType so TIMESTAMP_NTZ inputs
+    * (parquet ms/us with isAdjustedToUTC=false) work too — the session TZ
+    * is pinned UTC, so NTZ and instant agree numerically. */
+  private def epochS(c: Column): Column =
+    c.cast(TimestampType).cast(LongType)
+  private def bucketS(c: Column, unit: String): Column =
+    epochS(date_trunc(unit, c)).as("bucket_s")
+  private val decimalSum: Column => Column = c =>
+    sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+  private def decimalAvg(c: Column): Column =
+    sum(c.cast(DecimalType(28, 6))).cast(DoubleType) / count(c)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H-Q3-shaped: 3-way join + decimal-exact revenue rollup. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q3ShippingPriority(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- TPC-H
+
+  /** Q1-shaped pricing summary: wide hash aggregation with partial/final
+    * phases; at 100 TB this is one scan + one tiny shuffle (6 groups). */
+  private def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decimalSum(col("l_quantity")).as("sum_qty"),
+        decimalSum(col("l_extendedprice")).as("sum_base_price"),
+        decimalSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        decimalSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        decimalAvg(col("l_quantity")).as("avg_qty"),
+        decimalAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Q3-shaped shipping priority: selective dimension filters reach the
+    * scans (PushedFilters), then customer⨝orders is broadcast-able after
+    * AQE sees the filtered size; revenue is decimal-exact. */
+  private def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1995-03-15").cast(TimestampType)
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), epochS(col("o_orderdate")).as("o_orderdate_s"),
+        col("o_orderpriority"))
+      .agg(decimalSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  /** Q5-shaped local-supplier volume: 6-table star join; region/nation are
+    * broadcast dimensions, the only real shuffle is lineitem⨝orders. */
+  private def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+    val l = t(spark, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+               col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(decimalSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  // ------------------------------------------------- time-series (events)
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright. Read it as a raw nanosecond LONG
+    * (`nanosAsLong`) and convert to a microsecond timestamp explicitly —
+    * integer floor-div, same truncation DuckDB's `epoch_ns(ts)//1000`
+    * applies, so both engines see identical instants. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** A1 — tumbling 1 h downsample, max + count per sensor (user). */
+  private def qA1(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(bucketS(col("ts"), "hour"), col("user_id"))
+      .agg(max(col("value")).as("max_value"), count(lit(1)).as("n"))
+
+  /** A2 — the continuous aggregate's hourly rollup, batch form. */
+  private def qA2(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(bucketS(col("ts"), "hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decimalSum(col("value")).as("sum_value"))
+
+  /** A3 + X2 — DISTINCT directory with CONCAT combo. */
+  private def qA3(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        concat(col("event_type"), lit(", "), col("user_id")).as("combo"))
+      .distinct()
+
+  /** A4 — trailing 10-minute sliding mean per user (pseudo-average). */
+  private def qA4(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.slidingAverage(events(spark, dir), "ts", "user_id", "value", 600L)
+      .select(col("event_id"), col("user_id"), col("epoch_s"), col("sliding_avg"))
+
+  /** A5/S3 — historic range scan + 60-minute server-side averages. */
+  private def qA5(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast(TimestampType) &&
+              col("ts") < lit("2024-01-20 00:00:00").cast(TimestampType))
+      .groupBy(bucketS(col("ts"), "hour"), col("user_id"))
+      .agg(decimalAvg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+
+  /** S3 — historic 10-minute pre-aggregation over a narrower range. */
+  private def qS3(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast(TimestampType) &&
+              col("ts") < lit("2024-01-12 00:00:00").cast(TimestampType))
+    e.groupBy((floor(epochS(col("ts")) / 600L) * 600L).as("bucket_s"))
+      .agg(decimalAvg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+  }
+
+  /** F1+F2+F4+F5+F7 — the multi-sensor pushdown predicate set as one scan. */
+  private def qFilters(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.pushdownScan(events(spark, dir), "ts", "user_id",
+        "event_type", "click", (1L to 40L), "value", 5.0, 50.0,
+        "2024-01-03 00:00:00", "2024-01-25 00:00:00")
+      .select(col("event_id"), col("user_id"), epochS(col("ts")).as("epoch_s"),
+        col("value"))
+
+  /** J1 — vertical split + recombine: 3 key-repeated projections of events
+    * equi-joined back on the PK. */
+  private def qJ1(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val p1 = e.select(col("event_id"), col("user_id"), col("event_type"))
+    val p2 = e.select(col("event_id"), col("value"))
+    val p3 = e.select(col("event_id"), epochS(col("ts")).as("epoch_s"))
+    p1.join(p2, Seq("event_id")).join(p3, Seq("event_id"))
+  }
+
+  /** J2/F2 — show_only semi-join: orders restricted to BUILDING customers. */
+  private def qJ2(spark: SparkSession, dir: String): DataFrame = {
+    val building = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    t(spark, dir, "orders")
+      .join(building, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), decimalSum(col("o_totalprice")).as("total"))
+  }
+
+  /** J3 — dimension probe: small signup-cohort dim broadcast onto the fact
+    * scan (dashboard variable chain). */
+  private def qJ3(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val dim = e.filter(col("event_type") === "signup" &&
+        col("ts") < lit("2024-01-08 00:00:00").cast(TimestampType))
+      .select(col("user_id")).distinct()
+    e.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decimalSum(col("value")).as("sum_value"))
+  }
+
+  /** O1 — total time sort: daily max, ordered ascending. */
+  private def qO1(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(bucketS(col("ts"), "day"))
+      .agg(max(col("value")).as("max_value"))
+      .orderBy(col("bucket_s"))
+
+  /** T3 — deterministic PK dedup: first event per (user, minute). */
+  private def qT3(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("bucket_s", epochS(date_trunc("minute", col("ts"))))
+    TimeSeries.dedupFirstPerKey(e, Seq(col("user_id"), col("bucket_s")),
+        col("event_id"))
+      .select(col("user_id"), col("bucket_s"), col("event_id"))
+  }
+
+  /** X2+X3 — concat then string_to_array + 1-based subscript round trip. */
+  private def qX23(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        concat(col("c_name"), lit(", "), col("c_custkey")).as("combo"))
+      .withColumn("part2", element_at(split(col("combo"), ", "), 2))
+
+  /** Gap sessionization (30 min) — windowed cumulative-sum plan. */
+  private def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.sessionize(events(spark, dir), "ts", "user_id", "event_id", 1800L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        // integer floor-div, not double division: exact at µs magnitudes
+        expr("min(epoch_us) div 1000000").as("session_start_s"))
+
+  // ------------------------------------------------------- text analysis
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+
+  private def qTextTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).cast(LongType).as("n_subwords"))
+
+  private val stopwords = TextAnalysis.defaultMarkers.values.flatten.toSeq.distinct
+
+  private def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(docs(spark, dir), "text", stopwords)
+      .select("doc_id", "n_chars", "n_tokens", "avg_token_len", "punct_ratio",
+        "digit_ratio", "upper_ratio", "stopword_ratio", "quality_score")
+
+  private def qTextLangid(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(docs(spark, dir), "text")
+      .select("doc_id", "lang", "predicted_lang",
+        "score_de", "score_en", "score_es", "score_fr", "score_zh")
+
+  private def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(docs(spark, dir), "text", 5)
+      .select("doc_id", "md5_fp", "min_shingle_fp")
+
+  // --------------------------------------------------------------- dedup
+
+  private def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir), "doc_id", "text")
+      .select("doc_id", "content_md5", "dup_count", "keep_id", "keep")
+
+  private def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
+      shingleWords = 3, threshold = 0.10)
+
+  private def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicates(docs(spark, dir), "doc_id", "text",
+      shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.10)
+
+  private def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDuplicates(docs(spark, dir), "doc_id", "text",
+      maxHamming = 14)
+
+  // ---------------------------------------------------------- similarity
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+
+  private def qSimTopkDot(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding", k = 5)
+
+  private def qSimTopkCosine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding", k = 5, cosine = true)
+
+  private def qSimLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding", k = 5, planes = 8, tables = 4)
+
+  private def qEmbNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDuplicates(emb(spark, dir), "vec_id", "embedding",
+      threshold = 0.25, planes = 6, tables = 4)
+
+  // ---------------------------------------------------------- multimodal
+
+  private def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.metadataProfile(
+      Multimodal.mediaFromText(docs(spark, dir), "doc_id", "text"))
+
+  private def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.mediaFromText(docs(spark, dir), "doc_id", "text"), 8)
+      .select(col("media_id"), col("n_bytes"),
+        element_at(col("features"), 1).as("f0"))
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1Pricing _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q_a1_downsample_max" -> (qA1 _),
+    "q_a2_hourly_rollup" -> (qA2 _),
+    "q_a3_directory" -> (qA3 _),
+    "q_a4_sliding_average" -> (qA4 _),
+    "q_a5_historic_average" -> (qA5 _),
+    "q_s3_historic_range" -> (qS3 _),
+    "q_f_pushdown_scan" -> (qFilters _),
+    "q_j1_recombine" -> (qJ1 _),
+    "q_j2_semi_join" -> (qJ2 _),
+    "q_j3_dim_probe" -> (qJ3 _),
+    "q_o1_time_sort" -> (qO1 _),
+    "q_t3_dedup_pk" -> (qT3 _),
+    "q_x_concat_split" -> (qX23 _),
+    "q_sessionize" -> (qSessionize _),
+    "q_text_tokens" -> (qTextTokens _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram_jaccard" -> (qDedupNgram _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_sim_topk_dot" -> (qSimTopkDot _),
+    "q_sim_topk_cosine" -> (qSimTopkCosine _),
+    "q_sim_lsh" -> (qSimLsh _),
+    "q_emb_neardup" -> (qEmbNearDup _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_features" -> (qMultimodalFeatures _)
+  )
+
+  /** DuckDB-equivalent SQL per query. Omitted for the approximate /
+    * hash-family operators (minhash, simhash, LSH, embedding near-dup,
+    * stubbed codec features) — those get the driver's rows-only check.
+    * See [[OracleSql.sql]] for the definitions. */
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. (Embedding-cosine near-dup lives in
+  * [[Similarity.cosineNearDuplicates]].)
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is one hash `groupBy` — partial aggregation + one shuffle
+  *    on a 128-bit digest, never on the raw text.
+  *  - MinHash/SimHash avoid the O(n²) pair space by *banding*: candidates
+  *    are generated with an equi-join on (band, bandHash) — a plain shuffle
+  *    join on short keys that Catalyst/AQE handles like any other join
+  *    (skewed buckets split by AQE). Only candidates are verified.
+  *  - Signatures are built with k independent `min()`/`sum()` aggregates in
+  *    a single `groupBy` — one shuffle, map-side combine, all codegen; no
+  *    explode-regroup round trips.
+  */
+object Dedup {
+
+  /** Exact dedup assignment: per-row content digest plus the size of its
+    * duplicate group and the canonical (minimum) id that survives.
+    * `keep = (id == keep_id)` selects survivors.
+    *
+    * Two-phase: digest groupBy (partial-agg shuffle) then a broadcast-able
+    * join back — at 100 TB the group table is tiny relative to the corpus
+    * (only digests + counts), and AQE broadcasts it.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val digest = md5(col(textCol).cast(BinaryType))
+    val withDigest = df.withColumn("content_md5", digest)
+    val groups = withDigest.groupBy(col("content_md5"))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keep_id"))
+    withDigest.join(groups, Seq("content_md5"))
+      .withColumn("keep", col(idCol) === col("keep_id"))
+  }
+
+  /** k independent 64-bit hash functions: `h_i(x) = xxhash64(x, i)` —
+    * the per-function index is mixed in as an extra hashed column.
+    * Deterministic, codegen'd, and overflow-free under ANSI mode (an
+    * affine `a*h+b` family would wrap, which ANSI rejects). */
+  private def hashFamily(base: Column, k: Int): Seq[Column] =
+    (0 until k).map(i => xxhash64(base, lit(i)))
+
+  /** MinHash signatures: one row per id with columns `mh_0 … mh_{k-1}`.
+    * Plan: explode shingles → k `min()` aggregates in ONE groupBy (single
+    * shuffle on id, partial aggregation on the map side). */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, k: Int): DataFrame = {
+    val sh = TextAnalysis.shingles(col(textCol), shingleWords)
+    val exploded = df.select(col(idCol), explode(sh).as("shingle"))
+      .withColumn("xx", xxhash64(col("shingle")))
+    val hs = hashFamily(col("xx"), k)
+    exploded.groupBy(col(idCol))
+      .agg(min(hs.head).as("mh_0"),
+           hs.tail.zipWithIndex.map { case (h, i) => min(h).as(s"mh_${i + 1}") }: _*)
+  }
+
+  /** MinHash + LSH banding: near-duplicate candidate pairs `(id_a, id_b)`
+    * with the fraction of agreeing signature components (`sig_similarity`,
+    * an unbiased Jaccard estimate). Pairs with
+    * `sig_similarity >= threshold` are returned, `id_a < id_b`, distinct.
+    *
+    * `k = bands * rowsPerBand`. Banding makes the candidate join an
+    * equi-join on `(band, hash(band rows))` — the only pairwise work is
+    * within buckets, which is the whole point of LSH at scale.
+    */
+  def minhashNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = minhashSignatures(df, idCol, textCol, shingleWords, k)
+    val sigArray = array((0 until k).map(i => col(s"mh_$i")): _*)
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(concat_ws("|",
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)
+    val banded = sigs.withColumn("sig", sigArray)
+      .select(col(idCol), col("sig"),
+        posexplode(bandHashes).as(Seq("band", "band_hash")))
+      .select(col(idCol), col("sig"), col("band"), col("band_hash"))
+    val l = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("band_hash"))
+    val r = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("band_hash"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          (x === y).cast(IntegerType)), v => v === 1)).cast(DoubleType) /
+          lit(k.toDouble)).as("sig_similarity"))
+      .distinct()
+      .filter(col("sig_similarity") >= threshold)
+  }
+
+  /** 64-bit SimHash per document: per-token hash bit votes, weighted +1/-1,
+    * sign per bit → packed hash. One explode + ONE groupBy with 64 `sum()`
+    * aggregates (single shuffle, map-side combine). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("xx", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("xx"), i).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v_$i")
+    }
+    val agged = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val packed = (0 until 64).map(i =>
+      when(col(s"v_$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    agged.select(col(idCol), packed.as("simhash"))
+  }
+
+  /** SimHash near-duplicates: pairs within `maxHamming` bits. Candidate
+    * generation bands the 64-bit hash into 4×16-bit chunks (pigeonhole: any
+    * pair within hamming ≤ 3·16 shares ≥1 exact chunk when maxHamming < 4 —
+    * we use it as a standard recall/cost trade). Verification counts
+    * differing bits via `bit_count(xor)`. */
+  def simhashNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val chunks = array((0 until 4).map(c =>
+      shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)): _*)
+    val chunked = sh.select(col(idCol), col("simhash"),
+      posexplode(chunks).as(Seq("chunk", "chunk_val")))
+    val l = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("chunk"), col("chunk_val"))
+    val r = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("chunk"), col("chunk_val"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs above `threshold`.
+    * Inverted-index join: explode distinct shingles, equi-join on shingle to
+    * count intersections (|A∩B|), then `|A∪B| = |A|+|B|−|A∩B|`.
+    *
+    * At scale this is the textbook "similarity join via postings" — the
+    * shuffle key is the shingle, so ubiquitous shingles are the skew risk;
+    * `maxDocFreq` drops shingles appearing in more than that many docs
+    * (standard prefix/frequency pruning) to bound the join fan-out.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, threshold: Double,
+      maxDocFreq: Long = 1000000L): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingles(col(textCol), shingleWords)).as("shingle"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
+    val pruned = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq).select("shingle"),
+      Seq("shingle"))
+    val inter = pruned.select(col("id").as("id_a"), col("shingle"))
+      .join(pruned.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) /
+          (col("size_a") + col("size_b") - col("n_common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `BINARY` payloads
+  * with typed metadata, plus distributed decode / feature-extract / resize /
+  * frame-sample operators.
+  *
+  * The Spark-side shape is real and tested — schema, partitioning, batch
+  * iteration (`mapPartitions` over an iterator, the Scala analogue of
+  * `mapInPandas`), and output schemas. The codec step itself is STUBBED with
+  * a deterministic fake (this container has no image/audio libraries): the
+  * `decodeStub` function derives "pixels"/"samples" from the payload bytes
+  * reproducibly. Swap [[MediaCodec.decode]] for a real JNI/libs-backed codec
+  * in production; nothing else changes.
+  *
+  * Scale notes: payloads stay opaque binary until the last possible moment
+  * (no shuffle ever carries decoded frames); decode runs partition-local
+  * after a `repartition` on media_id so one task touches one shard of
+  * payloads; metadata-only queries never deserialize payloads at all thanks
+  * to parquet column pruning.
+  */
+object Multimodal {
+
+  /** Canonical media table schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("caption", StringType, nullable = true)
+  ))
+
+  /** Deterministic fake codec — STUB for the real decoder.
+    * Produces `n` feature doubles derived from payload bytes via a rolling
+    * 64-bit hash; same bytes → same features, any partitioning. */
+  object MediaCodec {
+    def decode(payload: Array[Byte], n: Int): Array[Double] = {
+      // ??? real codec goes here (libjpeg/ffmpeg/...); deterministic stub:
+      var h = 0xcbf29ce484222325L
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < payload.length) {
+        h = (h ^ payload(i)) * 0x100000001b3L
+        i += 1
+      }
+      var j = 0
+      var s = h
+      while (j < n) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        out(j) = (s >>> 11).toDouble / (1L << 53).toDouble
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Build a media table from any (id, text) corpus — payload = UTF-8 bytes.
+    * Used by tests and the verify gate as a stand-in for real blobs. */
+  def mediaFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      lit("image").as("kind"),
+      col(textCol).cast(BinaryType).as("payload"),
+      lit("application/octet-stream").as("mime"),
+      (pmod(col(idCol), lit(640)) + 32).cast(IntegerType).as("width"),
+      (pmod(col(idCol), lit(480)) + 32).cast(IntegerType).as("height"),
+      lit(null).cast(LongType).as("duration_ms"),
+      lit(null).cast(StringType).as("caption"))
+
+  private val featureSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false))))
+
+  /** Distributed feature extraction: batch-iterate partitions, decode each
+    * payload with the (stubbed) codec, emit fixed-width feature vectors.
+    * This is the `mapInPandas`-shaped operator: iterator in, iterator out,
+    * no per-row task overhead, payloads never shuffled. */
+  def extractFeatures(media: DataFrame, featureDim: Int): DataFrame = {
+    val spark = media.sparkSession
+    val enc = ExpressionEncoder(featureSchema)
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+            payload.length.toLong, MediaCodec.decode(payload, featureDim))
+        }
+      }(enc)
+  }
+
+  /** Frame sampling plan for video rows: which frame indices a decoder
+    * should materialize (every `everyMs`). Pure column math — demonstrates
+    * metadata-only planning without touching payloads. */
+  def frameSamplePlan(media: DataFrame, everyMs: Long): DataFrame =
+    media.filter(col("kind") === "video" && col("duration_ms").isNotNull)
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs)))
+          .as("frame_ms"))
+
+  /** Metadata-only profile: never reads `payload` (check `ReadSchema` in
+    * `.explain` — column pruning keeps blobs out of IO entirely). */
+  def metadataProfile(media: DataFrame): DataFrame =
+    media.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        max(col("width")).as("max_width"),
+        max(col("height")).as("max_height"))
+}

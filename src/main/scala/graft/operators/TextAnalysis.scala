@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, and document
+  * fingerprinting.
+  *
+  * All operators are per-row, shuffle-free column expressions built from
+  * codegen'd `functions._` — they run inside the scan's whole-stage-codegen
+  * span, so at 100 TB they cost one pass over the data and nothing else.
+  * Ratios are integer-over-integer divisions in IEEE double, so results are
+  * bit-deterministic everywhere.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (empty input → 0). */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish sub-word count: runs of ASCII letters, runs of digits, or
+    * single non-space symbols (CJK chars count one each) — a cheap regex
+    * proxy for tokenizer load. Alternation of disjoint classes, so greedy
+    * (Java) and leftmost-longest (RE2) matching agree. */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Quality heuristics per document. Output columns:
+    * `n_chars`, `n_tokens`, `avg_token_len`, `punct_ratio`,
+    * `digit_ratio`, `upper_ratio`, `stopword_ratio`, `quality_score`.
+    *
+    * `quality_score` is a simple bounded combination in [0,1]: rewards
+    * stopword presence and mid-length tokens, penalizes punctuation/digit
+    * density — the standard cheap pre-filter shape for web-scale corpora.
+    */
+  def quality(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val toks = tokens(t)
+    val nTokens = tokenCount(t)
+    val nPunct = nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val nDigit = nChars - length(regexp_replace(t, "[0-9]", ""))
+    val nUpper = nChars - length(regexp_replace(t, "[A-Z]", ""))
+    val nStop = size(filter(toks, w => lower(w).isin(stopwords.map(lit): _*)))
+    val safeChars = greatest(nChars, lit(1)).cast(DoubleType)
+    val safeToks = greatest(nTokens, lit(1)).cast(DoubleType)
+    val stopRatio = nStop.cast(DoubleType) / safeToks
+    val punctRatio = nPunct.cast(DoubleType) / safeChars
+    val digitRatio = nDigit.cast(DoubleType) / safeChars
+    val avgTokLen =
+      (nChars - (nTokens - lit(1))).cast(DoubleType) / safeToks
+    df.withColumn("n_chars", nChars.cast(LongType))
+      .withColumn("n_tokens", nTokens.cast(LongType))
+      .withColumn("avg_token_len", avgTokLen)
+      .withColumn("punct_ratio", punctRatio)
+      .withColumn("digit_ratio", digitRatio)
+      .withColumn("upper_ratio", nUpper.cast(DoubleType) / safeChars)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("quality_score",
+        least(lit(1.0),
+          stopRatio * 2.0 +
+            when(avgTokLen >= 3.0 && avgTokLen <= 10.0, 0.5).otherwise(0.0) -
+            punctRatio - digitRatio))
+  }
+
+  /** Stopword-profile language ID: per language, count how many tokens hit
+    * that language's marker list; predict the arg-max (ties broken by
+    * language code order — deterministic). Pure column expressions, no UDF.
+    *
+    * This is the classic cheap n-gram/function-word heuristic; marker lists
+    * are tiny and inlined into codegen, so it costs one tokenize per row.
+    */
+  val defaultMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "de", "que", "en", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "人")
+  )
+
+  def languageId(
+      df: DataFrame, textCol: String,
+      markers: Map[String, Seq[String]] = defaultMarkers): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val langs = markers.keys.toSeq.sorted
+    val scored = langs.foldLeft(df) { (acc, lang) =>
+      acc.withColumn(s"score_$lang",
+        size(filter(toks, w => w.isin(markers(lang).map(lit): _*)))
+          .cast(LongType))
+    }
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+    // arg-max with deterministic tie-break: compare (score, reversed-code)
+    val winner = best.reduce((a, b) =>
+      when(b("s") > a("s"), b).otherwise(a))
+    scored.withColumn("predicted_lang",
+      when(winner("s") === 0, lit("und")).otherwise(winner("l")))
+  }
+
+  /** Document fingerprint #1 — content hash family:
+    * `md5` (engine-portable), `xxhash64` (fast 64-bit), and a winnowing-ish
+    * shingle fingerprint: the minimum md5 over sliding `n`-word shingles,
+    * which is stable under small appends (unlike whole-text hashes). */
+  def fingerprint(df: DataFrame, textCol: String, shingleWords: Int): DataFrame = {
+    val sh = shingles(col(textCol), shingleWords)
+    df.withColumn("md5_fp", md5(col(textCol).cast(BinaryType)))
+      .withColumn("xx64_fp", xxhash64(col(textCol)))
+      .withColumn("min_shingle_fp", array_min(transform(sh, s => md5(s.cast(BinaryType)))))
+  }
+
+  /** Sliding word `n`-gram shingles as an array column (distinct, to make
+    * set semantics explicit for Jaccard). Text with fewer than `n` words
+    * yields one shingle = the whole trimmed text. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = size(toks)
+    when(count < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), count - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's public time-series analytics API — the dashboard/read-path
+  * query surface of the reference (SURVEY §2.3/§2.4/§2.6) generalized to any
+  * `(timestamp, key, measures…)` table.
+  *
+  * Scale notes (100 TB):
+  *  - Every aggregation here is a plain `groupBy` → Catalyst plans
+  *    partial (map-side) + final hash aggregation: one shuffle keyed on the
+  *    group columns, no row explosion.
+  *  - Time-bucket group keys compose with a date-partitioned storage layout,
+  *    so F7-style time-range filters prune partitions before the scan.
+  *  - Sliding windows partition by the entity key — state per key is bounded
+  *    by the horizon, and skewed keys are handled by AQE; for pathological
+  *    single-key skew pre-aggregate per (key, second) first (that is what
+  *    [[slidingAverage]]'s `preBucket` flag does).
+  *
+  * Numeric determinism: aggregates over floating measures are computed by
+  * summing fixed-scale decimals (exact, order-independent) and converting at
+  * the end, so results are bit-identical across partitionings, retries, and
+  * engines — double summation order is never observable.
+  */
+object TimeSeries {
+
+  /** Exact, order-independent mean of a double column: sum as
+    * `DECIMAL(28,6)` (exact), convert to double, divide by count. */
+  def exactAvg(c: Column): Column =
+    (sum(c.cast(DecimalType(28, 6))).cast(DoubleType) / count(c))
+
+  /** Exact, order-independent sum of a double column, surfaced as double. */
+  def exactSum(c: Column): Column =
+    sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+
+  /** Epoch seconds, truncated (floor) — sub-second precision is dropped so
+    * window frames and order keys are stable across µs/ns storage. */
+  def epochSeconds(ts: Column): Column = ts.cast(LongType)
+
+  /** A1 — time-bucketed downsampling: tumbling-window `max` (plus count)
+    * per entity, the shape of every reference dashboard panel
+    * (`$__timeGroupAlias(ts, interval), max(col) GROUP BY 1`). */
+  def downsampleMax(
+      df: DataFrame, ts: String, key: String, measure: String,
+      interval: String): DataFrame =
+    df.groupBy(
+        window(col(ts), interval)("start").as("bucket_ts"),
+        col(key))
+      .agg(max(col(measure)).as("max_value"),
+           count(lit(1)).as("n"))
+
+  /** A2 (batch form) — the hourly rollup behind the reference's continuous
+    * aggregate: 1-hour bucket × group key, count + exact sum. The streaming
+    * form lives in [[graft.streaming.ContinuousAggregate]]. */
+  def hourlyRollup(df: DataFrame, ts: String, key: String, measure: String): DataFrame =
+    df.groupBy(date_trunc("hour", col(ts)).as("bucket_ts"), col(key))
+      .agg(count(lit(1)).as("n"), exactSum(col(measure)).as("sum_value"))
+
+  /** A5 — historic server-side average: `average ∈ {10,30,60,360,1440}`
+    * minutes over a time range (`PurpleAirAPI.py:244-305`). Range bounds are
+    * half-open `[start, end)` like the reference. */
+  def historicAverage(
+      df: DataFrame, ts: String, key: String, measure: String,
+      startIso: String, endIso: String, minutes: Int): DataFrame =
+    df.filter(col(ts) >= lit(startIso).cast(TimestampType) &&
+              col(ts) < lit(endIso).cast(TimestampType))
+      .groupBy(window(col(ts), s"$minutes minutes")("start").as("bucket_ts"),
+               col(key))
+      .agg(exactAvg(col(measure)).as("avg_value"), count(lit(1)).as("n"))
+
+  /** A4 — "pseudo average": trailing time-range sliding mean per entity
+    * (the PurpleAir `pm2.5_10minute…1week` family, recomputed natively).
+    * Frame = `[t - horizonSeconds, t]` over *truncated-second* event time,
+    * so frame membership is precision-independent.
+    *
+    * At 100 TB the window shuffles once on the entity key; state per key is
+    * bounded by the horizon. Rows sharing a truncated second are RANGE-frame
+    * peers, so the result is deterministic under any intra-second order.
+    */
+  def slidingAverage(
+      df: DataFrame, ts: String, key: String, measure: String,
+      horizonSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("epoch_s"))
+      .rangeBetween(-horizonSeconds, 0)
+    df.withColumn("epoch_s", epochSeconds(col(ts)))
+      .withColumn("sliding_avg",
+        (sum(col(measure).cast(DecimalType(28, 6))).over(w).cast(DoubleType) /
+          count(col(measure)).over(w)))
+  }
+
+  /** A3 + X2 — the sensor-directory templating query:
+    * `SELECT DISTINCT key, label, CONCAT(label, ', ', key) ORDER BY key`. */
+  def directory(df: DataFrame, key: String, label: String): DataFrame =
+    df.select(col(key), col(label),
+        concat(col(label), lit(", "), col(key)).as("combo"))
+      .distinct()
+      .orderBy(col(key), col(label))
+
+  /** F1/F2/F4/F5/F7 composed — the multi-sensor request's pushed-down
+    * predicate set as one scan: equality, id-list semi-filter, value range,
+    * and half-open time range. All of it reaches the parquet reader as
+    * `PushedFilters` (verify with `.explain`). */
+  def pushdownScan(
+      df: DataFrame, ts: String, key: String,
+      equalityCol: String, equalityValue: String,
+      ids: Seq[Long], valueCol: String, lo: Double, hi: Double,
+      startIso: String, endIso: String): DataFrame =
+    df.filter(col(equalityCol) === equalityValue)
+      .filter(col(key).isin(ids: _*))
+      .filter(col(valueCol) >= lo && col(valueCol) < hi)
+      .filter(col(ts) >= lit(startIso).cast(TimestampType) &&
+              col(ts) < lit(endIso).cast(TimestampType))
+
+  /** T3 — deterministic PK dedup: first row per `(key, truncated bucket)`
+    * in `orderCol` order. */
+  def dedupFirstPerKey(
+      df: DataFrame, bucketCols: Seq[Column], orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(bucketCols: _*).orderBy(orderCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Gap-based sessionization: a new session starts after `gapSeconds` of
+    * per-key inactivity. Classic cumulative-sum-over-flags plan: one shuffle
+    * on the key, two window passes, all codegen. Order key is
+    * (µs-truncated time, rowId) so sessions are deterministic. */
+  def sessionize(
+      df: DataFrame, ts: String, key: String, rowId: String,
+      gapSeconds: Long): DataFrame = {
+    val epochUs = (col(ts).cast(DecimalType(28, 6)) * 1000000L).cast(LongType)
+    val ord = Window.partitionBy(col(key)).orderBy(col("epoch_us"), col(rowId))
+    df.withColumn("epoch_us", epochUs)
+      .withColumn("prev_us", lag(col("epoch_us"), 1).over(ord))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+             col("epoch_us") - col("prev_us") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("prev_us", "new_session")
+  }
+}
