@@ -41,13 +41,13 @@ object Transforms {
     val sensorType = payload.schema("sensor").dataType.asInstanceOf[StructType]
     val sensorFields = sensorType.fieldNames.toSeq
 
-    def statsCols(statsField: String, suffix: String): Seq[Column] =
+    def statsCols(statsField: String, suffix: String): Seq[(String, Column)] =
       if (!sensorFields.contains(statsField)) Seq.empty
       else {
         val st = sensorType(statsField).dataType.asInstanceOf[StructType]
-        def pick(inner: String, out: String): Seq[Column] =
+        def pick(inner: String, out: String): Seq[(String, Column)] =
           if (st.fieldNames.contains(inner))
-            Seq(col(s"sensor.`$statsField`.`$inner`").as(out))
+            Seq(out -> col(s"sensor.`$statsField`.`$inner`").as(out))
           else Seq.empty
         val horizons = statsHorizons.flatMap(h => pick(h, s"$h$suffix"))
         if (suffix.isEmpty)
@@ -58,15 +58,20 @@ object Transforms {
             pick("time_stamp", s"time_stamp$suffix")
       }
 
+    val fromStats =
+      statsCols("stats", "") ++ statsCols("stats_a", "_a") ++
+        statsCols("stats_b", "_b")
+    // The reference's dict assignment means stats-derived keys OVERWRITE
+    // same-named plain sensor fields (`stats_a.pm2.5` → `pm2.5_a` shadows
+    // the direct `pm2.5_a`); mirror that by dropping the plain duplicates.
+    val statsNames = fromStats.map(_._1).toSet
     val plainCols = sensorFields
       .filterNot(Set("stats", "stats_a", "stats_b"))
+      .filterNot(statsNames)
       .map(n => col(s"sensor.`$n`").as(n))
 
     payload.select(
-      (col("data_time_stamp") +: plainCols) ++
-        statsCols("stats", "") ++
-        statsCols("stats_a", "_a") ++
-        statsCols("stats_b", "_b"): _*)
+      (col("data_time_stamp") +: plainCols) ++ fromStats.map(_._2): _*)
   }
 
   /** Zip the columnar multi-sensor payload (`fields: [names]` ∥

@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.TimeSeries
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: whitespace runs, empty-safe") {
+    val df = Seq("a b  c", "  ", "", "one").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text")).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("shingles: sliding distinct n-grams; short text → whole text") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TextAnalysis.shingles(col("text"), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0).toSeq)
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1) == Seq("a b"))
+  }
+
+  test("languageId: stopword profiles pick the right language") {
+    val df = Seq(
+      ("the cat and the dog is here", "en"),
+      ("der hund und die katze ist nicht da", "de"),
+      ("el perro y la casa es que en", "es"),
+      ("xyzzy qwerty", "und")
+    ).toDF("text", "expected")
+    val out = TextAnalysis.languageId(df, "text")
+    assert(out.filter(col("predicted_lang") =!= col("expected")).count() == 0)
+  }
+
+  test("quality: ratios bounded and deterministic") {
+    val df = Seq("The quick brown fox, it jumps over 42 lazy dogs!").toDF("text")
+    val r = TextAnalysis.quality(df, "text", Seq("the", "it", "over")).head()
+    assert(r.getAs[Long]("n_tokens") == 10L)
+    assert(r.getAs[Double]("punct_ratio") > 0 && r.getAs[Double]("punct_ratio") < 0.1)
+    assert(r.getAs[Double]("quality_score") <= 1.0)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup
+    (4L, "completely different content about spark catalyst optimizer internals and shuffles")
+  ).toDF("id", "text")
+
+  test("exact: duplicate group found, min id survives") {
+    val out = Dedup.exact(corpus, "id", "text")
+    val g = out.filter(col("dup_count") === 2).select("id", "keep_id", "keep")
+      .orderBy("id").collect()
+    assert(g.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(g.forall(_.getLong(1) == 1L))
+    assert(g.map(_.getBoolean(2)).toSeq == Seq(true, false))
+  }
+
+  test("minhash: exact + near duplicates collide, unrelated do not") {
+    val pairs = Dedup.minhashNearDuplicates(corpus, "id", "text",
+      shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical text → distance 0; unrelated text far") {
+    val sh = Dedup.simhash(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 10)
+  }
+
+  test("ngramJaccard: near-dup scores high, jaccard in (0,1]") {
+    val out = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) > 0.5 && out((1L, 3L)) < 1.0)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK cosine: self is rank 1, neighbor rank 2") {
+    val out = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 2, cosine = true)
+      .orderBy("rank").collect()
+    assert(out(0).getLong(1) == 0L && out(0).getDouble(2) > 0.999)
+    assert(out(1).getLong(1) == 1L)
+  }
+
+  test("dotExact matches hand-computed dot product exactly") {
+    val out = vecs.filter(col("vec_id") === 1L)
+      .select(Similarity.dotExact(col("embedding"), col("embedding")).as("d"))
+      .head().getDouble(0)
+    val f9 = 0.9f.toDouble; val f1 = 0.1f.toDouble
+    assert(out == BigDecimal(f9 * f9).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      + BigDecimal(f1 * f1).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("lshTopK: self retrieved (identical vectors share every bucket)") {
+    val out = Similarity.lshTopK(
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 1, planes = 4, tables = 2, dims = 4)
+      .collect()
+    assert(out.length == 1 && out(0).getLong(1) == 0L)
+  }
+
+  test("cosineNearDuplicates finds the near pair, not the orthogonal one") {
+    val out = Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding",
+      threshold = 0.95, planes = 2, tables = 4, dims = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((0L, 1L)))
+    assert(!out.contains((0L, 2L)))
+  }
+}
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def evts = Seq(
+    // user 1: events at t=0, 300, 900 (vals 10, 20, 40)
+    (1L, 0L, 10.0, 100L), (1L, 300L, 20.0, 101L), (1L, 900L, 40.0, 102L),
+    // user 2: one event, then a 2h gap
+    (2L, 0L, 5.0, 103L), (2L, 7200L, 6.0, 104L)
+  ).toDF("user_id", "epoch", "value", "event_id")
+    .withColumn("ts", timestamp_seconds(col("epoch")))
+
+  test("slidingAverage: trailing 600s range frame") {
+    val out = TimeSeries.slidingAverage(evts, "ts", "user_id", "value", 600L)
+      .filter(col("user_id") === 1L).orderBy("epoch_s")
+      .select("sliding_avg").collect().map(_.getDouble(0))
+    assert(out(0) == 10.0)         // [0]
+    assert(out(1) == 15.0)         // [0,300]
+    assert(out(2) == 30.0)         // [300,900]
+  }
+
+  test("sessionize: 1800s gap starts a new session") {
+    val out = TimeSeries.sessionize(evts, "ts", "user_id", "event_id", 1800L)
+      .groupBy("user_id").agg(max("session_id").as("sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L) // all within gaps
+    assert(out(2L) == 2L) // split by the 2h gap
+  }
+
+  test("downsampleMax buckets align to the hour") {
+    val out = TimeSeries.downsampleMax(evts, "ts", "user_id", "value", "1 hour")
+      .filter(col("user_id") === 1L).collect()
+    assert(out.length == 1 && out(0).getAs[Double]("max_value") == 40.0)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractFeatures: deterministic stub codec, payloads never null") {
+    val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text")
+    val f1 = Multimodal.extractFeatures(media, 4).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media.repartition(3), 4)
+      .orderBy("media_id").collect()
+    assert(f1.length == 2)
+    assert(f1(0).getSeq[Double](3).toSeq ==
+      f2(0).getSeq[Double](3).toSeq) // partition-independent
+    assert(f1(0).getAs[Long]("n_bytes") == 5L)
+  }
+
+  test("metadataProfile prunes payload column from the scan") {
+    val docs = Seq((1L, "hello")).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text")
+    val plan = Multimodal.metadataProfile(media)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("payload"))
+  }
+}
