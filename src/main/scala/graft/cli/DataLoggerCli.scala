@@ -1,0 +1,114 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.ApiPayloadSchema
+import graft.sinks.FanOutSink
+import graft.sources.PollingSource
+import graft.transform.Transforms
+
+/** CLI entry points mirroring the reference's three logger binaries
+  * (SURVEY §3.1-3.2): parse args, XOR-validate the single-vs-multi request
+  * config (S6, `PurpleAirDataLogger.py:217-245`), optionally drop existing
+  * data behind an explicit gate (T8), then run the poll→flatten→conform→
+  * fan-out pipeline as one Structured Streaming query.
+  *
+  * Sink selection replaces the reference's three near-identical classes:
+  * `parquet` (the scale path), `csv` (K3-compatible layout), or a JDBC URL
+  * (K1/K2).
+  */
+object DataLoggerCli {
+
+  case class Config(
+      sink: String = "parquet",
+      outDir: String = "./paa_data",
+      checkpointDir: String = "./paa_checkpoint",
+      singleConfig: Option[String] = None,
+      multiConfig: Option[String] = None,
+      apiKey: Option[String] = None,
+      fetcherClass: String = classOf[graft.sources.HttpPollingFetcher].getName,
+      replayDir: Option[String] = None,
+      pollSeconds: Long = 65L,
+      dropExisting: Boolean = false,
+      assumeYes: Boolean = false)
+
+  def parseArgs(args: Array[String]): Config = {
+    def loop(c: Config, rest: List[String]): Config = rest match {
+      case Nil => c
+      case "-sink" :: v :: t => loop(c.copy(sink = v), t)
+      case "-out_dir" :: v :: t => loop(c.copy(outDir = v), t)
+      case "-checkpoint_dir" :: v :: t => loop(c.copy(checkpointDir = v), t)
+      case "-paa_single_sensor_request_json_file" :: v :: t =>
+        loop(c.copy(singleConfig = Some(v)), t)
+      case "-paa_multiple_sensor_request_json_file" :: v :: t =>
+        loop(c.copy(multiConfig = Some(v)), t)
+      case "-paa_api_key" :: v :: t => loop(c.copy(apiKey = Some(v)), t)
+      case "-fetcher_class" :: v :: t => loop(c.copy(fetcherClass = v), t)
+      case "-replay_dir" :: v :: t => loop(c.copy(replayDir = Some(v)), t)
+      case "-poll_seconds" :: v :: t => loop(c.copy(pollSeconds = v.toLong), t)
+      case "-drop_existing" :: t => loop(c.copy(dropExisting = true), t)
+      case "-yes" :: t => loop(c.copy(assumeYes = true), t)
+      case other :: _ => sys.error(s"unknown argument: $other")
+    }
+    val c = loop(Config(), args.toList)
+    // XOR dispatch, exactly like validate_parameters_and_run
+    require(c.singleConfig.isDefined ^ c.multiConfig.isDefined,
+      "provide exactly one of -paa_single_sensor_request_json_file / " +
+        "-paa_multiple_sensor_request_json_file")
+    c
+  }
+
+  /** T8: destructive reset stays behind an explicit flag AND a prompt
+    * (or -yes for non-interactive use), like the reference's y/n gate. */
+  def confirmDrop(c: Config): Boolean = {
+    if (!c.dropExisting) false
+    else if (c.assumeYes) true
+    else {
+      print(s"Drop all existing data under ${c.outDir}? (y/n): ")
+      scala.io.StdIn.readLine() == "y"
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parseArgs(args)
+    // spark-submit provides the master on a cluster; default for bare runs
+    val builder0 = SparkSession.builder()
+    val builder = if (sys.props.contains("spark.master")) builder0
+      else builder0.master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    val spark = builder
+      .appName("purpleair-data-logger")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+    if (confirmDrop(c)) {
+      val dir = new java.io.File(c.outDir)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (dir.exists()) rm(dir)
+    }
+
+    val reader = spark.readStream.format(PollingSource.format)
+      .option(PollingSource.Options.FetcherClass, c.fetcherClass)
+      .option(PollingSource.Options.MinPollIntervalSeconds, c.pollSeconds.toString)
+    val withOpts = Seq(
+      c.apiKey.map("api.key" -> _),
+      c.replayDir.map("replay.dir" -> _),
+      c.singleConfig.map("request.config" -> _),
+      c.multiConfig.map("request.config" -> _)
+    ).flatten.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+
+    val wire = withOpts.load()
+    val conformed = Transforms.conform(
+      PollingSource.parseSingle(wire, ApiPayloadSchema.singleSensor))
+
+    val query = FanOutSink.stream(conformed, c.outDir, c.checkpointDir,
+      format = c.sink,
+      trigger = Trigger.ProcessingTime(s"${c.pollSeconds} seconds"))
+    query.awaitTermination()
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's one stateful streaming computation (SURVEY §2.4 A2 +
+  * §2.7 T5): the TimescaleDB continuous aggregate
+  * `sensor_index_and_name_1hour_aggregate` — an incrementally-maintained
+  * hourly rollup with a refresh lag and a retention horizon
+  * (`PurpleAirPSQLQueryStatements.py:564-589`) — re-expressed as a
+  * Structured Streaming windowed aggregation:
+  *
+  *  - incremental refresh  → watermarked tumbling-window agg (state is
+  *    per (window, keys), bounded by the watermark; late rows inside the
+  *    delay still merge, later ones are dropped — the analogue of the
+  *    (3h, 1h] refresh window)
+  *  - retention (8 h)      → [[retentionTrim]], a maintenance filter the
+  *    sink job applies (partition drop at scale)
+  *
+  * At 100 TB/day the state per key-hour is one row of counters; the only
+  * shuffle is the aggregation's own, keyed (window, sensor) — skew-free
+  * because the window component rotates every hour.
+  */
+object ContinuousAggregate {
+
+  /** Hourly streaming rollup. Works on any event-time DataFrame (batch or
+    * streaming); on a stream, `outputMode("append")` emits each hour once
+    * its watermark passes. */
+  def hourly(
+      readings: DataFrame, ts: String, keys: Seq[String],
+      measure: String, watermarkDelay: String = "2 hours"): DataFrame =
+    readings
+      .withWatermark(ts, watermarkDelay)
+      .groupBy(window(col(ts), "1 hour") +: keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(measure).cast(DecimalType(28, 6))).cast(DoubleType).as("sum_value"),
+        max(col(measure)).as("max_value"))
+      .select(col("window.start").as("bucket_ts") +: keys.map(col) :+
+        col("n") :+ col("sum_value") :+ col("max_value"): _*)
+
+  /** T5 retention policy: drop buckets older than `retainHours` relative
+    * to `asOf`. On a partitioned sink this is a partition drop, not a scan. */
+  def retentionTrim(agg: DataFrame, asOf: java.sql.Timestamp,
+      retainHours: Int = 8): DataFrame =
+    agg.filter(col("bucket_ts") >=
+      lit(new java.sql.Timestamp(asOf.getTime - retainHours * 3600L * 1000L)))
+
+  /** T3 streaming dedup on the composite PK within the watermark horizon —
+    * the engine's replacement for "duplicate insert throws". */
+  def dedupWithinWatermark(
+      readings: DataFrame, ts: String, sensor: String,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    readings.withWatermark(ts, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq(ts, sensor))
+}

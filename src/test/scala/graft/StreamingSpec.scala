@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.ApiPayloadSchema
+import graft.schema.FieldCatalog
+import graft.sinks.FanOutSink
+import graft.sources.{HttpPollingFetcher, PollingSource}
+import graft.streaming.ContinuousAggregate
+import graft.transform.Transforms
+
+class PollingSourceSpec extends SparkSpec {
+
+  private val samplesDir = "/root/reference/hardware_variant_json_samples"
+
+  test("replay source streams payload files through flatten→conform") {
+    val out = Files.createTempDirectory("graft_poll").toFile
+    val wire = spark.readStream.format(PollingSource.format)
+      .option(PollingSource.Options.FetcherClass,
+        classOf[graft.sources.FileReplayFetcher].getName)
+      .option("replay.dir", samplesDir)
+      .option(PollingSource.Options.AllowFastPolling, "true")
+      .load()
+    val q = wire.writeStream.format("memory").queryName("wire_out")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("wire_out")
+      assert(rows.count() == 3) // three sample files
+      val conformed = Transforms.conform(PollingSource.parseSingle(
+        rows, ApiPayloadSchema.singleSensor))
+      assert(conformed.columns.length == 117)
+      val idx = conformed.select("sensor_index").collect()
+        .map(_.getInt(0)).sorted.toSeq
+      assert(idx == Seq(53, 14867, 147883))
+    } finally q.stop()
+  }
+
+  test("rate limit: interval below 60s rejected unless fast-polling") {
+    val ex = intercept[Exception] {
+      spark.readStream.format(PollingSource.format)
+        .option(PollingSource.Options.FetcherClass,
+          classOf[graft.sources.FileReplayFetcher].getName)
+        .option("replay.dir", samplesDir)
+        .option(PollingSource.Options.MinPollIntervalSeconds, "30")
+        .load()
+        .writeStream.format("memory").queryName("too_fast")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_fast").toString)
+        .start()
+        .processAllAvailable()
+    }
+    assert(ex.getMessage.contains("60") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("60"))
+  }
+
+  test("url building mirrors reference query-string semantics") {
+    assert(HttpPollingFetcher.buildUrl("https://x/v1/sensors/1", Map()) ==
+      "https://x/v1/sensors/1")
+    assert(HttpPollingFetcher.buildUrl("https://x/v1/sensors/1",
+      Map("fields" -> "pm2.5", "read_key" -> null)) ==
+      "https://x/v1/sensors/1?fields=pm2.5")
+  }
+}
+
+class ContinuousAggregateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourly streaming aggregate: watermark drops too-late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Int, Double)]
+    val df = input.toDF().toDF("epoch", "sensor_index", "value")
+      .withColumn("data_time_stamp", timestamp_seconds(col("epoch")))
+    val agg = ContinuousAggregate.hourly(
+      df, "data_time_stamp", Seq("sensor_index"), "value",
+      watermarkDelay = "1 hour")
+    val cp = Files.createTempDirectory("graft_ca").toString
+    val q = agg.writeStream.format("memory").queryName("ca_out")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      val h0 = 1700000000L - (1700000000L % 3600) // aligned hour
+      input.addData((h0 + 60, 1, 10.0), (h0 + 120, 1, 20.0))
+      q.processAllAvailable()
+      // advance watermark far past h0: h0+4h
+      input.addData((h0 + 14400, 1, 1.0))
+      q.processAllAvailable()
+      // this row is older than watermark → dropped, h0 bucket stays final
+      input.addData((h0 + 180, 1, 999.0))
+      q.processAllAvailable()
+      input.addData((h0 + 18000, 1, 1.0))
+      q.processAllAvailable()
+      val done = spark.table("ca_out")
+        .filter(col("bucket_ts") === timestamp_seconds(lit(h0))).collect()
+      assert(done.length == 1)
+      assert(done(0).getAs[Long]("n") == 2L)
+      assert(done(0).getAs[Double]("sum_value") == 30.0)
+      assert(done(0).getAs[Double]("max_value") == 20.0)
+    } finally q.stop()
+  }
+
+  test("retentionTrim keeps only the retention horizon") {
+    val agg = Seq(
+      (1700000000L, 5L), (1700000000L - 10 * 3600L, 3L))
+      .toDF("epoch", "n")
+      .withColumn("bucket_ts", timestamp_seconds(col("epoch")))
+    val trimmed = ContinuousAggregate.retentionTrim(agg,
+      new java.sql.Timestamp(1700000000L * 1000L), retainHours = 8)
+    assert(trimmed.count() == 1)
+  }
+}
+
+class FanOutSinkSpec extends SparkSpec {
+
+  test("batch fan-out: 9 tables, date-partitioned, PK-deduped") {
+    val payload = spark.read.option("multiLine", true).json(
+      "/root/reference/hardware_variant_json_samples/" +
+        "3.0+OPENLOG+31037 MB+DS3231+BME280+BME680+PMSX003-A+PMSX003-B.json")
+    val conformed = Transforms.conform(Transforms.flattenSingle(payload))
+    val doubled = conformed.union(conformed) // duplicate PK rows
+    val base = Files.createTempDirectory("graft_sink").toString
+    FanOutSink.writeBatch(doubled, base)
+    FieldCatalog.Groups.all.foreach { table =>
+      val back = FanOutSink.readTable(spark, base, table)
+      assert(back.count() == 1, s"$table should be PK-deduped")
+      assert(back.columns.contains("date"), s"$table should be date-partitioned")
+      assert(back.columns.take(2).toSeq ==
+        Seq("data_time_stamp", "sensor_index"))
+    }
+    // partition directory layout: table/date=YYYY-MM-DD/
+    val envDir = new java.io.File(s"$base/environmental_fields")
+    assert(envDir.listFiles().exists(_.getName.startsWith("date=")))
+  }
+
+  test("streaming fan-out via foreachBatch from a replay stream") {
+    val base = Files.createTempDirectory("graft_sink_s").toString
+    val wire = spark.readStream.format(PollingSource.format)
+      .option(PollingSource.Options.FetcherClass,
+        classOf[graft.sources.FileReplayFetcher].getName)
+      .option("replay.dir", "/root/reference/hardware_variant_json_samples")
+      .option(PollingSource.Options.AllowFastPolling, "true")
+      .load()
+    val conformed = Transforms.conform(
+      PollingSource.parseSingle(wire, ApiPayloadSchema.singleSensor))
+    val q = FanOutSink.stream(conformed, s"$base/data", s"$base/cp",
+      trigger = Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      val station = FanOutSink.readTable(spark, s"$base/data",
+        FieldCatalog.Groups.Station)
+      assert(station.count() == 3)
+      assert(station.select("sensor_index").distinct().count() == 3)
+    } finally q.stop()
+  }
+}
