@@ -121,6 +121,28 @@ object SparkEntry {
     }
   }
 
+  /** Time-range scan over events with the predicate applied to the RAW
+    * nanosecond column, so it reaches the parquet reader as a PushedFilter
+    * (a filter on the converted µs timestamp cannot push through the
+    * conversion expression). Equivalent for whole-second bounds: µs
+    * truncation never crosses a whole-second boundary. */
+  private def eventsInRange(spark: SparkSession, dir: String,
+      startIso: String, endIso: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def ns(iso: String): Long =
+      java.time.LocalDateTime.parse(iso.replace(" ", "T"))
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") >= ns(startIso) && col("ts") < ns(endIso))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.filter(col("ts") >= lit(startIso).cast(TimestampType) &&
+                   col("ts") < lit(endIso).cast(TimestampType))
+    }
+  }
+
   /** A1 — tumbling 1 h downsample, max + count per sensor (user). */
   private def qA1(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -147,24 +169,22 @@ object SparkEntry {
 
   /** A5/S3 — historic range scan + 60-minute server-side averages. */
   private def qA5(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
-      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast(TimestampType) &&
-              col("ts") < lit("2024-01-20 00:00:00").cast(TimestampType))
+    eventsInRange(spark, dir, "2024-01-05 00:00:00", "2024-01-20 00:00:00")
       .groupBy(bucketS(col("ts"), "hour"), col("user_id"))
       .agg(decimalAvg(col("value")).as("avg_value"), count(lit(1)).as("n"))
 
   /** S3 — historic 10-minute pre-aggregation over a narrower range. */
   private def qS3(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir)
-      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast(TimestampType) &&
-              col("ts") < lit("2024-01-12 00:00:00").cast(TimestampType))
+    val e = eventsInRange(spark, dir, "2024-01-10 00:00:00", "2024-01-12 00:00:00")
     e.groupBy((floor(epochS(col("ts")) / 600L) * 600L).as("bucket_s"))
       .agg(decimalAvg(col("value")).as("avg_value"), count(lit(1)).as("n"))
   }
 
   /** F1+F2+F4+F5+F7 — the multi-sensor pushdown predicate set as one scan. */
   private def qFilters(spark: SparkSession, dir: String): DataFrame =
-    TimeSeries.pushdownScan(events(spark, dir), "ts", "user_id",
+    TimeSeries.pushdownScan(
+        eventsInRange(spark, dir, "2024-01-03 00:00:00", "2024-01-25 00:00:00"),
+        "ts", "user_id",
         "event_type", "click", (1L to 40L), "value", 5.0, 50.0,
         "2024-01-03 00:00:00", "2024-01-25 00:00:00")
       .select(col("event_id"), col("user_id"), epochS(col("ts")).as("epoch_s"),
