@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities for the 100 TB deployment shape: key-salted joins for
+  * pathological skew and bucketed (co-clustered) layouts for shuffle-free
+  * recurring joins. These are the knobs SURVEY §7.8 calls for beyond what
+  * AQE does automatically.
+  */
+object Scale {
+
+  /** Inner equi-join with key salting for a skewed probe side.
+    *
+    * AQE's skew-join split handles sort-merge skew at runtime; salting is
+    * the static alternative when one hot key dominates a *broadcast-less*
+    * join or a `groupBy`. The large side gets a deterministic salt in
+    * `[0, saltFactor)` derived from its whole row (identical rows share a
+    * salt — harmless for join correctness); the small side is exploded
+    * `saltFactor`× so every (key, salt) bucket finds its match. Result
+    * equals the unsalted join, but the hot key's rows spread over
+    * `saltFactor` reducers.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    require(saltFactor > 0)
+    val largeSalted = large.withColumn("__salt",
+      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(saltFactor)))
+    val smallSalted = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltFactor - 1L))))
+    largeSalted.join(smallSalted, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Salted high-cardinality-safe aggregation: two-phase groupBy for a
+    * skewed group key — partial agg on (key, salt), final on key. For
+    * algebraic aggregates only; here count + sum (decimal-exact). */
+  def saltedCountSum(df: DataFrame, key: String, measure: String,
+      saltFactor: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    df.withColumn("__salt",
+        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFactor)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(measure).cast(DecimalType(28, 6))).as("__s"))
+      .groupBy(col(key))
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__s")).cast(DoubleType).as("sum_value"))
+  }
+
+  /** Write a table bucketed+sorted on the join key: two tables written
+    * with the same bucketing join without any exchange (the 100 TB
+    * recurring-join layout; the managed-table analogue of the reference's
+    * `segmentby` clustering). */
+  def writeBucketed(df: DataFrame, tableName: String, key: String,
+      buckets: Int, sortCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(sortCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+
+  /** True when the physical plan of `df` contains no shuffle exchange —
+    * the check that a bucketed/co-partitioned join actually avoided the
+    * shuffle. */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Dashboard, Scale}
+import graft.schema.FieldCatalog
+import graft.sinks.FanOutSink
+import graft.transform.Transforms
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join") {
+    val large = (1 to 1000).map(i => (i % 3, s"row$i")).toDF("k", "payload")
+    val small = Seq((0, "zero"), (1, "one"), (2, "two")).toDF("k", "label")
+    val salted = Scale.saltedJoin(large, small, "k", 8)
+      .orderBy("payload").collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val plain = large.join(small, "k")
+      .orderBy("payload").collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("saltedCountSum equals direct groupBy") {
+    val df = (1 to 500).map(i => (i % 2, i.toDouble / 100)).toDF("k", "v")
+    val salted = Scale.saltedCountSum(df, "k", "v", 8)
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double").as("sum_value"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == direct.toSeq)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+      val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+      Scale.writeBucketed(a, "bucketed_a", "k", 4, "k")
+      Scale.writeBucketed(b, "bucketed_b", "k", 4, "k")
+      val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "k")
+      assert(Scale.isShuffleFree(joined), joined.queryExecution.executedPlan.toString)
+      assert(joined.count() == 100)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
+
+class DashboardSpec extends SparkSpec {
+
+  private lazy val baseDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dash").toString
+    val payloads = spark.read.option("multiLine", true)
+      .json("/root/reference/hardware_variant_json_samples/*.json")
+    FanOutSink.writeBatch(
+      Transforms.conform(Transforms.flattenSingle(payloads)), dir)
+    dir
+  }
+
+  test("sensor directory variable: distinct + concat + order") {
+    val station = FanOutSink.readTable(spark, baseDir, FieldCatalog.Groups.Station)
+    val dir = Dashboard.sensorDirectory(station).collect()
+    assert(dir.length == 3)
+    assert(dir.map(_.getAs[Int]("sensor_index")).toSeq == Seq(53, 14867, 147883))
+    val combo = dir.last.getAs[String]("combo")
+    assert(combo.endsWith(", 147883"))
+    // variable 2 un-concats back to the sensor index
+    val idx = spark.sql(s"SELECT '${combo.replace("'", "''")}' AS c")
+      .select(Dashboard.sensorIndexFromCombo(col("c"))).head().getInt(0)
+    assert(idx == 147883)
+  }
+
+  test("environmental panel: bucketed max for one sensor in range") {
+    val env = FanOutSink.readTable(spark, baseDir, FieldCatalog.Groups.Environmental)
+    val p = Dashboard.panel(env, FieldCatalog.Groups.Environmental,
+      "1 hour", 147883, "2022-07-01 00:00:00", "2022-08-01 00:00:00")
+    val rows = p.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Int]("temperature") == 77)
+    // out-of-range sensor yields nothing
+    assert(Dashboard.panel(env, FieldCatalog.Groups.Environmental,
+      "1 hour", 99999, "2022-07-01 00:00:00", "2022-08-01 00:00:00").count() == 0)
+  }
+
+  test("raw station text panel projects time-ordered columns") {
+    val station = FanOutSink.readTable(spark, baseDir, FieldCatalog.Groups.Station)
+    val p = Dashboard.rawPanel(station, Seq("name", "model", "hardware"),
+      14867, "2022-01-01 00:00:00", "2023-01-01 00:00:00")
+    val r = p.collect()
+    assert(r.length == 1 && r(0).getAs[String]("name").nonEmpty)
+  }
+}
