@@ -161,6 +161,18 @@ object OracleSql {
         |  str_split(CONCAT(c_name, ', ', c_custkey), ', ')[2] AS part2
         |FROM customer""".stripMargin,
 
+    "q_a6_distinct_count" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_w_lag_delta" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS epoch_us,
+        |    value FROM events)
+        |SELECT event_id, user_id,
+        |  value - lag(value) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us, event_id) AS delta
+        |FROM e""".stripMargin,
+
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS epoch_us
         |    FROM events),

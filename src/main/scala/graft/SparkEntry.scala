@@ -245,6 +245,25 @@ object SparkEntry {
         concat(col("c_name"), lit(", "), col("c_custkey")).as("combo"))
       .withColumn("part2", element_at(split(col("combo"), ", "), 2))
 
+  /** Grouped exact distinct-count (parity-plus; the reference has no
+    * distinct-count — `approx_count_distinct` is the 100 TB variant). */
+  private def qA6(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+
+  /** Per-entity consecutive delta via lag() — the classic derived metric
+    * the reference's pseudo-averages approximate. Deterministic order:
+    * (µs time, event_id). */
+  private def qLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_us"), col("event_id"))
+    events(spark, dir)
+      .withColumn("epoch_us", expr("unix_micros(ts)"))
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .select("event_id", "user_id", "delta")
+  }
+
   /** Gap sessionization (30 min) — windowed cumulative-sum plan. */
   private def qSessionize(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.sessionize(events(spark, dir), "ts", "user_id", "event_id", 1800L)
@@ -353,6 +372,8 @@ object SparkEntry {
     "q_o1_time_sort" -> (qO1 _),
     "q_t3_dedup_pk" -> (qT3 _),
     "q_x_concat_split" -> (qX23 _),
+    "q_a6_distinct_count" -> (qA6 _),
+    "q_w_lag_delta" -> (qLagDelta _),
     "q_sessionize" -> (qSessionize _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
