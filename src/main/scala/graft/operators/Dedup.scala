@@ -97,10 +97,21 @@ object Dedup {
       .filter(col("sig_similarity") >= threshold)
   }
 
-  /** 64-bit SimHash per document: per-token hash bit votes, weighted +1/-1,
-    * sign per bit → packed hash. One explode + ONE groupBy with 64 `sum()`
-    * aggregates (single shuffle, map-side combine). */
+  /** 64-bit SimHash per document via the native [[graft.functions.SimHash64]]
+    * expression: one codegen'd pass per row inside the scan — no explode, no
+    * shuffle, nothing but the row. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      graft.functions.GraftFunctions
+        .simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
+  }
+
+  /** The compositional formulation (explode → 64 partial `sum()`s → pack):
+    * same bits as [[simhash]], kept as the no-custom-expression fallback
+    * and as the cross-check for the native kernel. Costs one shuffle of
+    * every token. */
+  def simhashViaAggregation(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("xx", xxhash64(col("tok")))

@@ -76,6 +76,25 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 10)
   }
 
+  test("native simhash64 expression == compositional aggregation, and codegens") {
+    val native = Dedup.simhash(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashViaAggregation(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == agg)
+    // the native path stays inside WholeStageCodegen with no exchange
+    val plan = Dedup.simhash(corpus, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    // SQL registration path works too
+    graft.functions.GraftFunctions.register(spark)
+    corpus.createOrReplaceTempView("sh_corpus")
+    val viaSql = spark.sql(
+      "SELECT id, simhash64(split(trim(text), '\\\\s+')) AS s FROM sh_corpus")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == native)
+  }
+
   test("ngramJaccard: near-dup scores high, jaccard in (0,1]") {
     val out = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap

@@ -34,6 +34,8 @@ class ScaleSpec extends SparkSpec {
 
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS bucketed_b")
     try {
       val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
       val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
