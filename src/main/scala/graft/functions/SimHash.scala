@@ -80,6 +80,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.simhash64Descriptor)
+    e.injectFunction(GraftFunctions.minhashDescriptor)
   }
 }
 
@@ -91,9 +92,16 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
     (children: Seq[Expression]) => SimHash64(children.head))
 
-  def register(spark: SparkSession): Unit =
+  private[graft] val minhashDescriptor = (
+    FunctionIdentifier("minhash_signature"),
+    new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+    (children: Seq[Expression]) => MinHashSignature(children(0), children(1)))
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    MinHashFunctions.register(spark)
+  }
 
   /** Column-API entry point (requires [[register]] on the session). */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)

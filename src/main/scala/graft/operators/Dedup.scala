@@ -38,6 +38,28 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("keep_id"))
   }
 
+  /** Distinct candidate pairs (`id_a < id_b`) from LSH buckets WITHOUT a
+    * self-join: group ids per bucket, explode in-bucket pairs. A self-join
+    * would recompute the whole signature pipeline for each side (exchange
+    * reuse does not rescue aliased branches); this computes signatures
+    * once and shuffles only (bucket, id). `maxBucket` drops degenerate
+    * buckets (a hot bucket is quadratic however you generate pairs —
+    * standard LSH practice is to skip, not explode, them). */
+  private[operators] def pairsFromBuckets(
+      banded: DataFrame, idCol: String, bucketCols: Seq[String],
+      maxBucket: Int = 10000): DataFrame = {
+    val ids = array_sort(collect_list(col(idCol)))
+    val buckets = banded.groupBy(bucketCols.map(col): _*)
+      .agg(ids.as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
   /** k independent 64-bit hash functions: `h_i(x) = xxhash64(x, i)` —
     * the per-function index is mixed in as an extra hashed column.
     * Deterministic, codegen'd, and overflow-free under ANSI mode (an
@@ -45,10 +67,23 @@ object Dedup {
   private def hashFamily(base: Column, k: Int): Seq[Column] =
     (0 until k).map(i => xxhash64(base, lit(i)))
 
-  /** MinHash signatures: one row per id with columns `mh_0 … mh_{k-1}`.
-    * Plan: explode shingles → k `min()` aggregates in ONE groupBy (single
-    * shuffle on id, partial aggregation on the map side). */
+  /** MinHash signature per id as an `ARRAY<LONG>` of length k, via the
+    * native [[graft.functions.MinHashSignature]] expression: one codegen'd
+    * pass per row, no explode, no shuffle. */
   def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      graft.functions.MinHashFunctions.minhashSignature(
+        TextAnalysis.shingles(col(textCol), shingleWords), k).as("sig"))
+  }
+
+  /** Compositional formulation (explode shingles → k `min()` aggregates in
+    * one groupBy): same bits as [[minhashSignatures]] (cross-checked by
+    * test), kept as the no-custom-expression fallback. Costs one shuffle
+    * of every shingle. */
+  def minhashSignaturesViaAggregation(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, k: Int): DataFrame = {
     val sh = TextAnalysis.shingles(col(textCol), shingleWords)
@@ -74,26 +109,28 @@ object Dedup {
       shingleWords: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
+    // The signature table feeds three branches (bucketing + two join-backs);
+    // without a persist each branch recomputes the kernel over the corpus.
     val sigs = minhashSignatures(df, idCol, textCol, shingleWords, k)
-    val sigArray = array((0 until k).map(i => col(s"mh_$i")): _*)
-    val bandHashes = array((0 until bands).map(b =>
-      xxhash64(concat_ws("|",
-        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)
-    val banded = sigs.withColumn("sig", sigArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Explode the band index FIRST: the Generate node materializes `sig`
+    // once per row; computing band hashes before the explode would let
+    // CollapseProject inline the signature kernel into every band
+    // expression (k× recompute).
+    val banded = sigs
       .select(col(idCol), col("sig"),
-        posexplode(bandHashes).as(Seq("band", "band_hash")))
-      .select(col(idCol), col("sig"), col("band"), col("band_hash"))
-    val l = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("band_hash"))
-    val r = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("band_hash"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_hash", xxhash64(concat_ws("|",
+        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))),
+        col("band")))
+    val pairs = pairsFromBuckets(banded, idCol, Seq("band", "band_hash"))
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           (x === y).cast(IntegerType)), v => v === 1)).cast(DoubleType) /
           lit(k.toDouble)).as("sig_similarity"))
-      .distinct()
       .filter(col("sig_similarity") >= threshold)
   }
 
@@ -134,19 +171,18 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sh = simhash(df, idCol, textCol)
-    val chunks = array((0 until 4).map(c =>
-      shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)): _*)
-    val chunked = sh.select(col(idCol), col("simhash"),
-      posexplode(chunks).as(Seq("chunk", "chunk_val")))
-    val l = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
-      col("chunk"), col("chunk_val"))
-    val r = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
-      col("chunk"), col("chunk_val"))
-    l.join(r, Seq("chunk", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
+    // explode-first for the same CollapseProject reason as minhash banding
+    val chunked = sh
+      .select(col(idCol), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("chunk_val",
+        expr("shiftright(simhash, CAST(chunk * 16 AS INT)) & 65535"))
+    val hashes = sh.select(col(idCol), col("simhash"))
+    pairsFromBuckets(chunked, idCol, Seq("chunk", "chunk_val"))
+      .join(hashes.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(hashes.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -164,14 +164,13 @@ object Similarity {
       dims: Int = 64): DataFrame = {
     val b = withBuckets(df, idCol, vecCol, "x", planes, tables, dims)
       .select(col("x_id"), col("table"), col("bucket"))
-    val l = b.select(col("x_id").as("id_a"), col("table"), col("bucket"))
-    val r = b.select(col("x_id").as("id_b"), col("table"), col("bucket"))
-    // candidate id pairs only; vectors + norms joined back once per pair
+    // candidate id pairs via in-bucket explosion (no self-join — a join
+    // would recompute the signature pipeline per side); vectors + norms
+    // joined back once per pair
     val side = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", normFast(col("v")))
-    l.join(r, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.pairsFromBuckets(b, "x_id", Seq("table", "bucket"))
       .join(side.select(col("id").as("id_a"), col("v").as("va"),
         col("nrm").as("norm_a")), Seq("id_a"))
       .join(side.select(col("id").as("id_b"), col("v").as("vb"),

@@ -95,6 +95,15 @@ class DedupSpec extends SparkSpec {
     assert(viaSql == native)
   }
 
+  test("native minhash_signature == compositional aggregation") {
+    val native = Dedup.minhashSignatures(corpus, "id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val agg = Dedup.minhashSignaturesViaAggregation(corpus, "id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) ->
+        (0 until 16).map(i => r.getAs[Long](s"mh_$i"))).toMap
+    assert(native == agg)
+  }
+
   test("ngramJaccard: near-dup scores high, jaccard in (0,1]") {
     val out = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
