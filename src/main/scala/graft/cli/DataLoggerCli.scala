@@ -103,8 +103,19 @@ object DataLoggerCli {
     ).flatten.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
 
     val wire = withOpts.load()
-    val conformed = Transforms.conform(
-      PollingSource.parseSingle(wire, ApiPayloadSchema.singleSensor))
+    // single-sensor: nested payload → flatten; multi-sensor: columnar
+    // fields×data zip (field list from the request config, like the
+    // reference's required `fields` parameter)
+    val flat = c.multiConfig match {
+      case Some(cfgPath) =>
+        val cfg = spark.read.option("multiLine", true).json(cfgPath)
+        val requested = cfg.select("fields").head().getString(0)
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        PollingSource.parseMulti(wire, requested)
+      case None =>
+        PollingSource.parseSingle(wire, ApiPayloadSchema.singleSensor)
+    }
+    val conformed = Transforms.conform(flat)
 
     val query = FanOutSink.stream(conformed, c.outDir, c.checkpointDir,
       format = c.sink,

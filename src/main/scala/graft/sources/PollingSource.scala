@@ -60,6 +60,17 @@ object PollingSource {
       .select("r.*")
     graft.transform.Transforms.flattenSingle(parsed)
   }
+
+  /** Parse columnar multi-sensor wire rows (`fields` ∥ `data` arrays,
+    * FIXTURES.md §2) into one stringly-typed row per sensor; `conform`
+    * casts downstream, like the reference's CAST-on-INSERT. */
+  def parseMulti(wire: DataFrame, requestedFields: Seq[String]): DataFrame = {
+    val parsed = wire
+      .select(from_json(col("payload_json"),
+        graft.model.ApiPayloadSchema.multiSensor).as("r"))
+      .select("r.data_time_stamp", "r.fields", "r.data")
+    graft.transform.Transforms.zipMulti(parsed, requestedFields)
+  }
 }
 
 /** Transport abstraction: how one micro-batch's payloads are obtained.

@@ -42,6 +42,40 @@ class PollingSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-sensor columnar payload streams through zip→conform") {
+    val dir = Files.createTempDirectory("graft_multi").toFile
+    val payload =
+      """{"api_version": "V1.0", "time_stamp": 1659710288,
+        | "data_time_stamp": 1659710232, "max_age": 604800,
+        | "firmware_default_version": "7.00",
+        | "fields": ["sensor_index", "name", "pm2.5", "humidity"],
+        | "data": [[131075, "Mariners Bluff", 10.1, 31],
+        |          [131079, "BRSKBV-outside", 2.0, 39]]}""".stripMargin
+    Files.writeString(new java.io.File(dir, "multi.json").toPath, payload)
+    val wire = spark.readStream.format(PollingSource.format)
+      .option(PollingSource.Options.FetcherClass,
+        classOf[graft.sources.FileReplayFetcher].getName)
+      .option("replay.dir", dir.toString)
+      .option(PollingSource.Options.AllowFastPolling, "true")
+      .load()
+    val conformed = Transforms.conform(PollingSource.parseMulti(
+      wire, Seq("sensor_index", "name", "pm2.5", "humidity")))
+    val q = conformed.writeStream.format("memory").queryName("multi_out")
+      .option("checkpointLocation", s"$dir/cp").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("multi_out")
+        .select("sensor_index", "name", "pm2_5", "humidity", "voc")
+        .orderBy("sensor_index").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getInt(0) == 131075)
+      assert(rows(0).getString(1) == "Mariners Bluff")
+      assert(rows(0).getDouble(2) == 10.1) // stringly wire value cast back
+      assert(rows(0).getInt(3) == 31)
+      assert(rows(0).isNullAt(4)) // unrequested field → null
+    } finally q.stop()
+  }
+
   test("rate limit: interval below 60s rejected unless fast-polling") {
     val ex = intercept[Exception] {
       spark.readStream.format(PollingSource.format)
