@@ -114,6 +114,15 @@ object TimeSeries {
       .filter(col(ts) >= lit(startIso).cast(TimestampType) &&
               col(ts) < lit(endIso).cast(TimestampType))
 
+  /** F5 — the two-point geo bounding box (`nwlng/nwlat/selng/selat`) as a
+    * 4-way range predicate, exactly the reference's parameter semantics:
+    * north-west corner + south-east corner. All four conjuncts reach the
+    * scan as PushedFilters. */
+  def geoBoundingBox(df: DataFrame, latCol: String, lonCol: String,
+      nwLat: Double, nwLng: Double, seLat: Double, seLng: Double): DataFrame =
+    df.filter(col(latCol) <= nwLat && col(latCol) >= seLat &&
+              col(lonCol) >= nwLng && col(lonCol) <= seLng)
+
   /** T3 — deterministic PK dedup: first row per `(key, truncated bucket)`
     * in `orderCol` order. */
   def dedupFirstPerKey(
