@@ -201,15 +201,21 @@ object Dedup {
       maxDocFreq: Long = 1000000L): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       explode(TextAnalysis.shingles(col(textCol), shingleWords)).as("shingle"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
-    val pruned = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq).select("shingle"),
-      Seq("shingle"))
-    val inter = pruned.select(col("id").as("id_a"), col("shingle"))
-      .join(pruned.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    // |A| per doc straight off the shingle array — no explode, no shuffle
+    val sizes = df.select(col(idCol).as("id"),
+      size(TextAnalysis.shingles(col(textCol), shingleWords)).as("set_size"))
+    // Postings as buckets: group ids per shingle, explode in-bucket pairs,
+    // count repeats = |A∩B|. One shingle pass, one shuffle on the shingle,
+    // no aliased self-join recomputing the explosion per side. Frequency
+    // pruning = dropping oversized postings lists, same semantics as a
+    // df-filter on the shingle.
+    val inter = sh.groupBy(col("shingle"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDocFreq)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
