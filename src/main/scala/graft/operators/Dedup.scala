@@ -11,13 +11,13 @@ import org.apache.spark.sql.types._
   * Scale design (100 TB):
   *  - Exact dedup is one hash `groupBy` — partial aggregation + one shuffle
   *    on a 128-bit digest, never on the raw text.
-  *  - MinHash/SimHash avoid the O(n²) pair space by *banding*: candidates
-  *    are generated with an equi-join on (band, bandHash) — a plain shuffle
-  *    join on short keys that Catalyst/AQE handles like any other join
-  *    (skewed buckets split by AQE). Only candidates are verified.
-  *  - Signatures are built with k independent `min()`/`sum()` aggregates in
-  *    a single `groupBy` — one shuffle, map-side combine, all codegen; no
-  *    explode-regroup round trips.
+  *  - MinHash/SimHash avoid the O(n²) pair space by *banding*: candidate
+  *    pairs are generated bucket-locally (group ids per (band, hash),
+  *    explode in-bucket pairs) — one shuffle of short keys, no self-join,
+  *    hot buckets skipped by `maxBucket`. Only candidates are verified.
+  *  - Signatures are native codegen'd expressions ([[graft.functions.SimHash64]],
+  *    [[graft.functions.MinHashSignature]]): one pass per row, zero shuffle;
+  *    compositional `ViaAggregation` fallbacks are kept and cross-checked.
   */
 object Dedup {
 
@@ -44,10 +44,11 @@ object Dedup {
     * reuse does not rescue aliased branches); this computes signatures
     * once and shuffles only (bucket, id). `maxBucket` drops degenerate
     * buckets (a hot bucket is quadratic however you generate pairs —
-    * standard LSH practice is to skip, not explode, them). */
+    * standard LSH practice is to skip, not explode, them; at 2000 ids a
+    * bucket already means ~2M pairs in one task). */
   private[operators] def pairsFromBuckets(
       banded: DataFrame, idCol: String, bucketCols: Seq[String],
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 2000): DataFrame = {
     val ids = array_sort(collect_list(col(idCol)))
     val buckets = banded.groupBy(bucketCols.map(col): _*)
       .agg(ids.as("ids"))
@@ -198,7 +199,7 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, threshold: Double,
-      maxDocFreq: Long = 1000000L): DataFrame = {
+      maxDocFreq: Long = 10000L): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       explode(TextAnalysis.shingles(col(textCol), shingleWords)).as("shingle"))
     // |A| per doc straight off the shingle array — no explode, no shuffle
