@@ -30,6 +30,7 @@ object DataLoggerCli {
       fetcherClass: String = classOf[graft.sources.HttpPollingFetcher].getName,
       replayDir: Option[String] = None,
       pollSeconds: Long = 65L,
+      hourlyAggregateDir: Option[String] = None,
       dropExisting: Boolean = false,
       assumeYes: Boolean = false)
 
@@ -47,6 +48,8 @@ object DataLoggerCli {
       case "-fetcher_class" :: v :: t => loop(c.copy(fetcherClass = v), t)
       case "-replay_dir" :: v :: t => loop(c.copy(replayDir = Some(v)), t)
       case "-poll_seconds" :: v :: t => loop(c.copy(pollSeconds = v.toLong), t)
+      case "-hourly_aggregate_dir" :: v :: t =>
+        loop(c.copy(hourlyAggregateDir = Some(v)), t)
       case "-drop_existing" :: t => loop(c.copy(dropExisting = true), t)
       case "-yes" :: t => loop(c.copy(assumeYes = true), t)
       case other :: _ => sys.error(s"unknown argument: $other")
@@ -120,6 +123,23 @@ object DataLoggerCli {
     val query = FanOutSink.stream(conformed, c.outDir, c.checkpointDir,
       format = c.sink,
       trigger = Trigger.ProcessingTime(s"${c.pollSeconds} seconds"))
-    query.awaitTermination()
+
+    // The reference's continuous aggregate (A2): a second streaming query
+    // over the same source maintaining the watermarked 1 h rollup —
+    // TimescaleDB's materialized view + refresh policy as one append-mode
+    // windowed aggregation.
+    c.hourlyAggregateDir.foreach { aggDir =>
+      graft.streaming.ContinuousAggregate
+        .hourly(conformed, "data_time_stamp", Seq("sensor_index", "name"), "pm2_5")
+        .writeStream
+        .option("checkpointLocation", s"${c.checkpointDir}_hourly")
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(s"${c.pollSeconds} seconds"))
+        .format("parquet")
+        .option("path", aggDir)
+        .start()
+    }
+    spark.streams.awaitAnyTermination()
+    val _ = query
   }
 }
