@@ -16,7 +16,6 @@ run / fork := true
 // logger prefix breaks that parse (BENCH_r01.json "parsed": null).
 run / connectInput := true
 outputStrategy := Some(StdoutOutput)
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -27,6 +27,8 @@ object DataLoggerCli {
       singleConfig: Option[String] = None,
       multiConfig: Option[String] = None,
       apiKey: Option[String] = None,
+      jdbcUser: Option[String] = None,
+      jdbcPassword: Option[String] = None,
       fetcherClass: String = classOf[graft.sources.HttpPollingFetcher].getName,
       replayDir: Option[String] = None,
       pollSeconds: Long = 65L,
@@ -45,6 +47,8 @@ object DataLoggerCli {
       case "-paa_multiple_sensor_request_json_file" :: v :: t =>
         loop(c.copy(multiConfig = Some(v)), t)
       case "-paa_api_key" :: v :: t => loop(c.copy(apiKey = Some(v)), t)
+      case "-jdbc_user" :: v :: t => loop(c.copy(jdbcUser = Some(v)), t)
+      case "-jdbc_password" :: v :: t => loop(c.copy(jdbcPassword = Some(v)), t)
       case "-fetcher_class" :: v :: t => loop(c.copy(fetcherClass = v), t)
       case "-replay_dir" :: v :: t => loop(c.copy(replayDir = Some(v)), t)
       case "-poll_seconds" :: v :: t => loop(c.copy(pollSeconds = v.toLong), t)
@@ -120,9 +124,16 @@ object DataLoggerCli {
     }
     val conformed = Transforms.conform(flat)
 
+    // A `jdbc:` URL in -sink routes each micro-batch through
+    // FanOutSink.writeBatchJdbc (K1/K2); file formats take the
+    // replay-safe batch-directory path.
+    val jdbcProps = new java.util.Properties()
+    c.jdbcUser.foreach(jdbcProps.setProperty("user", _))
+    c.jdbcPassword.foreach(jdbcProps.setProperty("password", _))
     val query = FanOutSink.stream(conformed, c.outDir, c.checkpointDir,
       format = c.sink,
-      trigger = Trigger.ProcessingTime(s"${c.pollSeconds} seconds"))
+      trigger = Trigger.ProcessingTime(s"${c.pollSeconds} seconds"),
+      jdbcProperties = jdbcProps)
 
     // The reference's continuous aggregate (A2): a second streaming query
     // over the same source maintaining the watermarked 1 h rollup —

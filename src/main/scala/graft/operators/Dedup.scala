@@ -125,7 +125,7 @@ object Dedup {
         slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))),
         col("band")))
     val pairs = pairsFromBuckets(banded, idCol, Seq("band", "band_hash"))
-    pairs
+    val result = pairs
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -133,6 +133,10 @@ object Dedup {
           (x === y).cast(IntegerType)), v => v === 1)).cast(DoubleType) /
           lit(k.toDouble)).as("sig_similarity"))
       .filter(col("sig_similarity") >= threshold)
+    // Materialize the (small) pair set eagerly, then release the cached
+    // signature table — otherwise repeated invocations accumulate cached
+    // blocks for the lifetime of the session.
+    try result.localCheckpoint(true) finally sigs.unpersist()
   }
 
   /** 64-bit SimHash per document via the native [[graft.functions.SimHash64]]

@@ -170,7 +170,7 @@ object Similarity {
     val side = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", normFast(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.pairsFromBuckets(b, "x_id", Seq("table", "bucket"))
+    val result = Dedup.pairsFromBuckets(b, "x_id", Seq("table", "bucket"))
       .join(side.select(col("id").as("id_a"), col("v").as("va"),
         col("nrm").as("norm_a")), Seq("id_a"))
       .join(side.select(col("id").as("id_b"), col("v").as("vb"),
@@ -179,5 +179,8 @@ object Similarity {
         dotFast(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    // Eagerly materialize the (small) pair set, then release the cached
+    // vector+norm side so repeated calls don't accumulate cached blocks.
+    try result.localCheckpoint(true) finally side.unpersist()
   }
 }

@@ -2,8 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.schema.FieldCatalog
 import graft.transform.Transforms
@@ -22,8 +21,19 @@ import graft.transform.Transforms
   *    `sortWithinPartitions(data_time_stamp)` + columnar parquet+zstd —
   *    co-locating a sensor's history gives the same locality the
   *    reference's compressed chunks give
-  *  - PK dedup (T3) → deterministic first-write-wins before the fan-out,
-  *    so a retried micro-batch cannot poison the sink
+  *  - PK dedup (T3) → deterministic first-write-wins before the fan-out
+  *    (ordered by the source cursor / payload hash, not by partition
+  *    layout — see [[Transforms.stableDedupOrder]])
+  *
+  * '''Replay idempotency.''' `foreachBatch` is at-least-once: a crashed
+  * micro-batch is re-executed with the SAME `batchId`. The streaming path
+  * therefore lands every micro-batch in its own `batch=<id>` directory
+  * written with `SaveMode.Overwrite` — a replay rewrites that directory
+  * instead of appending a second copy, so the sink converges to
+  * exactly-once output without a transactional table format. The batch
+  * dirs are ordinary partition directories (readers see a `batch` column,
+  * dropped by [[readTable]]); the compaction side of the reference's
+  * compression policy (T6) is what folds them together at scale.
   *
   * At scale each micro-batch writes 9× small column groups instead of one
   * wide table — the reference's write amplification — but here the fan-out
@@ -32,42 +42,64 @@ import graft.transform.Transforms
 object FanOutSink {
 
   /** Batch-side fan-out: write all 9 projections of `conformed` under
-    * `baseDir/<table>/` with the partitioned+sorted layout. */
+    * `baseDir/<table>/` with the partitioned+sorted layout. When
+    * `batchId` is set the write goes to `<table>/batch=<id>/` with
+    * Overwrite semantics (the streaming replay-safe path). */
   def writeBatch(conformed: DataFrame, baseDir: String,
-      format: String = "parquet", mode: SaveMode = SaveMode.Append): Unit = {
+      format: String = "parquet", mode: SaveMode = SaveMode.Append,
+      batchId: Option[Long] = None): Unit = {
     val deduped = Transforms
-      .dedupByKey(conformed.withColumn("__tag", monotonically_increasing_id()), "__tag")
-      .drop("__tag")
+      .dedupByKey(conformed, Transforms.stableDedupOrder(conformed))
       .withColumn("date", to_date(col(FieldCatalog.keyTimestamp)))
       .repartition(col(FieldCatalog.keySensor))
       .sortWithinPartitions(col(FieldCatalog.keyTimestamp))
       .persist()
+    val (effMode, suffix) = batchId match {
+      case Some(id) => (SaveMode.Overwrite, s"/batch=$id")
+      case None     => (mode, "")
+    }
     try {
       Transforms.verticalSplit(deduped.drop("date")).foreach { case (table, _) =>
         val cols = (FieldCatalog.keyCols ++ FieldCatalog.groupCols(table))
           .map(col) :+ col("date")
         val w = deduped.select(cols: _*).write
-          .mode(mode).partitionBy("date")
+          .mode(effMode).partitionBy("date")
           .option("compression", if (format == "parquet") "zstd" else "none")
+        val path = s"$baseDir/$table$suffix"
         format match {
-          case "parquet" => w.parquet(s"$baseDir/$table")
-          case "csv" => w.option("header", "true").csv(s"$baseDir/$table")
-          case other => w.format(other).save(s"$baseDir/$table")
+          case "parquet" => w.parquet(path)
+          case "csv" => w.option("header", "true").csv(path)
+          case other => w.format(other).save(path)
         }
       }
     } finally deduped.unpersist()
   }
 
-  /** Streaming fan-out: `foreachBatch` applying [[writeBatch]] per
-    * micro-batch at the reference's 65 s cadence (T1). */
+  /** Streaming fan-out: `foreachBatch` at the reference's 65 s cadence
+    * (T1). File formats take the replay-safe `batch=<id>`/Overwrite path;
+    * a `jdbc:` URL routes to [[writeBatchJdbc]] guarded by a committed-
+    * batch marker under the checkpoint dir (skip on replay — appends are
+    * not rewindable, so the marker closes the re-append window down to a
+    * crash between the JDBC commit and the marker write). */
   def stream(conformed: DataFrame, baseDir: String, checkpointDir: String,
       format: String = "parquet",
-      trigger: Trigger = Trigger.ProcessingTime("65 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("65 seconds"),
+      jdbcProperties: java.util.Properties = new java.util.Properties()): StreamingQuery =
     conformed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        writeBatch(batch, baseDir, format)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (format.startsWith("jdbc:")) {
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$checkpointDir/_graft_jdbc_committed/$batchId")
+          val fs = marker.getFileSystem(
+            batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (!fs.exists(marker)) {
+            writeBatchJdbc(batch, format, jdbcProperties)
+            fs.mkdirs(marker.getParent)
+            fs.create(marker, true).close()
+          }
+        } else writeBatch(batch, baseDir, format, batchId = Some(batchId))
       }
       .start()
 
@@ -77,15 +109,20 @@ object FanOutSink {
   def writeBatchJdbc(conformed: DataFrame, url: String,
       props: java.util.Properties): Unit = {
     val deduped = Transforms
-      .dedupByKey(conformed.withColumn("__tag", monotonically_increasing_id()), "__tag")
-      .drop("__tag").persist()
+      .dedupByKey(conformed, Transforms.stableDedupOrder(conformed))
+      .persist()
     try Transforms.verticalSplit(deduped).foreach { case (table, part) =>
       part.write.mode(SaveMode.Append).jdbc(url, table, props)
     } finally deduped.unpersist()
   }
 
-  /** Read one partition table back with partition pruning intact. */
+  /** Read one partition table back with partition pruning intact. Batch
+    * and date partition columns discovered from the layout are dropped /
+    * kept respectively — `batch` is a physical detail of replay safety,
+    * `date` is the hypertable time-partition key. */
   def readTable(spark: org.apache.spark.sql.SparkSession, baseDir: String,
-      table: String): DataFrame =
-    spark.read.parquet(s"$baseDir/$table")
+      table: String): DataFrame = {
+    val df = spark.read.parquet(s"$baseDir/$table")
+    if (df.columns.contains("batch")) df.drop("batch") else df
+  }
 }

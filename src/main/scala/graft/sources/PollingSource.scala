@@ -108,7 +108,14 @@ class FileReplayFetcher extends SensorFetcher {
 /** HTTP transport skeleton mirroring the reference's request builder and
   * error mapping (`PurpleAirAPI.py:307-346`): 200/201 pass, 400/403/404 →
   * error. Cursor = epoch seconds used as `modified_since`. Untested here
-  * (no egress); [[buildUrl]] is pure and covered by unit tests. */
+  * (no egress); [[buildUrl]] is pure and covered by unit tests.
+  *
+  * Fetch honors the `(fromCursor, toCursor]` contract where the API can
+  * express it: the multi-sensor endpoint (no `sensor.index` option) gets
+  * `modified_since=from`, the reference's incremental-watermark parameter
+  * (`PurpleAirAPI.py:203-207`). The single-sensor endpoint has no such
+  * parameter — each poll returns the sensor's current state, so the
+  * cursor only bounds WHEN we poll, not what the server replays. */
 class HttpPollingFetcher extends SensorFetcher {
   import HttpPollingFetcher._
   override def validate(options: Map[String, String]): Unit = {
@@ -119,12 +126,24 @@ class HttpPollingFetcher extends SensorFetcher {
   override def latestCursor(current: Long, options: Map[String, String]): Long =
     System.currentTimeMillis() / 1000
   override def fetch(from: Long, to: Long,
-      options: Map[String, String]): Seq[(Long, String)] = {
-    val url = buildUrl(s"${base(options)}/sensors/${options("sensor.index")}",
-      Map("read_key" -> options.get("read.key").orNull,
-          "fields" -> options.get("fields").orNull))
-    Seq((to, get(url, options)))
-  }
+      options: Map[String, String]): Seq[(Long, String)] =
+    Seq((to, get(urlFor(from, options), options)))
+
+  /** Pure URL construction for one `(from, to]` fetch — split out so the
+    * offline test suite can pin the query-string contract. */
+  def urlFor(from: Long, options: Map[String, String]): String =
+    options.get("sensor.index") match {
+      case Some(idx) =>
+        buildUrl(s"${base(options)}/sensors/$idx",
+          Map("read_key" -> options.get("read.key").orNull,
+              "fields" -> options.get("fields").orNull))
+      case None =>
+        buildUrl(s"${base(options)}/sensors/",
+          Map("fields" -> options.get("fields").orNull,
+              "modified_since" -> (if (from > 0) from.toString else null),
+              "read_keys" -> options.get("read.keys").orNull,
+              "show_only" -> options.get("show.only").orNull))
+    }
   private def get(url: String, options: Map[String, String]): String = {
     val conn = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
@@ -201,6 +220,12 @@ class PollingMicroBatchStream(props: util.Map[String, String])
   }
   @transient private var lastAdvanceNanos = 0L
   @transient private var lastIssued: PollOffset = _
+  // Highest cursor seen in the checkpoint's offset log. Spark calls
+  // deserializeOffset while restoring committed offsets on restart, so
+  // tracking the max here seeds the poll cursor from the checkpoint —
+  // without it a restarted query would derive `current` from the static
+  // startCursor option and re-cover already-committed ground.
+  @transient private var restoredCursor = Long.MinValue
 
   override def initialOffset(): Offset =
     PollOffset(options.getOrElse(PollingSource.Options.StartCursor, "0").toLong)
@@ -210,8 +235,10 @@ class PollingMicroBatchStream(props: util.Map[String, String])
     val elapsed = (now - lastAdvanceNanos) / 1e9
     if (lastIssued != null && !fastPolling && elapsed < minInterval) lastIssued
     else {
-      val current = if (lastIssued == null) initialOffset().asInstanceOf[PollOffset].cursor
-        else lastIssued.cursor
+      val current = Seq(
+        if (lastIssued == null) Long.MinValue else lastIssued.cursor,
+        restoredCursor,
+        initialOffset().asInstanceOf[PollOffset].cursor).max
       lastIssued = PollOffset(fetcher.latestCursor(current, options))
       lastAdvanceNanos = now
       lastIssued
@@ -222,6 +249,7 @@ class PollingMicroBatchStream(props: util.Map[String, String])
     val c = """"cursor"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong)
       .getOrElse(sys.error(s"bad offset json: $json"))
+    restoredCursor = math.max(restoredCursor, c)
     PollOffset(c)
   }
 

@@ -182,11 +182,27 @@ object Transforms {
     * "PK violation throws" semantics (SURVEY §2.7 T3). Deterministic,
     * unlike bare `dropDuplicates`.
     */
-  def dedupByKey(df: DataFrame, orderCol: String): DataFrame = {
+  def dedupByKey(df: DataFrame, orderCol: String): DataFrame =
+    dedupByKey(df, col(orderCol))
+
+  def dedupByKey(df: DataFrame, order: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+  }
+
+  /** Stable dedup order for [[dedupByKey]]: the source cursor when the rows
+    * carry one (true arrival order), then a hash of the non-key payload as
+    * the final tiebreak. Unlike `monotonically_increasing_id()` this does
+    * not depend on partition layout or task re-execution, so which
+    * duplicate survives is the same on every (re)run. */
+  def stableDedupOrder(df: DataFrame): Column = {
+    val payloadHash = xxhash64(
+      df.columns.filterNot(keyCols.contains).sorted.map(col): _*)
+    if (df.columns.contains("poll_cursor"))
+      struct(col("poll_cursor"), payloadHash)
+    else payloadHash
   }
 }

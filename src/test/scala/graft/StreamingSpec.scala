@@ -101,6 +101,46 @@ class PollingSourceSpec extends SparkSpec {
       Map("fields" -> "pm2.5", "read_key" -> null)) ==
       "https://x/v1/sensors/1?fields=pm2.5")
   }
+
+  test("multi-sensor fetch passes modified_since=from (F3 cursor contract)") {
+    val f = new HttpPollingFetcher
+    val url = f.urlFor(1659710000L,
+      Map("api.base" -> "https://x/v1", "fields" -> "pm2.5"))
+    assert(url.contains("modified_since=1659710000"))
+    assert(url.startsWith("https://x/v1/sensors/?"))
+    // initial batch (from=0): no modified_since — full snapshot
+    assert(!f.urlFor(0L, Map("api.base" -> "https://x/v1", "fields" -> "f"))
+      .contains("modified_since"))
+    // single-sensor endpoint has no modified_since parameter
+    assert(!f.urlFor(1659710000L,
+      Map("api.base" -> "https://x/v1", "sensor.index" -> "53"))
+      .contains("modified_since"))
+  }
+
+  test("restart seeds the poll cursor from the checkpointed offset") {
+    val props = new java.util.HashMap[String, String]()
+    props.put(PollingSource.Options.FetcherClass,
+      classOf[IncrementingFetcher].getName)
+    props.put(PollingSource.Options.AllowFastPolling, "true")
+    props.put(PollingSource.Options.StartCursor, "0")
+    val stream = new graft.sources.PollingMicroBatchStream(props)
+    // Simulate Spark restoring the committed offset from the offset log.
+    stream.deserializeOffset("""{"cursor":5}""")
+    val latest = stream.latestOffset()
+    // IncrementingFetcher advances by one from `current`: restored 5 → 6.
+    // Before the fix `current` came from startCursor=0 → latest would be 1.
+    assert(latest.asInstanceOf[graft.sources.PollOffset].cursor == 6L)
+  }
+}
+
+/** Test transport whose next cursor depends on the current one — lets the
+  * suite observe which `current` the stream derives after a restart. */
+class IncrementingFetcher extends graft.sources.SensorFetcher {
+  override def latestCursor(current: Long, options: Map[String, String]): Long =
+    current + 1
+  override def fetch(from: Long, to: Long,
+      options: Map[String, String]): Seq[(Long, String)] =
+    (from + 1 to to).map(c => (c, s"""{"cursor":$c}"""))
 }
 
 class ContinuousAggregateSpec extends SparkSpec {
@@ -169,6 +209,40 @@ class FanOutSinkSpec extends SparkSpec {
     // partition directory layout: table/date=YYYY-MM-DD/
     val envDir = new java.io.File(s"$base/environmental_fields")
     assert(envDir.listFiles().exists(_.getName.startsWith("date=")))
+  }
+
+  test("replaying a micro-batch with the same batchId is idempotent") {
+    val payload = spark.read.option("multiLine", true).json(
+      "/root/reference/hardware_variant_json_samples/" +
+        "3.0+OPENLOG+31037 MB+DS3231+BME280+BME680+PMSX003-A+PMSX003-B.json")
+    val conformed = Transforms.conform(Transforms.flattenSingle(payload))
+    val base = Files.createTempDirectory("graft_sink_r").toString
+    FanOutSink.writeBatch(conformed, base, batchId = Some(7L))
+    // foreachBatch is at-least-once: the same batch may run again after a
+    // failure — the batch=7 directory must be rewritten, not re-appended
+    FanOutSink.writeBatch(conformed, base, batchId = Some(7L))
+    FieldCatalog.Groups.all.foreach { table =>
+      val back = FanOutSink.readTable(spark, base, table)
+      assert(back.count() == 1, s"$table must not duplicate on replay")
+      assert(!back.columns.contains("batch"))
+    }
+  }
+
+  test("PK dedup survivor is stable across partition layouts") {
+    import spark.implicits._
+    val rows = Seq(
+      (1700000000L, 1, "first"), (1700000000L, 1, "second"),
+      (1700000000L, 1, "third"), (1700000065L, 1, "only"))
+    def survivors(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      Transforms.dedupByKey(df, Transforms.stableDedupOrder(df))
+        .orderBy("data_time_stamp").select("name").as[String].collect().toSeq
+    val base = rows.toDF("epoch", "sensor_index", "name")
+      .withColumn("data_time_stamp", timestamp_seconds(col("epoch")))
+      .drop("epoch")
+    val a = survivors(base.repartition(7))
+    val b = survivors(base.orderBy(col("name").desc).repartition(1))
+    val c = survivors(base.sample(1.0, seed = 42).repartition(13))
+    assert(a == b && b == c, s"survivor differs across layouts: $a / $b / $c")
   }
 
   test("streaming fan-out via foreachBatch from a replay stream") {
