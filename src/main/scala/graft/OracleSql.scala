@@ -281,14 +281,17 @@ object OracleSql {
          |WHERE CAST(n_common AS DOUBLE)
          |    / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.10""".stripMargin,
 
+    // Scores quantize the INPUT elements to DECIMAL(18,6) (matching the
+    // engine's once-per-row quantize6 kernel), multiply exactly at scale
+    // 12, and sum exactly — engine-identical by construction.
     "q_sim_topk_dot" ->
       """WITH qe AS (SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS i,
-        |    unnest(embedding) AS x FROM embeddings WHERE vec_id < 10),
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
+        |  FROM embeddings WHERE vec_id < 10),
         |ce AS (SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS i,
-        |    unnest(embedding) AS x FROM embeddings),
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x FROM embeddings),
         |s AS (SELECT qid AS query_id, cid AS corpus_id,
-        |    CAST(SUM(CAST(CAST(qe.x AS DOUBLE) * CAST(ce.x AS DOUBLE)
-        |      AS DECIMAL(30,12))) AS DOUBLE) AS score
+        |    CAST(SUM(CAST(qe.x * ce.x AS DECIMAL(25,12))) AS DOUBLE) AS score
         |  FROM qe JOIN ce ON qe.i = ce.i GROUP BY 1, 2)
         |SELECT query_id, corpus_id, score,
         |  CAST(row_number() OVER
@@ -298,14 +301,12 @@ object OracleSql {
 
     "q_sim_topk_cosine" ->
       """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |    unnest(embedding) AS x FROM embeddings),
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x FROM embeddings),
         |norms AS (SELECT vec_id,
-        |    sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-        |      AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+        |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
         |  FROM el GROUP BY 1),
         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-        |    CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)
-        |      AS DECIMAL(30,12))) AS DOUBLE) AS dot
+        |    CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
         |  FROM el q JOIN el c ON q.i = c.i
         |  WHERE q.vec_id < 10 GROUP BY 1, 2),
         |sc AS (SELECT query_id, corpus_id,

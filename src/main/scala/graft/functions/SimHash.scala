@@ -81,6 +81,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.simhash64Descriptor)
     e.injectFunction(GraftFunctions.minhashDescriptor)
+    e.injectFunction(GraftFunctions.wordShinglesDescriptor)
+    VectorFunctions.descriptors.foreach(e.injectFunction)
   }
 }
 
@@ -97,10 +99,17 @@ object GraftFunctions {
     new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
     (children: Seq[Expression]) => MinHashSignature(children(0), children(1)))
 
+  private[graft] val wordShinglesDescriptor = (
+    FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+    (children: Seq[Expression]) => WordShingles(children(0), children(1)))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     MinHashFunctions.register(spark)
+    WordShingleFunctions.register(spark)
+    VectorFunctions.register(spark)
   }
 
   /** Column-API entry point (requires [[register]] on the session). */

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass word-shingle kernel: tokenize + slide + distinct in one
+  * tight loop, replacing the interpreted
+  * `array_distinct(transform(sequence(...), i => concat_ws(slice(...))))`
+  * chain of [[graft.operators.TextAnalysis.shingles]] (higher-order
+  * functions are not code-generated — per-shingle lambda interpretation
+  * dominated the n-gram/minhash queries).
+  *
+  * Bit-identical to the compositional form (proven by test):
+  *  - tokens = `split(trim(text), "\\s+")` — Spark `trim` removes ASCII
+  *    spaces only; split keeps empty leading fields for other whitespace
+  *  - fewer than `n` tokens → one shingle joining all tokens
+  *  - otherwise every n-token window joined by one space, first-occurrence
+  *    distinct (like `array_distinct`)
+  */
+object WordShinglesImpl {
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val trimmed = text.trim().toString
+    val toks = trimmed.split("\\s+", -1)
+    if (toks.length < n)
+      new GenericArrayData(Array[Any](
+        UTF8String.fromString(toks.mkString(" "))))
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      val last = toks.length - n
+      while (i <= last) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** `word_shingles(text STRING, n INT) -> ARRAY<STRING>` as a native
+  * codegen'd expression. */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "word_shingles requires (STRING, foldable INT)")
+    }
+  override def nullSafeEval(text: Any, n: Any): Any =
+    WordShinglesImpl.compute(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, n) => s"graft.functions.WordShinglesImpl.compute($t, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingles =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingleFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "scala_udf")
+
+  def wordShingles(text: Column, n: Int): Column =
+    call_function("word_shingles", text, lit(n))
+}

@@ -77,7 +77,8 @@ object Dedup {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol),
       graft.functions.MinHashFunctions.minhashSignature(
-        TextAnalysis.shingles(col(textCol), shingleWords), k).as("sig"))
+        graft.functions.WordShingleFunctions
+          .wordShingles(col(textCol), shingleWords), k).as("sig"))
   }
 
   /** Compositional formulation (explode shingles → k `min()` aggregates in
@@ -167,11 +168,37 @@ object Dedup {
     agged.select(col(idCol), packed.as("simhash"))
   }
 
+  /** Distinct candidate pairs like [[pairsFromBuckets]], but carrying one
+    * small payload column per id through the bucket aggregation, so
+    * verification needs NO join back onto the signature table (a join-back
+    * re-executes the whole signature pipeline per side, or forces a
+    * persist). The payload rides the one (bucket, id) shuffle — only
+    * worth it for scalar payloads; wide payloads (vectors, long
+    * signatures) are cheaper to join back from a persisted side. */
+  private[operators] def pairsFromBucketsWithPayload(
+      banded: DataFrame, idCol: String, payloadCol: String,
+      bucketCols: Seq[String], maxBucket: Int = 2000): DataFrame = {
+    val entry = struct(col(idCol).as("id"), col(payloadCol).as("pl"))
+    val buckets = banded.groupBy(bucketCols.map(col): _*)
+      .agg(array_sort(collect_list(entry)).as("es"))
+      .filter(size(col("es")) > 1 && size(col("es")) <= maxBucket)
+    buckets
+      .select(explode(flatten(transform(col("es"), (x, i) =>
+        transform(slice(col("es"), i + 2, size(col("es"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .distinct() // payload is functionally dependent on id
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pl").as(s"${payloadCol}_a"), col("b.pl").as(s"${payloadCol}_b"))
+  }
+
   /** SimHash near-duplicates: pairs within `maxHamming` bits. Candidate
     * generation bands the 64-bit hash into 4×16-bit chunks (pigeonhole: any
     * pair within hamming ≤ 3·16 shares ≥1 exact chunk when maxHamming < 4 —
     * we use it as a standard recall/cost trade). Verification counts
-    * differing bits via `bit_count(xor)`. */
+    * differing bits via `bit_count(xor)`. The 8-byte hash rides the bucket
+    * shuffle as pair payload, so the kernel runs exactly once over the
+    * corpus and no join-back is needed. */
   def simhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
@@ -182,12 +209,9 @@ object Dedup {
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("chunk_val",
         expr("shiftright(simhash, CAST(chunk * 16 AS INT)) & 65535"))
-    val hashes = sh.select(col(idCol), col("simhash"))
-    pairsFromBuckets(chunked, idCol, Seq("chunk", "chunk_val"))
-      .join(hashes.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
-      .join(hashes.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+    pairsFromBucketsWithPayload(chunked, idCol, "simhash", Seq("chunk", "chunk_val"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -204,11 +228,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, threshold: Double,
       maxDocFreq: Long = 10000L): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.shingles(col(textCol), shingleWords)).as("shingle"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    def shingleSet = graft.functions.WordShingleFunctions
+      .wordShingles(col(textCol), shingleWords)
+    val sh = df.select(col(idCol).as("id"), explode(shingleSet).as("shingle"))
     // |A| per doc straight off the shingle array — no explode, no shuffle
-    val sizes = df.select(col(idCol).as("id"),
-      size(TextAnalysis.shingles(col(textCol), shingleWords)).as("set_size"))
+    val sizes = df.select(col(idCol).as("id"), size(shingleSet).as("set_size"))
     // Postings as buckets: group ids per shingle, explode in-bucket pairs,
     // count repeats = |A∩B|. One shingle pass, one shuffle on the shingle,
     // no aliased self-join recomputing the explosion per side. Frequency

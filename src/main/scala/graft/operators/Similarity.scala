@@ -26,23 +26,39 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Elementwise product, each term cast to DECIMAL(25,12), summed exactly
-    * as DECIMAL(30,12), surfaced as double. float→double widening is exact,
-    * products are deterministic IEEE, and decimal addition is associative —
-    * one well-defined answer. (Precisions sized so the fold's add result
-    * precision stays ≤31: Spark would silently round the scale to 11 if the
-    * add needed precision 39.) */
+  /** All similarity operators run on the native codegen'd kernels in
+    * [[graft.functions.VectorOpsImpl]] (higher-order functions interpret
+    * per element — ~10× slower on 64-dim arrays). The compositional
+    * column formulations below are kept as the no-custom-expression
+    * reference; tests prove the kernels bit-identical to them. */
+  private def registered(df: DataFrame): Unit =
+    graft.functions.GraftFunctions.register(df.sparkSession)
+
+  import graft.functions.{VectorFunctions => V}
+
+  /** Exact dot product over scale-6 quantized inputs: each element is
+    * `CAST(x AS DECIMAL(18,6))` (one decimal conversion per element), the
+    * elementwise products are exact at scale 12, and the sum folds as
+    * DECIMAL(30,12) — exact, order-independent, engine-identical, and
+    * surfaced as double. Quantizing the INPUTS (not the products) is what
+    * lets the native kernel ([[graft.functions.VectorOpsImpl.dotQ12]])
+    * precompute the conversion once per row and keep the per-pair work in
+    * pure long arithmetic. (Fold precisions sized so the add result stays
+    * ≤31: Spark silently rounds scale 12→11 past precision 38.)
+    * Reference formulation — the hot paths call the bit-identical native
+    * `quantize6`/`dot_q12`. */
   def dotExact(a: Column, b: Column): Column = {
     val terms = zip_with(a, b,
-      (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(DecimalType(25, 12)))
+      (x, y) => (x.cast(DecimalType(18, 6)) * y.cast(DecimalType(18, 6)))
+        .cast(DecimalType(25, 12)))
     aggregate(terms, lit(BigDecimal(0)).cast(DecimalType(30, 12)),
       (acc, v) => (acc + v).cast(DecimalType(30, 12))).cast(DoubleType)
   }
 
-  /** Exact L2 norm via the same decimal path. */
+  /** Exact L2 norm via the same quantized-decimal path. */
   def normExact(a: Column): Column =
     sqrt(aggregate(
-      transform(a, x => (x.cast(DoubleType) * x.cast(DoubleType))
+      transform(a, x => (x.cast(DecimalType(18, 6)) * x.cast(DecimalType(18, 6)))
         .cast(DecimalType(25, 12))),
       lit(BigDecimal(0)).cast(DecimalType(30, 12)),
       (acc, v) => (acc + v).cast(DecimalType(30, 12))).cast(DoubleType))
@@ -72,14 +88,19 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,
       k: Int, cosine: Boolean = false): DataFrame = {
-    val q0 = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
-    val c0 = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+    registered(corpus)
+    // Quantize each side ONCE (the only decimal conversion), so the
+    // per-pair score inside the cross join is pure long arithmetic.
+    val q0 = queries.select(col(queryId).as("query_id"),
+      V.quantize6(col(queryVec)).as("qv"))
+    val c0 = corpus.select(col(corpusId).as("corpus_id"),
+      V.quantize6(col(corpusVec)).as("cv"))
     val (q, c, score) =
       if (cosine) {
-        val qn = q0.withColumn("qnorm", normExact(col("qv")))
-        val cn = c0.withColumn("cnorm", normExact(col("cv")))
-        (qn, cn, dotExact(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
-      } else (q0, c0, dotExact(col("qv"), col("cv")))
+        val qn = q0.withColumn("qnorm", V.normQ12(col("qv")))
+        val cn = c0.withColumn("cnorm", V.normQ12(col("cv")))
+        (qn, cn, V.dotQ12(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      } else (q0, c0, V.dotQ12(col("qv"), col("cv")))
     val scored = c.crossJoin(broadcast(q)).withColumn("score", score)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id"))
@@ -89,21 +110,16 @@ object Similarity {
   }
 
   /** Deterministic ±1 for hyperplane component (table, plane, dim) — a
-    * splitmix64 bit. Computed driver-side; executors only see the
-    * resulting literal sign arrays. */
-  private def planeSign(table: Int, plane: Int, dim: Int): Double = {
-    var z = (table.toLong << 40) + (plane.toLong << 20) + dim.toLong +
-      0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^= z >>> 31
-    if ((z & 1L) == 1L) 1.0 else -1.0
-  }
+    * splitmix64 bit, shared with the native kernel so both formulations
+    * see the same planes. */
+  private def planeSign(table: Int, plane: Int, dim: Int): Double =
+    graft.functions.VectorOpsImpl.planeSign(table, plane, dim)
 
   /** `planes`-bit random-hyperplane signature for one LSH table. The sign
     * matrix is a literal; per row this is `planes` double folds over the
-    * vector — pure codegen arithmetic, no hashing. `dims` must equal the
-    * embedding dimension. */
+    * vector. `dims` must equal the embedding dimension. Reference
+    * formulation — hot paths use the native `rhp_signatures`, which
+    * computes every table's signature in one pass. */
   def rhpSignature(vec: Column, planes: Int, table: Int, dims: Int): Column = {
     val bits = (0 until planes).map { p =>
       val signs = typedlit((0 until dims).map(i => planeSign(table, p, i)))
@@ -119,8 +135,8 @@ object Similarity {
   private def withBuckets(
       df: DataFrame, id: String, vec: String, side: String,
       planes: Int, tables: Int, dims: Int): DataFrame = {
-    val sigs = array((0 until tables).map(t =>
-      rhpSignature(col(vec), planes, t, dims)): _*)
+    registered(df)
+    val sigs = V.rhpSignatures(col(vec), planes, tables)
     df.select(col(id).as(s"${side}_id"), col(vec).as(s"${side}v"), sigs.as("sigs"))
       .select(col(s"${side}_id"), col(s"${side}v"),
         posexplode(col("sigs")).as(Seq("table", "bucket")))
@@ -146,7 +162,7 @@ object Similarity {
         col(queryVec).as("queryv"))), Seq("query_id"))
       .join(corpus.select(col(corpusId).as("corpus_id"),
         col(corpusVec).as("corpusv")), Seq("corpus_id"))
-    val scored = cand.withColumn("score", dotFast(col("queryv"), col("corpusv")))
+    val scored = cand.withColumn("score", V.dotFast(col("queryv"), col("corpusv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -168,7 +184,7 @@ object Similarity {
     // would recompute the signature pipeline per side); vectors + norms
     // joined back once per pair
     val side = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", normFast(col("v")))
+      .withColumn("nrm", V.normFast(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val result = Dedup.pairsFromBuckets(b, "x_id", Seq("table", "bucket"))
       .join(side.select(col("id").as("id_a"), col("v").as("va"),
@@ -176,7 +192,7 @@ object Similarity {
       .join(side.select(col("id").as("id_b"), col("v").as("vb"),
         col("nrm").as("norm_b")), Seq("id_b"))
       .withColumn("cosine",
-        dotFast(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
+        V.dotFast(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
     // Eagerly materialize the (small) pair set, then release the cached

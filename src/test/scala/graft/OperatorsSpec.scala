@@ -22,6 +22,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1) == Seq("a b"))
   }
 
+  test("native word_shingles == compositional shingles (incl. edges)") {
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq("a b c d e", "a b", "", "   ", "x\ty  z", "a a a a b a a a",
+      "the quick brown fox jumps over the lazy dog").toDF("text")
+    val both = texts.select(
+      TextAnalysis.shingles(col("text"), 3).as("ref"),
+      graft.functions.WordShingleFunctions.wordShingles(col("text"), 3).as("fast"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("languageId: stopword profiles pick the right language") {
     val df = Seq(
       ("the cat and the dog is here", "en"),
@@ -131,13 +143,42 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1).getLong(1) == 1L)
   }
 
-  test("dotExact matches hand-computed dot product exactly") {
+  test("dotExact matches hand-computed quantized dot product exactly") {
     val out = vecs.filter(col("vec_id") === 1L)
       .select(Similarity.dotExact(col("embedding"), col("embedding")).as("d"))
       .head().getDouble(0)
-    val f9 = 0.9f.toDouble; val f1 = 0.1f.toDouble
-    assert(out == BigDecimal(f9 * f9).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
-      + BigDecimal(f1 * f1).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def q6(x: Float): BigDecimal =
+      BigDecimal(x.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(out == (q6(0.9f) * q6(0.9f) + q6(0.1f) * q6(0.1f)).toDouble)
+  }
+
+  test("native vector kernels == compositional formulations bit-for-bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val V = graft.functions.VectorFunctions
+    val pairs = vecs.as("x").crossJoin(vecs.select(col("embedding").as("e2")))
+    val rows = pairs.select(
+      Similarity.dotExact(col("embedding"), col("e2")).as("de_ref"),
+      V.dotExact(col("embedding"), col("e2")).as("de"),
+      Similarity.dotFast(col("embedding"), col("e2")).as("df_ref"),
+      V.dotFast(col("embedding"), col("e2")).as("df"),
+      Similarity.normExact(col("embedding")).as("ne_ref"),
+      V.normExact(col("embedding")).as("ne"),
+      Similarity.normFast(col("embedding")).as("nf_ref"),
+      V.normFast(col("embedding")).as("nf")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot_exact differs")
+      assert(r.getDouble(2) == r.getDouble(3), "dot_fast differs")
+      assert(r.getDouble(4) == r.getDouble(5), "norm_exact differs")
+      assert(r.getDouble(6) == r.getDouble(7), "norm_fast differs")
+    }
+    // rhp_signatures: table t == compositional signature for that table
+    (0 until 3).foreach { t =>
+      val sig = vecs.select(
+        Similarity.rhpSignature(col("embedding"), 4, t, 4).as("ref"),
+        element_at(V.rhpSignatures(col("embedding"), 4, 3), t + 1).as("fast"))
+      sig.collect().foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"rhp signature differs for table $t"))
+    }
   }
 
   test("lshTopK: self retrieved (identical vectors share every bucket)") {
