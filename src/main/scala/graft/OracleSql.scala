@@ -29,6 +29,35 @@ object OracleSql {
   private val decAvg = (x: String, as: String) =>
     s"CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE)/COUNT($x) AS $as"
 
+  /** The ±1 hyperplane sign lists for `tables`×`planes` LSH tables as a
+    * VALUES literal — generated from the same splitmix64 stream the
+    * engine's `rhp_signatures` kernel derives them from, so DuckDB
+    * reproduces the exact buckets (signatures are integer sums over the
+    * scale-6 quantized vectors: order-independent, engine-identical). */
+  private def planesValues(tables: Int, planes: Int, dims: Int): String =
+    (0 until tables).flatMap(t => (0 until planes).map { p =>
+      val signs = (0 until dims)
+        .map(d => graft.functions.VectorOpsImpl.planeSignLong(t, p, d))
+      s"($t, $p, [${signs.mkString(", ")}])"
+    }).mkString(",\n      ")
+
+  /** Shared CTE prefix: quantized embedding elements + per-(vec, table)
+    * packed RHP bucket ids. */
+  private def lshSigCtes(tables: Int, planes: Int): String =
+    s"""el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
+       |  FROM embeddings),
+       |qv AS (SELECT vec_id, i, CAST(x * 1000000 AS BIGINT) AS qx FROM el),
+       |pl(tbl, plane, s) AS (VALUES
+       |      ${planesValues(tables, planes, 64)}),
+       |acc AS (SELECT qv.vec_id, pl.tbl, pl.plane,
+       |    SUM(qv.qx * pl.s[qv.i]) AS a
+       |  FROM qv, pl GROUP BY 1, 2, 3),
+       |sig AS (SELECT vec_id, tbl,
+       |    CAST(SUM(CASE WHEN a > 0 THEN 1::BIGINT << plane
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM acc GROUP BY 1, 2)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -323,6 +352,48 @@ object OracleSql {
       """SELECT 'image' AS kind, COUNT(*) AS n,
         |  CAST(MAX(doc_id % 640 + 32) AS INTEGER) AS max_width,
         |  CAST(MAX(doc_id % 480 + 32) AS INTEGER) AS max_height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Full LSH pipeline reproduced: integer RHP signatures over quantized
+    // vectors → candidate sharing ≥1 bucket → exact decimal scores → rank.
+    "q_sim_lsh" ->
+      s"""WITH ${lshSigCtes(tables = 4, planes = 8)},
+         |cand AS (SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS corpus_id
+         |  FROM sig qs JOIN sig cs ON qs.tbl = cs.tbl AND qs.bucket = cs.bucket
+         |  WHERE qs.vec_id < 10),
+         |s AS (SELECT query_id, corpus_id,
+         |    CAST(SUM(CAST(qe.x * ce.x AS DECIMAL(25,12))) AS DOUBLE) AS score
+         |  FROM cand
+         |  JOIN el qe ON qe.vec_id = query_id
+         |  JOIN el ce ON ce.vec_id = corpus_id AND qe.i = ce.i
+         |  GROUP BY 1, 2)
+         |SELECT query_id, corpus_id, score,
+         |  CAST(row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS BIGINT)
+         |    AS rank
+         |FROM s QUALIFY rank <= 5""".stripMargin,
+
+    "q_emb_neardup" ->
+      s"""WITH ${lshSigCtes(tables = 4, planes = 6)},
+         |bsz AS (SELECT tbl, bucket, COUNT(*) AS n FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sig a
+         |  JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  JOIN bsz ON bsz.tbl = a.tbl AND bsz.bucket = a.bucket
+         |  WHERE a.vec_id < b.vec_id AND bsz.n BETWEEN 2 AND 2000),
+         |norms AS (SELECT vec_id,
+         |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+         |  FROM el GROUP BY 1),
+         |d AS (SELECT id_a, id_b,
+         |    CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+         |  FROM cand
+         |  JOIN el ea ON ea.vec_id = id_a
+         |  JOIN el eb ON eb.vec_id = id_b AND ea.i = eb.i
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+         |FROM d
+         |JOIN norms na ON na.vec_id = id_a
+         |JOIN norms nb ON nb.vec_id = id_b
+         |WHERE dot / (na.nrm * nb.nrm) >= 0.25""".stripMargin
   )
 }

@@ -114,21 +114,26 @@ object VectorOpsImpl {
   /** Deterministic ±1 for hyperplane component (table, plane, dim) — a
     * splitmix64 bit. Any executor anywhere reproduces the same planes
     * with zero shipped state. */
-  def planeSign(table: Int, plane: Int, dim: Int): Double = {
+  def planeSignLong(table: Int, plane: Int, dim: Int): Long = {
     var z = (table.toLong << 40) + (plane.toLong << 20) + dim.toLong +
       0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^= z >>> 31
-    if ((z & 1L) == 1L) 1.0 else -1.0
+    if ((z & 1L) == 1L) 1L else -1L
   }
 
-  /** All `tables` random-hyperplane signatures of one vector in a single
-    * pass: packed `planes`-bit bucket ids, LSB-first. Null elements make
-    * the affected plane's accumulator undefined → bit 0, matching the
-    * compositional `when(acc > 0, 1).otherwise(0)` under null. */
-  def rhpSignatures(v: ArrayData, vF: Boolean,
-      planes: Int, tables: Int): ArrayData = {
+  def planeSign(table: Int, plane: Int, dim: Int): Double =
+    planeSignLong(table, plane, dim).toDouble
+
+  /** All `tables` random-hyperplane signatures of one QUANTIZED vector
+    * ([[quantize6]] output) in a single pass: packed `planes`-bit bucket
+    * ids, LSB-first. Operating on the scale-6 longs makes the signature
+    * pure integer arithmetic — order-independent and bit-identical in any
+    * engine, which is what lets the DuckDB oracle reproduce LSH buckets.
+    * Null elements → all-zero signatures, matching the compositional
+    * `when(acc > 0, 1).otherwise(0)` under null. */
+  def rhpSignatures(v: ArrayData, planes: Int, tables: Int): ArrayData = {
     val dims = v.numElements()
     var hasNull = false
     var d = 0
@@ -140,10 +145,11 @@ object VectorOpsImpl {
       var p = 0
       while (p < planes) {
         if (!hasNull) {
-          var acc = 0.0
+          var acc = 0L
           var i = 0
           while (i < dims) {
-            acc += elem(v, i, vF) * planeSign(t, p, i)
+            acc += (if (planeSignLong(t, p, i) > 0) v.getLong(i)
+                    else -v.getLong(i))
             i += 1
           }
           if (acc > 0) packed |= (1L << p)
@@ -294,28 +300,28 @@ case class NormFast(child: Expression) extends UnaryVectorDouble {
   override def prettyName: String = "norm_fast"
 }
 
-/** `rhp_signatures(vec, planes, tables) -> ARRAY<LONG>`: every LSH
-  * table's packed random-hyperplane bucket id in one codegen'd pass over
-  * the vector (the compositional form re-reads the vector
-  * `planes × tables` times through interpreted folds). */
+/** `rhp_signatures(qvec ARRAY<LONG>, planes, tables) -> ARRAY<LONG>`:
+  * every LSH table's packed random-hyperplane bucket id in one codegen'd
+  * pass over the quantized vector (the compositional form re-reads the
+  * vector `planes × tables` times through interpreted folds). */
 case class RhpSignatures(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with VectorElementTypes {
+    extends TernaryExpression with LongArrayCheck {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = {
-    val v = checkNumericArray(first, prettyName)
+    val v = checkLongArray(first, prettyName)
     if (v != TypeCheckResult.TypeCheckSuccess) v
     else if (second.dataType == IntegerType && second.foldable &&
              third.dataType == IntegerType && third.foldable)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (ARRAY<FLOAT|DOUBLE>, foldable INT, foldable INT)")
+      s"$prettyName requires (ARRAY<LONG>, foldable INT, foldable INT)")
   }
   override def nullSafeEval(v: Any, planes: Any, tables: Any): Any =
-    VectorOpsImpl.rhpSignatures(v.asInstanceOf[ArrayData], arrayFlag(first),
+    VectorOpsImpl.rhpSignatures(v.asInstanceOf[ArrayData],
       planes.asInstanceOf[Int], tables.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (v, p, t) =>
-      s"graft.functions.VectorOpsImpl.rhpSignatures($v, ${arrayFlag(first)}, $p, $t)")
+      s"graft.functions.VectorOpsImpl.rhpSignatures($v, $p, $t)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression) =
     copy(first = f, second = s, third = t)

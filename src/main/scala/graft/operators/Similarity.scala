@@ -115,38 +115,47 @@ object Similarity {
   private def planeSign(table: Int, plane: Int, dim: Int): Double =
     graft.functions.VectorOpsImpl.planeSign(table, plane, dim)
 
-  /** `planes`-bit random-hyperplane signature for one LSH table. The sign
-    * matrix is a literal; per row this is `planes` double folds over the
-    * vector. `dims` must equal the embedding dimension. Reference
-    * formulation — hot paths use the native `rhp_signatures`, which
-    * computes every table's signature in one pass. */
-  def rhpSignature(vec: Column, planes: Int, table: Int, dims: Int): Column = {
+  /** `planes`-bit random-hyperplane signature for one LSH table over a
+    * QUANTIZED vector ([[graft.functions.VectorFunctions.quantize6]]
+    * output): the sign fold is pure long arithmetic — order-independent
+    * and engine-identical, so LSH buckets are reproducible by the DuckDB
+    * oracle. Reference formulation — hot paths use the native
+    * `rhp_signatures`, which computes every table's signature in one
+    * pass. */
+  def rhpSignature(qvec: Column, planes: Int, table: Int, dims: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val signs = typedlit((0 until dims).map(i => planeSign(table, p, i)))
+      val signs = typedlit((0 until dims).map(i =>
+        graft.functions.VectorOpsImpl.planeSignLong(table, p, i)))
       val acc = aggregate(
-        zip_with(vec, signs, (x, s) => x.cast(DoubleType) * s),
-        lit(0.0), (a, v) => a + v)
+        zip_with(qvec, signs, (x, s) => x * s),
+        lit(0L), (a, v) => a + v)
       when(acc > 0, lit(1L)).otherwise(lit(0L))
     }
     // pack LSB-first: bit p contributes 2^p
     bits.zipWithIndex.map { case (b, p) => b * lit(1L << p) }.reduce(_ + _)
   }
 
+  /** Quantize, sign, and explode one side into (id, qv, table, bucket)
+    * rows. The quantized vector rides along so exact scoring downstream
+    * needs no second decimal conversion. */
   private def withBuckets(
       df: DataFrame, id: String, vec: String, side: String,
       planes: Int, tables: Int, dims: Int): DataFrame = {
     registered(df)
-    val sigs = V.rhpSignatures(col(vec), planes, tables)
-    df.select(col(id).as(s"${side}_id"), col(vec).as(s"${side}v"), sigs.as("sigs"))
-      .select(col(s"${side}_id"), col(s"${side}v"),
-        posexplode(col("sigs")).as(Seq("table", "bucket")))
+    val q = df.select(col(id).as(s"${side}_id"),
+      V.quantize6(col(vec)).as(s"${side}q"))
+    q.select(col(s"${side}_id"), col(s"${side}q"),
+      posexplode(V.rhpSignatures(col(s"${side}q"), planes, tables))
+        .as(Seq("table", "bucket")))
   }
 
   /** LSH-bucketed ANN: both sides are signed into `planes`-bit buckets;
     * candidates share a bucket in at least one of `tables` independent
-    * signatures (multi-table RHP-LSH). Exact scoring + top-k only within
-    * candidates. Approximate by design — `planes` trades bucket size
-    * against recall, `tables` buys recall back. */
+    * signatures (multi-table RHP-LSH). Exact quantized-decimal scoring +
+    * top-k only within candidates — every stage (buckets, candidate set,
+    * scores, rank) is deterministic and engine-reproducible, so the whole
+    * approximate operator has a DuckDB oracle. `planes` trades bucket
+    * size against recall, `tables` buys recall back. */
   def lshTopK(
       queries: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,
@@ -155,14 +164,17 @@ object Similarity {
       withBuckets(queries, queryId, queryVec, "query", planes, tables, dims))
     val cb = withBuckets(corpus, corpusId, corpusVec, "corpus", planes, tables, dims)
     // Dedup candidate id PAIRS first (cheap narrow shuffle), then join the
-    // vectors back — never shuffle or hash full vectors in the dedup.
-    val cand = cb.join(qb.select("table", "bucket", "query_id"), Seq("table", "bucket"))
+    // quantized vectors back — never shuffle or hash full vectors in the
+    // dedup.
+    registered(corpus)
+    val cand = cb.select("table", "bucket", "corpus_id")
+      .join(qb.select("table", "bucket", "query_id"), Seq("table", "bucket"))
       .select(col("query_id"), col("corpus_id")).distinct()
       .join(broadcast(queries.select(col(queryId).as("query_id"),
-        col(queryVec).as("queryv"))), Seq("query_id"))
+        V.quantize6(col(queryVec)).as("queryq"))), Seq("query_id"))
       .join(corpus.select(col(corpusId).as("corpus_id"),
-        col(corpusVec).as("corpusv")), Seq("corpus_id"))
-    val scored = cand.withColumn("score", V.dotFast(col("queryv"), col("corpusv")))
+        V.quantize6(col(corpusVec)).as("corpusq")), Seq("corpus_id"))
+    val scored = cand.withColumn("score", V.dotQ12(col("queryq"), col("corpusq")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -171,9 +183,10 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`: LSH bucketing
-    * generates candidates (pairs must collide in ≥1 table), exact cosine
-    * verifies. Norms computed once per id, not per pair. `id_a < id_b`,
-    * distinct, deterministic scores. */
+    * generates candidates (pairs must collide in ≥1 table), exact
+    * quantized-decimal cosine verifies — like [[lshTopK]], fully
+    * deterministic and oracle-reproducible. Norms computed once per id,
+    * not per pair. `id_a < id_b`, distinct. */
   def cosineNearDuplicates(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 8, tables: Int = 4,
@@ -181,18 +194,20 @@ object Similarity {
     val b = withBuckets(df, idCol, vecCol, "x", planes, tables, dims)
       .select(col("x_id"), col("table"), col("bucket"))
     // candidate id pairs via in-bucket explosion (no self-join — a join
-    // would recompute the signature pipeline per side); vectors + norms
-    // joined back once per pair
-    val side = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", V.normFast(col("v")))
+    // would recompute the signature pipeline per side); quantized vectors
+    // + norms joined back once per pair
+    registered(df)
+    val side = df.select(col(idCol).as("id"),
+        V.quantize6(col(vecCol)).as("qv"))
+      .withColumn("nrm", V.normQ12(col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val result = Dedup.pairsFromBuckets(b, "x_id", Seq("table", "bucket"))
-      .join(side.select(col("id").as("id_a"), col("v").as("va"),
+      .join(side.select(col("id").as("id_a"), col("qv").as("qa"),
         col("nrm").as("norm_a")), Seq("id_a"))
-      .join(side.select(col("id").as("id_b"), col("v").as("vb"),
+      .join(side.select(col("id").as("id_b"), col("qv").as("qb"),
         col("nrm").as("norm_b")), Seq("id_b"))
       .withColumn("cosine",
-        V.dotFast(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
+        V.dotQ12(col("qa"), col("qb")) / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
     // Eagerly materialize the (small) pair set, then release the cached

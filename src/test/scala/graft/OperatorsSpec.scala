@@ -171,11 +171,13 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(4) == r.getDouble(5), "norm_exact differs")
       assert(r.getDouble(6) == r.getDouble(7), "norm_fast differs")
     }
-    // rhp_signatures: table t == compositional signature for that table
+    // rhp_signatures over quantized vectors: table t == compositional
+    // signature for that table
     (0 until 3).foreach { t =>
-      val sig = vecs.select(
-        Similarity.rhpSignature(col("embedding"), 4, t, 4).as("ref"),
-        element_at(V.rhpSignatures(col("embedding"), 4, 3), t + 1).as("fast"))
+      val sig = vecs.select(V.quantize6(col("embedding")).as("q"))
+        .select(
+          Similarity.rhpSignature(col("q"), 4, t, 4).as("ref"),
+          element_at(V.rhpSignatures(col("q"), 4, 3), t + 1).as("fast"))
       sig.collect().foreach(r => assert(r.getLong(0) == r.getLong(1),
         s"rhp signature differs for table $t"))
     }
