@@ -373,6 +373,41 @@ object OracleSql {
          |    AS rank
          |FROM s QUALIFY rank <= 5""".stripMargin,
 
+    // IVF: deterministic centroid subset (vec_id % 100 = 0), exact
+    // quantized-L2 cell assignment (ties by centroid id), nprobe=2 probe
+    // cells per query, exact scores within probed cells.
+    "q_sim_ivf" ->
+      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
+        |  FROM embeddings),
+        |sq AS (SELECT vec_id,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
+        |  FROM el GROUP BY 1),
+        |vc AS (SELECT e.vec_id AS vid, c.vec_id AS cid,
+        |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+        |  FROM el e JOIN el c ON e.i = c.i
+        |  WHERE c.vec_id % 100 = 0 GROUP BY 1, 2),
+        |asg AS (SELECT vid, cid, sv.s2 + sc.s2 - 2.0 * dot AS d2
+        |  FROM vc JOIN sq sv ON sv.vec_id = vid
+        |          JOIN sq sc ON sc.vec_id = cid),
+        |cells AS (SELECT vid, cid FROM asg
+        |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) = 1),
+        |probes AS (SELECT vid AS query_id, cid FROM asg WHERE vid < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) <= 2),
+        |cand AS (SELECT DISTINCT probes.query_id, cells.vid AS corpus_id
+        |  FROM probes JOIN cells ON cells.cid = probes.cid),
+        |s AS (SELECT query_id, corpus_id,
+        |    CAST(SUM(CAST(qe.x * ce.x AS DECIMAL(25,12))) AS DOUBLE) AS score
+        |  FROM cand
+        |  JOIN el qe ON qe.vec_id = query_id
+        |  JOIN el ce ON ce.vec_id = corpus_id AND qe.i = ce.i
+        |  GROUP BY 1, 2)
+        |SELECT query_id, corpus_id, score,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS BIGINT)
+        |    AS rank
+        |FROM s QUALIFY rank <= 5""".stripMargin,
+
     "q_emb_neardup" ->
       s"""WITH ${lshSigCtes(tables = 4, planes = 6)},
          |bsz AS (SELECT tbl, bucket, COUNT(*) AS n FROM sig GROUP BY 1, 2),

@@ -337,6 +337,12 @@ object SparkEntry {
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
       emb(spark, dir), "vec_id", "embedding", k = 5, planes = 8, tables = 4)
 
+  private def qSimIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding", k = 5,
+      centroidStride = 100, nprobe = 2)
+
   private def qEmbNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDuplicates(emb(spark, dir), "vec_id", "embedding",
       threshold = 0.25, planes = 6, tables = 4)
@@ -386,6 +392,7 @@ object SparkEntry {
     "q_sim_topk_dot" -> (qSimTopkDot _),
     "q_sim_topk_cosine" -> (qSimTopkCosine _),
     "q_sim_lsh" -> (qSimLsh _),
+    "q_sim_ivf" -> (qSimIvf _),
     "q_emb_neardup" -> (qEmbNearDup _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_features" -> (qMultimodalFeatures _)

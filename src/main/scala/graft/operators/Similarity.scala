@@ -182,6 +182,67 @@ object Similarity {
       .select("query_id", "corpus_id", "score", "rank")
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    * [[lshTopK]]: corpus vectors are binned into cells around a small
+    * deterministic centroid set (every `centroidStride`-th corpus vector);
+    * a query probes its `nprobe` nearest cells and scores only their
+    * members exactly.
+    *
+    * Scale design: centroids are broadcast; cell assignment is one
+    * broadcast product + `min_by` hash aggregation — partial aggregation
+    * collapses the per-centroid candidates map-side, so the shuffle
+    * carries ONE row per corpus vector, not one per (vector, centroid).
+    * The probe set is broadcast onto the cell table, and only cell
+    * members reach exact scoring. Every stage (assignment by exact
+    * quantized L2, probe ranking, scores, ranks — ties by id) is
+    * deterministic and engine-reproducible → full DuckDB oracle.
+    */
+  def ivfTopK(
+      queries: DataFrame, queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int, centroidStride: Int = 100, nprobe: Int = 2): DataFrame = {
+    registered(corpus)
+    val cent = broadcast(
+      corpus.filter(pmod(col(corpusId), lit(centroidStride)) === 0)
+        .select(col(corpusId).as("cent_id"),
+          V.quantize6(col(corpusVec)).as("centq"))
+        .withColumn("cent_s2", V.dotQ12(col("centq"), col("centq"))))
+    // exact squared L2 to centroid: |v|² + |c|² − 2·v·c, every term an
+    // exact scale-12 decimal surfaced as double
+    def d2(vq: Column, vs2: Column): Column =
+      vs2 + col("cent_s2") - lit(2.0) * V.dotQ12(vq, col("centq"))
+
+    val corpusQ = corpus.select(col(corpusId).as("corpus_id"),
+        V.quantize6(col(corpusVec)).as("cq"))
+      .withColumn("c_s2", V.dotQ12(col("cq"), col("cq")))
+    val cells = corpusQ.crossJoin(cent)
+      .withColumn("d2", d2(col("cq"), col("c_s2")))
+      .groupBy(col("corpus_id"))
+      .agg(min_by(struct(col("cent_id"), col("cq")),
+        struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col("corpus_id"), col("m.cent_id").as("cent_id"),
+        col("m.cq").as("cq"))
+
+    val probes = queries.select(col(queryId).as("query_id"),
+        V.quantize6(col(queryVec)).as("qq"))
+      .withColumn("q_s2", V.dotQ12(col("qq"), col("qq")))
+      .crossJoin(cent)
+      .withColumn("d2", d2(col("qq"), col("q_s2")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("cent_id"))))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qq"), col("cent_id"))
+
+    val scored = cells.join(broadcast(probes), Seq("cent_id"))
+      .withColumn("score", V.dotQ12(col("qq"), col("cq")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "score", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`: LSH bucketing
     * generates candidates (pairs must collide in ≥1 table), exact
     * quantized-decimal cosine verifies — like [[lshTopK]], fully

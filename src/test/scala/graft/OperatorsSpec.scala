@@ -191,6 +191,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 1 && out(0).getLong(1) == 0L)
   }
 
+  test("ivfTopK: probes the nearest cell and ranks members exactly") {
+    // centroids = ids {0, 2}; cells: v0,v1→c0, v2→c2, v3→c0 (d2 tie with
+    // c2 broken by centroid id). Query 0 probes c0 → candidates {0,1,3}.
+    val out = Similarity.ivfTopK(
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 2, centroidStride = 2, nprobe = 1)
+      .orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 0L) // self, dot 1.0
+    assert(out(1).getLong(1) == 1L) // near neighbor, dot 0.9
+  }
+
   test("cosineNearDuplicates finds the near pair, not the orthogonal one") {
     val out = Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding",
       threshold = 0.95, planes = 2, tables = 4, dims = 4)
