@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** All C(n,2) ordered pairs of a (sorted) id array in one tight loop —
+  * the in-bucket candidate-pair generation of every LSH/postings
+  * operator. The compositional form
+  * `flatten(transform(ids, (x,i) => transform(slice(...), y => struct)))`
+  * interprets three nested lambdas per bucket; this emits the structs
+  * directly. Input order is preserved, so a sorted input yields
+  * `id_a < id_b` pairs. */
+object PairCombinationsImpl {
+  def compute(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = ids.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](a, ids.getLong(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `pair_combinations(ids ARRAY<LONG>) -> ARRAY<STRUCT<id_a, id_b>>`. */
+case class PairCombinations(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pair_combinations requires ARRAY<LONG>, got ${other.sql}")
+    }
+  override def nullSafeEval(ids: Any): Any =
+    PairCombinationsImpl.compute(ids.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PairCombinationsImpl.compute($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "pair_combinations"
+}
+
+object PairFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pair_combinations", exprs => PairCombinations(exprs.head), "scala_udf")
+
+  def pairCombinations(ids: Column): Column =
+    call_function("pair_combinations", ids)
+}

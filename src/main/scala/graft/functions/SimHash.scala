@@ -82,6 +82,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.simhash64Descriptor)
     e.injectFunction(GraftFunctions.minhashDescriptor)
     e.injectFunction(GraftFunctions.wordShinglesDescriptor)
+    e.injectFunction(GraftFunctions.pairCombinationsDescriptor)
     VectorFunctions.descriptors.foreach(e.injectFunction)
   }
 }
@@ -104,12 +105,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
     (children: Seq[Expression]) => WordShingles(children(0), children(1)))
 
+  private[graft] val pairCombinationsDescriptor = (
+    FunctionIdentifier("pair_combinations"),
+    new ExpressionInfo(classOf[PairCombinations].getName, "pair_combinations"),
+    (children: Seq[Expression]) => PairCombinations(children.head))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     MinHashFunctions.register(spark)
     WordShingleFunctions.register(spark)
     VectorFunctions.register(spark)
+    PairFunctions.register(spark)
   }
 
   /** Column-API entry point (requires [[register]] on the session). */

@@ -49,14 +49,14 @@ object Dedup {
   private[operators] def pairsFromBuckets(
       banded: DataFrame, idCol: String, bucketCols: Seq[String],
       maxBucket: Int = 2000): DataFrame = {
-    val ids = array_sort(collect_list(col(idCol)))
+    graft.functions.GraftFunctions.register(banded.sparkSession)
+    val ids = array_sort(collect_list(col(idCol).cast(LongType)))
     val buckets = banded.groupBy(bucketCols.map(col): _*)
       .agg(ids.as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     buckets
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(explode(
+        graft.functions.PairFunctions.pairCombinations(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
@@ -240,11 +240,10 @@ object Dedup {
     // pruning = dropping oversized postings lists, same semantics as a
     // df-filter on the shingle.
     val inter = sh.groupBy(col("shingle"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .agg(array_sort(collect_list(col("id").cast(LongType))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDocFreq)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(explode(
+        graft.functions.PairFunctions.pairCombinations(col("ids"))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
