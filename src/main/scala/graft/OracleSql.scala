@@ -354,6 +354,15 @@ object OracleSql {
         |  CAST(MAX(doc_id % 480 + 32) AS INTEGER) AS max_height
         |FROM documents""".stripMargin,
 
+    // Stub codec feature 0 = first 60 bits of md5(payload ++ '0') / 2^60;
+    // payload is the document's UTF-8 bytes.
+    "q_multimodal_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(('0x' || substring(md5(text || '0'), 1, 15))::BIGINT AS DOUBLE)
+        |    / CAST(1152921504606846976 AS DOUBLE) AS f0
+        |FROM documents""".stripMargin,
+
     // Full LSH pipeline reproduced: integer RHP signatures over quantized
     // vectors → candidate sharing ≥1 bucket → exact decimal scores → rank.
     "q_sim_lsh" ->

@@ -38,23 +38,27 @@ object Multimodal {
   ))
 
   /** Deterministic fake codec — STUB for the real decoder.
-    * Produces `n` feature doubles derived from payload bytes via a rolling
-    * 64-bit hash; same bytes → same features, any partitioning. */
+    * Feature `j` is the first 60 bits of `md5(payload ++ ascii(j))` scaled
+    * to [0, 1): same bytes → same features under any partitioning, and —
+    * because MD5 is available in every engine — the whole feature table is
+    * reproducible by the DuckDB correctness oracle (unlike a wrapping
+    * native hash). */
   object MediaCodec {
     def decode(payload: Array[Byte], n: Int): Array[Double] = {
       // ??? real codec goes here (libjpeg/ffmpeg/...); deterministic stub:
-      var h = 0xcbf29ce484222325L
       val out = new Array[Double](n)
-      var i = 0
-      while (i < payload.length) {
-        h = (h ^ payload(i)) * 0x100000001b3L
-        i += 1
-      }
       var j = 0
-      var s = h
       while (j < n) {
-        s = s * 6364136223846793005L + 1442695040888963407L
-        out(j) = (s >>> 11).toDouble / (1L << 53).toDouble
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(payload)
+        md.update(j.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val d = md.digest()
+        // first 15 hex digits = high 60 bits, exact in a long and a double
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        h = h >>> 4 // keep 60 bits
+        out(j) = h.toDouble / (1L << 60).toDouble
         j += 1
       }
       out
