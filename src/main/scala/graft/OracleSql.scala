@@ -382,6 +382,76 @@ object OracleSql {
          |    AS rank
          |FROM s QUALIFY rank <= 5""".stripMargin,
 
+    // MinHash: md5_60 double-hash KM family (b1 + i*b2 mod 2^60, split
+    // 54/6 so nothing overflows), k=64 component mins, 16 bands of 4,
+    // md5_60 band hash of the canonical "m0,m1,m2,m3|band" string.
+    "q_dedup_minhash" -> {
+      val km = """(b1 + ((r.i * (b2 & 18014398509481983)) & 1152921504606846975)
+                 |       + (((r.i * (b2 >> 54)) & 63) << 54)) & 1152921504606846975"""
+        .stripMargin
+      s"""WITH w AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
+         |sh AS (SELECT doc_id AS id, unnest(${shingleExpr(3)}) AS s FROM w),
+         |hb AS (SELECT id, s,
+         |    ('0x' || substring(md5(s), 1, 15))::BIGINT AS b1,
+         |    ('0x' || substring(md5(s || '#'), 1, 15))::BIGINT AS b2
+         |  FROM sh),
+         |mins AS (SELECT id, r.i, MIN($km) AS m
+         |  FROM hb, range(0, 64) r(i) GROUP BY 1, 2),
+         |bnd AS (SELECT id, i // 4 AS band,
+         |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+         |  FROM mins GROUP BY 1, 2),
+         |banded AS (SELECT id, band,
+         |    ('0x' || substring(md5(key || '|' || CAST(band AS VARCHAR)), 1, 15))::BIGINT
+         |      AS band_hash
+         |  FROM bnd),
+         |bsz AS (SELECT band, band_hash, COUNT(*) AS n FROM banded GROUP BY 1, 2),
+         |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a
+         |  JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+         |  JOIN bsz ON bsz.band = a.band AND bsz.band_hash = a.band_hash
+         |  WHERE a.id < b.id AND bsz.n BETWEEN 2 AND 2000),
+         |sim AS (SELECT id_a, id_b,
+         |    CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE) / 64.0
+         |      AS sig_similarity
+         |  FROM pairs
+         |  JOIN mins ma ON ma.id = id_a
+         |  JOIN mins mb ON mb.id = id_b AND ma.i = mb.i
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, sig_similarity FROM sim
+         |WHERE sig_similarity >= 0.10""".stripMargin
+    },
+
+    // SimHash: 60-bit md5_60 per token, bit votes, 4×15-bit chunk LSH,
+    // hamming = bit_count(xor) <= 14.
+    "q_dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id AS id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |th AS (SELECT id,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |votes AS (SELECT id, b.b,
+        |    SUM(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(0, 60) b(b) GROUP BY 1, 2),
+        |sh AS (SELECT id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INTEGER))
+        |             ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY 1),
+        |chunked AS (SELECT id, simhash, c.c AS chunk,
+        |    (simhash >> CAST(c.c * 15 AS INTEGER)) & 32767 AS chunk_val
+        |  FROM sh, range(0, 4) c(c)),
+        |bsz AS (SELECT chunk, chunk_val, COUNT(*) AS n FROM chunked GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+        |    a.simhash AS sh_a, b2.simhash AS sh_b
+        |  FROM chunked a
+        |  JOIN chunked b2 ON a.chunk = b2.chunk AND a.chunk_val = b2.chunk_val
+        |  JOIN bsz ON bsz.chunk = a.chunk AND bsz.chunk_val = a.chunk_val
+        |  WHERE a.id < b2.id AND bsz.n BETWEEN 2 AND 2000)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 14""".stripMargin,
+
     // IVF: deterministic centroid subset (vec_id % 100 = 0), exact
     // quantized-L2 cell assignment (ties by centroid id), nprobe=2 probe
     // cells per query, exact scores within probed cells.

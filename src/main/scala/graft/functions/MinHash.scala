@@ -3,37 +3,63 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
 
-/** Single-pass MinHash signature kernel: k 64-bit min-hashes over a shingle
+/** Single-pass MinHash signature kernel: k 60-bit min-hashes over a shingle
   * array, computed per row with no explode and no shuffle.
   *
-  * Hash family is bit-identical to the compositional builtin formulation
-  * `min(xxhash64(xxhash64(shingle), i))`: per shingle
-  * `base = XXH64(bytes, 42)`, then
-  * `h_i = XXH64.hashInt(i, XXH64.hashLong(base, 42))` — exactly how the
-  * `XxHash64` expression folds its children. Proven equal by test.
+  * Hash family (chosen to be expressible in ANY SQL engine, so the DuckDB
+  * correctness oracle can reproduce signatures bit-for-bit):
+  *
+  *  - `b1 = md5_60(shingle)`, `b2 = md5_60(shingle ++ "#")` — the first
+  *    15 hex digits (60 bits) of MD5, the same digest every engine ships.
+  *  - `h_i = (b1 + i·b2) mod 2^60` — the Kirsch–Mitzenmacher double-hash
+  *    family, computed with a 54/6-bit split so no intermediate exceeds
+  *    63 bits (no wrapping arithmetic → ANSI-safe in Spark SQL, overflow-
+  *    free in DuckDB):
+  *    `h_i = (b1 + (i·lo54 & M60) + ((i·hi6 & 63) << 54)) & M60`.
+  *
+  * The compositional Spark-SQL formulation
+  * (`Dedup.minhashSignaturesViaAggregation`) and the DuckDB oracle both
+  * evaluate this formula literally; tests prove all three identical.
   */
 object MinHashImpl {
-  final val Seed = 42L
+  final val M60 = (1L << 60) - 1
+  final val Lo54 = (1L << 54) - 1
+
+  /** First 60 bits of MD5 (== parsing the first 15 hex digits). */
+  def md5_60(bytes: Array[Byte], md: java.security.MessageDigest): Long = {
+    md.reset()
+    val d = md.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  def kmHash(b1: Long, b2: Long, i: Int): Long = {
+    val lo = b2 & Lo54
+    val hi = b2 >>> 54
+    (b1 + ((i * lo) & M60) + (((i * hi) & 63L) << 54)) & M60
+  }
 
   def compute(shingles: ArrayData, k: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
     val n = shingles.numElements()
     while (i < n) {
       if (!shingles.isNullAt(i)) {
-        val s = shingles.getUTF8String(i)
-        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes(), Seed)
-        val inner = XXH64.hashLong(base, Seed)
+        val s = shingles.getUTF8String(i).getBytes
+        val b1 = md5_60(s, md)
+        val b2 = md5_60(s :+ '#'.toByte, md)
         var j = 0
         while (j < k) {
-          val h = XXH64.hashInt(j, inner)
+          val h = kmHash(b1, b2, j)
           if (h < mins(j)) mins(j) = h
           j += 1
         }

@@ -2,36 +2,35 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
-/** Single-pass 64-bit SimHash kernel over a token array. Shared by
+/** Single-pass 60-bit SimHash kernel over a token array. Shared by
   * interpreted eval and generated code (the codegen emits a call to this
   * static method — the StaticInvoke pattern used by Spark's own
   * collection expressions).
   *
-  * Per-token hash = XXH64(utf8 bytes, seed 42) — identical to the builtin
-  * `xxhash64(token)`, so results match the compositional
-  * explode + 64×`sum()` formulation bit-for-bit while touching each row
-  * exactly once with zero shuffle.
+  * Per-token hash = the first 60 bits of MD5 (`MinHashImpl.md5_60`) — a
+  * digest every SQL engine ships, so the DuckDB correctness oracle can
+  * reproduce the signature bit-for-bit (a native 64-bit hash like
+  * xxhash64 would be inexpressible there). 60 bits also keep every
+  * packed value positive in a signed 64-bit integer in any engine.
   */
 object SimHashImpl {
-  final val Seed = 42L
+  final val Bits = 60
 
   def compute(tokens: ArrayData): Long = {
-    val votes = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](Bits)
     var i = 0
     val n = tokens.numElements()
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val t = tokens.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
-          t.numBytes(), Seed)
+        val h = MinHashImpl.md5_60(tokens.getUTF8String(i).getBytes, md)
         var b = 0
-        while (b < 64) {
+        while (b < Bits) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
@@ -40,7 +39,7 @@ object SimHashImpl {
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < Bits) {
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
@@ -48,12 +47,12 @@ object SimHashImpl {
   }
 }
 
-/** `simhash64(tokens ARRAY<STRING>) -> LONG` as a native Catalyst
+/** `simhash60(tokens ARRAY<STRING>) -> LONG` as a native Catalyst
   * expression with code generation: the whole document signature is one
   * tight loop inside the scan's WholeStageCodegen span. The alternative
   * compositional plan (explode → 64 partial sums → groupBy) shuffles every
   * token; this touches nothing but the row. */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -62,15 +61,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"simhash64 requires ARRAY<STRING>, got ${other.sql}")
+          s"simhash60 requires ARRAY<STRING>, got ${other.sql}")
     }
   override def nullSafeEval(tokens: Any): Any =
     SimHashImpl.compute(tokens.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.compute($c)")
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = "simhash60"
 }
 
 /** Registration: either inject via `SparkSessionExtensions`
@@ -79,7 +78,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * [[GraftFunctions.register]] on a live session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftFunctions.simhash64Descriptor)
+    e.injectFunction(GraftFunctions.simhash60Descriptor)
     e.injectFunction(GraftFunctions.minhashDescriptor)
     e.injectFunction(GraftFunctions.wordShinglesDescriptor)
     e.injectFunction(GraftFunctions.pairCombinationsDescriptor)
@@ -90,10 +89,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-  private[graft] val simhash64Descriptor = (
-    FunctionIdentifier("simhash64"),
-    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-    (children: Seq[Expression]) => SimHash64(children.head))
+  private[graft] val simhash60Descriptor = (
+    FunctionIdentifier("simhash60"),
+    new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+    (children: Seq[Expression]) => SimHash60(children.head))
 
   private[graft] val minhashDescriptor = (
     FunctionIdentifier("minhash_signature"),
@@ -112,7 +111,7 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+      "simhash60", exprs => SimHash60(exprs.head), "scala_udf")
     MinHashFunctions.register(spark)
     WordShingleFunctions.register(spark)
     VectorFunctions.register(spark)
@@ -120,5 +119,5 @@ object GraftFunctions {
   }
 
   /** Column-API entry point (requires [[register]] on the session). */
-  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+  def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   *    pairs are generated bucket-locally (group ids per (band, hash),
   *    explode in-bucket pairs) — one shuffle of short keys, no self-join,
   *    hot buckets skipped by `maxBucket`. Only candidates are verified.
-  *  - Signatures are native codegen'd expressions ([[graft.functions.SimHash64]],
+  *  - Signatures are native codegen'd expressions ([[graft.functions.SimHash60]],
   *    [[graft.functions.MinHashSignature]]): one pass per row, zero shuffle;
   *    compositional `ViaAggregation` fallbacks are kept and cross-checked.
   */
@@ -61,12 +61,25 @@ object Dedup {
       .distinct()
   }
 
-  /** k independent 64-bit hash functions: `h_i(x) = xxhash64(x, i)` —
-    * the per-function index is mixed in as an extra hashed column.
-    * Deterministic, codegen'd, and overflow-free under ANSI mode (an
-    * affine `a*h+b` family would wrap, which ANSI rejects). */
-  private def hashFamily(base: Column, k: Int): Seq[Column] =
-    (0 until k).map(i => xxhash64(base, lit(i)))
+  /** First 60 bits of MD5 as a long — the engine-portable hash primitive
+    * every signature here builds on (MD5 exists in every SQL engine, so
+    * the DuckDB oracle reproduces signatures exactly; and 60 bits keep
+    * all arithmetic positive and overflow-free in signed 64-bit). */
+  private[operators] def md5_60(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+
+  /** The Kirsch–Mitzenmacher family `h_i = (b1 + i·b2) mod 2^60`,
+    * written with a 54/6-bit split so no intermediate exceeds 63 bits —
+    * ANSI-safe in Spark SQL, overflow-free in DuckDB, and identical to
+    * [[graft.functions.MinHashImpl.kmHash]]. */
+  private def kmHash(b1: Column, b2: Column, i: Int): Column = {
+    val m60 = (1L << 60) - 1
+    val lo = b2.bitwiseAND(lit((1L << 54) - 1))
+    val hi = shiftrightunsigned(b2, 54)
+    (b1 + (lit(i.toLong) * lo).bitwiseAND(lit(m60)) +
+      shiftleft((lit(i.toLong) * hi).bitwiseAND(lit(63L)), 54))
+      .bitwiseAND(lit(m60))
+  }
 
   /** MinHash signature per id as an `ARRAY<LONG>` of length k, via the
     * native [[graft.functions.MinHashSignature]] expression: one codegen'd
@@ -90,8 +103,9 @@ object Dedup {
       shingleWords: Int, k: Int): DataFrame = {
     val sh = TextAnalysis.shingles(col(textCol), shingleWords)
     val exploded = df.select(col(idCol), explode(sh).as("shingle"))
-      .withColumn("xx", xxhash64(col("shingle")))
-    val hs = hashFamily(col("xx"), k)
+      .withColumn("b1", md5_60(col("shingle")))
+      .withColumn("b2", md5_60(concat(col("shingle"), lit("#"))))
+    val hs = (0 until k).map(i => kmHash(col("b1"), col("b2"), i))
     exploded.groupBy(col(idCol))
       .agg(min(hs.head).as("mh_0"),
            hs.tail.zipWithIndex.map { case (h, i) => min(h).as(s"mh_${i + 1}") }: _*)
@@ -118,13 +132,16 @@ object Dedup {
     // Explode the band index FIRST: the Generate node materializes `sig`
     // once per row; computing band hashes before the explode would let
     // CollapseProject inline the signature kernel into every band
-    // expression (k× recompute).
+    // expression (k× recompute). The band hash is md5_60 of a canonical
+    // "m0,m1,..|band" string so the oracle reproduces buckets exactly.
     val banded = sigs
       .select(col(idCol), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("band_hash", xxhash64(concat_ws("|",
-        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))),
-        col("band")))
+      .withColumn("band_hash", md5_60(concat(
+        concat_ws(",", transform(
+          slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+          _.cast(StringType))),
+        lit("|"), col("band").cast(StringType))))
     val pairs = pairsFromBuckets(banded, idCol, Seq("band", "band_hash"))
     val result = pairs
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -140,30 +157,30 @@ object Dedup {
     try result.localCheckpoint(true) finally sigs.unpersist()
   }
 
-  /** 64-bit SimHash per document via the native [[graft.functions.SimHash64]]
+  /** 60-bit SimHash per document via the native [[graft.functions.SimHash60]]
     * expression: one codegen'd pass per row inside the scan — no explode, no
     * shuffle, nothing but the row. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol),
       graft.functions.GraftFunctions
-        .simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
+        .simhash60(TextAnalysis.tokens(col(textCol))).as("simhash"))
   }
 
-  /** The compositional formulation (explode → 64 partial `sum()`s → pack):
+  /** The compositional formulation (explode → 60 partial `sum()`s → pack):
     * same bits as [[simhash]], kept as the no-custom-expression fallback
     * and as the cross-check for the native kernel. Costs one shuffle of
     * every token. */
   def simhashViaAggregation(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("xx", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("xx"), i).bitwiseAND(1L) === 1L, 1L)
+      .withColumn("h", md5_60(col("tok")))
+    val votes = (0 until 60).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L)
         .otherwise(-1L)).as(s"v_$i")
     }
     val agged = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val packed = (0 until 64).map(i =>
+    val packed = (0 until 60).map(i =>
       when(col(s"v_$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
     agged.select(col(idCol), packed.as("simhash"))
   }
@@ -193,12 +210,12 @@ object Dedup {
   }
 
   /** SimHash near-duplicates: pairs within `maxHamming` bits. Candidate
-    * generation bands the 64-bit hash into 4×16-bit chunks (pigeonhole: any
-    * pair within hamming ≤ 3·16 shares ≥1 exact chunk when maxHamming < 4 —
-    * we use it as a standard recall/cost trade). Verification counts
-    * differing bits via `bit_count(xor)`. The 8-byte hash rides the bucket
-    * shuffle as pair payload, so the kernel runs exactly once over the
-    * corpus and no join-back is needed. */
+    * generation bands the 60-bit hash into 4×15-bit chunks (pigeonhole: any
+    * pair within hamming < 4 shares ≥1 exact chunk — we use it as a
+    * standard recall/cost trade at larger `maxHamming`). Verification
+    * counts differing bits via `bit_count(xor)`. The 8-byte hash rides the
+    * bucket shuffle as pair payload, so the kernel runs exactly once over
+    * the corpus and no join-back is needed. */
   def simhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
@@ -208,10 +225,11 @@ object Dedup {
       .select(col(idCol), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("chunk_val",
-        expr("shiftright(simhash, CAST(chunk * 16 AS INT)) & 65535"))
+        expr("shiftright(simhash, CAST(chunk * 15 AS INT)) & 32767"))
     pairsFromBucketsWithPayload(chunked, idCol, "simhash", Seq("chunk", "chunk_val"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).as("hamming"))
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
+          .cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -88,7 +88,7 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 10)
   }
 
-  test("native simhash64 expression == compositional aggregation, and codegens") {
+  test("native simhash60 expression == compositional aggregation, and codegens") {
     val native = Dedup.simhash(corpus, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val agg = Dedup.simhashViaAggregation(corpus, "id", "text")
@@ -102,7 +102,7 @@ class DedupSpec extends SparkSpec {
     graft.functions.GraftFunctions.register(spark)
     corpus.createOrReplaceTempView("sh_corpus")
     val viaSql = spark.sql(
-      "SELECT id, simhash64(split(trim(text), '\\\\s+')) AS s FROM sh_corpus")
+      "SELECT id, simhash60(split(trim(text), '\\\\s+')) AS s FROM sh_corpus")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaSql == native)
   }
