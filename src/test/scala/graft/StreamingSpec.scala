@@ -265,4 +265,26 @@ class FanOutSinkSpec extends SparkSpec {
       assert(station.select("sensor_index").distinct().count() == 3)
     } finally q.stop()
   }
+
+  test("stream restart from checkpoint re-emits nothing (exactly-once sink)") {
+    val base = Files.createTempDirectory("graft_sink_rs").toString
+    def run(): Unit = {
+      val wire = spark.readStream.format(PollingSource.format)
+        .option(PollingSource.Options.FetcherClass,
+          classOf[graft.sources.FileReplayFetcher].getName)
+        .option("replay.dir", "/root/reference/hardware_variant_json_samples")
+        .option(PollingSource.Options.AllowFastPolling, "true")
+        .load()
+      val conformed = Transforms.conform(
+        PollingSource.parseSingle(wire, ApiPayloadSchema.singleSensor))
+      val q = FanOutSink.stream(conformed, s"$base/data", s"$base/cp",
+        trigger = Trigger.ProcessingTime("1 second"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // first run consumes all 3 payload files
+    run() // restart with the same checkpoint: cursor resumes, no re-emit
+    val station = FanOutSink.readTable(spark, s"$base/data",
+      FieldCatalog.Groups.Station)
+    assert(station.count() == 3, "restart must not duplicate committed data")
+  }
 }
