@@ -125,4 +125,52 @@ object FanOutSink {
     val df = spark.read.parquet(s"$baseDir/$table")
     if (df.columns.contains("batch")) df.drop("batch") else df
   }
+
+  /** Maintenance job: fold a table's accumulated `batch=<id>` micro-batch
+    * directories (including earlier compacted ones) into one compacted
+    * batch with the T6 layout (clustered by sensor, sorted by time,
+    * zstd) — the scheduled-compaction half of the reference's compression
+    * policy, which is what keeps the 65 s micro-batch cadence from
+    * turning into a small-files problem at scale. Returns the number of
+    * batch directories folded.
+    *
+    * Crash safety on plain parquet: the compacted data is written to a
+    * hidden staging dir (invisible to readers), renamed into place, and
+    * only then are the sources deleted. A crash before the rename leaves
+    * an orphan staging dir (cleaned on the next run, nothing lost or
+    * duplicated); a crash after it leaves duplicates until the next run
+    * folds them again — never data loss. A transactional table format
+    * would close the duplicate window; out of scope for plain parquet. */
+  def compact(spark: org.apache.spark.sql.SparkSession, baseDir: String,
+      table: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(s"$baseDir/$table")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0
+    val staging = new org.apache.hadoop.fs.Path(dir, ".compacting")
+    // Orphan staging ⇒ previous run crashed pre-rename; sources intact.
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val batches = fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (batches.length < 2) return 0
+    // Fresh compacted id: strictly above every id seen so far. Streaming
+    // batch ids only grow, and "c<id>" never collides with a numeric id.
+    val nextId = batches.map(_.getPath.getName.stripPrefix("batch=")
+      .stripPrefix("c").takeWhile(_.isDigit).toLong).max + 1
+    spark.read.option("basePath", dir.toString)
+      .parquet(batches.map(_.getPath.toString): _*)
+      .drop("batch")
+      .repartition(col(FieldCatalog.keySensor))
+      .sortWithinPartitions(col(FieldCatalog.keyTimestamp))
+      .write.mode(SaveMode.Overwrite).partitionBy("date")
+      .option("compression", "zstd")
+      .parquet(staging.toString)
+    fs.rename(staging, new org.apache.hadoop.fs.Path(dir, s"batch=c$nextId"))
+    batches.foreach(s => fs.delete(s.getPath, true))
+    batches.length
+  }
+
+  /** [[compact]] across all 9 partition tables. */
+  def compactAll(spark: org.apache.spark.sql.SparkSession,
+      baseDir: String): Int =
+    FieldCatalog.Groups.all.map(compact(spark, baseDir, _)).sum
 }

@@ -266,6 +266,31 @@ class FanOutSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compact folds batch directories into one, preserving data + layout") {
+    val payload = spark.read.option("multiLine", true).json(
+      "/root/reference/hardware_variant_json_samples/" +
+        "3.0+OPENLOG+31037 MB+DS3231+BME280+BME680+PMSX003-A+PMSX003-B.json")
+    val conformed = Transforms.conform(Transforms.flattenSingle(payload))
+    val base = Files.createTempDirectory("graft_sink_c").toString
+    FanOutSink.writeBatch(conformed, base, batchId = Some(1L))
+    FanOutSink.writeBatch(
+      conformed.withColumn("sensor_index", col("sensor_index") + 1),
+      base, batchId = Some(2L))
+    val before = FanOutSink.readTable(spark, base,
+      FieldCatalog.Groups.Station).drop("date").collect().toSet
+    val folded = FanOutSink.compact(spark, base, FieldCatalog.Groups.Station)
+    assert(folded == 2)
+    val stationDir = new java.io.File(s"$base/${FieldCatalog.Groups.Station}")
+    val batchDirs = stationDir.listFiles().filter(_.getName.startsWith("batch="))
+    assert(batchDirs.map(_.getName).toSeq == Seq("batch=c3"))
+    assert(batchDirs.head.listFiles().exists(_.getName.startsWith("date=")))
+    val after = FanOutSink.readTable(spark, base,
+      FieldCatalog.Groups.Station).drop("date").collect().toSet
+    assert(after == before, "compaction must preserve the data exactly")
+    // second run is a no-op (single batch dir left)
+    assert(FanOutSink.compact(spark, base, FieldCatalog.Groups.Station) == 0)
+  }
+
   test("stream restart from checkpoint re-emits nothing (exactly-once sink)") {
     val base = Files.createTempDirectory("graft_sink_rs").toString
     def run(): Unit = {
