@@ -32,6 +32,7 @@ object DataLoggerCli {
       fetcherClass: String = classOf[graft.sources.HttpPollingFetcher].getName,
       replayDir: Option[String] = None,
       pollSeconds: Long = 65L,
+      compactEveryBatches: Int = 0,
       hourlyAggregateDir: Option[String] = None,
       dropExisting: Boolean = false,
       assumeYes: Boolean = false)
@@ -52,6 +53,8 @@ object DataLoggerCli {
       case "-fetcher_class" :: v :: t => loop(c.copy(fetcherClass = v), t)
       case "-replay_dir" :: v :: t => loop(c.copy(replayDir = Some(v)), t)
       case "-poll_seconds" :: v :: t => loop(c.copy(pollSeconds = v.toLong), t)
+      case "-compact_every_batches" :: v :: t =>
+        loop(c.copy(compactEveryBatches = v.toInt), t)
       case "-hourly_aggregate_dir" :: v :: t =>
         loop(c.copy(hourlyAggregateDir = Some(v)), t)
       case "-drop_existing" :: t => loop(c.copy(dropExisting = true), t)
@@ -133,7 +136,8 @@ object DataLoggerCli {
     val query = FanOutSink.stream(conformed, c.outDir, c.checkpointDir,
       format = c.sink,
       trigger = Trigger.ProcessingTime(s"${c.pollSeconds} seconds"),
-      jdbcProperties = jdbcProps)
+      jdbcProperties = jdbcProps,
+      compactEveryBatches = c.compactEveryBatches)
 
     // The reference's continuous aggregate (A2): a second streaming query
     // over the same source maintaining the watermarked 1 h rollup —

@@ -84,7 +84,8 @@ object FanOutSink {
   def stream(conformed: DataFrame, baseDir: String, checkpointDir: String,
       format: String = "parquet",
       trigger: Trigger = Trigger.ProcessingTime("65 seconds"),
-      jdbcProperties: java.util.Properties = new java.util.Properties()): StreamingQuery =
+      jdbcProperties: java.util.Properties = new java.util.Properties(),
+      compactEveryBatches: Int = 0): StreamingQuery =
     conformed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -99,7 +100,15 @@ object FanOutSink {
             fs.mkdirs(marker.getParent)
             fs.create(marker, true).close()
           }
-        } else writeBatch(batch, baseDir, format, batchId = Some(batchId))
+        } else {
+          writeBatch(batch, baseDir, format, batchId = Some(batchId))
+          // The compression/compaction policy riding the micro-batch
+          // clock (parquet only — csv layouts append per batch already).
+          if (compactEveryBatches > 0 && format == "parquet" &&
+              batchId > 0 && batchId % compactEveryBatches == 0) {
+            val _ = compactAll(batch.sparkSession, baseDir)
+          }
+        }
       }
       .start()
 
