@@ -56,11 +56,65 @@ case class PairCombinations(child: Expression) extends UnaryExpression {
   override def prettyName: String = "pair_combinations"
 }
 
+object PairCombinationsStructImpl {
+  def compute(entries: ArrayData, numFields: Int): ArrayData = {
+    val n = entries.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = entries.getStruct(i, numFields).copy()
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](
+          a, entries.getStruct(j, numFields).copy()))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `pair_combinations_struct(entries ARRAY<STRUCT<...>>) ->
+  * ARRAY<STRUCT<a, b>>` — the payload-carrying variant: each entry is a
+  * (sorted-first-by-id) struct, and pairs carry both entries whole, so
+  * downstream verification needs no join back onto a side table. */
+case class PairCombinationsStruct(child: Expression) extends UnaryExpression {
+  private lazy val entryType: StructType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", entryType, nullable = false),
+    StructField("b", entryType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StructType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pair_combinations_struct requires ARRAY<STRUCT>, got ${other.sql}")
+    }
+  override def nullSafeEval(entries: Any): Any =
+    PairCombinationsStructImpl.compute(
+      entries.asInstanceOf[ArrayData], entryType.length)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PairCombinationsStructImpl.compute($c, ${entryType.length})")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "pair_combinations_struct"
+}
+
 object PairFunctions {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pair_combinations", exprs => PairCombinations(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pair_combinations_struct",
+      exprs => PairCombinationsStruct(exprs.head), "scala_udf")
+  }
 
   def pairCombinations(ids: Column): Column =
     call_function("pair_combinations", ids)
+
+  def pairCombinationsStruct(entries: Column): Column =
+    call_function("pair_combinations_struct", entries)
 }

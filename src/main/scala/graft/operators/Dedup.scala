@@ -195,14 +195,14 @@ object Dedup {
   private[operators] def pairsFromBucketsWithPayload(
       banded: DataFrame, idCol: String, payloadCol: String,
       bucketCols: Seq[String], maxBucket: Int = 2000): DataFrame = {
+    graft.functions.GraftFunctions.register(banded.sparkSession)
     val entry = struct(col(idCol).as("id"), col(payloadCol).as("pl"))
     val buckets = banded.groupBy(bucketCols.map(col): _*)
       .agg(array_sort(collect_list(entry)).as("es"))
       .filter(size(col("es")) > 1 && size(col("es")) <= maxBucket)
     buckets
-      .select(explode(flatten(transform(col("es"), (x, i) =>
-        transform(slice(col("es"), i + 2, size(col("es"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(explode(graft.functions.PairFunctions
+        .pairCombinationsStruct(col("es"))).as("p"))
       .select(col("p.a"), col("p.b"))
       .distinct() // payload is functionally dependent on id
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -247,26 +247,29 @@ object Dedup {
       shingleWords: Int, threshold: Double,
       maxDocFreq: Long = 10000L): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    def shingleSet = graft.functions.WordShingleFunctions
-      .wordShingles(col(textCol), shingleWords)
-    val sh = df.select(col(idCol).as("id"), explode(shingleSet).as("shingle"))
-    // |A| per doc straight off the shingle array — no explode, no shuffle
-    val sizes = df.select(col(idCol).as("id"), size(shingleSet).as("set_size"))
-    // Postings as buckets: group ids per shingle, explode in-bucket pairs,
-    // count repeats = |A∩B|. One shingle pass, one shuffle on the shingle,
-    // no aliased self-join recomputing the explosion per side. Frequency
-    // pruning = dropping oversized postings lists, same semantics as a
-    // df-filter on the shingle.
-    val inter = sh.groupBy(col("shingle"))
-      .agg(array_sort(collect_list(col("id").cast(LongType))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDocFreq)
-      .select(explode(
-        graft.functions.PairFunctions.pairCombinations(col("ids"))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    // ONE corpus scan: shingle each doc once, compute |A| off the array,
+    // and let the 8-byte set size ride the postings shuffle next to the
+    // id — no second scan, no sizes join-back.
+    val sh = df
+      .select(col(idCol).cast(LongType).as("id"),
+        graft.functions.WordShingleFunctions
+          .wordShingles(col(textCol), shingleWords).as("sh_arr"))
+      .select(col("id"), size(col("sh_arr")).cast(LongType).as("set_size"),
+        explode(col("sh_arr")).as("shingle"))
+    // Postings as buckets: group (id, |A|) entries per shingle, explode
+    // in-bucket pairs, count repeats = |A∩B|. One shingle pass, one
+    // shuffle on the shingle, no aliased self-join recomputing the
+    // explosion per side. Frequency pruning = dropping oversized postings
+    // lists, same semantics as a df-filter on the shingle.
+    sh.groupBy(col("shingle"))
+      .agg(array_sort(collect_list(
+        struct(col("id"), col("set_size")))).as("es"))
+      .filter(size(col("es")) > 1 && size(col("es")) <= maxDocFreq)
+      .select(explode(graft.functions.PairFunctions
+        .pairCombinationsStruct(col("es"))).as("p"))
+      .groupBy(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        col("p.a.set_size").as("size_a"), col("p.b.set_size").as("size_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("n_common").cast(DoubleType) /
           (col("size_a") + col("size_b") - col("n_common")).cast(DoubleType))
