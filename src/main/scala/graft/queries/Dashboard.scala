@@ -38,6 +38,22 @@ object Dashboard {
   def sensorIndexFromCombo(combo: Column): Column =
     element_at(split(combo, ", "), 2).cast(IntegerType)
 
+  /** Time-range filter. A predicate on `data_time_stamp` alone does NOT
+    * prune `date=` partition directories (Spark cannot infer the
+    * date-column bound from a timestamp bound), so when the input carries
+    * the sink layout's `date` partition column we add the equivalent
+    * date-range predicate explicitly — that is what turns a dashboard
+    * panel from a full-history scan into a scan of the covered days. */
+  private def timeRange(df: DataFrame, startIso: String, endIso: String): DataFrame = {
+    val start = lit(startIso).cast(TimestampType)
+    val end = lit(endIso).cast(TimestampType)
+    val ts = df.filter(col(FieldCatalog.keyTimestamp) >= start &&
+                       col(FieldCatalog.keyTimestamp) < end)
+    if (df.columns.contains("date"))
+      ts.filter(col("date") >= to_date(start) && col("date") <= to_date(end))
+    else ts
+  }
+
   /** A dashboard panel (A1 + F7 + F8 + O1): time-bucketed `max()` over
     * every measure column of one field-group table, for one sensor and
     * time range, ordered by bucket. `interval` e.g. "1 hour".
@@ -53,9 +69,7 @@ object Dashboard {
         case _ => false
       })
     val aggs = measures.map(m => max(col(m)).as(m))
-    table
-      .filter(col(FieldCatalog.keyTimestamp) >= lit(startIso).cast(TimestampType) &&
-              col(FieldCatalog.keyTimestamp) < lit(endIso).cast(TimestampType))
+    timeRange(table, startIso, endIso)
       .filter(col(FieldCatalog.keySensor) === sensorIndex)
       .groupBy(window(col(FieldCatalog.keyTimestamp), interval)("start").as("time"))
       .agg(aggs.head, aggs.tail: _*)
@@ -66,9 +80,7 @@ object Dashboard {
     * panel project columns time-ordered, no aggregation. */
   def rawPanel(table: DataFrame, columns: Seq[String], sensorIndex: Int,
       startIso: String, endIso: String): DataFrame =
-    table
-      .filter(col(FieldCatalog.keyTimestamp) >= lit(startIso).cast(TimestampType) &&
-              col(FieldCatalog.keyTimestamp) < lit(endIso).cast(TimestampType))
+    timeRange(table, startIso, endIso)
       .filter(col(FieldCatalog.keySensor) === sensorIndex)
       .select((col(FieldCatalog.keyTimestamp).as("time") +:
         columns.map(col)): _*)

@@ -91,4 +91,18 @@ class DashboardSpec extends SparkSpec {
     val r = p.collect()
     assert(r.length == 1 && r(0).getAs[String]("name").nonEmpty)
   }
+
+  test("panel time filter prunes date partitions at the scan") {
+    val env = FanOutSink.readTable(spark, baseDir, FieldCatalog.Groups.Environmental)
+    val p = Dashboard.panel(env, FieldCatalog.Groups.Environmental,
+      "1 hour", 147883, "2022-07-01 00:00:00", "2022-08-01 00:00:00")
+    val scan = p.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("Scan parquet")).getOrElse("")
+    // the date-range predicate must reach the scan as a partition filter,
+    // not just a data filter on data_time_stamp
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("date"),
+      s"date partition predicate missing from scan: $scan")
+  }
 }
