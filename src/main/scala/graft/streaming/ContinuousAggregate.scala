@@ -54,4 +54,24 @@ object ContinuousAggregate {
       watermarkDelay: String = "2 hours"): DataFrame =
     readings.withWatermark(ts, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq(ts, sensor))
+
+  /** Streaming sessionization: gap-based session windows per key — the
+    * streaming analogue of `TimeSeries.sessionize`. Built on Spark's
+    * native `session_window` (state merges adjacent windows per key and
+    * closes a session once the watermark passes its gap), so no custom
+    * `flatMapGroupsWithState` state machine is needed — built-ins first.
+    * Emits one row per closed session in append mode. */
+  def sessions(
+      readings: DataFrame, ts: String, keys: Seq[String], measure: String,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    readings
+      .withWatermark(ts, watermarkDelay)
+      .groupBy(session_window(col(ts), gap) +: keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(measure).cast(DecimalType(28, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("session_window.start").as("session_start") +:
+        col("session_window.end").as("session_end") +:
+        keys.map(col) :+ col("n_events") :+ col("sum_value"): _*)
 }
