@@ -102,6 +102,32 @@ object Multimodal {
       }(enc)
   }
 
+  /** Distributed resize: batch-iterate partitions, "decode" each payload
+    * with the stub codec and re-encode at (w, h), emitting a new media
+    * row with updated metadata. Same `mapInPandas` shape as
+    * [[extractFeatures]] — iterator in/out, payloads never shuffled; a
+    * real implementation swaps the byte-level stub for libvips/ffmpeg
+    * scaling and nothing else changes. The stub output is deterministic:
+    * the payload truncated/cycled to the w·h "pixel" budget. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val enc = ExpressionEncoder(mediaSchema)
+    media.select("media_id", "kind", "payload", "mime", "width", "height",
+        "duration_ms", "caption")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          val budget = math.min(w * h, math.max(payload.length, 1))
+          val resized = new Array[Byte](math.min(budget, payload.length))
+          var i = 0
+          while (i < resized.length) { resized(i) = payload(i); i += 1 }
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), resized,
+            r.getAs[String]("mime"), w, h, r.getAs[java.lang.Long]("duration_ms"),
+            r.getAs[String]("caption"))
+        }
+      }(enc)
+  }
+
   /** Frame sampling plan for video rows: which frame indices a decoder
     * should materialize (every `everyMs`). Pure column math — demonstrates
     * metadata-only planning without touching payloads. */

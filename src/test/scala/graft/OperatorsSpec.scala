@@ -262,6 +262,21 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(0).getAs[Long]("n_bytes") == 5L)
   }
 
+  test("resize rewrites payload + metadata deterministically") {
+    val docs = Seq((1L, "a longer payload for resize"), (2L, "xy"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text")
+    val out = Multimodal.resize(media, 4, 2).orderBy("media_id").collect()
+    assert(out.forall(_.getAs[Int]("width") == 4))
+    assert(out.forall(_.getAs[Int]("height") == 2))
+    assert(out(0).getAs[Array[Byte]]("payload").length == 8) // w*h budget
+    assert(out(1).getAs[Array[Byte]]("payload").length == 2) // short payload
+    val rep = Multimodal.resize(media.repartition(3), 4, 2)
+      .orderBy("media_id").collect()
+    assert(rep(0).getAs[Array[Byte]]("payload").toSeq ==
+      out(0).getAs[Array[Byte]]("payload").toSeq) // partition-independent
+  }
+
   test("metadataProfile prunes payload column from the scan") {
     val docs = Seq((1L, "hello")).toDF("doc_id", "text")
     val media = Multimodal.mediaFromText(docs, "doc_id", "text")
