@@ -144,13 +144,19 @@ object DataLoggerCli {
     // TimescaleDB's materialized view + refresh policy as one append-mode
     // windowed aggregation.
     c.hourlyAggregateDir.foreach { aggDir =>
+      import org.apache.spark.sql.functions.{col, to_date}
       graft.streaming.ContinuousAggregate
         .hourly(conformed, "data_time_stamp", Seq("sensor_index", "name"), "pm2_5")
+        .withColumn("date", to_date(col("bucket_ts")))
         .writeStream
         .option("checkpointLocation", s"${c.checkpointDir}_hourly")
         .outputMode("append")
         .trigger(Trigger.ProcessingTime(s"${c.pollSeconds} seconds"))
         .format("parquet")
+        // date-partitioned so the 8 h retention policy is a partition
+        // drop (ContinuousAggregate.retentionDrop), like the reference's
+        // chunk-drop retention job
+        .partitionBy("date")
         .option("path", aggDir)
         .start()
     }

@@ -41,11 +41,39 @@ object ContinuousAggregate {
         col("n") :+ col("sum_value") :+ col("max_value"): _*)
 
   /** T5 retention policy: drop buckets older than `retainHours` relative
-    * to `asOf`. On a partitioned sink this is a partition drop, not a scan. */
+    * to `asOf`. On a partitioned sink this is a partition drop, not a scan
+    * — see [[retentionDrop]]. */
   def retentionTrim(agg: DataFrame, asOf: java.sql.Timestamp,
       retainHours: Int = 8): DataFrame =
     agg.filter(col("bucket_ts") >=
       lit(new java.sql.Timestamp(asOf.getTime - retainHours * 3600L * 1000L)))
+
+  /** T5 at scale: physically drop `date=` partition directories of a
+    * date-partitioned aggregate sink whose ENTIRE day lies past the
+    * retention horizon — pure directory deletes, no scan (the reference's
+    * `add_retention_policy` is likewise a chunk drop). Conservative: a
+    * partition is only dropped when every bucket it can contain is
+    * expired, i.e. its date is strictly before the cutoff's date; the
+    * cutoff-day remainder stays until the next day boundary (readers
+    * apply [[retentionTrim]] for exact semantics). Returns partitions
+    * dropped. */
+  def retentionDrop(spark: org.apache.spark.sql.SparkSession, aggDir: String,
+      asOf: java.sql.Timestamp, retainHours: Int = 8): Int = {
+    val dir = new org.apache.hadoop.fs.Path(aggDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0
+    val cutoffDate = java.time.Instant
+      .ofEpochMilli(asOf.getTime - retainHours * 3600L * 1000L)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val dropped = fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .filter { s =>
+        val d = java.time.LocalDate.parse(s.getPath.getName.stripPrefix("date="))
+        d.isBefore(cutoffDate)
+      }
+    dropped.foreach(s => fs.delete(s.getPath, true))
+    dropped.length
+  }
 
   /** T3 streaming dedup on the composite PK within the watermark horizon —
     * the engine's replacement for "duplicate insert throws". */

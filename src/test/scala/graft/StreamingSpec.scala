@@ -218,6 +218,23 @@ class ContinuousAggregateSpec extends SparkSpec {
       new java.sql.Timestamp(1700000000L * 1000L), retainHours = 8)
     assert(trimmed.count() == 1)
   }
+
+  test("retentionDrop deletes only fully-expired date partitions") {
+    val base = Files.createTempDirectory("graft_ret").toString
+    // asOf = 2023-11-15 00:00 UTC, retain 8h → cutoff 2023-11-14 16:00,
+    // cutoff date 2023-11-14: only days strictly before it drop
+    Seq(("2023-11-12", 1L), ("2023-11-13", 2L), ("2023-11-14", 3L),
+        ("2023-11-15", 4L))
+      .toDF("date", "n")
+      .write.mode("overwrite").partitionBy("date").parquet(base)
+    val asOf = java.sql.Timestamp.valueOf("2023-11-15 00:00:00")
+    val dropped = ContinuousAggregate.retentionDrop(spark, base, asOf,
+      retainHours = 8)
+    assert(dropped == 2)
+    val left = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("date=")).sorted.toSeq
+    assert(left == Seq("date=2023-11-14", "date=2023-11-15"))
+  }
 }
 
 class FanOutSinkSpec extends SparkSpec {
