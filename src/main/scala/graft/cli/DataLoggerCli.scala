@@ -33,6 +33,7 @@ object DataLoggerCli {
       replayDir: Option[String] = None,
       pollSeconds: Long = 65L,
       compactEveryBatches: Int = 0,
+      retentionHours: Int = 0,
       hourlyAggregateDir: Option[String] = None,
       dropExisting: Boolean = false,
       assumeYes: Boolean = false)
@@ -55,6 +56,8 @@ object DataLoggerCli {
       case "-poll_seconds" :: v :: t => loop(c.copy(pollSeconds = v.toLong), t)
       case "-compact_every_batches" :: v :: t =>
         loop(c.copy(compactEveryBatches = v.toInt), t)
+      case "-retention_hours" :: v :: t =>
+        loop(c.copy(retentionHours = v.toInt), t)
       case "-hourly_aggregate_dir" :: v :: t =>
         loop(c.copy(hourlyAggregateDir = Some(v)), t)
       case "-drop_existing" :: t => loop(c.copy(dropExisting = true), t)
@@ -159,6 +162,21 @@ object DataLoggerCli {
         .partitionBy("date")
         .option("path", aggDir)
         .start()
+
+      // T5 as a background policy job (the reference's
+      // add_retention_policy): hourly partition drops past the horizon.
+      if (c.retentionHours > 0) {
+        val timer = new java.util.Timer("graft-retention", true)
+        timer.scheduleAtFixedRate(new java.util.TimerTask {
+          override def run(): Unit =
+            try {
+              val _ = graft.streaming.ContinuousAggregate.retentionDrop(
+                spark, aggDir,
+                new java.sql.Timestamp(System.currentTimeMillis()),
+                c.retentionHours)
+            } catch { case _: Throwable => () }
+        }, 3600L * 1000L, 3600L * 1000L)
+      }
     }
     spark.streams.awaitAnyTermination()
     val _ = query
