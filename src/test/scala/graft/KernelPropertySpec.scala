@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.operators.{Dedup, Similarity}
+
+/** Property checks: every native kernel is bit-identical to its
+  * compositional built-in formulation over RANDOM inputs, not just the
+  * fixed corpora of the unit tests. Each property materializes one
+  * DataFrame of generated cases and compares row-wise. */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("property: word_shingles == compositional shingles on random text") {
+    graft.functions.GraftFunctions.register(spark)
+    val word = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val ws = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val text = Gen.chooseNum(0, 12).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(word, ws)).map(_.map { case (w, s) => w + s }.mkString)
+    }
+    val texts = sample(text, 60) ++ Seq("", " ", "\t", "a", "a b")
+    val rows = texts.toDF("text").select(
+      graft.operators.TextAnalysis.shingles(col("text"), 3).as("ref"),
+      graft.functions.WordShingleFunctions.wordShingles(col("text"), 3).as("fast"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+      s"shingles differ: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
+  }
+
+  test("property: vector kernels == compositional forms on random floats") {
+    graft.functions.GraftFunctions.register(spark)
+    val V = graft.functions.VectorFunctions
+    val comp = Gen.oneOf(
+      Gen.chooseNum(-10.0f, 10.0f),
+      Gen.oneOf(0.0f, -0.0f, 0.1f, 1e-7f, -3.3333333f, 123.456f))
+    val vec = Gen.listOfN(16, comp).map(_.toArray)
+    val pairs = sample(Gen.zip(vec, vec), 50)
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      Similarity.dotExact(col("a"), col("b")).as("de_ref"),
+      V.dotExact(col("a"), col("b")).as("de"),
+      Similarity.dotFast(col("a"), col("b")).as("df_ref"),
+      V.dotFast(col("a"), col("b")).as("df"),
+      Similarity.normExact(col("a")).as("ne_ref"),
+      V.normExact(col("a")).as("ne"),
+      Similarity.normFast(col("a")).as("nf_ref"),
+      V.normFast(col("a")).as("nf")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), "dot_exact")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), "dot_fast")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(5)), "norm_exact")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(6)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(7)), "norm_fast")
+    }
+    // rhp signatures over the quantized vectors, every table
+    val q = df.select(V.quantize6(col("a")).as("q"))
+    (0 until 3).foreach { t =>
+      q.select(Similarity.rhpSignature(col("q"), 6, t, 16).as("ref"),
+          element_at(V.rhpSignatures(col("q"), 6, 3), t + 1).as("fast"))
+        .collect()
+        .foreach(r => assert(r.getLong(0) == r.getLong(1), s"rhp table $t"))
+    }
+  }
+
+  test("property: minhash/simhash kernels == aggregation forms on random docs") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2", "läng", "中文")
+    val doc = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = sample(doc, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val mhNative = Dedup.minhashSignatures(docs, "id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val mhAgg = Dedup.minhashSignaturesViaAggregation(docs, "id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) ->
+        (0 until 16).map(i => r.getAs[Long](s"mh_$i"))).toMap
+    assert(mhNative == mhAgg)
+    val shNative = Dedup.simhash(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shAgg = Dedup.simhashViaAggregation(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shNative == shAgg)
+  }
+}
