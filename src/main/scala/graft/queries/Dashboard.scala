@@ -94,4 +94,16 @@ object Dashboard {
       g -> panel(FanOutSink.readTable(spark, baseDir, g), g, interval,
         sensorIndex, startIso, endIso)
     }.toMap
+
+  /** SQL surface: register the 9 partition tables as temp views under
+    * their reference names, so the reference's users can run their
+    * dashboard SQL via `spark.sql` (with `$__timeGroup(ts, i)` →
+    * `window(ts, i).start` and `time_bucket` → `date_trunc` as the only
+    * dialect changes). GraftExtensions' functions are registered too. */
+  def registerViews(spark: SparkSession, baseDir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    FieldCatalog.Groups.all.foreach { g =>
+      FanOutSink.readTable(spark, baseDir, g).createOrReplaceTempView(g)
+    }
+  }
 }

@@ -92,6 +92,33 @@ class DashboardSpec extends SparkSpec {
     assert(r.length == 1 && r(0).getAs[String]("name").nonEmpty)
   }
 
+  test("reference-shaped panel SQL runs against the registered views") {
+    Dashboard.registerViews(spark, baseDir)
+    // the environmental panel's rawSql (dashboard JSON :1433) with
+    // $__timeGroupAlias -> window(...).start and $__timeFilter inlined
+    val rows = spark.sql(
+      """SELECT window(data_time_stamp, '1 hour').start AS time,
+        |  max(temperature) AS temperature,
+        |  max(humidity) AS humidity,
+        |  max(pressure) AS pressure
+        |FROM environmental_fields
+        |WHERE data_time_stamp >= TIMESTAMP '2022-07-01 00:00:00'
+        |  AND data_time_stamp < TIMESTAMP '2022-08-01 00:00:00'
+        |  AND sensor_index = 147883
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Int]("temperature") == 77)
+    // templating variable 1 (dashboard JSON :3522): DISTINCT + CONCAT
+    val combos = spark.sql(
+      """SELECT DISTINCT sensor_index, name,
+        |  CONCAT(name, ', ', sensor_index) AS combo
+        |FROM station_information_and_status_fields
+        |ORDER BY sensor_index ASC""".stripMargin).collect()
+    assert(combos.length == 3)
+    assert(combos.map(_.getAs[Int]("sensor_index")).toSeq ==
+      Seq(53, 14867, 147883))
+  }
+
   test("panel time filter prunes date partitions at the scan") {
     val env = FanOutSink.readTable(spark, baseDir, FieldCatalog.Groups.Environmental)
     val p = Dashboard.panel(env, FieldCatalog.Groups.Environmental,
