@@ -41,6 +41,27 @@ object OracleSql {
       s"($t, $p, [${signs.mkString(", ")}])"
     }).mkString(",\n      ")
 
+  /** Declarative all-pairs n-gram Jaccard at `threshold` (3-word
+    * shingles) — the oracle for both the postings-join operator and the
+    * output-equivalent prefix-filtered one. */
+  private def ngramJaccardSql(threshold: Double): String =
+    s"""WITH w AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
+       |sh AS (SELECT doc_id AS id, unnest(${shingleExpr(3)}) AS shingle FROM w),
+       |sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+       |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |  WHERE a.id < b.id GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_common,
+       |  CAST(n_common AS DOUBLE)
+       |    / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.id = id_a
+       |JOIN sizes sb ON sb.id = id_b
+       |WHERE CAST(n_common AS DOUBLE)
+       |    / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE)
+       |  >= $threshold""".stripMargin
+
   /** Shared CTE prefix: quantized embedding elements + per-(vec, table)
     * packed RHP bucket ids. */
   private def lshSigCtes(tables: Int, planes: Int): String =
@@ -293,22 +314,12 @@ object OracleSql {
         |  doc_id = keep_id AS keep
         |FROM d JOIN g USING (content_md5)""".stripMargin,
 
-    "q_dedup_ngram_jaccard" ->
-      s"""WITH w AS (SELECT doc_id,
-         |    regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
-         |sh AS (SELECT doc_id AS id, unnest(${shingleExpr(3)}) AS shingle FROM w),
-         |sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY 1),
-         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
-         |  WHERE a.id < b.id GROUP BY 1, 2)
-         |SELECT id_a, id_b, n_common,
-         |  CAST(n_common AS DOUBLE)
-         |    / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON sa.id = id_a
-         |JOIN sizes sb ON sb.id = id_b
-         |WHERE CAST(n_common AS DOUBLE)
-         |    / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.10""".stripMargin,
+    "q_dedup_ngram_jaccard" -> ngramJaccardSql(0.10),
+
+    // The prefix-filtered operator is output-equivalent to the full
+    // postings join (prefix filtering is lossless — proven by test), so
+    // its oracle is the same declarative pair query at its threshold.
+    "q_dedup_ngram_prefix" -> ngramJaccardSql(0.5),
 
     // Scores quantize the INPUT elements to DECIMAL(18,6) (matching the
     // engine's once-per-row quantize6 kernel), multiply exactly at scale

@@ -309,6 +309,10 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, threshold = 0.10)
 
+  private def qDedupNgramPrefix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsPrefix(docs(spark, dir), "doc_id", "text",
+      shingleWords = 3, threshold = 0.5)
+
   private def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDuplicates(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.10)
@@ -387,6 +391,7 @@ object SparkEntry {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgram _),
+    "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_topk_dot" -> (qSimTopkDot _),

@@ -233,6 +233,64 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Exact n-gram Jaccard via PREFIX FILTERING — the scale path for HIGH
+    * thresholds (PPJoin-style). Shingles get a global rarity order
+    * (document frequency asc, shingle asc); a doc's prefix is its
+    * `|A| − ceil(t·|A|) + 1` rarest shingles. Any pair with
+    * `J(A,B) ≥ t` must share a prefix shingle (pigeonhole on the overlap
+    * bound), so candidates come from prefix postings only — at t=0.8
+    * that is ~20% of the postings and ~4% of the pair-occurrences of the
+    * full postings join. Candidates are then verified EXACTLY against
+    * the full shingle sets (`array_intersect`), so results are identical
+    * to [[ngramJaccardPairs]] (proven by test). Same output columns.
+    *
+    * Cost shape: one corpus scan for postings + one for verification
+    * sets, two aggregation shuffles (document frequency, pair counts),
+    * and a candidates-only join of the full sets. */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, threshold: Double,
+      maxDocFreq: Long = 10000L): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val sh = df
+      .select(col(idCol).cast(LongType).as("id"),
+        graft.functions.WordShingleFunctions
+          .wordShingles(col(textCol), shingleWords).as("sh_arr"))
+      .select(col("id"), size(col("sh_arr")).cast(LongType).as("set_size"),
+        explode(col("sh_arr")).as("shingle"))
+    val dfreq = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= maxDocFreq)
+    // rarest-first rank per doc; prefix keeps |A| − ceil(t|A|) + 1
+    val w = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("shingle"))
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("set_size") - ceil(col("set_size") * lit(threshold)) + 1)
+    val cand = prefix.groupBy(col("shingle"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(
+        graft.functions.PairFunctions.pairCombinations(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    // exact verification on the full (distinct) shingle sets
+    val sets = df.select(col(idCol).cast(LongType).as("id"),
+      graft.functions.WordShingleFunctions
+        .wordShingles(col(textCol), shingleWords).as("sset"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sset").as("sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sset").as("sb")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) /
+          (size(col("sa")) + size(col("sb")) - col("n_common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs above `threshold`.
     * Inverted-index join: explode distinct shingles, equi-join on shingle to
     * count intersections (|A∩B|), then `|A∪B| = |A|+|B|−|A∩B|`.

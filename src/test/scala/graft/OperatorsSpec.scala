@@ -122,6 +122,24 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) == 1.0)
     assert(out((1L, 3L)) > 0.5 && out((1L, 3L)) < 1.0)
   }
+
+  test("prefix-filtered ngramJaccard == full postings join (lossless)") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    Seq(0.3, 0.6, 0.9).foreach { t =>
+      val full = key(Dedup.ngramJaccardPairs(corpus, "id", "text", 3, t))
+      val pref = key(Dedup.ngramJaccardPairsPrefix(corpus, "id", "text", 3, t))
+      assert(pref == full, s"prefix filtering lost/added pairs at t=$t")
+    }
+    // and on the sf0.001 documents table
+    val docs = spark.read.parquet(sf("documents"))
+    val t = 0.5
+    val full = key(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, t))
+    val pref = key(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, t))
+    assert(pref == full)
+    assert(full.nonEmpty) // exact dups exist in the corpus
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
