@@ -253,12 +253,20 @@ object Dedup {
       maxDocFreq: Long = 10000L): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     import org.apache.spark.sql.expressions.Window
+    // The shingle kernel runs ONCE: the postings table feeds document
+    // frequencies, the prefix index, and candidate verification (three
+    // consumers — without the persist each branch would re-shingle the
+    // whole corpus).
     val sh = df
+      // a small-file corpus arrives in few input splits; spread the rows
+      // BEFORE the kernel so shingling runs at full parallelism
+      .repartition(col(idCol))
       .select(col(idCol).cast(LongType).as("id"),
         graft.functions.WordShingleFunctions
           .wordShingles(col(textCol), shingleWords).as("sh_arr"))
       .select(col("id"), size(col("sh_arr")).cast(LongType).as("set_size"),
         explode(col("sh_arr")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") <= maxDocFreq)
@@ -268,6 +276,9 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("set_size") - ceil(col("set_size") * lit(threshold)) + 1)
+    // Candidate pairs are small; materialize them eagerly — they feed
+    // both the candidate-id set and the final join (a lazy diamond would
+    // re-run the dfreq+window+pairing stages per consumer).
     val cand = prefix.groupBy(col("shingle"))
       .agg(array_sort(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -275,20 +286,29 @@ object Dedup {
         graft.functions.PairFunctions.pairCombinations(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    // exact verification on the full (distinct) shingle sets
-    val sets = df.select(col(idCol).cast(LongType).as("id"),
-      graft.functions.WordShingleFunctions
-        .wordShingles(col(textCol), shingleWords).as("sset"))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("sset").as("sa")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sset").as("sb")), Seq("id_b"))
+      .localCheckpoint(true)
+    // Exact verification: rebuild full shingle sets ONLY for candidate
+    // ids (semi-join on the small candidate id set) — never materialize
+    // per-doc arrays for the whole corpus.
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val sets = sh.join(broadcast(candIds), Seq("id"), "left_semi")
+      .groupBy(col("id"))
+      .agg(collect_list(col("shingle")).as("sset"),
+        first(col("set_size")).as("set_size"))
+    val result = cand
+      .join(sets.select(col("id").as("id_a"), col("sset").as("sa"),
+        col("set_size").as("size_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sset").as("sb"),
+        col("set_size").as("size_b")), Seq("id_b"))
       .withColumn("n_common",
         size(array_intersect(col("sa"), col("sb"))).cast(LongType))
       .withColumn("jaccard",
         col("n_common").cast(DoubleType) /
-          (size(col("sa")) + size(col("sb")) - col("n_common")).cast(DoubleType))
+          (col("size_a") + col("size_b") - col("n_common")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_common", "jaccard")
+    try result.localCheckpoint(true) finally sh.unpersist()
   }
 
   /** Exact n-gram Jaccard similarity for all pairs above `threshold`.
