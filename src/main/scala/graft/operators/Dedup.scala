@@ -252,54 +252,47 @@ object Dedup {
       shingleWords: Int, threshold: Double,
       maxDocFreq: Long = 10000L): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    import org.apache.spark.sql.expressions.Window
-    // The shingle kernel runs ONCE: the postings table feeds document
-    // frequencies, the prefix index, and candidate verification (three
-    // consumers — without the persist each branch would re-shingle the
-    // whole corpus).
-    val sh = df
-      // a small-file corpus arrives in few input splits; spread the rows
-      // BEFORE the kernel so shingling runs at full parallelism
-      .repartition(col(idCol))
+    // Prefix filtering is lossless under ANY global total order of the
+    // shingle universe. Ordering by the shingle's md5_60 (instead of the
+    // classic document-frequency order) removes the df-counting pass,
+    // its join, and the per-doc ranking window entirely: the prefix is
+    // computed PER ROW by sorting the hash array and slicing. Rarity
+    // ordering would produce somewhat fewer candidates; exact
+    // verification makes both orders return identical results.
+    val base = df
+      .repartition(col(idCol)) // few-split corpora: parallelize the kernel
       .select(col(idCol).cast(LongType).as("id"),
         graft.functions.WordShingleFunctions
           .wordShingles(col(textCol), shingleWords).as("sh_arr"))
-      .select(col("id"), size(col("sh_arr")).cast(LongType).as("set_size"),
-        explode(col("sh_arr")).as("shingle"))
+      .withColumn("set_size", size(col("sh_arr")).cast(LongType))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") <= maxDocFreq)
-    // rarest-first rank per doc; prefix keeps |A| − ceil(t|A|) + 1
-    val w = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("shingle"))
-    val prefix = sh.join(dfreq, Seq("shingle"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <=
-        col("set_size") - ceil(col("set_size") * lit(threshold)) + 1)
+    val prefixLen = (col("set_size") -
+      ceil(col("set_size") * lit(threshold)) + 1).cast(IntegerType)
+    val postings = base
+      .select(col("id"),
+        explode(slice(array_sort(transform(col("sh_arr"), s => md5_60(s))),
+          lit(1), prefixLen)).as("h"))
     // Candidate pairs are small; materialize them eagerly — they feed
     // both the candidate-id set and the final join (a lazy diamond would
-    // re-run the dfreq+window+pairing stages per consumer).
-    val cand = prefix.groupBy(col("shingle"))
+    // re-run the pairing stages per consumer).
+    val cand = postings.groupBy(col("h"))
       .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDocFreq)
       .select(explode(
         graft.functions.PairFunctions.pairCombinations(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
       .localCheckpoint(true)
-    // Exact verification: rebuild full shingle sets ONLY for candidate
-    // ids (semi-join on the small candidate id set) — never materialize
-    // per-doc arrays for the whole corpus.
+    // Exact verification: full shingle sets ONLY for candidate ids
+    // (semi-join on the small candidate id set).
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
-    val sets = sh.join(broadcast(candIds), Seq("id"), "left_semi")
-      .groupBy(col("id"))
-      .agg(collect_list(col("shingle")).as("sset"),
-        first(col("set_size")).as("set_size"))
+    val sets = base.join(broadcast(candIds), Seq("id"), "left_semi")
+      .select(col("id"), col("sh_arr"), col("set_size"))
     val result = cand
-      .join(sets.select(col("id").as("id_a"), col("sset").as("sa"),
+      .join(sets.select(col("id").as("id_a"), col("sh_arr").as("sa"),
         col("set_size").as("size_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sset").as("sb"),
+      .join(sets.select(col("id").as("id_b"), col("sh_arr").as("sb"),
         col("set_size").as("size_b")), Seq("id_b"))
       .withColumn("n_common",
         size(array_intersect(col("sa"), col("sb"))).cast(LongType))
@@ -308,7 +301,7 @@ object Dedup {
           (col("size_a") + col("size_b") - col("n_common")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_common", "jaccard")
-    try result.localCheckpoint(true) finally sh.unpersist()
+    try result.localCheckpoint(true) finally base.unpersist()
   }
 
   /** Exact n-gram Jaccard similarity for all pairs above `threshold`.
