@@ -306,6 +306,21 @@ object OracleSql {
          |  list_min(list_transform(${shingleExpr(5)}, s -> md5(s))) AS min_shingle_fp
          |FROM w""".stripMargin,
 
+    // Deterministic sampling: hash draw = md5_60 of the key string.
+    "q_sample_uniform" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |  < ${graft.operators.Sampling.rateThreshold(0.25)}""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY lang ORDER BY hk, doc_id) AS BIGINT) AS sample_rank
+        |FROM h QUALIFY sample_rank <= 40""".stripMargin,
+
     "q_dedup_exact" ->
       """WITH d AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
         |g AS (SELECT content_md5, COUNT(*) AS dup_count, MIN(doc_id) AS keep_id

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.queries.TimeSeries
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -321,6 +321,19 @@ object SparkEntry {
     Dedup.simhashNearDuplicates(docs(spark, dir), "doc_id", "text",
       maxHamming = 14)
 
+  // ------------------------------------------------------------ sampling
+
+  /** Deterministic Bernoulli(0.25) sample — the reproducible train/eval
+    * split primitive. */
+  private def qSampleUniform(spark: SparkSession, dir: String): DataFrame =
+    Sampling.uniform(docs(spark, dir), "doc_id", 0.25)
+      .select("doc_id", "lang")
+
+  /** Deterministic per-language cap — skew rebalancing. */
+  private def qSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedCap(docs(spark, dir), "lang", "doc_id", 40)
+      .select("doc_id", "lang", "sample_rank")
+
   // ---------------------------------------------------------- similarity
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
@@ -390,6 +403,8 @@ object SparkEntry {
     "q_text_langid" -> (qTextLangid _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_sample_uniform" -> (qSampleUniform _),
+    "q_sample_stratified" -> (qSampleStratified _),
     "q_dedup_ngram_jaccard" -> (qDedupNgram _),
     "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
     "q_dedup_minhash" -> (qDedupMinhash _),

@@ -142,6 +142,41 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  private def docs = (1L to 1000L).map(i => (i, s"lang${i % 3}"))
+    .toDF("doc_id", "lang")
+
+  test("uniform: deterministic, partition-independent, splits disjoint") {
+    val a = Sampling.uniform(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.uniform(docs.repartition(7), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    // roughly the right size (hash-uniform over 1000 keys)
+    assert(a.size > 200 && a.size < 400, s"got ${a.size}")
+    // a narrower rate is a strict subset → disjoint [0,r1) / [r1,r2) splits
+    val narrow = Sampling.uniform(docs, "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(narrow.subsetOf(a))
+  }
+
+  test("stratifiedCap: at most N per stratum, deterministic ranks") {
+    val out = Sampling.stratifiedCap(docs, "lang", "doc_id", 25)
+    val perLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.values.forall(_ == 25L))
+    val again = Sampling.stratifiedCap(docs.repartition(5), "lang", "doc_id", 25)
+      .select("doc_id", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = out.select("doc_id", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == first)
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
