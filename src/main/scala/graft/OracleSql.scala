@@ -380,6 +380,11 @@ object OracleSql {
         |  CAST(MAX(doc_id % 480 + 32) AS INTEGER) AS max_height
         |FROM documents""".stripMargin,
 
+    "q_multimodal_frames" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  unnest(generate_series(0, doc_id % 10000, 1000)) AS frame_ms
+        |FROM documents""".stripMargin,
+
     // Stub codec feature 0 = first 60 bits of md5(payload ++ '0') / 2^60;
     // payload is the document's UTF-8 bytes.
     "q_multimodal_features" ->

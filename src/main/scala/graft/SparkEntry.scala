@@ -376,6 +376,16 @@ object SparkEntry {
       .select(col("media_id"), col("n_bytes"),
         element_at(col("features"), 1).as("f0"))
 
+  /** Metadata-only frame-sampling plan over a synthetic video corpus:
+    * which frame offsets a decoder should materialize, derived without
+    * ever reading payloads. */
+  private def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromText(docs(spark, dir), "doc_id", "text")
+      .withColumn("kind", lit("video"))
+      .withColumn("duration_ms", pmod(col("media_id"), lit(10000L)))
+    Multimodal.frameSamplePlan(media, everyMs = 1000L)
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -415,6 +425,7 @@ object SparkEntry {
     "q_sim_ivf" -> (qSimIvf _),
     "q_emb_neardup" -> (qEmbNearDup _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_features" -> (qMultimodalFeatures _)
   )
 
