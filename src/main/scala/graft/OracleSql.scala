@@ -120,6 +120,14 @@ object OracleSql {
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY 1""".stripMargin,
 
+    "q6_forecast_revenue" ->
+      s"""SELECT ${decSum("l_extendedprice*l_discount", "revenue")}
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
     "q_a1_downsample_max" ->
       """SELECT epoch_ns(date_trunc('hour', ts))//1000000000 AS bucket_s,
         |  user_id, MAX(value) AS max_value, COUNT(*) AS n

@@ -82,6 +82,17 @@ object SparkEntry {
         .as("revenue"))
   }
 
+  /** Q6-shaped forecast revenue: the pure scan-throughput marker — every
+    * predicate reaches the parquet reader, one partial+final agg, no
+    * join, no wide shuffle. */
+  private def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(decimalSum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
   /** Q5-shaped local-supplier volume: 6-table star join; region/nation are
     * broadcast dimensions, the only real shuffle is lineitem⨝orders. */
   private def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
@@ -392,6 +403,7 @@ object SparkEntry {
     "q1_pricing_summary" -> (q1Pricing _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q6_forecast_revenue" -> (q6Forecast _),
     "q_a1_downsample_max" -> (qA1 _),
     "q_a2_hourly_rollup" -> (qA2 _),
     "q_a3_directory" -> (qA3 _),
