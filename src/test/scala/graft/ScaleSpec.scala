@@ -119,6 +119,22 @@ class DashboardSpec extends SparkSpec {
       Seq(53, 14867, 147883))
   }
 
+  test("events time-range predicate reaches the parquet scan as raw-ns pushdown") {
+    // q_f_pushdown_scan filters the RAW nanosecond column (a filter on
+    // the converted µs timestamp cannot push through the conversion) —
+    // lock that the predicates actually land in PushedFilters.
+    val plan = SparkEntry.queries("q_f_pushdown_scan")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    val pushed = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(pushed.exists(s =>
+      s.contains("GreaterThanOrEqual(ts") && s.contains("LessThan(ts") &&
+        s.contains("EqualTo(event_type,click)")),
+      s"time/type predicates missing from PushedFilters:\n${pushed.mkString("\n")}")
+  }
+
   test("panel time filter prunes date partitions at the scan") {
     val env = FanOutSink.readTable(spark, baseDir, FieldCatalog.Groups.Environmental)
     val p = Dashboard.panel(env, FieldCatalog.Groups.Environmental,
