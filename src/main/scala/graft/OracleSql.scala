@@ -314,6 +314,42 @@ object OracleSql {
          |  list_min(list_transform(${shingleExpr(5)}, s -> md5(s))) AS min_shingle_fp
          |FROM w""".stripMargin,
 
+    // Quality gate (score >= 0.3, same formula as q_text_quality) →
+    // exact dedup among the gated docs (min-id survivor) → hash sample.
+    "q_curation_pipeline" ->
+      s"""WITH base AS (SELECT doc_id, text, length(text) AS n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      x -> list_contains([$stopwordList], lower(x)))) AS n_stop
+         |  FROM documents),
+         |r AS (SELECT *,
+         |    CAST(GREATEST(n_chars, 1) AS DOUBLE) AS safe_chars,
+         |    CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS safe_toks
+         |  FROM base),
+         |m AS (SELECT doc_id, text,
+         |    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / safe_toks AS avg_token_len,
+         |    CAST(n_punct AS DOUBLE) / safe_chars AS punct_ratio,
+         |    CAST(n_digit AS DOUBLE) / safe_chars AS digit_ratio,
+         |    CAST(n_stop AS DOUBLE) / safe_toks AS stopword_ratio
+         |  FROM r),
+         |scored AS (SELECT doc_id, text,
+         |    LEAST(1.0, stopword_ratio * 2.0 +
+         |      (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0
+         |            THEN 0.5 ELSE 0.0 END)
+         |      - punct_ratio - digit_ratio) AS quality_score
+         |  FROM m),
+         |gated AS (SELECT * FROM scored WHERE quality_score >= 0.3),
+         |k AS (SELECT md5(text) AS cmd5, MIN(doc_id) AS keep_id
+         |      FROM gated GROUP BY 1)
+         |SELECT doc_id, quality_score
+         |FROM gated JOIN k ON md5(gated.text) = k.cmd5
+         |  AND gated.doc_id = k.keep_id
+         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |  < ${graft.operators.Sampling.rateThreshold(0.5)}""".stripMargin,
+
     // Deterministic sampling: hash draw = md5_60 of the key string.
     "q_sample_uniform" ->
       s"""SELECT doc_id, lang FROM documents

@@ -332,6 +332,12 @@ object SparkEntry {
     Dedup.simhashNearDuplicates(docs(spark, dir), "doc_id", "text",
       maxHamming = 14)
 
+  /** The operators composed end-to-end: quality gate → exact dedup →
+    * deterministic sample — the standard corpus-curation pipeline. */
+  private def qCuration(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.basicPipeline(docs(spark, dir), "doc_id", "text",
+      stopwords, minQuality = 0.3, sampleRate = 0.5)
+
   // ------------------------------------------------------------ sampling
 
   /** Deterministic Bernoulli(0.25) sample — the reproducible train/eval
@@ -426,6 +432,7 @@ object SparkEntry {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_sample_uniform" -> (qSampleUniform _),
+    "q_curation_pipeline" -> (qCuration _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_dedup_ngram_jaccard" -> (qDedupNgram _),
     "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),

@@ -142,6 +142,31 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Curation
+
+  test("curation pipeline: gates, dedups, samples — deterministically") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it runs for fun"),
+      (2L, "the quick brown fox jumps over the lazy dog and it runs for fun"), // dup
+      (3L, "@@@@ ##### 12345 67890 !!!!"), // low quality
+      (4L, "a house is in the woods and the river is near it for sure today")
+    ).toDF("doc_id", "text")
+    val stop = graft.operators.TextAnalysis.defaultMarkers.values.flatten.toSeq
+    val out = Curation.basicPipeline(docs, "doc_id", "text", stop,
+      minQuality = 0.3, sampleRate = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out.contains(2L), "duplicate must not survive")
+    assert(!out.contains(3L), "low-quality doc must be gated out")
+    assert(out.contains(1L) && out.contains(4L))
+    val again = Curation.basicPipeline(docs.repartition(5), "doc_id", "text",
+      stop, minQuality = 0.3, sampleRate = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out)
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Sampling
