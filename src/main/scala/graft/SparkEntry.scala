@@ -324,6 +324,14 @@ object SparkEntry {
     Dedup.ngramJaccardPairsPrefix(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, threshold = 0.5)
 
+  /** Near-dup pairs collapsed into clusters: connected components over
+    * the Jaccard pair graph — the dedup DECISION (one survivor per
+    * component). */
+  private def qDedupComponents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
+        shingleWords = 3, threshold = 0.10))
+
   private def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDuplicates(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.10)
@@ -436,6 +444,7 @@ object SparkEntry {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_dedup_ngram_jaccard" -> (qDedupNgram _),
     "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
+    "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_topk_dot" -> (qSimTopkDot _),

@@ -233,6 +233,48 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Collapse near-duplicate PAIRS into clusters: connected components
+    * over the pair graph by iterative min-label propagation — the step
+    * that turns pair detection into an actual dedup decision (keep one
+    * doc per component). Returns `(id, component)` for every id
+    * appearing in `pairs`, where `component` is the minimum id reachable
+    * — the canonical survivor's id.
+    *
+    * Scale shape: each iteration is one join + one aggregation over the
+    * EDGE set (pairs, already tiny relative to the corpus after LSH).
+    * Labels converge in ≤ graph-diameter iterations; iterations stop
+    * early at the fixpoint. `localCheckpoint` cuts lineage each round so
+    * the plan does not grow with iterations. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // symmetric edge list (propagation must flow both directions)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts the min of its own and its neighbors' labels
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("n_min"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_min"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard via PREFIX FILTERING — the scale path for HIGH
     * thresholds (PPJoin-style). Shingles get a global rarity order
     * (document frequency asc, shingle asc); a doc's prefix is its

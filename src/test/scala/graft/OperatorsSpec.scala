@@ -123,6 +123,21 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) > 0.5 && out((1L, 3L)) < 1.0)
   }
 
+  test("connectedComponents: chains collapse to the min id") {
+    import spark.implicits._
+    // chain 1-2-3, pair 7-9, singleton-free by construction
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // long path: convergence needs multiple propagation rounds
+    val path = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val ccPath = Dedup.connectedComponents(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccPath.values.toSet == Set(1L))
+  }
+
   test("prefix-filtered ngramJaccard == full postings join (lossless)") {
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r =>
