@@ -254,6 +254,9 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // Labels only ever decrease, so the fixpoint test is "did the label
+    // sum change" — one cheap aggregate per round instead of a join.
+    var prevSum = labels.agg(sum(col("component"))).head().getLong(0)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -267,8 +270,9 @@ object Dedup {
           least(col("component"), coalesce(col("n_min"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).isEmpty
+      val s = updated.agg(sum(col("component"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
       labels = updated
       iter += 1
     }
