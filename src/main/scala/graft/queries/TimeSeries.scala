@@ -79,16 +79,35 @@ object TimeSeries {
     * At 100 TB the window shuffles once on the entity key; state per key is
     * bounded by the horizon. Rows sharing a truncated second are RANGE-frame
     * peers, so the result is deterministic under any intra-second order.
+    *
+    * `preBucket = true` is the single-key-skew path: rows are first
+    * pre-aggregated to one `(key, second)` partial (map-side combinable —
+    * the hot key collapses BEFORE its window), the sliding frame runs over
+    * the compact buckets, and per-second results join back to the rows.
+    * Identical output (peers share their second's value; the decimal sums
+    * are associative), proven by test.
     */
   def slidingAverage(
       df: DataFrame, ts: String, key: String, measure: String,
-      horizonSeconds: Long): DataFrame = {
+      horizonSeconds: Long, preBucket: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col("epoch_s"))
       .rangeBetween(-horizonSeconds, 0)
-    df.withColumn("epoch_s", epochSeconds(col(ts)))
-      .withColumn("sliding_avg",
+    val withEpoch = df.withColumn("epoch_s", epochSeconds(col(ts)))
+    if (!preBucket)
+      withEpoch.withColumn("sliding_avg",
         (sum(col(measure).cast(DecimalType(28, 6))).over(w).cast(DoubleType) /
           count(col(measure)).over(w)))
+    else {
+      val buckets = withEpoch
+        .groupBy(col(key), col("epoch_s"))
+        .agg(sum(col(measure).cast(DecimalType(28, 6))).as("s_sum"),
+          count(col(measure)).as("s_n"))
+        .withColumn("sliding_avg",
+          (sum(col("s_sum")).over(w).cast(DoubleType) /
+            sum(col("s_n")).over(w)))
+        .select(col(key), col("epoch_s"), col("sliding_avg"))
+      withEpoch.join(buckets, Seq(key, "epoch_s"))
+    }
   }
 
   /** A3 + X2 — the sensor-directory templating query:

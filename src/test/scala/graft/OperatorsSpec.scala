@@ -325,6 +325,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(2) == 30.0)         // [300,900]
   }
 
+  test("slidingAverage preBucket (skew path) == plain window") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = spark.read.parquet(sf("events"))
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+    def run(pre: Boolean) =
+      TimeSeries.slidingAverage(e, "ts2", "user_id", "value", 600L, preBucket = pre)
+        .select("event_id", "sliding_avg").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = run(false)
+    val bucketed = run(true)
+    assert(plain == bucketed)
+  }
+
   test("sessionize: 1800s gap starts a new session") {
     val out = TimeSeries.sessionize(evts, "ts", "user_id", "event_id", 1800L)
       .groupBy("user_id").agg(max("session_id").as("sessions"))
