@@ -307,6 +307,19 @@ object OracleSql {
          |FROM g""".stripMargin
     },
 
+    "q_text_scrub" -> {
+      val chain = graft.operators.TextAnalysis.scrubPatterns
+        .foldLeft("text") { case (c, (p, repl)) =>
+          s"regexp_replace($c, '$p', '$repl', 'g')"
+        }
+      val counts = graft.operators.TextAnalysis.scrubPatterns
+        .map { case (p, _) => s"len(regexp_extract_all(text, '$p'))" }
+        .mkString(" + ")
+      s"""SELECT doc_id, $chain AS scrubbed,
+         |  CAST($counts AS BIGINT) AS n_redactions
+         |FROM documents""".stripMargin
+    },
+
     "q_text_fingerprint" ->
       s"""WITH w AS (SELECT doc_id, md5(text) AS md5_fp,
          |    regexp_split_to_array(trim(text), '\\s+') AS words FROM documents)

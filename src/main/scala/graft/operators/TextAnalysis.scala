@@ -112,6 +112,28 @@ object TextAnalysis {
       .withColumn("min_shingle_fp", array_min(transform(sh, s => md5(s.cast(BinaryType)))))
   }
 
+  /** PII scrubbing — the redaction stage of a curation pipeline: emails,
+    * URLs, and long digit runs (ids/phones) are replaced with typed
+    * placeholders. Patterns stay in the RE2∩Java common subset (no
+    * lookaround, explicit classes) so any engine applies them
+    * identically; `n_redactions` counts the matches that were replaced.
+    * Pure per-row column expressions — one pass, no shuffle. */
+  val scrubPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "https?://[^ \\t\\n]+" -> "<URL>",
+    "[0-9][0-9][0-9][0-9][0-9][0-9]+" -> "<NUM>")
+
+  def scrub(df: DataFrame, textCol: String): DataFrame = {
+    val scrubbed = scrubPatterns.foldLeft(col(textCol)) {
+      case (c, (p, repl)) => regexp_replace(c, p, repl)
+    }
+    val redactions = scrubPatterns
+      .map { case (p, _) => regexp_count(col(textCol), lit(p)) }
+      .reduce(_ + _)
+    df.withColumn("scrubbed", scrubbed)
+      .withColumn("n_redactions", redactions.cast(LongType))
+  }
+
   /** Sliding word `n`-gram shingles as an array column (distinct, to make
     * set semantics explicit for Jaccard). Text with fewer than `n` words
     * yields one shingle = the whole trimmed text. */

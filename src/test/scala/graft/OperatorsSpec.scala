@@ -34,6 +34,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("scrub redacts emails, urls, and long digit runs") {
+    val df = Seq(
+      "contact bob.smith+x@example.co.uk or visit https://ex.io/a?b=1 ok",
+      "order 1234567 shipped to 98 main st",
+      "clean text with no pii at all"
+    ).toDF("text")
+    val out = TextAnalysis.scrub(df, "text")
+      .select("scrubbed", "n_redactions").collect()
+    assert(out(0).getString(0) == "contact <EMAIL> or visit <URL> ok")
+    assert(out(0).getLong(1) == 2L)
+    assert(out(1).getString(0) == "order <NUM> shipped to 98 main st")
+    assert(out(1).getLong(1) == 1L)
+    assert(out(2).getLong(1) == 0L)
+  }
+
   test("languageId: stopword profiles pick the right language") {
     val df = Seq(
       ("the cat and the dog is here", "en"),
