@@ -307,6 +307,18 @@ object OracleSql {
          |FROM g""".stripMargin
     },
 
+    // Winnowing fingerprints: md5_60 of every 8-char gram, min per
+    // 4-gram window, distinct per doc.
+    "q_text_winnow" ->
+      """WITH g AS (SELECT doc_id,
+        |    [('0x' || substring(md5(substr(text, i, 8)), 1, 15))::BIGINT
+        |     for i in range(1, GREATEST(length(text) - 7, 1) + 1)] AS hs
+        |  FROM documents)
+        |SELECT doc_id, unnest(list_distinct(
+        |    [list_min(hs[j:j+3]) for j in range(1, GREATEST(len(hs) - 3, 1) + 1)]))
+        |  AS fp
+        |FROM g""".stripMargin,
+
     "q_text_scrub" -> {
       val chain = graft.operators.TextAnalysis.scrubPatterns
         .foldLeft("text") { case (c, (p, repl)) =>

@@ -306,6 +306,10 @@ object SparkEntry {
       .select("doc_id", "lang", "predicted_lang",
         "score_de", "score_en", "score_es", "score_fr", "score_zh")
 
+  private def qTextWinnow(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowedFingerprints(docs(spark, dir), "doc_id", "text",
+      k = 8, w = 4)
+
   private def qTextScrub(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.scrub(docs(spark, dir), "text")
       .select("doc_id", "scrubbed", "n_redactions")
@@ -443,6 +447,7 @@ object SparkEntry {
     "q_text_langid" -> (qTextLangid _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_scrub" -> (qTextScrub _),
+    "q_text_winnow" -> (qTextWinnow _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_sample_uniform" -> (qSampleUniform _),
     "q_curation_pipeline" -> (qCuration _),

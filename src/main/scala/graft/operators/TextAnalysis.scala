@@ -112,6 +112,30 @@ object TextAnalysis {
       .withColumn("min_shingle_fp", array_min(transform(sh, s => md5(s.cast(BinaryType)))))
   }
 
+  /** Document fingerprint #2 — winnowing (the MOSS rolling-window
+    * fingerprint): hash every character `k`-gram, slide a window of `w`
+    * consecutive gram hashes, keep each window's minimum — a document
+    * pair sharing any sufficiently long substring is guaranteed to share
+    * a fingerprint. Gram hashes are md5_60 (engine-portable, so the
+    * DuckDB oracle reproduces the selection exactly; a Rabin–Karp
+    * polynomial would be equivalent here but inexpressible in SQL).
+    * Output: one `(id, fp)` row per distinct selected fingerprint.
+    * Shuffle-free per-row column math; text shorter than `k` fingerprints
+    * as its whole self. */
+  def winnowedFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val t = col(textCol)
+    val nGrams = greatest(length(t) - (k - 1), lit(1))
+    val hs = transform(sequence(lit(1), nGrams),
+      i => conv(substring(md5(t.substr(i, lit(k)).cast(BinaryType)), 1, 15),
+        16, 10).cast(LongType))
+    val nWindows = greatest(size(hs) - (w - 1), lit(1))
+    val fps = array_distinct(transform(sequence(lit(1), nWindows),
+      j => array_min(slice(hs, j, lit(w)))))
+    df.select(col(idCol), explode(fps).as("fp"))
+  }
+
   /** PII scrubbing — the redaction stage of a curation pipeline: emails,
     * URLs, and long digit runs (ids/phones) are replaced with typed
     * placeholders. Patterns stay in the RE2∩Java common subset (no

@@ -34,6 +34,24 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: docs sharing a long substring share a fingerprint") {
+    val shared = "the identical stretch of text inside both documents"
+    val df = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"a different beginning $shared and ending"),
+      (3L, "entirely unrelated content with nothing in common at all")
+    ).toDF("id", "text")
+    val fps = TextAnalysis.winnowedFingerprints(df, "id", "text", k = 8, w = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring must collide")
+    assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs should not collide")
+    // short text fingerprints as itself
+    val tiny = TextAnalysis.winnowedFingerprints(
+      Seq((9L, "abc")).toDF("id", "text"), "id", "text", 8, 4).collect()
+    assert(tiny.length == 1)
+  }
+
   test("scrub redacts emails, urls, and long digit runs") {
     val df = Seq(
       "contact bob.smith+x@example.co.uk or visit https://ex.io/a?b=1 ok",
