@@ -125,15 +125,29 @@ object TextAnalysis {
   def winnowedFingerprints(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
     val t = col(textCol)
     val nGrams = greatest(length(t) - (k - 1), lit(1))
     val hs = transform(sequence(lit(1), nGrams),
       i => conv(substring(md5(t.substr(i, lit(k)).cast(BinaryType)), 1, 15),
         16, 10).cast(LongType))
-    val nWindows = greatest(size(hs) - (w - 1), lit(1))
-    val fps = array_distinct(transform(sequence(lit(1), nWindows),
-      j => array_min(slice(hs, j, lit(w)))))
-    df.select(col(idCol), explode(fps).as("fp"))
+    // Explode the gram hashes FIRST (the Generate blocks CollapseProject —
+    // computing window minima over the `hs` expression directly would
+    // inline the whole gram-hashing array into EVERY window, an O(n²)
+    // blowup), then take each window's minimum as a sliding window
+    // function: O(n) rows, one shuffle on the doc id.
+    val grams = df
+      .select(col(idCol), hs.as("hs"))
+      .select(col(idCol), col("hs"), posexplode(col("hs")).as(Seq("i", "h")))
+      .select(col(idCol), size(col("hs")).as("nh"), col("i"), col("h"))
+    val frame = W.partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(frame))
+      // keep only full windows (plus the single partial one of short docs)
+      .filter(col("i") <= greatest(col("nh") - w, lit(0)))
+      .select(col(idCol), col("fp"))
+      .distinct()
   }
 
   /** PII scrubbing — the redaction stage of a curation pipeline: emails,
