@@ -78,11 +78,67 @@ case class WordShingles(left: Expression, right: Expression)
   override def prettyName: String = "word_shingles"
 }
 
+/** Character `k`-gram md5_60 hashes in one pass — the gram-hashing half
+  * of winnowing fingerprints. Code-point semantics match Spark's
+  * `substr`/DuckDB's `substr` exactly; text shorter than `k` hashes as
+  * one whole-text gram. The compositional
+  * `transform(sequence(...), i => md5_60(substr(...)))` interprets one
+  * substring+md5 per element; this is a tight loop per row. */
+object WinnowGramsImpl {
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val s = text.toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < k)
+      new GenericArrayData(Array[Any](MinHashImpl.md5_60(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8), md)))
+    else {
+      val out = new Array[Long](n - k + 1)
+      var i = 0
+      while (i <= n - k) {
+        out(i) = MinHashImpl.md5_60(new String(cps, i, k)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8), md)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** `winnow_grams(text STRING, k INT) -> ARRAY<LONG>`. */
+case class WinnowGrams(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "winnow_grams requires (STRING, foldable INT)")
+    }
+  override def nullSafeEval(text: Any, k: Any): Any =
+    WinnowGramsImpl.compute(text.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, k) => s"graft.functions.WinnowGramsImpl.compute($t, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WinnowGrams =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "winnow_grams"
+}
+
 object WordShingleFunctions {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_grams", exprs => WinnowGrams(exprs(0), exprs(1)), "scala_udf")
+  }
 
   def wordShingles(text: Column, n: Int): Column =
     call_function("word_shingles", text, lit(n))
+
+  def winnowGrams(text: Column, k: Int): Column =
+    call_function("winnow_grams", text, lit(k))
 }

@@ -126,11 +126,10 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
-    val t = col(textCol)
-    val nGrams = greatest(length(t) - (k - 1), lit(1))
-    val hs = transform(sequence(lit(1), nGrams),
-      i => conv(substring(md5(t.substr(i, lit(k)).cast(BinaryType)), 1, 15),
-        16, 10).cast(LongType))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // native gram-hash kernel: one tight loop per row (the compositional
+    // transform interprets one substring+md5 per gram)
+    val hs = graft.functions.WordShingleFunctions.winnowGrams(col(textCol), k)
     // Explode the gram hashes FIRST (the Generate blocks CollapseProject —
     // computing window minima over the `hs` expression directly would
     // inline the whole gram-hashing array into EVERY window, an O(n²)
