@@ -577,20 +577,24 @@ object OracleSql {
         |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
         |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 14""".stripMargin,
 
-    // IVF: deterministic centroid subset (vec_id % 100 = 0), exact
-    // quantized-L2 cell assignment (ties by centroid id), nprobe=2 probe
-    // cells per query, exact scores within probed cells.
+    // IVF: fixed-K deterministic centroids (16 smallest md5_60(vec_id)),
+    // exact quantized-L2 cell assignment (ties by centroid id), nprobe=2
+    // probe cells per query, exact scores within probed cells.
     "q_sim_ivf" ->
       """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
         |  FROM embeddings),
+        |cent AS (SELECT vec_id FROM embeddings
+        |  ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT, vec_id
+        |  LIMIT 16),
         |sq AS (SELECT vec_id,
         |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
         |  FROM el GROUP BY 1),
         |vc AS (SELECT e.vec_id AS vid, c.vec_id AS cid,
         |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
         |  FROM el e JOIN el c ON e.i = c.i
-        |  WHERE c.vec_id % 100 = 0 GROUP BY 1, 2),
+        |  JOIN cent ON c.vec_id = cent.vec_id GROUP BY 1, 2),
         |asg AS (SELECT vid, cid, sv.s2 + sc.s2 - 2.0 * dot AS d2
         |  FROM vc JOIN sq sv ON sv.vec_id = vid
         |          JOIN sq sc ON sc.vec_id = cid),

@@ -391,7 +391,7 @@ object SparkEntry {
     Similarity.ivfTopK(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
       emb(spark, dir), "vec_id", "embedding", k = 5,
-      centroidStride = 100, nprobe = 2)
+      numCentroids = 16, nprobe = 2)
 
   private def qEmbNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDuplicates(emb(spark, dir), "vec_id", "embedding",

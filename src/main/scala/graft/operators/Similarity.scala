@@ -160,52 +160,74 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,
       k: Int, planes: Int = 12, tables: Int = 4, dims: Int = 64): DataFrame = {
-    val qb = broadcast(
-      withBuckets(queries, queryId, queryVec, "query", planes, tables, dims))
-    val cb = withBuckets(corpus, corpusId, corpusVec, "corpus", planes, tables, dims)
+    registered(corpus)
+    // Quantize the corpus ONCE and persist: both the bucket explosion and
+    // the score join-back read the cached side, so the corpus parquet is
+    // scanned (and quantized) exactly once — a lazy diamond here would
+    // re-run the whole scan+quantize pipeline per consumer.
+    val corpusQ = corpus.select(col(corpusId).as("corpus_id"),
+        V.quantize6(col(corpusVec)).as("corpusq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = corpusQ.select(col("corpus_id"),
+      posexplode(V.rhpSignatures(col("corpusq"), planes, tables))
+        .as(Seq("table", "bucket")))
+    val queryQ = queries.select(col(queryId).as("query_id"),
+      V.quantize6(col(queryVec)).as("queryq"))
+    val qb = broadcast(queryQ.select(col("query_id"),
+      posexplode(V.rhpSignatures(col("queryq"), planes, tables))
+        .as(Seq("table", "bucket"))))
     // Dedup candidate id PAIRS first (cheap narrow shuffle), then join the
     // quantized vectors back — never shuffle or hash full vectors in the
     // dedup.
-    registered(corpus)
     val cand = cb.select("table", "bucket", "corpus_id")
       .join(qb.select("table", "bucket", "query_id"), Seq("table", "bucket"))
       .select(col("query_id"), col("corpus_id")).distinct()
-      .join(broadcast(queries.select(col(queryId).as("query_id"),
-        V.quantize6(col(queryVec)).as("queryq"))), Seq("query_id"))
-      .join(corpus.select(col(corpusId).as("corpus_id"),
-        V.quantize6(col(corpusVec)).as("corpusq")), Seq("corpus_id"))
+      .join(broadcast(queryQ), Seq("query_id"))
+      .join(corpusQ, Seq("corpus_id"))
     val scored = cand.withColumn("score", V.dotQ12(col("queryq"), col("corpusq")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
+    val result = scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "score", "rank")
+    // Top-k is tiny: materialize it eagerly, then release the cached
+    // quantized corpus so repeated calls don't accumulate cached blocks.
+    try result.localCheckpoint(true) finally corpusQ.unpersist()
   }
 
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path next to
     * [[lshTopK]]: corpus vectors are binned into cells around a small
-    * deterministic centroid set (every `centroidStride`-th corpus vector);
-    * a query probes its `nprobe` nearest cells and scores only their
-    * members exactly.
+    * FIXED-size centroid set; a query probes its `nprobe` nearest cells
+    * and scores only their members exactly.
     *
-    * Scale design: centroids are broadcast; cell assignment is one
-    * broadcast product + `min_by` hash aggregation — partial aggregation
-    * collapses the per-centroid candidates map-side, so the shuffle
-    * carries ONE row per corpus vector, not one per (vector, centroid).
-    * The probe set is broadcast onto the cell table, and only cell
-    * members reach exact scoring. Every stage (assignment by exact
-    * quantized L2, probe ranking, scores, ranks — ties by id) is
-    * deterministic and engine-reproducible → full DuckDB oracle.
+    * Scale design: centroids are the `numCentroids` corpus vectors with
+    * the smallest `md5_60(id)` — a deterministic uniform K-sample whose
+    * size does NOT grow with the corpus (a corpus-proportional centroid
+    * set would make assignment O(n²/stride) and the broadcast unbounded).
+    * Selection is one column-pruned corpus scan + per-partition top-K
+    * merge (`TakeOrderedAndProject`), so it stays O(n) with a constant-
+    * size result at any corpus size. Centroids are broadcast; cell
+    * assignment is one broadcast product + `min_by` hash aggregation —
+    * partial aggregation collapses the per-centroid candidates map-side,
+    * so the shuffle carries ONE row per corpus vector, not one per
+    * (vector, centroid), and total assignment cost is O(n·K) with K
+    * constant. The probe set is broadcast onto the cell table, and only
+    * cell members reach exact scoring. Every stage (centroid pick by
+    * md5_60 order, assignment by exact quantized L2, probe ranking,
+    * scores, ranks — ties by id) is deterministic and
+    * engine-reproducible → full DuckDB oracle.
     */
   def ivfTopK(
       queries: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,
-      k: Int, centroidStride: Int = 100, nprobe: Int = 2): DataFrame = {
+      k: Int, numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
     registered(corpus)
     val cent = broadcast(
-      corpus.filter(pmod(col(corpusId), lit(centroidStride)) === 0)
-        .select(col(corpusId).as("cent_id"),
+      corpus.select(col(corpusId).as("cent_id"),
           V.quantize6(col(corpusVec)).as("centq"))
+        .orderBy(Dedup.md5_60(col("cent_id").cast(StringType)), col("cent_id"))
+        .limit(numCentroids)
         .withColumn("cent_s2", V.dotQ12(col("centq"), col("centq"))))
     // exact squared L2 to centroid: |v|² + |c|² − 2·v·c, every term an
     // exact scale-12 decimal surfaced as double

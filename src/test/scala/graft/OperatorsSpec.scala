@@ -318,11 +318,11 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ivfTopK: probes the nearest cell and ranks members exactly") {
-    // centroids = ids {0, 2}; cells: v0,v1→c0, v2→c2, v3→c0 (d2 tie with
-    // c2 broken by centroid id). Query 0 probes c0 → candidates {0,1,3}.
+    // Fixed-K centroids = the 2 ids smallest in md5_60 order: {1, 2}.
+    // Cells: v0,v1,v3→c1, v2→c2. Query 0 probes c1 → candidates {0,1,3}.
     val out = Similarity.ivfTopK(
       vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
-      vecs, "vec_id", "embedding", k = 2, centroidStride = 2, nprobe = 1)
+      vecs, "vec_id", "embedding", k = 2, numCentroids = 2, nprobe = 1)
       .orderBy("rank").collect()
     assert(out.length == 2)
     assert(out(0).getLong(1) == 0L) // self, dot 1.0
