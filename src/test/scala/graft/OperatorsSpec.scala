@@ -171,6 +171,41 @@ class DedupSpec extends SparkSpec {
     assert(ccPath.values.toSet == Set(1L))
   }
 
+  test("connectedComponents: empty pairs input yields empty labels") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0L)
+    // self-loops only is empty after loop-dropping too
+    val loops = Seq((5L, 5L)).toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(loops).count() == 0L)
+  }
+
+  test("connectedComponents: 1000-node path converges in O(log n) rounds") {
+    import spark.implicits._
+    val n = 1000L
+    // worst case for label propagation: diameter n-1 (would need ~n rounds)
+    val path = (1L to n).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(path, maxIter = 30)
+    val cc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == n && cc.values.toSet == Set(1L))
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt
+    assert(rounds <= bound, s"star rounds $rounds exceed 2*log2(n) = $bound")
+  }
+
+  test("connectedComponents: hash-scale ids do not overflow the fixpoint test") {
+    import spark.implicits._
+    // ids near 2^60 — a Long label-sum fixpoint would overflow under ANSI
+    val base = 1L << 60
+    val pairs = Seq((base + 1L, base + 2L), (base + 2L, base + 3L),
+      (base + 7L, base + 9L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(base + 1L -> (base + 1L), base + 2L -> (base + 1L),
+      base + 3L -> (base + 1L), base + 7L -> (base + 7L),
+      base + 9L -> (base + 7L)))
+  }
+
   test("prefix-filtered ngramJaccard == full postings join (lossless)") {
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r =>
