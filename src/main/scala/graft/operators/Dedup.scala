@@ -321,7 +321,10 @@ object Dedup {
     * `J(A,B) ≥ t` must share a prefix shingle (pigeonhole on the overlap
     * bound), so candidates come from prefix postings only — at t=0.8
     * that is ~20% of the postings and ~4% of the pair-occurrences of the
-    * full postings join. Candidates are then verified EXACTLY against
+    * full postings join. On top of the prefix, PPJoin's LENGTH and
+    * POSITION filters prune candidate pairs bucket-locally before the
+    * dedup shuffle (both exact-decimal, both sound at the first shared
+    * token — see inline notes). Candidates are then verified EXACTLY against
     * the full shingle sets (`array_intersect`), so results are identical
     * to [[ngramJaccardPairs]] (proven by test). Same output columns.
     *
@@ -347,21 +350,48 @@ object Dedup {
           .wordShingles(col(textCol), shingleWords).as("sh_arr"))
       .withColumn("set_size", size(col("sh_arr")).cast(LongType))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Threshold as an EXACT decimal (the double's shortest repr): all
+    // prefix-length and filter arithmetic below is decimal×long — a
+    // double ceil(t·|A|) can round an exact integer product upward and
+    // silently shorten the prefix by one, breaking losslessness.
+    val tDec = lit(BigDecimal.valueOf(threshold))
     val prefixLen = (col("set_size") -
-      ceil(col("set_size") * lit(threshold)) + 1).cast(IntegerType)
+      ceil(col("set_size").cast(DecimalType(20, 0)) * tDec) + 1)
+      .cast(IntegerType)
+    // PPJoin-style pruning on top of the lossless prefix: postings carry
+    // (set size, position in the doc's sorted hash order), so a candidate
+    // pair is dropped bucket-locally when
+    //  - lengths are incompatible:  |B| < t·|A|  (or symmetrically), or
+    //  - the position bound caps the overlap below the Jaccard minimum:
+    //    ubound = 1 + min(|A|−i, |B|−j)  <  t/(1+t)·(|A|+|B|)
+    //    (checked as  ubound ≥ t·(|A|+|B|−ubound), exact in decimal).
+    // Both filters are sound at the pair's FIRST shared prefix token
+    // (no shared tokens precede it, so overlap ≤ ubound there); a truly
+    // similar pair always survives that occurrence, and `distinct` keeps
+    // a pair if any occurrence survives — losslessness is preserved
+    // (spec-proven against the full postings join).
     val postings = base
-      .select(col("id"),
-        explode(slice(array_sort(transform(col("sh_arr"), s => md5_60(s))),
-          lit(1), prefixLen)).as("h"))
+      .select(col("id"), col("set_size"),
+        posexplode(slice(array_sort(transform(col("sh_arr"), s => md5_60(s))),
+          lit(1), prefixLen)).as(Seq("pos", "h")))
     // Candidate pairs are small; materialize them eagerly — they feed
     // both the candidate-id set and the final join (a lazy diamond would
     // re-run the pairing stages per consumer).
+    val ubound = least(col("size_a") - col("pos_a"),
+      col("size_b") - col("pos_b"))
     val cand = postings.groupBy(col("h"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDocFreq)
-      .select(explode(
-        graft.functions.PairFunctions.pairCombinations(col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .agg(array_sort(collect_list(
+        struct(col("id"), col("set_size"), col("pos")))).as("es"))
+      .filter(size(col("es")) > 1 && size(col("es")) <= maxDocFreq)
+      .select(explode(graft.functions.PairFunctions
+        .pairCombinationsStruct(col("es"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        col("p.a.set_size").as("size_a"), col("p.b.set_size").as("size_b"),
+        col("p.a.pos").as("pos_a"), col("p.b.pos").as("pos_b"))
+      .filter(col("size_b") >= tDec * col("size_a") &&
+        col("size_a") >= tDec * col("size_b"))
+      .filter(ubound >= tDec * (col("size_a") + col("size_b") - ubound))
+      .select(col("id_a"), col("id_b"))
       .distinct()
       .localCheckpoint(true)
     // Exact verification: full shingle sets ONLY for candidate ids
