@@ -94,12 +94,60 @@ case class MinHashSignature(left: Expression, right: Expression)
   override def prettyName: String = "minhash_signature"
 }
 
+object SigAgreementImpl {
+  /** Count of positions where two equal-length signatures agree. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** `sig_agreement(a ARRAY<LONG>, b ARRAY<LONG>) -> LONG`: positions where
+  * two signatures agree — the per-pair MinHash similarity estimator. The
+  * compositional `zip_with` + `filter` + `size` form interprets (and
+  * boxes) per element; this is one codegen'd long loop, in line with the
+  * kernel discipline for hot per-pair array math. */
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "sig_agreement requires (ARRAY<LONG>, ARRAY<LONG>)")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigAgreementImpl.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SigAgreementImpl.compute($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sig_agreement"
+}
+
 object MinHashFunctions {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature",
       exprs => MinHashSignature(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sig_agreement",
+      exprs => SigAgreement(exprs(0), exprs(1)), "scala_udf")
+  }
 
   def minhashSignature(shingles: Column, k: Int): Column =
     call_function("minhash_signature", shingles, lit(k))
+
+  def sigAgreement(a: Column, b: Column): Column =
+    call_function("sig_agreement", a, b)
 }

@@ -147,8 +147,8 @@ object Dedup {
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          (x === y).cast(IntegerType)), v => v === 1)).cast(DoubleType) /
+        (graft.functions.MinHashFunctions
+          .sigAgreement(col("sig_a"), col("sig_b")).cast(DoubleType) /
           lit(k.toDouble)).as("sig_similarity"))
       .filter(col("sig_similarity") >= threshold)
     // Materialize the (small) pair set eagerly, then release the cached

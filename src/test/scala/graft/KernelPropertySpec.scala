@@ -88,4 +88,22 @@ class KernelPropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(shNative == shAgg)
   }
+
+  test("property: sig_agreement kernel == zip_with formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val sigPair = for {
+      n <- Gen.chooseNum(0, 24)
+      a <- Gen.listOfN(n, Gen.chooseNum(0L, 7L))
+      // mix of agreeing and disagreeing positions
+      b <- Gen.listOfN(n, Gen.chooseNum(0L, 7L))
+    } yield (a.toArray, b.toArray)
+    val df = sample(sigPair, 60).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "a", "b")
+    df.select(
+        graft.functions.MinHashFunctions.sigAgreement(col("a"), col("b")).as("fast"),
+        size(filter(zip_with(col("a"), col("b"), (x, y) =>
+          (x === y).cast("int")), v => v === 1)).cast("long").as("ref"))
+      .collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1), "sig_agreement"))
+  }
 }
