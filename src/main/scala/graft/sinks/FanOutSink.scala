@@ -77,10 +77,12 @@ object FanOutSink {
 
   /** Streaming fan-out: `foreachBatch` at the reference's 65 s cadence
     * (T1). File formats take the replay-safe `batch=<id>`/Overwrite path;
-    * a `jdbc:` URL routes to [[writeBatchJdbc]] guarded by a committed-
-    * batch marker under the checkpoint dir (skip on replay — appends are
-    * not rewindable, so the marker closes the re-append window down to a
-    * crash between the JDBC commit and the marker write). */
+    * a `jdbc:` URL routes to [[writeBatchJdbc]] guarded by PER-TABLE
+    * committed markers under the checkpoint dir (skip on replay —
+    * appends are not rewindable; per-table markers mean a crash mid-loop
+    * replays only the tables whose marker is missing, closing the
+    * duplicate window to a crash between ONE table's commit and its
+    * marker write, not the whole 9-table batch). */
   def stream(conformed: DataFrame, baseDir: String, checkpointDir: String,
       format: String = "parquet",
       trigger: Trigger = Trigger.ProcessingTime("65 seconds"),
@@ -91,15 +93,12 @@ object FanOutSink {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (format.startsWith("jdbc:")) {
-          val marker = new org.apache.hadoop.fs.Path(
+          val markerDir = new org.apache.hadoop.fs.Path(
             s"$checkpointDir/_graft_jdbc_committed/$batchId")
-          val fs = marker.getFileSystem(
+          val fs = markerDir.getFileSystem(
             batch.sparkSession.sparkContext.hadoopConfiguration)
-          if (!fs.exists(marker)) {
-            writeBatchJdbc(batch, format, jdbcProperties)
-            fs.mkdirs(marker.getParent)
-            fs.create(marker, true).close()
-          }
+          writeBatchJdbc(batch, format, jdbcProperties,
+            markers = Some((fs, markerDir)))
         } else {
           writeBatch(batch, baseDir, format, batchId = Some(batchId))
           // The compression/compaction policy riding the micro-batch
@@ -114,14 +113,27 @@ object FanOutSink {
 
   /** JDBC fan-out (K1/K2): one append per projection per micro-batch —
     * the reference's 9 INSERTs, batched. Driver jar must be on the
-    * classpath; offline builds exercise only the option plumbing. */
+    * classpath (e2e-tested against embedded Derby). With `markers`, each
+    * table's append is skipped when its marker file exists and marked
+    * committed right after it lands — the streaming replay guard. */
   def writeBatchJdbc(conformed: DataFrame, url: String,
-      props: java.util.Properties): Unit = {
+      props: java.util.Properties,
+      markers: Option[(org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path)] = None): Unit = {
     val deduped = Transforms
       .dedupByKey(conformed, Transforms.stableDedupOrder(conformed))
       .persist()
     try Transforms.verticalSplit(deduped).foreach { case (table, part) =>
-      part.write.mode(SaveMode.Append).jdbc(url, table, props)
+      val marker = markers.map { case (_, dir) =>
+        new org.apache.hadoop.fs.Path(dir, table) }
+      val committed = markers.exists { case (fs, _) => fs.exists(marker.get) }
+      if (!committed) {
+        part.write.mode(SaveMode.Append).jdbc(url, table, props)
+        markers.foreach { case (fs, dir) =>
+          fs.mkdirs(dir)
+          fs.create(marker.get, true).close()
+        }
+      }
     } finally deduped.unpersist()
   }
 
