@@ -169,6 +169,13 @@ object OracleSql {
          |  ${decAvg("value", "avg_value")}, COUNT(*) AS n
          |FROM e GROUP BY 1""".stripMargin,
 
+    // S3 raw arm: average=0 → the ranged samples, unbucketed.
+    "q_s3_raw" ->
+      """SELECT epoch_ns(ts)//1000000000 AS epoch_s, user_id, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-11 00:00:00'""".stripMargin,
+
     "q_f_pushdown_scan" ->
       s"""SELECT event_id, user_id, epoch_ns(ts)//1000000000 AS epoch_s, value
          |FROM events

@@ -191,6 +191,13 @@ object SparkEntry {
       .agg(decimalAvg(col("value")).as("avg_value"), count(lit(1)).as("n"))
   }
 
+  /** S3 raw arm — `average=0` (`PurpleAirAPI.py:261`): the ranged samples
+    * themselves, no averaging. */
+  private def qS3Raw(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.historicAverage(events(spark, dir), "ts", "user_id", "value",
+        "2024-01-10 00:00:00", "2024-01-11 00:00:00", 0)
+      .select(epochS(col("ts")).as("epoch_s"), col("user_id"), col("value"))
+
   /** F1+F2+F4+F5+F7 — the multi-sensor pushdown predicate set as one scan. */
   private def qFilters(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.pushdownScan(
@@ -432,6 +439,7 @@ object SparkEntry {
     "q_a4_sliding_average" -> (qA4 _),
     "q_a5_historic_average" -> (qA5 _),
     "q_s3_historic_range" -> (qS3 _),
+    "q_s3_raw" -> (qS3Raw _),
     "q_f_pushdown_scan" -> (qFilters _),
     "q_j1_recombine" -> (qJ1 _),
     "q_j2_semi_join" -> (qJ2 _),

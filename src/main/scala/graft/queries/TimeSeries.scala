@@ -59,17 +59,23 @@ object TimeSeries {
     df.groupBy(date_trunc("hour", col(ts)).as("bucket_ts"), col(key))
       .agg(count(lit(1)).as("n"), exactSum(col(measure)).as("sum_value"))
 
-  /** A5 — historic server-side average: `average ∈ {10,30,60,360,1440}`
+  /** A5/S3 — historic server-side average: `average ∈ {0,10,30,60,360,1440}`
     * minutes over a time range (`PurpleAirAPI.py:244-305`). Range bounds are
-    * half-open `[start, end)` like the reference. */
+    * half-open `[start, end)` like the reference. `minutes = 0` is the
+    * reference's RAW arm (`average=0` is a legal value,
+    * `PurpleAirAPI.py:261`): no bucketing, the ranged samples themselves —
+    * a pure pushed-down range scan. */
   def historicAverage(
       df: DataFrame, ts: String, key: String, measure: String,
-      startIso: String, endIso: String, minutes: Int): DataFrame =
-    df.filter(col(ts) >= lit(startIso).cast(TimestampType) &&
-              col(ts) < lit(endIso).cast(TimestampType))
+      startIso: String, endIso: String, minutes: Int): DataFrame = {
+    val ranged = df.filter(col(ts) >= lit(startIso).cast(TimestampType) &&
+      col(ts) < lit(endIso).cast(TimestampType))
+    if (minutes == 0) ranged.select(col(ts), col(key), col(measure))
+    else ranged
       .groupBy(window(col(ts), s"$minutes minutes")("start").as("bucket_ts"),
-               col(key))
+        col(key))
       .agg(exactAvg(col(measure)).as("avg_value"), count(lit(1)).as("n"))
+  }
 
   /** A4 — "pseudo average": trailing time-range sliding mean per entity
     * (the PurpleAir `pm2.5_10minute…1week` family, recomputed natively).

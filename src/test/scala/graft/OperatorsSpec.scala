@@ -384,6 +384,16 @@ class TimeSeriesSpec extends SparkSpec {
   ).toDF("user_id", "epoch", "value", "event_id")
     .withColumn("ts", timestamp_seconds(col("epoch")))
 
+  test("historicAverage minutes=0: the raw arm returns ranged samples") {
+    // average=0 is a legal reference value (PurpleAirAPI.py:261): no
+    // bucketing, just the half-open range scan
+    val out = TimeSeries.historicAverage(evts, "ts", "user_id", "value",
+        "1970-01-01 00:00:00", "1970-01-01 00:15:00", 0)
+      .collect()
+    assert(out.length == 3) // t=900 and t=7200 excluded by the range
+    assert(out.map(_.getDouble(2)).sorted.toSeq == Seq(5.0, 10.0, 20.0))
+  }
+
   test("slidingAverage: trailing 600s range frame") {
     val out = TimeSeries.slidingAverage(evts, "ts", "user_id", "value", 600L)
       .filter(col("user_id") === 1L).orderBy("epoch_s")
