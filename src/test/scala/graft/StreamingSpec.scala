@@ -117,6 +117,65 @@ class PollingSourceSpec extends SparkSpec {
       .contains("modified_since"))
   }
 
+  test("live HTTP path against a localhost stub: headers, body, error map") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    def handler(status: Int, body: String): HttpHandler = new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        seen.add((ex.getRequestURI.toString,
+          ex.getRequestHeaders.getFirst("X-API-Key")))
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(status, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    }
+    server.createContext("/v1/keys", handler(201, """{"api_key_type":"READ"}"""))
+    server.createContext("/v1/sensors/",
+      handler(200, """{"fields":["pm2.5"],"data":[[1,9.5]]}"""))
+    server.createContext("/v1/forbidden/keys", handler(403, """{"error":"x"}"""))
+    server.createContext("/v1/gone/sensors/", handler(404, ""))
+    server.createContext("/v1/bad/sensors/", handler(400, ""))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
+      val f = new HttpPollingFetcher
+      // S4 key-check handshake: validate() GETs /keys with the API key
+      f.validate(Map("api.key" -> "SECRET-KEY", "api.base" -> base))
+      val (keysUri, keysHeader) = seen.poll()
+      assert(keysUri == "/v1/keys")
+      assert(keysHeader == "SECRET-KEY", "X-API-Key header must be sent")
+      // fetch honors the modified_since cursor contract on the wire
+      val out = f.fetch(1659710000L, 1659710065L,
+        Map("api.key" -> "SECRET-KEY", "api.base" -> base,
+          "fields" -> "pm2.5"))
+      assert(out == Seq((1659710065L,
+        """{"fields":["pm2.5"],"data":[[1,9.5]]}""")))
+      val (sensorsUri, _) = seen.poll()
+      assert(sensorsUri.startsWith("/v1/sensors/?"))
+      assert(sensorsUri.contains("modified_since=1659710000"))
+      assert(sensorsUri.contains("fields=pm2.5"))
+      // reference error mapping: 400/403/404 raise, with the code visible
+      Seq(
+        (s"$base".replace("/v1", "/v1/forbidden"), "403",
+          (o: Map[String, String]) => f.validate(o + ("api.base" ->
+            s"${base.replace("/v1", "/v1/forbidden")}"))),
+        (s"$base".replace("/v1", "/v1/gone"), "404",
+          (o: Map[String, String]) => f.fetch(0L, 1L, o + ("api.base" ->
+            s"${base.replace("/v1", "/v1/gone")}"))),
+        (s"$base".replace("/v1", "/v1/bad"), "400",
+          (o: Map[String, String]) => f.fetch(0L, 1L, o + ("api.base" ->
+            s"${base.replace("/v1", "/v1/bad")}")))
+      ).foreach { case (_, code, call) =>
+        val ex = intercept[RuntimeException] {
+          call(Map("api.key" -> "SECRET-KEY"))
+        }
+        assert(ex.getMessage.contains(s"HTTP $code"), s"expected $code")
+      }
+    } finally server.stop(0)
+  }
+
   test("restart seeds the poll cursor from the checkpointed offset") {
     val props = new java.util.HashMap[String, String]()
     props.put(PollingSource.Options.FetcherClass,
