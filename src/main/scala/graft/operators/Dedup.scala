@@ -45,11 +45,20 @@ object Dedup {
     * once and shuffles only (bucket, id). `maxBucket` drops degenerate
     * buckets (a hot bucket is quadratic however you generate pairs —
     * standard LSH practice is to skip, not explode, them; at 2000 ids a
-    * bucket already means ~2M pairs in one task). */
+    * bucket already means ~2M pairs in one task).
+    *
+    * Ids must be numeric (castable to LONG): the `pair_combinations`
+    * kernel works on long arrays. Validated up front — a string id would
+    * otherwise surface as a null/ANSI cast error deep inside the kernel
+    * stage. */
   private[operators] def pairsFromBuckets(
       banded: DataFrame, idCol: String, bucketCols: Seq[String],
       maxBucket: Int = 2000): DataFrame = {
     graft.functions.GraftFunctions.register(banded.sparkSession)
+    val idType = banded.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"pairsFromBuckets requires a numeric id column (castable to LONG); " +
+        s"'$idCol' is ${idType.simpleString}")
     val ids = array_sort(collect_list(col(idCol).cast(LongType)))
     val buckets = banded.groupBy(bucketCols.map(col): _*)
       .agg(ids.as("ids"))

@@ -111,8 +111,15 @@ object TimeSeries {
         .withColumn("sliding_avg",
           (sum(col("s_sum")).over(w).cast(DoubleType) /
             sum(col("s_n")).over(w)))
-        .select(col(key), col("epoch_s"), col("sliding_avg"))
-      withEpoch.join(buckets, Seq(key, "epoch_s"))
+        .select(col(key).as("_b_key"), col("epoch_s").as("_b_epoch"),
+          col("sliding_avg"))
+      // Null-safe (<=>) join back: groupBy and window partitioning both
+      // treat NULL keys/timestamps as one group, so the join must too —
+      // a plain inner join would silently drop null-key rows that the
+      // preBucket=false window path retains.
+      withEpoch.join(buckets,
+          col(key) <=> col("_b_key") && col("epoch_s") <=> col("_b_epoch"))
+        .drop("_b_key", "_b_epoch")
     }
   }
 

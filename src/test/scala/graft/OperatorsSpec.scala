@@ -403,6 +403,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(2) == 30.0)         // [300,900]
   }
 
+  test("slidingAverage preBucket retains null keys like the window path") {
+    val e = Seq((Option(1L), 0L, 10.0), (Option.empty[Long], 0L, 5.0),
+        (Option.empty[Long], 300L, 7.0))
+      .toDF("user_id", "epoch", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    def run(pre: Boolean) =
+      TimeSeries.slidingAverage(e, "ts", "user_id", "value", 600L,
+          preBucket = pre)
+        .select("epoch", "sliding_avg").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val window = run(false)
+    val bucketed = run(true)
+    assert(bucketed == window)
+    assert(bucketed.size == 3, "null-key rows must be retained")
+    assert(bucketed.contains((300L, 6.0)), "null keys form one sliding group")
+  }
+
   test("slidingAverage preBucket (skew path) == plain window") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e = spark.read.parquet(sf("events"))
