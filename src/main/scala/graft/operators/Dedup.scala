@@ -261,23 +261,71 @@ object Dedup {
     * an EXACT edge-set comparison (count + anti-join emptiness), not an
     * id-sum fingerprint — sums over hash-derived 60-bit ids would
     * overflow Long under ANSI mode. Empty input short-circuits to an
-    * empty result (no aggregate over zero rows). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
-    connectedComponentsWithRounds(pairs, maxIter)._1
+    * empty result (no aggregate over zero rows).
+    *
+    * HYBRID finish: once the (contracted) edge set fits comfortably on
+    * the driver (`localEdgeThreshold`, default 2²⁰ edges ≈ 16 MB), the
+    * remainder is solved by an in-memory union-find — per-round
+    * synchronization overhead dominates tiny graphs, and post-LSH dedup
+    * graphs usually START below the threshold. Large graphs still
+    * contract distributed: each star round shrinks the edge set toward
+    * star forests, so the local cutoff is reached in O(log n) rounds
+    * regardless of input size. This is the standard two-phase CC shape
+    * (contract distributed, finish local) rather than a driver-side
+    * loop over big data. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      localEdgeThreshold: Long = 1L << 20): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter, localEdgeThreshold)._1
+
+  /** In-memory union-find with path halving — the local finish. */
+  private def unionFindLocal(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent(x) = gp // path halving
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) {
+        // union by MIN root so the component label is the min id
+        if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(n => n -> find(n)).toMap
+  }
 
   /** [[connectedComponents]] plus the number of star rounds executed —
-    * exposed so tests can assert the O(log n) convergence bound. */
+    * exposed so tests can assert the O(log n) convergence bound (pass
+    * `localEdgeThreshold = 0` to force the distributed path). */
   private[graft] def connectedComponentsWithRounds(
-      pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+      pairs: DataFrame, maxIter: Int = 20,
+      localEdgeThreshold: Long = 1L << 20): (DataFrame, Int) = {
     // direct every edge large→small (u > v), drop self-loops
     val a = col("id_a")
     val b = col("id_b")
     var edges = pairs.filter(a =!= b)
-      .select(greatest(a, b).as("u"), least(a, b).as("v"))
+      .select(greatest(a, b).cast(LongType).as("u"),
+        least(a, b).cast(LongType).as("v"))
       .distinct()
       .localCheckpoint(true)
     if (edges.isEmpty)
       return (edges.select(col("u").as("id"), col("v").as("component")), 0)
+
+    def finishLocal(e: DataFrame, rounds: Int): (DataFrame, Int) = {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val labels = unionFindLocal(
+        e.collect().map(r => (r.getLong(0), r.getLong(1))))
+      (labels.toSeq.toDF("id", "component"), rounds)
+    }
 
     // large-star: each node u hooks its LARGER neighbors v > u onto
     // m = min(N(u) ∪ {u}) — long chains halve instead of shrinking by one
@@ -304,9 +352,11 @@ object Dedup {
     var rounds = 0
     var converged = false
     var count = edges.count()
+    if (count <= localEdgeThreshold) return finishLocal(edges, 0)
     while (rounds < maxIter && !converged) {
       val updated = smallStar(largeStar(edges)).localCheckpoint(true)
       val n = updated.count()
+      if (n <= localEdgeThreshold) return finishLocal(updated, rounds + 1)
       // exact fixpoint test on the (small) edge set: same cardinality and
       // no edge outside the previous set
       converged = n == count && updated.join(edges, Seq("u", "v"),

@@ -171,6 +171,18 @@ class DedupSpec extends SparkSpec {
     assert(ccPath.values.toSet == Set(1L))
   }
 
+  test("connectedComponents: local union-find finish == distributed stars") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(200)(
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    def labels(threshold: Long) =
+      Dedup.connectedComponents(pairs, localEdgeThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L << 20) == labels(0L))
+  }
+
   test("connectedComponents: empty pairs input yields empty labels") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
@@ -186,7 +198,9 @@ class DedupSpec extends SparkSpec {
     // worst case for label propagation: diameter n-1 (would need ~n rounds)
     val path = (1L to n).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("id_a", "id_b")
-    val (labels, rounds) = Dedup.connectedComponentsWithRounds(path, maxIter = 30)
+    // threshold 0 forces the distributed star path (no local finish)
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(path,
+      maxIter = 30, localEdgeThreshold = 0)
     val cc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == n && cc.values.toSet == Set(1L))
     val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt
