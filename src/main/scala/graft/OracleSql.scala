@@ -339,6 +339,26 @@ object OracleSql {
          |FROM documents""".stripMargin
     },
 
+    // Repetition signals: duplicate word/bigram/trigram fractions via the
+    // same shingle definition as the dedup family (short docs: 1 shingle,
+    // fraction 0).
+    "q_text_repetition" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
+         |c AS (SELECT doc_id, len(words) AS nt,
+         |    CASE WHEN len(words) < 1 THEN 1 ELSE len(words) END AS t1,
+         |    CASE WHEN len(words) < 2 THEN 1 ELSE len(words) - 1 END AS t2,
+         |    CASE WHEN len(words) < 3 THEN 1 ELSE len(words) - 2 END AS t3,
+         |    len(${shingleExpr(1)}) AS d1,
+         |    len(${shingleExpr(2)}) AS d2,
+         |    len(${shingleExpr(3)}) AS d3
+         |  FROM w)
+         |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         |  CAST(t1 - d1 AS DOUBLE) / t1 AS dup_word_fraction,
+         |  CAST(t2 - d2 AS DOUBLE) / t2 AS dup_bigram_fraction,
+         |  CAST(t3 - d3 AS DOUBLE) / t3 AS dup_trigram_fraction
+         |FROM c""".stripMargin,
+
     "q_text_fingerprint" ->
       s"""WITH w AS (SELECT doc_id, md5(text) AS md5_fp,
          |    regexp_split_to_array(trim(text), '\\s+') AS words FROM documents)

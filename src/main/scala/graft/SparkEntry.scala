@@ -321,6 +321,9 @@ object SparkEntry {
     TextAnalysis.scrub(docs(spark, dir), "text")
       .select("doc_id", "scrubbed", "n_redactions")
 
+  private def qTextRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(docs(spark, dir), "doc_id", "text")
+
   private def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(spark, dir), "text", 5)
       .select("doc_id", "md5_fp", "min_shingle_fp")
@@ -455,6 +458,7 @@ object SparkEntry {
     "q_text_langid" -> (qTextLangid _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_scrub" -> (qTextScrub _),
+    "q_text_repetition" -> (qTextRepetition _),
     "q_text_winnow" -> (qTextWinnow _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_sample_uniform" -> (qSampleUniform _),

@@ -171,6 +171,33 @@ object TextAnalysis {
       .withColumn("n_redactions", redactions.cast(LongType))
   }
 
+  /** Gopher-style repetition signals: the duplicate word / n-gram
+    * fraction per document — high values flag boilerplate, keyword spam,
+    * and templated pages for curation (the "repetition" family of the
+    * Gopher/MassiveText quality rules). For each n,
+    * `dup_fraction = 1 − |distinct n-grams| / |n-grams|`, computed with
+    * the SAME shingle definition as the dedup family (short docs yield
+    * one whole-text shingle, so the fraction is 0).
+    *
+    * Scale shape: one shuffle-free pass — totals come off the token
+    * count, distinct counts off the native `word_shingles` kernel; no
+    * explode, no per-doc aggregation. */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val nTok = size(tokens(col(textCol))).cast(LongType)
+    def total(n: Int): Column =
+      when(nTok < n, lit(1L)).otherwise(nTok - (n - 1))
+    def distinctN(n: Int): Column =
+      size(graft.functions.WordShingleFunctions
+        .wordShingles(col(textCol), n)).cast(LongType)
+    def frac(n: Int): Column =
+      (total(n) - distinctN(n)).cast(DoubleType) / total(n).cast(DoubleType)
+    df.select(col(idCol), nTok.as("n_tokens"),
+      frac(1).as("dup_word_fraction"),
+      frac(2).as("dup_bigram_fraction"),
+      frac(3).as("dup_trigram_fraction"))
+  }
+
   /** Sliding word `n`-gram shingles as an array column (distinct, to make
     * set semantics explicit for Jaccard). Text with fewer than `n` words
     * yields one shingle = the whole trimmed text. */

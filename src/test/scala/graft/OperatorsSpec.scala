@@ -85,6 +85,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("punct_ratio") > 0 && r.getAs[Double]("punct_ratio") < 0.1)
     assert(r.getAs[Double]("quality_score") <= 1.0)
   }
+
+  test("repetition: duplicate n-gram fractions flag boilerplate") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now"), // pure repetition
+      (2L, "a quick brown fox jumps over dogs"), // all distinct
+      (3L, "hi") // short doc: one whole-text shingle per n
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 8 words {buy, now}: dup_word = 6/8; bigrams 7 total,
+    // 3 distinct {buy now, now buy} + trailing... compute: 7 bigrams,
+    // distinct {"buy now","now buy"} = 2 → 5/7
+    assert(out(1L).getAs[Double]("dup_word_fraction") == 6.0 / 8)
+    assert(out(1L).getAs[Double]("dup_bigram_fraction") == 5.0 / 7)
+    assert(out(2L).getAs[Double]("dup_word_fraction") == 0.0)
+    assert(out(2L).getAs[Double]("dup_trigram_fraction") == 0.0)
+    assert(out(3L).getAs[Long]("n_tokens") == 1L)
+    assert(out(3L).getAs[Double]("dup_trigram_fraction") == 0.0)
+  }
 }
 
 class DedupSpec extends SparkSpec {
