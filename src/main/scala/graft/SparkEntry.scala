@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Profiling, Sampling, Similarity, TextAnalysis}
 import graft.queries.TimeSeries
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -324,6 +324,15 @@ object SparkEntry {
   private def qTextRepetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(docs(spark, dir), "doc_id", "text")
 
+  /** Corpus composition profile per (lang, source): counts, char totals,
+    * exact discrete median, corpus share. */
+  private def qProfileCorpus(spark: SparkSession, dir: String): DataFrame =
+    Profiling.corpusProfile(docs(spark, dir), Seq("lang", "source"), "n_chars")
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("total_size").as("total_chars"), col("min_size").as("min_chars"),
+        col("max_size").as("max_chars"),
+        col("median_size").as("median_chars"), col("share"))
+
   private def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(spark, dir), "text", 5)
       .select("doc_id", "md5_fp", "min_shingle_fp")
@@ -459,6 +468,7 @@ object SparkEntry {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_scrub" -> (qTextScrub _),
     "q_text_repetition" -> (qTextRepetition _),
+    "q_profile_corpus" -> (qProfileCorpus _),
     "q_text_winnow" -> (qTextWinnow _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_sample_uniform" -> (qSampleUniform _),

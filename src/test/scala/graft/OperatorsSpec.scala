@@ -283,6 +283,30 @@ class CurationSpec extends SparkSpec {
   }
 }
 
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Profiling
+
+  test("corpusProfile: exact lower median, totals, and shares") {
+    val df = Seq(
+      ("en", "web", 10L), ("en", "web", 30L), ("en", "web", 20L),
+      ("en", "web", 40L), // even group: lower median = 20
+      ("de", "web", 7L), ("de", "web", 7L), ("de", "web", 9L) // ties: 7
+    ).toDF("lang", "source", "n_chars")
+    val out = Profiling.corpusProfile(df, Seq("lang", "source"), "n_chars")
+      .collect().map(r => (r.getString(0), r)).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("n_docs") == 4L)
+    assert(en.getAs[Long]("total_size") == 100L)
+    assert(en.getAs[Long]("median_size") == 20L)
+    assert(en.getAs[Long]("min_size") == 10L && en.getAs[Long]("max_size") == 40L)
+    assert(en.getAs[Double]("share") == 4.0 / 7)
+    val de = out("de")
+    assert(de.getAs[Long]("median_size") == 7L)
+    assert(de.getAs[Double]("share") == 3.0 / 7)
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Sampling
