@@ -359,6 +359,35 @@ object OracleSql {
          |  CAST(t3 - d3 AS DOUBLE) / t3 AS dup_trigram_fraction
          |FROM c""".stripMargin,
 
+    // Context-window chunking: 32-token windows, stride 24 (overlap 8),
+    // 1-based slices; chunk ids are 0-based window ordinals.
+    "q_chunk_windows" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+        |c AS (SELECT doc_id,
+        |    [array_to_string(words[s:s+31], ' ')
+        |     for s in range(1, GREATEST(len(words), 1) + 1, 24)] AS chunks
+        |  FROM w),
+        |u AS (SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS chunk_id,
+        |    unnest(chunks) AS chunk_text FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
+        |  CAST(CASE WHEN length(chunk_text) = 0 THEN 0
+        |       ELSE len(string_split(chunk_text, ' ')) END AS BIGINT)
+        |    AS n_chunk_tokens
+        |FROM u""".stripMargin,
+
+    // Vocabulary top-k: global token frequencies, ties broken on the
+    // token string (binary UTF-8 order in both engines).
+    "q_vocab_topk" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS token FROM documents),
+        |f AS (SELECT token, COUNT(*) AS freq FROM t
+        |  WHERE length(token) > 0 GROUP BY 1)
+        |SELECT token, CAST(freq AS BIGINT) AS freq,
+        |  CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+        |    AS rank
+        |FROM f QUALIFY rank <= 100""".stripMargin,
+
     // Corpus profile: per (lang, source) — counts, char totals/extremes,
     // EXACT discrete median via cumulative counts over (group, size)
     // buckets, and each group's share of the corpus.

@@ -324,6 +324,15 @@ object SparkEntry {
   private def qTextRepetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(docs(spark, dir), "doc_id", "text")
 
+  /** Context-window chunking: 32-token windows, 8-token overlap. */
+  private def qChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(docs(spark, dir), "doc_id", "text",
+      chunkSize = 32, overlap = 8)
+
+  /** Global vocabulary: top 100 tokens by corpus frequency. */
+  private def qVocabTopk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(docs(spark, dir), "text", 100)
+
   /** Corpus composition profile per (lang, source): counts, char totals,
     * exact discrete median, corpus share. */
   private def qProfileCorpus(spark: SparkSession, dir: String): DataFrame =
@@ -469,6 +478,8 @@ object SparkEntry {
     "q_text_scrub" -> (qTextScrub _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_profile_corpus" -> (qProfileCorpus _),
+    "q_chunk_windows" -> (qChunkWindows _),
+    "q_vocab_topk" -> (qVocabTopk _),
     "q_text_winnow" -> (qTextWinnow _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_sample_uniform" -> (qSampleUniform _),

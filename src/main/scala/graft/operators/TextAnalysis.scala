@@ -198,6 +198,50 @@ object TextAnalysis {
       frac(3).as("dup_trigram_fraction"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the context-window
+    * preparation step of a training pipeline (split each document into
+    * `chunkSize`-token windows advancing by `chunkSize − overlap`).
+    * Returns one row per chunk: `(id, chunk_id, chunk_text, n_chunk_tokens)`.
+    *
+    * Scale shape: one scan, zero shuffles — tokenization + window slicing
+    * + explode happen per row; chunk counts are `⌈n/stride⌉` so output
+    * size is proportional to input tokens, never quadratic. Deterministic
+    * (pure function of the text), so fully oracle-checkable. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val starts = sequence(lit(0), greatest(n - 1, lit(0)), lit(stride))
+    df.select(col(idCol), posexplode(transform(starts,
+        s => concat_ws(" ", slice(toks, s + 1, lit(chunkSize)))))
+        .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("chunk_id", col("chunk_id").cast(LongType))
+      .withColumn("n_chunk_tokens",
+        when(length(col("chunk_text")) === 0, lit(0L))
+          .otherwise(size(split(col("chunk_text"), " ")).cast(LongType)))
+  }
+
+  /** Global vocabulary top-k: token → corpus frequency, ranked. The
+    * counting aggregate is map-side combinable (one shuffle of partial
+    * counts, not tokens... Spark's partial hash agg collapses repeats per
+    * partition), and the top-k is a `TakeOrderedAndProject` — per-
+    * partition top-k merged on the driver, no global sort. The final
+    * `row_number` ranks only the k survivors. Ties break on the token
+    * string, so ranking is deterministic and oracle-checkable. */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    counts.orderBy(col("freq").desc, col("token")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("freq").desc, col("token"))).cast(LongType))
+  }
+
   /** Sliding word `n`-gram shingles as an array column (distinct, to make
     * set semantics explicit for Jaccard). Text with fewer than `n` words
     * yields one shingle = the whole trimmed text. */

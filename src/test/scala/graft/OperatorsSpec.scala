@@ -86,6 +86,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("quality_score") <= 1.0)
   }
 
+  test("chunk: overlapping token windows cover the doc exactly") {
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // size 4, overlap 1 → stride 3: starts 0,3,6,9
+    val out = TextAnalysis.chunk(df, "doc_id", "text", 4, 1)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getLong(3)).toSeq == Seq(4L, 4L, 4L, 1L))
+    // no overlap: disjoint cover
+    val flat = TextAnalysis.chunk(df, "doc_id", "text", 5)
+      .orderBy("chunk_id").collect().map(_.getString(2))
+    assert(flat.toSeq == Seq("w1 w2 w3 w4 w5", "w6 w7 w8 w9 w10"))
+  }
+
+  test("vocabulary: top-k by frequency, ties on token") {
+    val df = Seq("b a a", "c b a  c").toDF("text")
+    val out = TextAnalysis.vocabulary(df, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 3L, 1L), ("b", 2L, 2L)))
+  }
+
   test("repetition: duplicate n-gram fractions flag boilerplate") {
     val df = Seq(
       (1L, "buy now buy now buy now buy now"), // pure repetition
