@@ -695,6 +695,70 @@ object OracleSql {
         |    AS rank
         |FROM s QUALIFY rank <= 5""".stripMargin,
 
+    // Two-level IVF: fine = 16 smallest md5_60(vec_id), coarse = first 4
+    // of the same order (coarse ⊆ fine ⊆ corpus, so ONE corpus×fine
+    // distance CTE `d` covers every pair the hierarchy needs). Each stage
+    // replicates the engine's two-level decision exactly: fine→nearest
+    // coarse, corpus→nearest coarse→nearest fine within it, query→2
+    // coarse cells→2 fine cells, exact scores in probed cells.
+    "q_sim_ivf2" ->
+      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
+        |  FROM embeddings),
+        |sq AS (SELECT vec_id,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
+        |  FROM el GROUP BY 1),
+        |ord AS (SELECT vec_id, row_number() OVER (ORDER BY
+        |    ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        |    vec_id) AS rn
+        |  FROM embeddings),
+        |fine AS (SELECT vec_id FROM ord WHERE rn <= 16),
+        |coarse AS (SELECT vec_id FROM ord WHERE rn <= 4),
+        |vc AS (SELECT e.vec_id AS vid, c.vec_id AS cid,
+        |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+        |  FROM el e JOIN el c ON e.i = c.i
+        |  JOIN fine ON c.vec_id = fine.vec_id GROUP BY 1, 2),
+        |d AS (SELECT vid, cid, sv.s2 + sc.s2 - 2.0 * dot AS d2
+        |  FROM vc JOIN sq sv ON sv.vec_id = vid
+        |          JOIN sq sc ON sc.vec_id = cid),
+        |fc AS (SELECT d.vid AS fine_id, d.cid AS coarse_id FROM d
+        |  JOIN fine f ON f.vec_id = d.vid
+        |  JOIN coarse co ON co.vec_id = d.cid
+        |  QUALIFY row_number() OVER (PARTITION BY d.vid
+        |    ORDER BY d.d2, d.cid) = 1),
+        |vcoarse AS (SELECT d.vid, d.cid AS coarse_id FROM d
+        |  JOIN coarse co ON co.vec_id = d.cid
+        |  QUALIFY row_number() OVER (PARTITION BY d.vid
+        |    ORDER BY d.d2, d.cid) = 1),
+        |vfine AS (SELECT d.vid, d.cid AS fine_id FROM d
+        |  JOIN vcoarse v2 ON v2.vid = d.vid
+        |  JOIN fc ON fc.fine_id = d.cid AND fc.coarse_id = v2.coarse_id
+        |  QUALIFY row_number() OVER (PARTITION BY d.vid
+        |    ORDER BY d.d2, d.cid) = 1),
+        |qcoarse AS (SELECT d.vid AS query_id, d.cid AS coarse_id FROM d
+        |  JOIN coarse co ON co.vec_id = d.cid
+        |  WHERE d.vid < 10
+        |  QUALIFY row_number() OVER (PARTITION BY d.vid
+        |    ORDER BY d.d2, d.cid) <= 2),
+        |qfine AS (SELECT q.query_id, d.cid AS fine_id FROM qcoarse q
+        |  JOIN fc ON fc.coarse_id = q.coarse_id
+        |  JOIN d ON d.vid = q.query_id AND d.cid = fc.fine_id
+        |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY d.d2, d.cid) <= 2),
+        |cand AS (SELECT DISTINCT qfine.query_id, vfine.vid AS corpus_id
+        |  FROM qfine JOIN vfine ON vfine.fine_id = qfine.fine_id),
+        |s AS (SELECT query_id, corpus_id,
+        |    CAST(SUM(CAST(qe.x * ce.x AS DECIMAL(25,12))) AS DOUBLE) AS score
+        |  FROM cand
+        |  JOIN el qe ON qe.vec_id = query_id
+        |  JOIN el ce ON ce.vec_id = corpus_id AND qe.i = ce.i
+        |  GROUP BY 1, 2)
+        |SELECT query_id, corpus_id, score,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS BIGINT)
+        |    AS rank
+        |FROM s QUALIFY rank <= 5""".stripMargin,
+
     "q_emb_neardup" ->
       s"""WITH ${lshSigCtes(tables = 4, planes = 6)},
          |bsz AS (SELECT tbl, bucket, COUNT(*) AS n FROM sig GROUP BY 1, 2),

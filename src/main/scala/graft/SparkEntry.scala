@@ -421,6 +421,12 @@ object SparkEntry {
       emb(spark, dir), "vec_id", "embedding", k = 5,
       numCentroids = 16, nprobe = 2)
 
+  private def qSimIvf2(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK2(
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding", k = 5,
+      numCentroids = 16, numCoarse = 4, nprobe = 2, cprobe = 2)
+
   private def qEmbNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDuplicates(emb(spark, dir), "vec_id", "embedding",
       threshold = 0.25, planes = 6, tables = 4)
@@ -494,6 +500,7 @@ object SparkEntry {
     "q_sim_topk_cosine" -> (qSimTopkCosine _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_sim_ivf2" -> (qSimIvf2 _),
     "q_emb_neardup" -> (qEmbNearDup _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),

@@ -265,6 +265,106 @@ object Similarity {
       .select("query_id", "corpus_id", "score", "rank")
   }
 
+  /** TWO-LEVEL IVF — the large-K variant of [[ivfTopK]]: a coarse
+    * quantizer over the centroid set cuts both assignment and probing
+    * from O(K) to O(C + K/C) comparisons per vector (minimized at
+    * C ≈ √K). Centroids are the `numCentroids` corpus vectors smallest
+    * in md5_60(id) order; the `numCoarse` FIRST of that same order form
+    * the coarse level (coarse ⊆ fine, so every selection stays one
+    * deterministic ordered prefix). Every fine centroid hangs off its
+    * nearest coarse centroid; a corpus vector finds its nearest coarse
+    * cell, then its nearest fine centroid WITHIN that cell; a query
+    * probes its `cprobe` nearest coarse cells, ranks the fine centroids
+    * they contain, keeps `nprobe`, and scores only those cells' members.
+    *
+    * Scale design: both centroid levels are broadcast (bounded by
+    * construction); the corpus makes ONE pass per level with `min_by`
+    * partial aggregation (the shuffle carries one row per vector); all
+    * stages are exact quantized arithmetic with id tie-breaks →
+    * deterministic and fully oracle-checkable. Note the two-level
+    * assignment is genuinely approximate in the same way real IVF
+    * hierarchies are: a vector's globally-nearest fine centroid can sit
+    * in a non-nearest coarse cell — the oracle replicates the two-stage
+    * decision, not a flat argmin. */
+  def ivfTopK2(
+      queries: DataFrame, queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int, numCentroids: Int = 16, numCoarse: Int = 4,
+      nprobe: Int = 2, cprobe: Int = 2): DataFrame = {
+    registered(corpus)
+    val pool = corpus.select(col(corpusId).as("cid"),
+        V.quantize6(col(corpusVec)).as("cq"))
+      .orderBy(Dedup.md5_60(col("cid").cast(StringType)), col("cid"))
+      .limit(numCentroids)
+      .withColumn("c_s2", V.dotQ12(col("cq"), col("cq")))
+      .localCheckpoint(true) // tiny; one compute for all consumers below
+    val fine = pool.select(col("cid").as("fine_id"), col("cq").as("fineq"),
+      col("c_s2").as("fine_s2"))
+    val coarse = pool
+      .orderBy(Dedup.md5_60(col("cid").cast(StringType)), col("cid"))
+      .limit(numCoarse)
+      .select(col("cid").as("coarse_id"), col("cq").as("coarseq"),
+        col("c_s2").as("coarse_s2"))
+    def d2(vq: Column, vs2: Column, cq: Column, cs2: Column): Column =
+      vs2 + cs2 - lit(2.0) * V.dotQ12(vq, cq)
+
+    // fine → coarse (tiny): each fine centroid hangs off its nearest coarse
+    val fc = broadcast(fine.crossJoin(coarse)
+      .withColumn("d2",
+        d2(col("fineq"), col("fine_s2"), col("coarseq"), col("coarse_s2")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("fine_id"))
+        .orderBy(col("d2"), col("coarse_id"))))
+      .filter(col("rn") === 1)
+      .select(col("fine_id"), col("fineq"), col("fine_s2"), col("coarse_id")))
+
+    // corpus pass 1: nearest coarse cell (O(C) per row, min_by partial agg)
+    val corpusQ = corpus.select(col(corpusId).as("corpus_id"),
+        V.quantize6(col(corpusVec)).as("vq"))
+      .withColumn("v_s2", V.dotQ12(col("vq"), col("vq")))
+    val vCoarse = corpusQ.crossJoin(broadcast(coarse))
+      .withColumn("d2",
+        d2(col("vq"), col("v_s2"), col("coarseq"), col("coarse_s2")))
+      .groupBy(col("corpus_id"))
+      .agg(min_by(struct(col("coarse_id"), col("vq"), col("v_s2")),
+        struct(col("d2"), col("coarse_id"))).as("m"))
+      .select(col("corpus_id"), col("m.coarse_id").as("coarse_id"),
+        col("m.vq").as("vq"), col("m.v_s2").as("v_s2"))
+    // corpus pass 2: nearest fine centroid WITHIN the coarse cell
+    val cells = vCoarse.join(fc, Seq("coarse_id"))
+      .withColumn("d2", d2(col("vq"), col("v_s2"), col("fineq"), col("fine_s2")))
+      .groupBy(col("corpus_id"))
+      .agg(min_by(struct(col("fine_id"), col("vq")),
+        struct(col("d2"), col("fine_id"))).as("m"))
+      .select(col("corpus_id"), col("m.fine_id").as("fine_id"),
+        col("m.vq").as("vq"))
+
+    // query probes: cprobe coarse cells, then nprobe fine cells inside them
+    val qQ = queries.select(col(queryId).as("query_id"),
+        V.quantize6(col(queryVec)).as("qq"))
+      .withColumn("q_s2", V.dotQ12(col("qq"), col("qq")))
+    val qCoarse = qQ.crossJoin(broadcast(coarse))
+      .withColumn("d2",
+        d2(col("qq"), col("q_s2"), col("coarseq"), col("coarse_s2")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("coarse_id"))))
+      .filter(col("crank") <= cprobe)
+      .select(col("query_id"), col("qq"), col("q_s2"), col("coarse_id"))
+    val qFine = qCoarse.join(fc, Seq("coarse_id"))
+      .withColumn("d2", d2(col("qq"), col("q_s2"), col("fineq"), col("fine_s2")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("fine_id"))))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qq"), col("fine_id"))
+
+    val scored = cells.join(broadcast(qFine), Seq("fine_id"))
+      .withColumn("score", V.dotQ12(col("qq"), col("vq")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "score", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`: LSH bucketing
     * generates candidates (pairs must collide in ≥1 table), exact
     * quantized-decimal cosine verifies — like [[lshTopK]], fully

@@ -444,6 +444,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1).getLong(1) == 1L) // near neighbor, dot 0.9
   }
 
+  test("ivfTopK2: coarse cell routes to fine cells, exact ranks inside") {
+    // fine = {1, 2} (md5_60 order), coarse = {1}: both fine centroids
+    // hang off coarse 1; query 0 probes coarse 1, picks nearest fine 1
+    // (nprobe=1) → candidates are cell-1 members {0, 1, 3}
+    val out = Similarity.ivfTopK2(
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 2,
+      numCentroids = 2, numCoarse = 1, nprobe = 1, cprobe = 1)
+      .orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 0L)
+    assert(out(1).getLong(1) == 1L)
+  }
+
   test("cosineNearDuplicates finds the near pair, not the orthogonal one") {
     val out = Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding",
       threshold = 0.95, planes = 2, tables = 4, dims = 4)
