@@ -511,7 +511,7 @@ object SparkEntry {
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (46 exact / 0 rows-only as of round 3). See
+    * by DuckDB (49 exact / 0 rows-only as of round 3). See
     * [[OracleSql.sql]] for the definitions. */
   def oracleSql: Map[String, String] = OracleSql.sql
 }
