@@ -32,4 +32,33 @@ object Curation {
     Sampling.uniform(deduped, idCol, sampleRate)
       .select(col(idCol), col("quality_score"))
   }
+
+  /** The STREAMING form of the curation pipeline — continuous corpus
+    * ingest: per-row quality gate + deterministic uniform sample (both
+    * stateless, they run inside the micro-batch scan), then exact
+    * content dedup ACROSS micro-batches via
+    * `dropDuplicatesWithinWatermark` keyed on the content digest —
+    * state holds one digest per distinct document and expires with the
+    * watermark, so a re-crawled page arriving within the horizon is
+    * dropped as a duplicate and state cannot grow unboundedly.
+    * First-arrival-wins replaces the batch pipeline's min-id survivor
+    * (cross-batch arrival order is the only order a stream has).
+    *
+    * `df` must be a streaming DataFrame with an event-time column. */
+  def streamingCurate(
+      df: DataFrame, idCol: String, textCol: String, tsCol: String,
+      stopwords: Seq[String], minQuality: Double = 0.3,
+      sampleRate: Double = 1.0,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val gated = TextAnalysis.quality(df, textCol, stopwords)
+      .filter(col("quality_score") >= minQuality)
+    val sampled =
+      if (sampleRate >= 1.0) gated else Sampling.uniform(gated, idCol, sampleRate)
+    sampled
+      .withColumn("content_md5",
+        md5(col(textCol).cast(org.apache.spark.sql.types.BinaryType)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("content_md5"))
+      .select(col(idCol), col(tsCol), col(textCol), col("quality_score"))
+  }
 }

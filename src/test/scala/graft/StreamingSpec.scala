@@ -237,6 +237,33 @@ class ContinuousAggregateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation: quality gate + cross-batch content dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF().toDF("doc_id", "epoch", "text")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val curated = graft.operators.Curation.streamingCurate(
+      df, "doc_id", "text", "ts",
+      stopwords = Seq("the", "a", "of"), minQuality = 0.2)
+    val cp = Files.createTempDirectory("graft_sc").toString
+    val q = curated.writeStream.format("memory").queryName("sc_out")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      val good = "the quick brown fox jumps over a lazy dog of note"
+      input.addData((1L, 1000L, good), (2L, 1001L, "$$$ 111 !!!"))
+      q.processAllAvailable()
+      // same content re-arrives in a LATER micro-batch within the
+      // watermark horizon → cross-batch duplicate, dropped
+      input.addData((3L, 1002L, good),
+        (4L, 1003L, "the small grey cat sits on a mat of wool"))
+      q.processAllAvailable()
+      val out = spark.table("sc_out").select("doc_id").as[Long]
+        .collect().sorted.toSeq
+      assert(out == Seq(1L, 4L),
+        s"expected quality-gated, cross-batch-deduped {1, 4}, got $out")
+    } finally q.stop()
+  }
+
   test("streaming session windows: gap splits sessions, append on close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Int, Double)]
