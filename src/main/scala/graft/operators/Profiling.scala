@@ -18,9 +18,10 @@ import org.apache.spark.sql.types._
   * size whose cumulative count reaches ⌈n/2⌉) instead of sorting rows —
   * a skewed group costs a window over its distinct sizes, not its rows.
   * No approximate percentile: the result is engine-reproducible and
-  * oracle-gated. Both downstream branches (median, totals) reuse the
-  * same exchange (identical subplans → ReuseExchange), so the corpus is
-  * scanned once.
+  * oracle-gated. Totals/extremes are windows over the SAME partition
+  * key as the median's cumulative window, so the whole profile is one
+  * scan, one aggregation exchange, and one window exchange — no second
+  * branch, no join, no reliance on runtime exchange reuse.
   */
 object Profiling {
 
@@ -35,21 +36,19 @@ object Profiling {
     val wOrd = Window.partitionBy(g: _*).orderBy(col(sizeCol))
     val wAll = Window.partitionBy(g: _*)
     // lower discrete median: position (n+1) div 2 in size order; the
-    // bucket whose cumulative range contains that position holds it
-    val k: Column = expr("(n_total + 1) div 2")
-    val med = byVal
+    // bucket whose cumulative range contains that position holds it —
+    // exactly one row per group survives the filter
+    val k: Column = expr("(n_docs + 1) div 2")
+    byVal
       .withColumn("cum", sum(col("cnt")).over(wOrd))
-      .withColumn("n_total", sum(col("cnt")).over(wAll))
+      .withColumn("n_docs", sum(col("cnt")).over(wAll))
+      .withColumn("total_size", sum(col(sizeCol) * col("cnt")).over(wAll))
+      .withColumn("min_size", min(col(sizeCol)).over(wAll))
+      .withColumn("max_size", max(col(sizeCol)).over(wAll))
       .filter(col("cum") >= k && (col("cum") - col("cnt")) < k)
-      .select(g :+ col(sizeCol).as("median_size"): _*)
-    val agg = byVal.groupBy(g: _*).agg(
-      sum(col("cnt")).as("n_docs"),
-      sum(col(sizeCol) * col("cnt")).as("total_size"),
-      min(col(sizeCol)).as("min_size"),
-      max(col(sizeCol)).as("max_size"))
-    agg
       .withColumn("share", col("n_docs").cast(DoubleType) /
         sum(col("n_docs")).over(Window.partitionBy()))
-      .join(med, groupCols)
+      .select(g ++ Seq(col("n_docs"), col("total_size"), col("min_size"),
+        col("max_size"), col(sizeCol).as("median_size"), col("share")): _*)
   }
 }
