@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
@@ -135,6 +135,42 @@ case class SigAgreement(left: Expression, right: Expression)
   override def prettyName: String = "sig_agreement"
 }
 
+object Md5_60ArrayImpl {
+  def compute(arr: ArrayData): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = MinHashImpl.md5_60(arr.getUTF8String(i).getBytes, md)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `md5_60_array(a ARRAY<STRING>) -> ARRAY<LONG>`: md5_60 of every
+  * element in one loop (one MessageDigest per row, reused across
+  * elements) — the kernel form of `transform(a, s -> md5_60(s))`, which
+  * interprets the md5 expression per element. Elements must be
+  * non-null (shingle arrays are). */
+case class Md5_60Array(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5_60_array requires ARRAY<STRING>, got ${other.sql}")
+    }
+  override def nullSafeEval(arr: Any): Any =
+    Md5_60ArrayImpl.compute(arr.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.Md5_60ArrayImpl.compute($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "md5_60_array"
+}
+
 object MinHashFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -143,6 +179,9 @@ object MinHashFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sig_agreement",
       exprs => SigAgreement(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_60_array",
+      exprs => Md5_60Array(exprs.head), "scala_udf")
   }
 
   def minhashSignature(shingles: Column, k: Int): Column =
@@ -150,4 +189,7 @@ object MinHashFunctions {
 
   def sigAgreement(a: Column, b: Column): Column =
     call_function("sig_agreement", a, b)
+
+  def md5_60Array(a: Column): Column =
+    call_function("md5_60_array", a)
 }

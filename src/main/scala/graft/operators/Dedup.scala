@@ -431,7 +431,8 @@ object Dedup {
     // (spec-proven against the full postings join).
     val postings = base
       .select(col("id"), col("set_size"),
-        posexplode(slice(array_sort(transform(col("sh_arr"), s => md5_60(s))),
+        posexplode(slice(array_sort(
+          graft.functions.MinHashFunctions.md5_60Array(col("sh_arr"))),
           lit(1), prefixLen)).as(Seq("pos", "h")))
     // Candidate pairs are small; materialize them eagerly — they feed
     // both the candidate-id set and the final join (a lazy diamond would

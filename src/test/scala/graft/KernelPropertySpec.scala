@@ -89,6 +89,22 @@ class KernelPropertySpec extends SparkSpec {
     assert(shNative == shAgg)
   }
 
+  test("property: md5_60_array kernel == per-element md5_60 transform") {
+    graft.functions.GraftFunctions.register(spark)
+    val word = Gen.oneOf("alpha", "beta", "x1", "läng", "中文", "", "a b")
+    val arr = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+    val df = sample(arr, 50).zipWithIndex
+      .map { case (a, i) => (i.toLong, a.toArray) }.toDF("id", "a")
+    df.select(
+        graft.functions.MinHashFunctions.md5_60Array(col("a")).as("fast"),
+        transform(col("a"), s =>
+          conv(substring(md5(s.cast("binary")), 1, 15), 16, 10)
+            .cast("long")).as("ref"))
+      .collect()
+      .foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        "md5_60_array"))
+  }
+
   test("property: sig_agreement kernel == zip_with formulation") {
     graft.functions.GraftFunctions.register(spark)
     val sigPair = for {
