@@ -339,6 +339,15 @@ object OracleSql {
          |FROM documents""".stripMargin
     },
 
+    // Canonical normalization: control chars → space, collapse
+    // whitespace, trim, lowercase.
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  lower(trim(regexp_replace(
+        |    regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+        |    '\s+', ' ', 'g'))) AS normalized
+        |FROM documents""".stripMargin,
+
     // Repetition signals: duplicate word/bigram/trigram fractions via the
     // same shingle definition as the dedup family (short docs: 1 shingle,
     // fraction 0).

@@ -324,6 +324,10 @@ object SparkEntry {
   private def qTextRepetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(docs(spark, dir), "doc_id", "text")
 
+  private def qTextNormalize(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      TextAnalysis.normalize(col("text")).as("normalized"))
+
   /** Context-window chunking: 32-token windows, 8-token overlap. */
   private def qChunkWindows(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunk(docs(spark, dir), "doc_id", "text",
@@ -483,6 +487,7 @@ object SparkEntry {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_scrub" -> (qTextScrub _),
     "q_text_repetition" -> (qTextRepetition _),
+    "q_text_normalize" -> (qTextNormalize _),
     "q_profile_corpus" -> (qProfileCorpus _),
     "q_chunk_windows" -> (qChunkWindows _),
     "q_vocab_topk" -> (qVocabTopk _),
@@ -511,7 +516,7 @@ object SparkEntry {
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (49 exact / 0 rows-only as of round 3). See
+    * by DuckDB (50 exact / 0 rows-only as of round 3). See
     * [[OracleSql.sql]] for the definitions. */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -171,6 +171,16 @@ object TextAnalysis {
       .withColumn("n_redactions", redactions.cast(LongType))
   }
 
+  /** Canonical text normalization — the deterministic pre-hash cleanup
+    * pass (dedup families hash RAW text; normalizing first makes
+    * near-identical pages exact duplicates): strip control characters,
+    * collapse whitespace runs to single spaces, trim, lowercase. All
+    * patterns sit in the RE2∩Java subset and every step is
+    * engine-reproducible. One shuffle-free pass. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " ")))
+
   /** Gopher-style repetition signals: the duplicate word / n-gram
     * fraction per document — high values flag boilerplate, keyword spam,
     * and templated pages for curation (the "repetition" family of the

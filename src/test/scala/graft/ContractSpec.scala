@@ -12,6 +12,10 @@ import graft.transform.Transforms
   * property check that conform is total over arbitrary field subsets. */
 class ContractSpec extends SparkSpec {
 
+  test("driver entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("CSV sink headers match the reference's column order exactly") {
     val payload = spark.read.option("multiLine", true).json(
       "/root/reference/hardware_variant_json_samples/" +

@@ -86,6 +86,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("quality_score") <= 1.0)
   }
 
+  test("normalize: control chars out, whitespace collapsed, lowercased") {
+    val df = Seq("  Hello\tWORLD  again \n ").toDF("text")
+    val out = df.select(TextAnalysis.normalize(col("text"))).head().getString(0)
+    assert(out == "hello world again")
+  }
+
   test("chunk: overlapping token windows cover the doc exactly") {
     val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
       .toDF("doc_id", "text")
