@@ -46,6 +46,18 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() == 100)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("chunking is shuffle-free; vocabulary top-k avoids a global sort") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(sf("documents"))
+    val chunks = TextAnalysis.chunk(docs, "doc_id", "text", 32, 8)
+    assert(Scale.isShuffleFree(chunks),
+      chunks.queryExecution.executedPlan.toString)
+    val vocab = TextAnalysis.vocabulary(docs, "text", 10)
+    val plan = vocab.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocabulary top-k should be TakeOrderedAndProject, not a global sort:\n$plan")
+  }
 }
 
 class DashboardSpec extends SparkSpec {
