@@ -400,25 +400,26 @@ object OracleSql {
     // Corpus profile: per (lang, source) — counts, char totals/extremes,
     // EXACT discrete median via cumulative counts over (group, size)
     // buckets, and each group's share of the corpus.
+    // Single window pipeline (mirrors the operator's one-branch plan):
+    // no join on the group keys, so NULL lang/source groups survive —
+    // window PARTITION BY groups NULLs together in both engines.
     "q_profile_corpus" ->
       """WITH byval AS (SELECT lang, source, n_chars, COUNT(*) AS cnt
         |  FROM documents GROUP BY 1, 2, 3),
         |cum AS (SELECT *,
         |    SUM(cnt) OVER (PARTITION BY lang, source ORDER BY n_chars) AS cum,
-        |    SUM(cnt) OVER (PARTITION BY lang, source) AS n_total
+        |    SUM(cnt) OVER (PARTITION BY lang, source) AS n_docs,
+        |    SUM(n_chars * cnt) OVER (PARTITION BY lang, source) AS total_chars,
+        |    MIN(n_chars) OVER (PARTITION BY lang, source) AS min_chars,
+        |    MAX(n_chars) OVER (PARTITION BY lang, source) AS max_chars
         |  FROM byval),
-        |med AS (SELECT lang, source, n_chars AS median_chars FROM cum
-        |  WHERE cum >= (n_total + 1) // 2 AND cum - cnt < (n_total + 1) // 2),
-        |agg AS (SELECT lang, source, SUM(cnt) AS n_docs,
-        |    SUM(n_chars * cnt) AS total_chars,
-        |    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
-        |  FROM byval GROUP BY 1, 2),
-        |s AS (SELECT *, CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS share
-        |  FROM agg)
+        |m AS (SELECT * FROM cum
+        |  WHERE cum >= (n_docs + 1) // 2 AND cum - cnt < (n_docs + 1) // 2)
         |SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
         |  CAST(total_chars AS BIGINT) AS total_chars, min_chars, max_chars,
-        |  median_chars, share
-        |FROM s JOIN med USING (lang, source)""".stripMargin,
+        |  n_chars AS median_chars,
+        |  CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS share
+        |FROM m""".stripMargin,
 
     "q_text_fingerprint" ->
       s"""WITH w AS (SELECT doc_id, md5(text) AS md5_fp,

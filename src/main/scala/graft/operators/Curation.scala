@@ -44,6 +44,14 @@ object Curation {
     * First-arrival-wins replaces the batch pipeline's min-id survivor
     * (cross-batch arrival order is the only order a stream has).
     *
+    * Order matters: dedup runs BEFORE the sample, matching the batch
+    * pipeline — sampling first would give each duplicate copy an
+    * independent draw, so heavily re-crawled content would survive with
+    * probability 1−(1−rate)ⁿ instead of rate, biasing the corpus toward
+    * exactly what dedup suppresses. The sample is keyed on the CONTENT
+    * digest (not the arrival-dependent surviving id), so each distinct
+    * content gets exactly one deterministic draw.
+    *
     * `df` must be a streaming DataFrame with an event-time column. */
   def streamingCurate(
       df: DataFrame, idCol: String, textCol: String, tsCol: String,
@@ -52,13 +60,14 @@ object Curation {
       watermarkDelay: String = "1 hour"): DataFrame = {
     val gated = TextAnalysis.quality(df, textCol, stopwords)
       .filter(col("quality_score") >= minQuality)
-    val sampled =
-      if (sampleRate >= 1.0) gated else Sampling.uniform(gated, idCol, sampleRate)
-    sampled
+    val deduped = gated
       .withColumn("content_md5",
         md5(col(textCol).cast(org.apache.spark.sql.types.BinaryType)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("content_md5"))
-      .select(col(idCol), col(tsCol), col(textCol), col("quality_score"))
+    val sampled =
+      if (sampleRate >= 1.0) deduped
+      else Sampling.uniform(deduped, "content_md5", sampleRate)
+    sampled.select(col(idCol), col(tsCol), col(textCol), col("quality_score"))
   }
 }

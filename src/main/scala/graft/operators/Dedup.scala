@@ -273,7 +273,7 @@ object Dedup {
     * regardless of input size. This is the standard two-phase CC shape
     * (contract distributed, finish local) rather than a driver-side
     * loop over big data. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 64,
       localEdgeThreshold: Long = 1L << 20): DataFrame =
     connectedComponentsWithRounds(pairs, maxIter, localEdgeThreshold)._1
 
@@ -306,7 +306,7 @@ object Dedup {
     * exposed so tests can assert the O(log n) convergence bound (pass
     * `localEdgeThreshold = 0` to force the distributed path). */
   private[graft] def connectedComponentsWithRounds(
-      pairs: DataFrame, maxIter: Int = 20,
+      pairs: DataFrame, maxIter: Int = 64,
       localEdgeThreshold: Long = 1L << 20): (DataFrame, Int) = {
     // direct every edge large→small (u > v), drop self-loops
     val a = col("id_a")
@@ -365,6 +365,15 @@ object Dedup {
       edges = updated
       rounds += 1
     }
+    // The label extraction below is only valid on a star forest — a
+    // partially-contracted edge set would yield duplicate ids with
+    // conflicting components and silently corrupt the dedup decision.
+    // maxIter's default (64 ≳ 2·log₂(2⁶³)) makes exhaustion effectively
+    // impossible for a converging run; if a caller lowers it, fail loudly
+    // rather than return malformed labels.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter star rounds " +
+        s"($count edges remain); raise maxIter")
     // at the fixpoint the edge set is a star forest: (node, component
     // min) for every non-root node; roots label themselves
     val labels = edges.select(col("u").as("id"), col("v").as("component"))
@@ -422,13 +431,21 @@ object Dedup {
     // pair is dropped bucket-locally when
     //  - lengths are incompatible:  |B| < t·|A|  (or symmetrically), or
     //  - the position bound caps the overlap below the Jaccard minimum:
-    //    ubound = 1 + min(|A|−i, |B|−j)  <  t/(1+t)·(|A|+|B|)
-    //    (checked as  ubound ≥ t·(|A|+|B|−ubound), exact in decimal).
-    // Both filters are sound at the pair's FIRST shared prefix token
-    // (no shared tokens precede it, so overlap ≤ ubound there); a truly
-    // similar pair always survives that occurrence, and `distinct` keeps
-    // a pair if any occurrence survives — losslessness is preserved
-    // (spec-proven against the full postings join).
+    //    ubound = min(i,j) + 1 + min(|A|−i−1, |B|−j−1)
+    //           = min(i,j) + min(|A|−i, |B|−j)
+    //    < t/(1+t)·(|A|+|B|)   (checked as ubound ≥ t·(|A|+|B|−ubound),
+    //    exact in decimal).
+    // The `min(i,j)` term bounds how many shared tokens can PRECEDE this
+    // occurrence, which makes the bound sound at ANY shared occurrence —
+    // not just the pair's first. That matters because `maxDocFreq` can
+    // drop the bucket holding the first shared token: a first-occurrence-
+    // only bound applied to a surviving later occurrence could reject a
+    // truly similar pair. With the any-occurrence bound, `distinct` keeps
+    // a pair if any occurrence survives, so the position filter never
+    // loses a pair that has at least one kept prefix co-occurrence —
+    // losslessness no longer depends on which buckets maxDocFreq drops
+    // (spec-proven equal to the full postings join in the no-drop
+    // regime).
     val postings = base
       .select(col("id"), col("set_size"),
         posexplode(slice(array_sort(
@@ -437,8 +454,8 @@ object Dedup {
     // Candidate pairs are small; materialize them eagerly — they feed
     // both the candidate-id set and the final join (a lazy diamond would
     // re-run the pairing stages per consumer).
-    val ubound = least(col("size_a") - col("pos_a"),
-      col("size_b") - col("pos_b"))
+    val ubound = least(col("pos_a"), col("pos_b")) +
+      least(col("size_a") - col("pos_a"), col("size_b") - col("pos_b"))
     val cand = postings.groupBy(col("h"))
       .agg(array_sort(collect_list(
         struct(col("id"), col("set_size"), col("pos")))).as("es"))

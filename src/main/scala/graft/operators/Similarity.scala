@@ -223,11 +223,15 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       k: Int, numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
     registered(corpus)
+    // Order/limit on the RAW (id, vec) columns, quantize only the K
+    // survivors: the sort key is md5_60(id) alone, and quantizing inside
+    // the pre-limit projection would run the per-element decimal
+    // conversion over the whole corpus just to discard all but K rows.
     val cent = broadcast(
-      corpus.select(col(corpusId).as("cent_id"),
-          V.quantize6(col(corpusVec)).as("centq"))
+      corpus.select(col(corpusId).as("cent_id"), col(corpusVec).as("cvec"))
         .orderBy(Dedup.md5_60(col("cent_id").cast(StringType)), col("cent_id"))
         .limit(numCentroids)
+        .select(col("cent_id"), V.quantize6(col("cvec")).as("centq"))
         .withColumn("cent_s2", V.dotQ12(col("centq"), col("centq"))))
     // exact squared L2 to centroid: |v|² + |c|² − 2·v·c, every term an
     // exact scale-12 decimal surfaced as double
@@ -292,10 +296,12 @@ object Similarity {
       k: Int, numCentroids: Int = 16, numCoarse: Int = 4,
       nprobe: Int = 2, cprobe: Int = 2): DataFrame = {
     registered(corpus)
-    val pool = corpus.select(col(corpusId).as("cid"),
-        V.quantize6(col(corpusVec)).as("cq"))
+    // Raw order/limit first (sort key is md5_60(id) only), quantize the
+    // K survivors — see the same note in [[ivfTopK]].
+    val pool = corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cvec"))
       .orderBy(Dedup.md5_60(col("cid").cast(StringType)), col("cid"))
       .limit(numCentroids)
+      .select(col("cid"), V.quantize6(col("cvec")).as("cq"))
       .withColumn("c_s2", V.dotQ12(col("cq"), col("cq")))
       .localCheckpoint(true) // tiny; one compute for all consumers below
     val fine = pool.select(col("cid").as("fine_id"), col("cq").as("fineq"),

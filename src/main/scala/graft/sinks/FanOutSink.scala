@@ -97,8 +97,16 @@ object FanOutSink {
             s"$checkpointDir/_graft_jdbc_committed/$batchId")
           val fs = markerDir.getFileSystem(
             batch.sparkSession.sparkContext.hadoopConfiguration)
-          writeBatchJdbc(batch, format, jdbcProperties,
-            markers = Some((fs, markerDir)))
+          // Legacy layout migration: earlier versions wrote ONE marker
+          // FILE per batch at this path. A file here means the whole
+          // batch committed — skip it entirely (re-appending would be
+          // the exact duplicate window the marker closes, and
+          // mkdirs-over-a-file would fail the micro-batch).
+          val legacyCommitted =
+            fs.exists(markerDir) && fs.getFileStatus(markerDir).isFile
+          if (!legacyCommitted)
+            writeBatchJdbc(batch, format, jdbcProperties,
+              markers = Some((fs, markerDir)))
         } else {
           writeBatch(batch, baseDir, format, batchId = Some(batchId))
           // The compression/compaction policy riding the micro-batch

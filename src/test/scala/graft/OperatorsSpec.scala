@@ -334,6 +334,18 @@ class ProfilingSpec extends SparkSpec {
     assert(de.getAs[Long]("median_size") == 7L)
     assert(de.getAs[Double]("share") == 3.0 / 7)
   }
+
+  test("corpusProfile: NULL group keys form a group, not a dropped row") {
+    val df = Seq((Option("en"), "web", 10L), (Option.empty[String], "web", 4L),
+        (Option.empty[String], "web", 6L))
+      .toDF("lang", "source", "n_chars")
+    val out = Profiling.corpusProfile(df, Seq("lang", "source"), "n_chars")
+      .collect()
+    assert(out.length == 2)
+    val nullGroup = out.find(_.isNullAt(0)).get
+    assert(nullGroup.getAs[Long]("n_docs") == 2L)
+    assert(nullGroup.getAs[Long]("median_size") == 4L) // lower median
+  }
 }
 
 class SamplingSpec extends SparkSpec {
