@@ -596,6 +596,29 @@ object OracleSql {
          |    AS rank
          |FROM s QUALIFY rank <= 5""".stripMargin,
 
+    // Multi-probe LSH: each query probes its bucket plus every 1-bit
+    // flip per table (fewer tables, same recall class).
+    "q_sim_lsh_mp" ->
+      s"""WITH ${lshSigCtes(tables = 2, planes = 8)},
+         |qp AS (SELECT vec_id AS query_id, tbl,
+         |    unnest([bucket] ||
+         |           [xor(bucket, 1::BIGINT << p) for p in range(0, 8)])
+         |      AS bucket
+         |  FROM sig WHERE vec_id < 10),
+         |cand AS (SELECT DISTINCT qp.query_id, cs.vec_id AS corpus_id
+         |  FROM qp JOIN sig cs ON qp.tbl = cs.tbl AND qp.bucket = cs.bucket),
+         |s AS (SELECT query_id, corpus_id,
+         |    CAST(SUM(CAST(qe.x * ce.x AS DECIMAL(25,12))) AS DOUBLE) AS score
+         |  FROM cand
+         |  JOIN el qe ON qe.vec_id = query_id
+         |  JOIN el ce ON ce.vec_id = corpus_id AND qe.i = ce.i
+         |  GROUP BY 1, 2)
+         |SELECT query_id, corpus_id, score,
+         |  CAST(row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS BIGINT)
+         |    AS rank
+         |FROM s QUALIFY rank <= 5""".stripMargin,
+
     // MinHash: md5_60 double-hash KM family (b1 + i*b2 mod 2^60, split
     // 54/6 so nothing overflows), k=64 component mins, 16 bands of 4,
     // md5_60 band hash of the canonical "m0,m1,m2,m3|band" string.

@@ -425,6 +425,11 @@ object SparkEntry {
       emb(spark, dir), "vec_id", "embedding", k = 5,
       numCentroids = 16, nprobe = 2)
 
+  private def qSimLshMp(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopKMultiProbe(
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding", k = 5, planes = 8, tables = 2)
+
   private def qSimIvf2(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK2(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -504,6 +509,7 @@ object SparkEntry {
     "q_sim_topk_dot" -> (qSimTopkDot _),
     "q_sim_topk_cosine" -> (qSimTopkCosine _),
     "q_sim_lsh" -> (qSimLsh _),
+    "q_sim_lsh_mp" -> (qSimLshMp _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf2" -> (qSimIvf2 _),
     "q_emb_neardup" -> (qEmbNearDup _),
@@ -516,7 +522,7 @@ object SparkEntry {
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (50 exact / 0 rows-only as of round 3). See
+    * by DuckDB (51 exact / 0 rows-only as of round 3). See
     * [[OracleSql.sql]] for the definitions. */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

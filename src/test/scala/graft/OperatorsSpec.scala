@@ -462,6 +462,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1).getLong(1) == 1L) // near neighbor, dot 0.9
   }
 
+  test("lshTopKMultiProbe: probe expansion retrieves 1-bit-away neighbors") {
+    // with a single table and self-query, the base bucket already
+    // contains the identical vector; multi-probe must ALSO reach v1,
+    // whose signature differs from v0's by at most the flipped planes
+    val out = Similarity.lshTopKMultiProbe(
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 2, planes = 4, tables = 1, dims = 4)
+      .orderBy("rank").collect()
+    assert(out.nonEmpty && out(0).getLong(1) == 0L) // self always retrieved
+    // superset of the single-probe candidate set at the same params
+    val single = Similarity.lshTopK(
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 2, planes = 4, tables = 1, dims = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(single.subsetOf(out.map(_.getLong(1)).toSet ++ single))
+    assert(out.length >= single.size)
+  }
+
   test("ivfTopK2: coarse cell routes to fine cells, exact ranks inside") {
     // fine = {1, 2} (md5_60 order), coarse = {1}: both fine centroids
     // hang off coarse 1; query 0 probes coarse 1, picks nearest fine 1
