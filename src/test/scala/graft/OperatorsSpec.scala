@@ -494,6 +494,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1).getLong(1) == 1L)
   }
 
+  test("ANN recall on sf0.001: multi-probe >= single-probe; all nonzero") {
+    // recall@5 vs the exact brute-force baseline over the real embedding
+    // corpus — the quality axis of the approximate family
+    val e = spark.read.parquet(sf("embeddings"))
+    val q = e.filter(col("vec_id") < 10)
+    def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topkSet(Similarity.bruteForceTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5))
+    def recall(approx: Set[(Long, Long)]): Double =
+      (exact intersect approx).size.toDouble / exact.size
+    val single = recall(topkSet(Similarity.lshTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, planes = 8, tables = 2)))
+    val multi = recall(topkSet(Similarity.lshTopKMultiProbe(
+      q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, planes = 8, tables = 2)))
+    val ivf = recall(topkSet(Similarity.ivfTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, numCentroids = 16, nprobe = 2)))
+    assert(multi >= single,
+      s"multi-probe recall $multi must not trail single-probe $single")
+    assert(single > 0.0 && ivf > 0.0, s"degenerate recall: lsh=$single ivf=$ivf")
+    // every query must at least retrieve itself (it is in the corpus)
+    assert(multi >= 0.2)
+  }
+
   test("cosineNearDuplicates finds the near pair, not the orthogonal one") {
     val out = Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding",
       threshold = 0.95, planes = 2, tables = 4, dims = 4)
