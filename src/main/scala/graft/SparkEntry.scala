@@ -372,6 +372,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
         shingleWords = 3, threshold = 0.10))
 
+  /** The dedup decision APPLIED: corpus minus non-survivors. */
+  private def qDedupApply(spark: SparkSession, dir: String): DataFrame =
+    Dedup.applyComponentDedup(docs(spark, dir), "doc_id",
+        Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
+          shingleWords = 3, threshold = 0.10))
+      .select("doc_id", "lang")
+
   private def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDuplicates(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.10)
@@ -504,6 +511,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (qDedupNgram _),
     "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
     "q_dedup_components" -> (qDedupComponents _),
+    "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_topk_dot" -> (qSimTopkDot _),
@@ -522,7 +530,7 @@ object SparkEntry {
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (51 exact / 0 rows-only as of round 3). See
+    * by DuckDB (52 exact / 0 rows-only as of round 3). See
     * [[OracleSql.sql]] for the definitions. */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

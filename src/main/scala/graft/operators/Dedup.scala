@@ -382,6 +382,23 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Apply the near-dup DECISION to the corpus — the last mile of the
+    * dedup story (detect pairs → collapse to components → drop all but
+    * the canonical survivor): every doc whose component label differs
+    * from its own id is removed; the min-id doc per component and docs
+    * in no component survive untouched.
+    *
+    * Scale shape: the drop set (non-survivor labels) is tiny after LSH
+    * — it is broadcast and anti-joined in ONE corpus pass; the corpus
+    * itself never shuffles. */
+  def applyComponentDedup(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 64): DataFrame = {
+    val losers = connectedComponents(pairs, maxIter)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard via PREFIX FILTERING — the scale path for HIGH
     * thresholds (PPJoin-style). Shingles get a global rarity order
     * (document frequency asc, shingle asc); a doc's prefix is its
