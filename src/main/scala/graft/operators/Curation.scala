@@ -44,13 +44,16 @@ object Curation {
     * First-arrival-wins replaces the batch pipeline's min-id survivor
     * (cross-batch arrival order is the only order a stream has).
     *
-    * Order matters: dedup runs BEFORE the sample, matching the batch
-    * pipeline — sampling first would give each duplicate copy an
-    * independent draw, so heavily re-crawled content would survive with
-    * probability 1−(1−rate)ⁿ instead of rate, biasing the corpus toward
-    * exactly what dedup suppresses. The sample is keyed on the CONTENT
-    * digest (not the arrival-dependent surviving id), so each distinct
-    * content gets exactly one deterministic draw.
+    * The sample is keyed on the CONTENT digest, which makes it
+    * duplicate-invariant: every copy of one content shares a single
+    * deterministic draw, so the kept-content distribution matches the
+    * batch pipeline's dedup-then-sample regardless of order. The
+    * stateless sample therefore runs BEFORE the stateful dedup — same
+    * output, but the dedup state store only holds digests for the
+    * sampled fraction (1/rate less state and checkpoint I/O than
+    * dedup-first). An id-keyed sample here would be wrong: each
+    * duplicate would draw independently and re-crawled content would
+    * survive with probability 1−(1−rate)ⁿ.
     *
     * `df` must be a streaming DataFrame with an event-time column. */
   def streamingCurate(
@@ -60,14 +63,14 @@ object Curation {
       watermarkDelay: String = "1 hour"): DataFrame = {
     val gated = TextAnalysis.quality(df, textCol, stopwords)
       .filter(col("quality_score") >= minQuality)
-    val deduped = gated
       .withColumn("content_md5",
         md5(col(textCol).cast(org.apache.spark.sql.types.BinaryType)))
+    val sampled =
+      if (sampleRate >= 1.0) gated
+      else Sampling.uniform(gated, "content_md5", sampleRate)
+    sampled
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("content_md5"))
-    val sampled =
-      if (sampleRate >= 1.0) deduped
-      else Sampling.uniform(deduped, "content_md5", sampleRate)
-    sampled.select(col(idCol), col(tsCol), col(textCol), col("quality_score"))
+      .select(col(idCol), col(tsCol), col(textCol), col("quality_score"))
   }
 }

@@ -388,15 +388,22 @@ object Dedup {
     * from its own id is removed; the min-id doc per component and docs
     * in no component survive untouched.
     *
-    * Scale shape: the drop set (non-survivor labels) is tiny after LSH
-    * — it is broadcast and anti-joined in ONE corpus pass; the corpus
-    * itself never shuffles. */
+    * Scale shape: the anti-join side is only BROADCAST when the
+    * non-survivor count is at or below `maxBroadcastLosers` — unlike the
+    * query- or K-bounded broadcasts elsewhere in this library, the drop
+    * set scales with the corpus duplicate count (dedup's whole premise
+    * is that it can be large), so a web-scale corpus with a 30-50%
+    * duplicate rate takes the shuffle anti-join path instead of
+    * collecting hundreds of millions of ids to the driver. The count is
+    * cheap: connectedComponents' output is already materialized. */
   def applyComponentDedup(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 64): DataFrame = {
+      maxIter: Int = 64, maxBroadcastLosers: Long = 10_000_000L): DataFrame = {
     val losers = connectedComponents(pairs, maxIter)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-    df.join(broadcast(losers), Seq(idCol), "left_anti")
+    val side =
+      if (losers.count() <= maxBroadcastLosers) broadcast(losers) else losers
+    df.join(side, Seq(idCol), "left_anti")
   }
 
   /** Exact n-gram Jaccard via PREFIX FILTERING — the scale path for HIGH

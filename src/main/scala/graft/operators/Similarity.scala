@@ -140,7 +140,7 @@ object Similarity {
     * needs no second decimal conversion. */
   private def withBuckets(
       df: DataFrame, id: String, vec: String, side: String,
-      planes: Int, tables: Int, dims: Int): DataFrame = {
+      planes: Int, tables: Int): DataFrame = {
     registered(df)
     val q = df.select(col(id).as(s"${side}_id"),
       V.quantize6(col(vec)).as(s"${side}q"))
@@ -159,7 +159,19 @@ object Similarity {
   def lshTopK(
       queries: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,
-      k: Int, planes: Int = 12, tables: Int = 4, dims: Int = 64): DataFrame = {
+      k: Int, planes: Int = 12, tables: Int = 4): DataFrame =
+    lshTopKImpl(queries, queryId, queryVec, corpus, corpusId, corpusVec,
+      k, planes, tables, multiProbe = false)
+
+  /** One shared body for single- and multi-probe LSH — the only
+    * difference is the query-side probe expansion, so the round-3
+    * lessons baked into this shape (persist the quantized corpus against
+    * the lazy diamond, eager checkpoint before unpersist) live in ONE
+    * place. */
+  private def lshTopKImpl(
+      queries: DataFrame, queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int, planes: Int, tables: Int, multiProbe: Boolean): DataFrame = {
     registered(corpus)
     // Quantize the corpus ONCE and persist: both the bucket explosion and
     // the score join-back read the cached side, so the corpus parquet is
@@ -173,9 +185,18 @@ object Similarity {
         .as(Seq("table", "bucket")))
     val queryQ = queries.select(col(queryId).as("query_id"),
       V.quantize6(col(queryVec)).as("queryq"))
-    val qb = broadcast(queryQ.select(col("query_id"),
+    val qb0 = queryQ.select(col("query_id"),
       posexplode(V.rhpSignatures(col("queryq"), planes, tables))
-        .as(Seq("table", "bucket"))))
+        .as(Seq("table", "bucket")))
+    // multi-probe: the signature plus every 1-bit flip per table
+    val qb = broadcast(
+      if (!multiProbe) qb0
+      else {
+        val probeArr = array(col("bucket") +:
+          (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+        qb0.select(col("query_id"), col("table"),
+          explode(probeArr).as("bucket"))
+      })
     // Dedup candidate id PAIRS first (cheap narrow shuffle), then join the
     // quantized vectors back — never shuffle or hash full vectors in the
     // dedup.
@@ -282,37 +303,9 @@ object Similarity {
   def lshTopKMultiProbe(
       queries: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,
-      k: Int, planes: Int = 8, tables: Int = 2, dims: Int = 64): DataFrame = {
-    registered(corpus)
-    val corpusQ = corpus.select(col(corpusId).as("corpus_id"),
-        V.quantize6(col(corpusVec)).as("corpusq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = corpusQ.select(col("corpus_id"),
-      posexplode(V.rhpSignatures(col("corpusq"), planes, tables))
-        .as(Seq("table", "bucket")))
-    val queryQ = queries.select(col(queryId).as("query_id"),
-      V.quantize6(col(queryVec)).as("queryq"))
-    // probe set per (query, table): the signature and its 1-bit flips
-    val probeArr = array(col("bucket") +:
-      (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
-    val qb = broadcast(queryQ
-      .select(col("query_id"),
-        posexplode(V.rhpSignatures(col("queryq"), planes, tables))
-          .as(Seq("table", "bucket")))
-      .select(col("query_id"), col("table"), explode(probeArr).as("bucket")))
-    val cand = cb.join(qb, Seq("table", "bucket"))
-      .select(col("query_id"), col("corpus_id")).distinct()
-      .join(broadcast(queryQ), Seq("query_id"))
-      .join(corpusQ, Seq("corpus_id"))
-    val scored = cand.withColumn("score", V.dotQ12(col("queryq"), col("corpusq")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("corpus_id"))
-    val result = scored
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "score", "rank")
-    try result.localCheckpoint(true) finally corpusQ.unpersist()
-  }
+      k: Int, planes: Int = 8, tables: Int = 2): DataFrame =
+    lshTopKImpl(queries, queryId, queryVec, corpus, corpusId, corpusVec,
+      k, planes, tables, multiProbe = true)
 
   /** TWO-LEVEL IVF — the large-K variant of [[ivfTopK]]: a coarse
     * quantizer over the centroid set cuts both assignment and probing
@@ -423,9 +416,8 @@ object Similarity {
     * not per pair. `id_a < id_b`, distinct. */
   def cosineNearDuplicates(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8, tables: Int = 4,
-      dims: Int = 64): DataFrame = {
-    val b = withBuckets(df, idCol, vecCol, "x", planes, tables, dims)
+      threshold: Double, planes: Int = 8, tables: Int = 4): DataFrame = {
+    val b = withBuckets(df, idCol, vecCol, "x", planes, tables)
       .select(col("x_id"), col("table"), col("bucket"))
     // candidate id pairs via in-bucket explosion (no self-join — a join
     // would recompute the signature pipeline per side); quantized vectors

@@ -175,8 +175,15 @@ object TextAnalysis {
     * pass (dedup families hash RAW text; normalizing first makes
     * near-identical pages exact duplicates): strip control characters,
     * collapse whitespace runs to single spaces, trim, lowercase. All
-    * patterns sit in the RE2∩Java subset and every step is
-    * engine-reproducible. One shuffle-free pass. */
+    * patterns sit in the RE2∩Java subset. One shuffle-free pass.
+    *
+    * Engine-reproducibility caveat: the regex/trim steps are ASCII-exact
+    * everywhere, but `lower` delegates to each engine's Unicode case
+    * mapping — Java and DuckDB (utf8proc) agree on ASCII and common
+    * Latin accents yet can differ on exotic codepoints (e.g. Turkish
+    * U+0130 maps to "i"+combining-dot in Java but not in simple-mapping
+    * engines). The oracle guarantee is therefore ASCII-plus-verified-
+    * corpus, not all of Unicode. */
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(
       regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " ")))

@@ -445,7 +445,7 @@ class SimilaritySpec extends SparkSpec {
   test("lshTopK: self retrieved (identical vectors share every bucket)") {
     val out = Similarity.lshTopK(
       vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
-      vecs, "vec_id", "embedding", k = 1, planes = 4, tables = 2, dims = 4)
+      vecs, "vec_id", "embedding", k = 1, planes = 4, tables = 2)
       .collect()
     assert(out.length == 1 && out(0).getLong(1) == 0L)
   }
@@ -462,22 +462,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1).getLong(1) == 1L) // near neighbor, dot 0.9
   }
 
-  test("lshTopKMultiProbe: probe expansion retrieves 1-bit-away neighbors") {
-    // with a single table and self-query, the base bucket already
-    // contains the identical vector; multi-probe must ALSO reach v1,
-    // whose signature differs from v0's by at most the flipped planes
-    val out = Similarity.lshTopKMultiProbe(
+  test("lshTopKMultiProbe: candidate set == exactly Hamming-distance ≤ 1") {
+    // Compute every vector's table-0 signature, then assert from first
+    // principles: with k large enough to never truncate, single-probe
+    // retrieves EXACTLY the equal-signature vectors and multi-probe
+    // EXACTLY those within Hamming distance 1 — a regression in the
+    // probe expansion (e.g. dropping the bit flips) breaks the equality.
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.{VectorFunctions => V}
+    val sigs = vecs.select(col("vec_id"),
+        element_at(V.rhpSignatures(V.quantize6(col("embedding")), 4, 1), 1)
+          .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = sigs(0L)
+    val sameBucket = sigs.filter(_._2 == q).keySet
+    val withinOne = sigs.filter(s => java.lang.Long.bitCount(s._2 ^ q) <= 1).keySet
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(1)).toSet
+    val single = ids(Similarity.lshTopK(
       vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
-      vecs, "vec_id", "embedding", k = 2, planes = 4, tables = 1, dims = 4)
-      .orderBy("rank").collect()
-    assert(out.nonEmpty && out(0).getLong(1) == 0L) // self always retrieved
-    // superset of the single-probe candidate set at the same params
-    val single = Similarity.lshTopK(
+      vecs, "vec_id", "embedding", k = 10, planes = 4, tables = 1))
+    val multi = ids(Similarity.lshTopKMultiProbe(
       vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
-      vecs, "vec_id", "embedding", k = 2, planes = 4, tables = 1, dims = 4)
-      .collect().map(_.getLong(1)).toSet
-    assert(single.subsetOf(out.map(_.getLong(1)).toSet ++ single))
-    assert(out.length >= single.size)
+      vecs, "vec_id", "embedding", k = 10, planes = 4, tables = 1))
+    assert(single == sameBucket, s"single-probe $single != bucket $sameBucket")
+    assert(multi == withinOne, s"multi-probe $multi != d<=1 set $withinOne")
+    // non-vacuity: the fixture must actually exercise the expansion
+    assume(withinOne != sameBucket,
+      "fixture has no 1-bit neighbor; flip assertion vacuous")
   }
 
   test("ivfTopK2: coarse cell routes to fine cells, exact ranks inside") {
@@ -524,7 +536,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("cosineNearDuplicates finds the near pair, not the orthogonal one") {
     val out = Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding",
-      threshold = 0.95, planes = 2, tables = 4, dims = 4)
+      threshold = 0.95, planes = 2, tables = 4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out.contains((0L, 1L)))
     assert(!out.contains((0L, 2L)))
