@@ -430,6 +430,39 @@ object OracleSql {
 
     // Quality gate (score >= 0.3, same formula as q_text_quality) →
     // exact dedup among the gated docs (min-id survivor) → hash sample.
+    // Per-language quality budget: quality score (same formula as
+    // q_text_quality) → top-25 per lang by (score desc, doc_id).
+    "q_curation_topk" ->
+      s"""WITH base AS (SELECT doc_id, lang, text, length(text) AS n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      x -> list_contains([$stopwordList], lower(x)))) AS n_stop
+         |  FROM documents),
+         |r AS (SELECT *,
+         |    CAST(GREATEST(n_chars, 1) AS DOUBLE) AS safe_chars,
+         |    CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS safe_toks
+         |  FROM base),
+         |m AS (SELECT doc_id, lang,
+         |    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / safe_toks AS avg_token_len,
+         |    CAST(n_punct AS DOUBLE) / safe_chars AS punct_ratio,
+         |    CAST(n_digit AS DOUBLE) / safe_chars AS digit_ratio,
+         |    CAST(n_stop AS DOUBLE) / safe_toks AS stopword_ratio
+         |  FROM r),
+         |scored AS (SELECT doc_id, lang,
+         |    LEAST(1.0, stopword_ratio * 2.0 +
+         |      (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0
+         |            THEN 0.5 ELSE 0.0 END)
+         |      - punct_ratio - digit_ratio) AS quality_score
+         |  FROM m)
+         |SELECT doc_id, lang, quality_score,
+         |  CAST(row_number() OVER
+         |    (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS BIGINT)
+         |    AS quality_rank
+         |FROM scored QUALIFY quality_rank <= 25""".stripMargin,
+
     "q_curation_pipeline" ->
       s"""WITH base AS (SELECT doc_id, text, length(text) AS n_chars,
          |    CASE WHEN length(trim(text)) = 0 THEN 0

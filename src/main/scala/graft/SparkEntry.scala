@@ -393,6 +393,14 @@ object SparkEntry {
     graft.operators.Curation.basicPipeline(docs(spark, dir), "doc_id", "text",
       stopwords, minQuality = 0.3, sampleRate = 0.5)
 
+  /** Per-language quality budget: the 25 best-scoring docs per lang. */
+  private def qCurationTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.topQualityPerGroup(
+        TextAnalysis.quality(docs(spark, dir), "text", stopwords)
+          .select(col("doc_id"), col("lang"), col("quality_score")),
+        "lang", "quality_score", "doc_id", 25)
+      .select("doc_id", "lang", "quality_score", "quality_rank")
+
   // ------------------------------------------------------------ sampling
 
   /** Deterministic Bernoulli(0.25) sample — the reproducible train/eval
@@ -507,6 +515,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_sample_uniform" -> (qSampleUniform _),
     "q_curation_pipeline" -> (qCuration _),
+    "q_curation_topk" -> (qCurationTopk _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_dedup_ngram_jaccard" -> (qDedupNgram _),
     "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
@@ -530,7 +539,7 @@ object SparkEntry {
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (52 exact / 0 rows-only as of round 3). See
+    * by DuckDB (53 exact / 0 rows-only as of round 3). See
     * [[OracleSql.sql]] for the definitions. */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

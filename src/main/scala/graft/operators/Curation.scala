@@ -33,6 +33,23 @@ object Curation {
       .select(col(idCol), col("quality_score"))
   }
 
+  /** Keep the TOP `k` docs per group ranked by a score (desc, ties by
+    * id) — the RANKED complement of [[Sampling.stratifiedCap]]'s hash
+    * cap: a per-domain/per-language quality budget that keeps the BEST
+    * documents rather than a uniform subset. One shuffle on the group
+    * key; a skewed group pays one top-k window over its rows. Adds
+    * `quality_rank` (1-based). */
+  def topQualityPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("quality_rank",
+        org.apache.spark.sql.functions.row_number().over(w)
+          .cast(org.apache.spark.sql.types.LongType))
+      .filter(col("quality_rank") <= k)
+  }
+
   /** The STREAMING form of the curation pipeline — continuous corpus
     * ingest: per-row quality gate + deterministic uniform sample (both
     * stateless, they run inside the micro-batch scan), then exact
