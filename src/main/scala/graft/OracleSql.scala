@@ -520,6 +520,20 @@ object OracleSql {
         |  doc_id = keep_id AS keep
         |FROM d JOIN g USING (content_md5)""".stripMargin,
 
+    // Exact dedup over NORMALIZED text (control-char strip, whitespace
+    // collapse, trim, lowercase — same chain as q_text_normalize).
+    "q_dedup_normalized" ->
+      """WITH n AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(
+        |      regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+        |      '\s+', ' ', 'g'))) AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, md5(text) AS content_md5 FROM n),
+        |g AS (SELECT content_md5, COUNT(*) AS dup_count, MIN(doc_id) AS keep_id
+        |      FROM d GROUP BY 1)
+        |SELECT doc_id, dup_count, keep_id, doc_id = keep_id AS keep
+        |FROM d JOIN g USING (content_md5)""".stripMargin,
+
     "q_dedup_ngram_jaccard" -> ngramJaccardSql(0.10),
 
     // The prefix-filtered operator is output-equivalent to the full

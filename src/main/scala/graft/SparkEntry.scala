@@ -393,6 +393,15 @@ object SparkEntry {
     graft.operators.Curation.basicPipeline(docs(spark, dir), "doc_id", "text",
       stopwords, minQuality = 0.3, sampleRate = 0.5)
 
+  /** Exact dedup over NORMALIZED text — case/whitespace variants of one
+    * page become exact duplicates (the normalize-then-hash composition). */
+  private def qDedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(
+        docs(spark, dir).select(col("doc_id"),
+          TextAnalysis.normalize(col("text")).as("text")),
+        "doc_id", "text")
+      .select("doc_id", "dup_count", "keep_id", "keep")
+
   /** Per-language quality budget: the 25 best-scoring docs per lang. */
   private def qCurationTopk(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Curation.topQualityPerGroup(
@@ -516,6 +525,7 @@ object SparkEntry {
     "q_sample_uniform" -> (qSampleUniform _),
     "q_curation_pipeline" -> (qCuration _),
     "q_curation_topk" -> (qCurationTopk _),
+    "q_dedup_normalized" -> (qDedupNormalized _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_dedup_ngram_jaccard" -> (qDedupNgram _),
     "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
@@ -539,7 +549,7 @@ object SparkEntry {
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (53 exact / 0 rows-only as of round 3). See
+    * by DuckDB (54 exact / 0 rows-only as of round 3). See
     * [[OracleSql.sql]] for the definitions. */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -105,6 +105,25 @@ class KernelPropertySpec extends SparkSpec {
         "md5_60_array"))
   }
 
+  test("property: non-overlapping chunks reconstruct the tokenized doc") {
+    val word = Gen.oneOf("aa", "b", "ccc", "d1", "ee")
+    val doc = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = sample(doc, 30).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rebuilt = graft.operators.TextAnalysis
+      .chunk(docs, "doc_id", "text", chunkSize = 7)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(
+        struct(col("chunk_id"), col("chunk_text")))).getField("chunk_text"))
+        .as("joined"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.collect().foreach { r =>
+      assert(rebuilt(r.getLong(0)) == r.getString(1).trim.split("\\s+").mkString(" "),
+        s"chunks must reconstruct doc ${r.getLong(0)}")
+    }
+  }
+
   test("property: sig_agreement kernel == zip_with formulation") {
     graft.functions.GraftFunctions.register(spark)
     val sigPair = for {
