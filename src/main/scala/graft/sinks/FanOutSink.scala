@@ -155,51 +155,109 @@ object FanOutSink {
     if (df.columns.contains("batch")) df.drop("batch") else df
   }
 
-  /** Maintenance job: fold a table's accumulated `batch=<id>` micro-batch
-    * directories (including earlier compacted ones) into one compacted
-    * batch with the T6 layout (clustered by sensor, sorted by time,
-    * zstd) — the scheduled-compaction half of the reference's compression
-    * policy, which is what keeps the 65 s micro-batch cadence from
-    * turning into a small-files problem at scale. Returns the number of
-    * batch directories folded.
+  /** A compaction run on disk: `batch=<n>` is an uncompacted level-0
+    * micro-batch; `batch=c<L>x<id>` is a level-`L` compacted run (legacy
+    * `batch=c<id>` dirs from earlier layouts read as level 1). */
+  private final case class Run(level: Int, id: Long,
+      path: org.apache.hadoop.fs.Path)
+
+  private def parseRun(s: org.apache.hadoop.fs.FileStatus): Run = {
+    val name = s.getPath.getName.stripPrefix("batch=")
+    if (name.forall(_.isDigit)) Run(0, name.toLong, s.getPath)
+    else name.stripPrefix("c").split('x') match {
+      case Array(l, id) if l.forall(_.isDigit) && id.forall(_.isDigit) =>
+        Run(l.toInt, id.toLong, s.getPath)
+      case _ => Run(1, name.stripPrefix("c").takeWhile(_.isDigit).toLong,
+        s.getPath) // legacy batch=c<id>
+    }
+  }
+
+  /** Maintenance job: LEVELED compaction of a table's `batch=` runs —
+    * the scheduled-compaction half of the reference's compression policy
+    * (T6), which keeps the 65 s micro-batch cadence from turning into a
+    * small-files problem at scale. Returns the number of run directories
+    * folded this invocation.
     *
-    * Crash safety on plain parquet: the compacted data is written to a
-    * hidden staging dir (invisible to readers), renamed into place, and
-    * only then are the sources deleted. A crash before the rename leaves
-    * an orphan staging dir (cleaned on the next run, nothing lost or
+    * Schedule (LSM-tiered): every call folds the accumulated level-0
+    * micro-batch dirs into ONE level-1 run with the T6 layout (clustered
+    * by sensor, sorted by time, zstd); then, cascading upward, whenever a
+    * level holds ≥ `fanout` runs they merge into one run at the next
+    * level. Each row is therefore rewritten at most once per level —
+    * O(log_fanout(batches)) times over the stream's LIFETIME, never
+    * O(batches). Old data migrates to high levels that merge
+    * geometrically rarely, the file-side analogue of the reference's
+    * compress-once-after-14-days policy (PurpleAirPSQLDataLogger.py:
+    * 129-136): cold chunks are not re-compressed on every cycle.
+    *
+    * Crash safety on plain parquet: each merge writes to a hidden
+    * staging dir (invisible to readers), renames it into place, and only
+    * then deletes its sources. A crash before the rename leaves an
+    * orphan staging dir (cleaned on the next run, nothing lost or
     * duplicated); a crash after it leaves duplicates until the next run
     * folds them again — never data loss. A transactional table format
     * would close the duplicate window; out of scope for plain parquet. */
   def compact(spark: org.apache.spark.sql.SparkSession, baseDir: String,
-      table: String): Int = {
+      table: String, fanout: Int = 8): Int = {
+    require(fanout >= 2, s"fanout must be >= 2, got $fanout")
     val dir = new org.apache.hadoop.fs.Path(s"$baseDir/$table")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return 0
     val staging = new org.apache.hadoop.fs.Path(dir, ".compacting")
     // Orphan staging ⇒ previous run crashed pre-rename; sources intact.
     if (fs.exists(staging)) fs.delete(staging, true)
-    val batches = fs.listStatus(dir)
+
+    // Fresh run id: strictly above every id seen so far (streaming batch
+    // ids only grow; compacted ids share the same counter space).
+    def runs() = fs.listStatus(dir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    if (batches.length < 2) return 0
-    // Fresh compacted id: strictly above every id seen so far. Streaming
-    // batch ids only grow, and "c<id>" never collides with a numeric id.
-    val nextId = batches.map(_.getPath.getName.stripPrefix("batch=")
-      .stripPrefix("c").takeWhile(_.isDigit).toLong).max + 1
-    spark.read.option("basePath", dir.toString)
-      .parquet(batches.map(_.getPath.toString): _*)
-      .drop("batch")
-      .repartition(col(FieldCatalog.keySensor))
-      .sortWithinPartitions(col(FieldCatalog.keyTimestamp))
-      .write.mode(SaveMode.Overwrite).partitionBy("date")
-      .option("compression", "zstd")
-      .parquet(staging.toString)
-    fs.rename(staging, new org.apache.hadoop.fs.Path(dir, s"batch=c$nextId"))
-    batches.foreach(s => fs.delete(s.getPath, true))
-    batches.length
+      .map(parseRun)
+    var nextId = { val rs = runs(); if (rs.isEmpty) 0L else rs.map(_.id).max + 1 }
+
+    /** Merge `sources` into one run at `level` via staging + rename. */
+    def merge(sources: Array[Run], level: Int): Unit = {
+      spark.read.option("basePath", dir.toString)
+        .parquet(sources.map(_.path.toString): _*)
+        .drop("batch")
+        .repartition(col(FieldCatalog.keySensor))
+        .sortWithinPartitions(col(FieldCatalog.keyTimestamp))
+        .write.mode(SaveMode.Overwrite).partitionBy("date")
+        .option("compression", "zstd")
+        .parquet(staging.toString)
+      fs.rename(staging,
+        new org.apache.hadoop.fs.Path(dir, s"batch=c${level}x$nextId"))
+      nextId += 1
+      sources.foreach(s => fs.delete(s.path, true))
+    }
+
+    var folded = 0
+    // Level 0 → 1: fold the uncompacted micro-batches. Skip when there is
+    // a single level-0 run and nothing else (nothing to gain) — but a
+    // lone micro-batch DOES fold when compacted runs exist, so it can
+    // participate in the leveled cascade instead of lingering forever.
+    val all = runs()
+    val level0 = all.filter(_.level == 0)
+    if (level0.nonEmpty && all.length >= 2) {
+      merge(level0, 1)
+      folded += level0.length
+    }
+    // Cascade: any level with >= fanout runs merges into one run at the
+    // next level (which may in turn tip THAT level over the threshold).
+    var level = 1
+    var maxLevel = runs().map(_.level).foldLeft(1)(math.max)
+    while (level <= maxLevel) {
+      val atLevel = runs().filter(_.level == level)
+      if (atLevel.length >= fanout) {
+        merge(atLevel, level + 1)
+        folded += atLevel.length
+        maxLevel = math.max(maxLevel, level + 1)
+      }
+      level += 1
+    }
+    folded
   }
 
   /** [[compact]] across all 9 partition tables. */
   def compactAll(spark: org.apache.spark.sql.SparkSession,
-      baseDir: String): Int =
-    FieldCatalog.Groups.all.map(compact(spark, baseDir, _)).sum
+      baseDir: String, fanout: Int = 8): Int =
+    FieldCatalog.Groups.all.map(compact(spark, baseDir, _, fanout)).sum
 }

@@ -416,13 +416,63 @@ class FanOutSinkSpec extends SparkSpec {
     assert(folded == 2)
     val stationDir = new java.io.File(s"$base/${FieldCatalog.Groups.Station}")
     val batchDirs = stationDir.listFiles().filter(_.getName.startsWith("batch="))
-    assert(batchDirs.map(_.getName).toSeq == Seq("batch=c3"))
+    assert(batchDirs.map(_.getName).toSeq == Seq("batch=c1x3"))
     assert(batchDirs.head.listFiles().exists(_.getName.startsWith("date=")))
     val after = FanOutSink.readTable(spark, base,
       FieldCatalog.Groups.Station).drop("date").collect().toSet
     assert(after == before, "compaction must preserve the data exactly")
     // second run is a no-op (single batch dir left)
     assert(FanOutSink.compact(spark, base, FieldCatalog.Groups.Station) == 0)
+  }
+
+  test("leveled compaction: per-row rewrite count is O(levels), not O(batches)") {
+    val payload = spark.read.option("multiLine", true).json(
+      "/root/reference/hardware_variant_json_samples/" +
+        "3.0+OPENLOG+31037 MB+DS3231+BME280+BME680+PMSX003-A+PMSX003-B.json")
+    val conformed = Transforms.conform(Transforms.flattenSingle(payload))
+    val base = Files.createTempDirectory("graft_sink_lvl").toString
+    val table = FieldCatalog.Groups.Station
+    val B = 12
+    def dirNames() = new java.io.File(s"$base/$table").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    // Lineage: run dir -> original batch ids inside it. Every compact
+    // cycle folds some dirs into exactly one surviving new dir; a batch's
+    // REWRITE COUNT is the number of cycles in which its dir was folded.
+    var lineage = Map.empty[String, Set[Long]]
+    val rewrites = scala.collection.mutable.Map.empty[Long, Int]
+      .withDefaultValue(0)
+    for (t <- 1L to B) {
+      FanOutSink.writeBatch(
+        conformed.withColumn("sensor_index", col("sensor_index") + t.toInt),
+        base, batchId = Some(t))
+      lineage += (s"batch=$t" -> Set(t))
+      val before = dirNames()
+      FanOutSink.compact(spark, base, table, fanout = 2)
+      val after = dirNames()
+      val goneIds = (before -- after).flatMap(lineage)
+      goneIds.foreach(id => rewrites(id) += 1)
+      val born = after -- before
+      assert(born.size <= 1, s"one surviving new run per cycle, got $born")
+      born.foreach(d => lineage += (d -> goneIds))
+      lineage --= (before -- after)
+    }
+    // The quadratic schedule refolds everything every cycle: batch 1
+    // would be rewritten ~B-1 = 11 times. Leveled (fanout=2) keeps every
+    // batch within ceil(log2(B)) + 2 = 6.
+    val worst = rewrites.values.max
+    assert(worst <= 6, s"worst rewrite count $worst exceeds leveled bound")
+    // Structural check: a row's rewrite count equals its run's level, so
+    // max level must be logarithmic too, and the dir count stays small.
+    val names = dirNames()
+    val maxLevel = names.map(_.stripPrefix("batch=")).collect {
+      case n if n.startsWith("c") => n.stripPrefix("c").takeWhile(_.isDigit).toInt
+    }.foldLeft(0)(math.max)
+    assert(maxLevel <= 5, s"max level $maxLevel exceeds log bound")
+    assert(names.size <= 6, s"${names.size} run dirs survive; expected <= 6")
+    // Data preserved exactly: one station row per batch, distinct sensors.
+    val rows = FanOutSink.readTable(spark, base, table)
+    assert(rows.count() == B)
+    assert(rows.select("sensor_index").distinct().count() == B)
   }
 
   test("JDBC fan-out e2e (embedded Derby): 9 tables, layout, replay guard") {
