@@ -438,21 +438,36 @@ object SparkEntry {
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
       emb(spark, dir), "vec_id", "embedding", k = 5, cosine = true)
 
-  private def qSimLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(
-      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
-      emb(spark, dir), "vec_id", "embedding", k = 5, planes = 8, tables = 4)
+  /** Deterministic scratch dir for a persisted ANN index over `dir`'s
+    * corpus — the LSH/IVF queries run the build-once/probe-many path the
+    * operators are designed around, so the oracle gates the SAME code a
+    * production probe executes. */
+  private def indexDir(kind: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
+      s"${kind}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
-  private def qSimIvf(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(
-      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
-      emb(spark, dir), "vec_id", "embedding", k = 5,
-      numCentroids = 16, nprobe = 2)
+  private def qSimLsh(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Similarity.writeLshIndex(emb(spark, dir), "vec_id", "embedding",
+      indexDir("lsh", dir), planes = 8, tables = 4)
+    Similarity.probeLsh(idx,
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
 
-  private def qSimLshMp(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopKMultiProbe(
+  private def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Similarity.writeIvfIndex(emb(spark, dir), "vec_id", "embedding",
+      indexDir("ivf", dir), numCentroids = 16)
+    Similarity.probeIvf(idx,
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
-      emb(spark, dir), "vec_id", "embedding", k = 5, planes = 8, tables = 2)
+      k = 5, nprobe = 2)
+  }
+
+  private def qSimLshMp(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Similarity.writeLshIndex(emb(spark, dir), "vec_id", "embedding",
+      indexDir("lshmp", dir), planes = 8, tables = 2)
+    Similarity.probeLsh(idx,
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, multiProbe = true)
+  }
 
   private def qSimIvf2(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK2(

@@ -163,55 +163,120 @@ object Similarity {
     lshTopKImpl(queries, queryId, queryVec, corpus, corpusId, corpusVec,
       k, planes, tables, multiProbe = false)
 
-  /** One shared body for single- and multi-probe LSH — the only
-    * difference is the query-side probe expansion, so the round-3
-    * lessons baked into this shape (persist the quantized corpus against
-    * the lazy diamond, eager checkpoint before unpersist) live in ONE
-    * place. */
-  private def lshTopKImpl(
-      queries: DataFrame, queryId: String, queryVec: String,
-      corpus: DataFrame, corpusId: String, corpusVec: String,
-      k: Int, planes: Int, tables: Int, multiProbe: Boolean): DataFrame = {
+  /** A persisted-or-lazy RHP-LSH index over a corpus: `vectors` is the
+    * quantized corpus `(corpus_id, corpusq)`, `buckets` its exploded
+    * signature table `(corpus_id, table, bucket)`. `planes`/`tables`
+    * travel with the index so probes sign queries identically. Build once
+    * with [[Similarity.writeLshIndex]]; every subsequent
+    * [[Similarity.probeLsh]] then runs with ZERO corpus scans — the
+    * amortization real 100 TB ANN needs (the index is written once per
+    * corpus version, probed per query batch). */
+  final case class LshIndex(vectors: DataFrame, buckets: DataFrame,
+      planes: Int, tables: Int)
+
+  /** In-memory (lazy) LSH index — see [[writeLshIndex]] for the
+    * persisted variant. NOTE: the returned frames both derive from the
+    * corpus plan; persist the corpus side (or use the persisted variant)
+    * before probing, or the corpus is scanned once per consumer. */
+  def buildLshIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      planes: Int = 12, tables: Int = 4): LshIndex = {
     registered(corpus)
-    // Quantize the corpus ONCE and persist: both the bucket explosion and
-    // the score join-back read the cached side, so the corpus parquet is
-    // scanned (and quantized) exactly once — a lazy diamond here would
-    // re-run the whole scan+quantize pipeline per consumer.
-    val corpusQ = corpus.select(col(corpusId).as("corpus_id"),
-        V.quantize6(col(corpusVec)).as("corpusq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = corpusQ.select(col("corpus_id"),
+    val vectors = corpus.select(col(corpusId).as("corpus_id"),
+      V.quantize6(col(corpusVec)).as("corpusq"))
+    LshIndex(vectors, bucketsOf(vectors, planes, tables), planes, tables)
+  }
+
+  private def bucketsOf(vectors: DataFrame, planes: Int,
+      tables: Int): DataFrame =
+    vectors.select(col("corpus_id"),
       posexplode(V.rhpSignatures(col("corpusq"), planes, tables))
         .as(Seq("table", "bucket")))
+
+  /** Build an LSH index and persist it under `dir` (`vectors/`,
+    * `buckets/`, `params/` parquet). The corpus is scanned exactly once —
+    * the bucket table derives from the just-written vectors, not from a
+    * second corpus pass. Returns the read-back (parquet-backed) index. */
+  def writeLshIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      dir: String, planes: Int = 12, tables: Int = 4): LshIndex = {
+    registered(corpus)
+    val spark = corpus.sparkSession
+    corpus.select(col(corpusId).as("corpus_id"),
+        V.quantize6(col(corpusVec)).as("corpusq"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/vectors")
+    bucketsOf(spark.read.parquet(s"$dir/vectors"), planes, tables)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/buckets")
+    import spark.implicits._
+    Seq((planes, tables)).toDF("planes", "tables")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/params")
+    readLshIndex(spark, dir)
+  }
+
+  def readLshIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): LshIndex = {
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    LshIndex(spark.read.parquet(s"$dir/vectors"),
+      spark.read.parquet(s"$dir/buckets"),
+      p.getAs[Int]("planes"), p.getAs[Int]("tables"))
+  }
+
+  /** Probe an LSH index: sign the (small, broadcast) query side with the
+    * index's plane family, equi-join buckets for candidates, score
+    * exactly, keep top-k. Touches ONLY the index tables — on a
+    * [[writeLshIndex]] index the corpus parquet is never rescanned. */
+  def probeLsh(index: LshIndex, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int, multiProbe: Boolean = false): DataFrame = {
+    registered(queries)
     val queryQ = queries.select(col(queryId).as("query_id"),
       V.quantize6(col(queryVec)).as("queryq"))
     val qb0 = queryQ.select(col("query_id"),
-      posexplode(V.rhpSignatures(col("queryq"), planes, tables))
+      posexplode(V.rhpSignatures(col("queryq"), index.planes, index.tables))
         .as(Seq("table", "bucket")))
     // multi-probe: the signature plus every 1-bit flip per table
     val qb = broadcast(
       if (!multiProbe) qb0
       else {
-        val probeArr = array(col("bucket") +:
-          (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+        val probeArr = array(col("bucket") +: (0 until index.planes)
+          .map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
         qb0.select(col("query_id"), col("table"),
           explode(probeArr).as("bucket"))
       })
     // Dedup candidate id PAIRS first (cheap narrow shuffle), then join the
     // quantized vectors back — never shuffle or hash full vectors in the
     // dedup.
-    val cand = cb.select("table", "bucket", "corpus_id")
+    val cand = index.buckets.select("table", "bucket", "corpus_id")
       .join(qb.select("table", "bucket", "query_id"), Seq("table", "bucket"))
       .select(col("query_id"), col("corpus_id")).distinct()
       .join(broadcast(queryQ), Seq("query_id"))
-      .join(corpusQ, Seq("corpus_id"))
+      .join(index.vectors, Seq("corpus_id"))
     val scored = cand.withColumn("score", V.dotQ12(col("queryq"), col("corpusq")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id"))
-    val result = scored
-      .withColumn("rank", row_number().over(w).cast(LongType))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "score", "rank")
+  }
+
+  /** One shared body for the ONE-SHOT single- and multi-probe LSH
+    * operators: build an in-memory index over a persisted quantized
+    * corpus (both the bucket explosion and the score join-back read the
+    * cached side, so the corpus parquet is scanned and quantized exactly
+    * once — a lazy diamond here would re-run the whole scan+quantize
+    * pipeline per consumer), probe it, release the cache. The
+    * build-once/probe-many path is [[writeLshIndex]] + [[probeLsh]]. */
+  private def lshTopKImpl(
+      queries: DataFrame, queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int, planes: Int, tables: Int, multiProbe: Boolean): DataFrame = {
+    registered(corpus)
+    val corpusQ = corpus.select(col(corpusId).as("corpus_id"),
+        V.quantize6(col(corpusVec)).as("corpusq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = LshIndex(corpusQ, bucketsOf(corpusQ, planes, tables),
+      planes, tables)
+    val result = probeLsh(index, queries, queryId, queryVec, k, multiProbe)
     // Top-k is tiny: materialize it eagerly, then release the cached
     // quantized corpus so repeated calls don't accumulate cached blocks.
     try result.localCheckpoint(true) finally corpusQ.unpersist()
@@ -242,46 +307,104 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,
-      k: Int, numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
-    registered(corpus)
-    // Order/limit on the RAW (id, vec) columns, quantize only the K
-    // survivors: the sort key is md5_60(id) alone, and quantizing inside
-    // the pre-limit projection would run the per-element decimal
-    // conversion over the whole corpus just to discard all but K rows.
-    val cent = broadcast(
-      corpus.select(col(corpusId).as("cent_id"), col(corpusVec).as("cvec"))
-        .orderBy(Dedup.md5_60(col("cent_id").cast(StringType)), col("cent_id"))
-        .limit(numCentroids)
-        .select(col("cent_id"), V.quantize6(col("cvec")).as("centq"))
-        .withColumn("cent_s2", V.dotQ12(col("centq"), col("centq"))))
-    // exact squared L2 to centroid: |v|² + |c|² − 2·v·c, every term an
-    // exact scale-12 decimal surfaced as double
-    def d2(vq: Column, vs2: Column): Column =
-      vs2 + col("cent_s2") - lit(2.0) * V.dotQ12(vq, col("centq"))
+      k: Int, numCentroids: Int = 16, nprobe: Int = 2): DataFrame =
+    probeIvf(buildIvfIndex(corpus, corpusId, corpusVec, numCentroids),
+      queries, queryId, queryVec, k, nprobe)
 
-    val corpusQ = corpus.select(col(corpusId).as("corpus_id"),
+  /** A persisted-or-lazy IVF index: `centroids` is the fixed-K quantized
+    * centroid table `(cent_id, centq, cent_s2)`, `cells` the cell
+    * assignment `(corpus_id, cent_id, cq)` — one row per corpus vector.
+    * Build once with [[Similarity.writeIvfIndex]]; every subsequent
+    * [[Similarity.probeIvf]] then runs with ZERO corpus scans. */
+  final case class IvfIndex(centroids: DataFrame, cells: DataFrame)
+
+  /** exact squared L2 to centroid: |v|² + |c|² − 2·v·c, every term an
+    * exact scale-12 decimal surfaced as double */
+  private def ivfD2(vq: Column, vs2: Column): Column =
+    vs2 + col("cent_s2") - lit(2.0) * V.dotQ12(vq, col("centq"))
+
+  /** Centroid selection: order/limit on the RAW (id, vec) columns,
+    * quantize only the K survivors — the sort key is md5_60(id) alone,
+    * and quantizing inside the pre-limit projection would run the
+    * per-element decimal conversion over the whole corpus just to
+    * discard all but K rows. */
+  private def ivfCentroids(corpus: DataFrame, corpusId: String,
+      corpusVec: String, numCentroids: Int): DataFrame =
+    corpus.select(col(corpusId).as("cent_id"), col(corpusVec).as("cvec"))
+      .orderBy(Dedup.md5_60(col("cent_id").cast(StringType)), col("cent_id"))
+      .limit(numCentroids)
+      .select(col("cent_id"), V.quantize6(col("cvec")).as("centq"))
+      .withColumn("cent_s2", V.dotQ12(col("centq"), col("centq")))
+
+  /** Cell assignment: one broadcast product + `min_by` hash aggregation —
+    * partial aggregation collapses the per-centroid candidates map-side,
+    * so the shuffle carries ONE row per corpus vector. */
+  private def ivfCells(corpus: DataFrame, corpusId: String,
+      corpusVec: String, cent: DataFrame): DataFrame =
+    corpus.select(col(corpusId).as("corpus_id"),
         V.quantize6(col(corpusVec)).as("cq"))
       .withColumn("c_s2", V.dotQ12(col("cq"), col("cq")))
-    val cells = corpusQ.crossJoin(cent)
-      .withColumn("d2", d2(col("cq"), col("c_s2")))
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", ivfD2(col("cq"), col("c_s2")))
       .groupBy(col("corpus_id"))
       .agg(min_by(struct(col("cent_id"), col("cq")),
         struct(col("d2"), col("cent_id"))).as("m"))
       .select(col("corpus_id"), col("m.cent_id").as("cent_id"),
         col("m.cq").as("cq"))
 
+  /** In-memory (lazy) IVF index — the one-shot [[ivfTopK]] path. */
+  def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      numCentroids: Int = 16): IvfIndex = {
+    registered(corpus)
+    val cent = ivfCentroids(corpus, corpusId, corpusVec, numCentroids)
+    IvfIndex(cent, ivfCells(corpus, corpusId, corpusVec, cent))
+  }
+
+  /** Build an IVF index and persist it under `dir` (`centroids/`,
+    * `cells/` parquet): one column-pruned corpus scan selects the
+    * centroids, one more assigns cells against the WRITTEN centroid
+    * table. Returns the read-back (parquet-backed) index — the
+    * build-once/probe-many amortization the round-3 one-shot operator
+    * lacked. */
+  def writeIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      dir: String, numCentroids: Int = 16): IvfIndex = {
+    registered(corpus)
+    val spark = corpus.sparkSession
+    ivfCentroids(corpus, corpusId, corpusVec, numCentroids)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/centroids")
+    ivfCells(corpus, corpusId, corpusVec,
+        spark.read.parquet(s"$dir/centroids"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/cells")
+    readIvfIndex(spark, dir)
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/cells"))
+
+  /** Probe an IVF index: rank the broadcast centroid table per query,
+    * keep the `nprobe` nearest cells, score only their members exactly.
+    * Touches ONLY the index tables — on a [[writeIvfIndex]] index the
+    * corpus parquet is never rescanned. */
+  def probeIvf(index: IvfIndex, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int, nprobe: Int = 2): DataFrame = {
+    registered(queries)
+    val cent = broadcast(index.centroids)
     val probes = queries.select(col(queryId).as("query_id"),
         V.quantize6(col(queryVec)).as("qq"))
       .withColumn("q_s2", V.dotQ12(col("qq"), col("qq")))
       .crossJoin(cent)
-      .withColumn("d2", d2(col("qq"), col("q_s2")))
+      .withColumn("d2", ivfD2(col("qq"), col("q_s2")))
       .withColumn("prank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("d2"), col("cent_id"))))
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("qq"), col("cent_id"))
 
-    val scored = cells.join(broadcast(probes), Seq("cent_id"))
+    val scored = index.cells.join(broadcast(probes), Seq("cent_id"))
       .withColumn("score", V.dotQ12(col("qq"), col("cq")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id"))

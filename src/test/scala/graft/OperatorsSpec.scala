@@ -534,6 +534,40 @@ class SimilaritySpec extends SparkSpec {
     assert(multi >= 0.2)
   }
 
+  test("persisted LSH/IVF index: probe == one-shot, zero corpus scans") {
+    val e = spark.read.parquet(sf("embeddings"))
+    // Detach the query side from the corpus file so any appearance of the
+    // corpus parquet in a probe plan is a corpus RESCAN, not the queries.
+    val q = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        e.filter(col("vec_id") < 5).collect().toSeq), e.schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val lshIdx = Similarity.writeLshIndex(e, "vec_id", "embedding",
+      s"$tmp/lsh", planes = 8, tables = 4)
+    val ivfIdx = Similarity.writeIvfIndex(e, "vec_id", "embedding",
+      s"$tmp/ivf", numCentroids = 16)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val lshProbe = Similarity.probeLsh(lshIdx, q, "vec_id", "embedding", k = 5)
+    val ivfProbe = Similarity.probeIvf(ivfIdx, q, "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    // identical results to the one-shot operators (same oracle semantics)
+    assert(rows(lshProbe) == rows(Similarity.lshTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, planes = 8, tables = 4)))
+    assert(rows(ivfProbe) == rows(Similarity.ivfTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, numCentroids = 16, nprobe = 2)))
+    // the probe stage reads ONLY the index tables
+    Seq("lsh" -> lshProbe, "ivf" -> ivfProbe).foreach { case (name, p) =>
+      val plan = p.queryExecution.executedPlan.toString
+      assert(!plan.contains("embeddings"),
+        s"$name probe plan rescans the corpus parquet:\n$plan")
+      assert(plan.contains("graft_idx"), s"$name probe plan misses the index")
+    }
+  }
+
   test("cosineNearDuplicates finds the near pair, not the orthogonal one") {
     val out = Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding",
       threshold = 0.95, planes = 2, tables = 4)
