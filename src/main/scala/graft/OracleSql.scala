@@ -541,6 +541,33 @@ object OracleSql {
     // its oracle is the same declarative pair query at its threshold.
     "q_dedup_ngram_prefix" -> ngramJaccardSql(0.5),
 
+    // Winnowing near-dup pairs: same fingerprint selection as
+    // q_text_winnow, then a postings self-join on fp (docs sharing >= 2
+    // fingerprints; fingerprints in > 10000 docs pruned as in the Spark
+    // maxDocFreq cap; set sizes from the UNpruned per-doc sets).
+    "q_dedup_winnow_pairs" ->
+      """WITH g AS (SELECT doc_id,
+        |    [('0x' || substring(md5(substr(text, i, 8)), 1, 15))::BIGINT
+        |     for i in range(1, GREATEST(length(text) - 7, 1) + 1)] AS hs
+        |  FROM documents),
+        |fps AS (SELECT doc_id, unnest(list_distinct(
+        |    [list_min(hs[j:j+3]) for j in range(1, GREATEST(len(hs) - 3, 1) + 1)]))
+        |  AS fp FROM g),
+        |sized AS (SELECT doc_id, fp,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS set_size FROM fps),
+        |posts AS (SELECT fp FROM fps GROUP BY fp
+        |  HAVING COUNT(*) > 1 AND COUNT(*) <= 10000),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.set_size AS size_a, b.set_size AS size_b, COUNT(*) AS n_common
+        |  FROM sized a JOIN sized b ON a.fp = b.fp
+        |  JOIN posts p ON p.fp = a.fp
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(size_a + size_b - n_common AS DOUBLE)
+        |    AS jaccard_fp
+        |FROM inter WHERE n_common >= 2""".stripMargin,
+
     // Connected components over the t>=0.10 Jaccard pair graph via
     // recursive min-label reachability.
     "q_dedup_components" ->

@@ -360,6 +360,10 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, threshold = 0.10)
 
+  private def qDedupWinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowNearDupPairs(docs(spark, dir), "doc_id", "text",
+      k = 8, w = 4, minShared = 2L)
+
   private def qDedupNgramPrefix(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairsPrefix(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, threshold = 0.5)
@@ -543,6 +547,7 @@ object SparkEntry {
     "q_dedup_normalized" -> (qDedupNormalized _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_dedup_ngram_jaccard" -> (qDedupNgram _),
+    "q_dedup_winnow_pairs" -> (qDedupWinnowPairs _),
     "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_apply" -> (qDedupApply _),

@@ -516,6 +516,53 @@ object Dedup {
     try result.localCheckpoint(true) finally base.unpersist()
   }
 
+  /** Winnowing (MOSS) near-duplicate pairs — the SUBSTRING-level dedup
+    * decision: documents sharing ≥ `minShared` winnowed fingerprints
+    * ([[TextAnalysis.winnowedFingerprints]] — each fingerprint witnesses
+    * a shared character k-gram chosen by the same rolling-window rule on
+    * both sides) become candidate near-dup pairs, with a fingerprint-set
+    * Jaccard for downstream thresholds. Unlike the word-shingle families
+    * this catches documents that EMBED each other (quotes, mirrors with
+    * boilerplate, concatenations): any sufficiently long shared substring
+    * guarantees a shared fingerprint. Output feeds
+    * [[connectedComponents]] → [[applyComponentDedup]] exactly like the
+    * MinHash pair generator.
+    *
+    * Scale shape = [[ngramJaccardPairs]]' postings join: fingerprints are
+    * the shuffle key, per-doc fingerprint counts ride the postings next
+    * to the id (no sizes join-back), in-bucket pairs explode via the
+    * native kernel (no aliased self-join), and `maxDocFreq` drops
+    * ubiquitous fingerprints (boilerplate) to bound fan-out — standard
+    * frequency pruning, at the cost of undercounting `n_common` for
+    * pairs sharing hot fingerprints. */
+  def winnowNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Long = 2L,
+      maxDocFreq: Long = 10000L): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val fps = TextAnalysis.winnowedFingerprints(df, idCol, textCol, k, w)
+    // full per-doc fingerprint-set size BEFORE frequency pruning (the
+    // Jaccard denominator is over the true sets, as in ngramJaccardPairs)
+    val sized = fps
+      .select(col(idCol).cast(LongType).as("id"), col("fp"))
+      .withColumn("set_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+    sized.groupBy(col("fp"))
+      .agg(array_sort(collect_list(
+        struct(col("id"), col("set_size")))).as("es"))
+      .filter(size(col("es")) > 1 && size(col("es")) <= maxDocFreq)
+      .select(explode(graft.functions.PairFunctions
+        .pairCombinationsStruct(col("es"))).as("p"))
+      .groupBy(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        col("p.a.set_size").as("size_a"), col("p.b.set_size").as("size_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minShared)
+      .withColumn("jaccard_fp",
+        col("n_common").cast(DoubleType) /
+          (col("size_a") + col("size_b") - col("n_common")).cast(DoubleType))
+      .select("id_a", "id_b", "n_common", "jaccard_fp")
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs above `threshold`.
     * Inverted-index join: explode distinct shingles, equi-join on shingle to
     * count intersections (|A∩B|), then `|A∪B| = |A|+|B|−|A∩B|`.
