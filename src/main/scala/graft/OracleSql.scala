@@ -541,17 +541,19 @@ object OracleSql {
     // its oracle is the same declarative pair query at its threshold.
     "q_dedup_ngram_prefix" -> ngramJaccardSql(0.5),
 
-    // Winnowing near-dup pairs: same fingerprint selection as
-    // q_text_winnow, then a postings self-join on fp (docs sharing >= 2
-    // fingerprints; fingerprints in > 10000 docs pruned as in the Spark
-    // maxDocFreq cap; set sizes from the UNpruned per-doc sets).
+    // Winnowing near-dup pairs at (k=24, w=8): winnowed fingerprint
+    // selection (min of each 8-window over char-24-gram md5_60 hashes,
+    // distinct per doc), then a postings self-join on fp. Docs sharing
+    // >= 2 fingerprints AND fingerprint-set Jaccard >= 0.5 are pairs;
+    // fingerprints in > 10000 docs pruned as in the Spark maxDocFreq
+    // cap; set sizes from the UNpruned per-doc sets.
     "q_dedup_winnow_pairs" ->
       """WITH g AS (SELECT doc_id,
-        |    [('0x' || substring(md5(substr(text, i, 8)), 1, 15))::BIGINT
-        |     for i in range(1, GREATEST(length(text) - 7, 1) + 1)] AS hs
+        |    [('0x' || substring(md5(substr(text, i, 24)), 1, 15))::BIGINT
+        |     for i in range(1, GREATEST(length(text) - 23, 1) + 1)] AS hs
         |  FROM documents),
         |fps AS (SELECT doc_id, unnest(list_distinct(
-        |    [list_min(hs[j:j+3]) for j in range(1, GREATEST(len(hs) - 3, 1) + 1)]))
+        |    [list_min(hs[j:j+7]) for j in range(1, GREATEST(len(hs) - 7, 1) + 1)]))
         |  AS fp FROM g),
         |sized AS (SELECT doc_id, fp,
         |    COUNT(*) OVER (PARTITION BY doc_id) AS set_size FROM fps),
@@ -563,10 +565,12 @@ object OracleSql {
         |  JOIN posts p ON p.fp = a.fp
         |  WHERE a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4)
-        |SELECT id_a, id_b, n_common,
-        |  CAST(n_common AS DOUBLE) / CAST(size_a + size_b - n_common AS DOUBLE)
-        |    AS jaccard_fp
-        |FROM inter WHERE n_common >= 2""".stripMargin,
+        |SELECT id_a, id_b, n_common, jaccard_fp FROM (
+        |  SELECT id_a, id_b, n_common,
+        |    CAST(n_common AS DOUBLE) /
+        |      CAST(size_a + size_b - n_common AS DOUBLE) AS jaccard_fp
+        |  FROM inter WHERE n_common >= 2)
+        |WHERE jaccard_fp >= 0.5""".stripMargin,
 
     // Connected components over the t>=0.10 Jaccard pair graph via
     // recursive min-label reachability.

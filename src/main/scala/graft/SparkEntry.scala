@@ -362,7 +362,7 @@ object SparkEntry {
 
   private def qDedupWinnowPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowNearDupPairs(docs(spark, dir), "doc_id", "text",
-      k = 8, w = 4, minShared = 2L)
+      k = 24, w = 8, minShared = 2L, threshold = 0.5)
 
   private def qDedupNgramPrefix(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairsPrefix(docs(spark, dir), "doc_id", "text",

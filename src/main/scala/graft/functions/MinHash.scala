@@ -95,9 +95,15 @@ case class MinHashSignature(left: Expression, right: Expression)
 }
 
 object SigAgreementImpl {
-  /** Count of positions where two equal-length signatures agree. */
+  /** Count of positions where two equal-length signatures agree.
+    * Signatures of different lengths are malformed input (every
+    * generator emits fixed-k arrays) — fail loudly rather than silently
+    * scoring the missing tail as disagreement. */
   def compute(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sig_agreement: signature lengths differ ($n vs ${b.numElements()})")
     var c = 0L
     var i = 0
     while (i < n) {
@@ -142,6 +148,10 @@ object Md5_60ArrayImpl {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"md5_60_array: null element at position $i (input arrays " +
+            "must be null-free; shingle kernels emit containsNull=false)")
       out(i) = MinHashImpl.md5_60(arr.getUTF8String(i).getBytes, md)
       i += 1
     }

@@ -110,6 +110,13 @@ object GraftFunctions {
     (children: Seq[Expression]) => PairCombinations(children.head))
 
   def register(spark: SparkSession): Unit = {
+    // Idempotent per session: every operator entry point calls this, so
+    // without the guard each call re-replaces every temp function and the
+    // registry logs a "function X replaced" warning per kernel per query
+    // (dozens per bench run). All kernels register together, so one
+    // sentinel function suffices as the "already done" probe.
+    if (spark.sessionState.functionRegistry.functionExists(
+        FunctionIdentifier("simhash60"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", exprs => SimHash60(exprs.head), "scala_udf")
     MinHashFunctions.register(spark)

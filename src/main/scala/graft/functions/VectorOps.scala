@@ -82,35 +82,6 @@ object VectorOpsImpl {
         .doubleValue()))
   }
 
-  /** Sequential left-to-right double fold — bit-identical to
-    * `Similarity.dotFast`'s `aggregate(zip_with(...))`. */
-  def dotFast(a: ArrayData, b: ArrayData,
-      aF: Boolean, bF: Boolean): java.lang.Double = {
-    val n = a.numElements()
-    if (b.numElements() != n) return null
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc += elem(a, i, aF) * elem(b, i, bF)
-      i += 1
-    }
-    java.lang.Double.valueOf(acc)
-  }
-
-  def normFast(a: ArrayData, aF: Boolean): java.lang.Double = {
-    val n = a.numElements()
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i)) return null
-      val x = elem(a, i, aF)
-      acc += x * x
-      i += 1
-    }
-    java.lang.Double.valueOf(Math.sqrt(acc))
-  }
-
   /** Deterministic ±1 for hyperplane component (table, plane, dim) — a
     * splitmix64 bit. Any executor anywhere reproduces the same planes
     * with zero shipped state. */
@@ -174,46 +145,6 @@ private[functions] trait VectorElementTypes { self: Expression =>
       case other => TypeCheckResult.TypeCheckFailure(
         s"$name requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
     }
-}
-
-abstract class BinaryVectorDouble extends BinaryExpression with VectorElementTypes {
-  protected def implName: String
-  protected def impl(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val l = checkNumericArray(left, prettyName)
-    if (l != TypeCheckResult.TypeCheckSuccess) l
-    else checkNumericArray(right, prettyName)
-  }
-  override def nullSafeEval(a: Any, b: Any): Any =
-    impl(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      arrayFlag(left), arrayFlag(right))
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""java.lang.Double r = graft.functions.VectorOpsImpl.$implName(
-         |  $a, $b, ${arrayFlag(left)}, ${arrayFlag(right)});
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = r.doubleValue(); }""".stripMargin
-    })
-}
-
-abstract class UnaryVectorDouble extends UnaryExpression with VectorElementTypes {
-  protected def implName: String
-  protected def impl(a: ArrayData, aF: Boolean): java.lang.Double
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-  override def checkInputDataTypes(): TypeCheckResult =
-    checkNumericArray(child, prettyName)
-  override def nullSafeEval(a: Any): Any =
-    impl(a.asInstanceOf[ArrayData], arrayFlag(child))
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      s"""java.lang.Double r = graft.functions.VectorOpsImpl.$implName(
-         |  $a, ${arrayFlag(child)});
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = r.doubleValue(); }""".stripMargin
-    })
 }
 
 /** `quantize6(vec) -> ARRAY<LONG>`: scale-6 decimal quantization, the
@@ -283,23 +214,6 @@ case class NormQ12(child: Expression)
   override def prettyName: String = "norm_q12"
 }
 
-case class DotFast(left: Expression, right: Expression) extends BinaryVectorDouble {
-  override protected def implName: String = "dotFast"
-  override protected def impl(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean) =
-    VectorOpsImpl.dotFast(a, b, aF, bF)
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
-  override def prettyName: String = "dot_fast"
-}
-
-case class NormFast(child: Expression) extends UnaryVectorDouble {
-  override protected def implName: String = "normFast"
-  override protected def impl(a: ArrayData, aF: Boolean) =
-    VectorOpsImpl.normFast(a, aF)
-  override protected def withNewChildInternal(c: Expression) = copy(child = c)
-  override def prettyName: String = "norm_fast"
-}
-
 /** `rhp_signatures(qvec ARRAY<LONG>, planes, tables) -> ARRAY<LONG>`:
   * every LSH table's packed random-hyperplane bucket id in one codegen'd
   * pass over the quantized vector (the compositional form re-reads the
@@ -342,12 +256,6 @@ object VectorFunctions {
     (FunctionIdentifier("norm_q12"),
       new ExpressionInfo(classOf[NormQ12].getName, "norm_q12"),
       (es: Seq[Expression]) => NormQ12(es(0))),
-    (FunctionIdentifier("dot_fast"),
-      new ExpressionInfo(classOf[DotFast].getName, "dot_fast"),
-      (es: Seq[Expression]) => DotFast(es(0), es(1))),
-    (FunctionIdentifier("norm_fast"),
-      new ExpressionInfo(classOf[NormFast].getName, "norm_fast"),
-      (es: Seq[Expression]) => NormFast(es(0))),
     (FunctionIdentifier("rhp_signatures"),
       new ExpressionInfo(classOf[RhpSignatures].getName, "rhp_signatures"),
       (es: Seq[Expression]) => RhpSignatures(es(0), es(1), es(2))))
@@ -365,8 +273,6 @@ object VectorFunctions {
   def dotExact(a: Column, b: Column): Column =
     dotQ12(quantize6(a), quantize6(b))
   def normExact(a: Column): Column = normQ12(quantize6(a))
-  def dotFast(a: Column, b: Column): Column = call_function("dot_fast", a, b)
-  def normFast(a: Column): Column = call_function("norm_fast", a)
   def rhpSignatures(vec: Column, planes: Int, tables: Int): Column =
     call_function("rhp_signatures", vec, lit(planes), lit(tables))
 }

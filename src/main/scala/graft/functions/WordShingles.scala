@@ -128,12 +128,74 @@ case class WinnowGrams(left: Expression, right: Expression)
   override def prettyName: String = "winnow_grams"
 }
 
+/** The winnowing SELECTION half: distinct minima of every width-`w`
+  * window over the gram-hash array. Bit-identical to the compositional
+  * explode → `min over (partition by id order by i rows between 0 and
+  * w-1)` → full-window filter → distinct pipeline it replaces (proven in
+  * KernelPropertySpec) — windows start at i = 0 … max(nh−w, 0), the last
+  * one clipped to the array end, so a document with fewer than `w` grams
+  * contributes the single minimum of all its grams. First-occurrence
+  * distinct, like `array_distinct`. Fusing selection into the row kernel
+  * removes a full explode + window-function shuffle on the doc id from
+  * every winnowing query. */
+object WindowMinDistinctImpl {
+  def compute(hs: ArrayData, w: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val lastStart = math.max(n - w, 0)
+    var i = 0
+    while (i <= lastStart) {
+      var m = hs.getLong(i)
+      var j = i + 1
+      val end = math.min(i + w, n)
+      while (j < end) {
+        val v = hs.getLong(j)
+        if (v < m) m = v
+        j += 1
+      }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `window_min_distinct(hs ARRAY<BIGINT>, w INT) -> ARRAY<BIGINT>`. */
+case class WindowMinDistinct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, false), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "window_min_distinct requires (ARRAY<BIGINT> containsNull=false, foldable INT)")
+    }
+  override def nullSafeEval(hs: Any, w: Any): Any =
+    WindowMinDistinctImpl.compute(hs.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (h, w) => s"graft.functions.WindowMinDistinctImpl.compute($h, $w)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WindowMinDistinct =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "window_min_distinct"
+}
+
 object WordShingleFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_grams", exprs => WinnowGrams(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "window_min_distinct",
+      exprs => WindowMinDistinct(exprs(0), exprs(1)), "scala_udf")
   }
 
   def wordShingles(text: Column, n: Int): Column =
@@ -141,4 +203,7 @@ object WordShingleFunctions {
 
   def winnowGrams(text: Column, k: Int): Column =
     call_function("winnow_grams", text, lit(k))
+
+  def windowMinDistinct(hs: Column, w: Int): Column =
+    call_function("window_min_distinct", hs, lit(w))
 }

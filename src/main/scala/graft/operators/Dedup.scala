@@ -532,35 +532,74 @@ object Dedup {
     * the shuffle key, per-doc fingerprint counts ride the postings next
     * to the id (no sizes join-back), in-bucket pairs explode via the
     * native kernel (no aliased self-join), and `maxDocFreq` drops
-    * ubiquitous fingerprints (boilerplate) to bound fan-out — standard
-    * frequency pruning, at the cost of undercounting `n_common` for
-    * pairs sharing hot fingerprints. */
+    * ubiquitous fingerprints (boilerplate) BEFORE bucket materialization
+    * to bound fan-out — standard frequency pruning, at the cost of
+    * undercounting `n_common` for pairs sharing hot fingerprints (sizes
+    * stay full-set, so pruning can only LOWER a pair's Jaccard, never
+    * promote a false positive past `threshold`). Gram width `k` and
+    * window `w` set the guarantee: any shared substring of ≥ k+w−1
+    * characters shares a fingerprint; defaults (24, 8) witness 31-char
+    * overlaps — long enough that fingerprints are discriminative rather
+    * than ubiquitous (char-8 grams of boilerplate-heavy corpora put most
+    * documents in a handful of buckets and the pair count goes
+    * quadratic, the r4 bench pathology). */
   def winnowNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4, minShared: Long = 2L,
-      maxDocFreq: Long = 10000L): DataFrame = {
+      k: Int = 24, w: Int = 8, minShared: Long = 2L, threshold: Double = 0.5,
+      maxDocFreq: Long = 10000L, maxBroadcastHot: Long = 4096L): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val fps = TextAnalysis.winnowedFingerprints(df, idCol, textCol, k, w)
-    // full per-doc fingerprint-set size BEFORE frequency pruning (the
-    // Jaccard denominator is over the true sets, as in ngramJaccardPairs)
-    val sized = fps
-      .select(col(idCol).cast(LongType).as("id"), col("fp"))
-      .withColumn("set_size", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
-    sized.groupBy(col("fp"))
-      .agg(array_sort(collect_list(
-        struct(col("id"), col("set_size")))).as("es"))
-      .filter(size(col("es")) > 1 && size(col("es")) <= maxDocFreq)
-      .select(explode(graft.functions.PairFunctions
-        .pairCombinationsStruct(col("es"))).as("p"))
-      .groupBy(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        col("p.a.set_size").as("size_a"), col("p.b.set_size").as("size_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .filter(col("n_common") >= minShared)
-      .withColumn("jaccard_fp",
-        col("n_common").cast(DoubleType) /
-          (col("size_a") + col("size_b") - col("n_common")).cast(DoubleType))
-      .select("id_a", "id_b", "n_common", "jaccard_fp")
+    // ONE kernel pass: per-doc fingerprint set as a row-local array
+    // (winnow_grams ∘ window_min_distinct — no explode+window shuffle),
+    // |A| read off the array, and the 8-byte set size rides the postings
+    // shuffle next to the id, exactly like ngramJaccardPairs. The array
+    // is carried THROUGH the Generate so the kernel chain is evaluated
+    // once, not re-inlined into size() by CollapseProject.
+    val postings = TextAnalysis
+      .winnowedFingerprintSets(
+        df.repartition(col(idCol)), // few-split corpora: parallelize the kernel
+        idCol, textCol, k, w)
+      .select(col(idCol).cast(LongType).as("id"), col("fps"))
+      .select(col("id"), col("fps"), explode(col("fps")).as("fp"))
+      .select(col("id"), size(col("fps")).cast(LongType).as("set_size"),
+        col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Hot-fingerprint pre-filter BEFORE bucket materialization: a
+      // boilerplate fingerprint present in millions of documents must
+      // never reach collect_list (the reduce-side buffer for one such
+      // bucket is the OOM, whatever the post-hoc size filter says).
+      // Doc frequency is a plain count — map-side combined, skew-safe —
+      // and hot fingerprints are few BY DEFINITION (each needs
+      // > maxDocFreq postings), so the drop side broadcasts; the
+      // maxBroadcastHot guard falls back to a shuffle join against
+      // adversarial corpora, mirroring applyComponentDedup.
+      val hot = postings.groupBy(col("fp"))
+        .agg(count(lit(1)).as("dfreq"))
+        .filter(col("dfreq") > maxDocFreq)
+        .select(col("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hotSide =
+        if (hot.count() <= maxBroadcastHot) broadcast(hot) else hot
+      val pruned = postings.join(hotSide, Seq("fp"), "left_anti")
+      val pairs = pruned.groupBy(col("fp"))
+        .agg(array_sort(collect_list(
+          struct(col("id"), col("set_size")))).as("es"))
+        .filter(size(col("es")) > 1)
+        .select(explode(graft.functions.PairFunctions
+          .pairCombinationsStruct(col("es"))).as("p"))
+        .groupBy(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+          col("p.a.set_size").as("size_a"), col("p.b.set_size").as("size_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .filter(col("n_common") >= minShared)
+        .withColumn("jaccard_fp",
+          col("n_common").cast(DoubleType) /
+            (col("size_a") + col("size_b") - col("n_common")).cast(DoubleType))
+        .filter(col("jaccard_fp") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard_fp")
+      val out = pairs.localCheckpoint(true)
+      hot.unpersist()
+      out
+    } finally postings.unpersist()
   }
 
   /** Exact n-gram Jaccard similarity for all pairs above `threshold`.

@@ -66,19 +66,6 @@ object Similarity {
   def cosineExact(a: Column, b: Column): Column =
     dotExact(a, b) / (normExact(a) * normExact(b))
 
-  /** Sequential double fold — deterministic (fixed array order, one plan)
-    * but not order-independent like [[dotExact]]. Used on the approximate
-    * LSH paths where no cross-engine oracle applies: ~10× cheaper than the
-    * BigDecimal fold. */
-  def dotFast(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
-
-  def normFast(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v))
-
   /** Brute-force top-k by inner product (or cosine): for each query vector,
     * the k nearest corpus vectors. Queries are broadcast; norms are
     * precomputed per side (not per pair); ties broken by corpus id — fully

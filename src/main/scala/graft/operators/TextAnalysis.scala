@@ -125,28 +125,27 @@ object TextAnalysis {
   def winnowedFingerprints(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.{Window => W}
     graft.functions.GraftFunctions.register(df.sparkSession)
-    // native gram-hash kernel: one tight loop per row (the compositional
-    // transform interprets one substring+md5 per gram)
-    val hs = graft.functions.WordShingleFunctions.winnowGrams(col(textCol), k)
-    // Explode the gram hashes FIRST (the Generate blocks CollapseProject —
-    // computing window minima over the `hs` expression directly would
-    // inline the whole gram-hashing array into EVERY window, an O(n²)
-    // blowup), then take each window's minimum as a sliding window
-    // function: O(n) rows, one shuffle on the doc id.
-    val grams = df
-      .select(col(idCol), hs.as("hs"))
-      .select(col(idCol), col("hs"), posexplode(col("hs")).as(Seq("i", "h")))
-      .select(col(idCol), size(col("hs")).as("nh"), col("i"), col("h"))
-    val frame = W.partitionBy(col(idCol)).orderBy(col("i"))
-      .rowsBetween(0, w - 1)
-    grams
-      .withColumn("fp", min(col("h")).over(frame))
-      // keep only full windows (plus the single partial one of short docs)
-      .filter(col("i") <= greatest(col("nh") - w, lit(0)))
-      .select(col(idCol), col("fp"))
-      .distinct()
+    winnowedFingerprintSets(df, idCol, textCol, k, w)
+      .select(col(idCol), explode(col("fps")).as("fp"))
+  }
+
+  /** Per-document winnowed fingerprint SETS — the selection fused into
+    * one row-local kernel chain: `winnow_grams` hashes every character
+    * k-gram, `window_min_distinct` keeps each width-`w` window's minimum
+    * and dedups. Entirely shuffle-free and codegen'd; the earlier
+    * explode → window-min → distinct formulation paid a full shuffle on
+    * the doc id for what is per-row arithmetic (the kernel is proven
+    * bit-identical to it in KernelPropertySpec). Output:
+    * `(idCol, fps ARRAY<BIGINT>)` — callers that need postings explode,
+    * callers that need set sizes read `size(fps)` off the array for free. */
+  def winnowedFingerprintSets(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    import graft.functions.WordShingleFunctions.{windowMinDistinct, winnowGrams}
+    df.select(col(idCol),
+      windowMinDistinct(winnowGrams(col(textCol), k), w).as("fps"))
   }
 
   /** PII scrubbing — the redaction stage of a curation pipeline: emails,

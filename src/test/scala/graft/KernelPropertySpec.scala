@@ -32,6 +32,44 @@ class KernelPropertySpec extends SparkSpec {
       s"shingles differ: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
   }
 
+  test("property: window_min_distinct == compositional window minima") {
+    graft.functions.GraftFunctions.register(spark)
+    val W = graft.functions.WordShingleFunctions
+    // random long arrays (with duplicates, so distinct matters) and a
+    // random window width per case
+    val arr = Gen.chooseNum(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50L, 50L)))
+    val cases = sample(Gen.zip(arr, Gen.chooseNum(1, 7)), 80) ++
+      Seq((List.empty[Long], 4), (List(7L), 4), (List(3L, 3L, 3L), 2))
+    cases.groupBy(_._2).foreach { case (w, cs) =>
+      // compositional reference: every window start 0..max(n-w, 0), the
+      // last window clipped by slice(), first-occurrence distinct
+      val rows = cs.map(_._1).toDF("hs").select(
+        W.windowMinDistinct(col("hs"), w).as("fast"),
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(col("hs")) - w, lit(0))),
+          i => array_min(slice(col("hs"), i + 1, lit(w))))).as("ref"),
+        size(col("hs")).as("n")).collect()
+      rows.foreach { r =>
+        val ref = if (r.getInt(2) == 0) Seq.empty[Long] else r.getSeq[Long](1)
+        assert(r.getSeq[Long](0) == ref,
+          s"w=$w: ${r.getSeq[Long](0)} vs $ref (n=${r.getInt(2)})")
+      }
+    }
+    // and over real winnow_grams output on text, the production pairing
+    val texts = Seq("", "a", "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaaaaaa", "abc " * 40).toDF("text")
+    texts.select(
+        W.windowMinDistinct(W.winnowGrams(col("text"), 8), 4).as("fast"),
+        array_distinct(transform(
+          sequence(lit(0),
+            greatest(size(W.winnowGrams(col("text"), 8)) - 4, lit(0))),
+          i => array_min(slice(W.winnowGrams(col("text"), 8), i + 1, lit(4)))))
+          .as("ref"))
+      .collect()
+      .foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("property: vector kernels == compositional forms on random floats") {
     graft.functions.GraftFunctions.register(spark)
     val V = graft.functions.VectorFunctions
@@ -44,21 +82,13 @@ class KernelPropertySpec extends SparkSpec {
     val rows = df.select(
       Similarity.dotExact(col("a"), col("b")).as("de_ref"),
       V.dotExact(col("a"), col("b")).as("de"),
-      Similarity.dotFast(col("a"), col("b")).as("df_ref"),
-      V.dotFast(col("a"), col("b")).as("df"),
       Similarity.normExact(col("a")).as("ne_ref"),
-      V.normExact(col("a")).as("ne"),
-      Similarity.normFast(col("a")).as("nf_ref"),
-      V.normFast(col("a")).as("nf")).collect()
+      V.normExact(col("a")).as("ne")).collect()
     rows.foreach { r =>
       assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(1)), "dot_exact")
       assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
-        java.lang.Double.doubleToLongBits(r.getDouble(3)), "dot_fast")
-      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
-        java.lang.Double.doubleToLongBits(r.getDouble(5)), "norm_exact")
-      assert(java.lang.Double.doubleToLongBits(r.getDouble(6)) ==
-        java.lang.Double.doubleToLongBits(r.getDouble(7)), "norm_fast")
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), "norm_exact")
     }
     // rhp signatures over the quantized vectors, every table
     val q = df.select(V.quantize6(col("a")).as("q"))

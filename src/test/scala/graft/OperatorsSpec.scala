@@ -418,17 +418,11 @@ class SimilaritySpec extends SparkSpec {
     val rows = pairs.select(
       Similarity.dotExact(col("embedding"), col("e2")).as("de_ref"),
       V.dotExact(col("embedding"), col("e2")).as("de"),
-      Similarity.dotFast(col("embedding"), col("e2")).as("df_ref"),
-      V.dotFast(col("embedding"), col("e2")).as("df"),
       Similarity.normExact(col("embedding")).as("ne_ref"),
-      V.normExact(col("embedding")).as("ne"),
-      Similarity.normFast(col("embedding")).as("nf_ref"),
-      V.normFast(col("embedding")).as("nf")).collect()
+      V.normExact(col("embedding")).as("ne")).collect()
     rows.foreach { r =>
       assert(r.getDouble(0) == r.getDouble(1), "dot_exact differs")
-      assert(r.getDouble(2) == r.getDouble(3), "dot_fast differs")
-      assert(r.getDouble(4) == r.getDouble(5), "norm_exact differs")
-      assert(r.getDouble(6) == r.getDouble(7), "norm_fast differs")
+      assert(r.getDouble(2) == r.getDouble(3), "norm_exact differs")
     }
     // rhp_signatures over quantized vectors: table t == compositional
     // signature for that table
