@@ -38,18 +38,36 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // Measured: MEDIAN of `passes` full interleaved passes per query.
+    // A single-shot number is hostage to transient driver-machine load
+    // (historically 3-7× on sub-second queries, re-adjudicated by hand
+    // every round); the median of three passes spread across the whole
+    // run is robust to any one loaded interval, while interleaving (pass
+    // over ALL queries, then repeat) keeps a query's reps far apart in
+    // time instead of measuring the same load spike thrice.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    (1 to passes).foreach { p =>
+      names.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name pass $p failed: ${e.getMessage}")
+        }
+        times(name) = (System.nanoTime() - t0) / 1e9 :: times(name)
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2) // odd pass counts: the true middle element
+    }
+    val results = names.map { case (name, _) => name -> median(times(name)) }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup":"full pass at $warmDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup":"full pass at $warmDir","passes":$passes,"aggregation":"per-query median"}""")
     spark.stop()
   }
 }

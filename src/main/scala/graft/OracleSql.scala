@@ -793,9 +793,14 @@ object OracleSql {
         |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
         |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 14""".stripMargin,
 
-    // IVF: fixed-K deterministic centroids (16 smallest md5_60(vec_id)),
-    // exact quantized-L2 cell assignment (ties by centroid id), nprobe=2
-    // probe cells per query, exact scores within probed cells.
+    // IVF with one Lloyd refinement round: 16 seed centroids (smallest
+    // md5_60(vec_id)), exact quantized-L2 seed assignment, then each
+    // centroid moves to its cell's per-dimension mean — the sum of
+    // scale-6 unscaled values, divided HALF_UP by pure integer
+    // arithmetic ((2s + sgn(s)·n) // 2n; DuckDB's // and Spark's div
+    // both truncate toward zero) — a seed whose cell emptied keeps its
+    // coordinates. Final assignment + nprobe=2 probes + exact scores
+    // run against the refined centroids.
     "q_sim_ivf" ->
       """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
@@ -807,13 +812,36 @@ object OracleSql {
         |sq AS (SELECT vec_id,
         |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
         |  FROM el GROUP BY 1),
-        |vc AS (SELECT e.vec_id AS vid, c.vec_id AS cid,
+        |vc0 AS (SELECT e.vec_id AS vid, c.vec_id AS cid,
         |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
         |  FROM el e JOIN el c ON e.i = c.i
         |  JOIN cent ON c.vec_id = cent.vec_id GROUP BY 1, 2),
-        |asg AS (SELECT vid, cid, sv.s2 + sc.s2 - 2.0 * dot AS d2
+        |asg0 AS (SELECT vid, cid, sv.s2 + sc.s2 - 2.0 * dot AS d2
+        |  FROM vc0 JOIN sq sv ON sv.vec_id = vid
+        |           JOIN sq sc ON sc.vec_id = cid),
+        |cells0 AS (SELECT vid, cid FROM asg0
+        |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) = 1),
+        |cm AS (SELECT c0.cid, e.i,
+        |    SUM(CAST(e.x * 1000000 AS BIGINT)) AS s,
+        |    COUNT(*) AS n
+        |  FROM cells0 c0 JOIN el e ON e.vec_id = c0.vid GROUP BY 1, 2),
+        |ref AS (SELECT se.vec_id AS cid, se.i,
+        |    COALESCE(
+        |      CAST((2 * cm.s + CASE WHEN cm.s < 0 THEN -cm.n ELSE cm.n
+        |            END) // (2 * cm.n) AS DECIMAL(18,0))
+        |        * CAST(0.000001 AS DECIMAL(7,6)),
+        |      se.x) AS mx
+        |  FROM el se JOIN cent ON se.vec_id = cent.vec_id
+        |  LEFT JOIN cm ON cm.cid = se.vec_id AND cm.i = se.i),
+        |rsq AS (SELECT cid,
+        |    CAST(SUM(CAST(mx * mx AS DECIMAL(25,12))) AS DOUBLE) AS s2
+        |  FROM ref GROUP BY 1),
+        |vc AS (SELECT e.vec_id AS vid, ref.cid,
+        |    CAST(SUM(CAST(e.x * ref.mx AS DECIMAL(25,12))) AS DOUBLE) AS dot
+        |  FROM el e JOIN ref ON e.i = ref.i GROUP BY 1, 2),
+        |asg AS (SELECT vid, vc.cid, sv.s2 + rsq.s2 - 2.0 * dot AS d2
         |  FROM vc JOIN sq sv ON sv.vec_id = vid
-        |          JOIN sq sc ON sc.vec_id = cid),
+        |          JOIN rsq ON rsq.cid = vc.cid),
         |cells AS (SELECT vid, cid FROM asg
         |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) = 1),
         |probes AS (SELECT vid AS query_id, cid FROM asg WHERE vid < 10

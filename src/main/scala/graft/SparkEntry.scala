@@ -459,7 +459,7 @@ object SparkEntry {
 
   private def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
     val idx = Similarity.writeIvfIndex(emb(spark, dir), "vec_id", "embedding",
-      indexDir("ivf", dir), numCentroids = 16)
+      indexDir("ivf", dir), numCentroids = 16, refineRounds = 1)
     Similarity.probeIvf(idx,
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, nprobe = 2)

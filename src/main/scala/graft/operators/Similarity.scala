@@ -323,6 +323,39 @@ object Similarity {
       .select(col("cent_id"), V.quantize6(col("cvec")).as("centq"))
       .withColumn("cent_s2", V.dotQ12(col("centq"), col("centq")))
 
+  /** One deterministic Lloyd refinement round: assign every corpus
+    * vector to its nearest current centroid, then move each centroid to
+    * its cell's per-dimension MEAN. md5-sampled seeds are uniform over
+    * the corpus, not over space, so dense regions get crowded cells and
+    * sparse regions huge ones; one k-means step evens the cells out —
+    * and with them `nprobe` recall — while staying exact and
+    * oracle-expressible: cell sums are exact scale-6 unscaled longs
+    * (map-side-combined, the shuffle carries K·dims rows per partition),
+    * and the mean rounds HALF_UP via pure integer arithmetic —
+    * `(2s + sgn(s)·n) div 2n` — because truncating integer division is
+    * the one division both engines define bit-identically (decimal
+    * division result scales differ engine-to-engine). A centroid whose
+    * cell emptied (possible when duplicate vectors seed two centroids
+    * and the tiebreak drains one) keeps its seed coordinates. Centroid
+    * ids are preserved, so probe ranking stays id-tiebroken and
+    * deterministic. */
+  private def ivfRefine(corpus: DataFrame, corpusId: String,
+      corpusVec: String, cent: DataFrame): DataFrame = {
+    val dims = ivfCells(corpus, corpusId, corpusVec, cent)
+      .select(col("cent_id"), posexplode(col("cq")).as(Seq("i", "x")))
+    val means = dims.groupBy(col("cent_id"), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr(
+        "(2 * s + CASE WHEN s < 0 THEN -n ELSE n END) div (2 * n)"))
+      .groupBy(col("cent_id"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m"))))
+        .getField("m").as("mq"))
+    cent.join(means, Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        coalesce(col("mq"), col("centq")).as("centq"))
+      .withColumn("cent_s2", V.dotQ12(col("centq"), col("centq")))
+  }
+
   /** Cell assignment: one broadcast product + `min_by` hash aggregation —
     * partial aggregation collapses the per-centroid candidates map-side,
     * so the shuffle carries ONE row per corpus vector. */
@@ -339,11 +372,17 @@ object Similarity {
       .select(col("corpus_id"), col("m.cent_id").as("cent_id"),
         col("m.cq").as("cq"))
 
-  /** In-memory (lazy) IVF index — the one-shot [[ivfTopK]] path. */
+  /** In-memory (lazy) IVF index — the one-shot [[ivfTopK]] path.
+    * `refineRounds` Lloyd rounds ([[ivfRefine]]) between seeding and the
+    * final assignment; each round is one corpus pass, so the default for
+    * ad-hoc probes is 0 and index builders opt in. */
   def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
-      numCentroids: Int = 16): IvfIndex = {
+      numCentroids: Int = 16, refineRounds: Int = 0): IvfIndex = {
     registered(corpus)
-    val cent = ivfCentroids(corpus, corpusId, corpusVec, numCentroids)
+    val seed = ivfCentroids(corpus, corpusId, corpusVec, numCentroids)
+    val cent = (1 to refineRounds).foldLeft(seed) { (c, _) =>
+      ivfRefine(corpus, corpusId, corpusVec, c)
+    }
     IvfIndex(cent, ivfCells(corpus, corpusId, corpusVec, cent))
   }
 
@@ -354,10 +393,13 @@ object Similarity {
     * build-once/probe-many amortization the round-3 one-shot operator
     * lacked. */
   def writeIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
-      dir: String, numCentroids: Int = 16): IvfIndex = {
+      dir: String, numCentroids: Int = 16, refineRounds: Int = 0): IvfIndex = {
     registered(corpus)
     val spark = corpus.sparkSession
-    ivfCentroids(corpus, corpusId, corpusVec, numCentroids)
+    val seed = ivfCentroids(corpus, corpusId, corpusVec, numCentroids)
+    (1 to refineRounds).foldLeft(seed) { (c, _) =>
+        ivfRefine(corpus, corpusId, corpusVec, c)
+      }
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$dir/centroids")
     ivfCells(corpus, corpusId, corpusVec,

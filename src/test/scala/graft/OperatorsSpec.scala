@@ -528,6 +528,29 @@ class SimilaritySpec extends SparkSpec {
     assert(multi >= 0.2)
   }
 
+  test("IVF Lloyd refinement: evens out cell sizes, keeps K and determinism") {
+    val e = spark.read.parquet(sf("embeddings"))
+    def cellSizes(rounds: Int): Seq[Long] =
+      Similarity.buildIvfIndex(e, "vec_id", "embedding",
+          numCentroids = 16, refineRounds = rounds)
+        .cells.groupBy("cent_id").count()
+        .collect().map(_.getLong(1)).toSeq
+    def imbalance(sizes: Seq[Long]): Double =
+      sizes.max.toDouble / sizes.min.toDouble
+    val seed = cellSizes(0)
+    val refined = cellSizes(1)
+    // centroid count is FIXED-K through refinement (empty cells keep
+    // their seed coordinates rather than vanishing)
+    assert(refined.size == seed.size)
+    // md5-sampled seeds are uniform over the corpus, not over space; one
+    // k-means step must not make the worst-case cell imbalance worse
+    assert(imbalance(refined) <= imbalance(seed),
+      s"refinement worsened balance: seed=$seed refined=$refined")
+    // determinism: the refined index is bit-stable across rebuilds
+    val again = cellSizes(1)
+    assert(refined.sorted == again.sorted)
+  }
+
   test("persisted LSH/IVF index: probe == one-shot, zero corpus scans") {
     val e = spark.read.parquet(sf("embeddings"))
     // Detach the query side from the corpus file so any appearance of the
