@@ -38,6 +38,43 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("keep_id"))
   }
 
+  /** Structural reduce-side bound for every bucket aggregation: drop the
+    * rows of over-full buckets BEFORE `collect_list` ever sees them. The
+    * post-hoc `size(es) <= cap` filter bounds which buckets emit PAIRS,
+    * but the oversized array still materializes in one aggregation
+    * buffer first — at corpus scale a boilerplate key with 10⁸ postings
+    * is an executor OOM (or, routed through a window count instead, a
+    * one-task straggler sorting the whole hot bucket). Here bucket sizes
+    * come from a plain `count` (map-side combined, skew-irrelevant) and
+    * hot rows die at the MAP side of the big shuffle via a broadcast
+    * anti-join — hot keys are few by definition (each needs > `maxSize`
+    * rows), with the [[applyComponentDedup]]-style `maxBroadcastHot`
+    * guard falling back to a shuffle join against adversarial inputs.
+    * `rows` is scanned twice (size pass + shuffle pass) — callers keep
+    * the projection cheap or persisted.
+    *
+    * Dropping a bucket entirely (not sampling it) is the same semantics
+    * as the post-hoc filter, so oracles are unchanged. */
+  private[operators] def dropHotBuckets(
+      rows: DataFrame, keyCols: Seq[String], maxSize: Long,
+      maxBroadcastHot: Long = 4096L): DataFrame = {
+    val hot = rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxSize)
+      .select(keyCols.map(col): _*)
+    // The count decides the join strategy AND short-circuits the common
+    // no-hot-keys case to a join-free plan. `hot` stays unpersisted: it
+    // is one map-side-combined aggregation over `rows` (cached by the
+    // caller), and a tiny result — recomputing it in the join branch is
+    // cheaper than managing another cache lifetime here.
+    hot.count() match {
+      case 0L => rows
+      case n if n <= maxBroadcastHot =>
+        rows.join(broadcast(hot), keyCols, "left_anti")
+      case _ => rows.join(hot, keyCols, "left_anti")
+    }
+  }
+
   /** Distinct candidate pairs (`id_a < id_b`) from LSH buckets WITHOUT a
     * self-join: group ids per bucket, explode in-bucket pairs. A self-join
     * would recompute the whole signature pipeline for each side (exchange
@@ -45,7 +82,10 @@ object Dedup {
     * once and shuffles only (bucket, id). `maxBucket` drops degenerate
     * buckets (a hot bucket is quadratic however you generate pairs —
     * standard LSH practice is to skip, not explode, them; at 2000 ids a
-    * bucket already means ~2M pairs in one task).
+    * bucket already means ~2M pairs in one task) — via [[dropHotBuckets]],
+    * so an over-full bucket never reaches the aggregation buffer either.
+    * The pair set is materialized eagerly (`localCheckpoint`) so the
+    * bucket projection's cache can be released before returning.
     *
     * Ids must be numeric (castable to LONG): the `pair_combinations`
     * kernel works on long arrays. Validated up front — a string id would
@@ -59,15 +99,20 @@ object Dedup {
     require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"pairsFromBuckets requires a numeric id column (castable to LONG); " +
         s"'$idCol' is ${idType.simpleString}")
-    val ids = array_sort(collect_list(col(idCol).cast(LongType)))
-    val buckets = banded.groupBy(bucketCols.map(col): _*)
-      .agg(ids.as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-    buckets
-      .select(explode(
-        graft.functions.PairFunctions.pairCombinations(col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    val rows = banded.select((bucketCols :+ idCol).map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ids = array_sort(collect_list(col(idCol).cast(LongType)))
+      dropHotBuckets(rows, bucketCols, maxBucket.toLong)
+        .groupBy(bucketCols.map(col): _*)
+        .agg(ids.as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(
+          graft.functions.PairFunctions.pairCombinations(col("ids"))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+        .distinct()
+        .localCheckpoint(true)
+    } finally rows.unpersist()
   }
 
   /** First 60 bits of MD5 as a long — the engine-portable hash primitive
@@ -205,17 +250,23 @@ object Dedup {
       banded: DataFrame, idCol: String, payloadCol: String,
       bucketCols: Seq[String], maxBucket: Int = 2000): DataFrame = {
     graft.functions.GraftFunctions.register(banded.sparkSession)
-    val entry = struct(col(idCol).as("id"), col(payloadCol).as("pl"))
-    val buckets = banded.groupBy(bucketCols.map(col): _*)
-      .agg(array_sort(collect_list(entry)).as("es"))
-      .filter(size(col("es")) > 1 && size(col("es")) <= maxBucket)
-    buckets
-      .select(explode(graft.functions.PairFunctions
-        .pairCombinationsStruct(col("es"))).as("p"))
-      .select(col("p.a"), col("p.b"))
-      .distinct() // payload is functionally dependent on id
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.pl").as(s"${payloadCol}_a"), col("b.pl").as(s"${payloadCol}_b"))
+    val rows = banded
+      .select((bucketCols :+ idCol :+ payloadCol).map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val entry = struct(col(idCol).as("id"), col(payloadCol).as("pl"))
+      dropHotBuckets(rows, bucketCols, maxBucket.toLong)
+        .groupBy(bucketCols.map(col): _*)
+        .agg(array_sort(collect_list(entry)).as("es"))
+        .filter(size(col("es")) > 1)
+        .select(explode(graft.functions.PairFunctions
+          .pairCombinationsStruct(col("es"))).as("p"))
+        .select(col("p.a"), col("p.b"))
+        .distinct() // payload is functionally dependent on id
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.pl").as(s"${payloadCol}_a"), col("b.pl").as(s"${payloadCol}_b"))
+        .localCheckpoint(true)
+    } finally rows.unpersist()
   }
 
   /** SimHash near-duplicates: pairs within `maxHamming` bits. Candidate
@@ -480,10 +531,11 @@ object Dedup {
     // re-run the pairing stages per consumer).
     val ubound = least(col("pos_a"), col("pos_b")) +
       least(col("size_a") - col("pos_a"), col("size_b") - col("pos_b"))
-    val cand = postings.groupBy(col("h"))
+    val cand = dropHotBuckets(postings, Seq("h"), maxDocFreq)
+      .groupBy(col("h"))
       .agg(array_sort(collect_list(
         struct(col("id"), col("set_size"), col("pos")))).as("es"))
-      .filter(size(col("es")) > 1 && size(col("es")) <= maxDocFreq)
+      .filter(size(col("es")) > 1)
       .select(explode(graft.functions.PairFunctions
         .pairCombinationsStruct(col("es"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
@@ -564,24 +616,11 @@ object Dedup {
         col("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // Hot-fingerprint pre-filter BEFORE bucket materialization: a
-      // boilerplate fingerprint present in millions of documents must
-      // never reach collect_list (the reduce-side buffer for one such
-      // bucket is the OOM, whatever the post-hoc size filter says).
-      // Doc frequency is a plain count — map-side combined, skew-safe —
-      // and hot fingerprints are few BY DEFINITION (each needs
-      // > maxDocFreq postings), so the drop side broadcasts; the
-      // maxBroadcastHot guard falls back to a shuffle join against
-      // adversarial corpora, mirroring applyComponentDedup.
-      val hot = postings.groupBy(col("fp"))
-        .agg(count(lit(1)).as("dfreq"))
-        .filter(col("dfreq") > maxDocFreq)
-        .select(col("fp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hotSide =
-        if (hot.count() <= maxBroadcastHot) broadcast(hot) else hot
-      val pruned = postings.join(hotSide, Seq("fp"), "left_anti")
-      val pairs = pruned.groupBy(col("fp"))
+      // Hot-fingerprint pre-filter BEFORE bucket materialization
+      // ([[dropHotBuckets]]): a boilerplate fingerprint present in
+      // millions of documents must never reach collect_list.
+      dropHotBuckets(postings, Seq("fp"), maxDocFreq, maxBroadcastHot)
+        .groupBy(col("fp"))
         .agg(array_sort(collect_list(
           struct(col("id"), col("set_size")))).as("es"))
         .filter(size(col("es")) > 1)
@@ -596,9 +635,7 @@ object Dedup {
             (col("size_a") + col("size_b") - col("n_common")).cast(DoubleType))
         .filter(col("jaccard_fp") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard_fp")
-      val out = pairs.localCheckpoint(true)
-      hot.unpersist()
-      out
+        .localCheckpoint(true)
     } finally postings.unpersist()
   }
 
@@ -616,33 +653,40 @@ object Dedup {
       shingleWords: Int, threshold: Double,
       maxDocFreq: Long = 10000L): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    // ONE corpus scan: shingle each doc once, compute |A| off the array,
+    // ONE kernel pass: shingle each doc once, compute |A| off the array,
     // and let the 8-byte set size ride the postings shuffle next to the
-    // id — no second scan, no sizes join-back.
+    // id — no second scan, no sizes join-back. Persisted because the
+    // hot-shingle pre-filter sizes the postings before the big shuffle.
     val sh = df
       .select(col(idCol).cast(LongType).as("id"),
         graft.functions.WordShingleFunctions
           .wordShingles(col(textCol), shingleWords).as("sh_arr"))
       .select(col("id"), size(col("sh_arr")).cast(LongType).as("set_size"),
         explode(col("sh_arr")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Postings as buckets: group (id, |A|) entries per shingle, explode
-    // in-bucket pairs, count repeats = |A∩B|. One shingle pass, one
-    // shuffle on the shingle, no aliased self-join recomputing the
-    // explosion per side. Frequency pruning = dropping oversized postings
-    // lists, same semantics as a df-filter on the shingle.
-    sh.groupBy(col("shingle"))
-      .agg(array_sort(collect_list(
-        struct(col("id"), col("set_size")))).as("es"))
-      .filter(size(col("es")) > 1 && size(col("es")) <= maxDocFreq)
-      .select(explode(graft.functions.PairFunctions
-        .pairCombinationsStruct(col("es"))).as("p"))
-      .groupBy(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        col("p.a.set_size").as("size_a"), col("p.b.set_size").as("size_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .withColumn("jaccard",
-        col("n_common").cast(DoubleType) /
-          (col("size_a") + col("size_b") - col("n_common")).cast(DoubleType))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "n_common", "jaccard")
+    // in-bucket pairs, count repeats = |A∩B|. One shuffle on the
+    // shingle, no aliased self-join recomputing the explosion per side.
+    // Frequency pruning ([[dropHotBuckets]]) kills ubiquitous shingles
+    // at the map side, so no aggregation buffer ever holds an over-full
+    // postings list.
+    try {
+      dropHotBuckets(sh, Seq("shingle"), maxDocFreq)
+        .groupBy(col("shingle"))
+        .agg(array_sort(collect_list(
+          struct(col("id"), col("set_size")))).as("es"))
+        .filter(size(col("es")) > 1)
+        .select(explode(graft.functions.PairFunctions
+          .pairCombinationsStruct(col("es"))).as("p"))
+        .groupBy(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+          col("p.a.set_size").as("size_a"), col("p.b.set_size").as("size_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .withColumn("jaccard",
+          col("n_common").cast(DoubleType) /
+            (col("size_a") + col("size_b") - col("n_common")).cast(DoubleType))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+        .localCheckpoint(true)
+    } finally sh.unpersist()
   }
 }

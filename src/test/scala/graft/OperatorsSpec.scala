@@ -204,6 +204,30 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) > 0.5 && out((1L, 3L)) < 1.0)
   }
 
+  test("hot-bucket pre-filter: over-full postings drop whole buckets, rest unchanged") {
+    import spark.implicits._
+    // three docs share shingle-space pairwise; with maxDocFreq=2 every
+    // bucket holding all three is dropped BEFORE aggregation, so only
+    // evidence carried by <=2-doc shingles survives — and with a
+    // permissive cap the result equals the unpruned one.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), // exact pair via all shingles
+      (3L, "a b c x y z"), (4L, "p q r s t u")  // 3 shares prefix with 1,2
+    ).toDF("id", "text")
+    val loose = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.01,
+      maxDocFreq = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // shingles "a b c" + "b c x"… — (1,3) share exactly "a b c" (1 common)
+    assert(loose((1L, 2L)) == 4L && loose((1L, 3L)) == 1L)
+    // cap 2: the only 3-doc bucket is "a b c" → (1,3)/(2,3) lose their
+    // single shared shingle and vanish; (1,2) keeps its 3 private ones
+    val tight = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.01,
+      maxDocFreq = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(tight.keySet == Set((1L, 2L)), s"got $tight")
+    assert(tight((1L, 2L)) == 3L)
+  }
+
   test("connectedComponents: chains collapse to the min id") {
     import spark.implicits._
     // chain 1-2-3, pair 7-9, singleton-free by construction
