@@ -79,6 +79,59 @@ object OracleSql {
        |             ELSE 0 END) AS BIGINT) AS bucket
        |  FROM acc GROUP BY 1, 2)""".stripMargin
 
+  /** Shared CTE chain for the Lloyd-refined IVF coarse quantizer: seed
+    * centroids (16 smallest md5_60(vec_id)), exact quantized-L2 seed
+    * assignment (`cells0`), one k-means step (per-cell scale-6 integer
+    * mean, HALF_UP via truncating integer division; empty cells keep
+    * their seed), and the final assignment against the refined centroids
+    * (`cells`, with the per-(vector, centroid) distances in `asg`).
+    * Used by the refined-IVF probe (q_sim_ivf) and semantic dedup
+    * (q_dedup_semantic). */
+  private val ivfRefinedCellCtes: String =
+    """el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id FROM embeddings
+      |  ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+      |    ::BIGINT, vec_id
+      |  LIMIT 16),
+      |sq AS (SELECT vec_id,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
+      |  FROM el GROUP BY 1),
+      |vc0 AS (SELECT e.vec_id AS vid, c.vec_id AS cid,
+      |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+      |  FROM el e JOIN el c ON e.i = c.i
+      |  JOIN cent ON c.vec_id = cent.vec_id GROUP BY 1, 2),
+      |asg0 AS (SELECT vid, cid, sv.s2 + sc.s2 - 2.0 * dot AS d2
+      |  FROM vc0 JOIN sq sv ON sv.vec_id = vid
+      |           JOIN sq sc ON sc.vec_id = cid),
+      |cells0 AS (SELECT vid, cid FROM asg0
+      |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) = 1),
+      |cm AS (SELECT c0.cid, e.i,
+      |    SUM(CAST(e.x * 1000000 AS BIGINT)) AS s,
+      |    COUNT(*) AS n
+      |  FROM cells0 c0 JOIN el e ON e.vec_id = c0.vid GROUP BY 1, 2),
+      |ref AS (SELECT se.vec_id AS cid, se.i,
+      |    COALESCE(
+      |      CAST((2 * cm.s + CASE WHEN cm.s < 0 THEN -cm.n ELSE cm.n
+      |            END) // (2 * cm.n) AS DECIMAL(18,0))
+      |        * CAST(0.000001 AS DECIMAL(7,6)),
+      |      se.x) AS mx
+      |  FROM el se JOIN cent ON se.vec_id = cent.vec_id
+      |  LEFT JOIN cm ON cm.cid = se.vec_id AND cm.i = se.i),
+      |rsq AS (SELECT cid,
+      |    CAST(SUM(CAST(mx * mx AS DECIMAL(25,12))) AS DOUBLE) AS s2
+      |  FROM ref GROUP BY 1),
+      |vc AS (SELECT e.vec_id AS vid, ref.cid,
+      |    CAST(SUM(CAST(e.x * ref.mx AS DECIMAL(25,12))) AS DOUBLE) AS dot
+      |  FROM el e JOIN ref ON e.i = ref.i GROUP BY 1, 2),
+      |asg AS (SELECT vid, vc.cid, sv.s2 + rsq.s2 - 2.0 * dot AS d2
+      |  FROM vc JOIN sq sv ON sv.vec_id = vid
+      |          JOIN rsq ON rsq.cid = vc.cid),
+      |cells AS (SELECT vid, cid FROM asg
+      |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) = 1)"""
+      .stripMargin
+
   val sql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -802,48 +855,7 @@ object OracleSql {
     // coordinates. Final assignment + nprobe=2 probes + exact scores
     // run against the refined centroids.
     "q_sim_ivf" ->
-      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
-        |  FROM embeddings),
-        |cent AS (SELECT vec_id FROM embeddings
-        |  ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
-        |    ::BIGINT, vec_id
-        |  LIMIT 16),
-        |sq AS (SELECT vec_id,
-        |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
-        |  FROM el GROUP BY 1),
-        |vc0 AS (SELECT e.vec_id AS vid, c.vec_id AS cid,
-        |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
-        |  FROM el e JOIN el c ON e.i = c.i
-        |  JOIN cent ON c.vec_id = cent.vec_id GROUP BY 1, 2),
-        |asg0 AS (SELECT vid, cid, sv.s2 + sc.s2 - 2.0 * dot AS d2
-        |  FROM vc0 JOIN sq sv ON sv.vec_id = vid
-        |           JOIN sq sc ON sc.vec_id = cid),
-        |cells0 AS (SELECT vid, cid FROM asg0
-        |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) = 1),
-        |cm AS (SELECT c0.cid, e.i,
-        |    SUM(CAST(e.x * 1000000 AS BIGINT)) AS s,
-        |    COUNT(*) AS n
-        |  FROM cells0 c0 JOIN el e ON e.vec_id = c0.vid GROUP BY 1, 2),
-        |ref AS (SELECT se.vec_id AS cid, se.i,
-        |    COALESCE(
-        |      CAST((2 * cm.s + CASE WHEN cm.s < 0 THEN -cm.n ELSE cm.n
-        |            END) // (2 * cm.n) AS DECIMAL(18,0))
-        |        * CAST(0.000001 AS DECIMAL(7,6)),
-        |      se.x) AS mx
-        |  FROM el se JOIN cent ON se.vec_id = cent.vec_id
-        |  LEFT JOIN cm ON cm.cid = se.vec_id AND cm.i = se.i),
-        |rsq AS (SELECT cid,
-        |    CAST(SUM(CAST(mx * mx AS DECIMAL(25,12))) AS DOUBLE) AS s2
-        |  FROM ref GROUP BY 1),
-        |vc AS (SELECT e.vec_id AS vid, ref.cid,
-        |    CAST(SUM(CAST(e.x * ref.mx AS DECIMAL(25,12))) AS DOUBLE) AS dot
-        |  FROM el e JOIN ref ON e.i = ref.i GROUP BY 1, 2),
-        |asg AS (SELECT vid, vc.cid, sv.s2 + rsq.s2 - 2.0 * dot AS d2
-        |  FROM vc JOIN sq sv ON sv.vec_id = vid
-        |          JOIN rsq ON rsq.cid = vc.cid),
-        |cells AS (SELECT vid, cid FROM asg
-        |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) = 1),
+      s"""WITH $ivfRefinedCellCtes,
         |probes AS (SELECT vid AS query_id, cid FROM asg WHERE vid < 10
         |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) <= 2),
         |cand AS (SELECT DISTINCT probes.query_id, cells.vid AS corpus_id
@@ -932,6 +944,32 @@ object OracleSql {
          |  JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
          |  JOIN bsz ON bsz.tbl = a.tbl AND bsz.bucket = a.bucket
          |  WHERE a.vec_id < b.vec_id AND bsz.n BETWEEN 2 AND 2000),
+         |norms AS (SELECT vec_id,
+         |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+         |  FROM el GROUP BY 1),
+         |d AS (SELECT id_a, id_b,
+         |    CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+         |  FROM cand
+         |  JOIN el ea ON ea.vec_id = id_a
+         |  JOIN el eb ON eb.vec_id = id_b AND ea.i = eb.i
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+         |FROM d
+         |JOIN norms na ON na.vec_id = id_a
+         |JOIN norms nb ON nb.vec_id = id_b
+         |WHERE dot / (na.nrm * nb.nrm) >= 0.25""".stripMargin,
+
+    // Semantic (SemDeDup-style) near-dup pairs: candidates are pairs
+    // sharing a Lloyd-refined IVF cell (cells of > 2000 members dropped,
+    // mirroring the Spark maxCell bucket bound), verified by exact
+    // quantized cosine >= 0.25.
+    "q_dedup_semantic" ->
+      s"""WITH $ivfRefinedCellCtes,
+         |csz AS (SELECT cid, COUNT(*) AS n FROM cells GROUP BY 1),
+         |cand AS (SELECT a.vid AS id_a, b.vid AS id_b
+         |  FROM cells a JOIN cells b ON a.cid = b.cid
+         |  JOIN csz ON csz.cid = a.cid
+         |  WHERE a.vid < b.vid AND csz.n BETWEEN 2 AND 2000),
          |norms AS (SELECT vec_id,
          |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
          |  FROM el GROUP BY 1),

@@ -483,6 +483,10 @@ object SparkEntry {
     Similarity.cosineNearDuplicates(emb(spark, dir), "vec_id", "embedding",
       threshold = 0.25, planes = 6, tables = 4)
 
+  private def qDedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticNearDupPairs(emb(spark, dir), "vec_id", "embedding",
+      threshold = 0.25, numCentroids = 16, refineRounds = 1)
+
   // ---------------------------------------------------------- multimodal
 
   private def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
@@ -560,6 +564,7 @@ object SparkEntry {
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf2" -> (qSimIvf2 _),
     "q_emb_neardup" -> (qEmbNearDup _),
+    "q_dedup_semantic" -> (qDedupSemantic _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_features" -> (qMultimodalFeatures _)

@@ -592,4 +592,49 @@ object Similarity {
     // vector+norm side so repeated calls don't accumulate cached blocks.
     try result.localCheckpoint(true) finally side.unpersist()
   }
+
+  /** SEMANTIC near-duplicate pairs, SemDeDup-style: cluster the embedding
+    * corpus with the (optionally Lloyd-refined) IVF coarse quantizer,
+    * then verify exact cosine only WITHIN each cluster cell. Complements
+    * [[cosineNearDuplicates]]: hyperplane buckets are many, small, and
+    * overlap-driven (good for tight duplicate thresholds); k-means cells
+    * follow the corpus's own density, which is the published recipe for
+    * SEMANTIC redundancy — same content re-expressed, not byte-near
+    * copies — where pairs sit further apart in cosine and still belong
+    * together. Output `(id_a, id_b, cosine)` feeds the standard
+    * [[Dedup.connectedComponents]] → [[Dedup.applyComponentDedup]] chain.
+    *
+    * Scale shape: cell assignment is the O(n·K) broadcast product of the
+    * IVF index build (one row per vector after map-side `min_by`);
+    * in-cell pairs explode via the bucket kernel with the
+    * [[Dedup.dropHotBuckets]] map-side bound (`maxCell`) — a cell is a
+    * candidate set, so an over-full cell is quadratic exactly like a hot
+    * LSH bucket and gets the same treatment; quantized vectors + norms
+    * join back from a persisted side computed once. Every stage is
+    * deterministic (md5-seeded centroids, integer-exact means, id
+    * tiebreaks) → full DuckDB oracle. */
+  def semanticNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCentroids: Int = 16, refineRounds: Int = 1,
+      maxCell: Int = 2000): DataFrame = {
+    registered(df)
+    val cells = buildIvfIndex(df, idCol, vecCol, numCentroids, refineRounds)
+      .cells // (corpus_id, cent_id, cq) — quantized vector rides assignment
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val side = cells.select(col("corpus_id").as("id"), col("cq"))
+        .withColumn("nrm", V.normQ12(col("cq")))
+      val result = Dedup
+        .pairsFromBuckets(cells, "corpus_id", Seq("cent_id"), maxCell)
+        .join(side.select(col("id").as("id_a"), col("cq").as("qa"),
+          col("nrm").as("norm_a")), Seq("id_a"))
+        .join(side.select(col("id").as("id_b"), col("cq").as("qb"),
+          col("nrm").as("norm_b")), Seq("id_b"))
+        .withColumn("cosine",
+          V.dotQ12(col("qa"), col("qb")) / (col("norm_a") * col("norm_b")))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+      result.localCheckpoint(true)
+    } finally cells.unpersist()
+  }
 }

@@ -552,6 +552,24 @@ class SimilaritySpec extends SparkSpec {
     assert(multi >= 0.2)
   }
 
+  test("semanticNearDupPairs: same-cell cosine pairs only, threshold respected") {
+    // numCentroids=2 → the corpus splits into two refined cells; the
+    // near-parallel pair (0,1) must surface with its exact cosine, and
+    // orthogonal vectors must not pair whatever cell they share.
+    val out = Similarity.semanticNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.5,
+      numCentroids = 2, refineRounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((0L, 1L)), s"got $out")
+    val expected = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert(math.abs(out((0L, 1L)) - expected) < 1e-9)
+    // raising the threshold above the pair's cosine empties the result
+    val none = Similarity.semanticNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.999,
+      numCentroids = 2, refineRounds = 1).count()
+    assert(none == 0L)
+  }
+
   test("IVF Lloyd refinement: evens out cell sizes, keeps K and determinism") {
     val e = spark.read.parquet(sf("embeddings"))
     def cellSizes(rounds: Int): Seq[Long] =
