@@ -55,7 +55,7 @@ object Dedup {
     *
     * Dropping a bucket entirely (not sampling it) is the same semantics
     * as the post-hoc filter, so oracles are unchanged. */
-  private[operators] def dropHotBuckets(
+  private[graft] def dropHotBuckets(
       rows: DataFrame, keyCols: Seq[String], maxSize: Long,
       maxBroadcastHot: Long = 4096L): DataFrame = {
     val hot = rows.groupBy(keyCols.map(col): _*)

@@ -204,6 +204,44 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) > 0.5 && out((1L, 3L)) < 1.0)
   }
 
+  test("dropHotBuckets plan shape: join-free when nothing is hot, broadcast anti-join when hot") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => (if (i <= 30) "hot" else s"k$i", i))
+      .toDF("k", "id")
+      .persist()
+    try {
+      // no hot keys at a permissive cap → the SAME plan, no join inserted
+      val cold = Dedup.dropHotBuckets(rows, Seq("k"), maxSize = 100L)
+      assert(!cold.queryExecution.executedPlan.toString.contains("Join"),
+        "no-hot-keys case must short-circuit to a join-free plan")
+      assert(cold.count() == 40L)
+      // one hot key → broadcast LEFT ANTI join, hot rows gone, rest intact
+      val pruned = Dedup.dropHotBuckets(rows, Seq("k"), maxSize = 10L)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti") && plan.contains("Broadcast"),
+        s"expected broadcast anti-join, got:\n$plan")
+      val kept = pruned.select("k").as[String].collect()
+      assert(kept.length == 10 && !kept.contains("hot"))
+      // adversarial fallback: hot-key set above the broadcast guard
+      val shuffled = Dedup.dropHotBuckets(rows, Seq("k"), maxSize = 0L,
+        maxBroadcastHot = 1L)
+      assert(shuffled.count() == 0L) // every key has >0 rows → all dropped
+    } finally rows.unpersist()
+  }
+
+  test("winnowed fingerprint sets: shuffle-free per-row plan (no Window, no Exchange)") {
+    import spark.implicits._
+    val docs = Seq((1L, "some text about winnowing fingerprints at scale"))
+      .toDF("doc_id", "text")
+    val plan = graft.operators.TextAnalysis
+      .winnowedFingerprintSets(docs, "doc_id", "text", k = 8, w = 4)
+      .queryExecution.executedPlan.toString
+    // the r4 formulation paid an explode + window-function shuffle per
+    // corpus pass; the fused kernel must keep selection inside the scan
+    assert(!plan.contains("Window"), s"selection fell back to a window:\n$plan")
+    assert(!plan.contains("Exchange"), s"per-row selection must not shuffle:\n$plan")
+  }
+
   test("hot-bucket pre-filter: over-full postings drop whole buckets, rest unchanged") {
     import spark.implicits._
     // three docs share shingle-space pairwise; with maxDocFreq=2 every
