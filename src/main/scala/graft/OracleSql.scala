@@ -87,6 +87,38 @@ object OracleSql {
     * (`cells`, with the per-(vector, centroid) distances in `asg`).
     * Used by the refined-IVF probe (q_sim_ivf) and semantic dedup
     * (q_dedup_semantic). */
+  /** Shared CTE chain for winnowing (MOSS) near-dup pairs at
+    * (k=24, w=8): winnowed fingerprint selection (min of each 8-window
+    * over char-24-gram md5_60 hashes, distinct per doc), then a postings
+    * self-join on fp. Docs sharing >= 2 fingerprints AND fingerprint-set
+    * Jaccard >= 0.5 are pairs; fingerprints in > 10000 docs pruned as in
+    * the Spark maxDocFreq cap; set sizes from the UNpruned per-doc sets.
+    * Ends with the `wpairs` CTE (id_a, id_b, n_common, jaccard_fp). */
+  private val winnowPairCtes: String =
+    """g AS (SELECT doc_id,
+      |    [('0x' || substring(md5(substr(text, i, 24)), 1, 15))::BIGINT
+      |     for i in range(1, GREATEST(length(text) - 23, 1) + 1)] AS hs
+      |  FROM documents),
+      |fps AS (SELECT doc_id, unnest(list_distinct(
+      |    [list_min(hs[j:j+7]) for j in range(1, GREATEST(len(hs) - 7, 1) + 1)]))
+      |  AS fp FROM g),
+      |sized AS (SELECT doc_id, fp,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS set_size FROM fps),
+      |posts AS (SELECT fp FROM fps GROUP BY fp
+      |  HAVING COUNT(*) > 1 AND COUNT(*) <= 10000),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.set_size AS size_a, b.set_size AS size_b, COUNT(*) AS n_common
+      |  FROM sized a JOIN sized b ON a.fp = b.fp
+      |  JOIN posts p ON p.fp = a.fp
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |wpairs AS (SELECT id_a, id_b, n_common, jaccard_fp FROM (
+      |    SELECT id_a, id_b, n_common,
+      |      CAST(n_common AS DOUBLE) /
+      |        CAST(size_a + size_b - n_common AS DOUBLE) AS jaccard_fp
+      |    FROM inter WHERE n_common >= 2)
+      |  WHERE jaccard_fp >= 0.5)""".stripMargin
+
   private val ivfRefinedCellCtes: String =
     """el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
       |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
@@ -601,29 +633,24 @@ object OracleSql {
     // fingerprints in > 10000 docs pruned as in the Spark maxDocFreq
     // cap; set sizes from the UNpruned per-doc sets.
     "q_dedup_winnow_pairs" ->
-      """WITH g AS (SELECT doc_id,
-        |    [('0x' || substring(md5(substr(text, i, 24)), 1, 15))::BIGINT
-        |     for i in range(1, GREATEST(length(text) - 23, 1) + 1)] AS hs
-        |  FROM documents),
-        |fps AS (SELECT doc_id, unnest(list_distinct(
-        |    [list_min(hs[j:j+7]) for j in range(1, GREATEST(len(hs) - 7, 1) + 1)]))
-        |  AS fp FROM g),
-        |sized AS (SELECT doc_id, fp,
-        |    COUNT(*) OVER (PARTITION BY doc_id) AS set_size FROM fps),
-        |posts AS (SELECT fp FROM fps GROUP BY fp
-        |  HAVING COUNT(*) > 1 AND COUNT(*) <= 10000),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    a.set_size AS size_a, b.set_size AS size_b, COUNT(*) AS n_common
-        |  FROM sized a JOIN sized b ON a.fp = b.fp
-        |  JOIN posts p ON p.fp = a.fp
-        |  WHERE a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT id_a, id_b, n_common, jaccard_fp FROM (
-        |  SELECT id_a, id_b, n_common,
-        |    CAST(n_common AS DOUBLE) /
-        |      CAST(size_a + size_b - n_common AS DOUBLE) AS jaccard_fp
-        |  FROM inter WHERE n_common >= 2)
-        |WHERE jaccard_fp >= 0.5""".stripMargin,
+      s"""WITH $winnowPairCtes
+        |SELECT id_a, id_b, n_common, jaccard_fp FROM wpairs""".stripMargin,
+
+    // The winnowing dedup story composed end to end: winnowed
+    // fingerprint pairs -> connected components (recursive min-label
+    // reachability) -> survivors only, mirroring q_dedup_apply.
+    "q_dedup_winnow_apply" ->
+      s"""WITH RECURSIVE $winnowPairCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM wpairs
+         |  UNION SELECT id_b, id_a FROM wpairs),
+         |reach(id, lab) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         |labels AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY 1)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE component <> id)"""
+        .stripMargin,
 
     // Connected components over the t>=0.10 Jaccard pair graph via
     // recursive min-label reachability.

@@ -337,6 +337,11 @@ object SparkEntry {
   private def qVocabTopk(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(docs(spark, dir), "text", 100)
 
+  /** BM25 (rational fixed-point) top-20 for a 3-term query. */
+  private def qTextBm25(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Rational(docs(spark, dir), "doc_id", "text",
+      Seq("spark", "vector", "merge"), topK = 20)
+
   /** Corpus composition profile per (lang, source): counts, char totals,
     * exact discrete median, corpus share. */
   private def qProfileCorpus(spark: SparkSession, dir: String): DataFrame =
@@ -381,6 +386,16 @@ object SparkEntry {
     Dedup.applyComponentDedup(docs(spark, dir), "doc_id",
         Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
           shingleWords = 3, threshold = 0.10))
+      .select("doc_id", "lang")
+
+  /** The SUBSTRING-level dedup story composed end to end — winnowed
+    * fingerprint pairs → connected components → survivors only — the
+    * [[qDedupApply]] mirror for the winnowing family (what a user
+    * actually runs against mirror/quote/concatenation duplication). */
+  private def qDedupWinnowApply(spark: SparkSession, dir: String): DataFrame =
+    Dedup.applyComponentDedup(docs(spark, dir), "doc_id",
+        Dedup.winnowNearDupPairs(docs(spark, dir), "doc_id", "text",
+          k = 24, w = 8, minShared = 2L, threshold = 0.5))
       .select("doc_id", "lang")
 
   private def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
@@ -487,6 +502,19 @@ object SparkEntry {
     Similarity.semanticNearDupPairs(emb(spark, dir), "vec_id", "embedding",
       threshold = 0.25, numCentroids = 16, refineRounds = 1)
 
+  /** [[qDedupSemantic]] with `maxCell` forced BELOW the mean cell size,
+    * so the hierarchical split path (over-full cells re-clustered among
+    * their own members instead of dropped) is itself oracle-gated:
+    * `maxDepth = 1` makes the engine's recursion depth part of the
+    * query contract, which the DuckDB CTE chain reproduces exactly —
+    * level-0 cells ≤ maxCell pair directly, over-full cells split once
+    * by md5-seeded in-cell quantization, still-over-full children drop
+    * like hot buckets. */
+  private def qDedupSemanticSplit(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticNearDupPairs(emb(spark, dir), "vec_id", "embedding",
+      threshold = 0.25, numCentroids = 16, refineRounds = 1,
+      maxCell = 120, splitFanout = 4, maxDepth = 1)
+
   // ---------------------------------------------------------- multimodal
 
   private def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
@@ -543,6 +571,7 @@ object SparkEntry {
     "q_profile_corpus" -> (qProfileCorpus _),
     "q_chunk_windows" -> (qChunkWindows _),
     "q_vocab_topk" -> (qVocabTopk _),
+    "q_text_bm25" -> (qTextBm25 _),
     "q_text_winnow" -> (qTextWinnow _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_sample_uniform" -> (qSampleUniform _),
@@ -552,6 +581,7 @@ object SparkEntry {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_dedup_ngram_jaccard" -> (qDedupNgram _),
     "q_dedup_winnow_pairs" -> (qDedupWinnowPairs _),
+    "q_dedup_winnow_apply" -> (qDedupWinnowApply _),
     "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_apply" -> (qDedupApply _),
@@ -565,6 +595,7 @@ object SparkEntry {
     "q_sim_ivf2" -> (qSimIvf2 _),
     "q_emb_neardup" -> (qEmbNearDup _),
     "q_dedup_semantic" -> (qDedupSemantic _),
+    "q_dedup_semantic_split" -> (qDedupSemanticSplit _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_features" -> (qMultimodalFeatures _)

@@ -209,6 +209,35 @@ object Similarity {
       p.getAs[Int]("planes"), p.getAs[Int]("tables"))
   }
 
+  /** Incrementally index a NEW batch into a persisted LSH index: the
+    * batch is quantized and signed against the index's own plane family
+    * (read from `params/`) and appended to `vectors/` and `buckets/` —
+    * the streaming-ingest maintenance path. The hyperplanes are
+    * data-independent (derived from a splitmix64 stream), so
+    * `append(build(prefix), rest) ≡ build(prefix ∪ rest)` bit-for-bit,
+    * and the append touches ONLY the new batch: no scan of the already-
+    * indexed corpus, no rebuild — per-batch cost is O(batch), not
+    * O(corpus). Spec-proven in both directions (equality + no-old-scan).
+    */
+  def appendToLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newBatch: DataFrame, batchId: String, batchVec: String): LshIndex = {
+    registered(newBatch)
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    val (planes, tables) = (p.getAs[Int]("planes"), p.getAs[Int]("tables"))
+    // Quantize once; the batch feeds two writes (vectors + buckets).
+    val newVec = newBatch.select(col(batchId).as("corpus_id"),
+        V.quantize6(col(batchVec)).as("corpusq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      newVec.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$dir/vectors")
+      bucketsOf(newVec, planes, tables)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$dir/buckets")
+    } finally newVec.unpersist()
+    readLshIndex(spark, dir)
+  }
+
   /** Probe an LSH index: sign the (small, broadcast) query side with the
     * index's plane family, equi-join buckets for candidates, score
     * exactly, keep top-k. Touches ONLY the index tables — on a
@@ -359,7 +388,7 @@ object Similarity {
   /** Cell assignment: one broadcast product + `min_by` hash aggregation —
     * partial aggregation collapses the per-centroid candidates map-side,
     * so the shuffle carries ONE row per corpus vector. */
-  private def ivfCells(corpus: DataFrame, corpusId: String,
+  private[graft] def ivfCells(corpus: DataFrame, corpusId: String,
       corpusVec: String, cent: DataFrame): DataFrame =
     corpus.select(col(corpusId).as("corpus_id"),
         V.quantize6(col(corpusVec)).as("cq"))
@@ -413,6 +442,29 @@ object Similarity {
       dir: String): IvfIndex =
     IvfIndex(spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/cells"))
+
+  /** Incrementally index a NEW batch into a persisted IVF index: the
+    * batch is assigned against the index's FROZEN centroid table (read
+    * from `centroids/`) and appended to `cells/` — assignment is
+    * embarrassingly parallel, so per-batch cost is O(batch·K) with no
+    * scan of the already-indexed corpus and no rebuild. The centroids
+    * are the index's versioned quantizer (standard IVF practice: the
+    * coarse quantizer is trained once per index generation; appended
+    * vectors adopt it), so `append(build(prefix), rest)` is
+    * bit-identical to `build(prefix ∪ rest)` exactly when both builds
+    * would select the same centroids — e.g. `refineRounds = 0` and every
+    * seed inside the prefix (spec-proven); otherwise the append is the
+    * deliberate approximation every incremental ANN index makes between
+    * re-trainings. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newBatch: DataFrame, batchId: String, batchVec: String): IvfIndex = {
+    registered(newBatch)
+    ivfCells(newBatch, batchId, batchVec,
+        spark.read.parquet(s"$dir/centroids"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$dir/cells")
+    readIvfIndex(spark, dir)
+  }
 
   /** Probe an IVF index: rank the broadcast centroid table per query,
     * keep the `nprobe` nearest cells, score only their members exactly.
@@ -484,7 +536,8 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,
       k: Int, numCentroids: Int = 16, numCoarse: Int = 4,
-      nprobe: Int = 2, cprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, cprobe: Int = 2,
+      maxBroadcastFine: Int = 1 << 16): DataFrame = {
     registered(corpus)
     // Raw order/limit first (sort key is md5_60(id) only), quantize the
     // K survivors — see the same note in [[ivfTopK]].
@@ -504,14 +557,26 @@ object Similarity {
     def d2(vq: Column, vs2: Column, cq: Column, cs2: Column): Column =
       vs2 + cs2 - lit(2.0) * V.dotQ12(vq, cq)
 
-    // fine → coarse (tiny): each fine centroid hangs off its nearest coarse
-    val fc = broadcast(fine.crossJoin(coarse)
+    // fine → coarse: each fine centroid hangs off its nearest coarse.
+    // The coarse side is always broadcast (≈√K by construction); the
+    // FINE table is only broadcast below `maxBroadcastFine` rows — real
+    // 100 TB IVF wants K ∝ n (10⁶+ centroids, a multi-GB broadcast), and
+    // past the threshold both consumers below already hold the shuffle
+    // key (`coarse_id` for cell assignment and query probing), so the
+    // hint is simply dropped and the join shuffles on that key instead
+    // of ceilinging K at what the driver can broadcast.
+    val fc0 = fine.crossJoin(broadcast(coarse))
       .withColumn("d2",
         d2(col("fineq"), col("fine_s2"), col("coarseq"), col("coarse_s2")))
       .withColumn("rn", row_number().over(Window.partitionBy(col("fine_id"))
         .orderBy(col("d2"), col("coarse_id"))))
       .filter(col("rn") === 1)
-      .select(col("fine_id"), col("fineq"), col("fine_s2"), col("coarse_id")))
+      .select(col("fine_id"), col("fineq"), col("fine_s2"), col("coarse_id"))
+    // Past the threshold, materialize fc once (it feeds both the cell
+    // assignment and the query probe — a lazy diamond would recompute
+    // the fine→coarse window per consumer).
+    val fc = if (numCentroids <= maxBroadcastFine) broadcast(fc0)
+             else fc0.localCheckpoint(true)
 
     // corpus pass 1: nearest coarse cell (O(C) per row, min_by partial agg)
     val corpusQ = corpus.select(col(corpusId).as("corpus_id"),
@@ -595,7 +660,8 @@ object Similarity {
 
   /** SEMANTIC near-duplicate pairs, SemDeDup-style: cluster the embedding
     * corpus with the (optionally Lloyd-refined) IVF coarse quantizer,
-    * then verify exact cosine only WITHIN each cluster cell. Complements
+    * recursively SPLIT every over-full cell (hierarchical k-means), then
+    * verify exact cosine only WITHIN each leaf cell. Complements
     * [[cosineNearDuplicates]]: hyperplane buckets are many, small, and
     * overlap-driven (good for tight duplicate thresholds); k-means cells
     * follow the corpus's own density, which is the published recipe for
@@ -604,37 +670,130 @@ object Similarity {
     * together. Output `(id_a, id_b, cosine)` feeds the standard
     * [[Dedup.connectedComponents]] → [[Dedup.applyComponentDedup]] chain.
     *
-    * Scale shape: cell assignment is the O(n·K) broadcast product of the
-    * IVF index build (one row per vector after map-side `min_by`);
-    * in-cell pairs explode via the bucket kernel with the
-    * [[Dedup.dropHotBuckets]] map-side bound (`maxCell`) — a cell is a
-    * candidate set, so an over-full cell is quadratic exactly like a hot
-    * LSH bucket and gets the same treatment; quantized vectors + norms
-    * join back from a persisted side computed once. Every stage is
-    * deterministic (md5-seeded centroids, integer-exact means, id
+    * Scale shape: a k-means cell holds ~n/K members BY CONSTRUCTION, so
+    * unlike a hot LSH bucket an over-full cell is the EXPECTED state at
+    * scale, not an anomaly — dropping it (the pre-round-6 behavior)
+    * silently returns zero pairs for any corpus beyond K·maxCell
+    * vectors. Instead, each over-full cell is re-clustered among ITS OWN
+    * members with the same md5-seeded quantizer (`splitFanout` seeds =
+    * the members with the smallest `md5_60(id)`, exact quantized-L2
+    * assignment, id tiebreaks) and the split recurses until every leaf
+    * holds ≤ `maxCell` members — the hierarchical-k-means shape of the
+    * published SemDeDup recipe. Each level is ONE pass over only the
+    * still-over-full rows: seed selection is a salted two-phase top-N
+    * (bounded partitions, no full-cell sort in one task) and assignment
+    * is a SHUFFLE join keyed on the cell id — never a broadcast of a
+    * corpus-proportional centroid table, so no K ceiling. Cells still
+    * over-full at `maxDepth` are degenerate (≥ maxCell members that
+    * md5-uniform seeding cannot separate — e.g. one vector duplicated
+    * beyond maxCell, which is exact-dedup's job, not semantic dedup's)
+    * and are dropped like hot LSH buckets, via the same
+    * [[Dedup.pairsFromBuckets]] bound. Every stage is deterministic
+    * (md5-seeded centroids at every level, integer-exact means, id
     * tiebreaks) → full DuckDB oracle. */
   def semanticNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numCentroids: Int = 16, refineRounds: Int = 1,
-      maxCell: Int = 2000): DataFrame = {
+      maxCell: Int = 2000, splitFanout: Int = 16, maxDepth: Int = 8): DataFrame = {
     registered(df)
-    val cells = buildIvfIndex(df, idCol, vecCol, numCentroids, refineRounds)
+    val leaves = hierarchicalCells(df, idCol, vecCol, numCentroids,
+      refineRounds, maxCell, splitFanout, maxDepth)
+    val side = leaves.select(col("corpus_id").as("id"), col("cq"))
+      .withColumn("nrm", V.normQ12(col("cq")))
+    Dedup
+      .pairsFromBuckets(leaves, "corpus_id", Seq("cell"), maxCell)
+      .join(side.select(col("id").as("id_a"), col("cq").as("qa"),
+        col("nrm").as("norm_a")), Seq("id_a"))
+      .join(side.select(col("id").as("id_b"), col("cq").as("qb"),
+        col("nrm").as("norm_b")), Seq("id_b"))
+      .withColumn("cosine",
+        V.dotQ12(col("qa"), col("qb")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .localCheckpoint(true)
+  }
+
+  /** Hierarchical cell assignment behind [[semanticNearDupPairs]]:
+    * level-0 cells from the (Lloyd-refined) IVF quantizer, then
+    * over-full cells split recursively until every leaf ≤ `maxCell` (or
+    * `maxDepth`). Returns `(corpus_id, cell, cq, c_s2)` — one row per
+    * vector, `cell` a `/`-joined centroid-id path (level-0 cell "7",
+    * its children "7/123", …). Exposed `private[graft]` so specs can
+    * assert leaf-size and split-equality properties directly.
+    *
+    * Driver work per level is one small aggregate (the over-full key
+    * set); the loop runs ≤ `maxDepth` rounds with `localCheckpoint`
+    * cutting lineage each round, like [[Dedup.connectedComponents]].
+    * Non-degenerate cells shrink ~`splitFanout`× per level, so
+    * `maxDepth = 8` at the default fanout covers a 16⁸ ≈ 4×10⁹ reduction
+    * — enough headroom for any real corpus over any broadcastable K. */
+  private[graft] def hierarchicalCells(
+      df: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, refineRounds: Int, maxCell: Int,
+      splitFanout: Int, maxDepth: Int,
+      maxBroadcastHot: Long = 4096L): DataFrame = {
+    require(splitFanout >= 2, s"splitFanout must be >= 2, got $splitFanout")
+    var cells = buildIvfIndex(df, idCol, vecCol, numCentroids, refineRounds)
       .cells // (corpus_id, cent_id, cq) — quantized vector rides assignment
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val side = cells.select(col("corpus_id").as("id"), col("cq"))
-        .withColumn("nrm", V.normQ12(col("cq")))
-      val result = Dedup
-        .pairsFromBuckets(cells, "corpus_id", Seq("cent_id"), maxCell)
-        .join(side.select(col("id").as("id_a"), col("cq").as("qa"),
-          col("nrm").as("norm_a")), Seq("id_a"))
-        .join(side.select(col("id").as("id_b"), col("cq").as("qb"),
-          col("nrm").as("norm_b")), Seq("id_b"))
-        .withColumn("cosine",
-          V.dotQ12(col("qa"), col("qb")) / (col("norm_a") * col("norm_b")))
-        .filter(col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-      result.localCheckpoint(true)
-    } finally cells.unpersist()
+      .select(col("corpus_id"), col("cent_id").cast(StringType).as("cell"),
+        col("cq"))
+      .withColumn("c_s2", V.dotQ12(col("cq"), col("cq")))
+      .localCheckpoint(true)
+    var depth = 0
+    var overKeys = cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") > maxCell)
+      .select(col("cell"))
+    var overN = overKeys.count()
+    while (overN > 0 && depth < maxDepth) {
+      // Over-full keys are few relative to rows (each needs > maxCell
+      // members) but corpus-proportional in the worst case — same
+      // broadcast guard as [[Dedup.dropHotBuckets]].
+      val hot =
+        if (overN <= maxBroadcastHot) broadcast(overKeys) else overKeys
+      val done = cells.join(hot, Seq("cell"), "left_anti")
+      val toSplit = cells.join(hot, Seq("cell"), "left_semi")
+        .withColumn("hk", Dedup.md5_60(col("corpus_id").cast(StringType)))
+      // Seeds: the splitFanout members with the smallest (md5_60(id), id)
+      // per cell — a salted two-phase top-N so no single task sorts a
+      // whole over-full cell (a window partitioned by the bare cell key
+      // would put ~n/K rows in one sort).
+      val w1 = Window
+        .partitionBy(col("cell"), pmod(col("hk"), lit(1L << 12)))
+        .orderBy(col("hk"), col("corpus_id"))
+      val w2 = Window.partitionBy(col("cell"))
+        .orderBy(col("hk"), col("corpus_id"))
+      val seeds = toSplit
+        .withColumn("rn", row_number().over(w1))
+        .filter(col("rn") <= splitFanout)
+        .withColumn("rn2", row_number().over(w2))
+        .filter(col("rn2") <= splitFanout)
+        .select(col("cell"), col("corpus_id").as("cent_id"),
+          col("cq").as("centq"), col("c_s2").as("cent_s2"))
+      // Assignment: SHUFFLE join keyed on the cell id — the centroid side
+      // is corpus-proportional across cells (overN × fanout rows), so a
+      // broadcast here would reintroduce the K ceiling this split exists
+      // to remove. Within a cell the fan-out is the constant splitFanout,
+      // and min_by partial aggregation returns one row per vector.
+      val reassigned = toSplit.join(seeds, Seq("cell"))
+        .withColumn("d2", col("c_s2") + col("cent_s2") -
+          lit(2.0) * V.dotQ12(col("cq"), col("centq")))
+        .groupBy(col("corpus_id"))
+        .agg(min_by(
+          struct(col("cell"), col("cent_id"), col("cq"), col("c_s2")),
+          struct(col("d2"), col("cent_id"))).as("m"))
+        .select(col("corpus_id"),
+          concat(col("m.cell"), lit("/"),
+            col("m.cent_id").cast(StringType)).as("cell"),
+          col("m.cq").as("cq"), col("m.c_s2").as("c_s2"))
+      cells = done.unionByName(reassigned).localCheckpoint(true)
+      depth += 1
+      overKeys = cells.groupBy(col("cell"))
+        .agg(count(lit(1)).as("cell_n"))
+        .filter(col("cell_n") > maxCell)
+        .select(col("cell"))
+      overN = overKeys.count()
+    }
+    cells
   }
 }

@@ -258,6 +258,74 @@ object TextAnalysis {
         .over(Window.orderBy(col("freq").desc, col("token"))).cast(LongType))
   }
 
+  /** BM25 relevance scoring with RATIONAL arithmetic — rank documents
+    * against a fixed term list without `ln`/floating transcendentals
+    * (whose bit patterns differ engine-to-engine, killing cross-engine
+    * determinism). Every factor of Robertson/Sparck-Jones BM25 at
+    * k1 = 6/5, b = 3/4 is an integer ratio:
+    *
+    *   idf(t)    = (N − df + ½)/(df + ½)        = (2(N−df)+1)/(2df+1)
+    *   sat(t,d)  = tf·(k1+1)/(tf + k1(1−b+b·dl·N/L))
+    *             = 44·tf·L / (20·tf·L + 6·L + 18·dl·N)   [×20L]
+    *   score(d)  = Σ_t  (10⁶ · idf_num · sat_num) div (idf_den · sat_den)
+    *
+    * with N = corpus size, L = total token count, dl = doc length. The
+    * products stay exact in DECIMAL(38,0) (≈10²⁰ at web scale) and the
+    * one division is truncating integer division — the only division
+    * Spark (`div`) and DuckDB (`//`) define bit-identically — so the
+    * fixed-point scores (and the ranking) are deterministic and fully
+    * oracle-checkable. Rank-equivalent to real BM25 up to the 10⁻⁶
+    * fixed-point grain; idf is the non-negative BM25+ rational (classic
+    * BM25 wraps it in ln, a monotone per-term map — summation across
+    * terms makes any transcendental-free scoring a documented variant,
+    * not bit-BM25).
+    *
+    * Scale shape: two column-pruned corpus scans (corpus constants
+    * N and L, then term frequencies — the term filter drops every
+    * non-query token map-side before the one groupBy shuffle), the tiny
+    * per-term df and constants tables broadcast, and the top-k is
+    * `TakeOrderedAndProject` (per-partition top-k, no global sort);
+    * `row_number` ranks only the k survivors. */
+  def bm25Rational(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "bm25Rational needs at least one query term")
+    // dl = size of the whitespace split (an empty doc splits to [""] on
+    // both engines → dl = 1; empty docs never match a term, so they only
+    // feed the corpus constants, identically on both sides).
+    val base = df.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast(LongType).as("dl"),
+      tokens(col(textCol)).as("arr"))
+    val consts = base.agg(count(lit(1)).as("nn"), sum(col("dl")).as("ll"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("arr")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val contrib = expr(
+      """(CAST(1000000 AS DECIMAL(38,0))
+        |  * CAST(2 * (nn - df) + 1 AS DECIMAL(38,0))
+        |  * CAST(44 AS DECIMAL(38,0))
+        |  * CAST(tf AS DECIMAL(38,0)) * CAST(ll AS DECIMAL(38,0)))
+        |div
+        |(CAST(2 * df + 1 AS DECIMAL(38,0))
+        |  * (CAST(20 AS DECIMAL(38,0)) * CAST(tf AS DECIMAL(38,0))
+        |       * CAST(ll AS DECIMAL(38,0))
+        |     + CAST(6 AS DECIMAL(38,0)) * CAST(ll AS DECIMAL(38,0))
+        |     + CAST(18 AS DECIMAL(38,0)) * CAST(dl AS DECIMAL(38,0))
+        |       * CAST(nn AS DECIMAL(38,0))))""".stripMargin)
+    val scores = tf
+      .join(broadcast(dfq), Seq("tok"))
+      .crossJoin(broadcast(consts))
+      .withColumn("contrib", contrib)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+    scores.orderBy(col("score").desc, col("doc_id")).limit(topK)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+  }
+
   /** Sliding word `n`-gram shingles as an array column (distinct, to make
     * set semantics explicit for Jaccard). Text with fewer than `n` words
     * yields one shingle = the whole trimmed text. */
