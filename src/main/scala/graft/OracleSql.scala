@@ -1010,6 +1010,96 @@ object OracleSql {
          |FROM d
          |JOIN norms na ON na.vec_id = id_a
          |JOIN norms nb ON nb.vec_id = id_b
-         |WHERE dot / (na.nrm * nb.nrm) >= 0.25""".stripMargin
+         |WHERE dot / (na.nrm * nb.nrm) >= 0.25""".stripMargin,
+
+    // Semantic near-dup pairs THROUGH the hierarchical split path
+    // (maxCell = 120 < mean cell size, splitFanout = 4, maxDepth = 1):
+    // level-0 refined cells of <= 120 members pair directly; over-full
+    // cells are re-clustered once among their own members — seeds = the
+    // 4 members with the smallest (md5_60(id), id), exact quantized-L2
+    // assignment with (d2, seed id) tiebreaks, child key "cell/seed" —
+    // and still-over-full children drop like hot buckets. Verification
+    // is the same exact quantized cosine >= 0.25 within leaf cells of
+    // 2..120 members.
+    "q_dedup_semantic_split" ->
+      s"""WITH $ivfRefinedCellCtes,
+         |csz AS (SELECT cid, COUNT(*) AS n FROM cells GROUP BY 1),
+         |keep0 AS (SELECT c.vid, CAST(c.cid AS VARCHAR) AS cell
+         |  FROM cells c JOIN csz ON csz.cid = c.cid WHERE csz.n <= 120),
+         |ov AS (SELECT c.vid, c.cid FROM cells c
+         |  JOIN csz ON csz.cid = c.cid WHERE csz.n > 120),
+         |seeds AS (SELECT cid, vid AS sid FROM ov
+         |  QUALIFY row_number() OVER (PARTITION BY cid ORDER BY
+         |    ('0x' || substring(md5(CAST(vid AS VARCHAR)), 1, 15))::BIGINT,
+         |    vid) <= 4),
+         |sdot AS (SELECT o.vid, o.cid, s.sid,
+         |    CAST(SUM(CAST(ev.x * es.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+         |  FROM ov o JOIN seeds s ON s.cid = o.cid
+         |  JOIN el ev ON ev.vec_id = o.vid
+         |  JOIN el es ON es.vec_id = s.sid AND es.i = ev.i
+         |  GROUP BY 1, 2, 3),
+         |child AS (SELECT vid,
+         |    CAST(cid AS VARCHAR) || '/' || CAST(sid AS VARCHAR) AS cell
+         |  FROM (SELECT sd.vid, sd.cid, sd.sid,
+         |      sv.s2 + ss.s2 - 2.0 * sd.dot AS d2
+         |    FROM sdot sd JOIN sq sv ON sv.vec_id = sd.vid
+         |                 JOIN sq ss ON ss.vec_id = sd.sid)
+         |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, sid) = 1),
+         |leaves AS (SELECT vid, cell FROM keep0
+         |  UNION ALL SELECT vid, cell FROM child),
+         |lsz AS (SELECT cell, COUNT(*) AS n FROM leaves GROUP BY 1),
+         |cand AS (SELECT a.vid AS id_a, b.vid AS id_b
+         |  FROM leaves a JOIN leaves b ON a.cell = b.cell
+         |  JOIN lsz ON lsz.cell = a.cell
+         |  WHERE a.vid < b.vid AND lsz.n BETWEEN 2 AND 120),
+         |norms AS (SELECT vec_id,
+         |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+         |  FROM el GROUP BY 1),
+         |d AS (SELECT id_a, id_b,
+         |    CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+         |  FROM cand
+         |  JOIN el ea ON ea.vec_id = id_a
+         |  JOIN el eb ON eb.vec_id = id_b AND ea.i = eb.i
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+         |FROM d
+         |JOIN norms na ON na.vec_id = id_a
+         |JOIN norms nb ON nb.vec_id = id_b
+         |WHERE dot / (na.nrm * nb.nrm) >= 0.25""".stripMargin,
+
+    // BM25 (rational fixed-point) top-20 for terms (spark, vector,
+    // merge): the direct transcription of bm25Rational — saturation
+    // fixed-pointed first ((10^6·44·tf·L) // sat_den, bounded in
+    // 128-bit), then idf applied as one more truncating division; both
+    // engines' integer divisions truncate identically on non-negative
+    // operands, so the BIGINT scores hash-match exactly.
+    "q_text_bm25" ->
+      """WITH base AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS arr FROM documents),
+        |bl AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl, arr FROM base),
+        |consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+        |    CAST(SUM(dl) AS BIGINT) AS ll FROM bl),
+        |tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(arr) AS tok FROM bl)
+        |  WHERE tok IN ('spark', 'vector', 'merge')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT doc_id,
+        |    SUM(
+        |      (CAST(2 * (nn - df) + 1 AS HUGEINT)
+        |        * ((CAST(1000000 AS HUGEINT) * CAST(44 AS HUGEINT)
+        |              * CAST(tf AS HUGEINT) * CAST(ll AS HUGEINT))
+        |           // (CAST(20 AS HUGEINT) * CAST(tf AS HUGEINT)
+        |                * CAST(ll AS HUGEINT)
+        |              + CAST(6 AS HUGEINT) * CAST(ll AS HUGEINT)
+        |              + CAST(18 AS HUGEINT) * CAST(dl AS HUGEINT)
+        |                * CAST(nn AS HUGEINT))))
+        |      // CAST(2 * df + 1 AS HUGEINT)) AS score
+        |  FROM tf JOIN dfq USING (tok) CROSS JOIN consts
+        |  GROUP BY 1)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |    AS rank
+        |FROM s QUALIFY rank <= 20""".stripMargin
   )
 }

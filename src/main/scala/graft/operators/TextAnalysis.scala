@@ -267,18 +267,28 @@ object TextAnalysis {
     *   idf(t)    = (N − df + ½)/(df + ½)        = (2(N−df)+1)/(2df+1)
     *   sat(t,d)  = tf·(k1+1)/(tf + k1(1−b+b·dl·N/L))
     *             = 44·tf·L / (20·tf·L + 6·L + 18·dl·N)   [×20L]
-    *   score(d)  = Σ_t  (10⁶ · idf_num · sat_num) div (idf_den · sat_den)
+    *   sat_fp    = (10⁶ · sat_num) div sat_den            [≤ 2.2·10⁶]
+    *   score(d)  = Σ_t  (idf_num · sat_fp) div idf_den
     *
     * with N = corpus size, L = total token count, dl = doc length. The
-    * products stay exact in DECIMAL(38,0) (≈10²⁰ at web scale) and the
-    * one division is truncating integer division — the only division
-    * Spark (`div`) and DuckDB (`//`) define bit-identically — so the
-    * fixed-point scores (and the ranking) are deterministic and fully
-    * oracle-checkable. Rank-equivalent to real BM25 up to the 10⁻⁶
-    * fixed-point grain; idf is the non-negative BM25+ rational (classic
-    * BM25 wraps it in ln, a monotone per-term map — summation across
-    * terms makes any transcendental-free scoring a documented variant,
-    * not bit-BM25).
+    * saturation is fixed-pointed FIRST so every intermediate is bounded
+    * at 100 TB scale (N ≈ 10¹¹ docs, L ≈ 10¹⁵ tokens, tf ≤ dl ≤ 10⁹):
+    * the sat numerator 4.4·10⁷·tf·L ≤ ~10³² stays exact in
+    * DECIMAL(38,0); sat_fp ≤ (k1+1)·10⁶; the idf numerator
+    * (2(N−df)+1)·sat_fp ≤ ~10¹⁸; and each contribution
+    * ≤ (2N/3)·2.2·10⁶ ≈ 10¹⁷ fits the BIGINT that Spark's `div`
+    * returns. (A single fused division — the obvious form — needs
+    * 10⁶·(2(N−df)+1)·44·tf·L ≈ 10³¹·tf in its numerator, which
+    * overflows DECIMAL(38,0) for tf ≥ ~10⁷ and in non-ANSI mode
+    * silently NULLs the term's contribution.) Both divisions are
+    * truncating integer division on non-negative operands — the only
+    * division Spark (`div`) and DuckDB (`//`) define identically — so
+    * the fixed-point scores (and the ranking) are deterministic and
+    * fully oracle-checkable. Rank-equivalent to real BM25 up to the
+    * 10⁻⁶ fixed-point grain; idf is the non-negative BM25+ rational
+    * (classic BM25 wraps it in ln, a monotone per-term map — summation
+    * across terms makes any transcendental-free scoring a documented
+    * variant, not bit-BM25).
     *
     * Scale shape: two column-pruned corpus scans (corpus constants
     * N and L, then term frequencies — the term filter drops every
@@ -304,17 +314,19 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val contrib = expr(
-      """(CAST(1000000 AS DECIMAL(38,0))
-        |  * CAST(2 * (nn - df) + 1 AS DECIMAL(38,0))
-        |  * CAST(44 AS DECIMAL(38,0))
-        |  * CAST(tf AS DECIMAL(38,0)) * CAST(ll AS DECIMAL(38,0)))
+      """(CAST(2 * (nn - df) + 1 AS DECIMAL(38,0))
+        |  * CAST(
+        |      (CAST(1000000 AS DECIMAL(38,0)) * CAST(44 AS DECIMAL(38,0))
+        |        * CAST(tf AS DECIMAL(38,0)) * CAST(ll AS DECIMAL(38,0)))
+        |      div
+        |      (CAST(20 AS DECIMAL(38,0)) * CAST(tf AS DECIMAL(38,0))
+        |          * CAST(ll AS DECIMAL(38,0))
+        |        + CAST(6 AS DECIMAL(38,0)) * CAST(ll AS DECIMAL(38,0))
+        |        + CAST(18 AS DECIMAL(38,0)) * CAST(dl AS DECIMAL(38,0))
+        |          * CAST(nn AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0)))
         |div
-        |(CAST(2 * df + 1 AS DECIMAL(38,0))
-        |  * (CAST(20 AS DECIMAL(38,0)) * CAST(tf AS DECIMAL(38,0))
-        |       * CAST(ll AS DECIMAL(38,0))
-        |     + CAST(6 AS DECIMAL(38,0)) * CAST(ll AS DECIMAL(38,0))
-        |     + CAST(18 AS DECIMAL(38,0)) * CAST(dl AS DECIMAL(38,0))
-        |       * CAST(nn AS DECIMAL(38,0))))""".stripMargin)
+        |CAST(2 * df + 1 AS DECIMAL(38,0))""".stripMargin)
     val scores = tf
       .join(broadcast(dfq), Seq("tok"))
       .crossJoin(broadcast(consts))
