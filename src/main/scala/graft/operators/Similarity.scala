@@ -218,22 +218,30 @@ object Similarity {
     * and the append touches ONLY the new batch: no scan of the already-
     * indexed corpus, no rebuild — per-batch cost is O(batch), not
     * O(corpus). Spec-proven in both directions (equality + no-old-scan).
-    */
+    *
+    * The two appends are not atomic; buckets are written FIRST so a
+    * failure between them leaves orphan bucket rows — harmless, because
+    * every probe joins candidates back to `vectors/` and an id with no
+    * vector row simply never scores. (The reverse order would leave
+    * vectors with no signatures: present in the index yet silently
+    * invisible to every probe.) Re-running the append after a partial
+    * failure may duplicate bucket rows for the batch; probes dedup
+    * candidate pairs before scoring, so repair = re-append. */
   def appendToLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       newBatch: DataFrame, batchId: String, batchVec: String): LshIndex = {
     registered(newBatch)
     val p = spark.read.parquet(s"$dir/params").collect().head
     val (planes, tables) = (p.getAs[Int]("planes"), p.getAs[Int]("tables"))
-    // Quantize once; the batch feeds two writes (vectors + buckets).
+    // Quantize once; the batch feeds two writes (buckets + vectors).
     val newVec = newBatch.select(col(batchId).as("corpus_id"),
         V.quantize6(col(batchVec)).as("corpusq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      newVec.write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(s"$dir/vectors")
       bucketsOf(newVec, planes, tables)
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(s"$dir/buckets")
+      newVec.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$dir/vectors")
     } finally newVec.unpersist()
     readLshIndex(spark, dir)
   }
