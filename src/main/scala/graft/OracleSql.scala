@@ -119,13 +119,19 @@ object OracleSql {
       |    FROM inter WHERE n_common >= 2)
       |  WHERE jaccard_fp >= 0.5)""".stripMargin
 
-  private val ivfRefinedCellCtes: String =
-    """el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-      |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
-      |  FROM embeddings),
-      |cent AS (SELECT vec_id FROM embeddings
-      |  ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
-      |    ::BIGINT, vec_id
+  /** The refined-IVF CTE chain over the corpus restricted to the ids in
+    * `src` (a table/CTE with a `vec_id` column): seed selection, Lloyd
+    * refinement, and the final `cells` assignment all see ONLY that
+    * subset — the shape [[q_dedup_semantic_exact]] needs, where exact
+    * dedup collapses duplicate classes to representatives before
+    * clustering. `src = "embeddings"` degenerates to the whole corpus. */
+  private def ivfRefinedCellCtesOver(src: String): String =
+    s"""el AS (SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS i,
+      |    CAST(CAST(unnest(e.embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
+      |  FROM embeddings e JOIN $src r ON e.vec_id = r.vec_id),
+      |cent AS (SELECT r.vec_id FROM $src r
+      |  ORDER BY ('0x' || substring(md5(CAST(r.vec_id AS VARCHAR)), 1, 15))
+      |    ::BIGINT, r.vec_id
       |  LIMIT 16),
       |sq AS (SELECT vec_id,
       |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
@@ -163,6 +169,58 @@ object OracleSql {
       |cells AS (SELECT vid, cid FROM asg
       |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) = 1)"""
       .stripMargin
+
+  private val ivfRefinedCellCtes: String = ivfRefinedCellCtesOver("embeddings")
+
+  /** The hierarchical one-split chain + in-leaf cosine verification of
+    * q_dedup_semantic_split (maxCell = 120, splitFanout = 4,
+    * maxDepth = 1), factored so the exact-composed variant reuses it
+    * verbatim over a restricted corpus. Expects `el`/`sq`/`cells` in
+    * scope; ends with the final pair SELECT. */
+  private val semanticSplitTail: String =
+    """csz AS (SELECT cid, COUNT(*) AS n FROM cells GROUP BY 1),
+      |keep0 AS (SELECT c.vid, CAST(c.cid AS VARCHAR) AS cell
+      |  FROM cells c JOIN csz ON csz.cid = c.cid WHERE csz.n <= 120),
+      |ov AS (SELECT c.vid, c.cid FROM cells c
+      |  JOIN csz ON csz.cid = c.cid WHERE csz.n > 120),
+      |seeds AS (SELECT cid, vid AS sid FROM ov
+      |  QUALIFY row_number() OVER (PARTITION BY cid ORDER BY
+      |    ('0x' || substring(md5(CAST(vid AS VARCHAR)), 1, 15))::BIGINT,
+      |    vid) <= 4),
+      |sdot AS (SELECT o.vid, o.cid, s.sid,
+      |    CAST(SUM(CAST(ev.x * es.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+      |  FROM ov o JOIN seeds s ON s.cid = o.cid
+      |  JOIN el ev ON ev.vec_id = o.vid
+      |  JOIN el es ON es.vec_id = s.sid AND es.i = ev.i
+      |  GROUP BY 1, 2, 3),
+      |child AS (SELECT vid,
+      |    CAST(cid AS VARCHAR) || '/' || CAST(sid AS VARCHAR) AS cell
+      |  FROM (SELECT sd.vid, sd.cid, sd.sid,
+      |      sv.s2 + ss.s2 - 2.0 * sd.dot AS d2
+      |    FROM sdot sd JOIN sq sv ON sv.vec_id = sd.vid
+      |                 JOIN sq ss ON ss.vec_id = sd.sid)
+      |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, sid) = 1),
+      |leaves AS (SELECT vid, cell FROM keep0
+      |  UNION ALL SELECT vid, cell FROM child),
+      |lsz AS (SELECT cell, COUNT(*) AS n FROM leaves GROUP BY 1),
+      |cand AS (SELECT a.vid AS id_a, b.vid AS id_b
+      |  FROM leaves a JOIN leaves b ON a.cell = b.cell
+      |  JOIN lsz ON lsz.cell = a.cell
+      |  WHERE a.vid < b.vid AND lsz.n BETWEEN 2 AND 120),
+      |norms AS (SELECT vec_id,
+      |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+      |  FROM el GROUP BY 1),
+      |d AS (SELECT id_a, id_b,
+      |    CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+      |  FROM cand
+      |  JOIN el ea ON ea.vec_id = id_a
+      |  JOIN el eb ON eb.vec_id = id_b AND ea.i = eb.i
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+      |FROM d
+      |JOIN norms na ON na.vec_id = id_a
+      |JOIN norms nb ON nb.vec_id = id_b
+      |WHERE dot / (na.nrm * nb.nrm) >= 0.25""".stripMargin
 
   val sql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1022,50 +1080,27 @@ object OracleSql {
     // is the same exact quantized cosine >= 0.25 within leaf cells of
     // 2..120 members.
     "q_dedup_semantic_split" ->
-      s"""WITH $ivfRefinedCellCtes,
-         |csz AS (SELECT cid, COUNT(*) AS n FROM cells GROUP BY 1),
-         |keep0 AS (SELECT c.vid, CAST(c.cid AS VARCHAR) AS cell
-         |  FROM cells c JOIN csz ON csz.cid = c.cid WHERE csz.n <= 120),
-         |ov AS (SELECT c.vid, c.cid FROM cells c
-         |  JOIN csz ON csz.cid = c.cid WHERE csz.n > 120),
-         |seeds AS (SELECT cid, vid AS sid FROM ov
-         |  QUALIFY row_number() OVER (PARTITION BY cid ORDER BY
-         |    ('0x' || substring(md5(CAST(vid AS VARCHAR)), 1, 15))::BIGINT,
-         |    vid) <= 4),
-         |sdot AS (SELECT o.vid, o.cid, s.sid,
-         |    CAST(SUM(CAST(ev.x * es.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
-         |  FROM ov o JOIN seeds s ON s.cid = o.cid
-         |  JOIN el ev ON ev.vec_id = o.vid
-         |  JOIN el es ON es.vec_id = s.sid AND es.i = ev.i
-         |  GROUP BY 1, 2, 3),
-         |child AS (SELECT vid,
-         |    CAST(cid AS VARCHAR) || '/' || CAST(sid AS VARCHAR) AS cell
-         |  FROM (SELECT sd.vid, sd.cid, sd.sid,
-         |      sv.s2 + ss.s2 - 2.0 * sd.dot AS d2
-         |    FROM sdot sd JOIN sq sv ON sv.vec_id = sd.vid
-         |                 JOIN sq ss ON ss.vec_id = sd.sid)
-         |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, sid) = 1),
-         |leaves AS (SELECT vid, cell FROM keep0
-         |  UNION ALL SELECT vid, cell FROM child),
-         |lsz AS (SELECT cell, COUNT(*) AS n FROM leaves GROUP BY 1),
-         |cand AS (SELECT a.vid AS id_a, b.vid AS id_b
-         |  FROM leaves a JOIN leaves b ON a.cell = b.cell
-         |  JOIN lsz ON lsz.cell = a.cell
-         |  WHERE a.vid < b.vid AND lsz.n BETWEEN 2 AND 120),
-         |norms AS (SELECT vec_id,
-         |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
-         |  FROM el GROUP BY 1),
-         |d AS (SELECT id_a, id_b,
-         |    CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
-         |  FROM cand
-         |  JOIN el ea ON ea.vec_id = id_a
-         |  JOIN el eb ON eb.vec_id = id_b AND ea.i = eb.i
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
-         |FROM d
-         |JOIN norms na ON na.vec_id = id_a
-         |JOIN norms nb ON nb.vec_id = id_b
-         |WHERE dot / (na.nrm * nb.nrm) >= 0.25""".stripMargin,
+      s"WITH $ivfRefinedCellCtes,\n$semanticSplitTail",
+
+    // Exact dedup composed upstream of the hierarchical split: classes
+    // of identical quantized vectors collapse to their smallest id
+    // (each member pairs with the keeper at cosine 1.0), and ONLY the
+    // representatives are clustered/split/verified — so duplicate mass
+    // beyond maxCell exits via the exact arm instead of bottoming out a
+    // degenerate cell. Same split parameters as q_dedup_semantic_split.
+    "q_dedup_semantic_exact" ->
+      s"""WITH ael AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id, list(x ORDER BY i) AS cq FROM ael GROUP BY 1),
+         |cls AS (SELECT cq, MIN(vec_id) AS keep_id FROM qv GROUP BY cq),
+         |reps AS (SELECT keep_id AS vec_id FROM cls),
+         |exact AS (SELECT c.keep_id AS id_a, q.vec_id AS id_b,
+         |    CAST(1.0 AS DOUBLE) AS cosine
+         |  FROM qv q JOIN cls c ON q.cq = c.cq WHERE q.vec_id <> c.keep_id),
+         |${ivfRefinedCellCtesOver("reps")},
+         |$semanticSplitTail
+         |UNION ALL SELECT id_a, id_b, cosine FROM exact""".stripMargin,
 
     // BM25 (rational fixed-point) top-20 for terms (spark, vector,
     // merge): the direct transcription of bm25Rational — saturation

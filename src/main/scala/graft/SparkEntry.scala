@@ -515,6 +515,18 @@ object SparkEntry {
       threshold = 0.25, numCentroids = 16, refineRounds = 1,
       maxCell = 120, splitFanout = 4, maxDepth = 1)
 
+  /** [[qDedupSemanticSplit]] with exact (identical-vector) dedup
+    * composed upstream: duplicate classes collapse to one
+    * representative before clustering, so duplicated-beyond-maxCell
+    * content exits via direct keeper pairs instead of bottoming out a
+    * degenerate cell. Same split parameters, so the oracle replays the
+    * class-collapse + restricted-corpus clustering end to end. */
+  private def qDedupSemanticExact(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticNearDupPairsWithExact(
+      emb(spark, dir), "vec_id", "embedding",
+      threshold = 0.25, numCentroids = 16, refineRounds = 1,
+      maxCell = 120, splitFanout = 4, maxDepth = 1)
+
   // ---------------------------------------------------------- multimodal
 
   private def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
@@ -596,6 +608,7 @@ object SparkEntry {
     "q_emb_neardup" -> (qEmbNearDup _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_semantic_split" -> (qDedupSemanticSplit _),
+    "q_dedup_semantic_exact" -> (qDedupSemanticExact _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_features" -> (qMultimodalFeatures _)

@@ -721,6 +721,46 @@ object Similarity {
       .localCheckpoint(true)
   }
 
+  /** [[semanticNearDupPairs]] composed with EXACT (identical-vector)
+    * dedup upstream — the documented degenerate case made safe. A
+    * vector duplicated beyond `maxCell` defeats the hierarchical split
+    * (identical points cannot be separated by any quantizer; the cell
+    * bottoms out at `maxDepth` and drops), but identical content is
+    * exact-dedup's job, not semantic dedup's: here every class of
+    * identical QUANTIZED vectors first collapses to its smallest id,
+    * each member pairs with that keeper directly (`cosine = 1.0` by
+    * definition of identity — linear in class size, never quadratic,
+    * no collect of a class onto one row), and only the one
+    * representative per class enters the semantic path. Duplicate mass
+    * therefore can never bottom out a cell, and the pair union feeds
+    * the same [[Dedup.connectedComponents]] →
+    * [[Dedup.applyComponentDedup]] chain, which removes the whole
+    * class end to end (spec: a > maxCell duplicate class fully
+    * deduplicates).
+    *
+    * Scale shape: the class key is the quantized vector itself — exact
+    * (no hash-collision false merges), one aggregation + one
+    * co-partitioned join on that key, map-side partial agg collapsing
+    * duplicate classes before the exchange; the array key is no wider
+    * than what the split path already shuffles per row. */
+  def semanticNearDupPairsWithExact(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCentroids: Int = 16, refineRounds: Int = 1,
+      maxCell: Int = 2000, splitFanout: Int = 16, maxDepth: Int = 8): DataFrame = {
+    registered(df)
+    val q = df.select(col(idCol).as("id"), V.quantize6(col(vecCol)).as("cq"))
+    val classes = q.groupBy(col("cq")).agg(min(col("id")).as("keep_id"))
+    val exactPairs = q.join(classes, Seq("cq"))
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("keep_id").as("id_a"), col("id").as("id_b"),
+        lit(1.0).as("cosine"))
+    val reps = df.join(
+      classes.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+    exactPairs.unionByName(
+      semanticNearDupPairs(reps, idCol, vecCol, threshold, numCentroids,
+        refineRounds, maxCell, splitFanout, maxDepth))
+  }
+
   /** Hierarchical cell assignment behind [[semanticNearDupPairs]]:
     * level-0 cells from the (Lloyd-refined) IVF quantizer, then
     * over-full cells split recursively until every leaf ≤ `maxCell` (or
@@ -732,23 +772,33 @@ object Similarity {
     * Driver work per level is one small aggregate (the over-full key
     * set); the loop runs ≤ `maxDepth` rounds with `localCheckpoint`
     * cutting lineage each round, like [[Dedup.connectedComponents]].
-    * Non-degenerate cells shrink ~`splitFanout`× per level, so
-    * `maxDepth = 8` at the default fanout covers a 16⁸ ≈ 4×10⁹ reduction
-    * — enough headroom for any real corpus over any broadcastable K. */
+    * Rows whose cell is already ≤ `maxCell` can never become over-full
+    * again, so each level checkpoints and recounts ONLY the reassigned
+    * rows — finished leaves accumulate outside the loop (each level's
+    * slice reads its own already-checkpointed parent exactly once when
+    * the result is consumed) instead of riding a full-corpus
+    * checkpoint + recount every level. Non-degenerate cells shrink
+    * ~`splitFanout`× per level, so `maxDepth = 8` at the default fanout
+    * covers a 16⁸ ≈ 4×10⁹ reduction — enough headroom for any real
+    * corpus over any broadcastable K. */
   private[graft] def hierarchicalCells(
       df: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, refineRounds: Int, maxCell: Int,
       splitFanout: Int, maxDepth: Int,
       maxBroadcastHot: Long = 4096L): DataFrame = {
     require(splitFanout >= 2, s"splitFanout must be >= 2, got $splitFanout")
-    var cells = buildIvfIndex(df, idCol, vecCol, numCentroids, refineRounds)
+    // `active` holds only rows whose leaf might still be over-full; rows
+    // in a ≤ maxCell cell are final and accumulate in `finished` without
+    // ever being checkpointed or recounted again.
+    var active = buildIvfIndex(df, idCol, vecCol, numCentroids, refineRounds)
       .cells // (corpus_id, cent_id, cq) — quantized vector rides assignment
       .select(col("corpus_id"), col("cent_id").cast(StringType).as("cell"),
         col("cq"))
       .withColumn("c_s2", V.dotQ12(col("cq"), col("cq")))
       .localCheckpoint(true)
+    val finished = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var depth = 0
-    var overKeys = cells.groupBy(col("cell"))
+    var overKeys = active.groupBy(col("cell"))
       .agg(count(lit(1)).as("cell_n"))
       .filter(col("cell_n") > maxCell)
       .select(col("cell"))
@@ -759,8 +809,8 @@ object Similarity {
       // broadcast guard as [[Dedup.dropHotBuckets]].
       val hot =
         if (overN <= maxBroadcastHot) broadcast(overKeys) else overKeys
-      val done = cells.join(hot, Seq("cell"), "left_anti")
-      val toSplit = cells.join(hot, Seq("cell"), "left_semi")
+      finished += active.join(hot, Seq("cell"), "left_anti")
+      val toSplit = active.join(hot, Seq("cell"), "left_semi")
         .withColumn("hk", Dedup.md5_60(col("corpus_id").cast(StringType)))
       // Seeds: the splitFanout members with the smallest (md5_60(id), id)
       // per cell — a salted two-phase top-N so no single task sorts a
@@ -794,14 +844,17 @@ object Similarity {
           concat(col("m.cell"), lit("/"),
             col("m.cent_id").cast(StringType)).as("cell"),
           col("m.cq").as("cq"), col("m.c_s2").as("c_s2"))
-      cells = done.unionByName(reassigned).localCheckpoint(true)
+      active = reassigned.localCheckpoint(true)
       depth += 1
-      overKeys = cells.groupBy(col("cell"))
+      overKeys = active.groupBy(col("cell"))
         .agg(count(lit(1)).as("cell_n"))
         .filter(col("cell_n") > maxCell)
         .select(col("cell"))
       overN = overKeys.count()
     }
-    cells
+    // Degenerate still-over-full rows (maxDepth hit) stay in `active`,
+    // preserving the pre-refactor contract: the caller's bucket bound
+    // decides their fate, not this loop.
+    finished.foldLeft(active)(_ unionByName _)
   }
 }

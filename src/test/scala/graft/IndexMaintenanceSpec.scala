@@ -166,6 +166,42 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(rows(again) == rows(out))
   }
 
+  test("semanticNearDupPairsWithExact: a > maxCell duplicate class fully dedups") {
+    import graft.operators.Dedup
+    // 30 identical copies of one vector (> maxCell = 10: no quantizer can
+    // separate them, so the bare split path bottoms out and drops them)
+    // plus a near-parallel neighbor and two orthogonal singletons.
+    val rows = (0L until 30L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f))) ++
+      Seq((30L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+        (31L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+        (32L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    def pairs(f: => DataFrame): Set[(Long, Long)] =
+      f.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the documented degenerate case is real: without the exact arm the
+    // duplicate class leaves NO pairs behind (cell dropped at maxDepth)
+    val bare = pairs(Similarity.semanticNearDupPairs(
+      df, "vec_id", "embedding", threshold = 0.9, numCentroids = 2,
+      refineRounds = 1, maxCell = 10, splitFanout = 4, maxDepth = 2))
+    assert(bare.forall { case (a, b) => a >= 30L || b >= 30L },
+      s"expected the 30-copy class to be dropped by the bare path, got $bare")
+    // the composed operator pairs every copy with keeper 0 directly and
+    // still finds the semantic neighbor among representatives
+    val composed = Similarity.semanticNearDupPairsWithExact(
+      df, "vec_id", "embedding", threshold = 0.9, numCentroids = 2,
+      refineRounds = 1, maxCell = 10, splitFanout = 4, maxDepth = 2)
+    val p = pairs(composed)
+    assert((1L until 30L).forall(i => p.contains((0L, i))),
+      s"exact arm missed duplicate members: $p")
+    assert(p.contains((0L, 30L)), s"semantic arm lost the near pair: $p")
+    // end to end: components + apply leave ONE survivor of the class
+    val kept = Dedup.applyComponentDedup(df, "vec_id",
+        composed.select("id_a", "id_b"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 31L, 32L), s"survivors: $kept")
+  }
+
   test("ivfTopK2 maxBroadcastFine: crossing it drops the fine broadcast, same rows") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     // Kill auto-broadcast and AQE so the plan shows exactly what the
