@@ -556,3 +556,80 @@ class FanOutSinkSpec extends SparkSpec {
     assert(station.count() == 3, "restart must not duplicate committed data")
   }
 }
+
+class IndexMaintenanceStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Similarity
+  import graft.streaming.IndexMaintenance
+
+  // Over ids 0..5 the md5_60 order is 4 < 1 < 2 < 0 < 5 < 3, so with
+  // numCentroids = 2 a full build seeds {4, 1}; the initial corpus holds
+  // both — the frozen-quantizer condition under which append ≡ rebuild
+  // holds exactly.
+  private def allVecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
+    (5L, Array(0.0f, 0.5f, 0.5f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("streamed micro-batches keep LSH and IVF indexes == one-shot builds") {
+    implicit val sqlCtx = spark.sqlContext
+    val initial = allVecs.filter(col("vec_id").isin(0L, 1L, 4L))
+    val base = Files.createTempDirectory("graft_idx_stream").toString
+    Similarity.writeLshIndex(initial, "vec_id", "embedding",
+      s"$base/lsh", planes = 4, tables = 2)
+    Similarity.writeIvfIndex(initial, "vec_id", "embedding",
+      s"$base/ivf", numCentroids = 2, refineRounds = 0)
+    val input = MemoryStream[(Long, Array[Float])]
+    val vectors = input.toDF().toDF("vec_id", "embedding")
+    val lshQ = IndexMaintenance.maintainLsh(vectors, "vec_id", "embedding",
+      s"$base/lsh", s"$base/cp_lsh", trigger = Trigger.ProcessingTime(0L))
+    val ivfQ = IndexMaintenance.maintainIvf(vectors, "vec_id", "embedding",
+      s"$base/ivf", s"$base/cp_ivf", trigger = Trigger.ProcessingTime(0L))
+    try {
+      // two genuine micro-batches (processAllAvailable between adds)
+      input.addData((2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+        (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      lshQ.processAllAvailable(); ivfQ.processAllAvailable()
+      input.addData((5L, Array(0.0f, 0.5f, 0.5f, 0.0f)))
+      lshQ.processAllAvailable(); ivfQ.processAllAvailable()
+    } finally { lshQ.stop(); ivfQ.stop() }
+    val oneShot = Files.createTempDirectory("graft_idx_oneshot").toString
+    val lshFull = Similarity.writeLshIndex(allVecs, "vec_id", "embedding",
+      s"$oneShot/lsh", planes = 4, tables = 2)
+    val ivfFull = Similarity.writeIvfIndex(allVecs, "vec_id", "embedding",
+      s"$oneShot/ivf", numCentroids = 2, refineRounds = 0)
+    val lshIdx = Similarity.readLshIndex(spark, s"$base/lsh")
+    val ivfIdx = Similarity.readIvfIndex(spark, s"$base/ivf")
+    assert(sameRows(lshIdx.vectors, lshFull.vectors), "LSH vectors differ")
+    assert(sameRows(lshIdx.buckets, lshFull.buckets), "LSH buckets differ")
+    assert(sameRows(ivfIdx.centroids, ivfFull.centroids), "centroids differ")
+    assert(sameRows(ivfIdx.cells, ivfFull.cells), "IVF cells differ")
+  }
+
+  test("replayed index micro-batch is skipped by the committed marker") {
+    val initial = allVecs.filter(col("vec_id") < 3)
+    val batch = allVecs.filter(col("vec_id") >= 3)
+    val base = Files.createTempDirectory("graft_idx_replay").toString
+    Similarity.writeLshIndex(initial, "vec_id", "embedding",
+      s"$base/lsh", planes = 4, tables = 2)
+    IndexMaintenance.appendLshBatch(batch, 0L, s"$base/lsh",
+      s"$base/cp", "vec_id", "embedding")
+    val once = Similarity.readLshIndex(spark, s"$base/lsh")
+    val (nv, nb) = (once.vectors.count(), once.buckets.count())
+    // at-least-once replay of the SAME batch id: marker short-circuits,
+    // nothing is appended twice
+    IndexMaintenance.appendLshBatch(batch, 0L, s"$base/lsh",
+      s"$base/cp", "vec_id", "embedding")
+    val again = Similarity.readLshIndex(spark, s"$base/lsh")
+    assert(again.vectors.count() == nv, "replay duplicated vector rows")
+    assert(again.buckets.count() == nb, "replay duplicated bucket rows")
+  }
+}
