@@ -742,23 +742,35 @@ object Similarity {
     * (no hash-collision false merges), one aggregation + one
     * co-partitioned join on that key, map-side partial agg collapsing
     * duplicate classes before the exchange; the array key is no wider
-    * than what the split path already shuffles per row. */
+    * than what the split path already shuffles per row. The corpus is
+    * scanned+quantized once into a cache for the class arm, and the
+    * representative set is materialized eagerly — the semantic chain
+    * behind it scans its input several times (seed selection, Lloyd
+    * rounds, assignment), and each of those scans must hit the
+    * checkpointed reps, not re-run the semi-join. */
   def semanticNearDupPairsWithExact(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numCentroids: Int = 16, refineRounds: Int = 1,
       maxCell: Int = 2000, splitFanout: Int = 16, maxDepth: Int = 8): DataFrame = {
     registered(df)
     val q = df.select(col(idCol).as("id"), V.quantize6(col(vecCol)).as("cq"))
-    val classes = q.groupBy(col("cq")).agg(min(col("id")).as("keep_id"))
-    val exactPairs = q.join(classes, Seq("cq"))
-      .filter(col("id") =!= col("keep_id"))
-      .select(col("keep_id").as("id_a"), col("id").as("id_b"),
-        lit(1.0).as("cosine"))
-    val reps = df.join(
-      classes.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
-    exactPairs.unionByName(
-      semanticNearDupPairs(reps, idCol, vecCol, threshold, numCentroids,
-        refineRounds, maxCell, splitFanout, maxDepth))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val classes = q.groupBy(col("cq")).agg(min(col("id")).as("keep_id"))
+      val exactPairs = q.join(classes, Seq("cq"))
+        .filter(col("id") =!= col("keep_id"))
+        .select(col("keep_id").as("id_a"), col("id").as("id_b"),
+          lit(1.0).as("cosine"))
+        .localCheckpoint(true)
+      val reps = df.join(
+          classes.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+        .localCheckpoint(true)
+      // semanticNearDupPairs checkpoints its own result, so every
+      // consumer of q/reps has executed by the time this returns.
+      exactPairs.unionByName(
+        semanticNearDupPairs(reps, idCol, vecCol, threshold, numCentroids,
+          refineRounds, maxCell, splitFanout, maxDepth))
+    } finally q.unpersist()
   }
 
   /** Hierarchical cell assignment behind [[semanticNearDupPairs]]:
