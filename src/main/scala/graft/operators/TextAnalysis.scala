@@ -290,10 +290,15 @@ object TextAnalysis {
     * across terms makes any transcendental-free scoring a documented
     * variant, not bit-BM25).
     *
-    * Scale shape: two column-pruned corpus scans (corpus constants
-    * N and L, then term frequencies — the term filter drops every
-    * non-query token map-side before the one groupBy shuffle), the tiny
-    * per-term df and constants tables broadcast, and the top-k is
+    * Scale shape: two column-pruned corpus scans — corpus constants
+    * N and L, then term frequencies, where the term filter drops every
+    * non-query token map-side before the groupBy shuffle. The tf table
+    * (query-term rows only — tiny relative to the corpus) materializes
+    * once (`localCheckpoint`) and feeds BOTH the per-term df counts and
+    * the scoring join; left lazy, Spark re-plans the df branch as a
+    * distinct-shaped aggregate whose exchange cannot reuse tf's, and
+    * the corpus gets scanned and exploded a third time. The tiny df and
+    * constants tables broadcast, and the top-k is
     * `TakeOrderedAndProject` (per-partition top-k, no global sort);
     * `row_number` ranks only the k survivors. */
   def bm25Rational(df: DataFrame, idCol: String, textCol: String,
@@ -312,6 +317,7 @@ object TextAnalysis {
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val contrib = expr(
       """(CAST(2 * (nn - df) + 1 AS DECIMAL(38,0))

@@ -58,6 +58,28 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"vocabulary top-k should be TakeOrderedAndProject, not a global sort:\n$plan")
   }
+
+  test("bm25 plan: tf materialized once, top-k without a global sort") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(sf("documents"))
+    val scored = TextAnalysis.bm25Rational(docs, "doc_id", "text",
+      Seq("spark", "vector", "merge"), topK = 20)
+    val plan = scored.queryExecution.executedPlan.toString
+    // the top-k is per-partition (TakeOrderedAndProject), never a global
+    // sort of every scored document
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k should be TakeOrderedAndProject:\n$plan")
+    // the exploded token stream exists only inside the one checkpointed
+    // tf computation: the scoring plan must read that materialization
+    // (both for df counts and for scoring), never re-explode the corpus
+    assert(!plan.contains("Generate explode"),
+      s"bm25 scoring plan re-explodes the corpus:\n$plan")
+    // the only remaining corpus scan is the constants aggregate (N, L) —
+    // column-pruned to the text column, nothing else touches the parquet
+    val scans = plan.sliding("FileScan parquet".length)
+      .count(_ == "FileScan parquet")
+    assert(scans <= 1, s"bm25 scoring plan has $scans corpus scans:\n$plan")
+  }
 }
 
 class DashboardSpec extends SparkSpec {
