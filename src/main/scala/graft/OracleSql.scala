@@ -530,6 +530,41 @@ object OracleSql {
 
     // Vocabulary top-k: global token frequencies, ties broken on the
     // token string (binary UTF-8 order in both engines).
+    // Deterministic shard export: shard = md5_60(doc_id) mod 8 (the hash
+    // is non-negative by construction, so % == pmod), position = hash
+    // order within the shard.
+    "q_export_shards" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS hk
+        |  FROM documents)
+        |SELECT doc_id, lang, hk % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id)
+        |    AS BIGINT) AS position
+        |FROM h""".stripMargin,
+
+    // Greedy token-budget packing in shard-local hash order: bin =
+    // exclusive running token total // 512 (both engines' integer
+    // division truncates identically on the non-negative totals).
+    "q_export_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS hk
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens, hk, hk % 4 AS shard,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY hk % 4
+        |      ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_excl
+        |  FROM t)
+        |SELECT doc_id, n_tokens, shard, cum_excl // 512 AS bin,
+        |  CAST(row_number() OVER (PARTITION BY shard, cum_excl // 512
+        |    ORDER BY hk, doc_id) AS BIGINT) AS bin_pos
+        |FROM c""".stripMargin,
+
     "q_vocab_topk" ->
       """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
         |    AS token FROM documents),

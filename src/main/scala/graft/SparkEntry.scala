@@ -442,6 +442,20 @@ object SparkEntry {
     Sampling.stratifiedCap(docs(spark, dir), "lang", "doc_id", 40)
       .select("doc_id", "lang", "sample_rank")
 
+  /** Deterministic training-shard export: reproducible global shuffle
+    * order (shard, position) with no global sort. */
+  private def qExportShards(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shardAssign(docs(spark, dir), "doc_id", 8)
+      .select("doc_id", "lang", "shard", "position")
+
+  /** Deterministic sequence packing into 512-token training bins. */
+  private def qExportPack(spark: SparkSession, dir: String): DataFrame =
+    Sampling.packTokenBudget(
+        docs(spark, dir).withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast(LongType)),
+        "doc_id", "n_tokens", budget = 512L, nShards = 4)
+      .select("doc_id", "n_tokens", "shard", "bin", "bin_pos")
+
   // ---------------------------------------------------------- similarity
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
@@ -591,6 +605,8 @@ object SparkEntry {
     "q_curation_topk" -> (qCurationTopk _),
     "q_dedup_normalized" -> (qDedupNormalized _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_export_shards" -> (qExportShards _),
+    "q_export_pack" -> (qExportPack _),
     "q_dedup_ngram_jaccard" -> (qDedupNgram _),
     "q_dedup_winnow_pairs" -> (qDedupWinnowPairs _),
     "q_dedup_winnow_apply" -> (qDedupWinnowApply _),

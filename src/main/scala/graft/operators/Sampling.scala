@@ -40,4 +40,53 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast(LongType))
       .filter(col("sample_rank") <= perStratum)
   }
+
+  /** Deterministic training-shard export: every row gets a `shard` in
+    * `[0, nShards)` (uniform by the hash draw) and a 1-based `position`
+    * within its shard, ordered by `(md5_60(key), key)` — a reproducible
+    * GLOBAL shuffle order `(shard, position)` for dataloaders, with no
+    * global sort anywhere: one hash-partition shuffle on `shard`, then
+    * per-shard window sorts that run in parallel. Size `nShards` so a
+    * shard fits one task (the per-shard sort is the scale bound — at
+    * 100 TB that means 10⁴–10⁶ shards, which is also what a dataloader
+    * wants), exactly how every epoch-shuffled dataset layout shards. */
+  def shardAssign(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashKey(col(keyCol)), col(keyCol))
+    df.withColumn("shard", pmod(hashKey(col(keyCol)), lit(nShards.toLong)))
+      .withColumn("position", row_number().over(w).cast(LongType))
+  }
+
+  /** Deterministic sequence packing: group documents into token-budget
+    * bins (training examples) — each row gets `(shard, bin, bin_pos)`
+    * where `bin` advances whenever the running token total within the
+    * shard crosses a `budget` multiple. The greedy scan order is the
+    * same `(md5_60(key), key)` hash order as [[shardAssign]], so the
+    * packing is reproducible across engines, partitionings, and reruns.
+    * The budget is a soft bound: a bin may overflow by less than one
+    * document (the standard greedy-packing contract; split-on-boundary
+    * is the chunker's job, [[TextAnalysis.chunk]]).
+    *
+    * Scale shape: one shuffle on `shard`, then per-shard running sums
+    * (`ROWS UNBOUNDED PRECEDING` — Spark evaluates it streaming, no
+    * per-frame rescan) and the bin id is one exact integer division of
+    * BIGINT token counts; no global sort, no driver state. */
+  def packTokenBudget(df: DataFrame, keyCol: String, tokensCol: String,
+      budget: Long, nShards: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashKey(col(keyCol)), col(keyCol))
+    val wb = Window.partitionBy(col("shard"), col("bin"))
+      .orderBy(hashKey(col(keyCol)), col(keyCol))
+    df.withColumn("shard", pmod(hashKey(col(keyCol)), lit(nShards.toLong)))
+      .withColumn("cum_excl", coalesce(
+        sum(col(tokensCol).cast(LongType))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("bin", expr(s"cum_excl div ${budget}L"))
+      .withColumn("bin_pos", row_number().over(wb).cast(LongType))
+      .drop("cum_excl")
+  }
 }

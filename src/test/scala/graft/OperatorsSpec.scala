@@ -443,6 +443,53 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == first)
   }
+
+  test("shardAssign: a partition-independent permutation in shard order") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      Sampling.shardAssign(df, "doc_id", 8)
+        .select("doc_id", "shard", "position").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val out = rows(docs)
+    // every row assigned exactly once, shards in range
+    assert(out.size == 1000 && out.map(_._1).size == 1000)
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions are contiguous 1..n within every shard → (shard, position)
+    // is a total order over the corpus (a true epoch permutation)
+    out.groupBy(_._2).foreach { case (s, g) =>
+      assert(g.map(_._3) == (1L to g.size).toSet, s"shard $s positions")
+    }
+    // hash-uniform shards stay balanced (1000 rows over 8 shards)
+    val sizes = out.groupBy(_._2).values.map(_.size)
+    assert(sizes.min > 80 && sizes.max < 170, s"skewed shards: $sizes")
+    assert(rows(docs.repartition(7)) == out,
+      "shard layout must not depend on input partitioning")
+  }
+
+  test("packTokenBudget: greedy bins respect the soft budget, deterministic") {
+    val withTokens = docs.withColumn("n_tokens",
+      (col("doc_id") % 100 + 1).cast(org.apache.spark.sql.types.LongType))
+    def packed(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long, Long)] =
+      Sampling.packTokenBudget(df, "doc_id", "n_tokens", 256L, 4)
+        .select("doc_id", "n_tokens", "shard", "bin", "bin_pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    val out = packed(withTokens)
+    assert(out.size == 1000)
+    // per (shard, bin): the bin total may overflow 256 by less than its
+    // LAST document only (greedy soft bound), and bins are dense 0..max
+    out.groupBy(t => (t._3, t._4)).foreach { case ((s, b), g) =>
+      val total = g.map(_._2).sum
+      val maxDoc = g.map(_._2).max
+      assert(total < 256L + maxDoc, s"bin ($s,$b) total $total")
+      assert(g.map(_._5).toSet == (1L to g.size).toSet, s"bin ($s,$b) pos")
+    }
+    out.groupBy(_._3).foreach { case (s, g) =>
+      val bins = g.map(_._4).toSet
+      assert(bins == (0L to bins.max).toSet, s"shard $s bins not dense")
+    }
+    assert(packed(withTokens.repartition(9)).toSet == out.toSet,
+      "packing must not depend on input partitioning")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
