@@ -530,6 +530,25 @@ object OracleSql {
 
     // Vocabulary top-k: global token frequencies, ties broken on the
     // token string (binary UTF-8 order in both engines).
+    // Cross-corpus contamination: train split (doc_id % 4 <> 0) probed
+    // against the eval split (doc_id % 4 = 0); both shingle sets are
+    // distinct, so the postings join counts |A ∩ B| directly;
+    // containment = n_common / |eval shingle set|.
+    "q_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
+         |sh AS (SELECT doc_id AS id, unnest(${shingleExpr(3)}) AS shingle FROM w),
+         |pr AS (SELECT id AS probe_id, shingle FROM sh WHERE id % 4 = 0),
+         |psz AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS probe_size
+         |  FROM pr GROUP BY 1),
+         |tr AS (SELECT id AS train_id, shingle FROM sh WHERE id % 4 <> 0),
+         |j AS (SELECT train_id, probe_id, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM tr JOIN pr USING (shingle) GROUP BY 1, 2)
+         |SELECT train_id, probe_id, n_common,
+         |  CAST(n_common AS DOUBLE) / CAST(probe_size AS DOUBLE) AS containment
+         |FROM j JOIN psz USING (probe_id)
+         |WHERE n_common >= 2""".stripMargin,
+
     // Deterministic shard export: shard = md5_60(doc_id) mod 8 (the hash
     // is non-negative by construction, so % == pmod), position = hash
     // order within the shard.

@@ -398,6 +398,17 @@ object SparkEntry {
           k = 24, w = 8, minShared = 2L, threshold = 0.5))
       .select("doc_id", "lang")
 
+  /** Decontamination: 3/4 of the corpus as "training" probed against the
+    * held-out quarter — which training docs share ≥ 2 tri-grams with an
+    * eval doc, scored by containment of the eval doc. */
+  private def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.crossCorpusContamination(
+      d.filter(pmod(col("doc_id"), lit(4)) =!= 0), "doc_id", "text",
+      d.filter(pmod(col("doc_id"), lit(4)) === 0), "doc_id", "text",
+      shingleWords = 3, minShared = 2)
+  }
+
   private def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDuplicates(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.10)
@@ -614,6 +625,7 @@ object SparkEntry {
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_topk_dot" -> (qSimTopkDot _),
     "q_sim_topk_cosine" -> (qSimTopkCosine _),

@@ -689,4 +689,58 @@ object Dedup {
         .localCheckpoint(true)
     } finally sh.unpersist()
   }
+
+  /** Cross-corpus contamination — the DECONTAMINATION primitive: which
+    * training documents share word shingles with an evaluation corpus.
+    * Returns `(train_id, probe_id, n_common, containment)` for pairs
+    * sharing ≥ `minShared` distinct `shingleWords`-grams, where
+    * `containment = n_common / |probe shingle set|` is the fraction of
+    * the eval document covered (the standard contamination score —
+    * asymmetric by design, unlike Jaccard: a benchmark question fully
+    * quoted inside a long training page IS contamination even though
+    * Jaccard is tiny). The published recipes are this operator at
+    * n-gram 8 (GPT-3-style) or 13 with `minShared = 1`; the default
+    * follows them.
+    *
+    * Scale shape — built around the corpus asymmetry (training corpora
+    * are ~10⁶× larger than benchmarks): the probe side's postings
+    * broadcast (guarded by `maxBroadcastProbe`, with a shuffle-join
+    * escape), so the TRAIN corpus is one map-side pass — shingle,
+    * explode, hash-probe — and the only shuffle carries the partially
+    * aggregated `(train_id, probe_id)` pair counts, never train
+    * postings. Both shingle arrays are distinct per document, so the
+    * join emits exactly one row per shared shingle and the pair count
+    * IS `|A ∩ B|` — no verification pass. Ubiquitous-shingle fan-out is
+    * map-side compute only (never shuffled); long default shingles keep
+    * it negligible, exactly why decontamination uses 8/13-grams. */
+  def crossCorpusContamination(
+      train: DataFrame, trainId: String, trainText: String,
+      probe: DataFrame, probeId: String, probeText: String,
+      shingleWords: Int = 8, minShared: Long = 1L,
+      maxBroadcastProbe: Long = 1L << 22): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val probePost0 = probe
+      .select(col(probeId).cast(LongType).as("probe_id"),
+        graft.functions.WordShingleFunctions
+          .wordShingles(col(probeText), shingleWords).as("sh_arr"))
+      .select(col("probe_id"),
+        size(col("sh_arr")).cast(LongType).as("probe_size"),
+        explode(col("sh_arr")).as("shingle"))
+    // One action on the SMALL side decides the join strategy (the same
+    // count-then-choose guard as [[dropHotBuckets]]).
+    val probePost =
+      if (probePost0.count() <= maxBroadcastProbe) broadcast(probePost0)
+      else probePost0
+    train
+      .select(col(trainId).cast(LongType).as("train_id"),
+        explode(graft.functions.WordShingleFunctions
+          .wordShingles(col(trainText), shingleWords)).as("shingle"))
+      .join(probePost, Seq("shingle"))
+      .groupBy(col("train_id"), col("probe_id"), col("probe_size"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minShared)
+      .withColumn("containment",
+        col("n_common").cast(DoubleType) / col("probe_size").cast(DoubleType))
+      .select("train_id", "probe_id", "n_common", "containment")
+  }
 }

@@ -154,6 +154,41 @@ class DedupSpec extends SparkSpec {
     assert(g.map(_.getBoolean(2)).toSeq == Seq(true, false))
   }
 
+  test("crossCorpusContamination: quoted eval doc flagged at containment 1") {
+    val train = Seq(
+      // contains eval doc 10 verbatim inside a longer page
+      (1L, "intro text here the quick brown fox jumps over the lazy dog and more trailing words"),
+      (2L, "completely unrelated training page about catalyst optimizer internals"),
+      (3L, "shares the quick brown tail only")
+    ).toDF("id", "text")
+    val eval_ = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "nothing in common with any training document at all whatsoever")
+    ).toDF("id", "text")
+    val out = Dedup.crossCorpusContamination(train, "id", "text",
+      eval_, "id", "text", shingleWords = 3, minShared = 1)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // doc 10 has 7 tri-gram shingles, all inside train doc 1 → containment 1.0
+    assert(rows.get((1L, 10L)).exists { case (n, c) => n == 7L && c == 1.0 },
+      s"got $rows")
+    // partial overlap scored as the covered fraction, asymmetric by probe
+    assert(rows.contains((3L, 10L)) && rows((3L, 10L))._2 < 1.0)
+    // no pair ever forms against the disjoint eval doc or train doc 2
+    assert(!rows.keys.exists { case (t, p) => p == 11L || t == 2L })
+    // minShared prunes the weak pair; the verbatim quote survives
+    val strict = Dedup.crossCorpusContamination(train, "id", "text",
+      eval_, "id", "text", shingleWords = 3, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 10L)))
+    // the probe side is the broadcast side — the train corpus never
+    // shuffles its postings
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe postings should broadcast:\n$plan")
+  }
+
   test("minhash: exact + near duplicates collide, unrelated do not") {
     val pairs = Dedup.minhashNearDuplicates(corpus, "id", "text",
       shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.4)
