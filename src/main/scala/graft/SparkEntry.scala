@@ -513,6 +513,13 @@ object SparkEntry {
       k = 5, multiProbe = true)
   }
 
+  /** PQ/ADC top-k: 64-dim corpus compressed to 4 one-byte codes. */
+  private def qSimPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding", k = 5,
+      numSubspaces = 4, numCodes = 16)
+
   private def qSimIvf2(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK2(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -633,6 +640,7 @@ object SparkEntry {
     "q_sim_lsh_mp" -> (qSimLshMp _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf2" -> (qSimIvf2 _),
+    "q_sim_pq" -> (qSimPq _),
     "q_emb_neardup" -> (qEmbNearDup _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_semantic_split" -> (qDedupSemanticSplit _),

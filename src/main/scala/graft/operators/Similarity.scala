@@ -634,6 +634,125 @@ object Similarity {
       .select("query_id", "corpus_id", "score", "rank")
   }
 
+  /** PRODUCT-QUANTIZATION ANN (ADC scoring) — the memory-compression
+    * arm of the family: each vector is encoded as `numSubspaces` small
+    * code ids (one byte each at the default `numCodes = 16`) instead of
+    * `d` floats, and queries score codes via per-subspace lookup
+    * tables — the asymmetric-distance (ADC) recipe every web-scale
+    * vector index uses once raw vectors stop fitting in memory
+    * (16-dim float corpus → 4-byte codes is 16×; production 768-dim →
+    * 32×+). IVF bounds which vectors are SCORED; PQ bounds what each
+    * vector COSTS — at 10¹⁰+ vectors both matter, and this operator
+    * supplies the second.
+    *
+    * Determinism/oracle design: the codebook is the SAMPLED-codebook PQ
+    * variant — per subspace, the code vectors are the sub-slices of the
+    * `numCodes` corpus rows smallest in `(md5_60(id), id)` order (the
+    * same seeding rule as [[ivfTopK]]; no Lloyd training, so the whole
+    * index is a pure function of the data). Encoding picks each row's
+    * nearest code per subspace by exact quantized-L2 with
+    * `(d2, code)` tie-breaks; query tables and scores are exact
+    * unscaled scale-12 LONG sums — the [[graft.functions.VectorOpsImpl
+    * .dotQ12]] integer representation, order-independent (a double sum
+    * across subspaces would depend on summation order, which no SQL
+    * engine guarantees) — rescaled exactly once and surfaced as double.
+    *
+    * Scale shape: the codebook (`numCodes × numSubspaces` sub-vectors)
+    * and the per-query tables broadcast; encoding is one corpus pass —
+    * explode by subspace, probe the broadcast codebook, `min_by`
+    * partial agg (the shuffle carries one row per (vector, subspace),
+    * then one per vector) — and scoring is a second map-side pass over
+    * the ENCODED table (M `element_at` lookups per row, no join, no
+    * shuffle) into the standard per-query top-k window. */
+  def pqTopK(
+      queries: DataFrame, queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int, numSubspaces: Int = 4, numCodes: Int = 16): DataFrame = {
+    registered(corpus)
+    val m = numSubspaces
+    require(m >= 1 && numCodes >= 1, "numSubspaces and numCodes must be >= 1")
+    // subspace slice of a quantized vector: floor(d/M) elements each,
+    // the last subspace absorbing the remainder
+    def sub(vec: Column, mCol: Column): Column = {
+      val d = size(vec)
+      val slen = floor(d / lit(m)).cast(IntegerType)
+      slice(vec, mCol * slen + 1,
+        when(mCol === m - 1, d - mCol * slen).otherwise(slen))
+    }
+    // codebook: sub-slices of the numCodes md5-smallest corpus rows;
+    // code id = dense rank 1..numCodes in that same order
+    val seedOrd = Window.orderBy(
+      Dedup.md5_60(col("sid").cast(StringType)), col("sid"))
+    val cb = corpus.select(col(corpusId).as("sid"), col(corpusVec).as("svec"))
+      .orderBy(Dedup.md5_60(col("sid").cast(StringType)), col("sid"))
+      .limit(numCodes)
+      .select(col("sid"), V.quantize6(col("svec")).as("sq"))
+      .withColumn("r", row_number().over(seedOrd))
+      .select(col("r"), explode(sequence(lit(0), lit(m - 1))).as("m"),
+        col("sq"))
+      .withColumn("cq_sub", sub(col("sq"), col("m")))
+      .withColumn("c_s2", V.dotQ12(col("cq_sub"), col("cq_sub")))
+      .select("m", "r", "cq_sub", "c_s2")
+      .localCheckpoint(true) // tiny; feeds encoding AND query tables
+    // encode: nearest code per (vector, subspace), then the M codes
+    // gathered into one array per vector
+    val enc = corpus
+      .select(col(corpusId).as("corpus_id"), V.quantize6(col(corpusVec)).as("cq"))
+      .select(col("corpus_id"), explode(sequence(lit(0), lit(m - 1))).as("m"),
+        col("cq"))
+      .withColumn("v_sub", sub(col("cq"), col("m")))
+      .withColumn("v_s2", V.dotQ12(col("v_sub"), col("v_sub")))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d2", col("v_s2") + col("c_s2") -
+        lit(2.0) * V.dotQ12(col("v_sub"), col("cq_sub")))
+      .groupBy(col("corpus_id"), col("m"))
+      .agg(min_by(col("r"), struct(col("d2"), col("r"))).as("code"))
+      .groupBy(col("corpus_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    // ADC tables: contrib(query, m, code) = the query sub-slice · code
+    // sub-vector dot as its UNSCALED scale-12 long (quantized arrays
+    // are unscaled scale-6 longs, so the long product sum is exactly
+    // the [[dotQ12]] kernel's integer — exact, associative,
+    // order-independent; ≤ d·10¹² for unit-scale embeddings, far from
+    // the 10¹⁸ long/DECIMAL(18) bound even times M subspaces)
+    val contrib = aggregate(
+      zip_with(col("q_sub"), col("cq_sub"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val tabs = queries
+      .select(col(queryId).as("query_id"), V.quantize6(col(queryVec)).as("qq"))
+      .select(col("query_id"), explode(sequence(lit(0), lit(m - 1))).as("m"),
+        col("qq"))
+      .withColumn("q_sub", sub(col("qq"), col("m")))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("contrib", contrib)
+      .groupBy(col("query_id"), col("m"))
+      .agg(transform(array_sort(collect_list(struct(col("r"), col("contrib")))),
+        s => s.getField("contrib")).as("row_tab"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("row_tab")))),
+        s => s.getField("row_tab")).as("tabs"))
+    // score: M table lookups per encoded row summed in exact long
+    // arithmetic, then ONE exact rescale — cast to DECIMAL(18,0) (not
+    // 38: a (38,0)×(12,12) product overflows precision 38 and Spark
+    // would shave the scale to 6) times the exact 10⁻¹² literal gives
+    // a lossless (31,12), surfaced as double exactly like dotQ12
+    val toScale12 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE, 12))
+    val scored = enc.crossJoin(broadcast(tabs))
+      .withColumn("score_u", aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0L),
+        (acc, i) => acc + element_at(element_at(col("tabs"), i + 1),
+          element_at(col("codes"), i + 1))))
+      .withColumn("score",
+        (col("score_u").cast(DecimalType(18, 0)) * toScale12)
+          .cast(DoubleType))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "score", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`: LSH bucketing
     * generates candidates (pairs must collide in ≥1 table), exact
     * quantized-decimal cosine verifies — like [[lshTopK]], fully

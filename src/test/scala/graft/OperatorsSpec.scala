@@ -630,6 +630,30 @@ class SimilaritySpec extends SparkSpec {
       "fixture has no 1-bit neighbor; flip assertion vacuous")
   }
 
+  test("pqTopK: codes and ADC scores match the hand computation") {
+    // M = 2 subspaces over 4 dims, K = 2 codes; seeds (md5 order) = {1, 2}
+    // → codebook m0: r1 = (0.9, 0.1), r2 = (0, 1); m1: both (0, 0).
+    // Encodings: v0 → [r1, r1] (d2 0.02 vs 2), v1 → [r1, r1] (exact),
+    // v2 → [r2, r1], v3 → [r1, r1] (m0: 0.82 < 1; m1 tie → r1).
+    // Query v0 tables: m0 contribs (0.9, 0), m1 (0, 0) → ADC scores:
+    // v0 = v1 = v3 = 0.9, v2 = 0. Ties break on corpus_id.
+    val out = Similarity.pqTopK(
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 4, numSubspaces = 2, numCodes = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 0.9, 1L), (1L, 0.9, 2L),
+      (3L, 0.9, 3L), (2L, 0.0, 4L)), s"got ${out.toSeq}")
+    // determinism across reruns and partitionings
+    val again = Similarity.pqTopK(
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      vecs.repartition(3), "vec_id", "embedding", k = 4,
+      numSubspaces = 2, numCodes = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("ivfTopK2: coarse cell routes to fine cells, exact ranks inside") {
     // fine = {1, 2} (md5_60 order), coarse = {1}: both fine centroids
     // hang off coarse 1; query 0 probes coarse 1, picks nearest fine 1
