@@ -669,38 +669,54 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       k: Int, numSubspaces: Int = 4, numCodes: Int = 16): DataFrame = {
     registered(corpus)
-    val m = numSubspaces
-    require(m >= 1 && numCodes >= 1, "numSubspaces and numCodes must be >= 1")
-    // subspace slice of a quantized vector: floor(d/M) elements each,
-    // the last subspace absorbing the remainder
-    def sub(vec: Column, mCol: Column): Column = {
-      val d = size(vec)
-      val slen = floor(d / lit(m)).cast(IntegerType)
-      slice(vec, mCol * slen + 1,
-        when(mCol === m - 1, d - mCol * slen).otherwise(slen))
-    }
-    // codebook: sub-slices of the numCodes md5-smallest corpus rows;
-    // code id = dense rank 1..numCodes in that same order
+    require(numSubspaces >= 1 && numCodes >= 1,
+      "numSubspaces and numCodes must be >= 1")
+    val cb = pqCodebook(corpus, corpusId, corpusVec, numSubspaces, numCodes)
+      .localCheckpoint(true) // tiny; feeds encoding AND query tables
+    pqScore(pqEncode(corpus, corpusId, corpusVec, cb, numSubspaces),
+      pqTabs(queries, queryId, queryVec, cb, numSubspaces), numSubspaces, k)
+  }
+
+  /** Persisted PQ index: `codebook/` (m, code, sub-vector, s2),
+    * `codes/` (corpus_id, M code ids), `params/`. */
+  case class PqIndex(codebook: DataFrame, codes: DataFrame, numSubspaces: Int)
+
+  /** subspace slice of a quantized vector: floor(d/M) elements each,
+    * the last subspace absorbing the remainder */
+  private def pqSub(m: Int)(vec: Column, mCol: Column): Column = {
+    val d = size(vec)
+    val slen = floor(d / lit(m)).cast(IntegerType)
+    slice(vec, mCol * slen + 1,
+      when(mCol === m - 1, d - mCol * slen).otherwise(slen))
+  }
+
+  /** Sampled PQ codebook: sub-slices of the `numCodes` md5-smallest
+    * corpus rows; code id = dense rank 1..numCodes in that order. */
+  private def pqCodebook(corpus: DataFrame, corpusId: String,
+      corpusVec: String, m: Int, numCodes: Int): DataFrame = {
     val seedOrd = Window.orderBy(
       Dedup.md5_60(col("sid").cast(StringType)), col("sid"))
-    val cb = corpus.select(col(corpusId).as("sid"), col(corpusVec).as("svec"))
+    corpus.select(col(corpusId).as("sid"), col(corpusVec).as("svec"))
       .orderBy(Dedup.md5_60(col("sid").cast(StringType)), col("sid"))
       .limit(numCodes)
       .select(col("sid"), V.quantize6(col("svec")).as("sq"))
       .withColumn("r", row_number().over(seedOrd))
       .select(col("r"), explode(sequence(lit(0), lit(m - 1))).as("m"),
         col("sq"))
-      .withColumn("cq_sub", sub(col("sq"), col("m")))
+      .withColumn("cq_sub", pqSub(m)(col("sq"), col("m")))
       .withColumn("c_s2", V.dotQ12(col("cq_sub"), col("cq_sub")))
       .select("m", "r", "cq_sub", "c_s2")
-      .localCheckpoint(true) // tiny; feeds encoding AND query tables
-    // encode: nearest code per (vector, subspace), then the M codes
-    // gathered into one array per vector
-    val enc = corpus
+  }
+
+  /** Encode: nearest code per (vector, subspace) by exact quantized-L2
+    * with (d2, code) ties, then the M codes gathered per vector. */
+  private def pqEncode(corpus: DataFrame, corpusId: String,
+      corpusVec: String, cb: DataFrame, m: Int): DataFrame =
+    corpus
       .select(col(corpusId).as("corpus_id"), V.quantize6(col(corpusVec)).as("cq"))
       .select(col("corpus_id"), explode(sequence(lit(0), lit(m - 1))).as("m"),
         col("cq"))
-      .withColumn("v_sub", sub(col("cq"), col("m")))
+      .withColumn("v_sub", pqSub(m)(col("cq"), col("m")))
       .withColumn("v_s2", V.dotQ12(col("v_sub"), col("v_sub")))
       .join(broadcast(cb), Seq("m"))
       .withColumn("d2", col("v_s2") + col("c_s2") -
@@ -710,20 +726,24 @@ object Similarity {
       .groupBy(col("corpus_id"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         s => s.getField("code")).as("codes"))
-    // ADC tables: contrib(query, m, code) = the query sub-slice · code
-    // sub-vector dot as its UNSCALED scale-12 long (quantized arrays
-    // are unscaled scale-6 longs, so the long product sum is exactly
-    // the [[dotQ12]] kernel's integer — exact, associative,
-    // order-independent; ≤ d·10¹² for unit-scale embeddings, far from
-    // the 10¹⁸ long/DECIMAL(18) bound even times M subspaces)
+
+  /** ADC tables: contrib(query, m, code) = the query sub-slice · code
+    * sub-vector dot as its UNSCALED scale-12 long (quantized arrays
+    * are unscaled scale-6 longs, so the long product sum is exactly
+    * the [[graft.functions.VectorOpsImpl.dotQ12]] kernel's integer —
+    * exact, associative, order-independent; ≤ d·10¹² for unit-scale
+    * embeddings, far from the 10¹⁸ long/DECIMAL(18) bound even times
+    * M subspaces). */
+  private def pqTabs(queries: DataFrame, queryId: String, queryVec: String,
+      cb: DataFrame, m: Int): DataFrame = {
     val contrib = aggregate(
       zip_with(col("q_sub"), col("cq_sub"), (x, y) => x * y),
       lit(0L), (acc, x) => acc + x)
-    val tabs = queries
+    queries
       .select(col(queryId).as("query_id"), V.quantize6(col(queryVec)).as("qq"))
       .select(col("query_id"), explode(sequence(lit(0), lit(m - 1))).as("m"),
         col("qq"))
-      .withColumn("q_sub", sub(col("qq"), col("m")))
+      .withColumn("q_sub", pqSub(m)(col("qq"), col("m")))
       .join(broadcast(cb), Seq("m"))
       .withColumn("contrib", contrib)
       .groupBy(col("query_id"), col("m"))
@@ -732,13 +752,17 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("row_tab")))),
         s => s.getField("row_tab")).as("tabs"))
-    // score: M table lookups per encoded row summed in exact long
-    // arithmetic, then ONE exact rescale — cast to DECIMAL(18,0) (not
-    // 38: a (38,0)×(12,12) product overflows precision 38 and Spark
-    // would shave the scale to 6) times the exact 10⁻¹² literal gives
-    // a lossless (31,12), surfaced as double exactly like dotQ12
+  }
+
+  /** Score: M table lookups per encoded row summed in exact long
+    * arithmetic, then ONE exact rescale — cast to DECIMAL(18,0) (not
+    * 38: a (38,0)×(12,12) product overflows precision 38 and Spark
+    * would shave the scale to 6) times the exact 10⁻¹² literal gives
+    * a lossless (31,12), surfaced as double exactly like dotQ12. */
+  private def pqScore(codes: DataFrame, tabs: DataFrame, m: Int,
+      k: Int): DataFrame = {
     val toScale12 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE, 12))
-    val scored = enc.crossJoin(broadcast(tabs))
+    val scored = codes.crossJoin(broadcast(tabs))
       .withColumn("score_u", aggregate(
         sequence(lit(0), lit(m - 1)), lit(0L),
         (acc, i) => acc + element_at(element_at(col("tabs"), i + 1),
@@ -751,6 +775,69 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "score", "rank")
+  }
+
+  /** Build a PQ index and persist it under `dir` (`codebook/`, `codes/`,
+    * `params/`): one ordered-prefix scan selects the codebook, one more
+    * encodes every vector against the WRITTEN codebook — the same
+    * build-once/probe-many amortization as [[writeLshIndex]] /
+    * [[writeIvfIndex]], at one M-byte code row per vector. */
+  def writePqIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      dir: String, numSubspaces: Int = 4, numCodes: Int = 16): PqIndex = {
+    registered(corpus)
+    val spark = corpus.sparkSession
+    pqCodebook(corpus, corpusId, corpusVec, numSubspaces, numCodes)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/codebook")
+    pqEncode(corpus, corpusId, corpusVec,
+        spark.read.parquet(s"$dir/codebook"), numSubspaces)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/codes")
+    import spark.implicits._
+    Seq((numSubspaces, numCodes)).toDF("num_subspaces", "num_codes")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/params")
+    readPqIndex(spark, dir)
+  }
+
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PqIndex = {
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    PqIndex(spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"), p.getAs[Int]("num_subspaces"))
+  }
+
+  /** Incrementally index a NEW batch into a persisted PQ index: the
+    * batch is encoded against the index's FROZEN codebook (the PQ
+    * quantizer is trained once per index generation, standard
+    * practice) and appended to `codes/` — O(batch·K·M), no scan of the
+    * already-indexed corpus. `append(build(prefix), rest)` is
+    * bit-identical to `build(prefix ∪ rest)` exactly when both builds
+    * would sample the same codebook — every seed inside the prefix —
+    * spec-proven, like [[appendToIvfIndex]]. */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newBatch: DataFrame, batchId: String, batchVec: String): PqIndex = {
+    registered(newBatch)
+    // Read ONLY params + codebook — the already-written code table is
+    // neither needed nor touched by the append (spec-proven).
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    pqEncode(newBatch, batchId, batchVec,
+        spark.read.parquet(s"$dir/codebook"), p.getAs[Int]("num_subspaces"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$dir/codes")
+    readPqIndex(spark, dir)
+  }
+
+  /** Probe a PQ index: build the ADC tables against the persisted
+    * codebook, score ONLY the code table — on a [[writePqIndex]] index
+    * the corpus parquet is never rescanned. */
+  def probePq(index: PqIndex, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int): DataFrame = {
+    registered(queries)
+    pqScore(index.codes,
+      pqTabs(queries, queryId, queryVec,
+        index.codebook.localCheckpoint(true), index.numSubspaces),
+      index.numSubspaces, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`: LSH bucketing

@@ -59,6 +59,26 @@ object IndexMaintenance {
         batch, idCol, vecCol)
     }
 
+  /** One micro-batch into a persisted PQ index (frozen codebook). */
+  def appendPqBatch(batch: DataFrame, batchId: Long, dir: String,
+      checkpointDir: String, idCol: String, vecCol: String): Unit =
+    withMarker(batch, batchId, checkpointDir) {
+      val _ = Similarity.appendToPqIndex(batch.sparkSession, dir,
+        batch, idCol, vecCol)
+    }
+
+  /** Keep a persisted PQ index current with a vector stream. */
+  def maintainPq(vectors: DataFrame, idCol: String, vecCol: String,
+      dir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("65 seconds")): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendPqBatch(batch, batchId, dir, checkpointDir, idCol, vecCol)
+      }
+      .start()
+
   /** Keep a persisted LSH index current with a vector stream. */
   def maintainLsh(vectors: DataFrame, idCol: String, vecCol: String,
       dir: String, checkpointDir: String,

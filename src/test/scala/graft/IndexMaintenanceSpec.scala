@@ -113,6 +113,50 @@ class IndexMaintenanceSpec extends SparkSpec {
       full.cells.filter(col("corpus_id") === 3)), "batch cells differ")
   }
 
+  test("writePqIndex/probePq == one-shot pqTopK; append == build(full)") {
+    // seeds for numCodes = 2 are {1, 2} ⊆ prefix {0, 1, 2}: the frozen
+    // codebook equals the full build's, so append ≡ rebuild exactly
+    val prefix = vecs.filter(col("vec_id") < 3)
+    val rest = vecs.filter(col("vec_id") === 3)
+    val q = vecs.filter(col("vec_id") === 0L)
+    val dirA = tmp("pq_inc")
+    val dirB = tmp("pq_full")
+    Similarity.writePqIndex(prefix, "vec_id", "embedding", dirA,
+      numSubspaces = 2, numCodes = 2)
+    val appended =
+      Similarity.appendToPqIndex(spark, dirA, rest, "vec_id", "embedding")
+    val full = Similarity.writePqIndex(vecs, "vec_id", "embedding", dirB,
+      numSubspaces = 2, numCodes = 2)
+    assert(sameRows(appended.codebook, full.codebook), "codebooks differ")
+    assert(sameRows(appended.codes, full.codes), "code tables differ")
+    // probe of the appended index == the one-shot operator over everything
+    def rows(df: DataFrame): Set[(Long, Long, Double, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val probe = Similarity.probePq(appended, q, "vec_id", "embedding", k = 4)
+    assert(rows(probe) == rows(Similarity.pqTopK(q, "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 4, numSubspaces = 2, numCodes = 2)))
+    // the probe plan reads only the index tables, never the corpus
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pq"), s"probe plan misses the index:\n$plan")
+  }
+
+  test("appendToPqIndex: O(batch·K·M) — old code data not even needed") {
+    val prefix = vecs.filter(col("vec_id") < 3)
+    val rest = vecs.filter(col("vec_id") === 3)
+    val dirA = tmp("pq_gut")
+    val dirB = tmp("pq_gut_full")
+    Similarity.writePqIndex(prefix, "vec_id", "embedding", dirA,
+      numSubspaces = 2, numCodes = 2)
+    gutDir(s"$dirA/codes") // codebook/ stays: it is the frozen quantizer
+    val appended =
+      Similarity.appendToPqIndex(spark, dirA, rest, "vec_id", "embedding")
+    val full = Similarity.writePqIndex(vecs, "vec_id", "embedding", dirB,
+      numSubspaces = 2, numCodes = 2)
+    assert(sameRows(appended.codes,
+      full.codes.filter(col("corpus_id") === 3)), "batch codes differ")
+  }
+
   // 64 distinct vectors in 4 tight direction groups of 16: with
   // numCentroids = 2 every level-0 cell holds ~32 > maxCell = 10 members,
   // so the output is produced ENTIRELY through the hierarchical split

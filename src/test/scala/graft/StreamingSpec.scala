@@ -579,7 +579,7 @@ class IndexMaintenanceStreamSpec extends SparkSpec {
       b: org.apache.spark.sql.DataFrame): Boolean =
     a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
 
-  test("streamed micro-batches keep LSH and IVF indexes == one-shot builds") {
+  test("streamed micro-batches keep LSH/IVF/PQ indexes == one-shot builds") {
     implicit val sqlCtx = spark.sqlContext
     val initial = allVecs.filter(col("vec_id").isin(0L, 1L, 4L))
     val base = Files.createTempDirectory("graft_idx_stream").toString
@@ -587,31 +587,42 @@ class IndexMaintenanceStreamSpec extends SparkSpec {
       s"$base/lsh", planes = 4, tables = 2)
     Similarity.writeIvfIndex(initial, "vec_id", "embedding",
       s"$base/ivf", numCentroids = 2, refineRounds = 0)
+    Similarity.writePqIndex(initial, "vec_id", "embedding",
+      s"$base/pq", numSubspaces = 2, numCodes = 2)
     val input = MemoryStream[(Long, Array[Float])]
     val vectors = input.toDF().toDF("vec_id", "embedding")
     val lshQ = IndexMaintenance.maintainLsh(vectors, "vec_id", "embedding",
       s"$base/lsh", s"$base/cp_lsh", trigger = Trigger.ProcessingTime(0L))
     val ivfQ = IndexMaintenance.maintainIvf(vectors, "vec_id", "embedding",
       s"$base/ivf", s"$base/cp_ivf", trigger = Trigger.ProcessingTime(0L))
+    val pqQ = IndexMaintenance.maintainPq(vectors, "vec_id", "embedding",
+      s"$base/pq", s"$base/cp_pq", trigger = Trigger.ProcessingTime(0L))
     try {
       // two genuine micro-batches (processAllAvailable between adds)
       input.addData((2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
         (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
       lshQ.processAllAvailable(); ivfQ.processAllAvailable()
+      pqQ.processAllAvailable()
       input.addData((5L, Array(0.0f, 0.5f, 0.5f, 0.0f)))
       lshQ.processAllAvailable(); ivfQ.processAllAvailable()
-    } finally { lshQ.stop(); ivfQ.stop() }
+      pqQ.processAllAvailable()
+    } finally { lshQ.stop(); ivfQ.stop(); pqQ.stop() }
     val oneShot = Files.createTempDirectory("graft_idx_oneshot").toString
     val lshFull = Similarity.writeLshIndex(allVecs, "vec_id", "embedding",
       s"$oneShot/lsh", planes = 4, tables = 2)
     val ivfFull = Similarity.writeIvfIndex(allVecs, "vec_id", "embedding",
       s"$oneShot/ivf", numCentroids = 2, refineRounds = 0)
+    val pqFull = Similarity.writePqIndex(allVecs, "vec_id", "embedding",
+      s"$oneShot/pq", numSubspaces = 2, numCodes = 2)
     val lshIdx = Similarity.readLshIndex(spark, s"$base/lsh")
     val ivfIdx = Similarity.readIvfIndex(spark, s"$base/ivf")
+    val pqIdx = Similarity.readPqIndex(spark, s"$base/pq")
     assert(sameRows(lshIdx.vectors, lshFull.vectors), "LSH vectors differ")
     assert(sameRows(lshIdx.buckets, lshFull.buckets), "LSH buckets differ")
     assert(sameRows(ivfIdx.centroids, ivfFull.centroids), "centroids differ")
     assert(sameRows(ivfIdx.cells, ivfFull.cells), "IVF cells differ")
+    assert(sameRows(pqIdx.codebook, pqFull.codebook), "PQ codebook differs")
+    assert(sameRows(pqIdx.codes, pqFull.codes), "PQ codes differ")
   }
 
   test("replayed index micro-batch is skipped by the committed marker") {
