@@ -222,6 +222,50 @@ object OracleSql {
       |JOIN norms nb ON nb.vec_id = id_b
       |WHERE dot / (na.nrm * nb.nrm) >= 0.25""".stripMargin
 
+  /** Product-quantization ADC chain, from an `el` CTE (vec_id, i, x) in
+    * scope to `enc` (corpus codes) and `qtab` (per-query ADC lookup
+    * contribs for vec_id < 10): sampled codebook = sub-slices of the 16
+    * md5-smallest corpus rows (code id = rank), nearest code per
+    * (vector, subspace) by exact quantized L2 with (d2, code) ties. */
+  private val pqAdcCtes: String =
+    """dims AS (SELECT CAST(len(embedding) AS BIGINT) AS d
+      |  FROM embeddings LIMIT 1),
+      |elm AS (SELECT vec_id, i, x, LEAST((i - 1) // (d // 4), 3) AS m
+      |  FROM el CROSS JOIN dims),
+      |seeds AS (SELECT vec_id AS psid,
+      |    row_number() OVER (ORDER BY
+      |      ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+      |      vec_id) AS r
+      |  FROM embeddings
+      |  ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+      |    ::BIGINT, vec_id
+      |  LIMIT 16),
+      |pcb AS (SELECT s.r, e.m, e.i, e.x
+      |  FROM elm e JOIN seeds s ON e.vec_id = s.psid),
+      |pcs2 AS (SELECT r, m,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
+      |  FROM pcb GROUP BY 1, 2),
+      |pvs2 AS (SELECT vec_id, m,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
+      |  FROM elm GROUP BY 1, 2),
+      |pvdot AS (SELECT e.vec_id, c.r, e.m,
+      |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+      |  FROM elm e JOIN pcb c ON c.i = e.i
+      |  GROUP BY 1, 2, 3),
+      |enc AS (SELECT vec_id, m, r FROM (
+      |    SELECT v.vec_id, v.m, v.r, pvs2.s2 + pcs2.s2 - 2.0 * v.dot AS d2
+      |    FROM pvdot v
+      |    JOIN pvs2 ON pvs2.vec_id = v.vec_id AND pvs2.m = v.m
+      |    JOIN pcs2 ON pcs2.r = v.r AND pcs2.m = v.m)
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+      |    ORDER BY d2, r) = 1),
+      |qtab AS (SELECT e.vec_id AS query_id, c.r, e.m,
+      |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DECIMAL(25,12))
+      |      AS contrib
+      |  FROM elm e JOIN pcb c ON c.i = e.i
+      |  WHERE e.vec_id < 10
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -1081,49 +1125,37 @@ object OracleSql {
     // L2, (d2, code) ties); scores are exact DECIMAL(38,12) sums of the
     // per-subspace query·code dots, surfaced as DOUBLE.
     "q_sim_pq" ->
-      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      s"""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
         |  FROM embeddings),
-        |dims AS (SELECT CAST(len(embedding) AS BIGINT) AS d
-        |  FROM embeddings LIMIT 1),
-        |elm AS (SELECT vec_id, i, x, LEAST((i - 1) // (d // 4), 3) AS m
-        |  FROM el CROSS JOIN dims),
-        |seeds AS (SELECT vec_id AS sid,
-        |    row_number() OVER (ORDER BY
-        |      ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
-        |      vec_id) AS r
-        |  FROM embeddings
-        |  ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
-        |    ::BIGINT, vec_id
-        |  LIMIT 16),
-        |cb AS (SELECT s.r, e.m, e.i, e.x
-        |  FROM elm e JOIN seeds s ON e.vec_id = s.sid),
-        |cs2 AS (SELECT r, m,
-        |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
-        |  FROM cb GROUP BY 1, 2),
-        |vs2 AS (SELECT vec_id, m,
-        |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
-        |  FROM elm GROUP BY 1, 2),
-        |vdot AS (SELECT e.vec_id, c.r, e.m,
-        |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
-        |  FROM elm e JOIN cb c ON c.i = e.i
-        |  GROUP BY 1, 2, 3),
-        |enc AS (SELECT vec_id, m, r FROM (
-        |    SELECT v.vec_id, v.m, v.r, vs2.s2 + cs2.s2 - 2.0 * v.dot AS d2
-        |    FROM vdot v
-        |    JOIN vs2 ON vs2.vec_id = v.vec_id AND vs2.m = v.m
-        |    JOIN cs2 ON cs2.r = v.r AND cs2.m = v.m)
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
-        |    ORDER BY d2, r) = 1),
-        |qtab AS (SELECT e.vec_id AS query_id, c.r, e.m,
-        |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DECIMAL(25,12))
-        |      AS contrib
-        |  FROM elm e JOIN cb c ON c.i = e.i
-        |  WHERE e.vec_id < 10
-        |  GROUP BY 1, 2, 3),
+        |$pqAdcCtes,
         |s AS (SELECT q.query_id, enc.vec_id AS corpus_id,
         |    CAST(SUM(q.contrib) AS DOUBLE) AS score
         |  FROM enc JOIN qtab q ON q.m = enc.m AND q.r = enc.r
+        |  GROUP BY 1, 2)
+        |SELECT query_id, corpus_id, score,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS BIGINT)
+        |    AS rank
+        |FROM s QUALIFY rank <= 5""".stripMargin,
+
+    // IVF-PQ: the refined-IVF probe bounds candidates (nprobe = 2 cells
+    // per query, same chain as q_sim_ivf), the PQ code table prices
+    // each candidate (same chain as q_sim_pq); candidates score by ADC
+    // lookup sums instead of exact dots.
+    "q_sim_ivfpq" ->
+      s"""WITH $ivfRefinedCellCtes,
+        |$pqAdcCtes,
+        |probes AS (SELECT vid AS query_id, cid FROM asg WHERE vid < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) <= 2),
+        |cand AS (SELECT DISTINCT probes.query_id, cells.vid AS corpus_id
+        |  FROM probes JOIN cells ON cells.cid = probes.cid),
+        |s AS (SELECT ca.query_id, ca.corpus_id,
+        |    CAST(SUM(q.contrib) AS DOUBLE) AS score
+        |  FROM cand ca
+        |  JOIN enc e ON e.vec_id = ca.corpus_id
+        |  JOIN qtab q ON q.query_id = ca.query_id
+        |    AND q.m = e.m AND q.r = e.r
         |  GROUP BY 1, 2)
         |SELECT query_id, corpus_id, score,
         |  CAST(row_number() OVER

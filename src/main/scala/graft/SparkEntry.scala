@@ -520,6 +520,14 @@ object SparkEntry {
       emb(spark, dir), "vec_id", "embedding", k = 5,
       numSubspaces = 4, numCodes = 16)
 
+  /** IVF-PQ: probed cells bound candidates, ADC lookups price them. */
+  private def qSimIvfPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding", k = 5,
+      numCentroids = 16, refineRounds = 1, nprobe = 2,
+      numSubspaces = 4, numCodes = 16)
+
   private def qSimIvf2(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK2(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -641,6 +649,7 @@ object SparkEntry {
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf2" -> (qSimIvf2 _),
     "q_sim_pq" -> (qSimPq _),
+    "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_emb_neardup" -> (qEmbNearDup _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_semantic_split" -> (qDedupSemanticSplit _),

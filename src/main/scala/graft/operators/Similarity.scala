@@ -754,27 +754,78 @@ object Similarity {
         s => s.getField("row_tab")).as("tabs"))
   }
 
-  /** Score: M table lookups per encoded row summed in exact long
-    * arithmetic, then ONE exact rescale — cast to DECIMAL(18,0) (not
-    * 38: a (38,0)×(12,12) product overflows precision 38 and Spark
-    * would shave the scale to 6) times the exact 10⁻¹² literal gives
-    * a lossless (31,12), surfaced as double exactly like dotQ12. */
-  private def pqScore(codes: DataFrame, tabs: DataFrame, m: Int,
-      k: Int): DataFrame = {
+  /** ADC score column over a row holding `codes` and `tabs`: M table
+    * lookups summed in exact long arithmetic, then ONE exact rescale —
+    * cast to DECIMAL(18,0) (not 38: a (38,0)×(12,12) product overflows
+    * precision 38 and Spark would shave the scale to 6) times the exact
+    * 10⁻¹² literal gives a lossless (31,12), surfaced as double exactly
+    * like dotQ12. */
+  private def pqAdcScore(m: Int): Column = {
     val toScale12 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE, 12))
-    val scored = codes.crossJoin(broadcast(tabs))
-      .withColumn("score_u", aggregate(
-        sequence(lit(0), lit(m - 1)), lit(0L),
-        (acc, i) => acc + element_at(element_at(col("tabs"), i + 1),
-          element_at(col("codes"), i + 1))))
-      .withColumn("score",
-        (col("score_u").cast(DecimalType(18, 0)) * toScale12)
-          .cast(DoubleType))
+    (aggregate(
+      sequence(lit(0), lit(m - 1)), lit(0L),
+      (acc, i) => acc + element_at(element_at(col("tabs"), i + 1),
+        element_at(col("codes"), i + 1)))
+      .cast(DecimalType(18, 0)) * toScale12).cast(DoubleType)
+  }
+
+  private def pqTopKWindow(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "score", "rank")
+  }
+
+  private def pqScore(codes: DataFrame, tabs: DataFrame, m: Int,
+      k: Int): DataFrame =
+    pqTopKWindow(codes.crossJoin(broadcast(tabs))
+      .withColumn("score", pqAdcScore(m)), k)
+
+  /** IVF-PQ — the two bounds composed, the shape a production
+    * 10¹⁰-vector index actually runs: the IVF coarse quantizer bounds
+    * WHICH vectors are scored (`nprobe` cells per query) and PQ bounds
+    * what each candidate COSTS (M table lookups on a one-byte-per-
+    * subspace code row instead of a d-float dot). This is the
+    * non-residual IVFADC simplification: codes quantize the vectors
+    * themselves, not their cell residuals — residual coding buys
+    * accuracy, not a different plan shape, and non-residual keeps every
+    * stage exactly reproducible by the DuckDB oracle with the already-
+    * gated IVF and PQ chains.
+    *
+    * Scale shape: centroids and per-query ADC tables broadcast; the
+    * candidate set is the `nprobe/K` corpus fraction, joined to the
+    * code table on `corpus_id` (co-partitioned hash join, the one big
+    * shuffle) and scored map-side; top-k per query off the bounded
+    * candidate scores. */
+  def ivfPqTopK(
+      queries: DataFrame, queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int, numCentroids: Int = 16, refineRounds: Int = 1, nprobe: Int = 2,
+      numSubspaces: Int = 4, numCodes: Int = 16): DataFrame = {
+    registered(corpus)
+    val cb = pqCodebook(corpus, corpusId, corpusVec, numSubspaces, numCodes)
+      .localCheckpoint(true)
+    val enc = pqEncode(corpus, corpusId, corpusVec, cb, numSubspaces)
+    val idx = buildIvfIndex(corpus, corpusId, corpusVec, numCentroids,
+      refineRounds)
+    val probes = queries
+      .select(col(queryId).as("query_id"), V.quantize6(col(queryVec)).as("qq"))
+      .withColumn("q_s2", V.dotQ12(col("qq"), col("qq")))
+      .crossJoin(broadcast(idx.centroids))
+      .withColumn("d2", ivfD2(col("qq"), col("q_s2")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("cent_id"))))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("cent_id"))
+    val cand = idx.cells.select(col("corpus_id"), col("cent_id"))
+      .join(broadcast(probes), Seq("cent_id"))
+      .select("query_id", "corpus_id").distinct()
+    val tabs = pqTabs(queries, queryId, queryVec, cb, numSubspaces)
+    pqTopKWindow(cand.join(enc, Seq("corpus_id"))
+      .join(broadcast(tabs), Seq("query_id"))
+      .withColumn("score", pqAdcScore(numSubspaces)), k)
   }
 
   /** Build a PQ index and persist it under `dir` (`codebook/`, `codes/`,

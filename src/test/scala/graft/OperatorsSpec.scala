@@ -654,6 +654,22 @@ class SimilaritySpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("ivfPqTopK: probed cell bounds candidates, ADC prices them") {
+    // IVF (K=2, no refinement): centroids {1, 2}; cells v0,v1,v3 → c1,
+    // v2 → c2; query 0 probes c1 only (nprobe = 1) → candidates {0,1,3}.
+    // PQ (M=2, 2 codes): ADC scores 0.9 for all three (see the pqTopK
+    // spec) → ranks by id; v2 is NEVER scored despite its equal-rank
+    // cosine irrelevance — the cell bound, not the score, excluded it.
+    val out = Similarity.ivfPqTopK(
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 4, numCentroids = 2,
+      refineRounds = 0, nprobe = 1, numSubspaces = 2, numCodes = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 0.9, 1L), (1L, 0.9, 2L), (3L, 0.9, 3L)),
+      s"got ${out.toSeq}")
+  }
+
   test("ivfTopK2: coarse cell routes to fine cells, exact ranks inside") {
     // fine = {1, 2} (md5_60 order), coarse = {1}: both fine centroids
     // hang off coarse 1; query 0 probes coarse 1, picks nearest fine 1
