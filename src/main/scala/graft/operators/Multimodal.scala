@@ -11,11 +11,12 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side shape is real and tested — schema, partitioning, batch
   * iteration (`mapPartitions` over an iterator, the Scala analogue of
-  * `mapInPandas`), and output schemas. The codec step itself is STUBBED with
-  * a deterministic fake (this container has no image/audio libraries): the
-  * `decodeStub` function derives "pixels"/"samples" from the payload bytes
-  * reproducibly. Swap [[MediaCodec.decode]] for a real JNI/libs-backed codec
-  * in production; nothing else changes.
+  * `mapInPandas`), and output schemas. [[MediaCodec.decode]] REALLY decodes
+  * the two container formats that need no codec library (24-bit BMP and
+  * 16-bit PCM WAV — pure byte arithmetic, spec-gated against hand-built
+  * files) and falls back to a deterministic md5 stub for every other
+  * format (this container has no image/audio libraries); swap in
+  * libjpeg/ffmpeg-backed branches in production, nothing else changes.
   *
   * Scale notes: payloads stay opaque binary until the last possible moment
   * (no shuffle ever carries decoded frames); decode runs partition-local
@@ -37,15 +38,120 @@ object Multimodal {
     StructField("caption", StringType, nullable = true)
   ))
 
-  /** Deterministic fake codec — STUB for the real decoder.
-    * Feature `j` is the first 60 bits of `md5(payload ++ ascii(j))` scaled
-    * to [0, 1): same bytes → same features under any partitioning, and —
-    * because MD5 is available in every engine — the whole feature table is
-    * reproducible by the DuckDB correctness oracle (unlike a wrapping
-    * native hash). */
+  /** Media codec: REAL decoders for the two container formats that need
+    * no codec library — BMP (24-bit uncompressed BI_RGB) and WAV (16-bit
+    * PCM), both pure byte arithmetic — and a deterministic md5 stub for
+    * every other format (this container ships no image/audio libraries;
+    * swap in libjpeg/ffmpeg-backed branches in production, nothing else
+    * changes). Features are n contiguous-slice means over the decoded
+    * signal — pixel luminance in [0,1] for BMP, absolute amplitude in
+    * [0,1] for WAV — computed in exact integer sums before one final
+    * division, so they are bit-deterministic under any partitioning.
+    * Malformed or truncated headers fall back to the stub rather than
+    * throwing: a poison payload must not kill a 10⁹-row decode stage.
+    *
+    * Stub feature `j` is the first 60 bits of `md5(payload ++ ascii(j))`
+    * scaled to [0, 1): same bytes → same features, and — because MD5 is
+    * available in every engine — the stub feature table is reproducible
+    * by the DuckDB correctness oracle (the gate corpus is text bytes,
+    * which no real branch claims). */
   object MediaCodec {
-    def decode(payload: Array[Byte], n: Int): Array[Double] = {
-      // ??? real codec goes here (libjpeg/ffmpeg/...); deterministic stub:
+    def decode(payload: Array[Byte], n: Int): Array[Double] =
+      try {
+        if (isBmp(payload)) bmpFeatures(payload, n)
+        else if (isWav(payload)) wavFeatures(payload, n)
+        else stubFeatures(payload, n)
+      } catch { case _: IndexOutOfBoundsException |
+                     _: ArithmeticException => stubFeatures(payload, n) }
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    private[graft] def isBmp(b: Array[Byte]): Boolean =
+      b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
+        le16(b, 28) == 24 && le32(b, 30) == 0 // 24-bit, BI_RGB only
+    private[graft] def isWav(b: Array[Byte]): Boolean =
+      b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E'
+
+    /** Slice boundary i·total/n — the standard equal-partition rule. */
+    @inline private def bound(i: Int, total: Int, n: Int): Int =
+      ((i.toLong * total) / n).toInt
+
+    /** 24-bit BMP: pixels at the declared offset, rows padded to 4
+      * bytes, height may be negative (top-down); features = per-slice
+      * mean luminance (r+g+b)/(3·255) over storage order. */
+    private def bmpFeatures(b: Array[Byte], n: Int): Array[Double] = {
+      val off = le32(b, 10)
+      val width = le32(b, 18)
+      val height = math.abs(le32(b, 22))
+      val rowSize = ((24 * width + 31) / 32) * 4
+      val total = width * height
+      if (width <= 0 || height <= 0 || off < 54 ||
+          off.toLong + rowSize.toLong * height > b.length)
+        return stubFeatures(b, n)
+      val out = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        val from = bound(j, total, n); val until = bound(j + 1, total, n)
+        var sum = 0L
+        var p = from
+        while (p < until) {
+          val base = off + (p / width) * rowSize + (p % width) * 3
+          sum += (b(base) & 0xff) + (b(base + 1) & 0xff) + (b(base + 2) & 0xff)
+          p += 1
+        }
+        out(j) = if (until == from) 0.0
+                 else sum.toDouble / (3.0 * 255.0 * (until - from))
+        j += 1
+      }
+      out
+    }
+
+    /** 16-bit PCM WAV: walk RIFF chunks to `data`, features = per-slice
+      * mean |sample| / 32768. Non-PCM or non-16-bit falls to the stub. */
+    private def wavFeatures(b: Array[Byte], n: Int): Array[Double] = {
+      var o = 12
+      var dataOff = -1; var dataLen = 0; var fmtOk = false
+      while (o + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+        val size = le32(b, o + 4)
+        if (size < 0) return stubFeatures(b, n) // corrupt size: no progress
+        if (b(o) == 'f' && b(o + 1) == 'm' && b(o + 2) == 't' &&
+            b(o + 3) == ' ') {
+          fmtOk = size >= 16 && le16(b, o + 8) == 1 && le16(b, o + 22) == 16
+          if (size >= 16 && !fmtOk) return stubFeatures(b, n)
+        } else if (b(o) == 'd' && b(o + 1) == 'a' && b(o + 2) == 't' &&
+            b(o + 3) == 'a') {
+          dataOff = o + 8
+          dataLen = math.min(size, b.length - dataOff)
+        }
+        o += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      if (!fmtOk || dataOff < 0) return stubFeatures(b, n)
+      val total = dataLen / 2
+      val out = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        val from = bound(j, total, n); val until = bound(j + 1, total, n)
+        var sum = 0L
+        var s = from
+        while (s < until) {
+          val v = le16(b, dataOff + 2 * s).toShort.toInt
+          sum += math.abs(v.toLong)
+          s += 1
+        }
+        out(j) = if (until == from) 0.0
+                 else sum.toDouble / (32768.0 * (until - from))
+        j += 1
+      }
+      out
+    }
+
+    private def stubFeatures(payload: Array[Byte], n: Int): Array[Double] = {
       val out = new Array[Double](n)
       var j = 0
       while (j < n) {

@@ -886,6 +886,48 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(0).getAs[Long]("n_bytes") == 5L)
   }
 
+  test("MediaCodec: real BMP/WAV decodes match hand-computed features") {
+    import graft.operators.Multimodal.MediaCodec
+    // 2×2 24-bit BMP, 8-byte rows (6 pixel bytes + 2 pad), bottom-up.
+    // Storage-order luminance sums: 765, 0, 255, 255.
+    def le32(v: Int): Seq[Byte] =
+      Seq(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int): Seq[Byte] = Seq(v, v >> 8).map(_.toByte)
+    val bmp = (Seq('B'.toByte, 'M'.toByte) ++ le32(70) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      // row 0: white, black (+2 pad); row 1: blue-only, red-only (+2 pad)
+      Seq(255, 255, 255, 0, 0, 0, 0, 0).map(_.toByte) ++
+      Seq(255, 0, 0, 0, 0, 255, 0, 0).map(_.toByte)).toArray
+    assert(MediaCodec.isBmp(bmp))
+    val bf = MediaCodec.decode(bmp, 2)
+    assert(bf.toSeq == Seq(765.0 / 1530.0, 510.0 / 1530.0), bf.toSeq)
+    // mono 16-bit PCM WAV with samples 16384, -16384, 0, 32767
+    val samples = Seq(16384, -16384, 0, 32767)
+    val wav = ("RIFF".getBytes.toSeq ++ le32(36 + 8) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(8) ++ samples.flatMap(le16)).toArray
+    assert(MediaCodec.isWav(wav))
+    val wf = MediaCodec.decode(wav, 2)
+    assert(wf.toSeq == Seq(0.5, 32767.0 / 65536.0), wf.toSeq)
+    // anything else (the oracle-gated text corpus included) stays on the
+    // md5 stub — replicate the documented formula to pin no regression
+    val garbage = "not a media file".getBytes
+    val sf = MediaCodec.decode(garbage, 3)
+    (0 until 3).foreach { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(garbage); md.update(j.toString.getBytes)
+      val d = md.digest()
+      var h = 0L
+      (0 until 8).foreach(i => h = (h << 8) | (d(i) & 0xffL))
+      assert(sf(j) == (h >>> 4).toDouble / (1L << 60).toDouble)
+    }
+    // truncated/corrupt headers fall back to the stub, never throw
+    assert(MediaCodec.decode(bmp.take(40), 2).length == 2)
+    assert(MediaCodec.decode(wav.take(20), 2).length == 2)
+  }
+
   test("resize rewrites payload + metadata deterministically") {
     val docs = Seq((1L, "a longer payload for resize"), (2L, "xy"))
       .toDF("doc_id", "text")
