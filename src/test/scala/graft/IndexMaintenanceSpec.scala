@@ -208,6 +208,16 @@ class IndexMaintenanceSpec extends SparkSpec {
       threshold = 0.9, numCentroids = 2, refineRounds = 1, maxCell = 10,
       splitFanout = 4, maxDepth = 8)
     assert(rows(again) == rows(out))
+    // the non-broadcast hot-keys arm (over-full key set past
+    // maxBroadcastHot → plain anti/semi join) partitions identically
+    val unhinted = Similarity.hierarchicalCells(grouped, "vec_id",
+        "embedding", numCentroids = 2, refineRounds = 1, maxCell = 10,
+        splitFanout = 4, maxDepth = 8, maxBroadcastHot = 0L)
+      .select("corpus_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val hinted = leaves.select("corpus_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(unhinted == hinted, "non-broadcast arm changed the leaf layout")
   }
 
   test("semanticNearDupPairsWithExact: a > maxCell duplicate class fully dedups") {

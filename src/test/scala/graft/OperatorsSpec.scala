@@ -189,6 +189,36 @@ class DedupSpec extends SparkSpec {
       s"probe postings should broadcast:\n$plan")
   }
 
+  test("crossCorpusContamination: shuffle escape past maxBroadcastProbe, same rows") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "completely different words here entirely")).toDF("id", "text")
+    val eval_ = Seq((10L, "alpha beta gamma delta")).toDF("id", "text")
+    def rows(maxProbe: Long) = Dedup.crossCorpusContamination(
+        train, "id", "text", eval_, "id", "text",
+        shingleWords = 2, minShared = 1, maxBroadcastProbe = maxProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val hinted = rows(1L << 22)
+    val sharded = rows(0L) // every probe-postings count crosses 0
+    assert(hinted.nonEmpty && sharded == hinted,
+      s"shuffle arm diverged: $sharded vs $hinted")
+  }
+
+  test("dropHotBuckets: non-broadcast arm drops the same buckets") {
+    import spark.implicits._
+    val rows = (1L to 50L).map(i => ("hot", i)) ++
+      Seq(("cold", 1L), ("cold", 2L))
+    val df = rows.toDF("bucket", "id")
+    def kept(maxBroadcastHot: Long): Set[(String, Long)] =
+      Dedup.dropHotBuckets(df, Seq("bucket"), maxSize = 10L,
+          maxBroadcastHot = maxBroadcastHot)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = Set(("cold", 1L), ("cold", 2L))
+    assert(kept(4096L) == expected)
+    assert(kept(0L) == expected, "non-broadcast anti-join arm diverged")
+  }
+
   test("minhash: exact + near duplicates collide, unrelated do not") {
     val pairs = Dedup.minhashNearDuplicates(corpus, "id", "text",
       shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.4)
