@@ -151,6 +151,40 @@ object Multimodal {
       out
     }
 
+    /** Parsed header facts for a decodable payload. */
+    case class Sniffed(mime: String, width: Option[Int],
+      height: Option[Int], durationMs: Option[Long])
+
+    /** Header-only parse: BMP dimensions / WAV duration (data bytes over
+      * byte rate). None for any format the codec cannot really decode. */
+    def sniff(b: Array[Byte]): Option[Sniffed] =
+      try {
+        if (isBmp(b)) {
+          val w = le32(b, 18); val h = math.abs(le32(b, 22))
+          if (w > 0 && h > 0)
+            Some(Sniffed("image/bmp", Some(w), Some(h), None))
+          else None
+        } else if (isWav(b)) {
+          var o = 12
+          var byteRate = 0; var dataLen = -1
+          while (o + 8 <= b.length && (byteRate == 0 || dataLen < 0)) {
+            val size = le32(b, o + 4)
+            if (size < 0) return None
+            if (b(o) == 'f' && b(o + 1) == 'm' && b(o + 2) == 't' &&
+                b(o + 3) == ' ' && size >= 16)
+              byteRate = le32(b, o + 16)
+            else if (b(o) == 'd' && b(o + 1) == 'a' && b(o + 2) == 't' &&
+                b(o + 3) == 'a')
+              dataLen = math.min(size, b.length - (o + 8))
+            o += 8 + size + (size & 1)
+          }
+          if (byteRate > 0 && dataLen >= 0)
+            Some(Sniffed("audio/wav", None, None,
+              Some(dataLen.toLong * 1000L / byteRate)))
+          else None
+        } else None
+      } catch { case _: IndexOutOfBoundsException => None }
+
     private def stubFeatures(payload: Array[Byte], n: Int): Array[Double] = {
       val out = new Array[Double](n)
       var j = 0
@@ -183,6 +217,34 @@ object Multimodal {
       (pmod(col(idCol), lit(480)) + 32).cast(IntegerType).as("height"),
       lit(null).cast(LongType).as("duration_ms"),
       lit(null).cast(StringType).as("caption"))
+
+  /** Parse REAL metadata out of decodable payloads — width/height from a
+    * BMP header, duration from a WAV header (data bytes / byte rate) —
+    * and overwrite the declared columns where a parse succeeds; rows
+    * whose payload is not a parseable format keep their declared
+    * metadata unchanged. Same `mapPartitions` batch shape as
+    * [[extractFeatures]]; payloads never shuffle. */
+  def sniffMetadata(media: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(mediaSchema)
+    media.select("media_id", "kind", "payload", "mime", "width", "height",
+        "duration_ms", "caption")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          val sniffed = MediaCodec.sniff(payload)
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), payload,
+            sniffed.map(_.mime).getOrElse(r.getAs[String]("mime")),
+            sniffed.flatMap(_.width)
+              .map(Integer.valueOf).getOrElse(r.getAs[Integer]("width")),
+            sniffed.flatMap(_.height)
+              .map(Integer.valueOf).getOrElse(r.getAs[Integer]("height")),
+            sniffed.flatMap(_.durationMs).map(java.lang.Long.valueOf)
+              .getOrElse(r.getAs[java.lang.Long]("duration_ms")),
+            r.getAs[String]("caption"))
+        }
+      }(enc)
+  }
 
   private val featureSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -916,28 +916,35 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(0).getAs[Long]("n_bytes") == 5L)
   }
 
-  test("MediaCodec: real BMP/WAV decodes match hand-computed features") {
-    import graft.operators.Multimodal.MediaCodec
-    // 2×2 24-bit BMP, 8-byte rows (6 pixel bytes + 2 pad), bottom-up.
-    // Storage-order luminance sums: 765, 0, 255, 255.
-    def le32(v: Int): Seq[Byte] =
-      Seq(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
-    def le16(v: Int): Seq[Byte] = Seq(v, v >> 8).map(_.toByte)
-    val bmp = (Seq('B'.toByte, 'M'.toByte) ++ le32(70) ++ le32(0) ++
+  private def le32(v: Int): Seq[Byte] =
+    Seq(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+  private def le16(v: Int): Seq[Byte] = Seq(v, v >> 8).map(_.toByte)
+
+  /** 2×2 24-bit BMP, 8-byte rows (6 pixel bytes + 2 pad), bottom-up.
+    * Storage-order luminance sums: 765, 0, 255, 255. */
+  private def bmpBytes: Array[Byte] =
+    (Seq('B'.toByte, 'M'.toByte) ++ le32(70) ++ le32(0) ++
       le32(54) ++ le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
       le32(0) ++ le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
       // row 0: white, black (+2 pad); row 1: blue-only, red-only (+2 pad)
       Seq(255, 255, 255, 0, 0, 0, 0, 0).map(_.toByte) ++
       Seq(255, 0, 0, 0, 0, 255, 0, 0).map(_.toByte)).toArray
+
+  /** mono 16-bit PCM WAV, samples 16384, -16384, 0, 32767. */
+  private def wavBytes(byteRate: Int): Array[Byte] =
+    ("RIFF".getBytes.toSeq ++ le32(36 + 8) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(byteRate) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(8) ++
+      Seq(16384, -16384, 0, 32767).flatMap(le16)).toArray
+
+  test("MediaCodec: real BMP/WAV decodes match hand-computed features") {
+    import graft.operators.Multimodal.MediaCodec
+    val bmp = bmpBytes
     assert(MediaCodec.isBmp(bmp))
     val bf = MediaCodec.decode(bmp, 2)
     assert(bf.toSeq == Seq(765.0 / 1530.0, 510.0 / 1530.0), bf.toSeq)
-    // mono 16-bit PCM WAV with samples 16384, -16384, 0, 32767
-    val samples = Seq(16384, -16384, 0, 32767)
-    val wav = ("RIFF".getBytes.toSeq ++ le32(36 + 8) ++ "WAVE".getBytes ++
-      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
-      le32(16000) ++ le16(2) ++ le16(16) ++
-      "data".getBytes ++ le32(8) ++ samples.flatMap(le16)).toArray
+    val wav = wavBytes(16000)
     assert(MediaCodec.isWav(wav))
     val wf = MediaCodec.decode(wav, 2)
     assert(wf.toSeq == Seq(0.5, 32767.0 / 65536.0), wf.toSeq)
@@ -956,6 +963,29 @@ class MultimodalSpec extends SparkSpec {
     // truncated/corrupt headers fall back to the stub, never throw
     assert(MediaCodec.decode(bmp.take(40), 2).length == 2)
     assert(MediaCodec.decode(wav.take(20), 2).length == 2)
+  }
+
+  test("sniffMetadata: parsed headers override declared values; others keep them") {
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "image", bmpBytes, "application/octet-stream",
+        Integer.valueOf(99), Integer.valueOf(99), null, null),
+      // byteRate 4 B/s over 8 data bytes → 2000 ms
+      org.apache.spark.sql.Row(2L, "audio", wavBytes(4), "application/octet-stream",
+        null, null, java.lang.Long.valueOf(7L), null),
+      org.apache.spark.sql.Row(3L, "image", "plain text bytes".getBytes, "text/plain",
+        Integer.valueOf(640), Integer.valueOf(480), null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val out = Multimodal.sniffMetadata(df).orderBy("media_id").collect()
+    assert(out(0).getAs[String]("mime") == "image/bmp")
+    assert(out(0).getAs[Int]("width") == 2 && out(0).getAs[Int]("height") == 2)
+    assert(out(1).getAs[String]("mime") == "audio/wav")
+    assert(out(1).getAs[Long]("duration_ms") == 2000L)
+    // unparseable payload: every declared value flows through unchanged
+    assert(out(2).getAs[String]("mime") == "text/plain")
+    assert(out(2).getAs[Int]("width") == 640 &&
+      out(2).getAs[Int]("height") == 480)
+    assert(out(2).isNullAt(out(2).fieldIndex("duration_ms")))
   }
 
   test("resize rewrites payload + metadata deterministically") {
