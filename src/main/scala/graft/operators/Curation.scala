@@ -90,4 +90,50 @@ object Curation {
       .dropDuplicatesWithinWatermark(Seq("content_md5"))
       .select(col(idCol), col(tsCol), col(textCol), col("quality_score"))
   }
+
+  /** One micro-batch of streaming decontamination: drop every batch doc
+    * that [[Dedup.crossCorpusContamination]] flags against the (static,
+    * small) eval corpus, then land the survivors in a replay-safe
+    * `batch=<id>` directory — Overwrite per batch, so an at-least-once
+    * replay rewrites rather than duplicates (the
+    * [[graft.sinks.FanOutSink.writeBatch]] discipline). Exposed so
+    * specs and manual repair can drive the exact path the stream runs. */
+  def decontaminateBatch(batch: DataFrame, batchId: Long,
+      evalCorpus: DataFrame, evalId: String, evalText: String,
+      idCol: String, textCol: String, outDir: String,
+      shingleWords: Int, minShared: Long): Unit = {
+    val bad = Dedup.crossCorpusContamination(batch, idCol, textCol,
+        evalCorpus, evalId, evalText, shingleWords, minShared)
+      .select(col("train_id")).distinct()
+    batch.join(bad,
+        batch(idCol).cast(org.apache.spark.sql.types.LongType)
+          === bad("train_id"), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/batch=$batchId")
+  }
+
+  /** Streaming decontamination: every micro-batch is screened against a
+    * static evaluation corpus (the standard any-shared-8-gram rule by
+    * default) and survivors land in replay-safe per-batch directories —
+    * eval-set hygiene enforced AT INGEST, not as a post-hoc sweep. The
+    * eval side is broadcast inside the contamination join, so the
+    * per-batch cost is one map-side pass over the batch; pass a
+    * pre-cached eval DataFrame when the trigger is much faster than the
+    * reference's 65 s cadence. */
+  def streamingDecontaminate(
+      stream: DataFrame, idCol: String, textCol: String,
+      evalCorpus: DataFrame, evalId: String, evalText: String,
+      outDir: String, checkpointDir: String,
+      shingleWords: Int = 8, minShared: Long = 1L,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("65 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        decontaminateBatch(batch, batchId, evalCorpus, evalId, evalText,
+          idCol, textCol, outDir, shingleWords, minShared)
+      }
+      .start()
 }

@@ -718,7 +718,11 @@ object Dedup {
       probe: DataFrame, probeId: String, probeText: String,
       shingleWords: Int = 8, minShared: Long = 1L,
       maxBroadcastProbe: Long = 1L << 22): DataFrame = {
+    // Register on BOTH sessions: under foreachBatch the micro-batch is a
+    // CLONED session while the static probe side keeps the outer one,
+    // and the probe postings count() resolves kernels there.
     graft.functions.GraftFunctions.register(train.sparkSession)
+    graft.functions.GraftFunctions.register(probe.sparkSession)
     val probePost0 = probe
       .select(col(probeId).cast(LongType).as("probe_id"),
         graft.functions.WordShingleFunctions

@@ -644,3 +644,48 @@ class IndexMaintenanceStreamSpec extends SparkSpec {
     assert(again.buckets.count() == nb, "replay duplicated bucket rows")
   }
 }
+
+class StreamingDecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Curation
+
+  private def evalCorpus = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog")
+  ).toDF("id", "text")
+
+  test("streaming decontamination drops flagged docs at ingest, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_decon").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = Curation.streamingDecontaminate(stream, "doc_id", "text",
+      evalCorpus, "id", "text", s"$base/out", s"$base/cp",
+      shingleWords = 3, minShared = 1,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      // batch 0: one clean doc, one quoting the eval doc verbatim
+      input.addData(
+        (1L, "totally novel writing about catalyst optimizer internals"),
+        (2L, "intro the quick brown fox jumps over the lazy dog outro"))
+      q.processAllAvailable()
+      // batch 1: clean again
+      input.addData((3L, "more clean content with nothing shared at all"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.option("basePath", s"$base/out")
+      .parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L), s"expected contaminated doc 2 dropped, got $out")
+    // replaying a batch id rewrites its directory instead of duplicating
+    val batch0 = Seq(
+      (1L, "totally novel writing about catalyst optimizer internals"),
+      (2L, "intro the quick brown fox jumps over the lazy dog outro"))
+      .toDF("doc_id", "text")
+    Curation.decontaminateBatch(batch0, 0L, evalCorpus, "id", "text",
+      "doc_id", "text", s"$base/out", shingleWords = 3, minShared = 1)
+    val again = spark.read.option("basePath", s"$base/out")
+      .parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == Seq(1L, 3L), s"replay duplicated rows: $again")
+  }
+}
