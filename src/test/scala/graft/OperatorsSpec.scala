@@ -740,6 +740,20 @@ class SimilaritySpec extends SparkSpec {
     assert(single > 0.0 && ivf > 0.0, s"degenerate recall: lsh=$single ivf=$ivf")
     // every query must at least retrieve itself (it is in the corpus)
     assert(multi >= 0.2)
+    // the compressed family trades recall for memory, not for zero:
+    // ADC ranking over 4×16 sampled codes must keep signal, and adding
+    // the IVF bound must not lift recall above unbounded PQ
+    val pq = recall(topkSet(Similarity.pqTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, numSubspaces = 4, numCodes = 16)))
+    val ivfpq = recall(topkSet(Similarity.ivfPqTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, numCentroids = 16, refineRounds = 1, nprobe = 2,
+      numSubspaces = 4, numCodes = 16)))
+    assert(pq > 0.0 && ivfpq > 0.0,
+      s"degenerate compressed-family recall: pq=$pq ivfpq=$ivfpq")
+    println(s"[recall@5 sf0.001] lsh=$single multi=$multi ivf=$ivf " +
+      s"pq=$pq ivfpq=$ivfpq")
   }
 
   test("semanticNearDupPairs: same-cell cosine pairs only, threshold respected") {
