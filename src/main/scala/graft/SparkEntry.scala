@@ -528,6 +528,15 @@ object SparkEntry {
       numCentroids = 16, refineRounds = 1, nprobe = 2,
       numSubspaces = 4, numCodes = 16)
 
+  /** Full IVFADC: codes quantize cell RESIDUALS, scores decompose as
+    * q·centroid + q·code(residual). */
+  private def qSimIvfPqRes(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding", k = 5,
+      numCentroids = 16, refineRounds = 1, nprobe = 2,
+      numSubspaces = 4, numCodes = 16, residual = true)
+
   private def qSimIvf2(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK2(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -650,6 +659,7 @@ object SparkEntry {
     "q_sim_ivf2" -> (qSimIvf2 _),
     "q_sim_pq" -> (qSimPq _),
     "q_sim_ivfpq" -> (qSimIvfPq _),
+    "q_sim_ivfpq_res" -> (qSimIvfPqRes _),
     "q_emb_neardup" -> (qEmbNearDup _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_semantic_split" -> (qDedupSemanticSplit _),

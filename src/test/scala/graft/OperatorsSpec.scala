@@ -750,10 +750,14 @@ class SimilaritySpec extends SparkSpec {
       q, "vec_id", "embedding", e, "vec_id", "embedding",
       k = 5, numCentroids = 16, refineRounds = 1, nprobe = 2,
       numSubspaces = 4, numCodes = 16)))
-    assert(pq > 0.0 && ivfpq > 0.0,
-      s"degenerate compressed-family recall: pq=$pq ivfpq=$ivfpq")
+    val ivfpqRes = recall(topkSet(Similarity.ivfPqTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, numCentroids = 16, refineRounds = 1, nprobe = 2,
+      numSubspaces = 4, numCodes = 16, residual = true)))
+    assert(pq > 0.0 && ivfpq > 0.0 && ivfpqRes > 0.0,
+      s"degenerate compressed-family recall: pq=$pq ivfpq=$ivfpq res=$ivfpqRes")
     println(s"[recall@5 sf0.001] lsh=$single multi=$multi ivf=$ivf " +
-      s"pq=$pq ivfpq=$ivfpq")
+      s"pq=$pq ivfpq=$ivfpq ivfpq_res=$ivfpqRes")
   }
 
   test("semanticNearDupPairs: same-cell cosine pairs only, threshold respected") {
