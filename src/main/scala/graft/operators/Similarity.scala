@@ -76,6 +76,7 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       k: Int, cosine: Boolean = false): DataFrame = {
     registered(corpus)
+    registered(queries) // sessions can differ (e.g. foreachBatch clones)
     // Quantize each side ONCE (the only decimal conversion), so the
     // per-pair score inside the cross join is pure long arithmetic.
     val q0 = queries.select(col(queryId).as("query_id"),
@@ -295,6 +296,7 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       k: Int, planes: Int, tables: Int, multiProbe: Boolean): DataFrame = {
     registered(corpus)
+    registered(queries) // sessions can differ (e.g. foreachBatch clones)
     val corpusQ = corpus.select(col(corpusId).as("corpus_id"),
         V.quantize6(col(corpusVec)).as("corpusq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -547,6 +549,7 @@ object Similarity {
       nprobe: Int = 2, cprobe: Int = 2,
       maxBroadcastFine: Int = 1 << 16): DataFrame = {
     registered(corpus)
+    registered(queries) // sessions can differ (e.g. foreachBatch clones)
     // Raw order/limit first (sort key is md5_60(id) only), quantize the
     // K survivors — see the same note in [[ivfTopK]].
     val pool = corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cvec"))
@@ -669,6 +672,7 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       k: Int, numSubspaces: Int = 4, numCodes: Int = 16): DataFrame = {
     registered(corpus)
+    registered(queries) // sessions can differ (e.g. foreachBatch clones)
     require(numSubspaces >= 1 && numCodes >= 1,
       "numSubspaces and numCodes must be >= 1")
     val cb = pqCodebook(corpus, corpusId, corpusVec, numSubspaces, numCodes)
@@ -838,6 +842,7 @@ object Similarity {
       numSubspaces: Int = 4, numCodes: Int = 16,
       residual: Boolean = false): DataFrame = {
     registered(corpus)
+    registered(queries) // sessions can differ (e.g. foreachBatch clones)
     val m = numSubspaces
     val idx = buildIvfIndex(corpus, corpusId, corpusVec, numCentroids,
       refineRounds)
