@@ -966,6 +966,120 @@ object Similarity {
       index.numSubspaces, k)
   }
 
+  /** Persisted IVF-PQ (residual) index: `centroids/`, `codebook/`
+    * (residual codes), `codes/` (corpus_id, cent_id, M code ids),
+    * `params/` — the deployable IVFADC layout: the corpus is stored as
+    * one M-byte code row + cell id per vector. */
+  case class IvfPqIndex(centroids: DataFrame, codebook: DataFrame,
+    codes: DataFrame, numSubspaces: Int)
+
+  /** Residualize an assignment table against its own cell centroids:
+    * exact integer subtraction on the unscaled quantized vectors. */
+  private def residualsOf(cells: DataFrame, cent: DataFrame): DataFrame =
+    cells
+      .join(broadcast(cent.select(col("cent_id"), col("centq"))),
+        Seq("cent_id"))
+      .select(col("corpus_id"), col("cent_id"),
+        zip_with(col("cq"), col("centq"), (x, y) => x - y).as("cq"))
+
+  /** Build a residual IVF-PQ index and persist it under `dir`: refined
+    * centroids, residual codebook, and the encoded code table — the
+    * [[ivfPqTopK]] `residual = true` computation with every stage
+    * written once and probed many times. */
+  def writeIvfPqIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      dir: String, numCentroids: Int = 16, refineRounds: Int = 0,
+      numSubspaces: Int = 4, numCodes: Int = 16): IvfPqIndex = {
+    registered(corpus)
+    val spark = corpus.sparkSession
+    val seed = ivfCentroids(corpus, corpusId, corpusVec, numCentroids)
+    (1 to refineRounds).foldLeft(seed) { (c, _) =>
+        ivfRefine(corpus, corpusId, corpusVec, c)
+      }
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/centroids")
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val resQ = residualsOf(
+        ivfCells(corpus, corpusId, corpusVec, cent), cent)
+      .localCheckpoint(true) // feeds codebook sampling AND encoding
+    pqCodebookQ(resQ.select(col("corpus_id"), col("cq")),
+        numSubspaces, numCodes)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/codebook")
+    pqEncodeQ(resQ.select(col("corpus_id"), col("cq")),
+        spark.read.parquet(s"$dir/codebook"), numSubspaces)
+      .join(resQ.select(col("corpus_id"), col("cent_id")), Seq("corpus_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/codes")
+    import spark.implicits._
+    Seq((numSubspaces, numCodes)).toDF("num_subspaces", "num_codes")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/params")
+    readIvfPqIndex(spark, dir)
+  }
+
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfPqIndex = {
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    IvfPqIndex(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"), p.getAs[Int]("num_subspaces"))
+  }
+
+  /** Incrementally index a NEW batch: assign against the FROZEN
+    * centroids, residualize, encode against the FROZEN codebook, append
+    * to `codes/` — O(batch·(K + codes·M)), reads only params/centroids/
+    * codebook, never the existing code table. Bit-identical to a full
+    * rebuild exactly when both builds would freeze the same centroids
+    * and codebook (every IVF and PQ seed inside the prefix,
+    * `refineRounds = 0`) — the [[appendToIvfIndex]] contract applied to
+    * both quantizers. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newBatch: DataFrame, batchId: String,
+      batchVec: String): IvfPqIndex = {
+    registered(newBatch)
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val resQ = residualsOf(
+      ivfCells(newBatch, batchId, batchVec, cent), cent)
+    pqEncodeQ(resQ.select(col("corpus_id"), col("cq")),
+        spark.read.parquet(s"$dir/codebook"),
+        p.getAs[Int]("num_subspaces"))
+      .join(resQ.select(col("corpus_id"), col("cent_id")), Seq("corpus_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$dir/codes")
+    readIvfPqIndex(spark, dir)
+  }
+
+  /** Probe an IVF-PQ index: rank the broadcast centroids per query,
+    * keep `nprobe` cells, score ONLY those cells' code rows by
+    * q·centroid + ADC lookups — on a [[writeIvfPqIndex]] index the
+    * corpus parquet is never rescanned and no full vector is ever
+    * read. */
+  def probeIvfPq(index: IvfPqIndex, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int, nprobe: Int = 2): DataFrame = {
+    registered(queries)
+    val m = index.numSubspaces
+    val qc = queries
+      .select(col(queryId).as("query_id"), V.quantize6(col(queryVec)).as("qq"))
+      .withColumn("q_s2", V.dotQ12(col("qq"), col("qq")))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("d2", ivfD2(col("qq"), col("q_s2")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("cent_id"))))
+      .filter(col("prank") <= nprobe)
+      .withColumn("base_u", aggregate(
+        zip_with(col("qq"), col("centq"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("query_id"), col("cent_id"), col("base_u"))
+    val tabs = pqTabs(queries, queryId, queryVec,
+      index.codebook.localCheckpoint(true), m)
+    pqTopKWindow(index.codes
+      .join(broadcast(qc), Seq("cent_id"))
+      .join(broadcast(tabs), Seq("query_id"))
+      .withColumn("score", pqRescale(col("base_u") + pqLookupU(m))), k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`: LSH bucketing
     * generates candidates (pairs must collide in ≥1 table), exact
     * quantized-decimal cosine verifies — like [[lshTopK]], fully

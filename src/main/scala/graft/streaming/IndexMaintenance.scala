@@ -59,6 +59,27 @@ object IndexMaintenance {
         batch, idCol, vecCol)
     }
 
+  /** One micro-batch into a persisted IVF-PQ index (frozen centroids
+    * AND codebook). */
+  def appendIvfPqBatch(batch: DataFrame, batchId: Long, dir: String,
+      checkpointDir: String, idCol: String, vecCol: String): Unit =
+    withMarker(batch, batchId, checkpointDir) {
+      val _ = Similarity.appendToIvfPqIndex(batch.sparkSession, dir,
+        batch, idCol, vecCol)
+    }
+
+  /** Keep a persisted IVF-PQ index current with a vector stream. */
+  def maintainIvfPq(vectors: DataFrame, idCol: String, vecCol: String,
+      dir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("65 seconds")): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendIvfPqBatch(batch, batchId, dir, checkpointDir, idCol, vecCol)
+      }
+      .start()
+
   /** One micro-batch into a persisted PQ index (frozen codebook). */
   def appendPqBatch(batch: DataFrame, batchId: Long, dir: String,
       checkpointDir: String, idCol: String, vecCol: String): Unit =

@@ -157,6 +157,43 @@ class IndexMaintenanceSpec extends SparkSpec {
       full.codes.filter(col("corpus_id") === 3)), "batch codes differ")
   }
 
+  test("writeIvfPqIndex/probeIvfPq == one-shot residual IVFADC; append == build") {
+    // IVF seeds {1, 2} and PQ seeds {1, 2} both inside prefix {0, 1, 2}
+    // with refineRounds = 0: both frozen quantizers equal the full
+    // build's, so append ≡ rebuild and probe ≡ one-shot exactly.
+    val prefix = vecs.filter(col("vec_id") < 3)
+    val rest = vecs.filter(col("vec_id") === 3)
+    val q = vecs.filter(col("vec_id") === 0L)
+    val dirA = tmp("ivfpq_inc")
+    val dirB = tmp("ivfpq_full")
+    Similarity.writeIvfPqIndex(prefix, "vec_id", "embedding", dirA,
+      numCentroids = 2, refineRounds = 0, numSubspaces = 2, numCodes = 2)
+    val appended =
+      Similarity.appendToIvfPqIndex(spark, dirA, rest, "vec_id", "embedding")
+    val full = Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", dirB,
+      numCentroids = 2, refineRounds = 0, numSubspaces = 2, numCodes = 2)
+    assert(sameRows(appended.centroids, full.centroids), "centroids differ")
+    assert(sameRows(appended.codebook, full.codebook), "codebooks differ")
+    assert(sameRows(appended.codes, full.codes), "code tables differ")
+    def rows(df: DataFrame): Set[(Long, Long, Double, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val probe = Similarity.probeIvfPq(appended, q, "vec_id", "embedding",
+      k = 4, nprobe = 1)
+    assert(rows(probe) == rows(Similarity.ivfPqTopK(
+      q, "vec_id", "embedding", vecs, "vec_id", "embedding", k = 4,
+      numCentroids = 2, refineRounds = 0, nprobe = 1,
+      numSubspaces = 2, numCodes = 2, residual = true)),
+      "probe != one-shot residual IVFADC")
+    // no-old-scan: gut codes/, append again under a fresh marker — the
+    // appended rows must equal the full build's batch slice
+    gutDir(s"$dirA/codes")
+    val appended2 =
+      Similarity.appendToIvfPqIndex(spark, dirA, rest, "vec_id", "embedding")
+    assert(sameRows(appended2.codes,
+      full.codes.filter(col("corpus_id") === 3)), "batch codes differ")
+  }
+
   // 64 distinct vectors in 4 tight direction groups of 16: with
   // numCentroids = 2 every level-0 cell holds ~32 > maxCell = 10 members,
   // so the output is produced ENTIRELY through the hierarchical split
