@@ -25,6 +25,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-query state hygiene: the operators seal results as local
+    // checkpoints (and cache internals); whatever survives a query is
+    // the CALLER's to free. 66 queries × (warmup + 3 passes) in one JVM
+    // would otherwise accumulate checkpoint blocks faster than
+    // GC-driven ContextCleaner returns them — the r7 pass-over-pass
+    // drift. Swept OUTSIDE the timed region, blocking, so each
+    // measurement starts from the same (empty) block-manager state.
+    def sweep(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
+
     // Warm-up: run the full inventory once at the smallest scale factor
     // so JIT compilation, whole-stage codegen, and classloading don't
     // land on the measured pass — the measured numbers are steady-state
@@ -36,6 +49,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
+      sweep()
     }
 
     // Measured: MEDIAN of `passes` full interleaved passes per query.
@@ -57,6 +71,7 @@ object Bench {
           System.err.println(s"[bench] $name pass $p failed: ${e.getMessage}")
         }
         times(name) = (System.nanoTime() - t0) / 1e9 :: times(name)
+        sweep() // outside the timed region: pass 3 starts like pass 1
       }
     }
     def median(xs: List[Double]): Double = {

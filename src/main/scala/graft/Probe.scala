@@ -29,6 +29,10 @@ object Probe {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[probe] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      // same per-query hygiene as Bench (outside the timed region)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

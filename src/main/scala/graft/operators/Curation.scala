@@ -102,6 +102,13 @@ object Curation {
       evalCorpus: DataFrame, evalId: String, evalText: String,
       idCol: String, textCol: String, outDir: String,
       shingleWords: Int, minShared: Long): Unit = {
+    // The anti-join key is the id CAST to LONG (contamination ids are
+    // long): a non-numeric id column would cast to null, never match,
+    // and silently disable decontamination — fail loudly instead.
+    val idType = batch.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"decontaminateBatch requires a numeric id column (castable to " +
+        s"LONG); '$idCol' is ${idType.simpleString}")
     val bad = Dedup.crossCorpusContamination(batch, idCol, textCol,
         evalCorpus, evalId, evalText, shingleWords, minShared)
       .select(col("train_id")).distinct()

@@ -206,9 +206,12 @@ object Dedup {
           lit(k.toDouble)).as("sig_similarity"))
       .filter(col("sig_similarity") >= threshold)
     // Materialize the (small) pair set eagerly, then release the cached
-    // signature table — otherwise repeated invocations accumulate cached
-    // blocks for the lifetime of the session.
-    try result.localCheckpoint(true) finally sigs.unpersist()
+    // signature table AND the candidate-pair checkpoint — the candidates
+    // only fed this operator, and a dead localCheckpoint otherwise waits
+    // on GC + ContextCleaner to leave the block manager (the long-session
+    // leak a 100 TB driver cannot afford). The sealed result is the
+    // caller's to free ([[Lifetime.free]] or a session sweep).
+    try Lifetime.seal(result, pairs) finally sigs.unpersist()
   }
 
   /** 60-bit SimHash per document via the native [[graft.functions.SimHash60]]
@@ -286,11 +289,16 @@ object Dedup {
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("chunk_val",
         expr("shiftright(simhash, CAST(chunk * 15 AS INT)) & 32767"))
-    pairsFromBucketsWithPayload(chunked, idCol, "simhash", Seq("chunk", "chunk_val"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
-          .cast(LongType).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    val pairs = pairsFromBucketsWithPayload(chunked, idCol, "simhash",
+      Seq("chunk", "chunk_val"))
+    // Seal the verified (small) pair set and free the candidate
+    // checkpoint — same storage-lifetime contract as the minhash family.
+    Lifetime.seal(
+      pairs.select(col("id_a"), col("id_b"),
+          bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
+            .cast(LongType).as("hamming"))
+        .filter(col("hamming") <= maxHamming),
+      pairs)
   }
 
   /** Collapse near-duplicate PAIRS into clusters: connected components
@@ -375,6 +383,7 @@ object Dedup {
       import spark.implicits._
       val labels = unionFindLocal(
         e.collect().map(r => (r.getLong(0), r.getLong(1))))
+      Lifetime.free(e) // collected — the edge checkpoint is dead
       (labels.toSeq.toDF("id", "component"), rounds)
     }
 
@@ -407,11 +416,18 @@ object Dedup {
     while (rounds < maxIter && !converged) {
       val updated = smallStar(largeStar(edges)).localCheckpoint(true)
       val n = updated.count()
-      if (n <= localEdgeThreshold) return finishLocal(updated, rounds + 1)
+      if (n <= localEdgeThreshold) {
+        Lifetime.free(edges) // superseded by `updated`
+        return finishLocal(updated, rounds + 1)
+      }
       // exact fixpoint test on the (small) edge set: same cardinality and
       // no edge outside the previous set
       converged = n == count && updated.join(edges, Seq("u", "v"),
         "left_anti").isEmpty
+      // the previous round's checkpoint is dead the moment the fixpoint
+      // test has read it — free it NOW, not at GC: an O(log n) round loop
+      // otherwise parks every round's edge set in the block manager
+      Lifetime.free(edges)
       count = n
       edges = updated
       rounds += 1
@@ -426,11 +442,14 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter star rounds " +
         s"($count edges remain); raise maxIter")
     // at the fixpoint the edge set is a star forest: (node, component
-    // min) for every non-root node; roots label themselves
+    // min) for every non-root node; roots label themselves. Seal the
+    // label table (≈ the node set — same order as the final edge set) and
+    // free the final edge checkpoint: the caller owns exactly ONE
+    // materialized result, not the loop's internals.
     val labels = edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component"))
         .distinct())
-    (labels, rounds)
+    (Lifetime.seal(labels, edges), rounds)
   }
 
   /** Apply the near-dup DECISION to the corpus — the last mile of the
@@ -565,7 +584,9 @@ object Dedup {
           (col("size_a") + col("size_b") - col("n_common")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_common", "jaccard")
-    try result.localCheckpoint(true) finally base.unpersist()
+    // Seal the verified pairs, free the candidate checkpoint (it only fed
+    // this operator), release the cached shingle sets.
+    try Lifetime.seal(result, cand) finally base.unpersist()
   }
 
   /** Winnowing (MOSS) near-duplicate pairs — the SUBSTRING-level dedup
@@ -712,21 +733,31 @@ object Dedup {
     * join emits exactly one row per shared shingle and the pair count
     * IS `|A ∩ B|` — no verification pass. Ubiquitous-shingle fan-out is
     * map-side compute only (never shuffled); long default shingles keep
-    * it negligible, exactly why decontamination uses 8/13-grams. */
+    * it negligible, exactly why decontamination uses 8/13-grams.
+    *
+    * `normalize = true` canonicalizes BOTH sides with
+    * [[TextAnalysis.normalize]] (control chars → space, collapse
+    * whitespace, trim, lowercase) before shingling — the published
+    * recipes match on normalized text so case/spacing variants of a
+    * benchmark question still count as contamination. Per-row column
+    * work inside each side's scan; the scale shape is unchanged. */
   def crossCorpusContamination(
       train: DataFrame, trainId: String, trainText: String,
       probe: DataFrame, probeId: String, probeText: String,
       shingleWords: Int = 8, minShared: Long = 1L,
-      maxBroadcastProbe: Long = 1L << 22): DataFrame = {
+      maxBroadcastProbe: Long = 1L << 22,
+      normalize: Boolean = false): DataFrame = {
     // Register on BOTH sessions: under foreachBatch the micro-batch is a
     // CLONED session while the static probe side keeps the outer one,
     // and the probe postings count() resolves kernels there.
     graft.functions.GraftFunctions.register(train.sparkSession)
     graft.functions.GraftFunctions.register(probe.sparkSession)
+    def text(c: String): Column =
+      if (normalize) TextAnalysis.normalize(col(c)) else col(c)
     val probePost0 = probe
       .select(col(probeId).cast(LongType).as("probe_id"),
         graft.functions.WordShingleFunctions
-          .wordShingles(col(probeText), shingleWords).as("sh_arr"))
+          .wordShingles(text(probeText), shingleWords).as("sh_arr"))
       .select(col("probe_id"),
         size(col("sh_arr")).cast(LongType).as("probe_size"),
         explode(col("sh_arr")).as("shingle"))
@@ -738,7 +769,7 @@ object Dedup {
     train
       .select(col(trainId).cast(LongType).as("train_id"),
         explode(graft.functions.WordShingleFunctions
-          .wordShingles(col(trainText), shingleWords)).as("shingle"))
+          .wordShingles(text(trainText), shingleWords)).as("shingle"))
       .join(probePost, Seq("shingle"))
       .groupBy(col("train_id"), col("probe_id"), col("probe_size"))
       .agg(count(lit(1)).as("n_common"))

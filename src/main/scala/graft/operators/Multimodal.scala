@@ -171,9 +171,12 @@ object Multimodal {
             val size = le32(b, o + 4)
             if (size < 0) return None
             if (b(o) == 'f' && b(o + 1) == 'm' && b(o + 2) == 't' &&
-                b(o + 3) == ' ' && size >= 16)
+                b(o + 3) == ' ' && size >= 16) {
+              // mirror wavFeatures' decode gate (PCM, 16-bit): sniff must
+              // not claim metadata for containers the codec refuses
+              if (le16(b, o + 8) != 1 || le16(b, o + 22) != 16) return None
               byteRate = le32(b, o + 16)
-            else if (b(o) == 'd' && b(o + 1) == 'a' && b(o + 2) == 't' &&
+            } else if (b(o) == 'd' && b(o + 1) == 'a' && b(o + 2) == 't' &&
                 b(o + 3) == 'a')
               dataLen = math.min(size, b.length - (o + 8))
             o += 8 + size + (size & 1)

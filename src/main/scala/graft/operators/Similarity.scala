@@ -776,10 +776,11 @@ object Similarity {
 
   /** ADC score column over a row holding `codes` and `tabs`: M table
     * lookups summed in exact long arithmetic, then ONE exact rescale —
-    * cast to DECIMAL(18,0) (not 38: a (38,0)×(12,12) product overflows
-    * precision 38 and Spark would shave the scale to 6) times the exact
-    * 10⁻¹² literal gives a lossless (31,12), surfaced as double exactly
-    * like dotQ12. */
+    * cast to DECIMAL(20,0) (ANY long fits its 19 digits, so the cast can
+    * never null an over-unit-scale embedding's score out of top-k; not
+    * 38: a (38,0)×(12,12) product overflows precision 38 and Spark would
+    * shave the scale to 6) times the exact 10⁻¹² literal gives a
+    * lossless (33,12), surfaced as double exactly like dotQ12. */
   /** Unscaled lookup-sum: Σ_m tabs[m][codes[m]] in exact long math. */
   private def pqLookupU(m: Int): Column =
     aggregate(
@@ -790,7 +791,7 @@ object Similarity {
   /** Exact scale-12 → double rescale of an unscaled long score. */
   private def pqRescale(u: Column): Column = {
     val toScale12 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE, 12))
-    (u.cast(DecimalType(18, 0)) * toScale12).cast(DoubleType)
+    (u.cast(DecimalType(20, 0)) * toScale12).cast(DoubleType)
   }
 
   private def pqAdcScore(m: Int): Column = pqRescale(pqLookupU(m))
@@ -956,13 +957,21 @@ object Similarity {
 
   /** Probe a PQ index: build the ADC tables against the persisted
     * codebook, score ONLY the code table — on a [[writePqIndex]] index
-    * the corpus parquet is never rescanned. */
+    * the corpus parquet is never rescanned.
+    *
+    * Replay tolerance: an [[appendToPqIndex]] re-run after a crash
+    * between its codes write and the caller's commit marker can leave
+    * duplicate (bit-identical) code rows; `dropDuplicates(corpus_id)`
+    * makes the probe blind to them — same discipline as LSH probes
+    * deduping candidates. The flat probe already shuffles every scored
+    * row into the per-query window, so the dedup adds one aggregation
+    * of the same width, not a new asymptotic cost. */
   def probePq(index: PqIndex, queries: DataFrame, queryId: String,
       queryVec: String, k: Int): DataFrame = {
     registered(queries)
-    pqScore(index.codes,
-      pqTabs(queries, queryId, queryVec,
-        index.codebook.localCheckpoint(true), index.numSubspaces),
+    pqScore(index.codes.dropDuplicates("corpus_id"),
+      pqTabs(queries, queryId, queryVec, index.codebook,
+        index.numSubspaces),
       index.numSubspaces, k)
   }
 
@@ -1054,7 +1063,12 @@ object Similarity {
     * keep `nprobe` cells, score ONLY those cells' code rows by
     * q·centroid + ADC lookups — on a [[writeIvfPqIndex]] index the
     * corpus parquet is never rescanned and no full vector is ever
-    * read. */
+    * read.
+    *
+    * Replay tolerance: a replayed [[appendToIvfPqIndex]] can leave
+    * duplicate (bit-identical) code rows; candidates dedup on
+    * `(query_id, corpus_id)` AFTER the probed-cell join — bounded by the
+    * nprobe candidate set, never a shuffle of the whole code table. */
   def probeIvfPq(index: IvfPqIndex, queries: DataFrame, queryId: String,
       queryVec: String, k: Int, nprobe: Int = 2): DataFrame = {
     registered(queries)
@@ -1072,10 +1086,10 @@ object Similarity {
         zip_with(col("qq"), col("centq"), (x, y) => x * y),
         lit(0L), (acc, x) => acc + x))
       .select(col("query_id"), col("cent_id"), col("base_u"))
-    val tabs = pqTabs(queries, queryId, queryVec,
-      index.codebook.localCheckpoint(true), m)
+    val tabs = pqTabs(queries, queryId, queryVec, index.codebook, m)
     pqTopKWindow(index.codes
       .join(broadcast(qc), Seq("cent_id"))
+      .dropDuplicates("query_id", "corpus_id")
       .join(broadcast(tabs), Seq("query_id"))
       .withColumn("score", pqRescale(col("base_u") + pqLookupU(m))), k)
   }
@@ -1098,7 +1112,8 @@ object Similarity {
         V.quantize6(col(vecCol)).as("qv"))
       .withColumn("nrm", V.normQ12(col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val result = Dedup.pairsFromBuckets(b, "x_id", Seq("table", "bucket"))
+    val pairs = Dedup.pairsFromBuckets(b, "x_id", Seq("table", "bucket"))
+    val result = pairs
       .join(side.select(col("id").as("id_a"), col("qv").as("qa"),
         col("nrm").as("norm_a")), Seq("id_a"))
       .join(side.select(col("id").as("id_b"), col("qv").as("qb"),
@@ -1107,9 +1122,10 @@ object Similarity {
         V.dotQ12(col("qa"), col("qb")) / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-    // Eagerly materialize the (small) pair set, then release the cached
-    // vector+norm side so repeated calls don't accumulate cached blocks.
-    try result.localCheckpoint(true) finally side.unpersist()
+    // Eagerly materialize the (small) pair set, free the candidate
+    // checkpoint deterministically, then release the cached vector+norm
+    // side so repeated calls don't accumulate blocks.
+    try Lifetime.seal(result, pairs) finally side.unpersist()
   }
 
   /** SEMANTIC near-duplicate pairs, SemDeDup-style: cluster the embedding
@@ -1150,12 +1166,13 @@ object Similarity {
       threshold: Double, numCentroids: Int = 16, refineRounds: Int = 1,
       maxCell: Int = 2000, splitFanout: Int = 16, maxDepth: Int = 8): DataFrame = {
     registered(df)
-    val leaves = hierarchicalCells(df, idCol, vecCol, numCentroids,
-      refineRounds, maxCell, splitFanout, maxDepth)
+    val (leaves, levels) = hierarchicalCellsTracked(df, idCol, vecCol,
+      numCentroids, refineRounds, maxCell, splitFanout, maxDepth)
     val side = leaves.select(col("corpus_id").as("id"), col("cq"))
       .withColumn("nrm", V.normQ12(col("cq")))
-    Dedup
+    val pairs = Dedup
       .pairsFromBuckets(leaves, "corpus_id", Seq("cell"), maxCell)
+    val result = pairs
       .join(side.select(col("id").as("id_a"), col("cq").as("qa"),
         col("nrm").as("norm_a")), Seq("id_a"))
       .join(side.select(col("id").as("id_b"), col("cq").as("qb"),
@@ -1164,7 +1181,10 @@ object Similarity {
         V.dotQ12(col("qa"), col("qb")) / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-      .localCheckpoint(true)
+    // Seal the verified pairs, then free the candidate checkpoint AND
+    // every per-level assignment checkpoint of the hierarchical split —
+    // all of them only fed this call.
+    Lifetime.seal(result, (pairs +: levels): _*)
   }
 
   /** [[semanticNearDupPairs]] composed with EXACT (identical-vector)
@@ -1184,26 +1204,36 @@ object Similarity {
     * class end to end (spec: a > maxCell duplicate class fully
     * deduplicates).
     *
-    * Scale shape: the class key is the quantized vector itself — exact
-    * (no hash-collision false merges), one aggregation + one
-    * co-partitioned join on that key, map-side partial agg collapsing
-    * duplicate classes before the exchange; the array key is no wider
-    * than what the split path already shuffles per row. The corpus is
-    * scanned+quantized once into a cache for the class arm, and the
-    * representative set is materialized eagerly — the semantic chain
-    * behind it scans its input several times (seed selection, Lloyd
-    * rounds, assignment), and each of those scans must hit the
-    * checkpointed reps, not re-run the semi-join. */
+    * Scale shape: classes group and join on `md5` of the canonical
+    * quantized-vector string — a 16-byte digest key, so the two class
+    * shuffles carry digest + id instead of the full d·8-byte array
+    * (at 100 TB that is the difference between shuffling the corpus'
+    * ids and re-shuffling the corpus' vectors, twice). A 128-bit digest
+    * over exact integer coordinates is the same merge guarantee
+    * [[Dedup.exact]] gives content dedup; the quantized array itself
+    * never rides a shuffle key. One aggregation + one co-partitioned
+    * join on the digest, map-side partial agg collapsing duplicate
+    * classes before the exchange. The corpus is scanned+quantized once
+    * into a cache for the class arm, and the representative set is
+    * materialized eagerly — the semantic chain behind it scans its
+    * input several times (seed selection, Lloyd rounds, assignment),
+    * and each of those scans must hit the checkpointed reps, not
+    * re-run the semi-join. */
   def semanticNearDupPairsWithExact(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numCentroids: Int = 16, refineRounds: Int = 1,
       maxCell: Int = 2000, splitFanout: Int = 16, maxDepth: Int = 8): DataFrame = {
     registered(df)
+    // Digest of the canonical "x0,x1,…" rendering of the quantized
+    // vector: exact integer coordinates, so equal vectors — and only
+    // equal vectors, modulo 2⁻¹²⁸ md5 collisions — share a digest.
     val q = df.select(col(idCol).as("id"), V.quantize6(col(vecCol)).as("cq"))
+      .withColumn("ck", md5(concat_ws(",",
+        transform(col("cq"), _.cast(StringType))).cast(BinaryType)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val classes = q.groupBy(col("cq")).agg(min(col("id")).as("keep_id"))
-      val exactPairs = q.join(classes, Seq("cq"))
+      val classes = q.groupBy(col("ck")).agg(min(col("id")).as("keep_id"))
+      val exactPairs = q.join(classes, Seq("ck"))
         .filter(col("id") =!= col("keep_id"))
         .select(col("keep_id").as("id_a"), col("id").as("id_b"),
           lit(1.0).as("cosine"))
@@ -1211,11 +1241,12 @@ object Similarity {
       val reps = df.join(
           classes.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
         .localCheckpoint(true)
-      // semanticNearDupPairs checkpoints its own result, so every
-      // consumer of q/reps has executed by the time this returns.
-      exactPairs.unionByName(
-        semanticNearDupPairs(reps, idCol, vecCol, threshold, numCentroids,
-          refineRounds, maxCell, splitFanout, maxDepth))
+      // The semantic arm seals its own result, so by the time the union
+      // is sealed every consumer of q/reps/exactPairs has executed —
+      // free all three; the caller owns exactly the sealed union.
+      val sem = semanticNearDupPairs(reps, idCol, vecCol, threshold,
+        numCentroids, refineRounds, maxCell, splitFanout, maxDepth)
+      Lifetime.seal(exactPairs.unionByName(sem), exactPairs, reps, sem)
     } finally q.unpersist()
   }
 
@@ -1243,8 +1274,23 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, refineRounds: Int, maxCell: Int,
       splitFanout: Int, maxDepth: Int,
-      maxBroadcastHot: Long = 4096L): DataFrame = {
+      maxBroadcastHot: Long = 4096L): DataFrame =
+    hierarchicalCellsTracked(df, idCol, vecCol, numCentroids, refineRounds,
+      maxCell, splitFanout, maxDepth, maxBroadcastHot)._1
+
+  /** [[hierarchicalCells]] plus the per-level assignment checkpoints it
+    * created. The returned frame reads those checkpoints lazily (each
+    * level's finished slice anti-joins its own level's assignment), so
+    * they stay alive until the CALLER's final result is materialized —
+    * then the caller frees them ([[Lifetime.seal]] in
+    * [[semanticNearDupPairs]]) instead of leaving them to GC. */
+  private[graft] def hierarchicalCellsTracked(
+      df: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, refineRounds: Int, maxCell: Int,
+      splitFanout: Int, maxDepth: Int,
+      maxBroadcastHot: Long = 4096L): (DataFrame, Seq[DataFrame]) = {
     require(splitFanout >= 2, s"splitFanout must be >= 2, got $splitFanout")
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // `active` holds only rows whose leaf might still be over-full; rows
     // in a ≤ maxCell cell are final and accumulate in `finished` without
     // ever being checkpointed or recounted again.
@@ -1254,6 +1300,7 @@ object Similarity {
         col("cq"))
       .withColumn("c_s2", V.dotQ12(col("cq"), col("cq")))
       .localCheckpoint(true)
+    levels += active
     val finished = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var depth = 0
     var overKeys = active.groupBy(col("cell"))
@@ -1303,6 +1350,7 @@ object Similarity {
             col("m.cent_id").cast(StringType)).as("cell"),
           col("m.cq").as("cq"), col("m.c_s2").as("c_s2"))
       active = reassigned.localCheckpoint(true)
+      levels += active
       depth += 1
       overKeys = active.groupBy(col("cell"))
         .agg(count(lit(1)).as("cell_n"))
@@ -1313,6 +1361,6 @@ object Similarity {
     // Degenerate still-over-full rows (maxDepth hit) stay in `active`,
     // preserving the pre-refactor contract: the caller's bucket bound
     // decides their fate, not this loop.
-    finished.foldLeft(active)(_ unionByName _)
+    (finished.foldLeft(active)(_ unionByName _), levels.toSeq)
   }
 }

@@ -22,7 +22,12 @@ import graft.operators.Similarity
   * bucket rows, which probes tolerate (candidates dedup before
   * scoring); duplicate VECTOR rows would need the crash to land exactly
   * between the vectors write and the marker, the same irreducible
-  * window the JDBC sink documents.
+  * window the JDBC sink documents. For PQ/IVF-PQ the whole append is
+  * ONE `codes/` write, so a replay in that window duplicates code rows
+  * instead — bit-identical ones, which [[Similarity.probePq]] /
+  * [[Similarity.probeIvfPq]] tolerate by deduping candidate corpus ids
+  * before scoring (the LSH discipline applied to codes); repair stays
+  * re-append, never rebuild.
   *
   * Streaming equivalence is the batch equality the specs prove: N
   * micro-batches appended ≡ one [[Similarity.writeLshIndex]] build over
