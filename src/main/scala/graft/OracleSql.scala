@@ -593,6 +593,29 @@ object OracleSql {
          |FROM j JOIN psz USING (probe_id)
          |WHERE n_common >= 2""".stripMargin,
 
+    // q_decontaminate with canonical normalization composed upstream:
+    // both splits shingle the normalized text (same chain as
+    // q_text_normalize), everything else identical.
+    "q_decontaminate_norm" ->
+      s"""WITH nrm AS (SELECT doc_id,
+         |    lower(trim(regexp_replace(
+         |      regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+         |      '\\s+', ' ', 'g'))) AS text
+         |  FROM documents),
+         |w AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS words FROM nrm),
+         |sh AS (SELECT doc_id AS id, unnest(${shingleExpr(3)}) AS shingle FROM w),
+         |pr AS (SELECT id AS probe_id, shingle FROM sh WHERE id % 4 = 0),
+         |psz AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS probe_size
+         |  FROM pr GROUP BY 1),
+         |tr AS (SELECT id AS train_id, shingle FROM sh WHERE id % 4 <> 0),
+         |j AS (SELECT train_id, probe_id, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM tr JOIN pr USING (shingle) GROUP BY 1, 2)
+         |SELECT train_id, probe_id, n_common,
+         |  CAST(n_common AS DOUBLE) / CAST(probe_size AS DOUBLE) AS containment
+         |FROM j JOIN psz USING (probe_id)
+         |WHERE n_common >= 2""".stripMargin,
+
     // Deterministic shard export: shard = md5_60(doc_id) mod 8 (the hash
     // is non-negative by construction, so % == pmod), position = hash
     // order within the shard.
@@ -916,6 +939,87 @@ object OracleSql {
         |  CAST(('0x' || substring(md5(text || '0'), 1, 15))::BIGINT AS DOUBLE)
         |    / CAST(1152921504606846976 AS DOUBLE) AS f0
         |FROM documents""".stripMargin,
+
+    // Multimodal features composed into ANN: the stub-codec 8-dim feature
+    // vectors (feature j = md5_60(payload ++ ascii(j)) / 2^60, payload =
+    // the document's UTF-8 bytes) quantized to scale-6 decimals, then
+    // the full IVF-PQ chain with frozen seeds (refineRounds = 0): 16
+    // seed centroids (smallest md5_60(id)), exact quantized-L2 cells,
+    // nprobe = 2 probes; PQ = 4 subspaces of 2 dims, 16 sampled codes,
+    // ADC lookup-sum scores, top-5 per query.
+    "q_multimodal_neardup" ->
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS vec_id, j.j AS jj,
+        |    CAST(('0x' || substring(md5(text || CAST(j.j AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE) AS v
+        |  FROM documents, range(0, 8) j(j)),
+        |el AS (SELECT vec_id, jj + 1 AS i,
+        |    CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)) AS x FROM f),
+        |sq AS (SELECT vec_id,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
+        |  FROM el GROUP BY 1),
+        |cent AS (SELECT doc_id AS vec_id FROM documents
+        |  ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT, doc_id
+        |  LIMIT 16),
+        |vc AS (SELECT e.vec_id AS vid, c.vec_id AS cid,
+        |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+        |  FROM el e JOIN el c ON e.i = c.i
+        |  JOIN cent ON c.vec_id = cent.vec_id GROUP BY 1, 2),
+        |asg AS (SELECT vid, cid, sv.s2 + sc.s2 - 2.0 * dot AS d2
+        |  FROM vc JOIN sq sv ON sv.vec_id = vid
+        |          JOIN sq sc ON sc.vec_id = cid),
+        |cells AS (SELECT vid, cid FROM asg
+        |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) = 1),
+        |probes AS (SELECT vid AS query_id, cid FROM asg WHERE vid < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) <= 2),
+        |cand AS (SELECT DISTINCT probes.query_id, cells.vid AS corpus_id
+        |  FROM probes JOIN cells ON cells.cid = probes.cid),
+        |elm AS (SELECT vec_id, i, x, LEAST((i - 1) // 2, 3) AS m FROM el),
+        |seeds AS (SELECT doc_id AS psid,
+        |    row_number() OVER (ORDER BY
+        |      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      doc_id) AS r
+        |  FROM documents
+        |  ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT, doc_id
+        |  LIMIT 16),
+        |pcb AS (SELECT s.r, e.m, e.i, e.x
+        |  FROM elm e JOIN seeds s ON e.vec_id = s.psid),
+        |pcs2 AS (SELECT r, m,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
+        |  FROM pcb GROUP BY 1, 2),
+        |pvs2 AS (SELECT vec_id, m,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
+        |  FROM elm GROUP BY 1, 2),
+        |pvdot AS (SELECT e.vec_id, c.r, e.m,
+        |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+        |  FROM elm e JOIN pcb c ON c.i = e.i
+        |  GROUP BY 1, 2, 3),
+        |enc AS (SELECT vec_id, m, r FROM (
+        |    SELECT v.vec_id, v.m, v.r, pvs2.s2 + pcs2.s2 - 2.0 * v.dot AS d2
+        |    FROM pvdot v
+        |    JOIN pvs2 ON pvs2.vec_id = v.vec_id AND pvs2.m = v.m
+        |    JOIN pcs2 ON pcs2.r = v.r AND pcs2.m = v.m)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+        |    ORDER BY d2, r) = 1),
+        |qtab AS (SELECT e.vec_id AS query_id, c.r, e.m,
+        |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DECIMAL(25,12))
+        |      AS contrib
+        |  FROM elm e JOIN pcb c ON c.i = e.i
+        |  WHERE e.vec_id < 10
+        |  GROUP BY 1, 2, 3),
+        |s AS (SELECT ca.query_id, ca.corpus_id,
+        |    CAST(SUM(q.contrib) AS DOUBLE) AS score
+        |  FROM cand ca
+        |  JOIN enc e ON e.vec_id = ca.corpus_id
+        |  JOIN qtab q ON q.query_id = ca.query_id
+        |    AND q.m = e.m AND q.r = e.r
+        |  GROUP BY 1, 2)
+        |SELECT query_id, corpus_id, score,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS BIGINT)
+        |    AS rank
+        |FROM s QUALIFY rank <= 5""".stripMargin,
 
     // Full LSH pipeline reproduced: integer RHP signatures over quantized
     // vectors → candidate sharing ≥1 bucket → exact decimal scores → rank.

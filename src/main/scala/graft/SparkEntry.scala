@@ -409,6 +409,18 @@ object SparkEntry {
       shingleWords = 3, minShared = 2)
   }
 
+  /** [[qDecontaminate]] with canonical normalization composed upstream
+    * (the published recipes lower-case/collapse before shingling): both
+    * splits shingle [[TextAnalysis.normalize]]d text, so case/spacing
+    * variants of an eval doc still count as contamination. */
+  private def qDecontaminateNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.crossCorpusContamination(
+      d.filter(pmod(col("doc_id"), lit(4)) =!= 0), "doc_id", "text",
+      d.filter(pmod(col("doc_id"), lit(4)) === 0), "doc_id", "text",
+      shingleWords = 3, minShared = 2, normalize = true)
+  }
+
   private def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDuplicates(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.10)
@@ -598,6 +610,24 @@ object SparkEntry {
     Multimodal.frameSamplePlan(media, everyMs = 1000L)
   }
 
+  /** Multimodal features composed into ANN end to end: decode every
+    * payload into an 8-dim feature vector ([[Multimodal.extractFeatures]]
+    * — deterministic, so fully oracle-checkable), then run IVF-PQ top-5
+    * over the feature corpus — the image/audio near-dup query a curation
+    * pipeline actually runs (find media whose decoded signal matches,
+    * whatever the bytes look like). Frozen-seed quantizers
+    * (refineRounds = 0), 4 subspaces × 16 codes over the 8-dim space. */
+  private def qMultimodalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(
+        Multimodal.mediaFromText(docs(spark, dir), "doc_id", "text"), 8)
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    Similarity.ivfPqTopK(
+      feats.filter(col("vec_id") < 10), "vec_id", "embedding",
+      feats, "vec_id", "embedding", k = 5,
+      numCentroids = 16, refineRounds = 0, nprobe = 2,
+      numSubspaces = 4, numCodes = 16)
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -650,6 +680,7 @@ object SparkEntry {
     "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_norm" -> (qDecontaminateNormalized _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_topk_dot" -> (qSimTopkDot _),
     "q_sim_topk_cosine" -> (qSimTopkCosine _),
@@ -666,7 +697,8 @@ object SparkEntry {
     "q_dedup_semantic_exact" -> (qDedupSemanticExact _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
-    "q_multimodal_features" -> (qMultimodalFeatures _)
+    "q_multimodal_features" -> (qMultimodalFeatures _),
+    "q_multimodal_neardup" -> (qMultimodalNeardup _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

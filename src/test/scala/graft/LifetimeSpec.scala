@@ -15,8 +15,22 @@ class LifetimeSpec extends SparkSpec {
   private def registrySize: Int =
     spark.sparkContext.getPersistentRDDs.size
 
+  /** The suite shares one session with every other suite; earlier
+    * suites' dead checkpoints can be GC-collected (and async-cleaned out
+    * of the registry) at any moment, which would shift a relative
+    * baseline mid-test. Sweep to an ABSOLUTE empty registry first — then
+    * the only registered RDDs are the ones this test creates and holds
+    * strong references to, which the cleaner cannot touch. */
+  private def sweptBaseline(): Int = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    assert(registrySize == 0)
+    0
+  }
+
   test("free releases a localCheckpoint from the persistent-RDD registry") {
-    val before = registrySize
+    val before = sweptBaseline()
     val cp = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
     assert(registrySize == before + 1,
       "a localCheckpoint must register its backing RDD")
@@ -27,7 +41,7 @@ class LifetimeSpec extends SparkSpec {
   }
 
   test("seal keeps only the result checkpoint alive") {
-    val before = registrySize
+    val before = sweptBaseline()
     val mid = Seq(1, 2, 3, 4).toDF("x").localCheckpoint(true)
     val out = Lifetime.seal(mid.filter(col("x") > 2), mid)
     assert(out.collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4))
@@ -38,7 +52,7 @@ class LifetimeSpec extends SparkSpec {
 
   test("near-dup operators leave only their sealed result behind") {
     val docs = spark.read.parquet(sf("documents"))
-    val before = registrySize
+    val before = sweptBaseline()
     val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
       shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.10)
     pairs.count()
@@ -63,7 +77,7 @@ class LifetimeSpec extends SparkSpec {
     // (localEdgeThreshold = 0): every superseded per-round edge
     // checkpoint must be released; only the labels result survives.
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val before = registrySize
+    val before = sweptBaseline()
     val (labels, rounds) =
       Dedup.connectedComponentsWithRounds(edges, localEdgeThreshold = 0)
     assert(labels.select("component").distinct().count() == 1)
@@ -77,7 +91,7 @@ class LifetimeSpec extends SparkSpec {
 
   test("semantic-exact composition leaves only its sealed result") {
     val emb = spark.read.parquet(sf("embeddings"))
-    val before = registrySize
+    val before = sweptBaseline()
     val pairs = Similarity.semanticNearDupPairsWithExact(
       emb, "vec_id", "embedding", threshold = 0.25,
       numCentroids = 16, refineRounds = 1,

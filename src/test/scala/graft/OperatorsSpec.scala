@@ -760,6 +760,36 @@ class SimilaritySpec extends SparkSpec {
       s"pq=$pq ivfpq=$ivfpq ivfpq_res=$ivfpqRes")
   }
 
+  test("production PQ budget (M=8, 256 codes): residual ADC ~= IVF recall") {
+    // The demo budget (4 subspaces × 16 codes on 64 dims) deliberately
+    // underfits — it shows the machinery, not the deployment point. At a
+    // production-ish budget (8 subspaces × 256 codes = 8 bytes/vector,
+    // the classic IVFADC configuration) residual ADC must recover
+    // (nearly) everything the candidate bound allows: uncompressed IVF
+    // at the same nprobe is the ceiling — the two may only differ where
+    // quantization error reorders near-ties at the top-k boundary.
+    val e = spark.read.parquet(sf("embeddings"))
+    val q = e.filter(col("vec_id") < 20)
+    def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topkSet(Similarity.bruteForceTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5))
+    def recall(approx: Set[(Long, Long)]): Double =
+      (exact intersect approx).size.toDouble / exact.size
+    val ivf = recall(topkSet(Similarity.ivfTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, numCentroids = 16, nprobe = 2)))
+    val adcRes = recall(topkSet(Similarity.ivfPqTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, numCentroids = 16, refineRounds = 0, nprobe = 2,
+      numSubspaces = 8, numCodes = 256, residual = true)))
+    println(s"[recall@5 sf0.001 M=8x256] ivf=$ivf ivfadc_res=$adcRes")
+    assert(adcRes >= ivf - 0.05,
+      s"production-budget residual ADC recall $adcRes must sit within " +
+        s"0.05 of the uncompressed IVF ceiling $ivf at equal nprobe")
+  }
+
   test("semanticNearDupPairs: same-cell cosine pairs only, threshold respected") {
     // numCentroids=2 → the corpus splits into two refined cells; the
     // near-parallel pair (0,1) must surface with its exact cosine, and
