@@ -37,6 +37,19 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
+    // Shuffle files and broadcast blocks are only reclaimed when GC
+    // finalizes their dependency objects (ContextCleaner); on a 128 GiB
+    // heap that can be never within a bench run, so hundreds of executed
+    // queries accumulate dead shuffle state — the rising pass-over-pass
+    // totals. Long-running clusters solve this with
+    // spark.cleaner.periodicGC (default 30 min); a bench pass is
+    // minutes, so trigger it at each pass boundary. NOT per query: the
+    // cleaner drains asynchronously, and a GC inside every sweep pushes
+    // file-deletion work into the next timed region (measured: a flat
+    // +25-30% on every query, including shuffle-free sub-200 ms ones).
+    // One GC per pass plus a short drain pause keeps the passes flat
+    // without taxing the measurements.
+    def reclaim(): Unit = { System.gc(); Thread.sleep(2000) }
 
     // Warm-up: run the full inventory once at the smallest scale factor
     // so JIT compilation, whole-stage codegen, and classloading don't
@@ -51,6 +64,7 @@ object Bench {
       }
       sweep()
     }
+    reclaim() // the measured passes start from a fully-reclaimed JVM
 
     // Measured: MEDIAN of `passes` full interleaved passes per query.
     // A single-shot number is hostage to transient driver-machine load
@@ -73,6 +87,12 @@ object Bench {
         times(name) = (System.nanoTime() - t0) / 1e9 :: times(name)
         sweep() // outside the timed region: pass 3 starts like pass 1
       }
+      reclaim()
+      // Pass totals on stderr: with per-query sweeps in place, pass N
+      // must start from the same empty block-manager state as pass 1 —
+      // a rising trend here is accumulation, a one-off spike is load.
+      System.err.println(
+        f"[bench] pass $p total: ${names.map(n => times(n._1).head).sum}%.1f s")
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted

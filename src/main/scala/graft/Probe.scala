@@ -33,6 +33,9 @@ object Probe {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      // Release dead shuffle/broadcast state and let the async cleaner
+      // drain BEFORE the next timed rep (see Bench for the rationale).
+      System.gc(); Thread.sleep(500)
     }
     spark.stop()
   }
