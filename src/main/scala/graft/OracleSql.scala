@@ -1336,6 +1336,84 @@ object OracleSql {
         |    AS rank
         |FROM s QUALIFY rank <= 5""".stripMargin,
 
+    // IVFADC+R: identical residual-ADC chain, but the top-10 ADC
+    // shortlist per query is reranked by the EXACT quantized dot
+    // product (the same DECIMAL(25,12) sum as the brute-force oracle)
+    // before the final top-5 cut.
+    "q_sim_ivfpq_rr" ->
+      s"""WITH $ivfRefinedCellCtes,
+        |dims AS (SELECT CAST(len(embedding) AS BIGINT) AS d
+        |  FROM embeddings LIMIT 1),
+        |rel AS (SELECT e.vec_id, e.i, CAST(e.x - r.mx AS DECIMAL(18,6)) AS x
+        |  FROM el e JOIN cells c ON c.vid = e.vec_id
+        |  JOIN ref r ON r.cid = c.cid AND r.i = e.i),
+        |relm AS (SELECT vec_id, i, x, LEAST((i - 1) // (d // 4), 3) AS m
+        |  FROM rel CROSS JOIN dims),
+        |rseeds AS (SELECT vec_id AS psid,
+        |    row_number() OVER (ORDER BY
+        |      ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      vec_id) AS r
+        |  FROM embeddings
+        |  ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT, vec_id
+        |  LIMIT 16),
+        |rcb AS (SELECT s.r, e.m, e.i, e.x
+        |  FROM relm e JOIN rseeds s ON e.vec_id = s.psid),
+        |rcs2 AS (SELECT r, m,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
+        |  FROM rcb GROUP BY 1, 2),
+        |rvs2 AS (SELECT vec_id, m,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
+        |  FROM relm GROUP BY 1, 2),
+        |rvdot AS (SELECT e.vec_id, c.r, e.m,
+        |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+        |  FROM relm e JOIN rcb c ON c.i = e.i
+        |  GROUP BY 1, 2, 3),
+        |renc AS (SELECT vec_id, m, r FROM (
+        |    SELECT v.vec_id, v.m, v.r, rvs2.s2 + rcs2.s2 - 2.0 * v.dot AS d2
+        |    FROM rvdot v
+        |    JOIN rvs2 ON rvs2.vec_id = v.vec_id AND rvs2.m = v.m
+        |    JOIN rcs2 ON rcs2.r = v.r AND rcs2.m = v.m)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+        |    ORDER BY d2, r) = 1),
+        |rqtab AS (SELECT e.vec_id AS query_id, c.r, c.m,
+        |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DECIMAL(25,12))
+        |      AS contrib
+        |  FROM (SELECT vec_id, i, x FROM el WHERE vec_id < 10) e
+        |  JOIN rcb c ON c.i = e.i
+        |  GROUP BY 1, 2, 3),
+        |qcdot AS (SELECT e.vec_id AS query_id, r.cid,
+        |    CAST(SUM(CAST(e.x * r.mx AS DECIMAL(25,12))) AS DECIMAL(25,12))
+        |      AS base
+        |  FROM el e JOIN ref r ON r.i = e.i
+        |  WHERE e.vec_id < 10 GROUP BY 1, 2),
+        |probes AS (SELECT vid AS query_id, cid FROM asg WHERE vid < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) <= 2),
+        |cand AS (SELECT probes.query_id, cells.vid AS corpus_id, cells.cid
+        |  FROM probes JOIN cells ON cells.cid = probes.cid),
+        |s AS (SELECT ca.query_id, ca.corpus_id,
+        |    CAST(MAX(qc.base) + SUM(q.contrib) AS DOUBLE) AS score
+        |  FROM cand ca
+        |  JOIN renc e ON e.vec_id = ca.corpus_id
+        |  JOIN rqtab q ON q.query_id = ca.query_id
+        |    AND q.m = e.m AND q.r = e.r
+        |  JOIN qcdot qc ON qc.query_id = ca.query_id AND qc.cid = ca.cid
+        |  GROUP BY 1, 2),
+        |short AS (SELECT query_id, corpus_id FROM s
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) <= 10),
+        |ex AS (SELECT sh.query_id, sh.corpus_id,
+        |    CAST(SUM(CAST(eq.x * ec.x AS DECIMAL(25,12))) AS DOUBLE) AS score
+        |  FROM short sh
+        |  JOIN el eq ON eq.vec_id = sh.query_id
+        |  JOIN el ec ON ec.vec_id = sh.corpus_id AND ec.i = eq.i
+        |  GROUP BY 1, 2)
+        |SELECT query_id, corpus_id, score,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS BIGINT)
+        |    AS rank
+        |FROM ex QUALIFY rank <= 5""".stripMargin,
+
     "q_emb_neardup" ->
       s"""WITH ${lshSigCtes(tables = 4, planes = 6)},
          |bsz AS (SELECT tbl, bucket, COUNT(*) AS n FROM sig GROUP BY 1, 2),

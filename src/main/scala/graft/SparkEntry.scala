@@ -549,6 +549,17 @@ object SparkEntry {
       numCentroids = 16, refineRounds = 1, nprobe = 2,
       numSubspaces = 4, numCodes = 16, residual = true)
 
+  /** IVFADC+R: the same residual chain as [[qSimIvfPqRes]], but the
+    * top-10 ADC shortlist is reranked with exact dot products — the
+    * recall-recovery step a deployed index runs when original vectors
+    * are kept beside the codes. */
+  private def qSimIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopKRerank(
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding", k = 5, rerank = 10,
+      numCentroids = 16, refineRounds = 1, nprobe = 2,
+      numSubspaces = 4, numCodes = 16, residual = true)
+
   private def qSimIvf2(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK2(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -691,6 +702,7 @@ object SparkEntry {
     "q_sim_pq" -> (qSimPq _),
     "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_sim_ivfpq_res" -> (qSimIvfPqRes _),
+    "q_sim_ivfpq_rr" -> (qSimIvfPqRerank _),
     "q_emb_neardup" -> (qEmbNearDup _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_semantic_split" -> (qDedupSemanticSplit _),

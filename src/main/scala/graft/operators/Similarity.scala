@@ -904,6 +904,41 @@ object Similarity {
     }
   }
 
+  /** IVFADC+R — ADC shortlist, exact rerank (Jégou et al., "Searching
+    * with quantization": re-rank the `rerank ≥ k` ADC survivors with
+    * exact distances to recover the recall that code quantization costs
+    * at the top-k boundary). The deployed shape everywhere a corpus
+    * keeps its original vectors alongside the code index: the ADC pass
+    * bounds WHICH `Q × rerank` vectors are ever read at full width, so
+    * the expensive exact scoring touches a vanishing corpus fraction.
+    *
+    * Scale shape: the shortlist is `Q × rerank` id pairs — broadcast
+    * (bounded by the query batch, never by the corpus) and semi-joined
+    * into ONE pruned corpus scan that re-reads only shortlisted vectors;
+    * query vectors broadcast; exact scores are the same dot_q12 integer
+    * kernel as [[bruteForceTopK]], so rerank ≡ brute force wherever the
+    * shortlist contains the true top-k. */
+  def ivfPqTopKRerank(
+      queries: DataFrame, queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int, rerank: Int, numCentroids: Int = 16, refineRounds: Int = 1,
+      nprobe: Int = 2, numSubspaces: Int = 4, numCodes: Int = 16,
+      residual: Boolean = true): DataFrame = {
+    require(rerank >= k, "rerank shortlist must be at least k")
+    val shortlist = ivfPqTopK(queries, queryId, queryVec,
+        corpus, corpusId, corpusVec, k = rerank, numCentroids, refineRounds,
+        nprobe, numSubspaces, numCodes, residual)
+      .select(col("query_id"), col("corpus_id"))
+    val cq = corpus.select(col(corpusId).as("corpus_id"),
+      V.quantize6(col(corpusVec)).as("cv"))
+    val qq = queries.select(col(queryId).as("query_id"),
+      V.quantize6(col(queryVec)).as("qv"))
+    pqTopKWindow(
+      cq.join(broadcast(shortlist), Seq("corpus_id"))
+        .join(broadcast(qq), Seq("query_id"))
+        .withColumn("score", V.dotQ12(col("qv"), col("cv"))), k)
+  }
+
   /** Build a PQ index and persist it under `dir` (`codebook/`, `codes/`,
     * `params/`): one ordered-prefix scan selects the codebook, one more
     * encodes every vector against the WRITTEN codebook — the same

@@ -790,6 +790,42 @@ class SimilaritySpec extends SparkSpec {
         s"0.05 of the uncompressed IVF ceiling $ivf at equal nprobe")
   }
 
+  test("IVFADC+R: exact rerank recovers every true hit the shortlist holds") {
+    // Reranking re-scores the ADC top-`rerank` with exact dot products,
+    // so (a) its recall can only meet or beat raw ADC at the same k, and
+    // (b) it is EXACTLY the brute-force ranking restricted to the
+    // shortlist: any true top-k pair inside the shortlist MUST surface.
+    val e = spark.read.parquet(sf("embeddings"))
+    val q = e.filter(col("vec_id") < 20)
+    def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topkSet(Similarity.bruteForceTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5))
+    def recall(approx: Set[(Long, Long)]): Double =
+      (exact intersect approx).size.toDouble / exact.size
+    val adcTop5 = topkSet(Similarity.ivfPqTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, numCentroids = 16, refineRounds = 1, nprobe = 2,
+      numSubspaces = 4, numCodes = 16, residual = true))
+    val shortlist = topkSet(Similarity.ivfPqTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 10, numCentroids = 16, refineRounds = 1, nprobe = 2,
+      numSubspaces = 4, numCodes = 16, residual = true))
+    val rr = topkSet(Similarity.ivfPqTopKRerank(
+      q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, rerank = 10, numCentroids = 16, refineRounds = 1, nprobe = 2,
+      numSubspaces = 4, numCodes = 16, residual = true))
+    println(s"[recall@5 sf0.001 IVFADC+R] adc=${recall(adcTop5)} " +
+      s"rerank=${recall(rr)}")
+    assert(recall(rr) >= recall(adcTop5),
+      s"rerank recall ${recall(rr)} must not trail ADC ${recall(adcTop5)}")
+    val inShortlist = exact intersect shortlist
+    assert(inShortlist.subsetOf(rr),
+      "exact rerank must recover every true top-5 pair the ADC " +
+        s"shortlist contains; missing ${inShortlist -- rr}")
+  }
+
   test("semanticNearDupPairs: same-cell cosine pairs only, threshold respected") {
     // numCentroids=2 → the corpus splits into two refined cells; the
     // near-parallel pair (0,1) must surface with its exact cosine, and
