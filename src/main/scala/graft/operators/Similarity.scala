@@ -925,16 +925,28 @@ object Similarity {
       nprobe: Int = 2, numSubspaces: Int = 4, numCodes: Int = 16,
       residual: Boolean = true): DataFrame = {
     require(rerank >= k, "rerank shortlist must be at least k")
-    val shortlist = ivfPqTopK(queries, queryId, queryVec,
-        corpus, corpusId, corpusVec, k = rerank, numCentroids, refineRounds,
-        nprobe, numSubspaces, numCodes, residual)
-      .select(col("query_id"), col("corpus_id"))
+    exactRerank(
+      ivfPqTopK(queries, queryId, queryVec, corpus, corpusId, corpusVec,
+        k = rerank, numCentroids, refineRounds, nprobe, numSubspaces,
+        numCodes, residual),
+      queries, queryId, queryVec, corpus, corpusId, corpusVec, k)
+  }
+
+  /** The rerank tail shared by the one-shot and persisted-index paths:
+    * broadcast the `Q × rerank` shortlist ids into one pruned corpus
+    * scan, score the survivors with the exact dot_q12 kernel, cut to
+    * top-k. */
+  private def exactRerank(shortlist: DataFrame,
+      queries: DataFrame, queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int): DataFrame = {
+    val ids = shortlist.select(col("query_id"), col("corpus_id"))
     val cq = corpus.select(col(corpusId).as("corpus_id"),
       V.quantize6(col(corpusVec)).as("cv"))
     val qq = queries.select(col(queryId).as("query_id"),
       V.quantize6(col(queryVec)).as("qv"))
     pqTopKWindow(
-      cq.join(broadcast(shortlist), Seq("corpus_id"))
+      cq.join(broadcast(ids), Seq("corpus_id"))
         .join(broadcast(qq), Seq("query_id"))
         .withColumn("score", V.dotQ12(col("qv"), col("cv"))), k)
   }
@@ -1127,6 +1139,25 @@ object Similarity {
       .dropDuplicates("query_id", "corpus_id")
       .join(broadcast(tabs), Seq("query_id"))
       .withColumn("score", pqRescale(col("base_u") + pqLookupU(m))), k)
+  }
+
+  /** IVFADC+R over a PERSISTED index: the [[probeIvfPq]] ADC shortlist
+    * reranked with exact dot products against the corpus's ORIGINAL
+    * vectors — the deployed layout keeps the raw-vector table beside the
+    * code index precisely for this step (the codes answer cheap, the
+    * vectors answer exactly; only `Q × rerank` of them are ever read at
+    * full width). The index never stores vectors; pass the same corpus
+    * frame the index was built from (or any table holding those ids and
+    * vectors). */
+  def probeIvfPqRerank(index: IvfPqIndex, queries: DataFrame,
+      queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int, rerank: Int, nprobe: Int = 2): DataFrame = {
+    require(rerank >= k, "rerank shortlist must be at least k")
+    registered(corpus)
+    exactRerank(
+      probeIvfPq(index, queries, queryId, queryVec, k = rerank, nprobe),
+      queries, queryId, queryVec, corpus, corpusId, corpusVec, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`: LSH bucketing

@@ -185,6 +185,16 @@ class IndexMaintenanceSpec extends SparkSpec {
       numCentroids = 2, refineRounds = 0, nprobe = 1,
       numSubspaces = 2, numCodes = 2, residual = true)),
       "probe != one-shot residual IVFADC")
+    // IVFADC+R over the persisted index: the rerank tail reads original
+    // vectors from the corpus frame (the index stores only codes), and
+    // must equal the one-shot rerank exactly
+    val probeRr = Similarity.probeIvfPqRerank(full, q, "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 2, rerank = 4, nprobe = 1)
+    assert(rows(probeRr) == rows(Similarity.ivfPqTopKRerank(
+      q, "vec_id", "embedding", vecs, "vec_id", "embedding",
+      k = 2, rerank = 4, numCentroids = 2, refineRounds = 0, nprobe = 1,
+      numSubspaces = 2, numCodes = 2, residual = true)),
+      "persisted-index rerank != one-shot rerank")
     // no-old-scan: gut codes/, append again under a fresh marker — the
     // appended rows must equal the full build's batch slice
     gutDir(s"$dirA/codes")
