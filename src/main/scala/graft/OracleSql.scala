@@ -776,6 +776,25 @@ object OracleSql {
         |    (PARTITION BY lang ORDER BY hk, doc_id) AS BIGINT) AS sample_rank
         |FROM h QUALIFY sample_rank <= 40""".stripMargin,
 
+    // Mixture resampling: per-lang rate r = copies + fraction; a row
+    // repeats floor(r) times plus once more when its md5_60 draw falls
+    // below fraction * 2^60 (thresholds below are exact: 2^59 = 0.5,
+    // 2^58 = 0.25 of the 2^60 hash space). Unlisted langs drop.
+    "q_sample_mixture" ->
+      """WITH r(g, copies, thr) AS (VALUES
+        |  ('en', CAST(1 AS BIGINT), CAST(576460752303423488 AS BIGINT)),
+        |  ('fr', CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('de', CAST(0 AS BIGINT), CAST(576460752303423488 AS BIGINT)),
+        |  ('es', CAST(0 AS BIGINT), CAST(288230376151711744 AS BIGINT)),
+        |  ('zh', CAST(2 AS BIGINT), CAST(0 AS BIGINT))),
+        |j AS (SELECT d.doc_id, d.lang, r.copies +
+        |    CASE WHEN ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT < r.thr THEN 1 ELSE 0 END AS n
+        |  FROM documents d JOIN r ON d.lang = r.g)
+        |SELECT doc_id, lang,
+        |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS epoch
+        |FROM j WHERE n > 0""".stripMargin,
+
     "q_dedup_exact" ->
       """WITH d AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
         |g AS (SELECT content_md5, COUNT(*) AS dup_count, MIN(doc_id) AS keep_id

@@ -465,6 +465,15 @@ object SparkEntry {
     Sampling.stratifiedCap(docs(spark, dir), "lang", "doc_id", 40)
       .select("doc_id", "lang", "sample_rank")
 
+  /** Deterministic mixture resampling to a training recipe: en
+    * upsampled 1.5×, fr kept, de/es downsampled, zh doubled — expected
+    * multiplicity exactly the rate, same rows on every rerun. */
+  private def qSampleMixture(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(docs(spark, dir), "doc_id", "lang",
+        Map("en" -> 1.5, "fr" -> 1.0, "de" -> 0.5, "es" -> 0.25,
+          "zh" -> 2.0))
+      .select("doc_id", "lang", "epoch")
+
   /** Deterministic training-shard export: reproducible global shuffle
     * order (shard, position) with no global sort. */
   private def qExportShards(spark: SparkSession, dir: String): DataFrame =
@@ -681,6 +690,7 @@ object SparkEntry {
     "q_curation_topk" -> (qCurationTopk _),
     "q_dedup_normalized" -> (qDedupNormalized _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_mixture" -> (qSampleMixture _),
     "q_export_shards" -> (qExportShards _),
     "q_export_pack" -> (qExportPack _),
     "q_dedup_ngram_jaccard" -> (qDedupNgram _),

@@ -89,4 +89,46 @@ object Sampling {
       .withColumn("bin_pos", row_number().over(wb).cast(LongType))
       .drop("cum_excl")
   }
+
+  /** Deterministic training-mixture resampling: each group (domain,
+    * source, language) is re-weighted to its target `rate` — the
+    * standard mixture step between curation and shard export (weight
+    * web/books/code/reference corpora to a recipe, not to their raw
+    * sizes). `rate ≤ 1` downsamples (the same Bernoulli-by-hash-draw
+    * filter as [[uniform]]); `rate > 1` upsamples: `floor(rate)` full
+    * copies plus one more for rows whose draw falls below the
+    * fractional remainder — expected multiplicity exactly `rate`,
+    * keyed only on `keyCol`, so the SAME rows repeat across reruns,
+    * partitionings, and engines. Output adds `epoch` (0-based copy
+    * index): downstream shard/pack keys can append it so repeated
+    * copies land in different training positions.
+    *
+    * Groups absent from `rates` are DROPPED — a mixture is an explicit
+    * recipe, and silently passing an unlisted source through at 1×
+    * would corrupt the weighting.
+    *
+    * Scale shape: the recipe joins as a broadcast literal (a mixture
+    * has tens of entries), the multiplicity decision is a per-row
+    * filter inside the scan, and the copy fan-out is a bounded
+    * `explode(sequence(...))` — no shuffle anywhere. */
+  def mixtureSample(df: DataFrame, keyCol: String, groupCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty, "mixture needs at least one group rate")
+    require(rates.values.forall(r => r >= 0 && r.isFinite),
+      s"rates must be finite and >= 0: $rates")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val recipe = rates.toSeq
+      .map { case (g, r) =>
+        (g, math.floor(r).toLong, rateThreshold(r - math.floor(r)))
+      }
+      .toDF("mix_group", "mix_copies", "mix_frac_threshold")
+    df.join(broadcast(recipe), col(groupCol) === col("mix_group"))
+      .withColumn("mix_n", col("mix_copies") +
+        when(hashKey(col(keyCol)) < col("mix_frac_threshold"), 1L)
+          .otherwise(0L))
+      .filter(col("mix_n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("mix_n") - 1)))
+      .drop("mix_group", "mix_copies", "mix_frac_threshold", "mix_n")
+  }
 }

@@ -555,6 +555,41 @@ class SamplingSpec extends SparkSpec {
     assert(packed(withTokens.repartition(9)).toSet == out.toSet,
       "packing must not depend on input partitioning")
   }
+
+  test("mixtureSample: per-group multiplicity, deterministic, unlisted drop") {
+    // lang0: straight 2× upsample; lang1: kept; lang2 unlisted → dropped
+    val rates = Map("lang0" -> 2.0, "lang1" -> 1.0)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      Sampling.mixtureSample(df, "doc_id", "lang", rates)
+        .select("doc_id", "lang", "epoch").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val out = rows(docs)
+    val byLang = out.groupBy(_._2)
+    assert(!byLang.contains("lang2"), "unlisted groups must drop")
+    // integer rates are exact: every lang0 row twice (epochs 0 and 1),
+    // every lang1 row once (epoch 0)
+    val lang0Docs = docs.filter(col("lang") === "lang0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(byLang("lang0") ==
+      lang0Docs.flatMap(d => Set((d, "lang0", 0L), (d, "lang0", 1L))))
+    assert(byLang("lang1").forall(_._3 == 0L) &&
+      byLang("lang1").size == 334)
+    assert(rows(docs.repartition(7)) == out,
+      "mixture must not depend on partitioning")
+    // fractional rate: multiplicity 1 or 2, expectation ~1.5, and the
+    // upsampled subset is exactly the uniform(rate-1) draw — same hash
+    val frac = Sampling.mixtureSample(docs, "doc_id", "lang",
+        Map("lang1" -> 1.5))
+      .groupBy("doc_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(frac.values.forall(n => n == 1L || n == 2L))
+    val doubled = frac.filter(_._2 == 2L).keySet
+    val halfDraw = Sampling.uniform(
+        docs.filter(col("lang") === "lang1"), "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(doubled == halfDraw,
+      "fractional copies must ride the same hash draw as uniform()")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
