@@ -59,6 +59,26 @@ class ScaleSpec extends SparkSpec {
       s"vocabulary top-k should be TakeOrderedAndProject, not a global sort:\n$plan")
   }
 
+  test("mixture resampling is shuffle-free and composes into shard export") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(sf("documents"))
+    val mixed = Sampling.mixtureSample(docs, "doc_id", "lang",
+      Map("en" -> 1.5, "de" -> 0.5))
+    // the recipe joins as a broadcast literal; the copy fan-out is a
+    // bounded explode — the whole operator must run inside the scan
+    assert(Scale.isShuffleFree(mixed),
+      mixed.queryExecution.executedPlan.toString)
+    // the documented composition: a composite (doc_id, epoch) key gives
+    // repeated copies distinct shard positions — the result is a true
+    // permutation of the resampled multiset
+    val keyed = mixed.withColumn("pos_key",
+      concat_ws(":", col("doc_id"), col("epoch")))
+    val sharded = Sampling.shardAssign(keyed, "pos_key", 4)
+    assert(sharded.count() == mixed.count(), "shard must keep every copy")
+    assert(sharded.select("shard", "position").distinct().count() ==
+      mixed.count(), "(shard, position) must be unique per copy")
+  }
+
   test("bm25 plan: tf materialized once, top-k without a global sort") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet(sf("documents"))
