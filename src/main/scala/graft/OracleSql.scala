@@ -776,6 +776,36 @@ object OracleSql {
         |    (PARTITION BY lang ORDER BY hk, doc_id) AS BIGINT) AS sample_rank
         |FROM h QUALIFY sample_rank <= 40""".stripMargin,
 
+    // C4-style span excision: non-overlapping 8-word blocks, global
+    // first occurrence by (doc_id, block_no) keeps, every other copy is
+    // cut; surviving blocks re-join in order (single spaces). Docs with
+    // every block removed return empty text.
+    "q_dedup_span" ->
+      """WITH w AS (SELECT doc_id, trim(text) AS t,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |w2 AS (SELECT doc_id, ws,
+        |    CASE WHEN len(t) = 0 THEN 0 ELSE len(ws) END AS nw FROM w),
+        |b AS (SELECT doc_id, ws, nw,
+        |    unnest(generate_series(0, (nw + 7) // 8 - 1)) AS block_no
+        |  FROM w2 WHERE nw > 0),
+        |b2 AS (SELECT doc_id, block_no,
+        |    array_to_string(ws[block_no * 8 + 1 : least(block_no * 8 + 8, nw)],
+        |      ' ') AS span
+        |  FROM b),
+        |f AS (SELECT doc_id, block_no, span,
+        |    row_number() OVER (PARTITION BY md5(span)
+        |      ORDER BY doc_id, block_no) = 1 AS keep
+        |  FROM b2),
+        |r AS (SELECT doc_id,
+        |    string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY block_no)
+        |      AS text,
+        |    CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_removed
+        |  FROM f GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(r.text, '') AS text,
+        |  COALESCE(r.n_removed, CAST(0 AS BIGINT)) AS n_removed
+        |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
+
     // Mixture resampling: per-lang rate r = copies + fraction; a row
     // repeats floor(r) times plus once more when its md5_60 draw falls
     // below fraction * 2^60 (thresholds below are exact: 2^59 = 0.5,

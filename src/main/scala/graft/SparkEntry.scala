@@ -421,6 +421,12 @@ object SparkEntry {
       shingleWords = 3, minShared = 2, normalize = true)
   }
 
+  /** C4-style span excision: every duplicated 8-word block survives only
+    * at its first corpus occurrence; documents come back REWRITTEN with
+    * a removed-block count. */
+  private def qDedupSpan(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedupRewrite(docs(spark, dir), "doc_id", "text", spanWords = 8)
+
   private def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDuplicates(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.10)
@@ -700,6 +706,7 @@ object SparkEntry {
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_span" -> (qDedupSpan _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_norm" -> (qDecontaminateNormalized _),
     "q_dedup_simhash" -> (qDedupSimhash _),

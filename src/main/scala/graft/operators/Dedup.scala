@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -36,6 +37,66 @@ object Dedup {
       .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keep_id"))
     withDigest.join(groups, Seq("content_md5"))
       .withColumn("keep", col(idCol) === col("keep_id"))
+  }
+
+  /** C4-style span dedup, REWRITE form: any `spanWords`-word block that
+    * occurs more than once ACROSS the corpus survives only at its first
+    * occurrence — smallest `(doc_id, block_no)` — and every other copy
+    * is cut out of its document; the remaining blocks re-join in order.
+    * This is the published web-corpus recipe (C4 removes any
+    * three-sentence span occurring twice; over a line-less corpus the
+    * fixed word-block is the granularity) — distinct from the pair/
+    * component operators above, which FLAG whole documents: here
+    * boilerplate is excised and the document survives. Whitespace is
+    * normalized to single spaces by the rewrite (the block join), like
+    * [[TextAnalysis.normalize]].
+    *
+    * Returns `(doc_id, text, n_removed)` for every input row — docs with
+    * all blocks removed (pure boilerplate) come back with empty text,
+    * `n_removed` is the per-doc telemetry a curation pipeline thresholds
+    * on.
+    *
+    * Scale shape: blocks explode to `words/spanWords` rows; the
+    * first-occurrence window shuffles once on the 128-bit span digest
+    * (span text rides as payload — bounded at `spanWords` words; groups
+    * are duplicate-count-sized, no hot-key risk beyond true boilerplate,
+    * which is exactly what gets cut); the rebuild is one `groupBy` on
+    * doc id with an ordered in-memory fold of that doc's own blocks.
+    * Two narrow shuffles, no driver state. */
+  def spanDedupRewrite(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    val k = spanWords
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val blocks = base
+      .withColumn("ws", TextAnalysis.tokens(col("text")))
+      .withColumn("nw", when(length(trim(col("text"))) === 0, lit(0))
+        .otherwise(size(col("ws"))))
+      .filter(col("nw") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          expr(s"(nw + ${k - 1}) div $k").cast(IntegerType) - 1))
+          .as("block_no"),
+        col("ws"))
+      .withColumn("span",
+        array_join(slice(col("ws"), col("block_no") * k + 1, lit(k)), " "))
+      .drop("ws")
+    val flagged = blocks.withColumn("keep",
+      row_number().over(
+        Window.partitionBy(md5(col("span").cast(BinaryType)))
+          .orderBy(col("doc_id"), col("block_no"))) === 1)
+    val rebuilt = flagged.groupBy(col("doc_id")).agg(
+      array_join(
+        transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("block_no"), col("span"))))),
+          s => s.getField("span")),
+        " ").as("text"),
+      sum(when(col("keep"), lit(0L)).otherwise(lit(1L))).as("n_removed"))
+    base.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
   /** Structural reduce-side bound for every bucket aggregation: drop the

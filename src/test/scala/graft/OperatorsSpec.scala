@@ -154,6 +154,31 @@ class DedupSpec extends SparkSpec {
     assert(g.map(_.getBoolean(2)).toSeq == Seq(true, false))
   }
 
+  test("spanDedupRewrite: duplicated blocks excised, first occurrence kept") {
+    // spanWords = 4 over 3 docs: doc 1 and doc 2 share their first two
+    // 4-word blocks (8 words of boilerplate); doc 2 keeps only its
+    // unique tail; doc 3 is pure boilerplate (all blocks duplicate
+    // doc 1's) and comes back empty. Doc 1, first occurrence, is whole.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta one two three four"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta five six seven eight"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "")
+    ).toDF("id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, (String, Long)] =
+      Dedup.spanDedupRewrite(df, "id", "text", spanWords = 4)
+        .collect().map(r =>
+          r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val out = rows(docs)
+    assert(out(1L) ==
+      ("alpha beta gamma delta epsilon zeta eta theta one two three four", 0L))
+    assert(out(2L) == ("five six seven eight", 2L))
+    assert(out(3L) == ("", 2L), "pure boilerplate must empty out")
+    assert(out(4L) == ("", 0L), "empty input stays empty, nothing removed")
+    assert(rows(docs.repartition(5)) == out,
+      "rewrite must not depend on partitioning")
+  }
+
   test("crossCorpusContamination: quoted eval doc flagged at containment 1") {
     val train = Seq(
       // contains eval doc 10 verbatim inside a longer page
