@@ -38,14 +38,17 @@ object Multimodal {
     StructField("caption", StringType, nullable = true)
   ))
 
-  /** Media codec: REAL decoders for the two container formats that need
-    * no codec library — BMP (24-bit uncompressed BI_RGB) and WAV (16-bit
-    * PCM), both pure byte arithmetic — and a deterministic md5 stub for
-    * every other format (this container ships no image/audio libraries;
-    * swap in libjpeg/ffmpeg-backed branches in production, nothing else
+  /** Media codec: REAL decoders for the three container formats that
+    * need no codec library — BMP (24-bit uncompressed BI_RGB), WAV
+    * (16-bit PCM), both pure byte arithmetic, and PNG (8-bit
+    * gray/RGB/palette/RGBA, non-interlaced) via the JDK's own zlib
+    * `Inflater` plus the spec's five scanline filters — and a
+    * deterministic md5 stub for every other format (JPEG/MP3/video need
+    * codec libraries this container does not ship; swap in
+    * libjpeg/ffmpeg-backed branches in production, nothing else
     * changes). Features are n contiguous-slice means over the decoded
-    * signal — pixel luminance in [0,1] for BMP, absolute amplitude in
-    * [0,1] for WAV — computed in exact integer sums before one final
+    * signal — pixel luminance in [0,1] for BMP/PNG, absolute amplitude
+    * in [0,1] for WAV — computed in exact integer sums before one final
     * division, so they are bit-deterministic under any partitioning.
     * Malformed or truncated headers fall back to the stub rather than
     * throwing: a poison payload must not kill a 10⁹-row decode stage.
@@ -60,6 +63,7 @@ object Multimodal {
       try {
         if (isBmp(payload)) bmpFeatures(payload, n)
         else if (isWav(payload)) wavFeatures(payload, n)
+        else if (isPng(payload)) pngFeatures(payload, n)
         else stubFeatures(payload, n)
       } catch { case _: IndexOutOfBoundsException |
                      _: ArithmeticException => stubFeatures(payload, n) }
@@ -70,6 +74,10 @@ object Multimodal {
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
 
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
     private[graft] def isBmp(b: Array[Byte]): Boolean =
       b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
         le16(b, 28) == 24 && le32(b, 30) == 0 // 24-bit, BI_RGB only
@@ -77,6 +85,10 @@ object Multimodal {
       b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
         b(11) == 'E'
+    private[graft] def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a &&
+        b(6) == 0x1a && b(7) == 0x0a
 
     /** Slice boundary i·total/n — the standard equal-partition rule. */
     @inline private def bound(i: Int, total: Int, n: Int): Int =
@@ -151,6 +163,148 @@ object Multimodal {
       out
     }
 
+    /** Full PNG decode: chunk walk → concatenated-IDAT zlib inflate
+      * (the JDK `Inflater` — zlib IS the JDK's native format, no codec
+      * library needed) → per-scanline unfilter (None/Sub/Up/Average/
+      * Paeth, the spec's complete filter set). Decode gate: bit depth 8,
+      * color type 0 (gray) / 2 (RGB) / 3 (palette, PLTE required) /
+      * 6 (RGBA), compression 0, filter method 0, non-interlaced — the
+      * overwhelmingly common shapes; 16-bit, sub-byte and Adam7 payloads
+      * fall to the stub. Returns `(width, height, colorType, palette,
+      * pixels)` with `pixels` the unfiltered bytes in scanline order
+      * (`channels` bytes per pixel), or None for anything outside the
+      * gate or malformed — truncated IDAT, bad zlib, over/undersized
+      * inflate all return None rather than a partial image, so the
+      * feature branch and the metadata sniff agree EXACTLY on what
+      * decodes. */
+    private[graft] def pngDecode(
+        b: Array[Byte]): Option[(Int, Int, Int, Array[Byte], Array[Byte])] = {
+      if (!isPng(b)) return None
+      var o = 8
+      var w = 0; var h = 0; var colorType = -1; var sawIhdr = false
+      var palette: Array[Byte] = null
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done && o + 8 <= b.length) {
+        val len = be32(b, o)
+        if (len < 0 || o + 12L + len > b.length) return None
+        val t0 = b(o + 4); val t1 = b(o + 5); val t2 = b(o + 6); val t3 = b(o + 7)
+        if (t0 == 'I' && t1 == 'H' && t2 == 'D' && t3 == 'R') {
+          if (len < 13) return None
+          w = be32(b, o + 8); h = be32(b, o + 12)
+          val bitDepth = b(o + 16) & 0xff; colorType = b(o + 17) & 0xff
+          val compression = b(o + 18) & 0xff; val filterMethod = b(o + 19) & 0xff
+          val interlace = b(o + 20) & 0xff
+          sawIhdr = bitDepth == 8 && compression == 0 && filterMethod == 0 &&
+            interlace == 0 && (colorType == 0 || colorType == 2 ||
+              colorType == 3 || colorType == 6)
+          if (!sawIhdr) return None
+        } else if (t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E') {
+          if (len == 0 || len % 3 != 0) return None
+          palette = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + len)
+        } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
+          idat.write(b, o + 8, len)
+        } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
+          done = true
+        }
+        o += 12 + len
+      }
+      if (!sawIhdr || w <= 0 || h <= 0) return None
+      if (colorType == 3 && palette == null) return None
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4
+      }
+      val strideL = w.toLong * channels
+      val rawLenL = (strideL + 1L) * h
+      if (rawLenL > Int.MaxValue - 16) return None // absurd header: stub
+      val stride = strideL.toInt
+      val raw = new Array[Byte](rawLenL.toInt)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var filled = 0
+        while (filled < raw.length && !inf.finished()) {
+          val got = inf.inflate(raw, filled, raw.length - filled)
+          if (got == 0 && inf.needsInput()) return None // truncated stream
+          filled += got
+        }
+        if (filled < raw.length) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      val px = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val ft = raw(y * (stride + 1)) & 0xff
+        if (ft > 4) return None
+        val rowIn = y * (stride + 1) + 1
+        val rowOut = y * stride
+        var x = 0
+        while (x < stride) {
+          val rv = raw(rowIn + x) & 0xff
+          val a = if (x >= channels) px(rowOut + x - channels) & 0xff else 0
+          val u = if (y > 0) px(rowOut - stride + x) & 0xff else 0
+          val v = ft match {
+            case 0 => rv
+            case 1 => rv + a
+            case 2 => rv + u
+            case 3 => rv + ((a + u) >> 1)
+            case _ => // Paeth
+              val c = if (x >= channels && y > 0)
+                px(rowOut - stride + x - channels) & 0xff else 0
+              val p = a + u - c
+              val pa = math.abs(p - a); val pb = math.abs(p - u)
+              val pc = math.abs(p - c)
+              rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c)
+          }
+          px(rowOut + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, colorType, palette, px))
+    }
+
+    /** 8-bit PNG: full decode via [[pngDecode]]; features = per-slice
+      * mean luminance over row-major pixel order — gray `v/255`, color
+      * `(r+g+b)/(3·255)` (alpha ignored), palette rows resolved through
+      * PLTE — the same convention as [[bmpFeatures]], in the same exact
+      * integer sums. */
+    private def pngFeatures(b: Array[Byte], n: Int): Array[Double] = {
+      val decoded = pngDecode(b)
+      if (decoded.isEmpty) return stubFeatures(b, n)
+      val (w, h, colorType, palette, px) = decoded.get
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4
+      }
+      val total = w * h
+      val out = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        val from = bound(j, total, n); val until = bound(j + 1, total, n)
+        var sum = 0L
+        var p = from
+        while (p < until) {
+          val base = p * channels
+          sum += (colorType match {
+            case 0 => 3 * (px(base) & 0xff)
+            case 3 =>
+              val pi = (px(base) & 0xff) * 3
+              if (pi + 2 >= palette.length) return stubFeatures(b, n)
+              (palette(pi) & 0xff) + (palette(pi + 1) & 0xff) +
+                (palette(pi + 2) & 0xff)
+            case _ =>
+              (px(base) & 0xff) + (px(base + 1) & 0xff) + (px(base + 2) & 0xff)
+          })
+          p += 1
+        }
+        out(j) = if (until == from) 0.0
+                 else sum.toDouble / (3.0 * 255.0 * (until - from))
+        j += 1
+      }
+      out
+    }
+
     /** Parsed header facts for a decodable payload. */
     case class Sniffed(mime: String, width: Option[Int],
       height: Option[Int], durationMs: Option[Long])
@@ -185,6 +339,13 @@ object Multimodal {
             Some(Sniffed("audio/wav", None, None,
               Some(dataLen.toLong * 1000L / byteRate)))
           else None
+        } else if (isPng(b)) {
+          // exact decode-gate parity: metadata is claimed only for
+          // payloads pngFeatures would really decode (incl. zlib
+          // integrity), never from a bare IHDR over a corrupt stream
+          pngDecode(b).map { case (w, h, _, _, _) =>
+            Sniffed("image/png", Some(w), Some(h), None)
+          }
         } else None
       } catch { case _: IndexOutOfBoundsException => None }
 

@@ -1109,6 +1109,97 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.decode(wav.take(20), 2).length == 2)
   }
 
+  private def pngBe32(v: Int): Seq[Byte] =
+    Seq(v >> 24, v >> 16, v >> 8, v).map(_.toByte)
+  private def pngChunk(typ: String, data: Array[Byte]): Seq[Byte] = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes); crc.update(data)
+    pngBe32(data.length) ++ typ.getBytes.toSeq ++ data.toSeq ++
+      pngBe32(crc.getValue.toInt)
+  }
+  /** Real PNG bytes (valid CRCs, zlib IDAT) around caller-supplied
+    * FILTERED scanlines, so tests pick the filter types. */
+  private def pngBytes(w: Int, h: Int, colorType: Int,
+      filtered: Array[Byte], plte: Option[Array[Byte]] = None,
+      interlace: Int = 0): Array[Byte] = {
+    val ihdr = (pngBe32(w) ++ pngBe32(h) ++
+      Seq(8, colorType, 0, 0, interlace).map(_.toByte)).toArray
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    (Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++
+      pngChunk("IHDR", ihdr) ++
+      plte.map(p => pngChunk("PLTE", p)).getOrElse(Seq.empty) ++
+      pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)).toArray
+  }
+
+  test("MediaCodec: PNG decode — all five filters, hand-computed features") {
+    import graft.operators.Multimodal.MediaCodec
+    // 3×5 grayscale, one scanline per filter type. Filtered bytes are
+    // hand-derived from the target pixels (NOT via the decoder's math):
+    //   row0 None    : px 10  20  30  -> raw 10 20 30
+    //   row1 Sub     : px 10  30  60  -> raw 10 20 30
+    //   row2 Up      : px 20  40  70  -> raw 10 10 10
+    //   row3 Average : px 30  60 100  -> raw 20 25 35
+    //   row4 Paeth   : px 40  80 120  -> raw 10 20 20
+    val filtered = Array[Byte](
+      0, 10, 20, 30,
+      1, 10, 20, 30,
+      2, 10, 10, 10,
+      3, 20, 25, 35,
+      4, 10, 20, 20)
+    val png = pngBytes(3, 5, 0, filtered)
+    assert(MediaCodec.isPng(png))
+    val f = MediaCodec.decode(png, 3)
+    // 15 pixels -> 3 slices of 5; gray luminance = v/255
+    assert(f.toSeq == Seq(20.0 / 255.0, 44.0 / 255.0, 80.0 / 255.0), f.toSeq)
+  }
+
+  test("MediaCodec: PNG RGB/RGBA/palette branches + stub fallbacks") {
+    import graft.operators.Multimodal.MediaCodec
+    // RGBA 2×2, filter 0: luminance ignores alpha
+    val rgba = pngBytes(2, 2, 6, Array[Byte](
+      0, -1, 0, 0, 10, 0, -1, 0, 20,        // (255,0,0,10) (0,255,0,20)
+      0, 0, 0, -1, 30, -1, -1, -1, 40))     // (0,0,255,30) (255,255,255,40)
+    val fa = MediaCodec.decode(rgba, 2)
+    assert(fa.toSeq == Seq(510.0 / 1530.0, 1020.0 / 1530.0), fa.toSeq)
+    // RGB 1×2 with Sub on a 3-byte bpp: a = previous PIXEL, not byte
+    val rgb = pngBytes(2, 1, 2, Array[Byte](1, 100, 50, 25, 10, 10, 10))
+    val fr = MediaCodec.decode(rgb, 2)
+    assert(fr.toSeq == Seq(175.0 / 765.0, 205.0 / 765.0), fr.toSeq)
+    // palette 2×2: PLTE rows (30,60,90) and (255,255,255), indices 0110
+    val pal = pngBytes(2, 2, 3,
+      Array[Byte](0, 0, 1, 0, 1, 0),
+      plte = Some(Array[Byte](30, 60, 90, -1, -1, -1)))
+    val fp = MediaCodec.decode(pal, 1)
+    assert(fp.toSeq == Seq((180.0 + 765.0 + 765.0 + 180.0) / 3060.0), fp.toSeq)
+    // outside the decode gate -> md5 stub + sniff None (exact parity):
+    // corrupt zlib stream; interlaced; palette image missing its PLTE
+    val corrupt = pngBytes(3, 5, 0, Array[Byte](0, 10, 20, 30, 1, 10, 20, 30,
+      2, 10, 10, 10, 3, 20, 25, 35, 4, 10, 20, 20))
+    // IDAT data begins at 8 (sig) + 25 (IHDR chunk) + 8 = offset 41;
+    // flipping the zlib CMF byte fails the header check on inflate
+    corrupt(41) = (corrupt(41) ^ 0x5a).toByte
+    assert(MediaCodec.sniff(corrupt).isEmpty)
+    assert(MediaCodec.decode(corrupt, 3).toSeq !=
+      MediaCodec.decode(pngBytes(3, 5, 0, Array[Byte](0, 10, 20, 30,
+        1, 10, 20, 30, 2, 10, 10, 10, 3, 20, 25, 35, 4, 10, 20, 20)), 3).toSeq)
+    val interlaced = pngBytes(2, 1, 2,
+      Array[Byte](1, 100, 50, 25, 10, 10, 10), interlace = 1)
+    assert(MediaCodec.sniff(interlaced).isEmpty)
+    val noPlte = pngBytes(2, 2, 3, Array[Byte](0, 0, 1, 0, 1, 0))
+    assert(MediaCodec.sniff(noPlte).isEmpty)
+    // and sniff/decode parity on a GOOD file: sizes from the real parse
+    val sniffed = MediaCodec.sniff(rgba)
+    assert(sniffed.exists(s => s.mime == "image/png" &&
+      s.width.contains(2) && s.height.contains(2) && s.durationMs.isEmpty))
+  }
+
   test("sniffMetadata: parsed headers override declared values; others keep them") {
     val rows = Seq(
       org.apache.spark.sql.Row(1L, "image", bmpBytes, "application/octet-stream",
