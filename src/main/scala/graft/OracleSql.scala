@@ -1577,6 +1577,47 @@ object OracleSql {
         |SELECT doc_id, CAST(score AS BIGINT) AS score,
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
         |    AS rank
-        |FROM s QUALIFY rank <= 20""".stripMargin
+        |FROM s QUALIFY rank <= 20""".stripMargin,
+
+    // CCNet-style bigram-LM perplexity, α = 1/10, trained on the lang='en'
+    // slice. Every probability is the integer rational A/B and the
+    // per-bigram cost is floor(4·log2(B/A)) = bitlen(⌊B⁴/A⁴⌋)−1, exact in
+    // HUGEINT — the same quarter-bit value graft's log2_quarter_bits kernel
+    // computes in BigInteger.
+    "q_lm_perplexity" ->
+      """WITH doc AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS arr FROM documents),
+        |refc AS (SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+        |  FROM documents WHERE lang = 'en'),
+        |refbg AS (SELECT arr[i] AS w1, arr[i + 1] AS w2
+        |  FROM refc, unnest(range(1, len(arr))) AS t(i)
+        |  WHERE len(arr) >= 2),
+        |pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM refbg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cctx FROM pc GROUP BY 1),
+        |vocab AS (SELECT CAST(COUNT(DISTINCT tok) + 1 AS BIGINT) AS v
+        |  FROM (SELECT unnest(arr) AS tok FROM refc) WHERE len(tok) > 0),
+        |docbg AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+        |  FROM doc, unnest(range(1, len(arr))) AS t(i)
+        |  WHERE len(arr) >= 2),
+        |ab AS (SELECT d.doc_id,
+        |    CASE WHEN pc.c IS NOT NULL THEN pc.c * 10 + 1 ELSE 1 END AS a,
+        |    CASE WHEN ctx.cctx IS NOT NULL THEN ctx.cctx * 10 + v
+        |         ELSE v END AS b
+        |  FROM docbg d
+        |  LEFT JOIN pc USING (w1, w2)
+        |  LEFT JOIN ctx USING (w1)
+        |  CROSS JOIN vocab),
+        |qcost AS (SELECT doc_id,
+        |    length(bin((CAST(b AS HUGEINT) * b * b * b)
+        |      // (CAST(a AS HUGEINT) * a * a * a))) - 1 AS cost FROM ab),
+        |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cost) AS BIGINT) AS nll FROM qcost GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(s.n, 0) AS n_bigrams,
+        |  COALESCE(s.nll, 0) AS nll_qbits,
+        |  (COALESCE(s.nll, 0) * 1000) // (4 * GREATEST(COALESCE(s.n, 0), 1))
+        |    AS milli_bits_per_token
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN s USING (doc_id)"""
+        .stripMargin
   )
 }

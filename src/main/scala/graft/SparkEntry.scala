@@ -342,6 +342,16 @@ object SparkEntry {
     TextAnalysis.bm25Rational(docs(spark, dir), "doc_id", "text",
       Seq("spark", "vector", "merge"), topK = 20)
 
+  /** CCNet-style LM quality scoring: bigram model trained on the English
+    * slice (the "clean reference"), every document scored in exact
+    * quarter-bit NLL — out-of-language and junk text surfaces as high
+    * milli-bits-per-token, the published head/middle/tail signal. */
+  private def qLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextAnalysis.lmPerplexity(d, "doc_id", "text",
+      d.filter(col("lang") === "en"), "text")
+  }
+
   /** Corpus composition profile per (lang, source): counts, char totals,
     * exact discrete median, corpus share. */
   private def qProfileCorpus(spark: SparkSession, dir: String): DataFrame =
@@ -689,6 +699,7 @@ object SparkEntry {
     "q_chunk_windows" -> (qChunkWindows _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_text_bm25" -> (qTextBm25 _),
+    "q_lm_perplexity" -> (qLmPerplexity _),
     "q_text_winnow" -> (qTextWinnow _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_sample_uniform" -> (qSampleUniform _),

@@ -83,6 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.wordShinglesDescriptor)
     e.injectFunction(GraftFunctions.pairCombinationsDescriptor)
     VectorFunctions.descriptors.foreach(e.injectFunction)
+    FixedLogFunctions.descriptors.foreach(e.injectFunction)
   }
 }
 
@@ -123,6 +124,7 @@ object GraftFunctions {
     WordShingleFunctions.register(spark)
     VectorFunctions.register(spark)
     PairFunctions.register(spark)
+    FixedLogFunctions.register(spark)
   }
 
   /** Column-API entry point (requires [[register]] on the session). */

@@ -344,6 +344,106 @@ object TextAnalysis {
         .over(Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
   }
 
+  /** CCNet-style language-model perplexity scoring with EXACT fixed-point
+    * arithmetic: train an add-α-smoothed bigram LM on a clean reference
+    * slice, score every document by its negative log-likelihood, and rank
+    * for head/middle/tail quality bucketing — the published web-corpus
+    * curation recipe (CCNet, Wenzek et al. 2020; the quality filter behind
+    * LLaMA/CCNet-derived corpora), re-expressed so both engines agree to
+    * the bit.
+    *
+    * The transcendental problem: perplexity is exp/ln-based, and libm
+    * rounding differs engine-to-engine, so real-valued NLL cannot be
+    * hash-compared (same reason [[bm25Rational]] rationalizes idf). Here
+    * every conditional probability is an integer rational
+    *
+    *   p(w₂|w₁) = (c·s + a) / (cctx·s + a·V·s/s)  =  A/B,
+    *   A = c·s + a,  B = cctx·s + a·V        (α = a/s, add-α smoothing)
+    *
+    * with c = reference count of the bigram, cctx = Σ_w c(w₁,w) the
+    * context total, V = reference vocabulary size + 1 (the OOV class),
+    * and the per-bigram cost is log2 QUANTIZED TO QUARTER BITS by the
+    * exact integer identity floor(4·log2(B/A)) = bitlen(⌊B⁴/A⁴⌋) − 1
+    * ([[graft.functions.FixedLogImpl.log2QuarterBits]] — BigInteger-exact
+    * at any corpus scale; the DuckDB oracle states the same value in
+    * HUGEINT). A document's `nll_qbits` is the sum of its bigram costs
+    * (quarter-bits of total negative log₂-likelihood, exact integer) and
+    * `milli_bits_per_token = (1000·nll_qbits) div (4·max(n,1))` is the
+    * quantized bits-per-token figure CCNet thresholds on. Quantization
+    * costs at most 0.25 bits per bigram of precision — far inside the
+    * head/middle/tail bucket widths — and buys bit-determinism.
+    *
+    * Unseen events degrade exactly like the smoothed model says: seen
+    * bigram → A = c·s+a; seen context, unseen bigram → A = a; unseen
+    * context → p = 1/V (cost = floor(4·log2 V)).
+    *
+    * Scale shape: the model is built with two bounded groupBys on the
+    * REFERENCE corpus (bigram counts, then context totals derived from
+    * them — never a second corpus scan), costs are computed once on the
+    * model-sized tables, and scoring is the doc-bigram stream
+    * left-joined to (pair, context) cost tables — broadcast when the
+    * model fits (`maxBroadcastModel`, counted escape to shuffle joins
+    * otherwise), then one groupBy(doc_id). No driver-side state, no
+    * transcendentals, no UDFs in the corpus-sized path. */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      alphaNum: Int = 1, alphaDen: Int = 10,
+      maxBroadcastModel: Long = 4_000_000L): DataFrame = {
+    require(alphaNum >= 1 && alphaDen >= 1,
+      "lmPerplexity needs a positive rational α = alphaNum/alphaDen")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.functions.GraftFunctions.register(ref.sparkSession)
+    import graft.functions.FixedLogFunctions.log2QuarterBits
+    val a = lit(alphaNum.toLong); val s = lit(alphaDen.toLong)
+
+    def bigramsOf(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.filter(size(col("arr")) >= 2)
+        .select(keep :+ explode(transform(
+          sequence(lit(0), size(col("arr")) - 2),
+          i => struct(element_at(col("arr"), i + 1).as("w1"),
+            element_at(col("arr"), i + 2).as("w2")))).as("b"): _*)
+        .select(keep :+ col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
+
+    val refArr = ref.select(tokens(col(refTextCol)).as("arr"))
+    val pc = bigramsOf(refArr, Seq.empty)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val ctx = pc.groupBy(col("w1")).agg(sum(col("c")).as("cctx"))
+    // V = distinct non-empty reference tokens + 1 (the OOV class)
+    val vrow = refArr.select(explode(col("arr")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .agg((count_distinct(col("tok")) + 1).as("v"))
+    val pairCosts = pc.join(ctx, Seq("w1")).crossJoin(broadcast(vrow))
+      .select(col("w1"), col("w2"),
+        log2QuarterBits(col("c") * s + a, col("cctx") * s + a * col("v"))
+          .as("pair_cost"))
+    val ctxCosts = ctx.crossJoin(broadcast(vrow))
+      .select(col("w1"),
+        log2QuarterBits(a, col("cctx") * s + a * col("v")).as("ctx_cost"))
+    // counted broadcast escape: the model is vocabulary-scaled, usually
+    // broadcastable; a shuffle join on the word keys otherwise
+    val (pairSide, ctxSide) =
+      if (pairCosts.count() <= maxBroadcastModel)
+        (broadcast(pairCosts), broadcast(ctxCosts))
+      else (pairCosts, ctxCosts)
+
+    val docsBase = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      tokens(col(textCol)).as("arr"))
+    val scored = bigramsOf(docsBase, Seq(col("doc_id")))
+      .join(pairSide, Seq("w1", "w2"), "left")
+      .join(ctxSide, Seq("w1"), "left")
+      .crossJoin(broadcast(vrow))
+      .select(col("doc_id"), coalesce(col("pair_cost"), col("ctx_cost"),
+        log2QuarterBits(a, a * col("v"))).as("cost"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("nll_qbits"))
+    docsBase.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_qbits"), lit(0L)).as("nll_qbits"))
+      .withColumn("milli_bits_per_token",
+        expr("(nll_qbits * 1000L) div (4L * greatest(n_bigrams, 1L))"))
+  }
+
   /** Sliding word `n`-gram shingles as an array column (distinct, to make
     * set semantics explicit for Jaccard). Text with fewer than `n` words
     * yields one shingle = the whole trimmed text. */

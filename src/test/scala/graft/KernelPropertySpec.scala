@@ -171,4 +171,39 @@ class KernelPropertySpec extends SparkSpec {
       .collect()
       .foreach(r => assert(r.getLong(0) == r.getLong(1), "sig_agreement"))
   }
+
+  test("property: log2_quarter_bits satisfies its defining inequality") {
+    import java.math.BigInteger
+    graft.functions.GraftFunctions.register(spark)
+    // k = floor(4·log2(b/a))  <=>  a⁴·2^k ≤ b⁴ < a⁴·2^(k+1)
+    val pair = for {
+      a <- Gen.chooseNum(1L, 1_000_000_000L)
+      mult <- Gen.chooseNum(1L, 1_000_000L)
+      add <- Gen.chooseNum(0L, 1_000_000L)
+    } yield (a, a * mult + add) // ≤ ~1e15: no Long overflow, any path
+    val cases = sample(pair, 80) ++ Seq(
+      (1L, 1L), (1L, 2L), (3L, 7L), (55108L, 55108L), // long fast path edge
+      (1L, 55108L), (1L, 55109L), (55108L, 55109L),   // path boundary
+      (999_999_999L, 1_000_000_000L))
+    cases.foreach { case (a, b) =>
+      val k = graft.functions.FixedLogImpl.log2QuarterBits(a, b)
+      assert(k != null, s"($a,$b)")
+      val a4 = BigInteger.valueOf(a).pow(4)
+      val b4 = BigInteger.valueOf(b).pow(4)
+      assert(a4.shiftLeft(k.toInt).compareTo(b4) <= 0, s"lower ($a,$b,$k)")
+      assert(b4.compareTo(a4.shiftLeft(k.toInt + 1)) < 0, s"upper ($a,$b,$k)")
+    }
+    // domain: a < 1 or b < a -> null, never a wrong value
+    assert(graft.functions.FixedLogImpl.log2QuarterBits(0L, 5L) == null)
+    assert(graft.functions.FixedLogImpl.log2QuarterBits(7L, 6L) == null)
+    // and the registered expression matches the impl through codegen
+    val df = cases.toDF("a", "b").select(col("a"), col("b"),
+      graft.functions.FixedLogFunctions.log2QuarterBits(col("a"), col("b"))
+        .as("k"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) ==
+        graft.functions.FixedLogImpl.log2QuarterBits(r.getLong(0), r.getLong(1))
+          .longValue(), s"expr vs impl (${r.getLong(0)},${r.getLong(1)})")
+    }
+  }
 }

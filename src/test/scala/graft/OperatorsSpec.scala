@@ -133,6 +133,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_tokens") == 1L)
     assert(out(3L).getAs[Double]("dup_trigram_fraction") == 0.0)
   }
+
+  test("lmPerplexity: hand-computed quarter-bit NLL on a toy model") {
+    // ref: bigrams (the,cat)x2 (cat,sat) (cat,ren); ctx the=2 cat=2;
+    // V = |{the,cat,sat,ren}| + 1 = 5; α = 1/10
+    val ref = Seq((10L, "the cat sat"), (11L, "the cat ren")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat"),  // (the,cat): A=21,B=25 → floor(4·log2(25/21)) = 1
+                            // (cat,sat): A=11,B=25 → (25/11)⁴≈26.7 → 4
+      (2L, "zebra jumps"),  // unseen ctx: A=1,B=5 → 5⁴=625 → 9
+      (3L, "the dog"),      // seen ctx, unseen pair: A=1,B=25 → 18
+      (4L, "hi")            // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmPerplexity(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 5L, 625L)), out(1L))   // 5000 div 8
+    assert(out(2L) == ((1L, 9L, 2250L)), out(2L))  // 9000 div 4
+    assert(out(3L) == ((1L, 18L, 4500L)), out(3L))
+    assert(out(4L) == ((0L, 0L, 0L)), out(4L))
+    // partitioning-independent (exact integer path end to end)
+    val rep = TextAnalysis.lmPerplexity(docs.repartition(7), "doc_id", "text",
+      ref.repartition(3), "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep == out)
+  }
 }
 
 class DedupSpec extends SparkSpec {
