@@ -377,14 +377,22 @@ object TextAnalysis {
     * bigram → A = c·s+a; seen context, unseen bigram → A = a; unseen
     * context → p = 1/V (cost = floor(4·log2 V)).
     *
-    * Scale shape: the model is built with two bounded groupBys on the
-    * REFERENCE corpus (bigram counts, then context totals derived from
-    * them — never a second corpus scan), costs are computed once on the
-    * model-sized tables, and scoring is the doc-bigram stream
-    * left-joined to (pair, context) cost tables — broadcast when the
-    * model fits (`maxBroadcastModel`, counted escape to shuffle joins
-    * otherwise), then one groupBy(doc_id). No driver-side state, no
-    * transcendentals, no UDFs in the corpus-sized path. */
+    * Scale shape: the reference corpus is scanned exactly TWICE — once
+    * for the bigram counts, once for the vocabulary size — and both
+    * results are sealed as model-sized checkpoints, so context totals
+    * and the two cost tables derive from checkpointed blocks, never a
+    * re-scan (without the seal, Catalyst re-plans the whole reference
+    * pipeline under every subtree that uses it — 5+ scans of a slice
+    * that can be TBs at corpus scale). Scoring is the doc-bigram stream
+    * left-joined to the (pair, context) cost tables — broadcast when
+    * the model fits (`maxBroadcastModel`, counted escape to shuffle
+    * joins otherwise; |pairCosts| = |pc|, so the count reads checkpoint
+    * block counts, not a recompute), then one groupBy(doc_id). The DOCUMENT
+    * corpus is scanned exactly once (explode_outer keeps zero-bigram
+    * docs in the same pass — no join-back). No driver-side state, no
+    * transcendentals, no UDFs in the corpus-sized path. The
+    * returned frame depends on the sealed cost tables — a session sweep
+    * reclaims them (the per-operator contract in [[graft.operators.Lifetime]]). */
   def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String,
       alphaNum: Int = 1, alphaDen: Int = 10,
@@ -396,22 +404,28 @@ object TextAnalysis {
     import graft.functions.FixedLogFunctions.log2QuarterBits
     val a = lit(alphaNum.toLong); val s = lit(alphaDen.toLong)
 
-    def bigramsOf(df: DataFrame, keep: Seq[Column]): DataFrame =
-      df.filter(size(col("arr")) >= 2)
-        .select(keep :+ explode(transform(
-          sequence(lit(0), size(col("arr")) - 2),
-          i => struct(element_at(col("arr"), i + 1).as("w1"),
-            element_at(col("arr"), i + 2).as("w2")))).as("b"): _*)
-        .select(keep :+ col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
-
     val refArr = ref.select(tokens(col(refTextCol)).as("arr"))
-    val pc = bigramsOf(refArr, Seq.empty)
+    // reference scan #1: bigram counts — everything else about the model
+    // derives from this checkpoint, never from the corpus again
+    val pc = refArr.filter(size(col("arr")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("arr")) - 2),
+        i => struct(element_at(col("arr"), i + 1).as("w1"),
+          element_at(col("arr"), i + 2).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val ctx = pc.groupBy(col("w1")).agg(sum(col("c")).as("cctx"))
-    // V = distinct non-empty reference tokens + 1 (the OOV class)
+    // reference scan #2: V = distinct non-empty tokens + 1 (the OOV
+    // class). Not derivable from pc — single-token documents contribute
+    // vocabulary but no bigrams.
     val vrow = refArr.select(explode(col("arr")).as("tok"))
       .filter(length(col("tok")) > 0)
       .agg((count_distinct(col("tok")) + 1).as("v"))
+      .localCheckpoint(true)
+    // The cost tables stay lazy — they derive from the pc/vrow
+    // checkpoints with model-sized work, so recomputing them under the
+    // scoring plan costs nothing corpus-shaped.
     val pairCosts = pc.join(ctx, Seq("w1")).crossJoin(broadcast(vrow))
       .select(col("w1"), col("w2"),
         log2QuarterBits(col("c") * s + a, col("cctx") * s + a * col("v"))
@@ -420,28 +434,38 @@ object TextAnalysis {
       .select(col("w1"),
         log2QuarterBits(a, col("cctx") * s + a * col("v")).as("ctx_cost"))
     // counted broadcast escape: the model is vocabulary-scaled, usually
-    // broadcastable; a shuffle join on the word keys otherwise
+    // broadcastable; a shuffle join on the word keys otherwise. The
+    // inner join on w1 preserves every pc row (ctx is pc's own margin),
+    // so |pairCosts| = |pc| — a free count on the checkpoint.
     val (pairSide, ctxSide) =
-      if (pairCosts.count() <= maxBroadcastModel)
+      if (pc.count() <= maxBroadcastModel)
         (broadcast(pairCosts), broadcast(ctxCosts))
       else (pairCosts, ctxCosts)
 
-    val docsBase = docs.select(col(idCol).cast(LongType).as("doc_id"),
-      tokens(col(textCol)).as("arr"))
-    val scored = bigramsOf(docsBase, Seq(col("doc_id")))
+    // ONE corpus scan: explode_outer keeps zero-bigram documents as a
+    // single all-null row (the ungated `when` is null below 2 tokens),
+    // so the groupBy covers every document and no corpus-wide join-back
+    // (a second scan + sort-merge join) is needed. The cost is gated on
+    // w1 (real tokens are never null) so the placeholder row scores 0.
+    val scored = docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        tokens(col(textCol)).as("arr"))
+      .select(col("doc_id"), explode_outer(when(size(col("arr")) >= 2,
+        transform(sequence(lit(0), size(col("arr")) - 2),
+          i => struct(element_at(col("arr"), i + 1).as("w1"),
+            element_at(col("arr"), i + 2).as("w2"))))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .join(pairSide, Seq("w1", "w2"), "left")
       .join(ctxSide, Seq("w1"), "left")
       .crossJoin(broadcast(vrow))
-      .select(col("doc_id"), coalesce(col("pair_cost"), col("ctx_cost"),
-        log2QuarterBits(a, a * col("v"))).as("cost"))
+      .select(col("doc_id"), when(col("w1").isNotNull,
+        coalesce(col("pair_cost"), col("ctx_cost"),
+          log2QuarterBits(a, a * col("v")))).as("cost"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("nll_qbits"))
-    docsBase.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("nll_qbits"), lit(0L)).as("nll_qbits"))
-      .withColumn("milli_bits_per_token",
-        expr("(nll_qbits * 1000L) div (4L * greatest(n_bigrams, 1L))"))
+      .agg(count(col("cost")).as("n_bigrams"),
+        coalesce(sum(col("cost")), lit(0L)).as("nll_qbits"))
+    scored.withColumn("milli_bits_per_token",
+      expr("(nll_qbits * 1000L) div (4L * greatest(n_bigrams, 1L))"))
   }
 
   /** Sliding word `n`-gram shingles as an array column (distinct, to make
