@@ -1618,6 +1618,70 @@ object OracleSql {
         |  (COALESCE(s.nll, 0) * 1000) // (4 * GREATEST(COALESCE(s.n, 0), 1))
         |    AS milli_bits_per_token
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN s USING (doc_id)"""
-        .stripMargin
+        .stripMargin,
+
+    // DSIR importance selection: the CCNet bigram-LM construction twice —
+    // target model on lang='en', background model on the whole pool —
+    // priced over one shared doc-bigram stream; importance is the exact
+    // quarter-bit NLL difference and the top 200 (desc, ties by doc_id)
+    // are ranked.
+    "q_dsir_select" ->
+      """WITH doc AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS arr FROM documents),
+        |docbg AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+        |  FROM doc, unnest(range(1, len(arr))) AS t(i)
+        |  WHERE len(arr) >= 2),
+        |tref AS (SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+        |  FROM documents WHERE lang = 'en'),
+        |tpc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS tc
+        |  FROM (SELECT arr[i] AS w1, arr[i + 1] AS w2
+        |    FROM tref, unnest(range(1, len(arr))) AS t(i)
+        |    WHERE len(arr) >= 2) GROUP BY 1, 2),
+        |tctx AS (SELECT w1, CAST(SUM(tc) AS BIGINT) AS tcctx
+        |  FROM tpc GROUP BY 1),
+        |tvoc AS (SELECT CAST(COUNT(DISTINCT tok) + 1 AS BIGINT) AS tv
+        |  FROM (SELECT unnest(arr) AS tok FROM tref) WHERE len(tok) > 0),
+        |bref AS (SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |bpc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bc
+        |  FROM (SELECT arr[i] AS w1, arr[i + 1] AS w2
+        |    FROM bref, unnest(range(1, len(arr))) AS t(i)
+        |    WHERE len(arr) >= 2) GROUP BY 1, 2),
+        |bctx AS (SELECT w1, CAST(SUM(bc) AS BIGINT) AS bcctx
+        |  FROM bpc GROUP BY 1),
+        |bvoc AS (SELECT CAST(COUNT(DISTINCT tok) + 1 AS BIGINT) AS bv
+        |  FROM (SELECT unnest(arr) AS tok FROM bref) WHERE len(tok) > 0),
+        |ab AS (SELECT d.doc_id,
+        |    CASE WHEN tpc.tc IS NOT NULL THEN tpc.tc * 10 + 1
+        |         ELSE 1 END AS ta,
+        |    CASE WHEN tctx.tcctx IS NOT NULL THEN tctx.tcctx * 10 + tv
+        |         ELSE tv END AS tb,
+        |    CASE WHEN bpc.bc IS NOT NULL THEN bpc.bc * 10 + 1
+        |         ELSE 1 END AS ba,
+        |    CASE WHEN bctx.bcctx IS NOT NULL THEN bctx.bcctx * 10 + bv
+        |         ELSE bv END AS bb
+        |  FROM docbg d
+        |  LEFT JOIN tpc USING (w1, w2)
+        |  LEFT JOIN tctx USING (w1)
+        |  LEFT JOIN bpc USING (w1, w2)
+        |  LEFT JOIN bctx USING (w1)
+        |  CROSS JOIN tvoc CROSS JOIN bvoc),
+        |qcost AS (SELECT doc_id,
+        |    length(bin((CAST(tb AS HUGEINT) * tb * tb * tb)
+        |      // (CAST(ta AS HUGEINT) * ta * ta * ta))) - 1 AS tcost,
+        |    length(bin((CAST(bb AS HUGEINT) * bb * bb * bb)
+        |      // (CAST(ba AS HUGEINT) * ba * ba * ba))) - 1 AS bcost
+        |  FROM ab),
+        |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(tcost) AS BIGINT) AS nt,
+        |    CAST(SUM(bcost) AS BIGINT) AS nb FROM qcost GROUP BY 1),
+        |scored AS (SELECT d.doc_id, COALESCE(s.n, 0) AS n_bigrams,
+        |    COALESCE(s.nt, 0) AS nll_target_qbits,
+        |    COALESCE(s.nb, 0) AS nll_background_qbits,
+        |    COALESCE(s.nb, 0) - COALESCE(s.nt, 0) AS importance_qbits
+        |  FROM (SELECT doc_id FROM documents) d LEFT JOIN s USING (doc_id))
+        |SELECT *, CAST(row_number() OVER (ORDER BY importance_qbits DESC,
+        |    doc_id) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 200""".stripMargin
   )
 }

@@ -352,6 +352,16 @@ object SparkEntry {
       d.filter(col("lang") === "en"), "text")
   }
 
+  /** DSIR-style data selection: exact quarter-bit log-likelihood ratio
+    * between a bigram LM trained on the English slice (target) and one
+    * trained on the whole pool (background); top 200 most target-like
+    * documents. */
+  private def qDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextAnalysis.dsirSelect(d, "doc_id", "text",
+      d.filter(col("lang") === "en"), "text", d, "text", k = 200)
+  }
+
   /** Corpus composition profile per (lang, source): counts, char totals,
     * exact discrete median, corpus share. */
   private def qProfileCorpus(spark: SparkSession, dir: String): DataFrame =
@@ -700,6 +710,7 @@ object SparkEntry {
     "q_vocab_topk" -> (qVocabTopk _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_lm_perplexity" -> (qLmPerplexity _),
+    "q_dsir_select" -> (qDsirSelect _),
     "q_text_winnow" -> (qTextWinnow _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_sample_uniform" -> (qSampleUniform _),

@@ -397,16 +397,55 @@ object TextAnalysis {
       ref: DataFrame, refTextCol: String,
       alphaNum: Int = 1, alphaDen: Int = 10,
       maxBroadcastModel: Long = 4_000_000L): DataFrame = {
-    require(alphaNum >= 1 && alphaDen >= 1,
-      "lmPerplexity needs a positive rational α = alphaNum/alphaDen")
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    val m = lmModel(ref, refTextCol, alphaNum, alphaDen, maxBroadcastModel,
+      suffix = "")
+    docBigrams(docs, idCol, textCol)
+      .transform(m.costed)
+      .groupBy(col("doc_id"))
+      .agg(count(col("cost")).as("n_bigrams"),
+        coalesce(sum(col("cost")), lit(0L)).as("nll_qbits"))
+      .withColumn("milli_bits_per_token",
+        expr("(nll_qbits * 1000L) div (4L * greatest(n_bigrams, 1L))"))
+  }
+
+  /** A trained fixed-point bigram LM: checkpointed cost tables plus the
+    * join that prices a bigram stream. `costed` appends `cost<suffix>`
+    * (null exactly on the explode_outer placeholder row). */
+  private final case class LmModel(pairSide: DataFrame, ctxSide: DataFrame,
+      vrow: DataFrame, suffix: String, a: Column, s: Column) {
+    def costed(bigrams: DataFrame): DataFrame = {
+      import graft.functions.FixedLogFunctions.log2QuarterBits
+      bigrams
+        .join(pairSide, Seq("w1", "w2"), "left")
+        .join(ctxSide, Seq("w1"), "left")
+        .crossJoin(broadcast(vrow))
+        .withColumn("cost" + suffix, when(col("w1").isNotNull,
+          coalesce(col("pair_cost" + suffix), col("ctx_cost" + suffix),
+            log2QuarterBits(a, a * col("v" + suffix)))))
+        .drop("pair_cost" + suffix, "ctx_cost" + suffix, "v" + suffix)
+    }
+  }
+
+  /** Train the add-α bigram model on `ref`: exactly TWO reference scans
+    * (bigram counts, vocabulary), both sealed as model-sized checkpoints
+    * so every table derived from them reads checkpointed blocks, never
+    * the corpus (without the seal Catalyst re-plans the whole reference
+    * pipeline under each subtree — 5+ scans of a slice that can be TBs).
+    * Cost tables stay lazy (model-sized recompute is free); the broadcast
+    * escape counts the pc checkpoint (|pairCosts| = |pc| — ctx is pc's
+    * own margin, the inner join preserves every row). The checkpoints
+    * live until a session sweep ([[Lifetime]] contract). */
+  private def lmModel(ref: DataFrame, refTextCol: String,
+      alphaNum: Int, alphaDen: Int, maxBroadcastModel: Long,
+      suffix: String): LmModel = {
+    require(alphaNum >= 1 && alphaDen >= 1,
+      "lm scoring needs a positive rational α = alphaNum/alphaDen")
     graft.functions.GraftFunctions.register(ref.sparkSession)
     import graft.functions.FixedLogFunctions.log2QuarterBits
     val a = lit(alphaNum.toLong); val s = lit(alphaDen.toLong)
-
     val refArr = ref.select(tokens(col(refTextCol)).as("arr"))
-    // reference scan #1: bigram counts — everything else about the model
-    // derives from this checkpoint, never from the corpus again
+    // reference scan #1: bigram counts
     val pc = refArr.filter(size(col("arr")) >= 2)
       .select(explode(transform(
         sequence(lit(0), size(col("arr")) - 2),
@@ -421,33 +460,32 @@ object TextAnalysis {
     // vocabulary but no bigrams.
     val vrow = refArr.select(explode(col("arr")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .agg((count_distinct(col("tok")) + 1).as("v"))
+      .agg((count_distinct(col("tok")) + 1).as("v" + suffix))
       .localCheckpoint(true)
-    // The cost tables stay lazy — they derive from the pc/vrow
-    // checkpoints with model-sized work, so recomputing them under the
-    // scoring plan costs nothing corpus-shaped.
+    val v = col("v" + suffix)
     val pairCosts = pc.join(ctx, Seq("w1")).crossJoin(broadcast(vrow))
       .select(col("w1"), col("w2"),
-        log2QuarterBits(col("c") * s + a, col("cctx") * s + a * col("v"))
-          .as("pair_cost"))
+        log2QuarterBits(col("c") * s + a, col("cctx") * s + a * v)
+          .as("pair_cost" + suffix))
     val ctxCosts = ctx.crossJoin(broadcast(vrow))
       .select(col("w1"),
-        log2QuarterBits(a, col("cctx") * s + a * col("v")).as("ctx_cost"))
-    // counted broadcast escape: the model is vocabulary-scaled, usually
-    // broadcastable; a shuffle join on the word keys otherwise. The
-    // inner join on w1 preserves every pc row (ctx is pc's own margin),
-    // so |pairCosts| = |pc| — a free count on the checkpoint.
+        log2QuarterBits(a, col("cctx") * s + a * v).as("ctx_cost" + suffix))
     val (pairSide, ctxSide) =
       if (pc.count() <= maxBroadcastModel)
         (broadcast(pairCosts), broadcast(ctxCosts))
       else (pairCosts, ctxCosts)
+    LmModel(pairSide, ctxSide, vrow, suffix, a, s)
+  }
 
-    // ONE corpus scan: explode_outer keeps zero-bigram documents as a
-    // single all-null row (the ungated `when` is null below 2 tokens),
-    // so the groupBy covers every document and no corpus-wide join-back
-    // (a second scan + sort-merge join) is needed. The cost is gated on
-    // w1 (real tokens are never null) so the placeholder row scores 0.
-    val scored = docs
+  /** ONE corpus scan: explode_outer keeps zero-bigram documents as a
+    * single all-null row (the ungated `when` is null below 2 tokens), so
+    * a downstream groupBy covers every document and no corpus-wide
+    * join-back (a second scan + sort-merge join) is needed. Cost columns
+    * are gated on w1 (real tokens are never null), so the placeholder
+    * row prices to null and sums to 0. */
+  private def docBigrams(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
       .select(col(idCol).cast(LongType).as("doc_id"),
         tokens(col(textCol)).as("arr"))
       .select(col("doc_id"), explode_outer(when(size(col("arr")) >= 2,
@@ -455,17 +493,63 @@ object TextAnalysis {
           i => struct(element_at(col("arr"), i + 1).as("w1"),
             element_at(col("arr"), i + 2).as("w2"))))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .join(pairSide, Seq("w1", "w2"), "left")
-      .join(ctxSide, Seq("w1"), "left")
-      .crossJoin(broadcast(vrow))
-      .select(col("doc_id"), when(col("w1").isNotNull,
-        coalesce(col("pair_cost"), col("ctx_cost"),
-          log2QuarterBits(a, a * col("v")))).as("cost"))
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): train the SAME
+    * fixed-point bigram LM on a target (in-domain) slice and on a
+    * background (raw) slice, and score every document by the exact
+    * quarter-bit log-likelihood ratio
+    *
+    *   importance_qbits = nll_background − nll_target
+    *                    ≈ 4·log2( p_target(doc) / p_background(doc) )
+    *
+    * — positive when the document looks more like the target corpus than
+    * like the raw pool, the published importance weight with hashed
+    * n-gram features replaced by the exact bigram tables (and therefore
+    * bit-reproducible cross-engine, unlike the float log-ratios in the
+    * paper's implementation).
+    *
+    * Scale shape: both models are built by [[lmModel]] (two bounded
+    * scans each, checkpoint-sealed); the document corpus is scanned
+    * ONCE — the same bigram stream is priced under both models in one
+    * pass (four broadcast joins with counted escapes), then one
+    * groupBy(doc_id). */
+  def dsirImportance(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      background: DataFrame, bgTextCol: String,
+      alphaNum: Int = 1, alphaDen: Int = 10,
+      maxBroadcastModel: Long = 4_000_000L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val mt = lmModel(target, targetTextCol, alphaNum, alphaDen,
+      maxBroadcastModel, suffix = "_t")
+    val mb = lmModel(background, bgTextCol, alphaNum, alphaDen,
+      maxBroadcastModel, suffix = "_b")
+    docBigrams(docs, idCol, textCol)
+      .transform(mt.costed)
+      .transform(mb.costed)
       .groupBy(col("doc_id"))
-      .agg(count(col("cost")).as("n_bigrams"),
-        coalesce(sum(col("cost")), lit(0L)).as("nll_qbits"))
-    scored.withColumn("milli_bits_per_token",
-      expr("(nll_qbits * 1000L) div (4L * greatest(n_bigrams, 1L))"))
+      .agg(count(col("cost_t")).as("n_bigrams"),
+        coalesce(sum(col("cost_t")), lit(0L)).as("nll_target_qbits"),
+        coalesce(sum(col("cost_b")), lit(0L)).as("nll_background_qbits"))
+      .withColumn("importance_qbits",
+        col("nll_background_qbits") - col("nll_target_qbits"))
+  }
+
+  /** DSIR selection: the top `k` documents by importance (desc, ties by
+    * doc_id). `orderBy.limit(k)` is TakeOrderedAndProject — map-side
+    * top-k, no global sort — and `row_number` ranks only the k
+    * survivors. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      background: DataFrame, bgTextCol: String, k: Int,
+      alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    dsirImportance(docs, idCol, textCol, target, targetTextCol,
+      background, bgTextCol, alphaNum, alphaDen)
+      .orderBy(col("importance_qbits").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("importance_qbits").desc, col("doc_id")))
+        .cast(LongType))
   }
 
   /** Sliding word `n`-gram shingles as an array column (distinct, to make

@@ -159,6 +159,35 @@ class TextAnalysisSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(rep == out)
   }
+
+  test("dsirImportance/dsirSelect: hand-computed quarter-bit log-ratios") {
+    // target: tpc (the,cat)x2 (cat,sat) (cat,ren); tctx the=2 cat=2; tV=5
+    // background adds (zebra,jumps); bctx zebra=1; bV=7
+    val target = Seq((10L, "the cat sat"), (11L, "the cat ren"))
+      .toDF("doc_id", "text")
+    val bg = Seq((10L, "the cat sat"), (11L, "the cat ren"),
+      (12L, "zebra jumps")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat"), // t: 1+4=5  b: floor(4lg(27/21))=1, floor(4lg(27/11))=5 → 6
+      (2L, "zebra jumps"), // t: unseen ctx → bitlen(5^4)-1=9; b: A=11,B=17 → 2
+      (3L, "the dog"),     // t: A=1,B=25 → 18; b: A=1,B=27 → 19
+      (4L, "hi")           // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirImportance(docs, "doc_id", "text",
+      target, "text", bg, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((2L, 5L, 6L, 1L)), out(1L))
+    assert(out(2L) == ((1L, 9L, 2L, -7L)), out(2L))
+    assert(out(3L) == ((1L, 18L, 19L, 1L)), out(3L))
+    assert(out(4L) == ((0L, 0L, 0L, 0L)), out(4L))
+    // selection: importance desc, doc_id ties → 1, 3, 4
+    val sel = TextAnalysis.dsirSelect(docs, "doc_id", "text",
+      target, "text", bg, "text", k = 3)
+      .select("doc_id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sel == Map(1L -> 1L, 3L -> 2L, 4L -> 3L), sel)
+  }
 }
 
 class DedupSpec extends SparkSpec {
