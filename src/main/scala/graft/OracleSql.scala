@@ -1208,6 +1208,33 @@ object OracleSql {
         |    AS rank
         |FROM s QUALIFY rank <= 5""".stripMargin,
 
+    // Hard-negative mining: q_sim_ivf's probe construction with the label
+    // inequality applied to the CANDIDATES (before ranking), so the top-5
+    // are the best different-label vectors in the probed cells.
+    "q_sim_hardneg" ->
+      s"""WITH $ivfRefinedCellCtes,
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+        |  FROM embeddings),
+        |probes AS (SELECT vid AS query_id, cid FROM asg WHERE vid < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) <= 2),
+        |cand AS (SELECT DISTINCT probes.query_id, cells.vid AS corpus_id,
+        |    cl.label AS neg_label
+        |  FROM probes JOIN cells ON cells.cid = probes.cid
+        |  JOIN lab al ON al.vec_id = probes.query_id
+        |  JOIN lab cl ON cl.vec_id = cells.vid
+        |  WHERE al.label <> cl.label),
+        |s AS (SELECT query_id, corpus_id, neg_label,
+        |    CAST(SUM(CAST(qe.x * ce.x AS DECIMAL(25,12))) AS DOUBLE) AS score
+        |  FROM cand
+        |  JOIN el qe ON qe.vec_id = query_id
+        |  JOIN el ce ON ce.vec_id = corpus_id AND qe.i = ce.i
+        |  GROUP BY 1, 2, 3)
+        |SELECT query_id, corpus_id, neg_label, score,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS BIGINT)
+        |    AS rank
+        |FROM s QUALIFY rank <= 5""".stripMargin,
+
     // Two-level IVF: fine = 16 smallest md5_60(vec_id), coarse = first 4
     // of the same order (coarse ⊆ fine ⊆ corpus, so ONE corpus×fine
     // distance CTE `d` covers every pair the hierarchy needs). Each stage

@@ -552,6 +552,18 @@ object SparkEntry {
       k = 5, nprobe = 2)
   }
 
+  /** Contrastive hard-negative mining: for the first 10 anchors, the 5
+    * most-similar vectors with a different label, candidates drawn from
+    * 2 probed IVF cells. */
+  private def qSimHardneg(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding",
+      numCentroids = 16, refineRounds = 1)
+    Similarity.hardNegativesIvf(idx, e, "vec_id", "label",
+      e.filter(col("vec_id") < 10), "vec_id", "embedding", "label",
+      k = 5, nprobe = 2)
+  }
+
   private def qSimLshMp(spark: SparkSession, dir: String): DataFrame = {
     val idx = Similarity.writeLshIndex(emb(spark, dir), "vec_id", "embedding",
       indexDir("lshmp", dir), planes = 8, tables = 2)
@@ -737,6 +749,7 @@ object SparkEntry {
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_lsh_mp" -> (qSimLshMp _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_sim_hardneg" -> (qSimHardneg _),
     "q_sim_ivf2" -> (qSimIvf2 _),
     "q_sim_pq" -> (qSimPq _),
     "q_sim_ivfpq" -> (qSimIvfPq _),

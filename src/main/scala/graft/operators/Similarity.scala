@@ -504,6 +504,54 @@ object Similarity {
       .select("query_id", "corpus_id", "score", "rank")
   }
 
+  /** Label-aware HARD-NEGATIVE mining for contrastive training data:
+    * for each anchor, the top-k most-similar corpus vectors whose label
+    * DIFFERS from the anchor's — the nearly-positive impostors a
+    * contrastive/metric-learning loss wants as negatives. Mined through
+    * the IVF index, so each anchor scores only its `nprobe` nearest
+    * cells' members, not the corpus; the label inequality is applied to
+    * the CANDIDATES before ranking (filtering an unlabeled top-k after
+    * the fact would under-fill k whenever same-label positives dominate
+    * a neighborhood — exactly the anchors hard negatives matter for).
+    * An anchor drawn from the corpus never returns itself: its own row
+    * shares its label.
+    *
+    * Scale shape: centroids and probes broadcast (anchor-set-scaled);
+    * ONE thin corpus-sized join rides `(id, label)` onto the cell table
+    * — both sides hash on corpus_id, no payload wider than the label;
+    * exact quantized scoring and id tie-breaks as everywhere in this
+    * family, so the result is deterministic and oracle-checkable. */
+  def hardNegativesIvf(index: IvfIndex,
+      corpusLabels: DataFrame, labelIdCol: String, labelCol: String,
+      anchors: DataFrame, anchorId: String, anchorVec: String,
+      anchorLabel: String, k: Int, nprobe: Int = 2): DataFrame = {
+    registered(anchors)
+    val cent = broadcast(index.centroids)
+    val probes = anchors.select(col(anchorId).as("query_id"),
+        V.quantize6(col(anchorVec)).as("qq"),
+        col(anchorLabel).cast(LongType).as("a_label"))
+      .withColumn("q_s2", V.dotQ12(col("qq"), col("qq")))
+      .crossJoin(cent)
+      .withColumn("d2", ivfD2(col("qq"), col("q_s2")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("cent_id"))))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qq"), col("a_label"), col("cent_id"))
+    val cellsL = index.cells.join(
+      corpusLabels.select(col(labelIdCol).as("corpus_id"),
+        col(labelCol).cast(LongType).as("neg_label")),
+      Seq("corpus_id"))
+    val scored = cellsL.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("a_label") =!= col("neg_label"))
+      .withColumn("score", V.dotQ12(col("qq"), col("cq")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "neg_label", "score", "rank")
+  }
+
   /** MULTI-PROBE RHP-LSH ANN — [[lshTopK]] with 1-bit probe expansion:
     * each query probes its base bucket PLUS every 1-bit-flip neighbor in
     * each table (the planes whose sign was closest to flipping are

@@ -829,6 +829,49 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1).getLong(1) == 1L)
   }
 
+  test("hardNegativesIvf: nearest same-label impostor is excluded") {
+    // labels: 0,1 → A; 2 → B; 3 → C. Anchor 0's nearest neighbor is 1
+    // (dot 0.9) but shares label A — hard negatives must be {2, 3}
+    // (both dot 0, tie → corpus_id order), and the anchor itself never
+    // appears (own label).
+    val labeled = Seq((0L, 10), (1L, 10), (2L, 20), (3L, 30))
+      .toDF("vec_id", "label")
+    val corpus = vecs.join(labeled, "vec_id")
+    val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      numCentroids = 4)
+    val out = Similarity.hardNegativesIvf(idx, corpus, "vec_id", "label",
+      corpus.filter(col("vec_id") === 0L), "vec_id", "embedding", "label",
+      k = 2, nprobe = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(out.toSeq == Seq((2L, 20L, 1L), (3L, 30L, 2L)), s"got ${out.toSeq}")
+  }
+
+  test("hardNegativesIvf full-probe == exact filtered ranking (sf0.001)") {
+    val e = spark.read.parquet(sf("embeddings"))
+    val n = e.count().toInt
+    val anchors = e.filter(col("vec_id") < 10)
+    val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding",
+      numCentroids = 16, refineRounds = 1)
+    val got = Similarity.hardNegativesIvf(idx, e, "vec_id", "label",
+      anchors, "vec_id", "embedding", "label", k = 5, nprobe = 16)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // oracle: ALL exact pair scores, label-filtered in the driver, re-ranked
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val all = Similarity.bruteForceTopK(anchors, "vec_id", "embedding",
+      e, "vec_id", "embedding", k = n)
+      .select("query_id", "corpus_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = all.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.filter(r => labels(r._2) != labels(q))
+        .sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+        .map { case (r, i) => (q, r._2, (i + 1).toLong) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("ANN recall on sf0.001: multi-probe >= single-probe; all nonzero") {
     // recall@5 vs the exact brute-force baseline over the real embedding
     // corpus — the quality axis of the approximate family
