@@ -914,8 +914,19 @@ class SimilaritySpec extends SparkSpec {
       numSubspaces = 4, numCodes = 16, residual = true)))
     assert(pq > 0.0 && ivfpq > 0.0 && ivfpqRes > 0.0,
       s"degenerate compressed-family recall: pq=$pq ivfpq=$ivfpq res=$ivfpqRes")
+    // PRODUCTION-budget ADC: M=8 subspaces × 256 codes (the standard
+    // PQ configuration) must recover most of what the 4×16 demo budget
+    // loses — with 8-dim subspaces and a 256-entry codebook over a
+    // 500-vector corpus, quantization error is small enough that ADC
+    // ranking approaches the exact ordering.
+    val pqProd = recall(topkSet(Similarity.pqTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding",
+      k = 5, numSubspaces = 8, numCodes = 256)))
+    assert(pqProd >= pq,
+      s"production budget 8x256 recall $pqProd under demo 4x16 $pq")
+    assert(pqProd >= 0.5, s"production-budget ADC recall too low: $pqProd")
     println(s"[recall@5 sf0.001] lsh=$single multi=$multi ivf=$ivf " +
-      s"pq=$pq ivfpq=$ivfpq ivfpq_res=$ivfpqRes")
+      s"pq=$pq ivfpq=$ivfpq ivfpq_res=$ivfpqRes pq_8x256=$pqProd")
   }
 
   test("production PQ budget (M=8, 256 codes): residual ADC ~= IVF recall") {
