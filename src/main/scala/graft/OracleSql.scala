@@ -1208,6 +1208,19 @@ object OracleSql {
         |    AS rank
         |FROM s QUALIFY rank <= 5""".stripMargin,
 
+    // Prototype-distance pruning: every vector's exact d2 to its OWN
+    // refined centroid (the (vid, cid) row of asg selected by cells),
+    // hardest-first rank per cell, 20 kept.
+    "q_prune_prototypes" ->
+      s"""WITH $ivfRefinedCellCtes,
+        |own AS (SELECT c.vid AS corpus_id, c.cid AS cent_id, a.d2
+        |  FROM cells c JOIN asg a ON a.vid = c.vid AND a.cid = c.cid)
+        |SELECT corpus_id, cent_id, d2,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY cent_id ORDER BY d2 DESC, corpus_id) AS BIGINT)
+        |    AS hard_rank
+        |FROM own QUALIFY hard_rank <= 20""".stripMargin,
+
     // Hard-negative mining: q_sim_ivf's probe construction with the label
     // inequality applied to the CANDIDATES (before ranking), so the top-5
     // are the best different-label vectors in the probed cells.

@@ -552,6 +552,13 @@ object SparkEntry {
       k = 5, nprobe = 2)
   }
 
+  /** Prototype-distance pruning: keep the 20 hardest (least prototypical)
+    * vectors per refined cluster — the Sorscher et al. data-pruning
+    * selection. */
+  private def qPrunePrototypes(spark: SparkSession, dir: String): DataFrame =
+    Similarity.prunePrototypes(emb(spark, dir), "vec_id", "embedding",
+      numCentroids = 16, refineRounds = 1, keepPerCell = 20)
+
   /** Contrastive hard-negative mining: for the first 10 anchors, the 5
     * most-similar vectors with a different label, candidates drawn from
     * 2 probed IVF cells. */
@@ -750,6 +757,7 @@ object SparkEntry {
     "q_sim_lsh_mp" -> (qSimLshMp _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_hardneg" -> (qSimHardneg _),
+    "q_prune_prototypes" -> (qPrunePrototypes _),
     "q_sim_ivf2" -> (qSimIvf2 _),
     "q_sim_pq" -> (qSimPq _),
     "q_sim_ivfpq" -> (qSimIvfPq _),

@@ -552,6 +552,37 @@ object Similarity {
       .select("query_id", "corpus_id", "neg_label", "score", "rank")
   }
 
+  /** Prototype-distance data pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws"): cluster the embedding corpus, measure every
+    * vector's distance to its cluster prototype (the refined centroid),
+    * and KEEP the `keepPerCell` HARDEST examples per cluster — largest
+    * d2, the least-prototypical points. Pruning easy/prototypical
+    * examples is the published recipe for beating power-law scaling
+    * when data is abundant; `hard_rank` = 1 is the hardest.
+    *
+    * Scale shape: one corpus pass for assignment ([[ivfCells]] — the
+    * shuffle carries one row per vector), centroids broadcast (fixed
+    * K), hardness ranked per cell — a bounded window per cluster, the
+    * same shape as every per-cell stage in this family. The per-cell
+    * budget (not a global top-N) keeps the selection embarrassingly
+    * parallel and deterministic: d2 is exact quantized arithmetic, ties
+    * break on id. */
+  def prunePrototypes(corpus: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int = 16, refineRounds: Int = 1,
+      keepPerCell: Int = 20): DataFrame = {
+    registered(corpus)
+    val idx = buildIvfIndex(corpus, idCol, vecCol, numCentroids,
+      refineRounds)
+    idx.cells.join(broadcast(idx.centroids), Seq("cent_id"))
+      .withColumn("c_s2", V.dotQ12(col("cq"), col("cq")))
+      .withColumn("d2", ivfD2(col("cq"), col("c_s2")))
+      .withColumn("hard_rank", row_number().over(
+        Window.partitionBy(col("cent_id"))
+          .orderBy(col("d2").desc, col("corpus_id"))).cast(LongType))
+      .filter(col("hard_rank") <= keepPerCell)
+      .select("corpus_id", "cent_id", "d2", "hard_rank")
+  }
+
   /** MULTI-PROBE RHP-LSH ANN — [[lshTopK]] with 1-bit probe expansion:
     * each query probes its base bucket PLUS every 1-bit-flip neighbor in
     * each table (the planes whose sign was closest to flipping are

@@ -829,6 +829,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1).getLong(1) == 1L)
   }
 
+  test("prunePrototypes: keeps the hardest per cell, hand-checked") {
+    // K=2, no refinement: centroids {1, 2} (md5_60 order); cells
+    // c1 = {0, 1, 3}, c2 = {2}. d2 to c1: v3 = 1.82, v0 = 0.02, v1 = 0
+    // → hardest-first v3, v0, v1; keep 2. c2: v2 alone.
+    val out = Similarity.prunePrototypes(vecs, "vec_id", "embedding",
+      numCentroids = 2, refineRounds = 0, keepPerCell = 2)
+      .select("corpus_id", "cent_id", "hard_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((3L, 1L, 1L), (0L, 1L, 2L), (2L, 2L, 1L)), out)
+    // an unbounded budget keeps the whole corpus, each exactly once
+    val all = Similarity.prunePrototypes(vecs, "vec_id", "embedding",
+      numCentroids = 2, refineRounds = 0, keepPerCell = 1000)
+      .select("corpus_id").collect().map(_.getLong(0)).sorted
+    assert(all.toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("hardNegativesIvf: nearest same-label impostor is excluded") {
     // labels: 0,1 → A; 2 → B; 3 → C. Anchor 0's nearest neighbor is 1
     // (dot 0.9) but shares label A — hard negatives must be {2, 3}
