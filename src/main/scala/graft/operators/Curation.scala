@@ -119,6 +119,54 @@ object Curation {
       .parquet(s"$outDir/batch=$batchId")
   }
 
+  /** One micro-batch of streaming perplexity gating: score the batch
+    * under a FROZEN bigram LM (trained once on a static clean reference
+    * — the stream never retrains it, so every batch is judged by the
+    * same yardstick and replays are deterministic) and land only
+    * documents at or under `maxMilliBits` milli-bits-per-token in a
+    * replay-safe `batch=<id>` directory (Overwrite ⇒ at-least-once
+    * replay rewrites rather than duplicates). Scoring is stateless
+    * given the model: the model tables are broadcast, the batch makes
+    * one pass, survivors semi-join back batch-sized. Exposed so specs
+    * and manual repair can drive the exact path the stream runs. */
+  def lmGateBatch(batch: DataFrame, batchId: Long,
+      model: TextAnalysis.LmModel, idCol: String, textCol: String,
+      maxMilliBits: Long, outDir: String): Unit = {
+    val idType = batch.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"lmGateBatch requires a numeric id column (castable to LONG); " +
+        s"'$idCol' is ${idType.simpleString}")
+    val keep = model.score(batch, idCol, textCol)
+      .filter(col("milli_bits_per_token") <= maxMilliBits)
+      .select(col("doc_id"))
+    batch.join(keep,
+        batch(idCol).cast(org.apache.spark.sql.types.LongType)
+          === keep("doc_id"), "left_semi")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/batch=$batchId")
+  }
+
+  /** Streaming CCNet-style quality gating: every micro-batch is scored
+    * under the frozen reference LM and only sufficiently-target-like
+    * documents land — perplexity filtering AT INGEST, the head/middle
+    * cut of the published recipe applied continuously. Train the model
+    * once with [[TextAnalysis.trainLm]] before starting the stream. */
+  def streamingLmGate(
+      stream: DataFrame, idCol: String, textCol: String,
+      model: TextAnalysis.LmModel, maxMilliBits: Long,
+      outDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("65 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lmGateBatch(batch, batchId, model, idCol, textCol,
+          maxMilliBits, outDir)
+      }
+      .start()
+
   /** Streaming decontamination: every micro-batch is screened against a
     * static evaluation corpus (the standard any-shared-8-gram rule by
     * default) and survivors land in replay-safe per-batch directories —

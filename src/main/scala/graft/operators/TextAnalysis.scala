@@ -396,25 +396,22 @@ object TextAnalysis {
   def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String,
       alphaNum: Int = 1, alphaDen: Int = 10,
-      maxBroadcastModel: Long = 4_000_000L): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val m = lmModel(ref, refTextCol, alphaNum, alphaDen, maxBroadcastModel,
-      suffix = "")
-    docBigrams(docs, idCol, textCol)
-      .transform(m.costed)
-      .groupBy(col("doc_id"))
-      .agg(count(col("cost")).as("n_bigrams"),
-        coalesce(sum(col("cost")), lit(0L)).as("nll_qbits"))
-      .withColumn("milli_bits_per_token",
-        expr("(nll_qbits * 1000L) div (4L * greatest(n_bigrams, 1L))"))
-  }
+      maxBroadcastModel: Long = 4_000_000L): DataFrame =
+    trainLm(ref, refTextCol, alphaNum, alphaDen, maxBroadcastModel)
+      .score(docs, idCol, textCol)
 
-  /** A trained fixed-point bigram LM: checkpointed cost tables plus the
-    * join that prices a bigram stream. `costed` appends `cost<suffix>`
-    * (null exactly on the explode_outer placeholder row). */
-  private final case class LmModel(pairSide: DataFrame, ctxSide: DataFrame,
-      vrow: DataFrame, suffix: String, a: Column, s: Column) {
-    def costed(bigrams: DataFrame): DataFrame = {
+  /** A trained (FROZEN) fixed-point bigram LM: checkpointed cost tables
+    * plus the join that prices a bigram stream. `costed` appends
+    * `cost<suffix>` (null exactly on the explode_outer placeholder
+    * row); `score` prices a whole document corpus — including each
+    * micro-batch of a stream, since the model is static and scoring is
+    * stateless given it. */
+  final case class LmModel private[TextAnalysis] (
+      pairSide: DataFrame, ctxSide: DataFrame,
+      vrow: DataFrame, suffix: String,
+      private[TextAnalysis] val a: Column,
+      private[TextAnalysis] val s: Column) {
+    private[TextAnalysis] def costed(bigrams: DataFrame): DataFrame = {
       import graft.functions.FixedLogFunctions.log2QuarterBits
       bigrams
         .join(pairSide, Seq("w1", "w2"), "left")
@@ -424,6 +421,19 @@ object TextAnalysis {
           coalesce(col("pair_cost" + suffix), col("ctx_cost" + suffix),
             log2QuarterBits(a, a * col("v" + suffix)))))
         .drop("pair_cost" + suffix, "ctx_cost" + suffix, "v" + suffix)
+    }
+
+    /** Quarter-bit NLL per document under this frozen model — the
+      * scoring half of [[TextAnalysis.lmPerplexity]]. */
+    def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
+      docBigrams(docs, idCol, textCol)
+        .transform(costed)
+        .groupBy(col("doc_id"))
+        .agg(count(col("cost" + suffix)).as("n_bigrams"),
+          coalesce(sum(col("cost" + suffix)), lit(0L)).as("nll_qbits"))
+        .withColumn("milli_bits_per_token",
+          expr("(nll_qbits * 1000L) div (4L * greatest(n_bigrams, 1L))"))
     }
   }
 
@@ -436,9 +446,10 @@ object TextAnalysis {
     * escape counts the pc checkpoint (|pairCosts| = |pc| — ctx is pc's
     * own margin, the inner join preserves every row). The checkpoints
     * live until a session sweep ([[Lifetime]] contract). */
-  private def lmModel(ref: DataFrame, refTextCol: String,
-      alphaNum: Int, alphaDen: Int, maxBroadcastModel: Long,
-      suffix: String): LmModel = {
+  def trainLm(ref: DataFrame, refTextCol: String,
+      alphaNum: Int = 1, alphaDen: Int = 10,
+      maxBroadcastModel: Long = 4_000_000L,
+      suffix: String = ""): LmModel = {
     require(alphaNum >= 1 && alphaDen >= 1,
       "lm scoring needs a positive rational α = alphaNum/alphaDen")
     graft.functions.GraftFunctions.register(ref.sparkSession)
@@ -520,9 +531,9 @@ object TextAnalysis {
       alphaNum: Int = 1, alphaDen: Int = 10,
       maxBroadcastModel: Long = 4_000_000L): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val mt = lmModel(target, targetTextCol, alphaNum, alphaDen,
+    val mt = trainLm(target, targetTextCol, alphaNum, alphaDen,
       maxBroadcastModel, suffix = "_t")
-    val mb = lmModel(background, bgTextCol, alphaNum, alphaDen,
+    val mb = trainLm(background, bgTextCol, alphaNum, alphaDen,
       maxBroadcastModel, suffix = "_b")
     docBigrams(docs, idCol, textCol)
       .transform(mt.costed)

@@ -688,4 +688,36 @@ class StreamingDecontaminateSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(again == Seq(1L, 3L), s"replay duplicated rows: $again")
   }
+
+  test("streaming LM gate lands only low-perplexity docs, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_lmgate").toString
+    // frozen model from the lmPerplexity toy: scores are 625 ("the cat
+    // sat"), 2250 ("zebra jumps"), 4500 ("the dog"), 0 (no bigrams)
+    val model = graft.operators.TextAnalysis.trainLm(
+      Seq((10L, "the cat sat"), (11L, "the cat ren")).toDF("doc_id", "text"),
+      "text")
+    val input = MemoryStream[(Long, String)]
+    val q = Curation.streamingLmGate(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", model, maxMilliBits = 1000L,
+      s"$base/out", s"$base/cp", trigger = Trigger.ProcessingTime(0L))
+    try {
+      input.addData((1L, "the cat sat"), (2L, "zebra jumps"))
+      q.processAllAvailable()
+      input.addData((3L, "the dog"), (4L, "hi"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.option("basePath", s"$base/out")
+      .parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 4L), s"gate kept wrong docs: $out")
+    // replaying a batch rewrites its directory instead of duplicating
+    Curation.lmGateBatch(
+      Seq((1L, "the cat sat"), (2L, "zebra jumps")).toDF("doc_id", "text"),
+      0L, model, "doc_id", "text", 1000L, s"$base/out")
+    val again = spark.read.option("basePath", s"$base/out")
+      .parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == Seq(1L, 4L), s"replay duplicated rows: $again")
+  }
 }
