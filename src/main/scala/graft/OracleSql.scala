@@ -266,6 +266,42 @@ object OracleSql {
       |  WHERE e.vec_id < 10
       |  GROUP BY 1, 2, 3)""".stripMargin
 
+  /** CCNet bigram-LM scoring CTEs (α = 1/10, reference = the lang='en'
+    * slice): leaves `s` (doc_id, n, nll) in scope — shared by
+    * q_lm_perplexity and q_lm_buckets. Every probability is the integer
+    * rational A/B; per-bigram cost = floor(4·log2(B/A)) =
+    * bitlen(⌊B⁴/A⁴⌋)−1, exact in HUGEINT — the same quarter-bit value
+    * graft's log2_quarter_bits kernel computes in BigInteger. */
+  private val lmScoreCtes: String =
+    """doc AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\s+') AS arr FROM documents),
+      |refc AS (SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+      |  FROM documents WHERE lang = 'en'),
+      |refbg AS (SELECT arr[i] AS w1, arr[i + 1] AS w2
+      |  FROM refc, unnest(range(1, len(arr))) AS t(i)
+      |  WHERE len(arr) >= 2),
+      |pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM refbg GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cctx FROM pc GROUP BY 1),
+      |vocab AS (SELECT CAST(COUNT(DISTINCT tok) + 1 AS BIGINT) AS v
+      |  FROM (SELECT unnest(arr) AS tok FROM refc) WHERE len(tok) > 0),
+      |docbg AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+      |  FROM doc, unnest(range(1, len(arr))) AS t(i)
+      |  WHERE len(arr) >= 2),
+      |ab AS (SELECT d.doc_id,
+      |    CASE WHEN pc.c IS NOT NULL THEN pc.c * 10 + 1 ELSE 1 END AS a,
+      |    CASE WHEN ctx.cctx IS NOT NULL THEN ctx.cctx * 10 + v
+      |         ELSE v END AS b
+      |  FROM docbg d
+      |  LEFT JOIN pc USING (w1, w2)
+      |  LEFT JOIN ctx USING (w1)
+      |  CROSS JOIN vocab),
+      |qcost AS (SELECT doc_id,
+      |    length(bin((CAST(b AS HUGEINT) * b * b * b)
+      |      // (CAST(a AS HUGEINT) * a * a * a))) - 1 AS cost FROM ab),
+      |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cost) AS BIGINT) AS nll FROM qcost GROUP BY 1)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -1625,40 +1661,62 @@ object OracleSql {
     // HUGEINT — the same quarter-bit value graft's log2_quarter_bits kernel
     // computes in BigInteger.
     "q_lm_perplexity" ->
-      """WITH doc AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(text), '\s+') AS arr FROM documents),
-        |refc AS (SELECT regexp_split_to_array(trim(text), '\s+') AS arr
-        |  FROM documents WHERE lang = 'en'),
-        |refbg AS (SELECT arr[i] AS w1, arr[i + 1] AS w2
-        |  FROM refc, unnest(range(1, len(arr))) AS t(i)
-        |  WHERE len(arr) >= 2),
-        |pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM refbg GROUP BY 1, 2),
-        |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cctx FROM pc GROUP BY 1),
-        |vocab AS (SELECT CAST(COUNT(DISTINCT tok) + 1 AS BIGINT) AS v
-        |  FROM (SELECT unnest(arr) AS tok FROM refc) WHERE len(tok) > 0),
-        |docbg AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
-        |  FROM doc, unnest(range(1, len(arr))) AS t(i)
-        |  WHERE len(arr) >= 2),
-        |ab AS (SELECT d.doc_id,
-        |    CASE WHEN pc.c IS NOT NULL THEN pc.c * 10 + 1 ELSE 1 END AS a,
-        |    CASE WHEN ctx.cctx IS NOT NULL THEN ctx.cctx * 10 + v
-        |         ELSE v END AS b
-        |  FROM docbg d
-        |  LEFT JOIN pc USING (w1, w2)
-        |  LEFT JOIN ctx USING (w1)
-        |  CROSS JOIN vocab),
-        |qcost AS (SELECT doc_id,
-        |    length(bin((CAST(b AS HUGEINT) * b * b * b)
-        |      // (CAST(a AS HUGEINT) * a * a * a))) - 1 AS cost FROM ab),
-        |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(cost) AS BIGINT) AS nll FROM qcost GROUP BY 1)
+      s"""WITH $lmScoreCtes
         |SELECT d.doc_id, COALESCE(s.n, 0) AS n_bigrams,
         |  COALESCE(s.nll, 0) AS nll_qbits,
         |  (COALESCE(s.nll, 0) * 1000) // (4 * GREATEST(COALESCE(s.n, 0), 1))
         |    AS milli_bits_per_token
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN s USING (doc_id)"""
         .stripMargin,
+
+    // CCNet head/middle/tail: the q_lm_perplexity scores cut into thirds
+    // by milli-bits-per-token ascending with VALUE-TIED thresholds (the
+    // smallest score whose cumulative count reaches ceil(n/3) /
+    // ceil(2n/3)) — equal scores always share a bucket, so the labels
+    // are deterministic without a row-level tiebreak.
+    "q_lm_buckets" ->
+      s"""WITH $lmScoreCtes,
+        |sc AS (SELECT d.doc_id,
+        |    (COALESCE(s.nll, 0) * 1000)
+        |      // (4 * GREATEST(COALESCE(s.n, 0), 1)) AS milli_bits_per_token
+        |  FROM (SELECT doc_id FROM documents) d LEFT JOIN s USING (doc_id)),
+        |hist AS (SELECT milli_bits_per_token AS hv,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM sc GROUP BY 1),
+        |c AS (SELECT hv, SUM(cnt) OVER (ORDER BY hv) AS cum FROM hist),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+        |th AS (SELECT
+        |    MIN(CASE WHEN cum >= (n + 2) // 3 THEN hv END) AS t1,
+        |    MIN(CASE WHEN cum >= (n * 2 + 2) // 3 THEN hv END) AS t2
+        |  FROM c CROSS JOIN tot)
+        |SELECT doc_id, milli_bits_per_token,
+        |  CASE WHEN milli_bits_per_token <= t1 THEN 'head'
+        |       WHEN milli_bits_per_token <= t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN th""".stripMargin,
+
+    // OOV rate against the corpus top-50 vocabulary (freq desc, token
+    // asc — the q_vocab_topk ordering): per-doc token count, tokens
+    // outside the vocabulary, and the exact integer milli-rate.
+    "q_text_oov" ->
+      """WITH base AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS arr FROM documents),
+        |tk AS (SELECT doc_id, tok FROM
+        |    (SELECT doc_id, unnest(arr) AS tok FROM base)
+        |  WHERE len(tok) > 0),
+        |vc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM tk GROUP BY 1),
+        |v AS (SELECT tok FROM vc
+        |  QUALIFY row_number() OVER (ORDER BY freq DESC, tok) <= 50),
+        |per AS (SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS BIGINT)
+        |      AS n_oov
+        |  FROM tk LEFT JOIN v ON tk.tok = v.tok GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        |  COALESCE(n_oov, CAST(0 AS BIGINT)) AS n_oov,
+        |  (COALESCE(n_oov, 0) * 1000)
+        |    // GREATEST(COALESCE(n_tokens, 0), 1) AS oov_milli
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
 
     // DSIR importance selection: the CCNet bigram-LM construction twice —
     // target model on lang='en', background model on the whole pool —

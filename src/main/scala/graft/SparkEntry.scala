@@ -352,6 +352,23 @@ object SparkEntry {
       d.filter(col("lang") === "en"), "text")
   }
 
+  /** CCNet head/middle/tail: the [[qLmPerplexity]] scores partitioned
+    * into thirds by milli-bits-per-token (value-tied cuts — equal
+    * scores share a bucket); `head` is the slice the published recipe
+    * keeps. */
+  private def qLmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.operators.Curation.perplexityBuckets(
+        TextAnalysis.lmPerplexity(d, "doc_id", "text",
+          d.filter(col("lang") === "en"), "text"))
+      .select("doc_id", "milli_bits_per_token", "bucket")
+  }
+
+  /** OOV-rate quality signal: per-doc fraction of tokens outside the
+    * corpus top-50 vocabulary, exact in milli-units. */
+  private def qTextOov(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRate(docs(spark, dir), "doc_id", "text", vocabK = 50)
+
   /** DSIR-style data selection: exact quarter-bit log-likelihood ratio
     * between a bigram LM trained on the English slice (target) and one
     * trained on the whole pool (background); top 200 most target-like
@@ -729,6 +746,8 @@ object SparkEntry {
     "q_vocab_topk" -> (qVocabTopk _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_lm_perplexity" -> (qLmPerplexity _),
+    "q_lm_buckets" -> (qLmBuckets _),
+    "q_text_oov" -> (qTextOov _),
     "q_dsir_select" -> (qDsirSelect _),
     "q_text_winnow" -> (qTextWinnow _),
     "q_dedup_exact" -> (qDedupExact _),

@@ -146,6 +146,48 @@ object Curation {
       .parquet(s"$outDir/batch=$batchId")
   }
 
+  /** CCNet head/middle/tail perplexity bucketing: partition a SCORED
+    * corpus (the output of [[TextAnalysis.lmPerplexity]] /
+    * [[TextAnalysis.LmModel.score]]) into thirds by
+    * `milli_bits_per_token` ascending — `head` is the most
+    * reference-like third, the slice the published recipe trains on.
+    *
+    * Cuts are VALUE-TIED, not row-tied: the head threshold is the
+    * smallest score whose cumulative count reaches ⌈n/3⌉ (tail
+    * analogously at ⌈2n/3⌉), so equally-scored documents always share a
+    * bucket — no arbitrary tie split, and the result is deterministic
+    * and engine-reproducible.
+    *
+    * Scale shape: no global sort and no corpus-wide window. The
+    * thresholds come from a histogram `groupBy(score)` — the score is
+    * integer milli-bits/token, bounded by ~10³·log₂(corpus bigrams)
+    * (≲ 60k distinct values at ANY corpus size), so the cumulative
+    * window runs over a bounded single partition exactly like the
+    * discrete-median in [[Profiling.corpusProfile]]. Assignment is the
+    * 1-row threshold broadcast back into the scan: two passes over the
+    * scored frame, zero wide shuffles. */
+  def perplexityBuckets(scored: DataFrame,
+      scoreCol: String = "milli_bits_per_token"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(col(scoreCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // thresholds: smallest v with cum >= ceil(n/3) / ceil(2n/3)
+    val thresholds = cum.crossJoin(
+        broadcast(hist.agg(sum(col("cnt")).as("n"))))
+      .agg(
+        min(when(col("cum") >= expr("(n + 2) div 3"), col("v"))).as("t1"),
+        min(when(col("cum") >= expr("(n * 2 + 2) div 3"), col("v"))).as("t2"))
+    scored.crossJoin(broadcast(thresholds))
+      .withColumn("bucket",
+        when(col(scoreCol) <= col("t1"), lit("head"))
+          .when(col(scoreCol) <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("t1", "t2")
+  }
+
   /** Streaming CCNet-style quality gating: every micro-batch is scored
     * under the frozen reference LM and only sufficiently-target-like
     * documents land — perplexity filtering AT INGEST, the head/middle

@@ -258,6 +258,38 @@ object TextAnalysis {
         .over(Window.orderBy(col("freq").desc, col("token"))).cast(LongType))
   }
 
+  /** Out-of-vocabulary rate per document: the fraction of a document's
+    * tokens NOT in the corpus top-`vocabK` vocabulary — the closed-class
+    * coverage signal quality pipelines cut on (high OOV ⇒ junk,
+    * boilerplate markup, or out-of-domain text). Exact integer rate in
+    * milli-units: `oov_milli = 1000·n_oov div max(n_tokens, 1)`.
+    *
+    * Scale shape: the vocabulary is `vocabK` rows (bounded, broadcast);
+    * the corpus makes one exploded pass through that broadcast join and
+    * re-aggregates per doc with map-side combine — one narrow shuffle
+    * keyed on the id, no corpus-side sort. Token-less documents survive
+    * with a zero rate (left join back to the id spine). */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      vocabK: Int): DataFrame = {
+    val vocab = vocabulary(docs, textCol, vocabK)
+      .select(col("token"), lit(true).as("in_vocab"))
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, lit(1))).as("n_oov"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_milli",
+        expr("(n_oov * 1000L) div greatest(n_tokens, 1L)"))
+  }
+
   /** BM25 relevance scoring with RATIONAL arithmetic — rank documents
     * against a fixed term list without `ln`/floating transcendentals
     * (whose bit patterns differ engine-to-engine, killing cross-engine

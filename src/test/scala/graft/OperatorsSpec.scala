@@ -115,6 +115,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 3L, 1L), ("b", 2L, 2L)))
   }
 
+  test("oovRate: exact counts against the top-k vocabulary; empty-safe") {
+    // corpus freq: a=3, b=2, c=1, z=1 → top-2 vocab {a, b}
+    val df = Seq((1L, "b a a"), (2L, "c b a z"), (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(df, "doc_id", "text", vocabK = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 0L, 0L)))            // all in vocab
+    assert(out(2L) == ((4L, 2L, 500L)))          // c, z are OOV
+    assert(out(3L) == ((0L, 0L, 0L)))            // empty doc survives
+    assert(out(4L) == ((0L, 0L, 0L)))            // whitespace-only too
+  }
+
   test("repetition: duplicate n-gram fractions flag boilerplate") {
     val df = Seq(
       (1L, "buy now buy now buy now buy now"), // pure repetition
@@ -515,6 +528,29 @@ class CurationSpec extends SparkSpec {
     val again = Curation.basicPipeline(docs.repartition(5), "doc_id", "text",
       stop, minQuality = 0.3, sampleRate = 1.0)
       .select("doc_id").as[Long].collect().toSet
+    assert(again == out)
+  }
+
+  test("perplexity buckets: thirds by score, value-tied cuts") {
+    // 9 docs, scores 10×3, 20×3, 30×3 → clean thirds
+    val scored = (1L to 9L).map(i => (i, ((i - 1) / 3 + 1) * 10))
+      .toDF("doc_id", "milli_bits_per_token")
+    val out = Curation.perplexityBuckets(scored)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert((1L to 3L).forall(out(_) == "head"))
+    assert((4L to 6L).forall(out(_) == "middle"))
+    assert((7L to 9L).forall(out(_) == "tail"))
+    // ties straddling a cut share a bucket: 5 docs at score 10, 1 at 20.
+    // ceil(6/3)=2 lands inside the run of 10s → all five are head.
+    val tied = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 10L),
+      (6L, 20L)).toDF("doc_id", "milli_bits_per_token")
+    val tb = Curation.perplexityBuckets(tied)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert((1L to 5L).forall(tb(_) == "head"), s"tied run split: $tb")
+    assert(tb(6L) == "tail")
+    // partition-independence
+    val again = Curation.perplexityBuckets(scored.repartition(4))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
     assert(again == out)
   }
 }
