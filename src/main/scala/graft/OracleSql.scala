@@ -444,6 +444,44 @@ object OracleSql {
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id, bucket_s ORDER BY event_id) = 1""".stripMargin,
 
+    // TimescaleDB time_bucket_gapfill + locf: hourly buckets per user,
+    // complete per-user spine, last-observation-carried-forward max.
+    // Spark buckets epoch seconds with integer floor-div; epoch_ns//1e9
+    // then //3600*3600 is the same floor for post-epoch data.
+    "q_a7_gapfill_locf" ->
+      """WITH e AS (SELECT user_id,
+        |    ((epoch_ns(ts) // 1000000000) // 3600) * 3600 AS bucket_s,
+        |    value FROM events),
+        |b AS (SELECT user_id, bucket_s, max(value) AS v_obs,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(bucket_s) AS lo, max(bucket_s) AS hi
+        |  FROM b GROUP BY 1),
+        |sp AS (SELECT user_id, unnest(generate_series(lo, hi, 3600))
+        |    AS bucket_s FROM s),
+        |j AS (SELECT sp.user_id, sp.bucket_s, b.v_obs, b.n
+        |  FROM sp LEFT JOIN b USING (user_id, bucket_s))
+        |SELECT user_id, bucket_s,
+        |  last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket_s ROWS UNBOUNDED PRECEDING) AS value_locf,
+        |  COALESCE(n, CAST(0 AS BIGINT)) AS n,
+        |  n IS NULL AS filled
+        |FROM j""".stripMargin,
+
+    // As-of join, native in DuckDB: each click matched to the greatest
+    // prior-or-equal purchase µs per user; the reference side is first
+    // collapsed to one row per (user, µs) via max(value) so the as-of
+    // target is unique — the same deterministic tie-break graft applies.
+    "q_asof_join" ->
+      """WITH r AS (SELECT user_id, epoch_ns(ts) // 1000 AS epoch_us,
+        |    max(value) AS asof_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS epoch_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.epoch_us, r.asof_value
+        |FROM p ASOF LEFT JOIN r
+        |  ON p.user_id = r.user_id AND p.epoch_us >= r.epoch_us"""
+        .stripMargin,
+
     "q_x_concat_split" ->
       """SELECT c_custkey, CONCAT(c_name, ', ', c_custkey) AS combo,
         |  str_split(CONCAT(c_name, ', ', c_custkey), ', ')[2] AS part2

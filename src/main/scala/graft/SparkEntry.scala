@@ -290,6 +290,22 @@ object SparkEntry {
         // integer floor-div, not double division: exact at µs magnitudes
         expr("min(epoch_us) div 1000000").as("session_start_s"))
 
+  /** A7 — TimescaleDB-style `time_bucket_gapfill` + `locf`: hourly
+    * buckets per user with the complete per-user spine and
+    * last-observation-carried-forward values; filled rows report n = 0. */
+  private def qA7GapfillLocf(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.gapfillLocf(events(spark, dir), "ts", "user_id", "value", 3600L)
+
+  /** As-of join: each click event joined to the most recent purchase
+    * value by the same user at-or-before its timestamp (NULL when the
+    * user has no prior purchase). */
+  private def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    TimeSeries.asofJoin(
+      e.filter(col("event_type") === "click"), "event_id", "ts",
+      e.filter(col("event_type") === "purchase"), "ts", "value", "user_id")
+  }
+
   // ------------------------------------------------------- text analysis
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
@@ -734,6 +750,8 @@ object SparkEntry {
     "q_a6_distinct_count" -> (qA6 _),
     "q_w_lag_delta" -> (qLagDelta _),
     "q_sessionize" -> (qSessionize _),
+    "q_a7_gapfill_locf" -> (qA7GapfillLocf _),
+    "q_asof_join" -> (qAsofJoin _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),

@@ -164,6 +164,87 @@ object TimeSeries {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** TimescaleDB-style gap-fill with last-observation-carried-forward —
+    * the `time_bucket_gapfill(interval, ts) … locf(max(value))` dashboard
+    * shape the reference's TimescaleDB sink exists to serve
+    * (reference: purpleair_data_logger/PurpleAirPSQLQueryStatements.py
+    * stores continuous time-series precisely for such panel queries).
+    * Buckets each key's observations to `bucketSeconds`, materializes the
+    * COMPLETE bucket spine from that key's first to last observed bucket,
+    * and carries the last observed per-bucket `max` forward across the
+    * gaps; filled rows report `n = 0` and `filled = true`.
+    *
+    * Scale shape: one hash aggregation on `(key, bucket)` (map-side
+    * combine), a per-key span reduce, then the spine is generated by a
+    * bounded `sequence` explode — per key it is `(span / bucketSeconds)`
+    * rows, a number the CALLER controls via the bucket width, never a
+    * function of row count. The left join back to observations
+    * co-partitions on the same `(key, bucket)` keys, and the LOCF window
+    * partitions by key ordered by bucket — bounded state per key, no
+    * global sort, no corpus-wide window. The first spine bucket of every
+    * key is observed by construction, so `value_locf` is never NULL. */
+  def gapfillLocf(df: DataFrame, ts: String, key: String, value: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val observed = df
+      .withColumn("__es", epochSeconds(col(ts)))
+      .withColumn("bucket_s",
+        expr(s"(__es div ${bucketSeconds}L) * ${bucketSeconds}L"))
+      .groupBy(col(key), col("bucket_s"))
+      .agg(max(col(value)).as("v_obs"), count(lit(1)).as("n"))
+    val spans = observed.groupBy(col(key))
+      .agg(min(col("bucket_s")).as("lo"), max(col("bucket_s")).as("hi"))
+    val spine = spans.select(col(key),
+      explode(sequence(col("lo"), col("hi"), lit(bucketSeconds))).as("bucket_s"))
+    val w = Window.partitionBy(col(key)).orderBy(col("bucket_s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(observed, Seq(key, "bucket_s"), "left")
+      .withColumn("value_locf", last(col("v_obs"), ignoreNulls = true).over(w))
+      .select(col(key), col("bucket_s"), col("value_locf"),
+        coalesce(col("n"), lit(0L)).as("n"), col("n").isNull.as("filled"))
+  }
+
+  /** As-of join — for every probe row, the reference value with the
+    * GREATEST timestamp at-or-before the probe's timestamp, per key (the
+    * sensor-calibration / price-lookup join Spark has no native operator
+    * for). The reference side is first collapsed to one row per
+    * `(key, µs)` (`max` of the value — an explicit, deterministic
+    * tie-break), so the as-of target is unique and the join is
+    * engine-reproducible. Probes with no prior reference get NULL.
+    *
+    * Scale shape: NOT a range join (which Catalyst would plan as a
+    * broadcast-nested-loop or an exploding theta join). Both sides are
+    * tagged and UNIONED, then a single per-key window ordered by
+    * `(µs, side)` carries the last reference value forward onto each
+    * probe row — reference rows sort BEFORE probes at equal timestamps,
+    * making the match at-or-before inclusive. Cost: one shuffle keyed on
+    * `key` and a bounded-state running `last` — linear in rows at any
+    * scale, the same plan an ASOF JOIN executes natively in engines that
+    * have one. */
+  def asofJoin(probe: DataFrame, probeId: String, probeTs: String,
+      ref: DataFrame, refTs: String, refVal: String,
+      key: String): DataFrame = {
+    def us(c: Column): Column =
+      (c.cast(DecimalType(28, 6)) * 1000000L).cast(LongType)
+    val r = ref
+      .groupBy(col(key), us(col(refTs)).as("epoch_us"))
+      .agg(max(col(refVal)).as("asof_value"))
+      .select(col(key), col("epoch_us"), col("asof_value"),
+        lit(0).as("__side"), lit(null).cast(LongType).as("__probe_id"))
+    val p = probe
+      .select(col(key), us(col(probeTs)).as("epoch_us"),
+        lit(null).cast(r.schema("asof_value").dataType).as("asof_value"),
+        lit(1).as("__side"), col(probeId).cast(LongType).as("__probe_id"))
+    val w = Window.partitionBy(col(key)).orderBy(col("epoch_us"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    r.unionByName(p)
+      .withColumn("asof_value",
+        last(col("asof_value"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__probe_id").as(probeId), col(key), col("epoch_us"),
+        col("asof_value"))
+  }
+
   /** Gap-based sessionization: a new session starts after `gapSeconds` of
     * per-key inactivity. Classic cumulative-sum-over-flags plan: one shuffle
     * on the key, two window passes, all codegen. Order key is

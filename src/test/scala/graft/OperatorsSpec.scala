@@ -1199,6 +1199,57 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(2L) == 2L) // split by the 2h gap
   }
 
+  test("gapfillLocf: complete spine, carried values, n=0 on filled rows") {
+    // user 1 observes buckets 0, 300, 900 (300 s buckets) → bucket 600
+    // is a gap: locf carries 20.0 (the bucket-300 max), n = 0, filled
+    val out = TimeSeries.gapfillLocf(evts, "ts", "user_id", "value", 300L)
+      .filter(col("user_id") === 1L).orderBy("bucket_s")
+      .select("bucket_s", "value_locf", "n", "filled")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (0L, 10.0, 1L, false),
+      (300L, 20.0, 1L, false),
+      (600L, 20.0, 0L, true),   // gap: carried forward
+      (900L, 40.0, 1L, false)))
+    // user 2's 2 h gap at 300 s buckets: 25 spine rows, 23 filled, all
+    // carrying 5.0 until the 7200 observation
+    val u2 = TimeSeries.gapfillLocf(evts, "ts", "user_id", "value", 300L)
+      .filter(col("user_id") === 2L).orderBy("bucket_s").collect()
+    assert(u2.length == 25)
+    assert(u2.count(_.getBoolean(4)) == 23)
+    assert(u2.init.forall(_.getDouble(2) == 5.0) &&
+      u2.last.getDouble(2) == 6.0)
+    // partition-independence
+    val again = TimeSeries.gapfillLocf(evts.repartition(5), "ts", "user_id",
+        "value", 300L).filter(col("user_id") === 1L).orderBy("bucket_s")
+      .select("bucket_s", "value_locf", "n", "filled")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("asofJoin: at-or-before inclusive, NULL before first ref") {
+    // probes (id, t): before any ref → NULL; equal-ts → inclusive;
+    // between refs → earlier ref
+    val probe = Seq((200L, 50L, 1L), (201L, 300L, 1L), (202L, 500L, 1L),
+        (203L, 10L, 2L))
+      .toDF("event_id", "epoch", "user_id")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val ref = Seq((1L, 100L, 1.0), (1L, 300L, 3.0), (1L, 300L, 2.0),
+        (2L, 400L, 9.0))
+      .toDF("user_id", "epoch", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val out = TimeSeries.asofJoin(probe, "event_id", "ts",
+        ref, "ts", "value", "user_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(200L).isEmpty)          // before the first reference
+    assert(out(201L).contains(3.0))    // equal ts: inclusive, max tie-break
+    assert(out(202L).contains(3.0))    // between refs: latest prior
+    assert(out(203L).isEmpty)          // user 2's ref is later
+  }
+
   test("downsampleMax buckets align to the hour") {
     val out = TimeSeries.downsampleMax(evts, "ts", "user_id", "value", "1 hour")
       .filter(col("user_id") === 1L).collect()
