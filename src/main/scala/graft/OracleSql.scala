@@ -482,6 +482,60 @@ object OracleSql {
         |  ON p.user_id = r.user_id AND p.epoch_us >= r.epoch_us"""
         .stripMargin,
 
+    // Gapfill with linear interpolation: same spine as the locf oracle;
+    // the interpolation expression is spelled in EXACTLY the Spark-side
+    // operation order (pv + (nv-pv) * (Δb/Δspan), all in DOUBLE) so the
+    // two engines are IEEE-754 bit-equal.
+    "q_a8_gapfill_interp" ->
+      """WITH e AS (SELECT user_id,
+        |    ((epoch_ns(ts) // 1000000000) // 3600) * 3600 AS bucket_s,
+        |    value FROM events),
+        |b AS (SELECT user_id, bucket_s, max(value) AS v_obs,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(bucket_s) AS lo, max(bucket_s) AS hi
+        |  FROM b GROUP BY 1),
+        |sp AS (SELECT user_id, unnest(generate_series(lo, hi, 3600))
+        |    AS bucket_s FROM s),
+        |j AS (SELECT sp.user_id, sp.bucket_s, b.v_obs, b.n
+        |  FROM sp LEFT JOIN b USING (user_id, bucket_s)),
+        |f AS (SELECT user_id, bucket_s, v_obs, n,
+        |  last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket_s ROWS UNBOUNDED PRECEDING) AS pv,
+        |  last_value(CASE WHEN v_obs IS NOT NULL THEN bucket_s END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket_s ROWS UNBOUNDED PRECEDING) AS pb,
+        |  first_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket_s ROWS BETWEEN CURRENT ROW AND
+        |    UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v_obs IS NOT NULL THEN bucket_s END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket_s ROWS BETWEEN CURRENT ROW AND
+        |    UNBOUNDED FOLLOWING) AS nb
+        |  FROM j)
+        |SELECT user_id, bucket_s,
+        |  CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |    ELSE pv + (nv - pv) *
+        |      (CAST(bucket_s - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+        |  END AS value_interp,
+        |  COALESCE(n, CAST(0 AS BIGINT)) AS n,
+        |  n IS NULL AS filled
+        |FROM f""".stripMargin,
+
+    // Range join: plain theta join in DuckDB (its optimizer plans the
+    // inequality natively); graft's bucketed-cell equi-join must produce
+    // the identical pair set.
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id, user_id,
+        |    epoch_ns(ts) // 1000000000 AS epoch_s
+        |  FROM events WHERE event_type = 'click'),
+        |i AS (SELECT event_id AS interval_id, user_id,
+        |    epoch_ns(ts) // 1000000000 AS lo,
+        |    epoch_ns(ts) // 1000000000 + 21600 AS hi
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.epoch_s, i.interval_id
+        |FROM p JOIN i ON p.user_id = i.user_id
+        |  AND p.epoch_s >= i.lo AND p.epoch_s <= i.hi""".stripMargin,
+
     "q_x_concat_split" ->
       """SELECT c_custkey, CONCAT(c_name, ', ', c_custkey) AS combo,
         |  str_split(CONCAT(c_name, ', ', c_custkey), ', ')[2] AS part2

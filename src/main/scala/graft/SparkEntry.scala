@@ -306,6 +306,29 @@ object SparkEntry {
       e.filter(col("event_type") === "purchase"), "ts", "value", "user_id")
   }
 
+  /** A8 — TimescaleDB-style `time_bucket_gapfill` + `interpolate`:
+    * hourly buckets per user, gaps filled by the straight line through
+    * the neighboring observed buckets. */
+  private def qA8GapfillInterp(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.gapfillInterp(events(spark, dir), "ts", "user_id", "value", 3600L)
+
+  /** Bucketed range join: each click matched to every same-user purchase
+    * "attribution window" `[purchase_ts, purchase_ts + 6 h]` containing
+    * it — the interval-containment join Spark would otherwise plan as a
+    * broadcast-nested-loop. Cell width = the 6 h span (explode factor
+    * ≤ 2 per interval). */
+  private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), epochS(col("ts")).as("es"))
+    val intervals = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("interval_id"), col("user_id"),
+        epochS(col("ts")).as("lo"),
+        (epochS(col("ts")) + 21600L).as("hi"))
+    TimeSeries.rangeJoin(clicks, "event_id", "es",
+      intervals, "interval_id", "lo", "hi", "user_id", 21600L)
+  }
+
   // ------------------------------------------------------- text analysis
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
@@ -752,6 +775,8 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "q_a7_gapfill_locf" -> (qA7GapfillLocf _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_a8_gapfill_interp" -> (qA8GapfillInterp _),
+    "q_range_join" -> (qRangeJoin _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),

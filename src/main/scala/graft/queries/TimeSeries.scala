@@ -185,6 +185,21 @@ object TimeSeries {
     * key is observed by construction, so `value_locf` is never NULL. */
   def gapfillLocf(df: DataFrame, ts: String, key: String, value: String,
       bucketSeconds: Long): DataFrame = {
+    val (observed, spine) = bucketedSpine(df, ts, key, value, bucketSeconds)
+    val w = Window.partitionBy(col(key)).orderBy(col("bucket_s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(observed, Seq(key, "bucket_s"), "left")
+      .withColumn("value_locf", last(col("v_obs"), ignoreNulls = true).over(w))
+      .select(col(key), col("bucket_s"), col("value_locf"),
+        coalesce(col("n"), lit(0L)).as("n"), col("n").isNull.as("filled"))
+  }
+
+  /** Shared gap-fill scaffolding: per-`(key, bucket)` observations
+    * (`max` + count) and that key's complete bucket spine from first to
+    * last observed bucket (a bounded `sequence` explode — span/bucket
+    * rows per key, controlled by the caller's bucket width). */
+  private def bucketedSpine(df: DataFrame, ts: String, key: String,
+      value: String, bucketSeconds: Long): (DataFrame, DataFrame) = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val observed = df
       .withColumn("__es", epochSeconds(col(ts)))
@@ -196,11 +211,47 @@ object TimeSeries {
       .agg(min(col("bucket_s")).as("lo"), max(col("bucket_s")).as("hi"))
     val spine = spans.select(col(key),
       explode(sequence(col("lo"), col("hi"), lit(bucketSeconds))).as("bucket_s"))
-    val w = Window.partitionBy(col(key)).orderBy(col("bucket_s"))
-      .rowsBetween(Window.unboundedPreceding, 0)
+    (observed, spine)
+  }
+
+  /** TimescaleDB-style gap-fill with LINEAR interpolation — the
+    * `time_bucket_gapfill … interpolate(max(value))` panel shape: gaps
+    * between two observed buckets are filled by the straight line through
+    * the neighboring observations. Every spine bucket lies between that
+    * key's first and last observed bucket, so both neighbors always
+    * exist and `value_interp` is never NULL.
+    *
+    * Cross-engine determinism: the interpolation is evaluated in double
+    * precision with a FIXED operation order —
+    * `prev + (next - prev) * ((b - b_prev) / (b_next - b_prev))` — and
+    * the oracle SQL spells out the identical expression, so IEEE-754
+    * round-to-nearest makes the two engines bit-equal (each of `-`, `*`,
+    * `/`, `+` is exactly rounded; identical operands + identical order =
+    * identical bits).
+    *
+    * Scale shape: identical to [[gapfillLocf]] — one `(key, bucket)` hash
+    * agg, bounded spine explode, co-partitioned left join — plus two
+    * window frames (running last / reverse-running first) over the SAME
+    * `(key, bucket)` sort, which Catalyst executes on one shuffle+sort
+    * with bounded per-key state. */
+  def gapfillInterp(df: DataFrame, ts: String, key: String, value: String,
+      bucketSeconds: Long): DataFrame = {
+    val (observed, spine) = bucketedSpine(df, ts, key, value, bucketSeconds)
+    val ord = Window.partitionBy(col(key)).orderBy(col("bucket_s"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = ord.rowsBetween(0, Window.unboundedFollowing)
+    val obsBucket = when(col("v_obs").isNotNull, col("bucket_s"))
     spine.join(observed, Seq(key, "bucket_s"), "left")
-      .withColumn("value_locf", last(col("v_obs"), ignoreNulls = true).over(w))
-      .select(col(key), col("bucket_s"), col("value_locf"),
+      .withColumn("__pv", last(col("v_obs"), ignoreNulls = true).over(back))
+      .withColumn("__pb", last(obsBucket, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("v_obs"), ignoreNulls = true).over(fwd))
+      .withColumn("__nb", first(obsBucket, ignoreNulls = true).over(fwd))
+      .withColumn("value_interp",
+        when(col("v_obs").isNotNull, col("v_obs")).otherwise(
+          col("__pv") + (col("__nv") - col("__pv")) *
+            ((col("bucket_s") - col("__pb")).cast(DoubleType) /
+              (col("__nb") - col("__pb")).cast(DoubleType))))
+      .select(col(key), col("bucket_s"), col("value_interp"),
         coalesce(col("n"), lit(0L)).as("n"), col("n").isNull.as("filled"))
   }
 
@@ -243,6 +294,42 @@ object TimeSeries {
       .filter(col("__side") === 1)
       .select(col("__probe_id").as(probeId), col(key), col("epoch_us"),
         col("asof_value"))
+  }
+
+  /** Range (interval-containment) join — every point row matched to every
+    * interval of the same key that contains it (`lo <= t <= hi`,
+    * inclusive both ends). Spark has no native range-join operator:
+    * Catalyst plans the naive theta join as a broadcast-nested-loop (or
+    * worse, a cartesian) — quadratic work that dies long before 100 TB.
+    *
+    * Scale shape: the classic bucketed range join. Intervals are exploded
+    * onto a coarse grid of `bucketSeconds`-wide cells (a bounded
+    * `sequence` — `span/bucket + 1` cells per interval, controlled by the
+    * caller; pick the bucket near the typical interval span so the
+    * explode factor is ~2), points land in exactly ONE cell, and the join
+    * is a plain equi-join on `(key, cell)` with the exact containment
+    * predicate applied AFTER the hash match. Each (interval, point) pair
+    * is produced at most once — the point's single cell — so no dedup
+    * pass is needed. One shuffle per side, co-partitioned; hot cells are
+    * bounded by interval density per cell, and AQE's skew-join split
+    * handles pathological cells. `lo`/`hi`/`pointTs` are epoch-second
+    * longs; intervals with `hi < lo` are dropped (empty range). */
+  def rangeJoin(points: DataFrame, pointId: String, pointTs: String,
+      intervals: DataFrame, intervalId: String, lo: String, hi: String,
+      key: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val cells = intervals
+      .filter(col(hi) >= col(lo))
+      .select(col(key), col(intervalId).as("interval_id"),
+        col(lo).as("__lo"), col(hi).as("__hi"),
+        explode(sequence(
+          expr(s"$lo div ${bucketSeconds}L"),
+          expr(s"$hi div ${bucketSeconds}L"))).as("__cell"))
+    val p = points.select(col(key), col(pointId), col(pointTs).as("epoch_s"),
+      expr(s"$pointTs div ${bucketSeconds}L").as("__cell"))
+    p.join(cells, Seq(key, "__cell"))
+      .filter(col("epoch_s") >= col("__lo") && col("epoch_s") <= col("__hi"))
+      .select(col(pointId), col(key), col("epoch_s"), col("interval_id"))
   }
 
   /** Gap-based sessionization: a new session starts after `gapSeconds` of

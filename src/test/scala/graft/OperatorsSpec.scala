@@ -1229,6 +1229,51 @@ class TimeSeriesSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("gapfillInterp: linear between neighbors, exact on observed") {
+    // user 1 at 300 s buckets: observed 0→10, 300→20, 900→40; the 600
+    // gap interpolates 20 + (40-20) * (300/600) = 30.0
+    val out = TimeSeries.gapfillInterp(evts, "ts", "user_id", "value", 300L)
+      .filter(col("user_id") === 1L).orderBy("bucket_s")
+      .select("bucket_s", "value_interp", "n", "filled")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (0L, 10.0, 1L, false),
+      (300L, 20.0, 1L, false),
+      (600L, 30.0, 0L, true),   // straight line 300→900
+      (900L, 40.0, 1L, false)))
+    // user 2: 5.0 at bucket 0, 6.0 at 7200 — every filled bucket lies on
+    // the line 5 + b/7200; never NULL (spine ends at observed buckets)
+    val u2 = TimeSeries.gapfillInterp(evts, "ts", "user_id", "value", 300L)
+      .filter(col("user_id") === 2L).orderBy("bucket_s").collect()
+    assert(u2.length == 25 && u2.forall(!_.isNullAt(2)))
+    assert(u2.forall(r =>
+      r.getDouble(2) == 5.0 + 1.0 * (r.getLong(1).toDouble / 7200.0)))
+  }
+
+  test("rangeJoin: inclusive ends, multi-cell intervals, overlap fan-out") {
+    val pts = Seq((1L, 1L, 100L), (2L, 1L, 250L), (3L, 1L, 399L),
+        (4L, 1L, 99L), (5L, 2L, 100L))
+      .toDF("pid", "k", "t")
+    val ivs = Seq((10L, 1L, 100L, 400L),   // spans cells 1-4 at W=100
+        (11L, 1L, 200L, 260L),             // overlaps 10 → fan-out at 250
+        (12L, 2L, 500L, 600L),             // user 2, no match
+        (13L, 2L, 600L, 500L))             // empty range: dropped
+      .toDF("iid", "k", "lo", "hi")
+    val out = TimeSeries.rangeJoin(pts, "pid", "t", ivs, "iid",
+        "lo", "hi", "k", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(out == Set((1L, 10L),           // lo end inclusive
+      (2L, 10L), (2L, 11L),                // overlap fan-out, exactly once each
+      (3L, 10L)))                          // point past hi of 11, inside 10
+    // hi end inclusive, and each pair appears exactly ONCE despite the
+    // interval covering several cells
+    val hiEdge = Seq((6L, 1L, 400L)).toDF("pid", "k", "t")
+    val rows = TimeSeries.rangeJoin(hiEdge, "pid", "t", ivs, "iid",
+        "lo", "hi", "k", 100L).collect()
+    assert(rows.length == 1 && rows.head.getLong(3) == 10L)
+  }
+
   test("asofJoin: at-or-before inclusive, NULL before first ref") {
     // probes (id, t): before any ref → NULL; equal-ts → inclusive;
     // between refs → earlier ref
