@@ -521,6 +521,19 @@ object OracleSql {
         |  n IS NULL AS filled
         |FROM f""".stripMargin,
 
+    // Exact percentiles: quantile_cont == Spark's percentile (both
+    // interpolate lower + frac*(upper-lower) in double precision,
+    // probed bit-equal); quantile_disc == percentile_disc (SQL-standard
+    // discrete definition).
+    "q_percentiles" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.75) AS p75,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  quantile_disc(value, 0.5) AS p50_disc
+        |FROM events GROUP BY 1""".stripMargin,
+
     // Range join: plain theta join in DuckDB (its optimizer plans the
     // inequality natively); graft's bucketed-cell equi-join must produce
     // the identical pair set.

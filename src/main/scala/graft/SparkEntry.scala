@@ -312,6 +312,12 @@ object SparkEntry {
   private def qA8GapfillInterp(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.gapfillInterp(events(spark, dir), "ts", "user_id", "value", 3600L)
 
+  /** Exact per-type distribution summary: continuous p25/p50/p75/p95
+    * plus the discrete median. */
+  private def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.percentileSummary(events(spark, dir), "event_type", "value",
+      Seq(0.25, 0.5, 0.75, 0.95))
+
   /** Bucketed range join: each click matched to every same-user purchase
     * "attribution window" `[purchase_ts, purchase_ts + 6 h]` containing
     * it — the interval-containment join Spark would otherwise plan as a
@@ -777,6 +783,7 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_a8_gapfill_interp" -> (qA8GapfillInterp _),
     "q_range_join" -> (qRangeJoin _),
+    "q_percentiles" -> (qPercentiles _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),

@@ -296,6 +296,53 @@ object TimeSeries {
         col("asof_value"))
   }
 
+  /** Per-group distribution summary: count plus EXACT percentiles —
+    * continuous (SQL `percentile`, linear interpolation at rank
+    * `p·(n-1)`) for each requested `p`, and the discrete median
+    * (`percentile_disc`, first value whose cumulative distribution
+    * reaches 0.5 — always an actual data value). Column names are
+    * `p<percent>` (`0.25 → p25`) and `p50_disc`.
+    *
+    * Cross-engine determinism: Spark's `percentile` and DuckDB's
+    * `quantile_cont` both interpolate `lower + frac·(upper−lower)` in
+    * double precision (probed bit-equal), and `percentile_disc` /
+    * `quantile_disc` share the SQL-standard discrete definition, so the
+    * oracle hash-matches without quantization.
+    *
+    * Scale: exact percentiles buffer each group's value multiset (Spark's
+    * `Percentile` keeps a value→count map) — right for dashboard-grade
+    * group counts (here: one group per event type), wrong for
+    * billion-group fan-out. The 100 TB path is [[percentileSketch]]:
+    * `approx_percentile`'s mergeable digest gives bounded state and
+    * map-side combine at a stated accuracy; its spec pins the sketch to
+    * this exact summary. */
+  def percentileSummary(df: DataFrame, key: String, value: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      "probs must be in (0, 1)")
+    val cont = probs.map(p =>
+      expr(s"percentile($value, $p)").as(s"p${(p * 100).round}"))
+    val disc =
+      expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $value)")
+        .as("p50_disc")
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"), (cont :+ disc): _*)
+  }
+
+  /** Sketch-based percentiles — `approx_percentile` at the given
+    * `accuracy` (error ≤ 1/accuracy of rank). Unlike the exact form this
+    * is a bounded-state, mergeable aggregate: partial digests combine
+    * map-side, so it scales to any group count and any group size. Not
+    * oracle-comparable (sketch internals are engine-specific); its spec
+    * bounds it against [[percentileSummary]] instead. */
+  def percentileSketch(df: DataFrame, key: String, value: String,
+      probs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val cols = probs.map(p =>
+      expr(s"approx_percentile($value, $p, $accuracy)")
+        .as(s"p${(p * 100).round}"))
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"), cols: _*)
+  }
+
   /** Range (interval-containment) join — every point row matched to every
     * interval of the same key that contains it (`lo <= t <= hi`,
     * inclusive both ends). Spark has no native range-join operator:

@@ -1274,6 +1274,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(3) == 10L)
   }
 
+  test("percentileSummary: exact cont + disc; sketch tracks exact") {
+    // 1..100 per key: p50 cont = 50.5 (interp), p50 disc = 50 (a real
+    // value), p95 cont = 95.05
+    val df = (1 to 100).map(i => (1L, i.toDouble)).toDF("k", "v")
+    val r = TimeSeries.percentileSummary(df, "k", "v", Seq(0.5, 0.95))
+      .collect().head
+    assert(r.getLong(1) == 100L)
+    assert(r.getDouble(2) == 50.5)
+    assert(r.getDouble(3) == 95.05) // 1 + 0.95*99 rank interpolation
+    assert(r.getDouble(4) == 50.0)
+    // sketch at accuracy 10000 is exact-rank on 100 values
+    val s = TimeSeries.percentileSketch(df, "k", "v", Seq(0.5, 0.95))
+      .collect().head
+    assert(math.abs(s.getDouble(2) - 50.5) <= 1.0 &&
+      math.abs(s.getDouble(3) - 95.05) <= 1.0)
+  }
+
   test("asofJoin: at-or-before inclusive, NULL before first ref") {
     // probes (id, t): before any ref → NULL; equal-ts → inclusive;
     // between refs → earlier ref
