@@ -534,6 +534,17 @@ object OracleSql {
         |  quantile_disc(value, 0.5) AS p50_disc
         |FROM events GROUP BY 1""".stripMargin,
 
+    // Grouped top-k: row_number() is INT in Spark, BIGINT in DuckDB —
+    // cast; order fully determined by (n DESC, user_id).
+    "q_topk_users" ->
+      """WITH c AS (SELECT event_type, user_id,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, n,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, user_id) AS INT) AS rank
+        |FROM c QUALIFY rank <= 5""".stripMargin,
+
     // Range join: plain theta join in DuckDB (its optimizer plans the
     // inequality natively); graft's bucketed-cell equi-join must produce
     // the identical pair set.

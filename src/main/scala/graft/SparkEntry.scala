@@ -312,6 +312,17 @@ object SparkEntry {
   private def qA8GapfillInterp(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.gapfillInterp(events(spark, dir), "ts", "user_id", "value", 3600L)
 
+  /** Grouped heavy hitters: top-5 users per event type by event count,
+    * tie-broken on user_id — planned as WindowGroupLimit (map-side
+    * top-k before the shuffle). */
+  private def qTopkUsers(spark: SparkSession, dir: String): DataFrame = {
+    val counts = events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    TimeSeries.topKPerGroup(counts, Seq("event_type"),
+      Seq(col("n").desc, col("user_id")), 5)
+  }
+
   /** Exact per-type distribution summary: continuous p25/p50/p75/p95
     * plus the discrete median. */
   private def qPercentiles(spark: SparkSession, dir: String): DataFrame =
@@ -784,6 +795,7 @@ object SparkEntry {
     "q_a8_gapfill_interp" -> (qA8GapfillInterp _),
     "q_range_join" -> (qRangeJoin _),
     "q_percentiles" -> (qPercentiles _),
+    "q_topk_users" -> (qTopkUsers _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),

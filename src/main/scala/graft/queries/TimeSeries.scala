@@ -296,6 +296,34 @@ object TimeSeries {
         col("asof_value"))
   }
 
+  /** Sketch-based grouped distinct count — HyperLogLog++ at relative
+    * standard deviation `rsd`. The 100 TB form of the exact
+    * `countDistinct` dashboard query: exact distinct must shuffle every
+    * distinct value (state O(distinct values) per group); the HLL sketch
+    * is a few KB per group, merges map-side, and its error is a stated
+    * constant. The spec bounds it against the exact count. */
+  def distinctCountSketch(df: DataFrame, groupCols: Seq[String],
+      value: String, rsd: Double = 0.01): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(value), rsd).as("n_distinct"),
+        count(lit(1)).as("n"))
+
+  /** Grouped top-k (heavy hitters): the first `k` rows of each group
+    * under `order`, with their 1-based `rank`. Callers pass a total order
+    * (tie-break on a unique column) for deterministic results.
+    *
+    * Scale: `row_number` + `rank <= k` is recognized by Catalyst and
+    * planned as `WindowGroupLimit` — each MAP task keeps only its local
+    * top-k per group BEFORE the exchange, so the shuffle carries
+    * O(groups·k) rows per input partition, never the full input; the
+    * spec locks this plan shape. No global sort anywhere. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Per-group distribution summary: count plus EXACT percentiles —
     * continuous (SQL `percentile`, linear interpolation at rank
     * `p·(n-1)`) for each requested `p`, and the discrete median

@@ -1274,6 +1274,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(3) == 10L)
   }
 
+  test("distinctCountSketch tracks exact countDistinct within its rsd") {
+    val df = (1 to 5000).map(i => ("g", (i % 1213).toLong)).toDF("g", "u")
+    val approx = TimeSeries.distinctCountSketch(df, Seq("g"), "u", 0.02)
+      .collect().head
+    assert(approx.getLong(2) == 5000L)
+    // 1213 distinct; 5 sigma at rsd=0.02 → ±121
+    assert(math.abs(approx.getLong(1) - 1213L) <= 121L)
+  }
+
+  test("topKPerGroup: exact top-k, map-side WindowGroupLimit plan") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L),
+        ("a", 4L, 5L), ("b", 1L, 1L))
+      .toDF("g", "u", "n")
+    val top = TimeSeries.topKPerGroup(df, Seq("g"),
+      Seq(col("n").desc, col("u")), 2)
+    val rows = top.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    // ties (u=2, u=3 at n=30) break on u; u=1's 10 is rank 3, cut
+    assert(rows == Set(("a", 2L, 1), ("a", 3L, 2), ("b", 1L, 1)))
+    // the rank<=k filter must be pushed into a WindowGroupLimit (partial
+    // before the exchange), not evaluated post-shuffle over full groups
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"grouped top-k should plan as WindowGroupLimit:\n$plan")
+  }
+
   test("percentileSummary: exact cont + disc; sketch tracks exact") {
     // 1..100 per key: p50 cont = 50.5 (interp), p50 disc = 50 (a real
     // value), p95 cont = 95.05

@@ -721,3 +721,82 @@ class StreamingDecontaminateSpec extends SparkSpec {
     assert(again == Seq(1L, 4L), s"replay duplicated rows: $again")
   }
 }
+
+class StreamingAsofSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamingAsof
+  import graft.streaming.StreamingAsof.{ref, probe}
+
+  test("streaming as-of: cross-batch state, event-time TTL expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingAsof.Event]
+    // timestamps in µs (seconds × 1e6); TTL = 3600 s of key event-time
+    // inactivity against a zero-delay watermark
+    def s(sec: Long) = sec * 1000000L
+    val out = StreamingAsof.enrich(input.toDS(), ttlMs = 3600L * 1000,
+      watermarkDelay = Some("0 seconds"))
+    val cp = Files.createTempDirectory("graft_asof").toString
+    val q = out.writeStream.format("memory").queryName("asof_out")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      // batch 1: probe at 50 precedes the ref at 100 in event time →
+      // NULL; probe at 100 ties the ref → inclusive; probe at 150 → 1.0
+      input.addData(ref(1L, s(100), 1.0), probe(1L, s(50), 10L),
+        probe(1L, s(100), 11L), probe(1L, s(150), 12L))
+      q.processAllAvailable()
+      // batch 2: state persisted (probe 200 → 1.0); a newer ref takes
+      // over mid-batch; key 2 has no ref at all
+      input.addData(probe(1L, s(200), 13L), ref(1L, s(250), 2.0),
+        probe(1L, s(300), 14L), probe(2L, s(300), 15L))
+      q.processAllAvailable()
+      val got = spark.table("asof_out").as[StreamingAsof.Enriched]
+        .collect().map(e => e.probeId -> e.asofValue).toMap
+      assert(got(10L).isEmpty)
+      assert(got(11L).contains(1.0)) // at-or-before inclusive
+      assert(got(12L).contains(1.0))
+      assert(got(13L).contains(1.0)) // cross-batch state
+      assert(got(14L).contains(2.0))
+      assert(got(15L).isEmpty)       // key without references
+      // out-of-order ref older than retained state must not regress it
+      input.addData(ref(1L, s(120), 9.9), probe(1L, s(400), 16L))
+      q.processAllAvailable()
+      val v16 = spark.table("asof_out").as[StreamingAsof.Enriched]
+        .filter(_.probeId == 16L).collect().head
+      assert(v16.asofValue.contains(2.0))
+      // expiry: key-99 traffic drives the watermark past key 1's last
+      // activity (400 s) + TTL (3600 s); the timeout then removes key 1's
+      // state, so a later probe finds nothing
+      input.addData(ref(99L, s(99000), 7.0))
+      q.processAllAvailable()
+      input.addData(ref(99L, s(99010), 7.0)) // batch where the timeout fires
+      q.processAllAvailable()
+      input.addData(probe(1L, s(99020), 17L))
+      q.processAllAvailable()
+      val v17 = spark.table("asof_out").as[StreamingAsof.Enriched]
+        .filter(_.probeId == 17L).collect().head
+      assert(v17.asofValue.isEmpty, s"state should have expired: $v17")
+    } finally q.stop()
+  }
+
+  test("streaming as-of on in-order data == batch asofJoin") {
+    // same fixture as the batch spec, replayed in one batch
+    val events = Seq(
+      ref(1L, 100000000L, 1.0), ref(1L, 300000000L, 3.0),
+      ref(2L, 400000000L, 9.0),
+      probe(1L, 50000000L, 200L), probe(1L, 300000000L, 201L),
+      probe(1L, 500000000L, 202L), probe(2L, 10000000L, 203L)).toDS()
+    val got = StreamingAsof.enrich(events)
+      .collect().map(e => e.probeId -> e.asofValue).toMap
+    val probeDf = Seq((200L, 50L, 1L), (201L, 300L, 1L), (202L, 500L, 1L),
+        (203L, 10L, 2L)).toDF("event_id", "epoch", "user_id")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val refDf = Seq((1L, 100L, 1.0), (1L, 300L, 3.0), (2L, 400L, 9.0))
+      .toDF("user_id", "epoch", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val batch = graft.queries.TimeSeries.asofJoin(probeDf, "event_id", "ts",
+        refDf, "ts", "value", "user_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got == batch)
+  }
+}
