@@ -534,6 +534,60 @@ object OracleSql {
         |  quantile_disc(value, 0.5) AS p50_disc
         |FROM events GROUP BY 1""".stripMargin,
 
+    // Equi-width histogram: the bin index and bin edges are evaluated in
+    // EXACTLY the Spark-side double operation order, so the engines are
+    // IEEE-754 bit-equal; the top edge closes right (v == mx → last bin).
+    "q_histogram" ->
+      """WITH ext AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT e.event_type,
+        |    CASE WHEN ext.mx = ext.mn THEN 0
+        |      ELSE CAST(least(floor((e.value - ext.mn) * 10 /
+        |        (ext.mx - ext.mn)), 9) AS INT) END AS bin,
+        |    ext.mn, ext.mx
+        |  FROM events e JOIN ext USING (event_type))
+        |SELECT event_type, bin,
+        |  mn + bin * ((mx - mn) / 10) AS lo,
+        |  mn + (bin + 1) * ((mx - mn) / 10) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY event_type, bin, mn, mx""".stripMargin,
+
+    // Cohort retention: first-activity week × week offset, distinct
+    // users; epoch-week floor-division on both sides.
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS es
+        |  FROM events),
+        |f AS (SELECT user_id, min(es) AS fs FROM e GROUP BY 1),
+        |j AS (SELECT e.user_id,
+        |    (f.fs // 604800) * 604800 AS cohort_week_s,
+        |    CAST((e.es // 604800) - (f.fs // 604800) AS INT) AS week_offset
+        |  FROM e JOIN f USING (user_id))
+        |SELECT cohort_week_s, week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1, 2""".stripMargin,
+
+    // Funnel: the windowed conditional-min ladder — t_i = first step-i
+    // µs strictly after t_{i-1}, counted per level.
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |w0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |    OVER (PARTITION BY user_id) AS t0 FROM e),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > t0
+        |    THEN us END) OVER (PARTITION BY user_id) AS t1 FROM w0),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t1
+        |    THEN us END) OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |k AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+        |  FROM w2 GROUP BY 1),
+        |t AS (SELECT CAST(count(t0) AS BIGINT) AS n0,
+        |    CAST(count(t1) AS BIGINT) AS n1,
+        |    CAST(count(t2) AS BIGINT) AS n2 FROM k)
+        |SELECT CAST(0 AS INT) AS step, 'view' AS event_type, n0 AS n_keys
+        |  FROM t
+        |UNION ALL SELECT CAST(1 AS INT), 'click', n1 FROM t
+        |UNION ALL SELECT CAST(2 AS INT), 'purchase', n2 FROM t"""
+        .stripMargin,
+
     // Grouped top-k: row_number() is INT in Spark, BIGINT in DuckDB —
     // cast; order fully determined by (n DESC, user_id).
     "q_topk_users" ->

@@ -323,6 +323,22 @@ object SparkEntry {
       Seq(col("n").desc, col("user_id")), 5)
   }
 
+  /** Equi-width histogram, 10 bins per event type — the TimescaleDB
+    * `histogram()` dashboard panel. */
+  private def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.histogram(events(spark, dir), "event_type", "value", 10)
+
+  /** Cohort retention triangle: users by first-activity week × active
+    * week offset. */
+  private def qCohort(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.cohortRetention(events(spark, dir), "ts", "user_id")
+
+  /** view → click → purchase funnel: users completing each prefix,
+    * every step strictly after the previous. */
+  private def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.funnel(events(spark, dir), "ts", "user_id", "event_type",
+      Seq("view", "click", "purchase"))
+
   /** Exact per-type distribution summary: continuous p25/p50/p75/p95
     * plus the discrete median. */
   private def qPercentiles(spark: SparkSession, dir: String): DataFrame =
@@ -796,6 +812,9 @@ object SparkEntry {
     "q_range_join" -> (qRangeJoin _),
     "q_percentiles" -> (qPercentiles _),
     "q_topk_users" -> (qTopkUsers _),
+    "q_histogram" -> (qHistogram _),
+    "q_cohort_retention" -> (qCohort _),
+    "q_funnel" -> (qFunnel _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),

@@ -296,6 +296,109 @@ object TimeSeries {
         col("asof_value"))
   }
 
+  /** Per-group equi-width histogram — TimescaleDB ships a native
+    * `histogram(value, min, max, nbuckets)` for exactly this dashboard
+    * panel. Bin bounds come from each group's observed [min, max]; the
+    * top edge closes right (value == max lands in the last bin), and
+    * only non-empty bins are returned (`bin`, `lo`, `hi`, `n`).
+    *
+    * Cross-engine determinism: the bin index is
+    * `floor((v - mn) * nBins / (mx - mn))` evaluated in double with that
+    * exact operation order, mirrored by the oracle — IEEE-754 exact
+    * rounding makes the engines agree bit-for-bit, degenerate
+    * single-value groups (`mx == mn`) collapse to bin 0 explicitly.
+    *
+    * Scale shape: two hash aggregations — per-group extremes (tiny:
+    * one row per group, broadcast back to the scan), then the
+    * `(group, bin)` count with map-side combine. No window, no sort. */
+  def histogram(df: DataFrame, key: String, value: String,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val ext = df.groupBy(col(key))
+      .agg(min(col(value)).as("__mn"), max(col(value)).as("__mx"))
+    val v = col(value).cast(DoubleType)
+    val bin = when(col("__mx") === col("__mn"), lit(0))
+      .otherwise(least(
+        floor((v - col("__mn")) * nBins / (col("__mx") - col("__mn")))
+          .cast(IntegerType),
+        lit(nBins - 1)))
+    df.join(broadcast(ext), Seq(key))
+      .withColumn("bin", bin)
+      .groupBy(col(key), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        // bin edges recomputed from the broadcast extremes — identical
+        // double math in the oracle
+        first(col("__mn") + col("bin") * ((col("__mx") - col("__mn")) / nBins))
+          .as("lo"),
+        first(col("__mn") +
+          (col("bin") + 1) * ((col("__mx") - col("__mn")) / nBins)).as("hi"))
+      .select(col(key), col("bin"), col("lo"), col("hi"), col("n"))
+  }
+
+  /** Cohort retention — users bucketed by their first-activity week
+    * (the cohort), counted by how many distinct users of each cohort
+    * were active N weeks later: the `(cohort_week, week_offset,
+    * n_users)` retention triangle every product dashboard draws.
+    *
+    * Scale shape: first-activity is a per-key `min` (map-side combine),
+    * joined back to the fact on the key — broadcastable while user
+    * dimension ≪ fact, shuffle-hash co-partitioned otherwise — then one
+    * `(cohort, offset)` distinct-count. At extreme user counts swap the
+    * exact distinct for [[distinctCountSketch]]'s HLL arm. */
+  def cohortRetention(df: DataFrame, ts: String, key: String): DataFrame = {
+    val weekS = 7L * 24 * 3600
+    val es = epochSeconds(col(ts))
+    val e = df.select(col(key), es.as("__es"))
+    val firstSeen = e.groupBy(col(key))
+      .agg(min(col("__es")).as("__first"))
+      .select(col(key), col("__first"),
+        expr(s"(__first div ${weekS}L) * ${weekS}L").as("cohort_week_s"))
+    e.join(firstSeen, Seq(key))
+      .withColumn("week_offset",
+        expr(s"(__es div ${weekS}L) - (__first div ${weekS}L)")
+          .cast(IntegerType))
+      .groupBy(col("cohort_week_s"), col("week_offset"))
+      .agg(countDistinct(col(key)).as("n_users"))
+  }
+
+  /** Funnel analysis — how many keys completed each prefix of an ordered
+    * step sequence (e.g. view → click → purchase), where each step must
+    * occur STRICTLY AFTER the previous one (equal-µs events do not
+    * advance the funnel). Returns one row per step:
+    * `(step, event_type, n_keys)`.
+    *
+    * The conditional-min ladder, windowed: `t0 = min µs of step 0 per
+    * key`, `t_i = min µs of step i with µs > t_{i-1}` — each level is a
+    * whole-partition window aggregate over the SAME `partitionBy(key)`
+    * spec, so Catalyst stacks the Window nodes on ONE exchange; the
+    * per-key collapse that follows reuses that partitioning (no second
+    * shuffle), and the final count is a single-row aggregate exploded to
+    * per-step rows. No self-joins, no per-level passes over the fact —
+    * linear at any scale, `steps.length` window nodes deep. */
+  def funnel(df: DataFrame, ts: String, key: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val w = Window.partitionBy(col(key))
+    var d = df.select(col(key), col(typeCol).as("__type"),
+      (col(ts).cast(DecimalType(28, 6)) * 1000000L).cast(LongType).as("__us"))
+    steps.zipWithIndex.foreach { case (step, i) =>
+      val cond =
+        if (i == 0) col("__type") === step
+        else col("__type") === step && col("__us") > col(s"__t${i - 1}")
+      d = d.withColumn(s"__t$i", min(when(cond, col("__us"))).over(w))
+    }
+    val perKey = d.groupBy(col(key))
+      .agg(max(col("__t0")).as("__t0"),
+        steps.indices.tail.map(i => max(col(s"__t$i")).as(s"__t$i")): _*)
+    val totals = perKey
+      .agg(count(col("__t0")).as("n0"),
+        steps.indices.tail.map(i => count(col(s"__t$i")).as(s"n$i")): _*)
+    totals.select(explode(array(steps.indices.map(i =>
+        struct(lit(i).as("step"), lit(steps(i)).as("event_type"),
+          col(s"n$i").as("n_keys"))): _*)).as("r"))
+      .select("r.*")
+  }
+
   /** Sketch-based grouped distinct count — HyperLogLog++ at relative
     * standard deviation `rsd`. The 100 TB form of the exact
     * `countDistinct` dashboard query: exact distinct must shuffle every

@@ -1274,6 +1274,61 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(3) == 10L)
   }
 
+  test("histogram: equi-width bins, right-closed top edge, degenerate key") {
+    val df = Seq(("a", 0.0), ("a", 2.5), ("a", 4.9), ("a", 10.0),
+        ("a", 10.0), ("b", 7.0), ("b", 7.0))
+      .toDF("k", "v")
+    val out = TimeSeries.histogram(df, "k", "v", 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(4))).toSet
+    // a: [0,10] in 4 bins of 2.5: 0→bin0, 2.5→bin1, 4.9→bin1, 10→bin3 ×2
+    // (max lands in the LAST bin, not bin4); b: mn==mx → bin 0
+    assert(out == Set(("a", 0, 1L), ("a", 1, 2L), ("a", 3, 2L),
+      ("b", 0, 2L)))
+    // bin edges reconstruct the range
+    val a3 = TimeSeries.histogram(df, "k", "v", 4)
+      .filter(col("k") === "a" && col("bin") === 3).collect().head
+    assert(a3.getDouble(2) == 7.5 && a3.getDouble(3) == 10.0)
+  }
+
+  test("cohortRetention: first week anchors the cohort, offsets count once") {
+    val wk = 604800L
+    val df = Seq(
+      (1L, 0L), (1L, 86400L),          // user 1: week 0, twice (counts once)
+      (1L, wk + 1L),                   // …and week 1
+      (2L, wk * 2), (2L, wk * 4))      // user 2: cohort week 2, offset 0 & 2
+      .toDF("user_id", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val out = TimeSeries.cohortRetention(df, "ts", "user_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 0, 1L), (0L, 1, 1L),
+      (wk * 2, 0, 1L), (wk * 2, 2, 1L)))
+  }
+
+  test("funnel: strictly-after ladder, one shuffle") {
+    val df = Seq(
+      // user 1 completes the funnel in order
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      // user 2 clicks BEFORE viewing: click must not count
+      (2L, 100L, "click"), (2L, 200L, "view"),
+      // user 3: click at the same µs as view — strict > rejects it
+      (3L, 100L, "view"), (3L, 100L, "click"),
+      // user 4 never views: nothing counts despite a purchase
+      (4L, 100L, "purchase"))
+      .toDF("user_id", "epoch", "event_type")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val out = TimeSeries.funnel(df, "ts", "user_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out == Map(0 -> 3L, 1 -> 1L, 2 -> 1L))
+    // plan: the ladder must reuse ONE exchange — windows + the per-key
+    // collapse all run on the key partitioning
+    val plan = TimeSeries.funnel(df, "ts", "user_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"funnel should shuffle once, got $exchanges:\n$plan")
+  }
+
   test("distinctCountSketch tracks exact countDistinct within its rsd") {
     val df = (1 to 5000).map(i => ("g", (i % 1213).toLong)).toDF("g", "u")
     val approx = TimeSeries.distinctCountSketch(df, Seq("g"), "u", 0.02)
