@@ -24,6 +24,29 @@ object OracleSql {
        |                         for i in range(1, len(words) - ${n - 1} + 1)])
        |END""".stripMargin
 
+  /** Exact one-pass covariance oracle over the d=8 embedding column:
+    * per-row products in DOUBLE (one exact-rounded op), sums as
+    * DECIMAL(28,12) (order-independent), final combine in the same fixed
+    * double op order as `Embeddings.covariance`. */
+  private val embedCovSql: String = {
+    val dim = 8
+    val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+    def el(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+    val sums =
+      (0 until dim).map(i =>
+        s"sum(CAST(${el(i)} AS DECIMAL(28,12))) AS s_$i") ++
+      pairs.map { case (i, j) =>
+        s"sum(CAST(${el(i)} * ${el(j)} AS DECIMAL(28,12))) AS p_${i}_$j" }
+    val selects = pairs.map { case (i, j) =>
+      s"SELECT $i AS i, $j AS j, CAST(p_${i}_$j AS DOUBLE) / " +
+        s"CAST(n AS DOUBLE) - (CAST(s_$i AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        s"* (CAST(s_$j AS DOUBLE) / CAST(n AS DOUBLE)) AS cov FROM s"
+    }
+    s"WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,\n" +
+      sums.mkString(",\n") + "\nFROM embeddings)\n" +
+      selects.mkString("\nUNION ALL ")
+  }
+
   private val decSum = (x: String, as: String) =>
     s"CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE) AS $as"
   private val decAvg = (x: String, as: String) =>
@@ -533,6 +556,8 @@ object OracleSql {
         |  quantile_cont(value, 0.95) AS p95,
         |  quantile_disc(value, 0.5) AS p50_disc
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_embed_covariance" -> embedCovSql,
 
     // Equi-width histogram: the bin index and bin edges are evaluated in
     // EXACTLY the Spark-side double operation order, so the engines are

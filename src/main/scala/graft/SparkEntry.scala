@@ -608,6 +608,11 @@ object SparkEntry {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
 
+  /** One-pass exact covariance of the embedding matrix — the sufficient
+    * statistic PCA/OPQ whitening consumes ([[graft.operators.Embeddings]]). */
+  private def qEmbedCovariance(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Embeddings.covariance(emb(spark, dir), "embedding", 8)
+
   private def qSimTopkDot(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -815,6 +820,7 @@ object SparkEntry {
     "q_histogram" -> (qHistogram _),
     "q_cohort_retention" -> (qCohort _),
     "q_funnel" -> (qFunnel _),
+    "q_embed_covariance" -> (qEmbedCovariance _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),

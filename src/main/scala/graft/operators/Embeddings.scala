@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-matrix statistics and whitening — the preprocessing stage of
+  * a production ANN/quantization pipeline (OPQ-style rotation before PQ,
+  * covariance diagnostics before IVF): a one-pass exact covariance
+  * aggregate and a PCA whitening transform built on it.
+  *
+  * Scale shape: the covariance pass is a SINGLE hash aggregate producing a
+  * fixed-size result — d means + d(d+1)/2 product sums — with map-side
+  * combine; nothing explodes per row and nothing is ever collected except
+  * the d×d matrix itself (KBs for any practical d). The eigen solve runs
+  * on the driver over that d×d matrix (Jacobi rotations — exact-enough,
+  * dependency-free) and the rotation broadcasts back into a codegen'd
+  * projection. This is how large systems do it: sufficient statistics in
+  * one distributed pass, tiny dense solve centrally, transform as a map.
+  *
+  * Numeric determinism: per-row entry products are computed in double
+  * (one exact-rounded operation), then summed as fixed-scale DECIMAL —
+  * exact and order-independent, so results are bit-identical across
+  * partitionings and engines; the final covariance combines those exact
+  * sums in a fixed double op order the oracle mirrors.
+  */
+object Embeddings {
+
+  private def d2(c: Column): Column = c.cast(DoubleType)
+
+  /** Population covariance of a fixed-dimension `ARRAY<FLOAT>` column as
+    * one row per (i ≤ j): `(i, j, cov)` with
+    * `cov = E[x_i·x_j] − E[x_i]·E[x_j]`. One aggregate, no explosion. */
+  def covariance(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val el: Int => Column = i => d2(element_at(col(vecCol), i + 1))
+    val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+    val sumCols =
+      (0 until dim).map(i =>
+        sum(el(i).cast(DecimalType(28, 12))).as(s"s_$i")) ++
+      pairs.map { case (i, j) =>
+        sum((el(i) * el(j)).cast(DecimalType(28, 12))).as(s"p_${i}_$j") }
+    val agg = df.agg(count(lit(1)).as("n"), sumCols: _*)
+    val n = d2(col("n"))
+    val rows = pairs.map { case (i, j) =>
+      struct(lit(i).as("i"), lit(j).as("j"),
+        (d2(col(s"p_${i}_$j")) / n -
+          (d2(col(s"s_$i")) / n) * (d2(col(s"s_$j")) / n)).as("cov"))
+    }
+    agg.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Driver-side symmetric eigen decomposition by cyclic Jacobi —
+    * deterministic, dependency-free, fine for the d×d matrices this
+    * stage sees (d up to a few thousand). Returns (eigenvalues,
+    * eigenvectors as rows), sorted by eigenvalue descending. */
+  private[graft] def jacobiEigen(m: Array[Array[Double]],
+      sweeps: Int = 32): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-14) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > 1e-300) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t =
+            if (theta == 0.0) 1.0
+            else math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until d) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => (0 until d).map(k => v(k)(i)).toArray).toArray)
+  }
+
+  /** PCA whitening: center on the mean, rotate onto the covariance
+    * eigenbasis, scale each component to unit variance
+    * (`y = Λ^{-1/2}·Eᵀ·(x − μ)`). Components with variance ≤ `floor`
+    * are passed through unscaled rotation (no divide-by-~0 blowups).
+    * Returns the input plus `whitened ARRAY<DOUBLE>`, components in
+    * descending-variance order — the standard rotation PQ wants in
+    * front of it.
+    *
+    * One covariance pass (see [[covariance]]'s shape), one tiny driver
+    * solve, then a broadcast-literal linear map evaluated per row —
+    * no shuffle in the transform at all. */
+  def pcaWhiten(df: DataFrame, vecCol: String, dim: Int,
+      floor: Double = 1e-9): DataFrame = {
+    val stats = covariance(df, vecCol, dim).collect()
+    val cov = Array.ofDim[Double](dim, dim)
+    stats.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    // mean from the same exact sums: re-derive via a tiny second agg
+    val meanRow = df.agg(count(lit(1)).as("n"),
+      (0 until dim).map(i =>
+        sum(d2(element_at(col(vecCol), i + 1)).cast(DecimalType(28, 12)))
+          .as(s"s_$i")): _*).collect().head
+    val n = meanRow.getLong(0).toDouble
+    val mean = (0 until dim)
+      .map(i => meanRow.getDecimal(i + 1).doubleValue() / n).toArray
+    val (eig, basis) = jacobiEigen(cov)
+    val scaled = basis.zip(eig).map { case (row, l) =>
+      if (l > floor) row.map(_ / math.sqrt(l)) else row
+    }
+    // y_k = Σ_i scaled(k)(i) · (x_i − μ_i), as a codegen'd expression
+    val comps = (0 until dim).map { k =>
+      (0 until dim).map { i =>
+        lit(scaled(k)(i)) * (d2(element_at(col(vecCol), i + 1)) - mean(i))
+      }.reduce(_ + _)
+    }
+    df.withColumn("whitened", array(comps: _*))
+  }
+}

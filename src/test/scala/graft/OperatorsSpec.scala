@@ -1601,3 +1601,53 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("payload"))
   }
 }
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Embeddings
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 0.0f)),
+    (2L, Array(3.0f, 0.0f, 0.0f)),
+    (3L, Array(5.0f, 4.0f, 0.0f)),
+    (4L, Array(7.0f, 2.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("covariance: exact hand values, partition-independent") {
+    // x0 mean 4, x1 mean 2: cov00 = (1+9+25+49)/4-16 = 5, cov01 =
+    // (2+0+20+14)/4-8 = 1, cov11 = (4+0+16+4)/4-4 = 2, x2 constant → 0
+    val got = Embeddings.covariance(vecs, "embedding", 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((0, 0) -> 5.0, (0, 1) -> 1.0, (0, 2) -> 0.0,
+      (1, 1) -> 2.0, (1, 2) -> 0.0, (2, 2) -> 0.0))
+    val again = Embeddings.covariance(vecs.repartition(7), "embedding", 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(again == got) // decimal sums: bit-equal across partitionings
+  }
+
+  test("jacobiEigen: recovers a known symmetric spectrum") {
+    // [[2,1],[1,2]] has eigenvalues 3 and 1
+    val (eig, basis) = Embeddings.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(eig(0) - 3.0) < 1e-12 && math.abs(eig(1) - 1.0) < 1e-12)
+    // eigenvector of 3 is (1,1)/sqrt2 up to sign
+    assert(math.abs(math.abs(basis(0)(0)) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(basis(0)(0) - basis(0)(1)) < 1e-12)
+  }
+
+  test("pcaWhiten: whitened covariance is the identity on live axes") {
+    val out = Embeddings.pcaWhiten(vecs, "embedding", 3)
+      .select(col("whitened")).as[Array[Double]].collect()
+    // empirical covariance of the whitened components
+    val n = out.length.toDouble
+    def mean(k: Int) = out.map(_(k)).sum / n
+    def cov(a: Int, b: Int) =
+      out.map(v => v(a) * v(b)).sum / n - mean(a) * mean(b)
+    // two live axes → unit variance, zero cross-covariance; the dead
+    // third axis stays at zero variance (floor guard, no blowup)
+    assert(math.abs(cov(0, 0) - 1.0) < 1e-9, s"var0=${cov(0, 0)}")
+    assert(math.abs(cov(1, 1) - 1.0) < 1e-9, s"var1=${cov(1, 1)}")
+    assert(math.abs(cov(0, 1)) < 1e-9, s"cross=${cov(0, 1)}")
+    assert(math.abs(cov(2, 2)) < 1e-9, s"dead=${cov(2, 2)}")
+    assert(out.forall(v => v.forall(x => !x.isNaN && !x.isInfinite)))
+  }
+}
