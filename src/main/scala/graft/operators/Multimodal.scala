@@ -64,6 +64,7 @@ object Multimodal {
         if (isBmp(payload)) bmpFeatures(payload, n)
         else if (isWav(payload)) wavFeatures(payload, n)
         else if (isPng(payload)) pngFeatures(payload, n)
+        else if (isPnm(payload)) pnmFeatures(payload, n)
         else stubFeatures(payload, n)
       } catch { case _: IndexOutOfBoundsException |
                      _: ArithmeticException => stubFeatures(payload, n) }
@@ -89,6 +90,85 @@ object Multimodal {
       b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
         b(2) == 'N' && b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a &&
         b(6) == 0x1a && b(7) == 0x0a
+
+    private[graft] def isPnm(b: Array[Byte]): Boolean =
+      b.length >= 10 && b(0) == 'P' && (b(1) == '5' || b(1) == '6') &&
+        (b(2) == ' ' || b(2) == '\t' || b(2) == '\n' || b(2) == '\r' ||
+          b(2) == '#')
+
+    /** Parse the PNM ASCII header after the magic: up to `count` decimal
+    * tokens separated by whitespace, `#` comments running to newline.
+    * Returns (tokens, offset-after-single-whitespace) or None if the
+    * header is not strictly well-formed (random bytes must fall
+    * through to the stub). */
+    private def pnmHeader(b: Array[Byte],
+        count: Int): Option[(Array[Int], Int)] = {
+      val out = new Array[Int](count)
+      var got = 0
+      var o = 2
+      while (got < count) {
+        // skip whitespace and comments
+        var progressed = true
+        while (progressed && o < b.length) {
+          progressed = false
+          while (o < b.length && (b(o) == ' ' || b(o) == '\t' ||
+              b(o) == '\n' || b(o) == '\r')) { o += 1; progressed = true }
+          if (o < b.length && b(o) == '#') {
+            while (o < b.length && b(o) != '\n') o += 1
+            progressed = true
+          }
+        }
+        var v = 0L
+        val start = o
+        while (o < b.length && b(o) >= '0' && b(o) <= '9' &&
+            v <= (1 << 20)) {
+          v = v * 10 + (b(o) - '0'); o += 1
+        }
+        if (o == start || v > (1 << 20)) return None
+        out(got) = v.toInt
+        got += 1
+      }
+      // exactly ONE whitespace byte separates header from raster
+      if (o >= b.length || !(b(o) == ' ' || b(o) == '\t' || b(o) == '\n' ||
+          b(o) == '\r')) return None
+      Some((out, o + 1))
+    }
+
+    /** Binary PPM (P6, 24-bit RGB) / PGM (P5, 8-bit gray), maxval 255:
+      * per-slice mean luminance in storage order — P6 uses the same
+      * `(r+g+b)/(3·255)` convention as [[bmpFeatures]], P5 `gray/255`.
+      * Anything not strictly conformant (wrong maxval, short raster,
+      * malformed header) falls to the stub. */
+    private def pnmFeatures(b: Array[Byte], n: Int): Array[Double] = {
+      val gray = b(1) == '5'
+      val parsed = pnmHeader(b, 3)
+      if (parsed.isEmpty) return stubFeatures(b, n)
+      val (hdr, off) = parsed.get
+      val width = hdr(0); val height = hdr(1); val maxval = hdr(2)
+      val bpp = if (gray) 1 else 3
+      val total = width * height
+      if (width <= 0 || height <= 0 || maxval != 255 ||
+          off.toLong + total.toLong * bpp > b.length)
+        return stubFeatures(b, n)
+      val out = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        val from = bound(j, total, n); val until = bound(j + 1, total, n)
+        var sum = 0L
+        var p = from
+        while (p < until) {
+          val base = off + p * bpp
+          if (gray) sum += (b(base) & 0xff)
+          else sum += (b(base) & 0xff) + (b(base + 1) & 0xff) +
+            (b(base + 2) & 0xff)
+          p += 1
+        }
+        out(j) = if (until == from) 0.0
+                 else sum.toDouble / (bpp * 255.0 * (until - from))
+        j += 1
+      }
+      out
+    }
 
     /** Slice boundary i·total/n — the standard equal-partition rule. */
     @inline private def bound(i: Int, total: Int, n: Int): Int =
@@ -345,6 +425,21 @@ object Multimodal {
           // integrity), never from a bare IHDR over a corrupt stream
           pngDecode(b).map { case (w, h, _, _, _) =>
             Sniffed("image/png", Some(w), Some(h), None)
+          }
+        } else if (isPnm(b)) {
+          // gate parity with pnmFeatures: strict header, maxval 255,
+          // full raster present
+          val gray = b(1) == '5'
+          pnmHeader(b, 3) match {
+            case Some((hdr, off))
+                if hdr(0) > 0 && hdr(1) > 0 && hdr(2) == 255 &&
+                  off.toLong + hdr(0).toLong * hdr(1) *
+                    (if (gray) 1 else 3) <= b.length =>
+              Some(Sniffed(
+                if (gray) "image/x-portable-graymap"
+                else "image/x-portable-pixmap",
+                Some(hdr(0)), Some(hdr(1)), None))
+            case _ => None
           }
         } else None
       } catch { case _: IndexOutOfBoundsException => None }

@@ -1555,6 +1555,40 @@ class MultimodalSpec extends SparkSpec {
       s.width.contains(2) && s.height.contains(2) && s.durationMs.isEmpty))
   }
 
+  test("MediaCodec: PPM/PGM decode — comments, strict gates, sniff parity") {
+    import graft.operators.Multimodal.MediaCodec
+    // P6 2×2, maxval 255, comment in header: pixels white, black /
+    // red-only, blue-only → slice sums 765+0, 255+255
+    val p6 = ("P6 # a comment\n2 2\n255\n".getBytes.toSeq ++
+      Seq(255, 255, 255, 0, 0, 0, 255, 0, 0, 0, 0, 255).map(_.toByte)).toArray
+    assert(MediaCodec.isPnm(p6))
+    assert(MediaCodec.decode(p6, 2).toSeq ==
+      Seq(765.0 / 1530.0, 510.0 / 1530.0))
+    // P5 1×4 gray ramp 0,85,170,255 → slice means 42.5/255, 212.5/255
+    val p5 = ("P5\n1 4\n255\n".getBytes.toSeq ++
+      Seq(0, 85, 170, 255).map(_.toByte)).toArray
+    assert(MediaCodec.decode(p5, 2).toSeq ==
+      Seq(85.0 / 510.0, 425.0 / 510.0))
+    // strict gates: maxval ≠ 255 and short raster both fall to the stub
+    val p6bad = ("P6\n2 2\n65535\n".getBytes.toSeq ++
+      Seq.fill(24)(7.toByte)).toArray
+    val p6short = ("P6\n2 2\n255\n".getBytes.toSeq ++
+      Seq.fill(11)(7.toByte)).toArray
+    // a uniform-7 raster would really decode to 21/765 per slice; the
+    // gated payloads must NOT produce that (they take the md5 stub)
+    assert(MediaCodec.decode(p6bad, 2).toSeq !=
+      Seq(21.0 / 765.0, 21.0 / 765.0))
+    assert(MediaCodec.decode(p6short, 2).toSeq !=
+      Seq(21.0 / 765.0, 21.0 / 765.0))
+    // sniff parity: good payloads yield dimensions, bad ones None
+    assert(MediaCodec.sniff(p6).contains(
+      MediaCodec.Sniffed("image/x-portable-pixmap", Some(2), Some(2), None)))
+    assert(MediaCodec.sniff(p5).contains(
+      MediaCodec.Sniffed("image/x-portable-graymap", Some(1), Some(4), None)))
+    assert(MediaCodec.sniff(p6bad).isEmpty)
+    assert(MediaCodec.sniff(p6short).isEmpty)
+  }
+
   test("sniffMetadata: parsed headers override declared values; others keep them") {
     val rows = Seq(
       org.apache.spark.sql.Row(1L, "image", bmpBytes, "application/octet-stream",
