@@ -559,6 +559,60 @@ object OracleSql {
 
     "q_embed_covariance" -> embedCovSql,
 
+    // OLAP rollup: grouping_id bit order is SQL-standard (first column =
+    // MSB) in both engines; NULL subtotal keys match.
+    "q_rollup" ->
+      """WITH e AS (SELECT event_type,
+        |    ((epoch_ns(ts) // 1000000000) // 86400) * 86400 AS day_s,
+        |    value FROM events)
+        |SELECT event_type, day_s,
+        |  CAST(GROUPING(event_type, day_s) AS INT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY ROLLUP (event_type, day_s)""".stripMargin,
+
+    // Pivot over the enumerated event types: conditional counts; absent
+    // combinations are 0 on both sides.
+    "q_pivot_counts" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+        |    AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+        |    AS error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+        |    AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+        |    AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+        |    AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // Trailing-window z-score: mean/variance from exact decimal running
+    // sums, combined in the Spark-side double op order; < minPrior
+    // evidence or σ = 0 → NULL z, never a flag.
+    "q_anomaly_zscore" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |    epoch_ns(ts) // 1000000000 AS es FROM events),
+        |w AS (SELECT event_id, user_id, es, value,
+        |    count(value) OVER win AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) OVER win AS DOUBLE)
+        |      AS s,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,6))) OVER win
+        |      AS DOUBLE) AS ss
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY es
+        |    RANGE BETWEEN 21600 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_id, user_id, es AS epoch_s,
+        |    CASE WHEN n >= 3 AND
+        |        ss / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) *
+        |          (s / CAST(n AS DOUBLE)) > 0
+        |      THEN (value - s / CAST(n AS DOUBLE)) /
+        |        sqrt(ss / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) *
+        |          (s / CAST(n AS DOUBLE)))
+        |    END AS z
+        |  FROM w)
+        |SELECT event_id, user_id, epoch_s, z,
+        |  COALESCE(abs(z) >= 2.0, false) AS anomaly FROM z""".stripMargin,
+
     // Equi-width histogram: the bin index and bin edges are evaluated in
     // EXACTLY the Spark-side double operation order, so the engines are
     // IEEE-754 bit-equal; the top edge closes right (v == mx → last bin).

@@ -608,6 +608,26 @@ object SparkEntry {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
 
+  /** OLAP rollup: (event_type, day) subtotal ladder + grand total in
+    * one Expand-pass aggregate. */
+  private def qRollup(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.rollupSummary(
+      events(spark, dir)
+        .withColumn("day_s", epochS(date_trunc("day", col("ts")))),
+      Seq("event_type", "day_s"), "value")
+
+  /** Pivot: per-user event-type count matrix over the enumerated types. */
+  private def qPivotCounts(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.pivotCounts(events(spark, dir), "user_id", "event_type",
+      Seq("click", "error", "purchase", "signup", "view"))
+
+  /** Trailing 6 h z-score anomaly flags per user (threshold 2σ). */
+  private def qAnomaly(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.anomalyZScore(events(spark, dir), "ts", "user_id", "value",
+        21600L, 2.0)
+      .select(col("event_id"), col("user_id"), col("__es").as("epoch_s"),
+        col("z"), col("anomaly"))
+
   /** One-pass exact covariance of the embedding matrix — the sufficient
     * statistic PCA/OPQ whitening consumes ([[graft.operators.Embeddings]]). */
   private def qEmbedCovariance(spark: SparkSession, dir: String): DataFrame =
@@ -821,6 +841,9 @@ object SparkEntry {
     "q_cohort_retention" -> (qCohort _),
     "q_funnel" -> (qFunnel _),
     "q_embed_covariance" -> (qEmbedCovariance _),
+    "q_rollup" -> (qRollup _),
+    "q_pivot_counts" -> (qPivotCounts _),
+    "q_anomaly_zscore" -> (qAnomaly _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),

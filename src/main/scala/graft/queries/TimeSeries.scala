@@ -399,6 +399,74 @@ object TimeSeries {
       .select("r.*")
   }
 
+  /** Hierarchical rollup — subtotals at every prefix of the grouping
+    * columns plus the grand total, each level tagged by `grouping_id`
+    * (0 = finest). The OLAP answer to "totals by (type, day), by type,
+    * and overall" in ONE pass: Catalyst expands the grouping sets and
+    * aggregates them in a single `Expand` + hash aggregate — one shuffle
+    * for every level together, never one scan per level. Measures:
+    * count + exact decimal sum. */
+  def rollupSummary(df: DataFrame, groupCols: Seq[String],
+      measure: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    df.rollup(groupCols.map(col): _*)
+      .agg(grouping_id().cast(IntegerType).as("gid"),
+        count(lit(1)).as("n"), exactSum(col(measure)).as("sum_value"))
+  }
+
+  /** Pivot — one row per key, one measure column per (known) pivot
+    * value: the wide dashboard matrix. `values` must be enumerated by
+    * the caller: at 100 TB an unenumerated pivot needs a full distinct
+    * scan BEFORE the real job and produces an unbounded-width schema;
+    * with fixed values the whole pivot is one hash aggregate whose
+    * conditional counters fold map-side (Spark's `pivot(col, values)`
+    * plans exactly that). */
+  def pivotCounts(df: DataFrame, key: String, pivotCol: String,
+      values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "pivot values must be enumerated")
+    df.groupBy(col(key))
+      .pivot(pivotCol, values)
+      .agg(count(lit(1)))
+      .na.fill(0L, values)
+  }
+
+  /** Trailing-window z-score anomaly flag: each observation scored
+    * against the mean/stddev of its key's PRECEDING `windowSeconds`
+    * (exclusive of the current row); |z| ≥ `threshold` flags. Rows with
+    * fewer than `minPrior` prior observations emit NULL z (not enough
+    * evidence), never a false flag.
+    *
+    * Determinism: window mean and variance derive from exact
+    * fixed-scale decimal running sums (order-independent), combined in
+    * a fixed double op order — `var = ss/n − (s/n)²`, `z = (x − μ)/σ` —
+    * that the oracle mirrors bit-for-bit; a σ = 0 window emits NULL z.
+    * One shuffle on the key, one RANGE-frame window pass, all codegen. */
+  def anomalyZScore(df: DataFrame, ts: String, key: String, value: String,
+      windowSeconds: Long, threshold: Double,
+      minPrior: Int = 3): DataFrame = {
+    require(windowSeconds > 0 && threshold > 0)
+    val es = epochSeconds(col(ts))
+    val w = Window.partitionBy(col(key)).orderBy(col("__es"))
+      .rangeBetween(-windowSeconds, -1)
+    val d = df.withColumn("__es", es)
+      .withColumn("__n", count(col(value)).over(w))
+      .withColumn("__s",
+        sum(col(value).cast(DecimalType(28, 6))).over(w).cast(DoubleType))
+      .withColumn("__ss",
+        sum((col(value) * col(value)).cast(DecimalType(28, 6))).over(w)
+          .cast(DoubleType))
+    val n = col("__n").cast(DoubleType)
+    val mean = col("__s") / n
+    val variance = col("__ss") / n - mean * mean
+    // gate on variance, not sigma: cancellation on a constant window can
+    // leave variance a hair below zero — sqrt of that must never run
+    val z = when(col("__n") >= minPrior && variance > 0.0,
+      (col(value) - mean) / sqrt(variance))
+    d.withColumn("z", z)
+      .withColumn("anomaly", coalesce(abs(col("z")) >= threshold, lit(false)))
+      .drop("__n", "__s", "__ss")
+  }
+
   /** Sketch-based grouped distinct count — HyperLogLog++ at relative
     * standard deviation `rsd`. The 100 TB form of the exact
     * `countDistinct` dashboard query: exact distinct must shuffle every

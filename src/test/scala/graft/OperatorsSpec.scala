@@ -1274,6 +1274,60 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(3) == 10L)
   }
 
+  test("rollupSummary: every prefix level + grand total, one Expand pass") {
+    val df = Seq(("a", 1L, 1.0), ("a", 1L, 2.0), ("a", 2L, 4.0),
+        ("b", 1L, 8.0)).toDF("t", "d", "v")
+    val out = TimeSeries.rollupSummary(df, Seq("t", "d"), "v")
+      .collect().map(r => (Option(r.getString(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getInt(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(out == Set(
+      (Some("a"), Some(1L), 0, 2L, 3.0), (Some("a"), Some(2L), 0, 1L, 4.0),
+      (Some("b"), Some(1L), 0, 1L, 8.0),
+      (Some("a"), None, 1, 3L, 7.0), (Some("b"), None, 1, 1L, 8.0),
+      (None, None, 3, 4L, 15.0)))
+    // all levels from ONE scan: a single Expand feeds the aggregate
+    val plan = TimeSeries.rollupSummary(df, Seq("t", "d"), "v")
+      .queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).length >= 1 &&
+      "Scan".r.findAllIn(plan).length <= 1, plan)
+  }
+
+  test("pivotCounts: wide matrix, absent cells zero") {
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "y"))
+      .toDF("k", "t")
+    val out = TimeSeries.pivotCounts(df, "k", "t", Seq("x", "y", "zz"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(1L -> (2L, 1L, 0L), 2L -> (0L, 1L, 0L)))
+  }
+
+  test("anomalyZScore: trailing stats, minPrior gate, constant window") {
+    val df = Seq(
+      // user 1: three 10.0s then a spike — z = (50-10)/0 is gated (σ=0
+      // constant window → NULL z, no flag); then a real spread
+      (1L, 0L, 10.0, 1L), (1L, 60L, 10.0, 2L), (1L, 120L, 10.0, 3L),
+      (1L, 180L, 50.0, 4L),   // σ=0 → NULL z
+      (1L, 240L, 10.0, 5L),   // prior {10,10,10,50}: σ>0, z defined
+      // user 2: only two priors → below minPrior, NULL z
+      (2L, 0L, 1.0, 6L), (2L, 60L, 2.0, 7L), (2L, 120L, 9.0, 8L))
+      .toDF("user_id", "epoch", "value", "event_id")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val out = TimeSeries.anomalyZScore(df, "ts", "user_id", "value",
+        3600L, 2.0)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("z"))) None
+         else Some(r.getAs[Double]("z")),
+          r.getAs[Boolean]("anomaly"))).toMap
+    assert(out(1L) == (None, false)) // no priors
+    assert(out(4L) == (None, false)) // constant window: σ gated
+    assert(out(8L) == (None, false)) // below minPrior
+    val (z5, flag5) = out(5L)
+    // prior {10,10,10,50}: mean 20, var = 2800/4 − 400 = 300
+    assert(z5.isDefined && flag5 == (math.abs(z5.get) >= 2.0))
+    assert(math.abs(z5.get - (-10.0 / math.sqrt(300.0))) < 1e-12, z5)
+  }
+
   test("histogram: equi-width bins, right-closed top edge, degenerate key") {
     val df = Seq(("a", 0.0), ("a", 2.5), ("a", 4.9), ("a", 10.0),
         ("a", 10.0), ("b", 7.0), ("b", 7.0))
