@@ -559,6 +559,18 @@ object OracleSql {
 
     "q_embed_covariance" -> embedCovSql,
 
+    // Equi-depth histogram: NTILE shares the SQL-standard definition
+    // (first buckets get the remainder) in both engines; total order
+    // (value, event_id) makes bucket assignment deterministic.
+    "q_histogram_depth" ->
+      """SELECT event_type, CAST(b AS INT) AS bucket, min(value) AS lo,
+        |  max(value) AS hi, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT event_type, value,
+        |    ntile(8) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS b
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+
     // OLAP rollup: grouping_id bit order is SQL-standard (first column =
     // MSB) in both engines; NULL subtotal keys match.
     "q_rollup" ->

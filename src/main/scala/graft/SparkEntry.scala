@@ -621,6 +621,12 @@ object SparkEntry {
     TimeSeries.pivotCounts(events(spark, dir), "user_id", "event_type",
       Seq("click", "error", "purchase", "signup", "view"))
 
+  /** Equi-depth histogram: 8 rank-quantile buckets of value per event
+    * type (ntile, tie-broken on event_id). */
+  private def qHistogramDepth(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.histogramEquiDepth(events(spark, dir), "event_type", "value",
+      "event_id", 8)
+
   /** Trailing 6 h z-score anomaly flags per user (threshold 2σ). */
   private def qAnomaly(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.anomalyZScore(events(spark, dir), "ts", "user_id", "value",
@@ -844,6 +850,7 @@ object SparkEntry {
     "q_rollup" -> (qRollup _),
     "q_pivot_counts" -> (qPivotCounts _),
     "q_anomaly_zscore" -> (qAnomaly _),
+    "q_histogram_depth" -> (qHistogramDepth _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),

@@ -51,6 +51,42 @@ object Scale {
     * with the same bucketing join without any exchange (the 100 TB
     * recurring-join layout; the managed-table analogue of the reference's
     * `segmentby` clustering). */
+  /** Bloom-screened inner equi-join: build a bloom filter over the small
+    * side's join keys and drop large-side rows that cannot match BEFORE
+    * the join's exchange — the explicit form of the runtime filter
+    * Spark's optimizer injects for plain shuffle joins
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`). Reach for this when
+    * the large side flows through operators the injected filter cannot
+    * cross (unions, windows, custom plans) or when the join itself is
+    * not where the cost is (the screen cuts a downstream wide shuffle).
+    *
+    * Semantics: identical to the plain join — bloom false positives are
+    * removed by the exact join; there are NO false negatives. Cost: one
+    * aggregation over the small side to build the filter (driver holds
+    * `~1.2·n·ln(1/fpp)` BITS — ~1.2 MB per million keys at 1% — same
+    * budget as any broadcast), one cheap membership test per large row.
+    * Long and String keys supported (the two join-key types this engine
+    * uses). */
+  def bloomScreenedJoin(large: DataFrame, small: DataFrame, key: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
+    val bc = large.sparkSession.sparkContext.broadcast(bf)
+    import org.apache.spark.sql.functions.udf
+    val screened = large.schema(key).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val f = udf((k: java.lang.Long) =>
+          k != null && bc.value.mightContainLong(k))
+        large.filter(f(col(key)))
+      case org.apache.spark.sql.types.StringType =>
+        val f = udf((k: String) => k != null && bc.value.mightContainString(k))
+        large.filter(f(col(key)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"bloomScreenedJoin supports LONG and STRING keys, got $other")
+    }
+    screened.join(small, Seq(key))
+  }
+
   def writeBucketed(df: DataFrame, tableName: String, key: String,
       buckets: Int, sortCol: String): Unit =
     df.write.mode(SaveMode.Overwrite)

@@ -335,6 +335,26 @@ object TimeSeries {
       .select(col(key), col("bin"), col("lo"), col("hi"), col("n"))
   }
 
+  /** Per-group EQUI-DEPTH histogram — `nBuckets` rank-quantile buckets
+    * of (approximately) equal population via `ntile` over a total order
+    * (`value`, tie-broken by `tieBy` for determinism): per bucket the
+    * min/max value span and exact count. The companion of [[histogram]]
+    * (equi-width) — equi-depth adapts bin edges to the distribution, the
+    * form dashboards want for heavy-tailed measures.
+    *
+    * Scale: one shuffle on the group key + one sort per group (ntile
+    * needs rank, not a global sort); count/min/max fold map-side in the
+    * follow-up aggregate. */
+  def histogramEquiDepth(df: DataFrame, key: String, value: String,
+      tieBy: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val w = Window.partitionBy(col(key)).orderBy(col(value), col(tieBy))
+    df.withColumn("bucket", ntile(nBuckets).over(w))
+      .groupBy(col(key), col("bucket"))
+      .agg(min(col(value)).as("lo"), max(col(value)).as("hi"),
+        count(lit(1)).as("n"))
+  }
+
   /** Cohort retention — users bucketed by their first-activity week
     * (the cohort), counted by how many distinct users of each cohort
     * were active N weeks later: the `(cohort_week, week_offset,

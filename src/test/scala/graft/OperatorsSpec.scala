@@ -1344,6 +1344,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(a3.getDouble(2) == 7.5 && a3.getDouble(3) == 10.0)
   }
 
+  test("histogramEquiDepth: ntile buckets, remainder to the front") {
+    // 10 values in 4 buckets → populations 3,3,2,2 (SQL-standard NTILE)
+    val df = (1 to 10).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("k", "v", "id")
+    val out = TimeSeries.histogramEquiDepth(df, "k", "v", "id", 4)
+      .collect().map(r =>
+        r.getInt(1) -> (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out == Map(1 -> (1.0, 3.0, 3L), 2 -> (4.0, 6.0, 3L),
+      3 -> (7.0, 8.0, 2L), 4 -> (9.0, 10.0, 2L)))
+  }
+
   test("cohortRetention: first week anchors the cohort, offsets count once") {
     val wk = 604800L
     val df = Seq(
@@ -1445,6 +1456,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(201L).contains(3.0))    // equal ts: inclusive, max tie-break
     assert(out(202L).contains(3.0))    // between refs: latest prior
     assert(out(203L).isEmpty)          // user 2's ref is later
+  }
+
+  test("asofJoin matches a brute-force oracle on random data") {
+    val rnd = new scala.util.Random(8)
+    val refs = Seq.fill(200)((rnd.nextInt(5).toLong,
+      rnd.nextInt(1000).toLong, rnd.nextInt(100).toDouble))
+    val probes = Seq.tabulate(300)(i => (i.toLong,
+      rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    // brute force: max value among refs at the greatest ts <= probe ts
+    val expected = probes.map { case (id, k, t) =>
+      val prior = refs.filter(r => r._1 == k && r._2 <= t)
+      id -> (if (prior.isEmpty) None else {
+        val best = prior.map(_._2).max
+        Some(prior.filter(_._2 == best).map(_._3).max)
+      })
+    }.toMap
+    val refDf = refs.toDF("user_id", "epoch", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val probeDf = probes.toDF("event_id", "user_id", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val got = TimeSeries.asofJoin(probeDf, "event_id", "ts",
+        refDf, "ts", "value", "user_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got == expected)
   }
 
   test("downsampleMax buckets align to the hour") {

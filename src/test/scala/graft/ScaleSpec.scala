@@ -20,6 +20,31 @@ class ScaleSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("bloomScreenedJoin equals the plain join; screen precedes it") {
+    val large = (1 to 2000).map(i => (i.toLong % 500, s"row$i"))
+      .toDF("k", "payload")
+    val small = (0 to 49).map(i => (i.toLong, s"dim$i")).toDF("k", "label")
+    val screened = Scale.bloomScreenedJoin(large, small, "k", 1000L)
+    val got = screened.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val plain = large.join(small, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == plain) // no false negatives, FPs removed by the join
+    // string keys take the string branch
+    val ls = large.withColumn("k", concat(lit("u"), col("k")))
+    val ss = small.withColumn("k", concat(lit("u"), col("k")))
+    assert(Scale.bloomScreenedJoin(ls, ss, "k", 1000L).count() ==
+      ls.join(ss, "k").count())
+    // the membership screen must run on the large side BEFORE the join
+    // (a LocalRelation input gets constant-folded by
+    // ConvertToLocalRelation, so assert on a Range-backed plan)
+    val largeR = spark.range(2000).select((col("id") % 500).as("k"),
+      col("id").as("payload"))
+    val planR = Scale.bloomScreenedJoin(largeR, small, "k", 1000L)
+      .queryExecution.executedPlan.toString
+    assert(planR.contains("UDF"), s"expected the bloom screen filter:\n$planR")
+  }
+
   test("saltedCountSum equals direct groupBy") {
     val df = (1 to 500).map(i => (i % 2, i.toDouble / 100)).toDF("k", "v")
     val salted = Scale.saltedCountSum(df, "k", "v", 8)
