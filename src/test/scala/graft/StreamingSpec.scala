@@ -800,3 +800,62 @@ class StreamingAsofSpec extends SparkSpec {
     assert(got == batch)
   }
 }
+
+class StreamingAnomalySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamingAnomaly
+  import graft.streaming.StreamingAnomaly.{Event => AEvent}
+
+  test("streaming z-score: prior-only stats, gates, cross-batch state") {
+    implicit val sqlCtx = spark.sqlContext
+    def s(sec: Long) = sec * 1000000L
+    val input = MemoryStream[AEvent]
+    val out = StreamingAnomaly.score(input.toDS(), threshold = 2.0,
+      minPrior = 3, ttlMs = 3600L * 1000,
+      watermarkDelay = Some("0 seconds"))
+    val cp = Files.createTempDirectory("graft_sanom").toString
+    val q = out.writeStream.format("memory").queryName("sanom_out")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      // batch 1: three 10.0s — all below minPrior
+      input.addData(AEvent(1L, s(1000), 1L, 10.0),
+        AEvent(1L, s(1060), 2L, 10.0), AEvent(1L, s(1120), 3L, 10.0))
+      q.processAllAvailable()
+      // batch 2 (state carried): spike sees σ=0 → gated; next event sees
+      // priors {10,10,10,50}: mean 20, var 300, z = −10/√300
+      input.addData(AEvent(1L, s(1180), 4L, 50.0),
+        AEvent(1L, s(1240), 5L, 10.0))
+      q.processAllAvailable()
+      val got = spark.table("sanom_out").as[StreamingAnomaly.Scored]
+        .collect().map(e => e.id -> (e.z, e.anomaly)).toMap
+      assert(got(1L) == (None, false) && got(3L) == (None, false))
+      assert(got(4L) == (None, false)) // constant-history σ gate
+      val (z5, f5) = got(5L)
+      assert(z5.isDefined &&
+        math.abs(z5.get - (-10.0 / math.sqrt(300.0))) < 1e-12)
+      assert(!f5) // |z| ≈ 0.577 < 2
+      // TTL expiry: key-99 traffic drives the watermark past key 1's TTL;
+      // the next key-1 event starts from empty state (below minPrior)
+      input.addData(AEvent(99L, s(99000), 6L, 1.0))
+      q.processAllAvailable()
+      input.addData(AEvent(99L, s(99010), 7L, 1.0))
+      q.processAllAvailable()
+      input.addData(AEvent(1L, s(99020), 8L, 10.0))
+      q.processAllAvailable()
+      val v8 = spark.table("sanom_out").as[StreamingAnomaly.Scored]
+        .filter(_.id == 8L).collect().head
+      assert(v8.z.isEmpty, s"state should have expired: $v8")
+    } finally q.stop()
+  }
+
+  test("streaming z-score flags a genuine outlier at full evidence") {
+    // batch mode (one pass): spread history, then a far outlier
+    val events = (Seq.tabulate(8)(i =>
+        AEvent(7L, i * 1000000L, i.toLong, (i % 4).toDouble)) :+
+      AEvent(7L, 9000000L, 99L, 40.0)).toDS()
+    val scored = StreamingAnomaly.score(events, threshold = 2.0)
+      .collect().map(e => e.id -> e).toMap
+    assert(scored(99L).anomaly, scored(99L).toString)
+    assert(scored(99L).z.exists(_ > 2.0))
+  }
+}
