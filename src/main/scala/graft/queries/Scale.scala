@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale utilities for the 100 TB deployment shape: key-salted joins for
@@ -47,10 +47,6 @@ object Scale {
         sum(col("__s")).cast(DoubleType).as("sum_value"))
   }
 
-  /** Write a table bucketed+sorted on the join key: two tables written
-    * with the same bucketing join without any exchange (the 100 TB
-    * recurring-join layout; the managed-table analogue of the reference's
-    * `segmentby` clustering). */
   /** Bloom-screened inner equi-join: build a bloom filter over the small
     * side's join keys and drop large-side rows that cannot match BEFORE
     * the join's exchange — the explicit form of the runtime filter
@@ -87,6 +83,49 @@ object Scale {
     screened.join(small, Seq(key))
   }
 
+  /** Z-order (Morton) clustering for TWO-dimensional file skipping.
+    * Single-column clustering (what [[graft.sinks.FanOutSink]] does for
+    * `(sensor, time)`) leaves the second dimension spanning its full
+    * range in EVERY file, so min/max footer pruning only helps one
+    * predicate; interleaving the bits of both dimensions' rank cells
+    * gives every file a bounded span in BOTH, and point/box queries
+    * prune files on either predicate.
+    *
+    * Scale shape: cell boundaries come from `approxQuantile` (one
+    * sketch pass, driver holds `2^bits − 1` cuts per column — bytes),
+    * the cell id is a broadcast-literal comparison ladder, the
+    * interleave is integer bit arithmetic — all codegen, no window, no
+    * global sort; `repartitionByRange` on the z-value does the one
+    * range shuffle any clustered write needs (sampled boundaries), and
+    * files are written z-sorted within partitions. */
+  def zorderWrite(df: DataFrame, path: String, colX: String, colY: String,
+      bits: Int = 4, nFiles: Int = 8): Unit = {
+    require(bits >= 1 && bits <= 15, "bits must be in [1, 15]")
+    val cells = (1 << bits) - 1
+    val probs = (1 to cells).map(_.toDouble / (cells + 1)).toArray
+    val Seq(bx, by) = Seq(colX, colY).map(c =>
+      df.stat.approxQuantile(c, probs, 0.001))
+    def cell(c: Column, bounds: Array[Double]): Column =
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(c.cast(org.apache.spark.sql.types.DoubleType) > b, 1)
+          .otherwise(0)
+      }
+    def interleave(cx: Column, cy: Column): Column =
+      (0 until bits).map { k =>
+        (shiftleft(shiftrightunsigned(cx, k).bitwiseAND(1), 2 * k + 1))
+          .bitwiseOR(shiftleft(shiftrightunsigned(cy, k).bitwiseAND(1), 2 * k))
+      }.reduce(_.bitwiseOR(_))
+    df.withColumn("__z", interleave(cell(col(colX), bx), cell(col(colY), by)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Write a table bucketed+sorted on the join key: two tables written
+    * with the same bucketing join without any exchange (the 100 TB
+    * recurring-join layout; the managed-table analogue of the reference's
+    * `segmentby` clustering). */
   def writeBucketed(df: DataFrame, tableName: String, key: String,
       buckets: Int, sortCol: String): Unit =
     df.write.mode(SaveMode.Overwrite)

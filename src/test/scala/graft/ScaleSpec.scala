@@ -57,6 +57,33 @@ class ScaleSpec extends SparkSpec {
     assert(salted.toSeq == direct.toSeq)
   }
 
+  test("zorderWrite bounds BOTH dimensions' per-file spans") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // a 64×64 uniform grid: under an x-only sort every file spans the
+    // full y range; under z-order both spans shrink
+    val grid = spark.range(4096)
+      .select((col("id") / 64).cast("long").as("x"),
+        (col("id") % 64).cast("long").as("y"))
+    Scale.zorderWrite(grid, s"$base/z", "x", "y", bits = 3, nFiles = 8)
+    grid.repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$base/xsort")
+    def fileSpans(dir: String): Seq[(Long, Long)] =
+      new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+        .toSeq.map { f =>
+          val d = spark.read.parquet(f.getPath)
+            .agg(max(col("y")) - min(col("y")),
+              max(col("x")) - min(col("x"))).collect().head
+          (d.getLong(0), d.getLong(1))
+        }
+    val zs = fileSpans(s"$base/z")
+    val xs = fileSpans(s"$base/xsort")
+    // x-sorted layout: y unbounded (span 63) in every file
+    assert(xs.forall(_._1 == 63L), xs.toString)
+    // z-order: EVERY file's span is a strict subset in BOTH dims
+    assert(zs.forall { case (ySpan, xSpan) => ySpan <= 40 && xSpan <= 40 },
+      zs.toString)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.sql("DROP TABLE IF EXISTS bucketed_a")
