@@ -679,6 +679,32 @@ object OracleSql {
         |UNION ALL SELECT CAST(2 AS INT), 'purchase', n2 FROM t"""
         .stripMargin,
 
+    // Funnel latencies: per adjacent step pair, converted keys and the
+    // exact mean µs delta (decimal sum / count, combined in double).
+    "q_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |w0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |    OVER (PARTITION BY user_id) AS t0 FROM e),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > t0
+        |    THEN us END) OVER (PARTITION BY user_id) AS t1 FROM w0),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t1
+        |    THEN us END) OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |k AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+        |  FROM w2 GROUP BY 1),
+        |t AS (SELECT
+        |    CAST(count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS n_1,
+        |    sum(CAST(t1 - t0 AS DECIMAL(28,0))) AS s_1,
+        |    CAST(count(CASE WHEN t2 IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS n_2,
+        |    sum(CAST(t2 - t1 AS DECIMAL(28,0))) AS s_2 FROM k)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS from_type,
+        |  'click' AS to_type, n_1 AS n_converted,
+        |  CAST(s_1 AS DOUBLE) / CAST(n_1 AS DOUBLE) AS mean_us FROM t
+        |UNION ALL SELECT CAST(2 AS INT), 'click', 'purchase', n_2,
+        |  CAST(s_2 AS DOUBLE) / CAST(n_2 AS DOUBLE) FROM t""".stripMargin,
+
     // Grouped top-k: row_number() is INT in Spark, BIGINT in DuckDB —
     // cast; order fully determined by (n DESC, user_id).
     "q_topk_users" ->

@@ -621,6 +621,12 @@ object SparkEntry {
     TimeSeries.pivotCounts(events(spark, dir), "user_id", "event_type",
       Seq("click", "error", "purchase", "signup", "view"))
 
+  /** Funnel step latencies: converted-key counts and exact mean µs
+    * between adjacent steps. */
+  private def qFunnelLatency(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.funnelLatency(events(spark, dir), "ts", "user_id",
+      "event_type", Seq("view", "click", "purchase"))
+
   /** Equi-depth histogram: 8 rank-quantile buckets of value per event
     * type (ntile, tie-broken on event_id). */
   private def qHistogramDepth(spark: SparkSession, dir: String): DataFrame =
@@ -851,6 +857,7 @@ object SparkEntry {
     "q_pivot_counts" -> (qPivotCounts _),
     "q_anomaly_zscore" -> (qAnomaly _),
     "q_histogram_depth" -> (qHistogramDepth _),
+    "q_funnel_latency" -> (qFunnelLatency _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),

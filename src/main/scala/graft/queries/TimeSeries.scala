@@ -487,6 +487,46 @@ object TimeSeries {
       .drop("__n", "__s", "__ss")
   }
 
+  /** Funnel step latency — for every adjacent step pair of [[funnel]]'s
+    * ladder, how many keys converted and the exact mean microseconds
+    * between the steps (decimal-exact sum of per-key deltas / count):
+    * `(step, from_type, to_type, n_converted, mean_us)`. Same one-shuffle
+    * windowed-ladder plan; the latency aggregate is a single-row
+    * reduction over the per-key collapse. */
+  def funnelLatency(df: DataFrame, ts: String, key: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "funnelLatency needs at least two steps")
+    val w = Window.partitionBy(col(key))
+    var d = df.select(col(key), col(typeCol).as("__type"),
+      (col(ts).cast(DecimalType(28, 6)) * 1000000L).cast(LongType).as("__us"))
+    steps.zipWithIndex.foreach { case (step, i) =>
+      val cond =
+        if (i == 0) col("__type") === step
+        else col("__type") === step && col("__us") > col(s"__t${i - 1}")
+      d = d.withColumn(s"__t$i", min(when(cond, col("__us"))).over(w))
+    }
+    val perKey = d.groupBy(col(key))
+      .agg(max(col("__t0")).as("__t0"),
+        steps.indices.tail.map(i => max(col(s"__t$i")).as(s"__t$i")): _*)
+    val totals = perKey.agg(
+      count(when(col("__t1").isNotNull, 1)).as("n_1"),
+      (steps.indices.tail.flatMap { i =>
+        val delta = col(s"__t$i") - col(s"__t${i - 1}")
+        Seq(sum(delta.cast(DecimalType(28, 0))).as(s"s_$i")) ++
+          (if (i >= 2) Seq(count(when(col(s"__t$i").isNotNull, 1))
+            .as(s"n_$i"))
+           else Nil)
+      }): _*)
+    totals.select(explode(array(steps.indices.tail.map { i =>
+        struct(lit(i).as("step"),
+          lit(steps(i - 1)).as("from_type"), lit(steps(i)).as("to_type"),
+          col(s"n_$i").as("n_converted"),
+          (col(s"s_$i").cast(DoubleType) / col(s"n_$i").cast(DoubleType))
+            .as("mean_us"))
+      }: _*)).as("r"))
+      .select("r.*")
+  }
+
   /** Sketch-based grouped distinct count — HyperLogLog++ at relative
     * standard deviation `rsd`. The 100 TB form of the exact
     * `countDistinct` dashboard query: exact distinct must shuffle every

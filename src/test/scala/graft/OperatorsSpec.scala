@@ -1394,6 +1394,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(exchanges <= 1, s"funnel should shuffle once, got $exchanges:\n$plan")
   }
 
+  test("funnelLatency: exact mean deltas over converting keys only") {
+    val df = Seq(
+      (1L, 100L, "view"), (1L, 160L, "click"), (1L, 400L, "purchase"),
+      (2L, 100L, "view"), (2L, 140L, "click"),       // converts step 1 only
+      (3L, 100L, "click"), (3L, 200L, "view"))       // never converts
+      .toDF("user_id", "epoch", "event_type")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val out = TimeSeries.funnelLatency(df, "ts", "user_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // view→click: users 1 (60 s) and 2 (40 s) → mean 50 s
+    assert(out(1) == ("view", "click", 2L, Some(50.0 * 1000000)))
+    // click→purchase: user 1 only (240 s)
+    assert(out(2) == ("click", "purchase", 1L, Some(240.0 * 1000000)))
+  }
+
   test("distinctCountSketch tracks exact countDistinct within its rsd") {
     val df = (1 to 5000).map(i => ("g", (i % 1213).toLong)).toDF("g", "u")
     val approx = TimeSeries.distinctCountSketch(df, Seq("g"), "u", 0.02)
