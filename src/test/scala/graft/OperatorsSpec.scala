@@ -1476,6 +1476,47 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(203L).isEmpty)          // user 2's ref is later
   }
 
+  test("gapfill locf+interp match a brute-force oracle on random data") {
+    val rnd = new scala.util.Random(19)
+    val rows = Seq.fill(400)((rnd.nextInt(4).toLong,
+      rnd.nextInt(3000).toLong, rnd.nextInt(50).toDouble))
+    val df = rows.toDF("user_id", "epoch", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val W = 100L
+    // brute force per key: bucket maxes, full spine, locf + interp
+    val byKey = rows.groupBy(_._1).map { case (k, rs) =>
+      val obs = rs.groupBy(r => (r._2 / W) * W)
+        .map { case (b, g) => b -> g.map(_._3).max }
+      k -> obs
+    }
+    val expected = byKey.flatMap { case (k, obs) =>
+      val (lo, hi) = (obs.keys.min, obs.keys.max)
+      val buckets = lo.to(hi, W)
+      var last = 0.0
+      buckets.map { b =>
+        obs.get(b).foreach(last = _)
+        val prev = buckets.filter(x => x <= b && obs.contains(x)).max
+        val next = buckets.filter(x => x >= b && obs.contains(x)).min
+        val interp =
+          if (obs.contains(b)) obs(b)
+          else obs(prev) + (obs(next) - obs(prev)) *
+            ((b - prev).toDouble / (next - prev).toDouble)
+        (k, b) -> (last, interp, obs.contains(b))
+      }
+    }
+    val locf = TimeSeries.gapfillLocf(df, "ts", "user_id", "value", W)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), !r.getBoolean(4))).toMap
+    val interp = TimeSeries.gapfillInterp(df, "ts", "user_id", "value", W)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getDouble(2)).toMap
+    assert(locf.keySet == expected.keySet)
+    expected.foreach { case (key, (el, ei, observed)) =>
+      assert(locf(key) == (el, observed), s"locf@$key")
+      assert(interp(key) == ei, s"interp@$key")
+    }
+  }
+
   test("asofJoin matches a brute-force oracle on random data") {
     val rnd = new scala.util.Random(8)
     val refs = Seq.fill(200)((rnd.nextInt(5).toLong,

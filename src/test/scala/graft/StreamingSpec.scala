@@ -859,3 +859,65 @@ class StreamingAnomalySpec extends SparkSpec {
     assert(scored(99L).z.exists(_ > 2.0))
   }
 }
+
+class StreamingGapfillSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamingGapfill
+  import graft.streaming.StreamingGapfill.{Event => GEvent}
+
+  test("streaming gap-fill: watermark-finalized buckets, fills, late merge") {
+    implicit val sqlCtx = spark.sqlContext
+    def s(sec: Long) = sec * 1000000L
+    val input = MemoryStream[GEvent]
+    // 100 s buckets, 50 s watermark delay
+    val out = StreamingGapfill.fill(input.toDS(), 100L, "50 seconds")
+    val cp = Files.createTempDirectory("graft_sgap").toString
+    val q = out.writeStream.format("memory").queryName("sgap_out")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    def rows() = spark.table("sgap_out").as[StreamingGapfill.FilledRow]
+      .collect().filter(_.key == 1L).sortBy(_.bucketS)
+      .map(r => (r.bucketS, r.valueLocf, r.n, r.filled)).toSeq
+    try {
+      // bucket 1000: two observations (max 7); nothing final yet
+      input.addData(GEvent(1L, s(1000), 5.0), GEvent(1L, s(1050), 7.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty) // watermark (1000) hasn't passed bucket end
+      // a late row INSIDE the delay still merges into the pending bucket,
+      // and traffic at 1300 finalizes bucket 1000 (wm 1250 ≥ 1100)
+      input.addData(GEvent(1L, s(1060), 9.0), GEvent(1L, s(1300), 1.0))
+      q.processAllAvailable()
+      assert(rows() == Seq((1000L, 9.0, 3L, false)))
+      // jumping to 1700 finalizes 1300 AND emits fills for 1100/1200;
+      // 1400-1600 stay unmaterialized until 1700's bucket finalizes
+      input.addData(GEvent(1L, s(1700), 4.0))
+      q.processAllAvailable()
+      val afterJump = rows()
+      assert(afterJump == Seq((1000L, 9.0, 3L, false),
+        (1100L, 9.0, 0L, true), (1200L, 9.0, 0L, true),
+        (1300L, 1.0, 1L, false)))
+      // other-key traffic advances the watermark past 1700's bucket end:
+      // the TIMEOUT finalizes 1700 with its gap fills, no key-1 data
+      input.addData(GEvent(2L, s(2000), 0.0))
+      q.processAllAvailable()
+      input.addData(GEvent(2L, s(2100), 0.0))
+      q.processAllAvailable()
+      val finalRows = rows()
+      assert(finalRows == Seq((1000L, 9.0, 3L, false),
+        (1100L, 9.0, 0L, true), (1200L, 9.0, 0L, true),
+        (1300L, 1.0, 1L, false),
+        (1400L, 1.0, 0L, true), (1500L, 1.0, 0L, true),
+        (1600L, 1.0, 0L, true), (1700L, 4.0, 1L, false)))
+      // prefix-equivalence with the batch operator on the same data
+      val batch = graft.queries.TimeSeries.gapfillLocf(
+        Seq((1L, 1000L, 5.0), (1L, 1050L, 7.0), (1L, 1060L, 9.0),
+          (1L, 1300L, 1.0), (1L, 1700L, 4.0))
+          .toDF("user_id", "epoch", "value")
+          .withColumn("ts", timestamp_seconds(col("epoch"))),
+        "ts", "user_id", "value", 100L)
+        .orderBy("bucket_s").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3),
+          r.getBoolean(4))).toSeq
+      assert(finalRows == batch)
+    } finally q.stop()
+  }
+}
