@@ -277,7 +277,7 @@ object SparkEntry {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("epoch_us"), col("event_id"))
     events(spark, dir)
-      .withColumn("epoch_us", expr("unix_micros(ts)"))
+      .withColumn("epoch_us", expr("unix_micros(cast(ts as timestamp))"))
       .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
       .select("event_id", "user_id", "delta")
   }

@@ -37,8 +37,19 @@ object TimeSeries {
     sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
 
   /** Epoch seconds, truncated (floor) — sub-second precision is dropped so
-    * window frames and order keys are stable across µs/ns storage. */
-  def epochSeconds(ts: Column): Column = ts.cast(LongType)
+    * window frames and order keys are stable across µs/ns storage. Routed
+    * through `TimestampType` first: `TIMESTAMP_NTZ` columns (parquet µs with
+    * isAdjustedToUTC=false) forbid a direct numeric cast, and the session TZ
+    * is pinned UTC so NTZ and instant agree numerically. */
+  def epochSeconds(ts: Column): Column =
+    ts.cast(TimestampType).cast(LongType)
+
+  /** Epoch microseconds (exact). Same NTZ-safe route as [[epochSeconds]]:
+    * TIMESTAMP → DECIMAL(28,6) yields seconds with the µs fraction intact,
+    * so ×1e6 is lossless for any µs-precision source. */
+  def epochMicros(ts: Column): Column =
+    (ts.cast(TimestampType).cast(DecimalType(28, 6)) * 1000000L)
+      .cast(LongType)
 
   /** A1 — time-bucketed downsampling: tumbling-window `max` (plus count)
     * per entity, the shape of every reference dashboard panel
@@ -275,8 +286,7 @@ object TimeSeries {
   def asofJoin(probe: DataFrame, probeId: String, probeTs: String,
       ref: DataFrame, refTs: String, refVal: String,
       key: String): DataFrame = {
-    def us(c: Column): Column =
-      (c.cast(DecimalType(28, 6)) * 1000000L).cast(LongType)
+    def us(c: Column): Column = epochMicros(c)
     val r = ref
       .groupBy(col(key), us(col(refTs)).as("epoch_us"))
       .agg(max(col(refVal)).as("asof_value"))
@@ -400,7 +410,7 @@ object TimeSeries {
     require(steps.nonEmpty, "steps must be non-empty")
     val w = Window.partitionBy(col(key))
     var d = df.select(col(key), col(typeCol).as("__type"),
-      (col(ts).cast(DecimalType(28, 6)) * 1000000L).cast(LongType).as("__us"))
+      epochMicros(col(ts)).as("__us"))
     steps.zipWithIndex.foreach { case (step, i) =>
       val cond =
         if (i == 0) col("__type") === step
@@ -498,7 +508,7 @@ object TimeSeries {
     require(steps.length >= 2, "funnelLatency needs at least two steps")
     val w = Window.partitionBy(col(key))
     var d = df.select(col(key), col(typeCol).as("__type"),
-      (col(ts).cast(DecimalType(28, 6)) * 1000000L).cast(LongType).as("__us"))
+      epochMicros(col(ts)).as("__us"))
     steps.zipWithIndex.foreach { case (step, i) =>
       val cond =
         if (i == 0) col("__type") === step
@@ -645,7 +655,7 @@ object TimeSeries {
   def sessionize(
       df: DataFrame, ts: String, key: String, rowId: String,
       gapSeconds: Long): DataFrame = {
-    val epochUs = (col(ts).cast(DecimalType(28, 6)) * 1000000L).cast(LongType)
+    val epochUs = epochMicros(col(ts))
     val ord = Window.partitionBy(col(key)).orderBy(col("epoch_us"), col(rowId))
     df.withColumn("epoch_us", epochUs)
       .withColumn("prev_us", lag(col("epoch_us"), 1).over(ord))

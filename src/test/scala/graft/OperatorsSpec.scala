@@ -1179,11 +1179,11 @@ class TimeSeriesSpec extends SparkSpec {
   }
 
   test("slidingAverage preBucket (skew path) == plain window") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // real sf0.001 parquet: ts arrives as TIMESTAMP_NTZ (µs, no TZ) —
+    // slidingAverage's epochSeconds must route it through TimestampType
     val e = spark.read.parquet(sf("events"))
-      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
     def run(pre: Boolean) =
-      TimeSeries.slidingAverage(e, "ts2", "user_id", "value", 600L, preBucket = pre)
+      TimeSeries.slidingAverage(e, "ts", "user_id", "value", 600L, preBucket = pre)
         .select("event_id", "sliding_avg").collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val plain = run(false)
