@@ -77,14 +77,22 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // A failed query must NOT contribute its (near-zero) failure latency
+    // as a "result" — r8's 10 broken queries showed up as 0.05-0.10 s
+    // entries that flattered the total. Failures are excluded from the
+    // per-query map and the total, and reported in a "failed" JSON field.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     (1 to passes).foreach { p =>
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name pass $p failed: ${e.getMessage}")
-        }
-        times(name) = (System.nanoTime() - t0) / 1e9 :: times(name)
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name pass $p failed: ${e.getMessage}")
+            failed(name) = String.valueOf(e.getMessage)
+            false
+          }
+        if (ok) times(name) = (System.nanoTime() - t0) / 1e9 :: times(name)
         sweep() // outside the timed region: pass 3 starts like pass 1
       }
       reclaim()
@@ -92,17 +100,30 @@ object Bench {
       // must start from the same empty block-manager state as pass 1 —
       // a rising trend here is accumulation, a one-off spike is load.
       System.err.println(
-        f"[bench] pass $p total: ${names.map(n => times(n._1).head).sum}%.1f s")
+        f"[bench] pass $p total: ${names.collect { case (n, _) if times(n).nonEmpty => times(n).head }.sum}%.1f s")
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       s(s.length / 2) // odd pass counts: the true middle element
     }
-    val results = names.map { case (name, _) => name -> median(times(name)) }
+    val results = names.collect {
+      case (name, _) if !failed.contains(name) && times(name).size == passes =>
+        name -> median(times(name))
+    }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val fq = failed.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup":"full pass at $warmDir","passes":$passes,"aggregation":"per-query median"}""")
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED (excluded " +
+        s"from total): ${failed.keys.mkString(", ")}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fq,"sf":"$sfDir","warmup":"full pass at $warmDir","passes":$passes,"aggregation":"per-query median"}""")
     spark.stop()
   }
 }

@@ -15,11 +15,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // LOUD failure: absence of an output dir silently shrinks the
+        // driver's correctness denominator (r8: 10 broken queries simply
+        // vanished from CORRECTNESS). Write a one-row parquet whose
+        // schema can never match any oracle, so the compare surfaces an
+        // explicit mismatch entry under this query's name — and record
+        // the message in _errors.json for the human reader.
+        failures(name) = String.valueOf(e.getMessage)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(String.valueOf(e.getMessage)).toDF("__query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       // free sealed results between queries (the Bench sweep discipline)
       spark.sparkContext.getPersistentRDDs.values
@@ -42,6 +55,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // Exit 0 even on per-query failure (the driver must still run the
+    // DuckDB compare over the good queries) — the loudness is the
+    // never-matching __query_error parquet + _errors.json + this line.
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

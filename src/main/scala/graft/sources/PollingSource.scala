@@ -130,19 +130,54 @@ class HttpPollingFetcher extends SensorFetcher {
     Seq((to, get(urlFor(from, options), options)))
 
   /** Pure URL construction for one `(from, to]` fetch — split out so the
-    * offline test suite can pin the query-string contract. */
+    * offline test suite can pin the query-string contract.
+    *
+    * Three arms, mirroring the reference client's three GETs:
+    *  - single-sensor current state (`request_sensor_data`,
+    *    `PurpleAirAPI.py:81-175`);
+    *  - single-sensor HISTORY (`request_sensor_historic_data`,
+    *    `PurpleAirAPI.py:244-305`) when any `history.*` option is set:
+    *    `start_timestamp`/`end_timestamp` are half-open `[start, end)`
+    *    server-side and `average` ∈ {0,10,30,60,360,1440} minutes — the
+    *    server-side twin of [[graft.queries.TimeSeries.historicAverage]].
+    *    The reference also marshals `modified_since := end_timestamp`
+    *    (`PurpleAirAPI.py:302`) — an evident copy-paste slip (the history
+    *    endpoint takes no such parameter); we implement the intent, not
+    *    the bug.
+    *  - multi-sensor scan (`request_multiple_sensors_data`,
+    *    `PurpleAirAPI.py:177-243`) with ALL nine optional parameters
+    *    marshalled server-side: filtering in the engine after the fetch
+    *    (r8 state for location_type/max_age/bbox) wastes the API quota
+    *    and bandwidth those parameters exist to save.
+    */
   def urlFor(from: Long, options: Map[String, String]): String =
     options.get("sensor.index") match {
+      case Some(idx)
+          if options.contains("history.start") ||
+            options.contains("history.end") ||
+            options.contains("history.average") =>
+        buildUrl(s"${base(options)}/sensors/$idx/history",
+          Seq("fields" -> options.get("fields").orNull,
+              "read_key" -> options.get("read.key").orNull,
+              "start_timestamp" -> options.get("history.start").orNull,
+              "end_timestamp" -> options.get("history.end").orNull,
+              "average" -> options.get("history.average").orNull))
       case Some(idx) =>
         buildUrl(s"${base(options)}/sensors/$idx",
-          Map("read_key" -> options.get("read.key").orNull,
+          Seq("read_key" -> options.get("read.key").orNull,
               "fields" -> options.get("fields").orNull))
       case None =>
         buildUrl(s"${base(options)}/sensors/",
-          Map("fields" -> options.get("fields").orNull,
-              "modified_since" -> (if (from > 0) from.toString else null),
+          Seq("fields" -> options.get("fields").orNull,
+              "location_type" -> options.get("location.type").orNull,
               "read_keys" -> options.get("read.keys").orNull,
-              "show_only" -> options.get("show.only").orNull))
+              "show_only" -> options.get("show.only").orNull,
+              "modified_since" -> (if (from > 0) from.toString else null),
+              "max_age" -> options.get("max.age").orNull,
+              "nwlng" -> options.get("bbox.nwlng").orNull,
+              "nwlat" -> options.get("bbox.nwlat").orNull,
+              "selng" -> options.get("bbox.selng").orNull,
+              "selat" -> options.get("bbox.selat").orNull))
     }
   private def get(url: String, options: Map[String, String]): String = {
     val conn = new java.net.URL(url).openConnection()
@@ -161,8 +196,10 @@ object HttpPollingFetcher {
   private def base(options: Map[String, String]) =
     options.getOrElse("api.base", "https://api.purpleair.com/v1")
   /** `?k=v&k2=v2` for non-null params, like `PurpleAirAPI.py:317-329`
-    * (minus its always-true `dict is not {}` quirk). */
-  def buildUrl(endpoint: String, params: Map[String, String]): String = {
+    * (minus its always-true `dict is not {}` quirk). Ordered pairs, not a
+    * Map: the query-string contract pins parameter ORDER too, and Scala's
+    * immutable Map stops preserving insertion order above 4 entries. */
+  def buildUrl(endpoint: String, params: Seq[(String, String)]): String = {
     val qs = params.collect { case (k, v) if v != null => s"$k=$v" }
     if (qs.isEmpty) endpoint else qs.mkString(s"$endpoint?", "&", "")
   }

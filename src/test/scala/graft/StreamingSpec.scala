@@ -95,11 +95,58 @@ class PollingSourceSpec extends SparkSpec {
   }
 
   test("url building mirrors reference query-string semantics") {
-    assert(HttpPollingFetcher.buildUrl("https://x/v1/sensors/1", Map()) ==
+    assert(HttpPollingFetcher.buildUrl("https://x/v1/sensors/1", Seq()) ==
       "https://x/v1/sensors/1")
     assert(HttpPollingFetcher.buildUrl("https://x/v1/sensors/1",
-      Map("fields" -> "pm2.5", "read_key" -> null)) ==
+      Seq("fields" -> "pm2.5", "read_key" -> null)) ==
       "https://x/v1/sensors/1?fields=pm2.5")
+  }
+
+  test("multi-sensor url marshals ALL nine optional params server-side") {
+    // reference request_multiple_sensors_data (PurpleAirAPI.py:177-243):
+    // location_type, read_keys, show_only, modified_since, max_age and the
+    // 4 bbox corners must reach the server, not be filtered post-fetch
+    val f = new HttpPollingFetcher
+    val url = f.urlFor(1659710000L, Map(
+      "api.base" -> "https://x/v1", "fields" -> "pm2.5,humidity",
+      "location.type" -> "0", "read.keys" -> "k1,k2",
+      "show.only" -> "53,54,55", "max.age" -> "3600",
+      "bbox.nwlng" -> "-124.5", "bbox.nwlat" -> "42.0",
+      "bbox.selng" -> "-114.1", "bbox.selat" -> "32.5"))
+    assert(url == "https://x/v1/sensors/?fields=pm2.5,humidity" +
+      "&location_type=0&read_keys=k1,k2&show_only=53,54,55" +
+      "&modified_since=1659710000&max_age=3600" +
+      "&nwlng=-124.5&nwlat=42.0&selng=-114.1&selat=32.5")
+    // each param is independently optional (reference passes None → omitted)
+    val sparse = f.urlFor(0L, Map("api.base" -> "https://x/v1",
+      "fields" -> "pm2.5", "max.age" -> "0"))
+    assert(sparse == "https://x/v1/sensors/?fields=pm2.5&max_age=0")
+  }
+
+  test("historic url arm: start/end/average like request_sensor_historic_data") {
+    val f = new HttpPollingFetcher
+    // full form — note NO modified_since: the reference's
+    // `modified_since := end_timestamp` (PurpleAirAPI.py:302) is a
+    // copy-paste slip the history endpoint doesn't accept; we marshal
+    // only the documented params
+    val url = f.urlFor(0L, Map(
+      "api.base" -> "https://x/v1", "sensor.index" -> "53",
+      "fields" -> "pm2.5_atm", "read.key" -> "RK",
+      "history.start" -> "1659710000", "history.end" -> "1659796400",
+      "history.average" -> "60"))
+    assert(url == "https://x/v1/sensors/53/history?fields=pm2.5_atm" +
+      "&read_key=RK&start_timestamp=1659710000&end_timestamp=1659796400" +
+      "&average=60")
+    assert(!url.contains("modified_since"))
+    // any single history.* option selects the history arm; others omitted
+    assert(f.urlFor(0L, Map("api.base" -> "https://x/v1",
+      "sensor.index" -> "53", "fields" -> "pm2.5_atm",
+      "history.average" -> "0")) ==
+      "https://x/v1/sensors/53/history?fields=pm2.5_atm&average=0")
+    // without history.* options the single-sensor current-state arm wins
+    assert(f.urlFor(0L, Map("api.base" -> "https://x/v1",
+      "sensor.index" -> "53", "fields" -> "pm2.5_atm")) ==
+      "https://x/v1/sensors/53?fields=pm2.5_atm")
   }
 
   test("multi-sensor fetch passes modified_since=from (F3 cursor contract)") {
@@ -173,6 +220,54 @@ class PollingSourceSpec extends SparkSpec {
         }
         assert(ex.getMessage.contains(s"HTTP $code"), s"expected $code")
       }
+    } finally server.stop(0)
+  }
+
+  test("historic backfill e2e: stubbed history endpoint → parsed rows") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val uris = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // columnar history payload, same fields ∥ data shape as the
+    // multi-sensor response (time_stamp is a history field)
+    val payload = """{"api_version":"V1.0.11-0.0.42","sensor_index":53,""" +
+      """"fields":["time_stamp","pm2.5_atm"],""" +
+      """"data":[["1659710000","9.5"],["1659713600","10.1"]]}"""
+    server.createContext("/v1/sensors/53/history", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        uris.add(ex.getRequestURI.toString)
+        val b = payload.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
+      val f = new HttpPollingFetcher
+      val opts = Map("api.key" -> "K", "api.base" -> base,
+        "sensor.index" -> "53", "fields" -> "pm2.5_atm",
+        "history.start" -> "1659710000", "history.end" -> "1659796400",
+        "history.average" -> "60")
+      val wire = f.fetch(0L, 1L, opts)
+      assert(uris.poll().startsWith("/v1/sensors/53/history?"))
+      // parse through the same columnar zip the multi-sensor path uses
+      import spark.implicits._
+      val df = wire.toDF("poll_cursor", "payload_json")
+        .select(from_json(col("payload_json"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("sensor_index",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("fields",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+          org.apache.spark.sql.types.StructField("data",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
+        ))).as("r"))
+        .select(col("r.sensor_index").as("data_time_stamp"), // key slot reuse
+          col("r.fields"), col("r.data"))
+      val rows = graft.transform.Transforms
+        .zipMulti(df, Seq("time_stamp", "pm2.5_atm"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(rows == Seq(("1659710000", "9.5"), ("1659713600", "10.1")))
     } finally server.stop(0)
   }
 
