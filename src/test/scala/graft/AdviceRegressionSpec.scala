@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Multimodal, Similarity}
+
+/** Regression locks for the four round-7/8 advisory findings, each fixed
+  * in `df52734` — these specs pin the fixes so they can't regress:
+  *
+  *  1. `pqRescale` must survive lookup-sums beyond DECIMAL(18,0)'s 18
+  *     digits (a unit-scale embedding never gets near it, but a raw
+  *     large-magnitude feature column does — quantize6 makes each
+  *     per-dim product ~(v·10⁶)², so |v| ≈ 1000 already crosses 10¹⁸).
+  *  2. `probePq`/`probeIvfPq` must tolerate duplicate code rows from an
+  *     at-least-once append replay (crash between the codes write and
+  *     the marker) — candidates dedup before top-k.
+  *  3. `decontaminateBatch` must REFUSE a non-numeric id column loudly —
+  *     the LONG-cast anti-join would otherwise null out and silently
+  *     disable the contamination filter.
+  *  4. WAV sniff/decode gate parity: `sniff` must not claim metadata for
+  *     containers `wavFeatures` refuses (non-PCM, non-16-bit).
+  */
+class AdviceRegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+
+  test("pqRescale: scores past DECIMAL(18,0) range stay exact, never null") {
+    // |v| = 1000 per dim, 4 dims: the self-score lookup-sum is
+    // 4·(1000·10⁶)² = 4·10¹⁸ — over DECIMAL(18,0)'s max (≈10¹⁸−1),
+    // under Long.MaxValue (≈9.2·10¹⁸). With the old (18,0) cast this
+    // nulls (or throws under ANSI); with (20,0) it must surface the
+    // exact dot product 4·10⁶.
+    val big = Seq(
+      (0L, Array(1000.0f, 1000.0f, 1000.0f, 1000.0f)),
+      (1L, Array(-1000.0f, 1000.0f, -1000.0f, 1000.0f)),
+      (2L, Array(1000.0f, -1000.0f, 1000.0f, -1000.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(big.filter(col("vec_id") === 0L), "vec_id",
+        "embedding", big, "vec_id", "embedding", k = 3,
+        numSubspaces = 2, numCodes = 3)
+      .collect().map(r => (r.getLong(1), r.get(2))).toMap
+    assert(out.values.forall(_ != null), s"null score leaked: $out")
+    // numCodes = corpus size → every vector is its own code: ADC scores
+    // are the exact dot products (q·q = 4e6; the ±alternating vectors
+    // cancel to 0 against the all-positive query)
+    assert(out(0L) == 4.0e6, out)
+    assert(out(1L) == 0.0 && out(2L) == 0.0, out)
+  }
+
+  test("probePq/probeIvfPq: duplicate code rows from a replayed append " +
+      "do not duplicate top-k candidates") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+    val prefix = vecs.filter(col("vec_id") < 3)
+    val rest = vecs.filter(col("vec_id") === 3)
+
+    def assertClean(probed: DataFrame): Unit = {
+      val rows = probed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length,
+        s"duplicate (query, corpus) rows in top-k: ${rows.toSeq}")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"ranks not dense: ${rows.toSeq}")
+      assert(rows.length == 4, s"expected full k=4: ${rows.toSeq}")
+    }
+
+    // PQ: append the same batch twice — the crash-window replay shape —
+    // so codes/ holds bit-identical duplicate rows for vec_id 3
+    val pqDir = tmp("pq_replay")
+    Similarity.writePqIndex(prefix, "vec_id", "embedding", pqDir,
+      numSubspaces = 2, numCodes = 2)
+    Similarity.appendToPqIndex(spark, pqDir, rest, "vec_id", "embedding")
+    val pqDup =
+      Similarity.appendToPqIndex(spark, pqDir, rest, "vec_id", "embedding")
+    assert(pqDup.codes.filter(col("corpus_id") === 3L).count() == 2,
+      "fixture failed to create duplicate code rows")
+    assertClean(Similarity.probePq(pqDup, q, "vec_id", "embedding", k = 4))
+
+    // IVF-PQ: same replay shape
+    val ivfDir = tmp("ivfpq_replay")
+    Similarity.writeIvfPqIndex(prefix, "vec_id", "embedding", ivfDir,
+      numCentroids = 2, numSubspaces = 2, numCodes = 2, refineRounds = 0)
+    Similarity.appendToIvfPqIndex(spark, ivfDir, rest, "vec_id", "embedding")
+    val ivfDup =
+      Similarity.appendToIvfPqIndex(spark, ivfDir, rest, "vec_id", "embedding")
+    assert(ivfDup.codes.filter(col("corpus_id") === 3L).count() == 2,
+      "fixture failed to create duplicate code rows")
+    assertClean(Similarity.probeIvfPq(ivfDup, q, "vec_id", "embedding",
+      k = 4, nprobe = 2))
+  }
+
+  test("decontaminateBatch refuses non-numeric id columns loudly") {
+    val evalCorpus = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val batch = Seq(("doc-a", "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.decontaminateBatch(batch, 0L, evalCorpus, "id", "text",
+        "doc_id", "text", tmp("decon_str"), shingleWords = 3, minShared = 1L)
+    }
+    assert(ex.getMessage.contains("numeric id column"), ex.getMessage)
+    assert(ex.getMessage.contains("doc_id"), ex.getMessage)
+  }
+
+  test("WAV sniff refuses exactly what the decoder refuses (gate parity)") {
+    import Multimodal.MediaCodec
+    def le16(v: Int): Seq[Byte] = Seq(v, v >> 8).map(_.toByte)
+    def le32(v: Int): Seq[Byte] = Seq(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def wav(fmt: Int, bits: Int): Array[Byte] =
+      ("RIFF".getBytes.toSeq ++ le32(36 + 8) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(fmt) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(bits) ++
+        "data".getBytes ++ le32(8) ++
+        Seq(16384, -16384, 0, 32767).flatMap(le16)).toArray
+    // good 16-bit PCM: both sides accept, duration from data/byteRate
+    val good = wav(fmt = 1, bits = 16)
+    assert(MediaCodec.decode(good, 2).toSeq == Seq(0.5, 32767.0 / 65536.0))
+    assert(MediaCodec.sniff(good).exists(s =>
+      s.mime == "audio/wav" && s.durationMs.contains(8L * 1000 / 16000)))
+    // IEEE-float (fmt 3) and 8-bit PCM: decoder stubs out — sniff must
+    // return None, not claim audio/wav metadata it can't decode
+    Seq(wav(fmt = 3, bits = 16), wav(fmt = 1, bits = 8)).foreach { bad =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(bad); md.update("0".getBytes)
+      val d = md.digest()
+      var h = 0L
+      (0 until 8).foreach(i => h = (h << 8) | (d(i) & 0xffL))
+      val stub0 = (h >>> 4).toDouble / (1L << 60).toDouble
+      assert(MediaCodec.decode(bad, 1).toSeq == Seq(stub0),
+        "decoder must fall back to the md5 stub")
+      assert(MediaCodec.sniff(bad).isEmpty,
+        "sniff must not claim metadata the decoder refuses")
+    }
+  }
+}
