@@ -592,35 +592,78 @@ object Dedup {
     //    exact in decimal).
     // The `min(i,j)` term bounds how many shared tokens can PRECEDE this
     // occurrence, which makes the bound sound at ANY shared occurrence —
-    // not just the pair's first. That matters because `maxDocFreq` can
-    // drop the bucket holding the first shared token: a first-occurrence-
-    // only bound applied to a surviving later occurrence could reject a
-    // truly similar pair. With the any-occurrence bound, `distinct` keeps
-    // a pair if any occurrence survives, so the position filter never
-    // loses a pair that has at least one kept prefix co-occurrence —
-    // losslessness no longer depends on which buckets maxDocFreq drops
-    // (spec-proven equal to the full postings join in the no-drop
-    // regime).
+    // not just the pair's first (so it composes with the bucket salting
+    // below regardless of which occurrence lands in which block-pair).
     val postings = base
       .select(col("id"), col("set_size"),
         posexplode(slice(array_sort(
           graft.functions.MinHashFunctions.md5_60Array(col("sh_arr"))),
           lit(1), prefixLen)).as(Seq("pos", "h")))
+    // Over-cap buckets are SALTED, never dropped. A bucket with
+    // n > maxDocFreq postings is quadratic however pairs are generated;
+    // the pre-r9 behavior (drop the bucket) bounded the task but lost
+    // every pair whose ONLY shared prefix token was hot — losslessness
+    // silently broke on hot shingles. Instead, split the bucket into
+    // S = ceil(n/maxDocFreq) deterministic id-hash sub-blocks and give
+    // every block PAIR (lo ≤ hi) its own aggregation group: an entry in
+    // block b replicates to the S groups {(min(b,j), max(b,j))}. Any
+    // pair (x, y) is generated in exactly one group — (bx, by) sorted —
+    // so the exact n²/2 comparisons still happen, but spread over
+    // S(S+1)/2 tasks of ≤ ~(2·maxDocFreq)² comparisons each instead of
+    // one n² task. Cost: ×S posting replication for hot buckets only —
+    // linear rows buying away the quadratic straggler. Cold buckets
+    // (the overwhelming mass) take a branch with no joins or explodes;
+    // the salted branch is entered only when a hot bucket exists.
+    val hot = postings.groupBy(col("h"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxDocFreq)
+    val pairStructs = hot.count() match {
+      case 0L =>
+        postings
+          .groupBy(col("h"))
+          .agg(array_sort(collect_list(
+            struct(col("id"), col("set_size"), col("pos")))).as("es"))
+          .filter(size(col("es")) > 1)
+          .select(explode(graft.functions.PairFunctions
+            .pairCombinationsStruct(col("es"))).as("p"))
+          .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+            col("p.a.set_size").as("size_a"),
+            col("p.b.set_size").as("size_b"),
+            col("p.a.pos").as("pos_a"), col("p.b.pos").as("pos_b"))
+      case nHot =>
+        val hotJ = if (nHot <= 4096L) broadcast(hot) else hot
+        postings.join(hotJ, Seq("h"), "left")
+          .withColumn("s", coalesce(
+            ceil(col("bucket_n").cast(DecimalType(20, 0)) / maxDocFreq)
+              .cast(IntegerType), lit(1)))
+          .withColumn("blk",
+            pmod(xxhash64(col("id")), col("s").cast(LongType))
+              .cast(IntegerType))
+          .select(col("h"), col("id"), col("set_size"), col("pos"),
+            col("blk"), explode(sequence(lit(0), col("s") - 1)).as("j"))
+          .groupBy(col("h"), least(col("blk"), col("j")).as("lo"),
+            greatest(col("blk"), col("j")).as("hi"))
+          .agg(array_sort(collect_list(struct(
+            col("id"), col("set_size"), col("pos"), col("blk")))).as("es"))
+          .filter(size(col("es")) > 1)
+          .select(col("lo"), col("hi"),
+            explode(graft.functions.PairFunctions
+              .pairCombinationsStruct(col("es"))).as("p"))
+          // mixed (lo < hi) groups hold both blocks' entries: keep only
+          // CROSS pairs — in-block pairs belong to the (b, b) groups
+          .filter(col("lo") === col("hi") ||
+            col("p.a.blk") =!= col("p.b.blk"))
+          .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+            col("p.a.set_size").as("size_a"),
+            col("p.b.set_size").as("size_b"),
+            col("p.a.pos").as("pos_a"), col("p.b.pos").as("pos_b"))
+    }
     // Candidate pairs are small; materialize them eagerly — they feed
     // both the candidate-id set and the final join (a lazy diamond would
     // re-run the pairing stages per consumer).
     val ubound = least(col("pos_a"), col("pos_b")) +
       least(col("size_a") - col("pos_a"), col("size_b") - col("pos_b"))
-    val cand = dropHotBuckets(postings, Seq("h"), maxDocFreq)
-      .groupBy(col("h"))
-      .agg(array_sort(collect_list(
-        struct(col("id"), col("set_size"), col("pos")))).as("es"))
-      .filter(size(col("es")) > 1)
-      .select(explode(graft.functions.PairFunctions
-        .pairCombinationsStruct(col("es"))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        col("p.a.set_size").as("size_a"), col("p.b.set_size").as("size_b"),
-        col("p.a.pos").as("pos_a"), col("p.b.pos").as("pos_b"))
+    val cand = pairStructs
       .filter(col("size_b") >= tDec * col("size_a") &&
         col("size_a") >= tDec * col("size_b"))
       .filter(ubound >= tDec * (col("size_a") + col("size_b") - ubound))

@@ -505,6 +505,34 @@ class DedupSpec extends SparkSpec {
     assert(pref == full)
     assert(full.nonEmpty) // exact dups exist in the corpus
   }
+
+  test("prefix dedup salts over-cap buckets: hot shingles lose no pairs") {
+    import spark.implicits._
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // A HOT-bucket corpus: every doc shares the boilerplate head, so its
+    // shingles put all 40 docs in the same prefix buckets. Pairs of docs
+    // that are near-dups of each other differ only in the tail token.
+    val boiler = "terms of service apply to all content on this site"
+    val docs = (0 until 40).map { i =>
+      // 20 near-dup pairs: (2k, 2k+1) share everything but the last word
+      (i.toLong, s"$boiler item ${i / 2} variant ${i % 2}")
+    }.toDF("id", "text")
+    val t = 0.6
+    val exact = key(Dedup.ngramJaccardPairs(docs, "id", "text", 3, t))
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+    // cap of 5 forces S = ceil(40/5) = 8-way salting on every hot bucket;
+    // the pre-r9 drop-at-cap behavior returns NO pairs here (every shared
+    // shingle is over-cap) — salting must return the exact pair set
+    val salted = key(Dedup.ngramJaccardPairsPrefix(docs, "id", "text", 3, t,
+      maxDocFreq = 5L))
+    assert(salted == exact, "salted over-cap buckets lost or added pairs")
+    // and with the cap far above every bucket, the cold branch agrees too
+    val cold = key(Dedup.ngramJaccardPairsPrefix(docs, "id", "text", 3, t,
+      maxDocFreq = 100000L))
+    assert(cold == exact)
+  }
 }
 
 class CurationSpec extends SparkSpec {
