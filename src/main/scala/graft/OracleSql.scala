@@ -1176,6 +1176,9 @@ object OracleSql {
     // postings join (prefix filtering is lossless — proven by test), so
     // its oracle is the same declarative pair query at its threshold.
     "q_dedup_ngram_prefix" -> ngramJaccardSql(0.5),
+    // salted-path variant: maxDocFreq only partitions work, never changes
+    // results — the oracle is the SAME exact-Jaccard SQL
+    "q_dedup_prefix_salted" -> ngramJaccardSql(0.5),
 
     // Winnowing near-dup pairs at (k=24, w=8): winnowed fingerprint
     // selection (min of each 8-window over char-24-gram md5_60 hashes,

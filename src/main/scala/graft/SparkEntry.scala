@@ -482,6 +482,15 @@ object SparkEntry {
     Dedup.ngramJaccardPairsPrefix(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, threshold = 0.5)
 
+  /** Same exact semantics with the hot-bucket cap forced DOWN so common
+    * shingles go over-cap and the SALTED block-pair path engages — the
+    * oracle is the identical exact-Jaccard SQL, proving on real data
+    * that salting is lossless (the pre-r9 drop-at-cap behavior loses
+    * pairs here). */
+  private def qDedupPrefixSalted(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsPrefix(docs(spark, dir), "doc_id", "text",
+      shingleWords = 3, threshold = 0.5, maxDocFreq = 8L)
+
   /** Near-dup pairs collapsed into clusters: connected components over
     * the Jaccard pair graph — the dedup DECISION (one survivor per
     * component). */
@@ -887,6 +896,7 @@ object SparkEntry {
     "q_dedup_winnow_pairs" -> (qDedupWinnowPairs _),
     "q_dedup_winnow_apply" -> (qDedupWinnowApply _),
     "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
+    "q_dedup_prefix_salted" -> (qDedupPrefixSalted _),
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_minhash" -> (qDedupMinhash _),

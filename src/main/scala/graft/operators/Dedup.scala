@@ -617,25 +617,28 @@ object Dedup {
     val hot = postings.groupBy(col("h"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxDocFreq)
+    def coldPairs(rows: DataFrame): DataFrame = rows
+      .groupBy(col("h"))
+      .agg(array_sort(collect_list(
+        struct(col("id"), col("set_size"), col("pos")))).as("es"))
+      .filter(size(col("es")) > 1)
+      .select(explode(graft.functions.PairFunctions
+        .pairCombinationsStruct(col("es"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        col("p.a.set_size").as("size_a"),
+        col("p.b.set_size").as("size_b"),
+        col("p.a.pos").as("pos_a"), col("p.b.pos").as("pos_b"))
     val pairStructs = hot.count() match {
-      case 0L =>
-        postings
-          .groupBy(col("h"))
-          .agg(array_sort(collect_list(
-            struct(col("id"), col("set_size"), col("pos")))).as("es"))
-          .filter(size(col("es")) > 1)
-          .select(explode(graft.functions.PairFunctions
-            .pairCombinationsStruct(col("es"))).as("p"))
-          .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-            col("p.a.set_size").as("size_a"),
-            col("p.b.set_size").as("size_b"),
-            col("p.a.pos").as("pos_a"), col("p.b.pos").as("pos_b"))
+      case 0L => coldPairs(postings)
       case nHot =>
+        // Cold postings (the overwhelming mass) keep the join-free pair
+        // plan behind one anti-join; ONLY the hot minority pays the
+        // bucket_n join, the ×S replication, and the block-pair groups.
         val hotJ = if (nHot <= 4096L) broadcast(hot) else hot
-        postings.join(hotJ, Seq("h"), "left")
-          .withColumn("s", coalesce(
+        val salted = postings.join(hotJ, Seq("h"))
+          .withColumn("s",
             ceil(col("bucket_n").cast(DecimalType(20, 0)) / maxDocFreq)
-              .cast(IntegerType), lit(1)))
+              .cast(IntegerType))
           .withColumn("blk",
             pmod(xxhash64(col("id")), col("s").cast(LongType))
               .cast(IntegerType))
@@ -657,6 +660,8 @@ object Dedup {
             col("p.a.set_size").as("size_a"),
             col("p.b.set_size").as("size_b"),
             col("p.a.pos").as("pos_a"), col("p.b.pos").as("pos_b"))
+        coldPairs(postings.join(hotJ.select(col("h")), Seq("h"), "left_anti"))
+          .unionAll(salted)
     }
     // Candidate pairs are small; materialize them eagerly — they feed
     // both the candidate-id set and the final join (a lazy diamond would

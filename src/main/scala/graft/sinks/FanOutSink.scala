@@ -3,6 +3,7 @@ package graft.sinks
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, TimestampNTZType, TimestampType}
 
 import graft.schema.FieldCatalog
 import graft.transform.Transforms
@@ -87,7 +88,8 @@ object FanOutSink {
       format: String = "parquet",
       trigger: Trigger = Trigger.ProcessingTime("65 seconds"),
       jdbcProperties: java.util.Properties = new java.util.Properties(),
-      compactEveryBatches: Int = 0): StreamingQuery =
+      compactEveryBatches: Int = 0,
+      epochTextCompat: Boolean = false): StreamingQuery =
     conformed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -106,7 +108,8 @@ object FanOutSink {
             fs.exists(markerDir) && fs.getFileStatus(markerDir).isFile
           if (!legacyCommitted)
             writeBatchJdbc(batch, format, jdbcProperties,
-              markers = Some((fs, markerDir)))
+              markers = Some((fs, markerDir)),
+              epochTextCompat = epochTextCompat)
         } else {
           writeBatch(batch, baseDir, format, batchId = Some(batchId))
           // The compression/compaction policy riding the micro-batch
@@ -123,13 +126,39 @@ object FanOutSink {
     * the reference's 9 INSERTs, batched. Driver jar must be on the
     * classpath (e2e-tested against embedded Derby). With `markers`, each
     * table's append is skipped when its marker file exists and marked
-    * committed right after it lands — the streaming replay guard. */
+    * committed right after it lands — the streaming replay guard.
+    *
+    * `epochTextCompat = true` is the SQLite compatibility mode: the
+    * reference's SQLite DDL declares every timestamp column TEXT
+    * (`PurpleAirSQLiteQueryStatements.py:13`) and binds the raw epoch
+    * integers from the API straight into it
+    * (`PurpleAirSQLiteDataLogger.py:82` — no datetime conversion
+    * anywhere), so a reference SQLite database holds `"1659710000"`
+    * strings. With the knob on, every TIMESTAMP column in every
+    * projection lands as its epoch-seconds string — bit-compatible with
+    * a reference-written database, so downstream readers (and `sqlite3`
+    * CLI scripts) keep working unchanged. Off (default) the engine
+    * writes real typed timestamps, which PSQL/Timescale-class targets
+    * want (the reference's PSQL logger likewise converts,
+    * `PurpleAirPSQLDataLogger.py:138-151`). */
   def writeBatchJdbc(conformed: DataFrame, url: String,
       props: java.util.Properties,
       markers: Option[(org.apache.hadoop.fs.FileSystem,
-        org.apache.hadoop.fs.Path)] = None): Unit = {
+        org.apache.hadoop.fs.Path)] = None,
+      epochTextCompat: Boolean = false): Unit = {
+    val compat =
+      if (!epochTextCompat) conformed
+      else conformed.schema.fields.foldLeft(conformed) { (d, f) =>
+        f.dataType match {
+          // NTZ-safe epoch floor, same route as TimeSeries.epochSeconds
+          case TimestampType | TimestampNTZType => d.withColumn(f.name,
+            col(f.name).cast(TimestampType).cast(LongType)
+              .cast(StringType))
+          case _ => d
+        }
+      }
     val deduped = Transforms
-      .dedupByKey(conformed, Transforms.stableDedupOrder(conformed))
+      .dedupByKey(compat, Transforms.stableDedupOrder(compat))
       .persist()
     try Transforms.verticalSplit(deduped).foreach { case (table, part) =>
       val marker = markers.map { case (_, dir) =>

@@ -629,6 +629,39 @@ class FanOutSinkSpec extends SparkSpec {
     }
   }
 
+  test("SQLite epochs-as-TEXT compat: timestamps land as epoch strings") {
+    // reference SQLite DDL declares timestamp columns TEXT and binds the
+    // raw epoch integers (PurpleAirSQLiteQueryStatements.py:13,
+    // PurpleAirSQLiteDataLogger.py:82); epochTextCompat reproduces that
+    // so a compat-written db is readable by reference tooling
+    val dbRoot = Files.createTempDirectory("graft_derby_compat").toString
+    val url = s"jdbc:derby:$dbRoot/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val payload = spark.read.option("multiLine", true).json(
+      "/root/reference/hardware_variant_json_samples/" +
+        "3.0+OPENLOG+31037 MB+DS3231+BME280+BME680+PMSX003-A+PMSX003-B.json")
+    val conformed = Transforms.conform(Transforms.flattenSingle(payload))
+    FanOutSink.writeBatchJdbc(conformed, url, props, epochTextCompat = true)
+    val station = spark.read.jdbc(url, FieldCatalog.Groups.Station, props)
+    // every reference-TEXT timestamp column is a digit string...
+    Seq("data_time_stamp", "last_seen", "last_modified", "date_created")
+      .foreach { c =>
+        assert(station.schema(c).dataType ==
+          org.apache.spark.sql.types.StringType, s"$c must be TEXT-typed")
+        val vals = station.select(c).collect().map(_.getString(0))
+        assert(vals.nonEmpty && vals.forall(v => v != null && v.forall(_.isDigit)),
+          s"$c must hold raw epoch strings, got ${vals.toSeq}")
+      }
+    // ...whose value is the exact epoch the typed path would store
+    val expected = conformed
+      .select(col("data_time_stamp").cast(
+        org.apache.spark.sql.types.LongType).cast(
+        org.apache.spark.sql.types.StringType)).collect().map(_.getString(0)).toSet
+    assert(station.select("data_time_stamp").collect()
+      .map(_.getString(0)).toSet == expected)
+  }
+
   test("stream restart from checkpoint re-emits nothing (exactly-once sink)") {
     val base = Files.createTempDirectory("graft_sink_rs").toString
     def run(): Unit = {
