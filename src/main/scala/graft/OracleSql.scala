@@ -454,6 +454,16 @@ object OracleSql {
          |  WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-08 00:00:00')
          |GROUP BY 1, 2""".stripMargin,
 
+    // bloom-screened variant of the dim probe: the screen only removes
+    // rows the exact join would drop anyway — same oracle as the plain join
+    "q_j4_bloom_screen" ->
+      s"""SELECT user_id, event_type, COUNT(*) AS n,
+         |  ${decSum("value", "sum_value")}
+         |FROM events
+         |WHERE user_id IN (SELECT DISTINCT user_id FROM events
+         |  WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-08 00:00:00')
+         |GROUP BY 1, 2""".stripMargin,
+
     "q_o1_time_sort" ->
       """SELECT epoch_ns(date_trunc('day', ts))//1000000000 AS bucket_s,
         |  MAX(value) AS max_value

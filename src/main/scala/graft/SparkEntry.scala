@@ -240,6 +240,24 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), decimalSum(col("value")).as("sum_value"))
   }
 
+  /** J3 via the EXPLICIT bloom screen ([[Scale.bloomScreenedJoin]]):
+    * semantically the same dim-probe join, but large-side rows that
+    * cannot match are dropped by a codegen'd `might_contain` BEFORE the
+    * join — the hand-placed form of Spark's injected runtime filter, for
+    * plans the optimizer can't cross. The oracle is the plain join SQL:
+    * bloom false positives are removed by the exact join, so results are
+    * bit-identical. */
+  private def qBloomScreen(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val dim = e.filter(col("event_type") === "signup" &&
+        col("ts") < lit("2024-01-08 00:00:00").cast(TimestampType))
+      .select(col("user_id")).distinct()
+    graft.queries.Scale.bloomScreenedJoin(e, dim, "user_id",
+        expectedItems = 100000L)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decimalSum(col("value")).as("sum_value"))
+  }
+
   /** O1 — total time sort: daily max, ordered ascending. */
   private def qO1(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -846,6 +864,7 @@ object SparkEntry {
     "q_j1_recombine" -> (qJ1 _),
     "q_j2_semi_join" -> (qJ2 _),
     "q_j3_dim_probe" -> (qJ3 _),
+    "q_j4_bloom_screen" -> (qBloomScreen _),
     "q_o1_time_sort" -> (qO1 _),
     "q_t3_dedup_pk" -> (qT3 _),
     "q_x_concat_split" -> (qX23 _),

@@ -59,27 +59,19 @@ object Scale {
     * Semantics: identical to the plain join — bloom false positives are
     * removed by the exact join; there are NO false negatives. Cost: one
     * aggregation over the small side to build the filter (driver holds
-    * `~1.2·n·ln(1/fpp)` BITS — ~1.2 MB per million keys at 1% — same
-    * budget as any broadcast), one cheap membership test per large row.
-    * Long and String keys supported (the two join-key types this engine
-    * uses). */
+    * `~1.44·n·log2(1/fpp)` BITS — ~1.2 MB per million keys at 1% — same
+    * budget as any broadcast), one codegen'd membership test per large
+    * row: the screen uses Spark's OWN `BloomFilterAggregate` /
+    * `BloomFilterMightContain` runtime-filter expressions (via
+    * [[graft.functions.BloomFunctions]]), so the probe inlines into
+    * whole-stage codegen instead of boxing through a Scala UDF. Any key
+    * type `xxhash64` accepts works. */
   def bloomScreenedJoin(large: DataFrame, small: DataFrame, key: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
-    val bc = large.sparkSession.sparkContext.broadcast(bf)
-    import org.apache.spark.sql.functions.udf
-    val screened = large.schema(key).dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        val f = udf((k: java.lang.Long) =>
-          k != null && bc.value.mightContainLong(k))
-        large.filter(f(col(key)))
-      case org.apache.spark.sql.types.StringType =>
-        val f = udf((k: String) => k != null && bc.value.mightContainString(k))
-        large.filter(f(col(key)))
-      case other =>
-        throw new IllegalArgumentException(
-          s"bloomScreenedJoin supports LONG and STRING keys, got $other")
-    }
+    val bloom = graft.functions.BloomFunctions
+      .buildBloom(small, key, expectedItems, fpp)
+    val screened = large.filter(graft.functions.BloomFunctions
+      .mightContain(large.sparkSession, bloom, col(key)))
     screened.join(small, Seq(key))
   }
 

@@ -42,7 +42,12 @@ class ScaleSpec extends SparkSpec {
       col("id").as("payload"))
     val planR = Scale.bloomScreenedJoin(largeR, small, "k", 1000L)
       .queryExecution.executedPlan.toString
-    assert(planR.contains("UDF"), s"expected the bloom screen filter:\n$planR")
+    // the screen is Spark's own runtime-filter predicate — codegen'd,
+    // not a Scala UDF boxing per row
+    assert(planR.contains("might_contain"),
+      s"expected the bloom screen filter:\n$planR")
+    assert(!planR.contains("UDF"),
+      s"bloom screen must not run as a Scala UDF:\n$planR")
   }
 
   test("saltedCountSum equals direct groupBy") {
