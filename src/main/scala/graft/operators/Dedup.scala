@@ -226,6 +226,24 @@ object Dedup {
            hs.tail.zipWithIndex.map { case (h, i) => min(h).as(s"mh_${i + 1}") }: _*)
   }
 
+  /** LSH band hashes for a `(id, sig)` signature frame: one row per
+    * (id, band) with `band_hash`. Exploding the band index FIRST matters:
+    * the Generate node materializes `sig` once per row; computing band
+    * hashes before the explode would let CollapseProject inline the
+    * signature kernel into every band expression (k× recompute). The band
+    * hash is md5_60 of a canonical "m0,m1,..|band" string so the oracle
+    * (and any persisted index) reproduces buckets exactly. */
+  def bandedSignatures(sigs: DataFrame, idCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    sigs
+      .select(col(idCol), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_hash", md5_60(concat(
+        concat_ws(",", transform(
+          slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+          _.cast(StringType))),
+        lit("|"), col("band").cast(StringType))))
+
   /** MinHash + LSH banding: near-duplicate candidate pairs `(id_a, id_b)`
     * with the fraction of agreeing signature components (`sig_similarity`,
     * an unbiased Jaccard estimate). Pairs with
@@ -244,19 +262,7 @@ object Dedup {
     // without a persist each branch recomputes the kernel over the corpus.
     val sigs = minhashSignatures(df, idCol, textCol, shingleWords, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Explode the band index FIRST: the Generate node materializes `sig`
-    // once per row; computing band hashes before the explode would let
-    // CollapseProject inline the signature kernel into every band
-    // expression (k× recompute). The band hash is md5_60 of a canonical
-    // "m0,m1,..|band" string so the oracle reproduces buckets exactly.
-    val banded = sigs
-      .select(col(idCol), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("band_hash", md5_60(concat(
-        concat_ws(",", transform(
-          slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
-          _.cast(StringType))),
-        lit("|"), col("band").cast(StringType))))
+    val banded = bandedSignatures(sigs, idCol, bands, rowsPerBand)
     val pairs = pairsFromBuckets(banded, idCol, Seq("band", "band_hash"))
     val result = pairs
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
