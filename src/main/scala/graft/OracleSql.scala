@@ -994,6 +994,18 @@ object OracleSql {
         |    AS rank
         |FROM f QUALIFY rank <= 100""".stripMargin,
 
+    // heavy-hitter arm: exact recount of Misra-Gries candidates ==
+    // the exact top-k whenever f_k > support*N — same SQL
+    "q_vocab_heavy" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS token FROM documents),
+        |f AS (SELECT token, COUNT(*) AS freq FROM t
+        |  WHERE length(token) > 0 GROUP BY 1)
+        |SELECT token, CAST(freq AS BIGINT) AS freq,
+        |  CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+        |    AS rank
+        |FROM f QUALIFY rank <= 100""".stripMargin,
+
     // Corpus profile: per (lang, source) — counts, char totals/extremes,
     // EXACT discrete median via cumulative counts over (group, size)
     // buckets, and each group's share of the corpus.

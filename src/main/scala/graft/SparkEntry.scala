@@ -427,6 +427,14 @@ object SparkEntry {
   private def qVocabTopk(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(docs(spark, dir), "text", 100)
 
+  /** Bounded-memory heavy hitters — the same exact top-100 through the
+    * Misra-Gries candidates + exact-recount scale path (the shuffle
+    * carries ≤ 1/support tokens, not the vocabulary); oracle = the exact
+    * vocabulary SQL, proving the bound holds on this corpus. */
+  private def qVocabHeavy(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHitters(docs(spark, dir), "text", 100,
+      support = 0.0005)
+
   /** BM25 (rational fixed-point) top-20 for a 3-term query. */
   private def qTextBm25(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25Rational(docs(spark, dir), "doc_id", "text",
@@ -896,6 +904,7 @@ object SparkEntry {
     "q_profile_corpus" -> (qProfileCorpus _),
     "q_chunk_windows" -> (qChunkWindows _),
     "q_vocab_topk" -> (qVocabTopk _),
+    "q_vocab_heavy" -> (qVocabHeavy _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_lm_buckets" -> (qLmBuckets _),

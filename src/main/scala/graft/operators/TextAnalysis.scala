@@ -258,6 +258,44 @@ object TextAnalysis {
         .over(Window.orderBy(col("freq").desc, col("token"))).cast(LongType))
   }
 
+  /** Bounded-memory heavy hitters — the 100 TB arm of [[vocabulary]].
+    *
+    * [[vocabulary]]'s `groupBy(token)` shuffles the ENTIRE distinct
+    * vocabulary (web-scale corpora: billions of distinct tokens, nearly
+    * all singletons) to find a top-k that only the head could win. The
+    * classic two-phase exact algorithm bounds that:
+    *
+    *  1. '''Candidates''' — a single Misra-Gries-style pass
+    *     (`stat.freqItems`): per-executor state ≤ 1/support items, and
+    *     ANY token with frequency > support·N is guaranteed a candidate
+    *     under every merge order. The driver holds the ≤ 1/support
+    *     candidate list — the sketch output, bytes not a vocabulary.
+    *  2. '''Exact recount''' — one more corpus pass counting ONLY
+    *     candidates (broadcast semi-join): the shuffle carries at most
+    *     1/support tokens instead of the vocabulary; sketch false
+    *     positives die here, so counts are EXACT.
+    *
+    * Result == [[vocabulary]] (bit-for-bit, same ordering and ranks)
+    * whenever the k-th most frequent token's frequency exceeds
+    * support·N — pick `support ≤ f_k/N` and the output is exact, proven
+    * by the same DuckDB oracle the exact query runs. */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int,
+      support: Double = 1e-4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val cand = toks.stat.freqItems(Seq("token"), support)
+      .collect()(0).getSeq[String](0)
+    val candDf = df.sparkSession.createDataset(cand)(
+      org.apache.spark.sql.Encoders.STRING).toDF("token")
+    toks.join(broadcast(candDf), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("freq").desc, col("token"))).cast(LongType))
+  }
+
   /** Out-of-vocabulary rate per document: the fraction of a document's
     * tokens NOT in the corpus top-`vocabK` vocabulary — the closed-class
     * coverage signal quality pipelines cut on (high OOV ⇒ junk,

@@ -115,6 +115,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 3L, 1L), ("b", 2L, 2L)))
   }
 
+  test("heavyHitters == vocabulary when f_k clears the support bound") {
+    // tiny corpus: every candidate survives any merge order, so the
+    // sketch-candidates + exact-recount path must be bit-equal
+    val df = Seq("b a a", "c b a  c", "d a b").toDF("text")
+    def key(o: Array[org.apache.spark.sql.Row]) =
+      o.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(key(TextAnalysis.heavyHitters(df, "text", 3, support = 0.05)
+        .collect()) ==
+      key(TextAnalysis.vocabulary(df, "text", 3).collect()))
+    // and on the real sf0.001 documents table at the registry's support
+    val docs = spark.read.parquet(sf("documents"))
+    assert(key(TextAnalysis.heavyHitters(docs, "text", 50, support = 0.0005)
+        .orderBy("rank").collect()) ==
+      key(TextAnalysis.vocabulary(docs, "text", 50).orderBy("rank").collect()))
+  }
+
   test("oovRate: exact counts against the top-k vocabulary; empty-safe") {
     // corpus freq: a=3, b=2, c=1, z=1 → top-2 vocab {a, b}
     val df = Seq((1L, "b a a"), (2L, "c b a z"), (3L, ""), (4L, "  "))
