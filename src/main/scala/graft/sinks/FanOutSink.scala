@@ -184,6 +184,42 @@ object FanOutSink {
     if (df.columns.contains("batch")) df.drop("batch") else df
   }
 
+  /** Read a CSV fan-out table back with the CATALOG schema (never
+    * inference — a cold date partition with all-null readings would
+    * infer strings) and date-partition discovery intact. This is the
+    * read path over the reference CSV logger's own layout
+    * (`PurpleAirCSVDataLogger.py` writes the same header order the sink
+    * reproduces), so data logged by the reference is queryable
+    * unchanged. */
+  def readCsvTable(spark: org.apache.spark.sql.SparkSession,
+      baseDir: String, table: String): DataFrame = {
+    val schema = FieldCatalog.groupSchema(table)
+    val df = spark.read
+      .option("header", "true")
+      .schema(schema.add("date", org.apache.spark.sql.types.StringType))
+      .csv(s"$baseDir/$table")
+    (if (df.columns.contains("batch")) df.drop("batch") else df)
+      .select(schema.fieldNames.map(col) :+ col("date"): _*)
+  }
+
+  /** Read a JDBC table written under `epochTextCompat` (or by the
+    * reference's own SQLite logger — epoch-seconds strings in TEXT
+    * timestamp columns) back into the typed catalog schema: every
+    * catalog TIMESTAMP column parses its digit string as epoch seconds.
+    * The inverse of the write-side knob, so either side of a reference
+    * interop round-trips. */
+  def readJdbcCompat(spark: org.apache.spark.sql.SparkSession, url: String,
+      table: String, props: java.util.Properties): DataFrame = {
+    val raw = spark.read.jdbc(url, table, props)
+    val tsCols = FieldCatalog.groupSchema(table).fields
+      .filter(_.dataType == TimestampType).map(_.name).toSet
+    raw.schema.fieldNames.foldLeft(raw) { (d, c) =>
+      if (tsCols.contains(c))
+        d.withColumn(c, timestamp_seconds(col(c).cast(LongType)))
+      else d
+    }
+  }
+
   /** A compaction run on disk: `batch=<n>` is an uncompacted level-0
     * micro-batch; `batch=c<L>x<id>` is a level-`L` compacted run (legacy
     * `batch=c<id>` dirs from earlier layouts read as level 1). */

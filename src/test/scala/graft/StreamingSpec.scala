@@ -660,6 +660,42 @@ class FanOutSinkSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType)).collect().map(_.getString(0)).toSet
     assert(station.select("data_time_stamp").collect()
       .map(_.getString(0)).toSet == expected)
+    // and the inverse knob reads the TEXT epochs back as typed instants —
+    // a reference-written SQLite db round-trips into the engine
+    val typed = FanOutSink.readJdbcCompat(spark, url,
+      FieldCatalog.Groups.Station, props)
+    assert(typed.schema("data_time_stamp").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val roundTrip = typed.select(col("data_time_stamp").cast(
+        org.apache.spark.sql.types.LongType).cast(
+        org.apache.spark.sql.types.StringType))
+      .collect().map(_.getString(0)).toSet
+    assert(roundTrip == expected, "epoch TEXT must round-trip to instants")
+  }
+
+  test("readCsvTable: catalog-typed read over the reference CSV layout") {
+    val base = Files.createTempDirectory("graft_csv_rt").toString
+    val payload = spark.read.option("multiLine", true).json(
+      "/root/reference/hardware_variant_json_samples/" +
+        "3.0+OPENLOG+31037 MB+DS3231+BME280+BME680+PMSX003-A+PMSX003-B.json")
+    val conformed = Transforms.conform(Transforms.flattenSingle(payload))
+    FanOutSink.writeBatch(conformed, base, format = "csv")
+    val env = FieldCatalog.Groups.Environmental
+    val back = FanOutSink.readCsvTable(spark, base, env)
+    // catalog types, not inference: key is a real timestamp, readings real
+    assert(back.schema("data_time_stamp").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(back.schema("humidity").dataType ==
+      org.apache.spark.sql.types.IntegerType) // catalog INT, like the DDL
+    assert(back.schema("pressure").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(back.count() == 1)
+    // values survive the round trip exactly
+    val w = conformed.select(col("data_time_stamp"), col("humidity")).head
+    val r = back.select(col("data_time_stamp"), col("humidity")).head
+    assert(r == w, s"csv round-trip mismatch: wrote $w read $r")
+    // and the date partition column is discoverable for pruning
+    assert(back.columns.contains("date"))
   }
 
   test("stream restart from checkpoint re-emits nothing (exactly-once sink)") {
