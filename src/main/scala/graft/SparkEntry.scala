@@ -117,11 +117,14 @@ object SparkEntry {
 
   // ------------------------------------------------- time-series (events)
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as a raw nanosecond LONG
-    * (`nanosAsLong`) and convert to a microsecond timestamp explicitly —
-    * integer floor-div, same truncation DuckDB's `epoch_ns(ts)//1000`
-    * applies, so both engines see identical instants. */
+  /** `events.ts` across testdata vintages: current data is plain µs
+    * TIMESTAMP (arriving as `TIMESTAMP_NTZ` — numeric casts must route
+    * through `TimestampType`, see [[epochS]]); pre-r8 data was parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects unless
+    * read as a raw nanosecond LONG (`nanosAsLong`) and converted
+    * explicitly — integer floor-div, the same truncation DuckDB's
+    * `epoch_ns(ts)//1000` applies. The type match keeps both vintages
+    * readable. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(spark, dir, "events")
