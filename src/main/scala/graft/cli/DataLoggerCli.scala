@@ -36,7 +36,11 @@ object DataLoggerCli {
       retentionHours: Int = 0,
       hourlyAggregateDir: Option[String] = None,
       dropExisting: Boolean = false,
-      assumeYes: Boolean = false)
+      assumeYes: Boolean = false,
+      apiBase: Option[String] = None,
+      backfillStart: Option[String] = None,
+      backfillEnd: Option[String] = None,
+      backfillAverage: Option[String] = None)
 
   def parseArgs(args: Array[String]): Config = {
     def loop(c: Config, rest: List[String]): Config = rest match {
@@ -62,6 +66,11 @@ object DataLoggerCli {
         loop(c.copy(hourlyAggregateDir = Some(v)), t)
       case "-drop_existing" :: t => loop(c.copy(dropExisting = true), t)
       case "-yes" :: t => loop(c.copy(assumeYes = true), t)
+      case "-api_base" :: v :: t => loop(c.copy(apiBase = Some(v)), t)
+      case "-backfill_start" :: v :: t => loop(c.copy(backfillStart = Some(v)), t)
+      case "-backfill_end" :: v :: t => loop(c.copy(backfillEnd = Some(v)), t)
+      case "-backfill_average" :: v :: t =>
+        loop(c.copy(backfillAverage = Some(v)), t)
       case other :: _ => sys.error(s"unknown argument: $other")
     }
     val c = loop(Config(), args.toList)
@@ -81,6 +90,53 @@ object DataLoggerCli {
       print(s"Drop all existing data under ${c.outDir}? (y/n): ")
       scala.io.StdIn.readLine() == "y"
     }
+  }
+
+  /** Historic backfill as a BATCH job (the reference's
+    * `request_sensor_historic_data` use case): one fetch through the
+    * configured transport's history arm, columnar parse, conform, and a
+    * single fan-out write into the same layout the streaming path
+    * maintains — so a new deployment stands up its history before the
+    * poll loop takes over. Returns the number of readings landed. */
+  def runBackfill(spark: SparkSession, c: Config): Long = {
+    val cfgPath = c.singleConfig.getOrElse(
+      sys.error("-backfill_* requires -paa_single_sensor_request_json_file " +
+        "(history is a single-sensor endpoint)"))
+    val cfg = spark.read.option("multiLine", true).json(cfgPath)
+    val row = cfg.head()
+    def str(name: String): Option[String] =
+      if (cfg.columns.contains(name) && !row.isNullAt(row.fieldIndex(name)))
+        Some(String.valueOf(row.get(row.fieldIndex(name))))
+      else None
+    val fields = str("fields").getOrElse(
+      sys.error("request config must carry 'fields' for a history backfill"))
+    val opts = (Seq(
+      "sensor.index" -> str("sensor_index").getOrElse(
+        sys.error("request config must carry 'sensor_index'")),
+      "fields" -> fields) ++
+      c.apiKey.map("api.key" -> _) ++
+      str("read_key").map("read.key" -> _) ++
+      c.apiBase.map("api.base" -> _) ++
+      c.replayDir.map("replay.dir" -> _) ++
+      c.backfillStart.map("history.start" -> _) ++
+      c.backfillEnd.map("history.end" -> _) ++
+      c.backfillAverage.map("history.average" -> _)).toMap
+    val fetcher = Class.forName(c.fetcherClass).getDeclaredConstructor()
+      .newInstance().asInstanceOf[graft.sources.SensorFetcher]
+    fetcher.validate(opts)
+    val payloads = fetcher.fetch(0L, 1L, opts)
+    import spark.implicits._
+    val wire = payloads.toDF("poll_cursor", "payload_json")
+    val requested = fields.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val conformed = Transforms.conform(
+      PollingSource.parseHistoric(wire, requested))
+    val jdbcProps = new java.util.Properties()
+    c.jdbcUser.foreach(jdbcProps.setProperty("user", _))
+    c.jdbcPassword.foreach(jdbcProps.setProperty("password", _))
+    if (c.sink.startsWith("jdbc:"))
+      FanOutSink.writeBatchJdbc(conformed, c.sink, jdbcProps)
+    else FanOutSink.writeBatch(conformed, c.outDir, format = c.sink)
+    conformed.count()
   }
 
   def main(args: Array[String]): Unit = {
@@ -103,6 +159,15 @@ object DataLoggerCli {
         f.delete()
       }
       if (dir.exists()) rm(dir)
+    }
+
+    // -backfill_*: a one-shot batch job, not a streaming query
+    if (c.backfillStart.isDefined || c.backfillEnd.isDefined ||
+        c.backfillAverage.isDefined) {
+      val n = runBackfill(spark, c)
+      println(s"[backfill] landed $n readings under ${c.outDir}")
+      spark.stop()
+      return
     }
 
     val reader = spark.readStream.format(PollingSource.format)

@@ -57,4 +57,18 @@ object ApiPayloadSchema {
     StructField("firmware_default_version", StringType),
     StructField("fields", ArrayType(StringType)),
     StructField("data", ArrayType(ArrayType(StringType)))))
+
+  /** Columnar historic GET /v1/sensors/{index}/history envelope
+    * (`PurpleAirAPI.py:244-305`): same `fields` × `data` shape as the
+    * multi-sensor payload, but rows are one SENSOR's readings over time —
+    * `time_stamp` is a history FIELD inside `data`, and the sensor id
+    * rides the envelope. */
+  val historic: StructType = StructType(Seq(
+    StructField("api_version", StringType),
+    StructField("sensor_index", LongType),
+    StructField("start_timestamp", LongType),
+    StructField("end_timestamp", LongType),
+    StructField("average", LongType),
+    StructField("fields", ArrayType(StringType)),
+    StructField("data", ArrayType(ArrayType(StringType)))))
 }

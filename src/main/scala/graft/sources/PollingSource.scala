@@ -71,6 +71,24 @@ object PollingSource {
       .select("r.data_time_stamp", "r.fields", "r.data")
     graft.transform.Transforms.zipMulti(parsed, requestedFields)
   }
+
+  /** Parse columnar HISTORIC wire rows (`sensors/{index}/history`
+    * responses): one stringly-typed row per historic reading, keyed by
+    * the row's own `time_stamp` field (promoted to `data_time_stamp`)
+    * and the envelope's `sensor_index` — the backfill twin of
+    * [[parseMulti]]. `conform` casts downstream. */
+  def parseHistoric(wire: DataFrame, requestedFields: Seq[String]): DataFrame = {
+    val wanted = requestedFields.filterNot(_ == "time_stamp")
+    wire
+      .select(from_json(col("payload_json"),
+        graft.model.ApiPayloadSchema.historic).as("r"))
+      .select(col("r.sensor_index"), col("r.fields"),
+        explode(col("r.data")).as("row_values"))
+      .withColumn("kv", map_from_arrays(col("fields"), col("row_values")))
+      .select(col("kv").getItem("time_stamp").as("data_time_stamp") +:
+        col("sensor_index") +:
+        wanted.map(f => col("kv").getItem(f).as(f)): _*)
+  }
 }
 
 /** Transport abstraction: how one micro-batch's payloads are obtained.

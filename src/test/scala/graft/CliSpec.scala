@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cli.DataLoggerCli
+import graft.schema.FieldCatalog
+
+/** CLI contract: S6 XOR config validation, T8 drop gating, and the
+  * historic-backfill batch mode end-to-end against a stubbed API. */
+class CliSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+
+  test("parseArgs: single XOR multi request config (S6)") {
+    intercept[IllegalArgumentException] {
+      DataLoggerCli.parseArgs(Array[String]())
+    }
+    intercept[IllegalArgumentException] {
+      DataLoggerCli.parseArgs(Array(
+        "-paa_single_sensor_request_json_file", "a.json",
+        "-paa_multiple_sensor_request_json_file", "b.json"))
+    }
+    val c = DataLoggerCli.parseArgs(Array(
+      "-paa_single_sensor_request_json_file", "a.json",
+      "-sink", "csv", "-poll_seconds", "120",
+      "-backfill_start", "1659710000", "-backfill_end", "1659796400",
+      "-backfill_average", "60", "-api_base", "http://x/v1"))
+    assert(c.singleConfig.contains("a.json") && c.sink == "csv" &&
+      c.pollSeconds == 120L && c.backfillStart.contains("1659710000") &&
+      c.backfillAverage.contains("60") && c.apiBase.contains("http://x/v1"))
+    intercept[RuntimeException] {
+      DataLoggerCli.parseArgs(Array("-bogus_flag", "x"))
+    }
+  }
+
+  test("confirmDrop: gated behind the flag AND -yes (T8)") {
+    val base = DataLoggerCli.parseArgs(Array(
+      "-paa_single_sensor_request_json_file", "a.json"))
+    assert(!DataLoggerCli.confirmDrop(base))
+    assert(DataLoggerCli.confirmDrop(
+      base.copy(dropExisting = true, assumeYes = true)))
+  }
+
+  test("backfill e2e: stubbed history endpoint → conformed fan-out layout") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val uris = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // two hourly-averaged history rows for sensor 53
+    val payload = """{"api_version":"V1.0.11-0.0.42","sensor_index":53,""" +
+      """"start_timestamp":1659710000,"end_timestamp":1659796400,""" +
+      """"average":60,"fields":["time_stamp","humidity","pm2.5_atm"],""" +
+      """"data":[["1659711600","45","9.5"],["1659715200","47","10.25"]]}"""
+    def handler(status: Int, body: String): HttpHandler = new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        uris.add(ex.getRequestURI.toString)
+        val b = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(status, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      }
+    }
+    server.createContext("/v1/keys", handler(201, """{"api_key_type":"READ"}"""))
+    server.createContext("/v1/sensors/53/history", handler(200, payload))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
+      val cfgDir = tmp("bf_cfg")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$cfgDir/req.json"),
+        """{"sensor_index": 53, "fields": "humidity,pm2.5_atm"}""")
+      val outDir = tmp("bf_out")
+      val c = DataLoggerCli.parseArgs(Array(
+        "-paa_single_sensor_request_json_file", s"$cfgDir/req.json",
+        "-paa_api_key", "K", "-api_base", base,
+        "-out_dir", outDir, "-sink", "parquet",
+        "-backfill_start", "1659710000", "-backfill_end", "1659796400",
+        "-backfill_average", "60"))
+      val n = DataLoggerCli.runBackfill(spark, c)
+      assert(n == 2L, s"expected 2 readings landed, got $n")
+      // the wire hit the history arm with the full param set
+      val historyUri = {
+        var u = uris.poll(); while (u != null && !u.contains("history")) u = uris.poll(); u
+      }
+      assert(historyUri != null && historyUri.startsWith("/v1/sensors/53/history?"))
+      assert(historyUri.contains("start_timestamp=1659710000") &&
+        historyUri.contains("end_timestamp=1659796400") &&
+        historyUri.contains("average=60"))
+      // landed in the same conformed fan-out layout the stream maintains:
+      // typed key, sensor id from the envelope, values cast per catalog
+      val env = graft.sinks.FanOutSink.readTable(spark, outDir,
+        FieldCatalog.Groups.Environmental)
+      val rows = env
+        .select(col("data_time_stamp").cast("long"), col("sensor_index"),
+          col("humidity"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(rows == Set((1659711600L, 53, 45), (1659715200L, 53, 47)), rows)
+      val pm = graft.sinks.FanOutSink.readTable(spark, outDir,
+        FieldCatalog.Groups.Pm2_5)
+      val pmRows = pm.select(col("data_time_stamp").cast("long"),
+          col("pm2_5_atm"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(pmRows == Set((1659711600L, 9.5), (1659715200L, 10.25)), pmRows)
+    } finally server.stop(0)
+  }
+}
