@@ -40,7 +40,8 @@ object DataLoggerCli {
       apiBase: Option[String] = None,
       backfillStart: Option[String] = None,
       backfillEnd: Option[String] = None,
-      backfillAverage: Option[String] = None)
+      backfillAverage: Option[String] = None,
+      backfillChunkSeconds: Long = 0L)
 
   def parseArgs(args: Array[String]): Config = {
     def loop(c: Config, rest: List[String]): Config = rest match {
@@ -71,6 +72,8 @@ object DataLoggerCli {
       case "-backfill_end" :: v :: t => loop(c.copy(backfillEnd = Some(v)), t)
       case "-backfill_average" :: v :: t =>
         loop(c.copy(backfillAverage = Some(v)), t)
+      case "-backfill_chunk_seconds" :: v :: t =>
+        loop(c.copy(backfillChunkSeconds = v.toLong), t)
       case other :: _ => sys.error(s"unknown argument: $other")
     }
     val c = loop(Config(), args.toList)
@@ -124,7 +127,23 @@ object DataLoggerCli {
     val fetcher = Class.forName(c.fetcherClass).getDeclaredConstructor()
       .newInstance().asInstanceOf[graft.sources.SensorFetcher]
     fetcher.validate(opts)
-    val payloads = fetcher.fetch(0L, 1L, opts)
+    // The real API caps history rows per request, so a long range needs
+    // windowed GETs: with -backfill_chunk_seconds, [start, end) splits
+    // into half-open chunks, one fetch each (server bounds are
+    // data_timestamp >= start AND < end, PurpleAirAPI.py:252-258, so
+    // chunk edges never duplicate a reading); the PK dedup in writeBatch
+    // collapses any server-side overlap anyway.
+    val payloads = (c.backfillStart, c.backfillEnd) match {
+      case (Some(s), Some(e)) if c.backfillChunkSeconds > 0 &&
+          s.forall(_.isDigit) && e.forall(_.isDigit) =>
+        val (lo, hi, step) = (s.toLong, e.toLong, c.backfillChunkSeconds)
+        (lo until hi by step).flatMap { from =>
+          val to = math.min(from + step, hi)
+          fetcher.fetch(0L, 1L, opts ++ Map(
+            "history.start" -> from.toString, "history.end" -> to.toString))
+        }
+      case _ => fetcher.fetch(0L, 1L, opts)
+    }
     import spark.implicits._
     val wire = payloads.toDF("poll_cursor", "payload_json")
     val requested = fields.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -136,7 +155,9 @@ object DataLoggerCli {
     if (c.sink.startsWith("jdbc:"))
       FanOutSink.writeBatchJdbc(conformed, c.sink, jdbcProps)
     else FanOutSink.writeBatch(conformed, c.outDir, format = c.sink)
-    conformed.count()
+    // what actually LANDS: the sink dedups on the composite PK, so
+    // chunk-edge overlap (or a re-served payload) is not double-counted
+    conformed.select("data_time_stamp", "sensor_index").distinct().count()
   }
 
   def main(args: Array[String]): Unit = {

@@ -99,6 +99,21 @@ class CliSpec extends SparkSpec {
           col("pm2_5_atm"))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(pmRows == Set((1659711600L, 9.5), (1659715200L, 10.25)), pmRows)
+
+      // chunked backfill: the range splits into half-open windows, one
+      // GET each, landed in one write (PK dedup collapses overlap)
+      uris.clear()
+      val out2 = tmp("bf_out2")
+      val n2 = DataLoggerCli.runBackfill(spark, c.copy(outDir = out2,
+        backfillChunkSeconds = 43200L))
+      assert(n2 == 2L)
+      val hits = Iterator.continually(uris.poll()).takeWhile(_ != null)
+        .filter(_.contains("history")).toSeq
+      assert(hits.length == 2, s"86400 s range / 43200 s chunks: $hits")
+      assert(hits.head.contains("start_timestamp=1659710000") &&
+        hits.head.contains("end_timestamp=1659753200"))
+      assert(hits.last.contains("start_timestamp=1659753200") &&
+        hits.last.contains("end_timestamp=1659796400"))
     } finally server.stop(0)
   }
 }
