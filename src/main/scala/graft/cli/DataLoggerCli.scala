@@ -133,17 +133,20 @@ object DataLoggerCli {
     // data_timestamp >= start AND < end, PurpleAirAPI.py:252-258, so
     // chunk edges never duplicate a reading); the PK dedup in writeBatch
     // collapses any server-side overlap anyway.
-    val payloads = (c.backfillStart, c.backfillEnd) match {
-      case (Some(s), Some(e)) if c.backfillChunkSeconds > 0 &&
-          s.forall(_.isDigit) && e.forall(_.isDigit) =>
-        val (lo, hi, step) = (s.toLong, e.toLong, c.backfillChunkSeconds)
-        (lo until hi by step).flatMap { from =>
-          val to = math.min(from + step, hi)
-          fetcher.fetch(0L, 1L, opts ++ Map(
-            "history.start" -> from.toString, "history.end" -> to.toString))
-        }
-      case _ => fetcher.fetch(0L, 1L, opts)
-    }
+    val payloads =
+      if (c.backfillChunkSeconds <= 0) fetcher.fetch(0L, 1L, opts)
+      else (c.backfillStart, c.backfillEnd) match {
+        case (Some(s), Some(e)) if s.forall(_.isDigit) && e.forall(_.isDigit) =>
+          val (lo, hi, step) = (s.toLong, e.toLong, c.backfillChunkSeconds)
+          (lo until hi by step).flatMap { from =>
+            val to = math.min(from + step, hi)
+            fetcher.fetch(0L, 1L, opts ++ Map(
+              "history.start" -> from.toString, "history.end" -> to.toString))
+          }
+        case _ => sys.error(
+          "-backfill_chunk_seconds needs numeric epoch -backfill_start " +
+            "AND -backfill_end (silent single-fetch would defeat chunking)")
+      }
     import spark.implicits._
     val wire = payloads.toDF("poll_cursor", "payload_json")
     val requested = fields.split(",").map(_.trim).filter(_.nonEmpty).toSeq

@@ -114,6 +114,14 @@ class CliSpec extends SparkSpec {
         hits.head.contains("end_timestamp=1659753200"))
       assert(hits.last.contains("start_timestamp=1659753200") &&
         hits.last.contains("end_timestamp=1659796400"))
+
+      // chunking over ISO bounds must refuse, not silently single-fetch
+      val ex = intercept[RuntimeException] {
+        DataLoggerCli.runBackfill(spark, c.copy(outDir = tmp("bf_iso"),
+          backfillStart = Some("2022-08-05 00:00:00"),
+          backfillChunkSeconds = 43200L))
+      }
+      assert(ex.getMessage.contains("numeric epoch"), ex.getMessage)
     } finally server.stop(0)
   }
 }
