@@ -83,6 +83,8 @@ object Bench {
     // per-query map and the total, and reported in a "failed" JSON field.
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     (1 to passes).foreach { p =>
+      var passTotal = 0.0 // THIS pass's successes only — a query that
+      // fails mid-run must not contribute a stale earlier-pass time
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -92,15 +94,18 @@ object Bench {
             failed(name) = String.valueOf(e.getMessage)
             false
           }
-        if (ok) times(name) = (System.nanoTime() - t0) / 1e9 :: times(name)
+        if (ok) {
+          val sec = (System.nanoTime() - t0) / 1e9
+          times(name) = sec :: times(name)
+          passTotal += sec
+        }
         sweep() // outside the timed region: pass 3 starts like pass 1
       }
       reclaim()
       // Pass totals on stderr: with per-query sweeps in place, pass N
       // must start from the same empty block-manager state as pass 1 —
       // a rising trend here is accumulation, a one-off spike is load.
-      System.err.println(
-        f"[bench] pass $p total: ${names.collect { case (n, _) if times(n).nonEmpty => times(n).head }.sum}%.1f s")
+      System.err.println(f"[bench] pass $p total: $passTotal%.1f s")
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted

@@ -137,6 +137,16 @@ object DataLoggerCli {
       if (c.backfillChunkSeconds <= 0) fetcher.fetch(0L, 1L, opts)
       else (c.backfillStart, c.backfillEnd) match {
         case (Some(s), Some(e)) if s.forall(_.isDigit) && e.forall(_.isDigit) =>
+          // Chunk edges must align to the averaging window: the server
+          // averages within each request's [start, end) range, so an
+          // unaligned edge would split one bucket into two PARTIAL
+          // averages sharing a time_stamp — and the PK dedup would keep
+          // one of them silently. average=0 (raw) has no buckets to cut.
+          val avgSec = c.backfillAverage.map(_.toLong * 60).getOrElse(0L)
+          require(avgSec <= 0 || c.backfillChunkSeconds % avgSec == 0,
+            s"-backfill_chunk_seconds (${c.backfillChunkSeconds}) must be " +
+              s"a multiple of the averaging window ($avgSec s) or the " +
+              "chunk edges would land partial averages")
           val (lo, hi, step) = (s.toLong, e.toLong, c.backfillChunkSeconds)
           (lo until hi by step).flatMap { from =>
             val to = math.min(from + step, hi)
@@ -185,9 +195,11 @@ object DataLoggerCli {
       if (dir.exists()) rm(dir)
     }
 
-    // -backfill_*: a one-shot batch job, not a streaming query
+    // -backfill_*: a one-shot batch job, not a streaming query (ANY
+    // backfill flag selects it — a lone -backfill_chunk_seconds must
+    // refuse inside runBackfill, not silently start the poll loop)
     if (c.backfillStart.isDefined || c.backfillEnd.isDefined ||
-        c.backfillAverage.isDefined) {
+        c.backfillAverage.isDefined || c.backfillChunkSeconds > 0) {
       val n = runBackfill(spark, c)
       println(s"[backfill] landed $n readings under ${c.outDir}")
       spark.stop()

@@ -262,6 +262,19 @@ object Dedup {
     // without a persist each branch recomputes the kernel over the corpus.
     val sigs = minhashSignatures(df, idCol, textCol, shingleWords, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try minhashPairsFromSignatures(sigs, idCol, bands, rowsPerBand, threshold)
+    finally sigs.unpersist()
+  }
+
+  /** Pair generation + verification over an ALREADY-COMPUTED `(id, sig)`
+    * signature frame — callers that need the signatures for other work
+    * too (e.g. [[graft.streaming.StreamingTextDedup]]'s cross-batch
+    * probe) compute them once and share; [[minhashNearDuplicates]]
+    * delegates here. `sigs` should be persisted by the caller (three
+    * branches read it). */
+  def minhashPairsFromSignatures(sigs: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val k = bands * rowsPerBand
     val banded = bandedSignatures(sigs, idCol, bands, rowsPerBand)
     val pairs = pairsFromBuckets(banded, idCol, Seq("band", "band_hash"))
     val result = pairs
@@ -272,13 +285,13 @@ object Dedup {
           .sigAgreement(col("sig_a"), col("sig_b")).cast(DoubleType) /
           lit(k.toDouble)).as("sig_similarity"))
       .filter(col("sig_similarity") >= threshold)
-    // Materialize the (small) pair set eagerly, then release the cached
-    // signature table AND the candidate-pair checkpoint — the candidates
-    // only fed this operator, and a dead localCheckpoint otherwise waits
-    // on GC + ContextCleaner to leave the block manager (the long-session
-    // leak a 100 TB driver cannot afford). The sealed result is the
-    // caller's to free ([[Lifetime.free]] or a session sweep).
-    try Lifetime.seal(result, pairs) finally sigs.unpersist()
+    // Materialize the (small) pair set eagerly, then release the
+    // candidate-pair checkpoint — the candidates only fed this operator,
+    // and a dead localCheckpoint otherwise waits on GC + ContextCleaner
+    // to leave the block manager (the long-session leak a 100 TB driver
+    // cannot afford). The sealed result is the caller's to free
+    // ([[Lifetime.free]] or a session sweep).
+    Lifetime.seal(result, pairs)
   }
 
   /** 60-bit SimHash per document via the native [[graft.functions.SimHash60]]

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.functions.{col, count, lit, timestamp_micros}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming funnel — the stream-side of
@@ -41,11 +41,19 @@ object StreamingFunnel {
       Ladder(Array.fill(steps.length)(Long.MinValue), Long.MinValue))
     val t = st.tUs.clone()
     var lastSeen = st.lastSeenUs
-    val stepOf = steps.zipWithIndex.toMap
+    // ALL ladder positions of an event type, ascending — a funnel may
+    // legally repeat a step name (view → click → view), and one event
+    // can complete several of its positions (the batch operator's
+    // per-level conditions do exactly that); a name→single-index map
+    // would strand every earlier duplicate position forever
+    val stepsOf: Map[String, Seq[Int]] =
+      steps.zipWithIndex.groupBy(_._1).map { case (s, xs) =>
+        s -> xs.map(_._2).sorted
+      }
     val out = Seq.newBuilder[StepCompleted]
     rows.toSeq.sortBy(e => (e.epochUs, e.id)).foreach { e =>
       lastSeen = math.max(lastSeen, e.epochUs)
-      stepOf.get(e.eventType).foreach { i =>
+      stepsOf.getOrElse(e.eventType, Nil).foreach { i =>
         val prevDone = i == 0 || t(i - 1) != Long.MinValue
         val strictlyAfter = i == 0 || e.epochUs > t(i - 1)
         if (t(i) == Long.MinValue && prevDone && strictlyAfter) {
@@ -90,9 +98,18 @@ object StreamingFunnel {
 
   /** Collapse landed completions to the batch operator's output shape
     * `(step, event_type, n_keys)` — count of keys that reached each
-    * step. */
-  def counts(completions: DataFrame, steps: Seq[String]): DataFrame =
-    completions.groupBy(col("step"), col("eventType").as("event_type"))
-      .agg(count(lit(1)).as("n_keys"))
+    * step, with an explicit `n_keys = 0` row for steps no key reached
+    * (the batch operator always emits every step). */
+  def counts(completions: DataFrame, steps: Seq[String]): DataFrame = {
+    val spark = completions.sparkSession
+    import spark.implicits._
+    val spine = steps.zipWithIndex
+      .map { case (s, i) => (i, s) }.toDF("step", "event_type")
+    val got = completions.groupBy(col("step"))
+      .agg(count(lit(1)).as("n_got"))
+    spine.join(got, Seq("step"), "left")
+      .select(col("step"), col("event_type"),
+        coalesce(col("n_got"), lit(0L)).as("n_keys"))
       .orderBy(col("step"))
+  }
 }

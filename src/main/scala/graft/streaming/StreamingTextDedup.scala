@@ -50,9 +50,18 @@ object StreamingTextDedup {
       threshold: Double = 0.5): Long = {
     val spark = batch.sparkSession
     val k = bands * rowsPerBand
+    // The index stores doc_id as LONG and the self-match exclusion casts
+    // the probe id to LONG: a non-numeric id column would cast to null,
+    // never self-match, and write null ids into the index — fail loudly
+    // instead (the decontaminateBatch discipline).
+    val idType = batch.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"StreamingTextDedup requires a numeric id column (castable to " +
+        s"LONG); '$idCol' is ${idType.simpleString}")
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fsPath = new org.apache.hadoop.fs.Path(
       s"$checkpointDir/_graft_textdedup_committed/$batchId")
-    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsPath.getFileSystem(hadoopConf)
     // Fully committed batch (output landed AND index appended): a replay
     // must not re-run the gate — the index already holds THIS batch's
     // postings, so re-deriving would see every admitted doc as its own
@@ -60,21 +69,32 @@ object StreamingTextDedup {
     if (fs.exists(fsPath))
       return spark.read.parquet(s"$outDir/batch=$batchId").count()
 
+    // ONE signature pass over the batch feeds both the in-batch pairing
+    // and the cross-batch probe (the kernel over every doc's shingles is
+    // the gate's dominant per-batch cost — never pay it twice).
+    val batchSigs = Dedup.minhashSignatures(batch, idCol, textCol,
+        shingleWords, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 1. in-batch collapse: the batch pipeline's exact operators
-    val inBatchPairs = Dedup.minhashNearDuplicates(batch, idCol, textCol,
-      shingleWords, bands, rowsPerBand, threshold)
+    val inBatchPairs = Dedup.minhashPairsFromSignatures(batchSigs, idCol,
+      bands, rowsPerBand, threshold)
     val survivors = Dedup.applyComponentDedup(batch, idCol, inBatchPairs)
       .persist()
     try {
-      // 2. cross-batch probe against the persisted index
-      val sigs = Dedup.minhashSignatures(survivors, idCol, textCol,
-          shingleWords, k)
+      // 2. cross-batch probe against the persisted index — survivor
+      //    signatures are a semi-join of the already-computed batch set
+      val sigs = batchSigs
+        .join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
         .persist()
       val kept =
         try {
+          // the index may live on a DIFFERENT filesystem than the
+          // checkpoint (local cp + object-store index is a normal
+          // split) — derive its FS from its own path
           val bucketsPath = new org.apache.hadoop.fs.Path(s"$indexDir/buckets")
-          val haveIndex = fs.exists(bucketsPath) &&
-            fs.listStatus(bucketsPath).nonEmpty
+          val idxFs = bucketsPath.getFileSystem(hadoopConf)
+          val haveIndex = idxFs.exists(bucketsPath) &&
+            idxFs.listStatus(bucketsPath).nonEmpty
           // batch side renamed __new_id so it can't collide with the
           // index's own doc_id column when idCol == "doc_id"
           val dupIds =
@@ -142,6 +162,7 @@ object StreamingTextDedup {
       kept
     } finally {
       survivors.unpersist()
+      batchSigs.unpersist()
       graft.operators.Lifetime.free(inBatchPairs)
     }
   }

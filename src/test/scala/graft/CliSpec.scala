@@ -122,6 +122,15 @@ class CliSpec extends SparkSpec {
           backfillChunkSeconds = 43200L))
       }
       assert(ex.getMessage.contains("numeric epoch"), ex.getMessage)
+
+      // chunk edges must align to the averaging window: an unaligned
+      // edge would land two partial averages under one time_stamp
+      val ex2 = intercept[IllegalArgumentException] {
+        DataLoggerCli.runBackfill(spark, c.copy(outDir = tmp("bf_mis"),
+          backfillChunkSeconds = 50000L)) // average=60 min → 3600 s window
+      }
+      assert(ex2.getMessage.contains("multiple of the averaging window"),
+        ex2.getMessage)
     } finally server.stop(0)
   }
 }

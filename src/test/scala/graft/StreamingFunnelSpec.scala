@@ -62,6 +62,38 @@ class StreamingFunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("repeated step names: every ladder position of the type completes") {
+    // view → click → view: a legal funnel; one event may complete several
+    // of its positions, and position 0 must not be stranded by position 2
+    val ladder = Seq("view", "click", "view")
+    val evts = Seq(
+      FEvent(1L, 1000000L, 1L, "view"),   // completes step 0
+      FEvent(1L, 2000000L, 2L, "click"),  // completes step 1
+      FEvent(1L, 3000000L, 3L, "view")    // completes step 2
+    ).toDS()
+    val got = StreamingFunnel.track(evts, ladder)
+      .collect().sortBy(_.step).map(c => (c.step, c.epochUs)).toSeq
+    assert(got == Seq((0, 1000000L), (1, 2000000L), (2, 3000000L)), got)
+    // and parity with the batch operator on the same data
+    val batchDf = evts.toDF()
+      .select(col("key").as("user_id"),
+        timestamp_micros(col("epochUs")).as("ts"),
+        col("eventType").as("event_type"))
+    val batch = TimeSeries.funnel(batchDf, "ts", "user_id", "event_type",
+        ladder)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(batch == Map(0 -> 1L, 1 -> 1L, 2 -> 1L), batch)
+  }
+
+  test("counts zero-fills steps no key reached (batch output shape)") {
+    val evts = Seq(FEvent(1L, 1000000L, 1L, "signup")).toDS()
+    val completions = StreamingFunnel.track(evts, steps).toDF()
+    val got = StreamingFunnel.counts(completions, steps)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((0, "signup", 1L), (1, "activate", 0L),
+      (2, "purchase", 0L)), got)
+  }
+
   test("batch parity: streamed completions == TimeSeries.funnel counts") {
     // deterministic pseudo-random event soup over 40 users
     val evts = (0 until 400).map { i =>

@@ -80,6 +80,17 @@ class StreamingTextDedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(12L))
   }
 
+  test("non-numeric id columns are refused loudly") {
+    // the index stores LONG doc_ids and the self-match exclusion casts —
+    // string ids would null out and silently disable cross-batch dedup
+    val batch = Seq(("doc-a", baseText)).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingTextDedup.dedupBatch(batch, 0L, tmp("tdn_idx"),
+        tmp("tdn_cp"), tmp("tdn_out"), "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("numeric id column"), ex.getMessage)
+  }
+
   test("streaming admit(): N micro-batches through the gate end-to-end") {
     val indexDir = tmp("tds_idx")
     val cpDir = tmp("tds_cp")
