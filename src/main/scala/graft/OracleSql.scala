@@ -994,6 +994,27 @@ object OracleSql {
         |    AS rank
         |FROM f QUALIFY rank <= 100""".stripMargin,
 
+    // linear-classifier inference: top-100-vocab weight table with
+    // md5_60-derived milli-weights, exact integer logit per doc
+    "q_text_linear" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, token FROM t WHERE length(token) > 0),
+        |f AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1),
+        |v AS (SELECT token,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+        |      AS rank FROM f QUALIFY rank <= 100),
+        |w AS (SELECT token,
+        |    ('0x' || substring(md5(token), 1, 15))::BIGINT % 2001 - 1000
+        |      AS w_milli FROM v),
+        |s AS (SELECT tok.doc_id, COALESCE(SUM(w.w_milli), 0) AS sw
+        |  FROM tok LEFT JOIN w USING (token) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(s.sw, 0) + 50 AS BIGINT) AS logit_milli,
+        |  (COALESCE(s.sw, 0) + 50) > 0 AS keep
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+
     // heavy-hitter arm: exact recount of Misra-Gries candidates ==
     // the exact top-k whenever f_k > support*N — same SQL
     "q_vocab_heavy" ->

@@ -430,6 +430,21 @@ object SparkEntry {
   private def qVocabTopk(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(docs(spark, dir), "text", 100)
 
+  /** Linear-classifier inference (fastText/CCNet quality-filter shape):
+    * corpus tokens probe a broadcast weight table, exact integer logit
+    * per document. The registry's weight table is built deterministically
+    * — top-100 vocabulary tokens, each weighted
+    * `(md5_60(token) mod 2001) − 1000` milli-units — so the oracle
+    * reproduces the model bit-for-bit. */
+  private def qTextLinear(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val md5_60 = conv(substring(md5(col("token").cast(StringType)), 1, 15),
+      16, 10).cast(LongType)
+    val weights = TextAnalysis.vocabulary(d, "text", 100)
+      .select(col("token"), (pmod(md5_60, lit(2001L)) - 1000L).as("w_milli"))
+    TextAnalysis.linearScore(d, "doc_id", "text", weights, biasMilli = 50L)
+  }
+
   /** Bounded-memory heavy hitters — the same exact top-100 through the
     * Misra-Gries candidates + exact-recount scale path (the shuffle
     * carries ≤ 1/support tokens, not the vocabulary); oracle = the exact
@@ -908,6 +923,7 @@ object SparkEntry {
     "q_chunk_windows" -> (qChunkWindows _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_vocab_heavy" -> (qVocabHeavy _),
+    "q_text_linear" -> (qTextLinear _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_lm_buckets" -> (qLmBuckets _),

@@ -296,6 +296,40 @@ object TextAnalysis {
         .over(Window.orderBy(col("freq").desc, col("token"))).cast(LongType))
   }
 
+  /** Linear text classifier INFERENCE — the fastText/CCNet-style quality
+    * filter shape: a document's score is the sum of its tokens' learned
+    * weights (bag-of-words dot product) plus a bias, thresholded at 0.
+    * Training happens offline; at corpus scale only inference runs, and
+    * this is its exact Spark form:
+    *
+    *  - `weights` is a `(token, w_milli)` table (milli-units: integer
+    *    fixed-point, so the logit is EXACT — bit-stable across
+    *    partitionings and reproducible by any engine; a double dot
+    *    product would make the keep/drop decision depend on summation
+    *    order at the margin);
+    *  - the corpus explodes to tokens once, probes the BROADCAST weight
+    *    table (a model is KBs–MBs; never shuffle the corpus against it),
+    *    and re-aggregates per document — one narrow shuffle keyed on the
+    *    id, map-side combined. Unknown tokens weigh 0 (left join);
+    *    token-less documents keep the bias.
+    *
+    * Output: `(id, logit_milli, keep)` with `keep = logit_milli > 0`. */
+  def linearScore(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, biasMilli: Long = 0L): DataFrame = {
+    // empties filtered INSIDE the array (tokens("") is [""]), then
+    // explode_outer so token-less documents keep their bias-only row
+    val toks = df
+      .select(col(idCol), explode_outer(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as("token"))
+    val weighted = toks
+      .join(broadcast(weights.select(col("token"),
+        col("w_milli").cast(LongType))), Seq("token"), "left")
+    weighted.groupBy(col(idCol))
+      .agg((coalesce(sum(col("w_milli")), lit(0L)) + biasMilli)
+        .as("logit_milli"))
+      .withColumn("keep", col("logit_milli") > 0L)
+  }
+
   /** Out-of-vocabulary rate per document: the fraction of a document's
     * tokens NOT in the corpus top-`vocabK` vocabulary — the closed-class
     * coverage signal quality pipelines cut on (high OOV ⇒ junk,

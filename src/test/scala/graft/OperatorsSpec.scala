@@ -115,6 +115,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 3L, 1L), ("b", 2L, 2L)))
   }
 
+  test("linearScore: broadcast weights, exact logit, bias-only empty docs") {
+    val docs = Seq(
+      (1L, "good good bad"),   // 2·300 − 500 + 10 = 110 → keep
+      (2L, "bad bad"),         // −1000 + 10 = −990 → drop
+      (3L, "unknown words"),   // all-unknown: bias only → keep (10 > 0)
+      (4L, "")                 // token-less: bias only
+    ).toDF("doc_id", "text")
+    val weights = Seq(("good", 300L), ("bad", -500L)).toDF("token", "w_milli")
+    val out = TextAnalysis.linearScore(docs, "doc_id", "text", weights,
+        biasMilli = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out == Map(
+      1L -> (110L, true), 2L -> (-990L, false),
+      3L -> (10L, true), 4L -> (10L, true)), out)
+    // the weight probe must be a broadcast join (a model never shuffles
+    // the corpus)
+    val plan = TextAnalysis.linearScore(docs, "doc_id", "text", weights)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("heavyHitters == vocabulary when f_k clears the support bound") {
     // tiny corpus: every candidate survives any merge order, so the
     // sketch-candidates + exact-recount path must be bit-equal
