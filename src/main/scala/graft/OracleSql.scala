@@ -1300,6 +1300,38 @@ object OracleSql {
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM labels WHERE component <> id)""".stripMargin,
 
+    // Provenance variant: survivors annotated with their duplicate
+    // cluster size (docs outside every pair are their own cluster of 1)
+    "q_dedup_apply_stats" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
+         |sh AS (SELECT doc_id AS id, unnest(${shingleExpr(3)}) AS shingle FROM w),
+         |sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE a.id < b.id GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.id = id_a
+         |  JOIN sizes sb ON sb.id = id_b
+         |  WHERE CAST(n_common AS DOUBLE)
+         |      / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.10),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         |labels AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY 1),
+         |cs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM labels GROUP BY 1)
+         |SELECT d.doc_id, d.lang,
+         |  COALESCE(cs.n, 1) AS cluster_size,
+         |  COALESCE(cs.n, 1) - 1 AS n_removed
+         |FROM documents d LEFT JOIN cs ON cs.component = d.doc_id
+         |WHERE d.doc_id NOT IN
+         |  (SELECT id FROM labels WHERE component <> id)""".stripMargin,
+
     // Scores quantize the INPUT elements to DECIMAL(18,6) (matching the
     // engine's once-per-row quantize6 kernel), multiply exactly at scale
     // 12, and sum exactly — engine-identical by construction.

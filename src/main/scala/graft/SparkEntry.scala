@@ -550,6 +550,14 @@ object SparkEntry {
           shingleWords = 3, threshold = 0.10))
       .select("doc_id", "lang")
 
+  /** [[qDedupApply]] with provenance: each survivor carries its cluster
+    * size and removed-duplicate count — the attrition audit. */
+  private def qDedupApplyStats(spark: SparkSession, dir: String): DataFrame =
+    Dedup.applyComponentDedupWithStats(docs(spark, dir), "doc_id",
+        Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
+          shingleWords = 3, threshold = 0.10))
+      .select("doc_id", "lang", "cluster_size", "n_removed")
+
   /** The SUBSTRING-level dedup story composed end to end — winnowed
     * fingerprint pairs → connected components → survivors only — the
     * [[qDedupApply]] mirror for the winnowing family (what a user
@@ -924,6 +932,7 @@ object SparkEntry {
     "q_vocab_topk" -> (qVocabTopk _),
     "q_vocab_heavy" -> (qVocabHeavy _),
     "q_text_linear" -> (qTextLinear _),
+    "q_dedup_apply_stats" -> (qDedupApplyStats _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_lm_buckets" -> (qLmBuckets _),

@@ -556,6 +556,35 @@ object Dedup {
     df.join(side, Seq(idCol), "left_anti")
   }
 
+  /** [[applyComponentDedup]] with PROVENANCE: each kept document carries
+    * its duplicate-cluster size and how many near-dups were removed on
+    * its behalf — the audit surface a curation pipeline reports
+    * (attrition per survivor, cluster-mass distributions) without a
+    * second components run. Docs outside every pair are their own
+    * cluster of 1. Cost over the plain apply: one extra aggregation of
+    * the (small) label table and a join keyed on the id — the corpus is
+    * still scanned once. */
+  def applyComponentDedupWithStats(df: DataFrame, idCol: String,
+      pairs: DataFrame, maxIter: Int = 64): DataFrame = {
+    val labels = connectedComponents(pairs, maxIter)
+      .localCheckpoint(true) // feeds two branches; tiny (ids in pairs)
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val kept = labels.filter(col("id") === col("component"))
+      .join(sizes, Seq("component"))
+      .select(col("id"), col("cluster_size"))
+    // rows in the label table but NOT kept are the removed losers; rows
+    // absent from it entirely are singletons — keep both kept + singleton
+    val losers = labels.filter(col("id") =!= col("component"))
+      .select(col("id").as("__lid"))
+    df.join(losers, df(idCol).cast(LongType) === col("__lid"), "left_anti")
+      .join(kept.withColumnRenamed("id", "__kid"),
+        df(idCol).cast(LongType) === col("__kid"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("n_removed", col("cluster_size") - 1L)
+      .drop("__kid")
+  }
+
   /** Exact n-gram Jaccard via PREFIX FILTERING — the scale path for HIGH
     * thresholds (PPJoin-style). Shingles get a global rarity order
     * (document frequency asc, shingle asc); a doc's prefix is its

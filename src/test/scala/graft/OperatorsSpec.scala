@@ -526,6 +526,22 @@ class DedupSpec extends SparkSpec {
       base + 9L -> (base + 7L)))
   }
 
+  test("applyComponentDedupWithStats: survivors + cluster provenance") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "y"), (9L, "z"))
+      .toDF("doc_id", "payload")
+    // cluster {1,2,3} (keeper = component rep), singleton 7 and 9
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.applyComponentDedupWithStats(df, "doc_id", pairs)
+      .select("doc_id", "cluster_size", "n_removed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 3L, 2L), (7L, 1L, 0L), (9L, 1L, 0L)), out)
+    // same survivors as the plain apply
+    val plain = Dedup.applyComponentDedup(df, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.map(_._1) == plain)
+  }
+
   test("prefix-filtered ngramJaccard == full postings join (lossless)") {
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r =>
