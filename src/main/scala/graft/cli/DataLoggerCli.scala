@@ -142,7 +142,16 @@ object DataLoggerCli {
           // unaligned edge would split one bucket into two PARTIAL
           // averages sharing a time_stamp — and the PK dedup would keep
           // one of them silently. average=0 (raw) has no buckets to cut.
-          val avgSec = c.backfillAverage.map(_.toLong * 60).getOrElse(0L)
+          // The average must be EXPLICIT when chunking: omitted, the
+          // server applies its own default window (10 min,
+          // PurpleAirAPI.py:261) and the alignment check would be
+          // validating against the wrong (raw) assumption.
+          require(c.backfillAverage.isDefined,
+            "-backfill_chunk_seconds requires an explicit " +
+              "-backfill_average (0 for raw): the server averages at its " +
+              "own default when omitted, and chunk edges must align to " +
+              "the real window")
+          val avgSec = c.backfillAverage.get.toLong * 60
           require(avgSec <= 0 || c.backfillChunkSeconds % avgSec == 0,
             s"-backfill_chunk_seconds (${c.backfillChunkSeconds}) must be " +
               s"a multiple of the averaging window ($avgSec s) or the " +

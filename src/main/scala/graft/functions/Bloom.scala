@@ -40,11 +40,24 @@ object BloomFunctions {
     * driver holds only the filter bytes. */
   def buildBloom(df: DataFrame, key: String, expectedItems: Long,
       fpp: Double): Array[Byte] = {
-    register(df.sparkSession)
+    val spark = df.sparkSession
+    register(spark)
     // optimal bits n·ln(1/fpp)/ln(2)², the standard sizing formula
     val numBits = math.max(64L,
       math.ceil(expectedItems * math.log(1.0 / fpp) /
         (math.log(2.0) * math.log(2.0))).toLong)
+    // BloomFilterAggregate SILENTLY clamps both arguments to the
+    // runtime-filter session caps (maxNumItems 4M / maxNumBits 64M bits
+    // by default) — at the very scale this path exists for, a clamped
+    // filter's fpp → 1 and the screen degrades to a no-op that still
+    // pays bloom probes. Raise the caps to cover the request so the
+    // stated fpp contract actually holds.
+    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+      .foreach { case (k, needed) =>
+        val current = spark.conf.getOption(k).map(_.toLong).getOrElse(0L)
+        if (current < needed) spark.conf.set(k, needed.toString)
+      }
     df.select(call_function(AggName, xxhash64(col(key)),
         lit(expectedItems), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]](0)

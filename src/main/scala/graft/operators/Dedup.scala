@@ -577,12 +577,16 @@ object Dedup {
     // absent from it entirely are singletons — keep both kept + singleton
     val losers = labels.filter(col("id") =!= col("component"))
       .select(col("id").as("__lid"))
-    df.join(losers, df(idCol).cast(LongType) === col("__lid"), "left_anti")
+    val result = df
+      .join(losers, df(idCol).cast(LongType) === col("__lid"), "left_anti")
       .join(kept.withColumnRenamed("id", "__kid"),
         df(idCol).cast(LongType) === col("__kid"), "left")
       .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
       .withColumn("n_removed", col("cluster_size") - 1L)
       .drop("__kid")
+    // seal + free: the label checkpoint must not outlive the operator
+    // (the long-session block-manager leak this file's siblings document)
+    Lifetime.seal(result, labels)
   }
 
   /** Exact n-gram Jaccard via PREFIX FILTERING — the scale path for HIGH
@@ -662,9 +666,15 @@ object Dedup {
     // linear rows buying away the quadratic straggler. Cold buckets
     // (the overwhelming mass) take a branch with no joins or explodes;
     // the salted branch is entered only when a hot bucket exists.
+    // Materialized eagerly: `hot` feeds the count AND (when non-empty)
+    // two join build sides — unpinned, each consumer would re-run the
+    // postings kernel; checkpointed it is tiny by construction (every
+    // key needs > maxDocFreq postings) and paid for once. Freed with the
+    // candidates below.
     val hot = postings.groupBy(col("h"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxDocFreq)
+      .localCheckpoint(true)
     def coldPairs(rows: DataFrame): DataFrame = rows
       .groupBy(col("h"))
       .agg(array_sort(collect_list(
@@ -743,7 +753,7 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
     // Seal the verified pairs, free the candidate checkpoint (it only fed
     // this operator), release the cached shingle sets.
-    try Lifetime.seal(result, cand) finally base.unpersist()
+    try Lifetime.seal(result, cand, hot) finally base.unpersist()
   }
 
   /** Winnowing (MOSS) near-duplicate pairs — the SUBSTRING-level dedup

@@ -194,11 +194,10 @@ object FanOutSink {
   def readCsvTable(spark: org.apache.spark.sql.SparkSession,
       baseDir: String, table: String): DataFrame = {
     val schema = FieldCatalog.groupSchema(table)
-    val df = spark.read
+    spark.read
       .option("header", "true")
       .schema(schema.add("date", org.apache.spark.sql.types.StringType))
       .csv(s"$baseDir/$table")
-    (if (df.columns.contains("batch")) df.drop("batch") else df)
       .select(schema.fieldNames.map(col) :+ col("date"): _*)
   }
 

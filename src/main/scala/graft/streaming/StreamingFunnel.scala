@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, timestamp_micros}
+import org.apache.spark.sql.functions.{coalesce, col, countDistinct, lit, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming funnel — the stream-side of
@@ -97,8 +97,10 @@ object StreamingFunnel {
   }
 
   /** Collapse landed completions to the batch operator's output shape
-    * `(step, event_type, n_keys)` — count of keys that reached each
-    * step, with an explicit `n_keys = 0` row for steps no key reached
+    * `(step, event_type, n_keys)` — count of DISTINCT keys that reached
+    * each step (a TTL-expired key that re-completes after its state
+    * reset legitimately lands two completion records; it is still one
+    * key), with an explicit `n_keys = 0` row for steps no key reached
     * (the batch operator always emits every step). */
   def counts(completions: DataFrame, steps: Seq[String]): DataFrame = {
     val spark = completions.sparkSession
@@ -106,7 +108,7 @@ object StreamingFunnel {
     val spine = steps.zipWithIndex
       .map { case (s, i) => (i, s) }.toDF("step", "event_type")
     val got = completions.groupBy(col("step"))
-      .agg(count(lit(1)).as("n_got"))
+      .agg(countDistinct(col("key")).as("n_got"))
     spine.join(got, Seq("step"), "left")
       .select(col("step"), col("event_type"),
         coalesce(col("n_got"), lit(0L)).as("n_keys"))

@@ -140,22 +140,28 @@ object StreamingTextDedup {
             // against an index that now holds this batch's own postings
             // and see every admitted doc as its own duplicate.
             val n = admitted.count()
-            // 4. append admitted docs' postings + signatures to the
-            //    index, skipped wholesale when this batch already
-            //    committed (marker) — the IndexMaintenance discipline
-            if (!fs.exists(fsPath)) {
-              val admittedSigs = sigs
-                .join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
-                .localCheckpoint(true) // sever the index-path lineage too
-              Dedup.bandedSignatures(admittedSigs, idCol, bands, rowsPerBand)
-                .select(col("band"), col("band_hash"),
-                  col(idCol).cast(LongType).as("doc_id"))
-                .write.mode(SaveMode.Append).parquet(s"$indexDir/buckets")
-              admittedSigs
-                .select(col(idCol).cast(LongType).as("doc_id"), col("sig"))
-                .write.mode(SaveMode.Append).parquet(s"$indexDir/sigs")
-              fs.create(fsPath, true).close()
-            }
+            // 4. append admitted docs' signatures THEN postings to the
+            //    index (no marker re-check needed: a committed batch
+            //    already returned at the top, and this is the only
+            //    writer). Write ORDER is the crash-safety argument:
+            //    `haveIndex` keys on buckets/, so sigs-first means any
+            //    state where buckets/ exists also has its sigs — a crash
+            //    between the two writes leaves orphan SIGS, which no
+            //    probe ever reads (candidates come from buckets), while
+            //    the reverse order would leave buckets whose probe
+            //    crashes on the missing sigs dir FOREVER (a replay
+            //    re-runs the probe before it ever re-appends).
+            val admittedSigs = sigs
+              .join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
+              .localCheckpoint(true) // sever the index-path lineage too
+            admittedSigs
+              .select(col(idCol).cast(LongType).as("doc_id"), col("sig"))
+              .write.mode(SaveMode.Append).parquet(s"$indexDir/sigs")
+            Dedup.bandedSignatures(admittedSigs, idCol, bands, rowsPerBand)
+              .select(col("band"), col("band_hash"),
+                col(idCol).cast(LongType).as("doc_id"))
+              .write.mode(SaveMode.Append).parquet(s"$indexDir/buckets")
+            fs.create(fsPath, true).close()
             n
           } finally admitted.unpersist()
         } finally sigs.unpersist()

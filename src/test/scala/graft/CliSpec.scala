@@ -131,6 +131,14 @@ class CliSpec extends SparkSpec {
       }
       assert(ex2.getMessage.contains("multiple of the averaging window"),
         ex2.getMessage)
+
+      // chunking with average OMITTED must refuse too: the server would
+      // apply its own default window and edges could still cut buckets
+      val ex3 = intercept[IllegalArgumentException] {
+        DataLoggerCli.runBackfill(spark, c.copy(outDir = tmp("bf_noavg"),
+          backfillAverage = None, backfillChunkSeconds = 43200L))
+      }
+      assert(ex3.getMessage.contains("explicit"), ex3.getMessage)
     } finally server.stop(0)
   }
 }
