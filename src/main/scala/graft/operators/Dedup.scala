@@ -666,15 +666,14 @@ object Dedup {
     // linear rows buying away the quadratic straggler. Cold buckets
     // (the overwhelming mass) take a branch with no joins or explodes;
     // the salted branch is entered only when a hot bucket exists.
-    // Materialized eagerly: `hot` feeds the count AND (when non-empty)
-    // two join build sides — unpinned, each consumer would re-run the
-    // postings kernel; checkpointed it is tiny by construction (every
-    // key needs > maxDocFreq postings) and paid for once. Freed with the
-    // candidates below.
+    // Deliberately LAZY: `hot` feeds the count and (when non-empty) two
+    // join build sides, but Catalyst's ReuseExchange dedups the repeated
+    // aggregation subtree within each job — an eager localCheckpoint
+    // here measured SLOWER (6.7 s vs 5.0 s on the salted registry query:
+    // it serializes the materialization against the join pipelines).
     val hot = postings.groupBy(col("h"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxDocFreq)
-      .localCheckpoint(true)
     def coldPairs(rows: DataFrame): DataFrame = rows
       .groupBy(col("h"))
       .agg(array_sort(collect_list(
@@ -753,7 +752,7 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
     // Seal the verified pairs, free the candidate checkpoint (it only fed
     // this operator), release the cached shingle sets.
-    try Lifetime.seal(result, cand, hot) finally base.unpersist()
+    try Lifetime.seal(result, cand) finally base.unpersist()
   }
 
   /** Winnowing (MOSS) near-duplicate pairs — the SUBSTRING-level dedup
