@@ -48,6 +48,21 @@ class ScaleSpec extends SparkSpec {
       s"expected the bloom screen filter:\n$planR")
     assert(!planR.contains("UDF"),
       s"bloom screen must not run as a Scala UDF:\n$planR")
+    // sizing contract: BloomFilterAggregate silently clamps to the
+    // runtime-filter session caps; buildBloom must raise them so a
+    // 100M-key screen keeps its requested fpp instead of degrading to
+    // a pass-everything no-op
+    val bigItems = 100000000L
+    val bits = math.ceil(bigItems * math.log(100.0) /
+      (math.log(2.0) * math.log(2.0))).toLong
+    graft.functions.BloomFunctions.buildBloom(
+      spark.range(10).select(col("id").as("k")), "k", bigItems, 0.01)
+    assert(spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+      >= bigItems)
+    assert(spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+      >= bits)
   }
 
   test("saltedCountSum equals direct groupBy") {
