@@ -1191,6 +1191,98 @@ object OracleSql {
         |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS epoch
         |FROM j WHERE n > 0""".stripMargin,
 
+    // Temperature mixture at α = 1/2: rate_g = 0.5 * sqrt(n_max / n_g)
+    // (sqrt is IEEE correctly-rounded on both engines; op order mirrors
+    // Sampling.temperatureSample exactly), then the same copies +
+    // fractional-draw multiplicity as q_sample_mixture.
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang AS g, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT MAX(n) AS n_max FROM c),
+        |r AS (SELECT g,
+        |    0.5 * sqrt(CAST(n_max AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+        |  FROM c CROSS JOIN m),
+        |r2 AS (SELECT g, CAST(floor(rate) AS BIGINT) AS copies,
+        |    CAST(floor((rate - floor(rate)) * 1152921504606846976.0)
+        |      AS BIGINT) AS thr
+        |  FROM r),
+        |j AS (SELECT d.doc_id, d.lang, r2.copies +
+        |    CASE WHEN ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT < r2.thr THEN 1 ELSE 0 END AS n
+        |  FROM documents d JOIN r2 ON d.lang = r2.g)
+        |SELECT doc_id, lang,
+        |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS epoch
+        |FROM j WHERE n > 0""".stripMargin,
+
+    // Per-language token budget: greedy admission in (md5_60(id), id)
+    // hash order while the PRECEDING cumulative token count is under
+    // 2000 — the crossing doc is kept (soft cap).
+    "q_curation_token_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS hk
+        |  FROM documents),
+        |w AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tokens_before
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, tokens_before
+        |FROM w WHERE tokens_before < 2000""".stripMargin,
+
+    // Histogram-ECDF calibration of quality_score (same formula as
+    // q_text_quality) into 64 equi-width buckets between corpus
+    // min/max; cum_lt = exact count in strictly-lower buckets. Bucket
+    // op order mirrors Curation.calibrateScores:
+    // (s - lo) * 64.0 / (hi - lo), floored, clamped to 63.
+    "q_curation_calibrate" ->
+      s"""WITH base AS (SELECT doc_id, text, length(text) AS n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      x -> list_contains([$stopwordList], lower(x)))) AS n_stop
+         |  FROM documents),
+         |r AS (SELECT *,
+         |    CAST(GREATEST(n_chars, 1) AS DOUBLE) AS safe_chars,
+         |    CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS safe_toks
+         |  FROM base),
+         |m AS (SELECT doc_id,
+         |    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / safe_toks AS avg_token_len,
+         |    CAST(n_punct AS DOUBLE) / safe_chars AS punct_ratio,
+         |    CAST(n_digit AS DOUBLE) / safe_chars AS digit_ratio,
+         |    CAST(n_stop AS DOUBLE) / safe_toks AS stopword_ratio
+         |  FROM r),
+         |q AS (SELECT doc_id,
+         |    LEAST(1.0, stopword_ratio * 2.0 +
+         |      (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0
+         |            THEN 0.5 ELSE 0.0 END)
+         |      - punct_ratio - digit_ratio) AS quality_score
+         |  FROM m),
+         |ext AS (SELECT MIN(quality_score) AS lo, MAX(quality_score) AS hi
+         |  FROM q),
+         |b AS (SELECT doc_id, quality_score,
+         |    CASE WHEN hi = lo THEN 0
+         |         ELSE LEAST(63, CAST(floor(
+         |           (quality_score - lo) * 64.0 / (hi - lo)) AS INTEGER))
+         |    END AS bucket
+         |  FROM q CROSS JOIN ext),
+         |g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM b GROUP BY 1),
+         |c AS (SELECT bucket,
+         |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_lt,
+         |    CAST(SUM(cnt) OVER () AS BIGINT) AS n_total
+         |  FROM g)
+         |SELECT b.doc_id, b.quality_score, b.bucket, c.cum_lt, c.n_total
+         |FROM b JOIN c USING (bucket)""".stripMargin,
+
     "q_dedup_exact" ->
       """WITH d AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
         |g AS (SELECT content_md5, COUNT(*) AS dup_count, MIN(doc_id) AS keep_id

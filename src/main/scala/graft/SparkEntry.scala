@@ -650,6 +650,37 @@ object SparkEntry {
           "zh" -> 2.0))
       .select("doc_id", "lang", "epoch")
 
+  /** Temperature-balanced mixture at α = 1/2: the largest language
+    * samples at 0.5, every other at 0.5·sqrt(n_max/n_g) — expected
+    * counts ∝ sqrt(n_g), the multilingual flattening recipe with the
+    * rates DERIVED from the corpus. */
+  private def qSampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSample(docs(spark, dir), "doc_id", "lang",
+        headRate = 0.5)
+      .select("doc_id", "lang", "epoch")
+
+  /** Per-language TOKEN budget: greedy hash-order admission until each
+    * language has spent 2000 training tokens (soft cap — the crossing
+    * document is kept). */
+  private def qCurationTokenBudget(spark: SparkSession, dir: String)
+      : DataFrame =
+    graft.operators.Curation.tokenBudgetPerGroup(
+        docs(spark, dir).withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast(LongType)),
+        "lang", "doc_id", "n_tokens", budget = 2000L)
+      .select("doc_id", "lang", "n_tokens", "tokens_before")
+
+  /** Histogram-ECDF calibration of the quality score into 64 buckets:
+    * each doc carries its integer ECDF standing (cum_lt / n_total) so
+    * keep-top-q thresholds are percentile-addressed. */
+  private def qCurationCalibrate(spark: SparkSession, dir: String)
+      : DataFrame =
+    graft.operators.Curation.calibrateScores(
+        TextAnalysis.quality(docs(spark, dir), "text", stopwords)
+          .select(col("doc_id"), col("quality_score")),
+        "quality_score", buckets = 64)
+      .select("doc_id", "quality_score", "bucket", "cum_lt", "n_total")
+
   /** Deterministic training-shard export: reproducible global shuffle
     * order (shard, position) with no global sort. */
   private def qExportShards(spark: SparkSession, dir: String): DataFrame =
@@ -946,6 +977,9 @@ object SparkEntry {
     "q_dedup_normalized" -> (qDedupNormalized _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_mixture" -> (qSampleMixture _),
+    "q_sample_temperature" -> (qSampleTemperature _),
+    "q_curation_token_budget" -> (qCurationTokenBudget _),
+    "q_curation_calibrate" -> (qCurationCalibrate _),
     "q_export_shards" -> (qExportShards _),
     "q_export_pack" -> (qExportPack _),
     "q_dedup_ngram_jaccard" -> (qDedupNgram _),

@@ -233,4 +233,93 @@ object Curation {
           idCol, textCol, outDir, shingleWords, minShared)
       }
       .start()
+
+  /** Per-group TOKEN budget (the per-domain cap recipe: no single
+    * domain may contribute more than `budget` training tokens): scan
+    * each group in the deterministic `(md5_60(key), key)` hash order
+    * and keep documents while the cumulative token count of the
+    * PRECEDING kept documents is still under the budget — greedy
+    * admission, so the document that crosses the line is kept (soft
+    * budget, overflow < one document — the [[Sampling.packTokenBudget]]
+    * contract) and everything after it drops. A doc-count cap
+    * ([[Sampling.stratifiedCap]]) lets one domain flood the token
+    * distribution with a few huge pages; budgeting the actual tokens
+    * is what evens out the mixture.
+    *
+    * Adds `tokens_before` (exact BIGINT running total of prior
+    * admitted-order tokens — the audit column: `tokens_before +
+    * n_tokens` is each group's realized spend).
+    *
+    * Scale shape: ONE shuffle on the group key, then a per-group
+    * running sum over `ROWS UNBOUNDED PRECEDING` (Spark evaluates it
+    * streaming — no per-frame rescan). Hash order means admission is
+    * uniform over the group, not biased by id assignment order. */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(Dedup.md5_60(col(keyCol)
+        .cast(org.apache.spark.sql.types.StringType)), col(keyCol))
+    df.withColumn("tokens_before", coalesce(
+        sum(col(tokensCol).cast(org.apache.spark.sql.types.LongType))
+          .over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("tokens_before") < budget)
+  }
+
+  /** Histogram-ECDF score calibration — turn raw per-document quality
+    * scores into corpus-relative standing so thresholds can be set as
+    * PERCENTILES ("keep the top 30 %") instead of absolute score
+    * values that drift with every scorer change. Each row gets:
+    *
+    *   - `bucket`    — its equi-width bin in `[0, buckets)` between
+    *                   the corpus min/max score,
+    *   - `cum_lt`    — EXACT count of corpus rows in strictly lower
+    *                   buckets (the integer ECDF lower bound),
+    *   - `n_total`   — corpus size.
+    *
+    * `cum_lt >= ceil((1-q) * n_total)` keeps the top-q fraction with
+    * bucket granularity — an integer-exact decision, no double
+    * comparison at the cut. An exact per-row percent_rank would be a
+    * single-partition global window (a non-starter at corpus scale);
+    * the bucketed ECDF costs two tiny aggregates instead and its
+    * granularity is operator-controlled via `buckets`.
+    *
+    * Scale shape: one 2-value extremes aggregate (broadcast back), one
+    * map-side-combined count per bucket (`buckets` rows), a running
+    * sum over those `buckets` rows, and a broadcast join back — the
+    * corpus itself is scanned once with per-row codegen'd bucket math
+    * (fixed op order `(s - lo) * buckets / (hi - lo)`, mirrored by the
+    * SQL oracle; degenerate `hi == lo` corpora land in bucket 0). */
+  def calibrateScores(df: DataFrame, scoreCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val s = col(scoreCol).cast(DoubleType)
+    val ext = df.agg(min(s).as("cal_lo"), max(s).as("cal_hi"))
+    val withBucket = df.crossJoin(broadcast(ext))
+      .withColumn("bucket",
+        when(col("cal_hi") === col("cal_lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((s - col("cal_lo")) * lit(buckets.toDouble) /
+              (col("cal_hi") - col("cal_lo"))).cast(IntegerType))))
+      .drop("cal_lo", "cal_hi")
+    val byBucket = withBucket.groupBy(col("bucket").as("cal_bucket")).count()
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("cal_bucket"))
+    val cum = byBucket
+      .withColumn("cum_lt", coalesce(
+        sum(col("count")).over(wAll.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n_total", sum(col("count")).over(
+        wAll.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col("cal_bucket"), col("cum_lt").cast(LongType),
+        col("n_total").cast(LongType))
+    withBucket.join(broadcast(cum), col("bucket") === col("cal_bucket"))
+      .drop("cal_bucket")
+  }
 }

@@ -131,4 +131,51 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(0L), col("mix_n") - 1)))
       .drop("mix_group", "mix_copies", "mix_frac_threshold", "mix_n")
   }
+
+  /** Temperature-balanced mixture (the multilingual-pretraining recipe:
+    * sample group g with probability ∝ p_g^α instead of its raw share
+    * p_g, flattening the head/tail imbalance) — at the square-root
+    * temperature α = 1/2, the one exponent whose `sqrt` is IEEE
+    * correctly-rounded on every engine, so the derived rates are
+    * bit-deterministic cross-engine with no pow() portability caveat.
+    *
+    * Rates are anchored to the LARGEST group: it samples at `headRate`
+    * and every other group at `headRate · sqrt(n_max / n_g)`, giving
+    * expected counts ∝ sqrt(n_g) — exactly the α = 1/2 temperature
+    * distribution. Small groups whose rate exceeds 1 UPSAMPLE with the
+    * [[mixtureSample]] copies + fractional-draw contract (`epoch` is
+    * the 0-based copy index). Unlike [[mixtureSample]] the recipe is
+    * COMPUTED from the corpus, not handed in — this is the operator a
+    * pipeline runs when the recipe is "balance what we crawled", not
+    * "match this spec sheet".
+    *
+    * Scale shape: one map-side-combined count per group (tens of rows),
+    * a 1-row max cross-joined onto it, and the recipe broadcasts back —
+    * the corpus pays a per-row filter plus a bounded `explode`, no
+    * data-sized shuffle anywhere. Every double step (count→double cast,
+    * one divide, one sqrt, one multiply, floor) is correctly rounded,
+    * and the SQL oracle mirrors the exact op order. */
+  def temperatureSample(df: DataFrame, keyCol: String, groupCol: String,
+      headRate: Double): DataFrame = {
+    require(headRate > 0 && headRate <= 1.0 && headRate.isFinite,
+      s"headRate must be in (0, 1], got $headRate")
+    val counts = df.groupBy(col(groupCol).as("mix_group")).count()
+    val nMax = counts.agg(max(col("count")).as("n_max"))
+    val twoPow60 = lit((1L << 60).toDouble)
+    val recipe = counts.crossJoin(broadcast(nMax))
+      .withColumn("mix_rate", lit(headRate) *
+        sqrt(col("n_max").cast(DoubleType) / col("count").cast(DoubleType)))
+      .withColumn("mix_copies", floor(col("mix_rate")).cast(LongType))
+      .withColumn("mix_frac_threshold",
+        floor((col("mix_rate") - floor(col("mix_rate"))) * twoPow60)
+          .cast(LongType))
+      .select("mix_group", "mix_copies", "mix_frac_threshold")
+    df.join(broadcast(recipe), col(groupCol) === col("mix_group"))
+      .withColumn("mix_n", col("mix_copies") +
+        when(hashKey(col(keyCol)) < col("mix_frac_threshold"), 1L)
+          .otherwise(0L))
+      .filter(col("mix_n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("mix_n") - 1)))
+      .drop("mix_group", "mix_copies", "mix_frac_threshold", "mix_n")
+  }
 }

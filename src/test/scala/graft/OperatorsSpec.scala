@@ -635,6 +635,73 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "bucket").as[(Long, String)].collect().toMap
     assert(again == out)
   }
+
+  test("tokenBudgetPerGroup: greedy hash-order admission, soft cap") {
+    val docs = (1L to 60L).map(i => (i, s"g${i % 2}", i % 7 + 3))
+      .toDF("doc_id", "grp", "n_tokens")
+    // full hash ordering via an effectively-unbounded budget
+    val order = Curation.tokenBudgetPerGroup(docs, "grp", "doc_id",
+        "n_tokens", budget = 1000000L)
+      .select("grp", "doc_id", "n_tokens", "tokens_before").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(order.length == 60, "unbounded budget admits everything")
+    // local greedy replay per group = the expected admitted set at 50
+    val expected = order.groupBy(_._1).iterator.flatMap { case (_, g) =>
+      g.sortBy(_._4).takeWhile(_._4 < 50L).map(_._2)
+    }.toSet
+    def admitted(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Curation.tokenBudgetPerGroup(df, "grp", "doc_id", "n_tokens", 50L)
+        .select("doc_id").as[Long].collect().toSet
+    val out = admitted(docs)
+    assert(out == expected)
+    assert(admitted(docs.repartition(7)) == out,
+      "admission must not depend on partitioning")
+    // soft cap: each group spends >= budget only via its crossing doc
+    val spend = Curation.tokenBudgetPerGroup(docs, "grp", "doc_id",
+        "n_tokens", 50L)
+      .groupBy("grp").agg(max(col("tokens_before") + col("n_tokens"))
+        .as("spent"), max("n_tokens").as("max_doc"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    spend.foreach { case (spent, maxDoc) =>
+      assert(spent >= 50L && spent < 50L + maxDoc,
+        s"spend $spent outside [budget, budget + max doc)")
+    }
+  }
+
+  test("calibrateScores: exact integer ECDF over equi-width buckets") {
+    val docs = (0L to 9L).map(i => (i, i.toDouble)).toDF("doc_id", "score")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, (Int, Long, Long)] =
+      Curation.calibrateScores(df, "score", buckets = 5)
+        .select("doc_id", "bucket", "cum_lt", "n_total").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val out = rows(docs)
+    // bucket = min(4, floor(s * 5 / 9)): 0,0→b0 | 1..3→... hand-check all
+    val expectBucket = (0L to 9L).map(i =>
+      i -> math.min(4, (i * 5.0 / 9.0).toInt)).toMap
+    out.foreach { case (id, (b, _, _)) =>
+      assert(b == expectBucket(id), s"doc $id bucket $b") }
+    // cum_lt is the exact count of strictly-lower buckets' rows
+    val perBucket = expectBucket.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    out.foreach { case (id, (b, lt, n)) =>
+      assert(n == 10L)
+      assert(lt == (0 until b).map(perBucket.getOrElse(_, 0L)).sum,
+        s"doc $id cum_lt $lt")
+    }
+    assert(rows(docs.repartition(4)) == out,
+      "calibration must not depend on partitioning")
+    // degenerate corpus: one score value → bucket 0, cum_lt 0
+    val flat = Seq((1L, 7.0), (2L, 7.0)).toDF("doc_id", "score")
+    val f = Curation.calibrateScores(flat, "score", 5)
+      .select("bucket", "cum_lt", "n_total").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(f == Set((0, 0L, 2L)))
+    // percentile addressing: cum_lt >= ceil(0.7 * n) keeps the top 30 %
+    val top = out.filter { case (_, (_, lt, n)) => lt >= math.ceil(0.7 * n) }
+    assert(top.keySet == Set(7L, 8L, 9L) || top.keySet == Set(8L, 9L),
+      s"top-fraction cut surprised: ${top.keySet}")
+  }
 }
 
 class ProfilingSpec extends SparkSpec {
@@ -787,6 +854,45 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(doubled == halfDraw,
       "fractional copies must ride the same hash draw as uniform()")
+  }
+
+  test("temperatureSample: rates ∝ sqrt(n_max/n_g), derived not handed in") {
+    // skewed corpus: 600 big / 300 mid / 100 small
+    val skewed = ((1L to 600L).map((_, "big")) ++
+        (601L to 900L).map((_, "mid")) ++
+        (901L to 1000L).map((_, "small")))
+      .toDF("doc_id", "lang")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      Sampling.temperatureSample(df, "doc_id", "lang", headRate = 0.5)
+        .select("doc_id", "lang", "epoch").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val out = rows(skewed)
+    assert(rows(skewed.repartition(7)) == out,
+      "temperature mixture must not depend on partitioning")
+    val byLang = out.groupBy(_._2)
+    // head samples at exactly the uniform(0.5) draw (rate anchored there)
+    val bigKept = byLang("big").map(_._1)
+    val bigDraw = Sampling.uniform(
+        skewed.filter(col("lang") === "big"), "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bigKept == bigDraw, "head group must ride the plain 0.5 draw")
+    // small group: rate = 0.5*sqrt(6) ≈ 1.22 → every doc at least once,
+    // the doubled subset is exactly the fractional-draw (same op order
+    // as the operator: sqrt and divide are correctly rounded)
+    val smallRate = 0.5 * math.sqrt(600.0 / 100.0)
+    assert(byLang("small").map(_._1) == (901L to 1000L).toSet,
+      "rate > 1 → every small-group doc kept at least once")
+    val doubled = byLang("small").groupBy(_._1)
+      .filter(_._2.size == 2).keySet
+    val fracDraw = Sampling.uniform(
+        skewed.filter(col("lang") === "small"), "doc_id",
+        smallRate - math.floor(smallRate))
+      .select("doc_id").as[Long].collect().toSet
+    assert(doubled == fracDraw,
+      "upsample fraction must ride the same hash draw as uniform()")
+    // expected counts ∝ sqrt(n_g): 600→~300, 300→~212, 100→~122
+    assert(byLang("mid").size > 170 && byLang("mid").size < 255,
+      s"mid kept ${byLang("mid").size}, expected ≈ 212")
   }
 }
 
