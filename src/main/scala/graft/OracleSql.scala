@@ -868,6 +868,73 @@ object OracleSql {
         |    '\s+', ' ', 'g'))) AS normalized
         |FROM documents""".stripMargin,
 
+    // Gopher rule flags: every bound is an integer cross-multiplication
+    // (op order mirrors TextAnalysis.gopherRules); line rules count
+    // '\n'-anchored occurrences over chr(10)-padded text instead of any
+    // multiline regex flag.
+    "q_text_gopher" -> {
+      val reqCases = graft.operators.TextAnalysis.requiredStopwords
+        .map(w => s"(CASE WHEN list_contains(lw, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" +\n         |      ")
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS BIGINT) AS n_words,
+         |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+         |      AS BIGINT) AS n_word_chars,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+         |      AS BIGINT) AS n_symbols,
+         |    CAST(CASE WHEN length(text) = 0 THEN 0
+         |         ELSE 1 + len(regexp_extract_all(text, '\\n')) END
+         |      AS BIGINT) AS n_lines,
+         |    CAST(len(regexp_extract_all(chr(10) || text,
+         |      '\\n[ \\t]*[-*•]')) AS BIGINT) AS n_bullet,
+         |    CAST(len(regexp_extract_all(text || chr(10),
+         |      '(\\.\\.\\.|…)[ \\t]*\\n')) AS BIGINT) AS n_ell,
+         |    CAST(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))
+         |      AS BIGINT) AS n_alpha,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS lw
+         |  FROM documents),
+         |f AS (SELECT doc_id, n_words,
+         |    n_words >= 50 AND n_words <= 100000 AS r_word_count,
+         |    3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+         |      AS r_mean_word_len,
+         |    10 * n_symbols <= n_words AS r_symbol_ratio,
+         |    10 * n_bullet < 9 * n_lines AS r_bullet_lines,
+         |    10 * n_ell < 3 * n_lines AS r_ellipsis_lines,
+         |    10 * n_alpha >= 8 * n_words AS r_alpha_words,
+         |    ($reqCases) >= 2 AS r_stopwords
+         |  FROM b)
+         |SELECT doc_id, n_words, r_word_count, r_mean_word_len,
+         |  r_symbol_ratio, r_bullet_lines, r_ellipsis_lines, r_alpha_words,
+         |  r_stopwords,
+         |  r_word_count AND r_mean_word_len AND r_symbol_ratio AND
+         |  r_bullet_lines AND r_ellipsis_lines AND r_alpha_words AND
+         |  r_stopwords AS keep
+         |FROM f""".stripMargin
+    },
+
+    // BPE round-1 pair statistics: distinct-word frequencies, adjacent
+    // char pairs weighted by word count, top-30 by (count desc, pair).
+    "q_text_bpe_pairs" ->
+      """WITH wc AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS wcount
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |p AS (SELECT substring(word, i, 1) AS l,
+        |    substring(word, i + 1, 1) AS r, wcount
+        |  FROM (SELECT word, wcount,
+        |        unnest(generate_series(1, length(word) - 1)) AS i
+        |        FROM wc WHERE length(word) >= 2)),
+        |g AS (SELECT l AS "left", r AS "right",
+        |    CAST(SUM(wcount) AS BIGINT) AS pair_count
+        |  FROM p GROUP BY 1, 2)
+        |SELECT "left", "right", pair_count,
+        |  CAST(row_number() OVER (ORDER BY pair_count DESC, "left", "right")
+        |    AS BIGINT) AS rank
+        |FROM g ORDER BY pair_count DESC, "left", "right" LIMIT 30"""
+        .stripMargin,
+
     // Repetition signals: duplicate word/bigram/trigram fractions via the
     // same shingle definition as the dedup family (short docs: 1 shingle,
     // fraction 0).
@@ -1171,6 +1238,37 @@ object OracleSql {
         |SELECT d.doc_id, COALESCE(r.text, '') AS text,
         |  COALESCE(r.n_removed, CAST(0 AS BIGINT)) AS n_removed
         |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
+
+    // Span-level decontamination: same 8-word block machinery as
+    // q_dedup_span, but a train block (doc_id % 4 <> 0) is cut when its
+    // text occurs as ANY eval-split block (doc_id % 4 = 0); all train
+    // docs come back rewritten.
+    "q_decontaminate_span" ->
+      """WITH w AS (SELECT doc_id, trim(text) AS t,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |w2 AS (SELECT doc_id, ws,
+        |    CASE WHEN len(t) = 0 THEN 0 ELSE len(ws) END AS nw FROM w),
+        |b AS (SELECT doc_id, ws, nw,
+        |    unnest(generate_series(0, (nw + 7) // 8 - 1)) AS block_no
+        |  FROM w2 WHERE nw > 0),
+        |b2 AS (SELECT doc_id, block_no,
+        |    array_to_string(ws[block_no * 8 + 1 : least(block_no * 8 + 8, nw)],
+        |      ' ') AS span
+        |  FROM b),
+        |ev AS (SELECT DISTINCT md5(span) AS h FROM b2 WHERE doc_id % 4 = 0),
+        |f AS (SELECT doc_id, block_no, span,
+        |    md5(span) NOT IN (SELECT h FROM ev) AS keep
+        |  FROM b2 WHERE doc_id % 4 <> 0),
+        |r AS (SELECT doc_id,
+        |    string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY block_no)
+        |      AS text,
+        |    CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_removed
+        |  FROM f GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(r.text, '') AS text,
+        |  COALESCE(r.n_removed, CAST(0 AS BIGINT)) AS n_removed
+        |FROM documents d LEFT JOIN r USING (doc_id)
+        |WHERE d.doc_id % 4 <> 0""".stripMargin,
 
     // Mixture resampling: per-lang rate r = copies + fraction; a row
     // repeats floor(r) times plus once more when its md5_60 draw falls

@@ -417,6 +417,19 @@ object SparkEntry {
   private def qTextRepetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(docs(spark, dir), "doc_id", "text")
 
+  /** Gopher rule flags: per-doc integer-exact booleans for each
+    * published filter rule + the conjunction — rule-level attrition
+    * telemetry, not just a keep bit. */
+  private def qTextGopher(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(docs(spark, dir), "doc_id", "text",
+      minWords = 50, maxWords = 100000)
+
+  /** BPE round-1 statistics: top-30 adjacent character pairs over the
+    * frequency-weighted vocabulary — the corpus reduces to distinct
+    * words once, pairs ride vocabulary weights. */
+  private def qTextBpePairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairStats(docs(spark, dir), "text", k = 30)
+
   private def qTextNormalize(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
       TextAnalysis.normalize(col("text")).as("normalized"))
@@ -596,6 +609,17 @@ object SparkEntry {
     * a removed-block count. */
   private def qDedupSpan(spark: SparkSession, dir: String): DataFrame =
     Dedup.spanDedupRewrite(docs(spark, dir), "doc_id", "text", spanWords = 8)
+
+  /** Span-level decontamination: train docs (¾ split) come back with any
+    * 8-word block that also occurs in the eval split (¼) excised — the
+    * surgical complement of q_decontaminate's whole-doc flag. */
+  private def qDecontaminateSpan(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.spanDecontaminate(
+      d.filter(pmod(col("doc_id"), lit(4)) =!= 0), "doc_id", "text",
+      d.filter(pmod(col("doc_id"), lit(4)) === 0), "doc_id", "text",
+      spanWords = 8)
+  }
 
   private def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDuplicates(docs(spark, dir), "doc_id", "text",
@@ -957,6 +981,8 @@ object SparkEntry {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_scrub" -> (qTextScrub _),
     "q_text_repetition" -> (qTextRepetition _),
+    "q_text_gopher" -> (qTextGopher _),
+    "q_text_bpe_pairs" -> (qTextBpePairs _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_profile_corpus" -> (qProfileCorpus _),
     "q_chunk_windows" -> (qChunkWindows _),
@@ -991,6 +1017,7 @@ object SparkEntry {
     "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_span" -> (qDedupSpan _),
+    "q_decontaminate_span" -> (qDecontaminateSpan _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_norm" -> (qDecontaminateNormalized _),
     "q_dedup_simhash" -> (qDedupSimhash _),

@@ -66,9 +66,19 @@ object Dedup {
   def spanDedupRewrite(df: DataFrame, idCol: String, textCol: String,
       spanWords: Int): DataFrame = {
     require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
-    val k = spanWords
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val blocks = base
+    val flagged = wordBlocks(base, spanWords).withColumn("keep",
+      row_number().over(
+        Window.partitionBy(md5(col("span").cast(BinaryType)))
+          .orderBy(col("doc_id"), col("block_no"))) === 1)
+    rebuildFromBlocks(base, flagged)
+  }
+
+  /** Non-overlapping `k`-word blocks of every non-empty doc:
+    * `(doc_id, block_no, span)` — the shared front of the span-rewrite
+    * operators. */
+  private def wordBlocks(base: DataFrame, k: Int): DataFrame =
+    base
       .withColumn("ws", TextAnalysis.tokens(col("text")))
       .withColumn("nw", when(length(trim(col("text"))) === 0, lit(0))
         .otherwise(size(col("ws"))))
@@ -81,10 +91,11 @@ object Dedup {
       .withColumn("span",
         array_join(slice(col("ws"), col("block_no") * k + 1, lit(k)), " "))
       .drop("ws")
-    val flagged = blocks.withColumn("keep",
-      row_number().over(
-        Window.partitionBy(md5(col("span").cast(BinaryType)))
-          .orderBy(col("doc_id"), col("block_no"))) === 1)
+
+  /** Re-join each doc's kept blocks in order and restore block-less
+    * rows: `(doc_id, text, n_removed)` for EVERY row of `base`. */
+  private def rebuildFromBlocks(base: DataFrame,
+      flagged: DataFrame): DataFrame = {
     val rebuilt = flagged.groupBy(col("doc_id")).agg(
       array_join(
         transform(
@@ -97,6 +108,41 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("text"), lit("")).as("text"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** Span-level DECONTAMINATION, rewrite form: every `spanWords`-word
+    * train block whose text also appears as an eval-corpus block is cut
+    * — the document survives with the quoted benchmark material excised,
+    * where [[crossCorpusContamination]] would flag (and a pipeline would
+    * drop) the whole document. This is the surgical arm of the published
+    * decontamination recipes: dropping a long web page because it quotes
+    * one benchmark question wastes the rest of the page; excising the
+    * span keeps it. Same block granularity, rewrite contract, and
+    * telemetry as [[spanDedupRewrite]] — `(doc_id, text, n_removed)` for
+    * every train row, whitespace normalized to single spaces, fully
+    * contaminated docs come back empty with their block count in
+    * `n_removed`.
+    *
+    * Scale shape: the eval corpus is benchmark-sized by definition, so
+    * its distinct block digests BROADCAST; train blocks mark themselves
+    * contaminated map-side (no data-sized shuffle for the check — the
+    * [[crossCorpusContamination]] asymmetry), and the only shuffle is
+    * the per-doc rebuild groupBy. */
+  def spanDecontaminate(train: DataFrame, idCol: String, textCol: String,
+      evalCorpus: DataFrame, evalIdCol: String, evalTextCol: String,
+      spanWords: Int): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    val base = train.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val evalBase = evalCorpus.select(col(evalIdCol).as("doc_id"),
+      col(evalTextCol).as("text"))
+    val evalDigests = wordBlocks(evalBase, spanWords)
+      .select(md5(col("span").cast(BinaryType)).as("eval_md5")).distinct()
+    val flagged = wordBlocks(base, spanWords)
+      .join(broadcast(evalDigests),
+        md5(col("span").cast(BinaryType)) === col("eval_md5"), "left")
+      .withColumn("keep", col("eval_md5").isNull)
+      .drop("eval_md5")
+    rebuildFromBlocks(base, flagged)
   }
 
   /** Structural reduce-side bound for every bucket aggregation: drop the

@@ -68,6 +68,72 @@ object TextAnalysis {
             punctRatio - digitRatio))
   }
 
+  /** The Gopher quality-filter rule set (the published web-corpus
+    * recipe), evaluated per document as SEPARATE boolean flags plus the
+    * conjunction — a pipeline thresholds on `keep` but audits which rule
+    * fires (rule-level attrition telemetry is how filter recipes get
+    * tuned). Rules, all INTEGER-exact via cross-multiplication — no
+    * double ratio is ever compared at a boundary:
+    *
+    *   - `r_word_count`     — `minWords ≤ words ≤ maxWords`
+    *   - `r_mean_word_len`  — mean token length (non-space chars /
+    *                          words) in [3, 10]: `3·w ≤ chars ≤ 10·w`
+    *   - `r_symbol_ratio`   — (`#` or ellipsis) symbols ≤ 0.1·words
+    *   - `r_bullet_lines`   — < 90 % of lines start with a bullet
+    *   - `r_ellipsis_lines` — < 30 % of lines end with an ellipsis
+    *   - `r_alpha_words`    — ≥ 80 % of words contain a letter
+    *   - `r_stopwords`      — ≥ 2 DISTINCT required stopwords present
+    *
+    * Line rules avoid multiline-flag regex portability entirely: lines
+    * are counted as `\n`-runs, a bullet line is an occurrence of
+    * `\n[ \t]*[-*•]` in `"\n" + text`, an ellipsis line an occurrence
+    * of `(...|…)[ \t]*\n` in `text + "\n"` — plain non-overlapping
+    * counts with identical semantics under Java regex and RE2.
+    *
+    * Shuffle-free per-row codegen'd expressions (`regexp_count` /
+    * `array_contains`), like every scorer in this object: one scan at
+    * any corpus size. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val nWords = tokenCount(t).cast(LongType)
+    // non-space chars = total length of all tokens
+    val nWordChars = length(regexp_replace(trim(t), "\\s+", "")).cast(LongType)
+    val nSymbols = regexp_count(t, lit("#|\\.\\.\\.|…")).cast(LongType)
+    val nLines = when(length(t) === 0, lit(0L))
+      .otherwise(lit(1L) + regexp_count(t, lit("\n")).cast(LongType))
+    val nBulletLines =
+      regexp_count(concat(lit("\n"), t), lit("\n[ \\t]*[-*•]")).cast(LongType)
+    val nEllipsisLines =
+      regexp_count(concat(t, lit("\n")), lit("(\\.\\.\\.|…)[ \\t]*\n"))
+        .cast(LongType)
+    val nAlphaWords =
+      regexp_count(t, lit("\\S*[A-Za-z]\\S*")).cast(LongType)
+    val lowerToks = split(trim(lower(t)), "\\s+")
+    val nRequiredStop = requiredStopwords
+      .map(w => when(array_contains(lowerToks, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.select(col(idCol),
+      nWords.as("n_words"),
+      (nWords >= minWords && nWords <= maxWords).as("r_word_count"),
+      (lit(3L) * nWords <= nWordChars &&
+        nWordChars <= lit(10L) * nWords).as("r_mean_word_len"),
+      (lit(10L) * nSymbols <= nWords).as("r_symbol_ratio"),
+      (lit(10L) * nBulletLines < lit(9L) * nLines).as("r_bullet_lines"),
+      (lit(10L) * nEllipsisLines < lit(3L) * nLines).as("r_ellipsis_lines"),
+      (lit(10L) * nAlphaWords >= lit(8L) * nWords).as("r_alpha_words"),
+      (nRequiredStop >= 2L).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stopwords"))
+  }
+
+  /** The Gopher "required word" list: a doc must contain ≥ 2 of these. */
+  val requiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Stopword-profile language ID: per language, count how many tokens hit
     * that language's marker list; predict the arg-max (ties broken by
     * language code order — deterministic). Pure column expressions, no UDF.
@@ -294,6 +360,123 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token")).limit(k)
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("freq").desc, col("token"))).cast(LongType))
+  }
+
+  /** BPE pair statistics — round 1 of byte-pair-encoding tokenizer
+    * training: split every word into characters and count adjacent
+    * character pairs across the corpus, weighted by word frequency.
+    * Returns the top `k` `(left, right, pair_count, rank)` — the pairs
+    * the first merges would learn — ordered `(count desc, pair asc)`,
+    * deterministic through ties.
+    *
+    * Scale shape: BPE statistics live on the VOCABULARY, not the
+    * corpus — one `groupBy(word)` shuffle (map-side combined) reduces
+    * 100 TB of text to a distinct-word table (MBs–GBs), and every pair
+    * row after that carries a vocabulary entry's weight, never a corpus
+    * occurrence. The pair expansion is a bounded per-word `sequence`
+    * explode; the final top-k is `TakeOrderedAndProject`, no global
+    * sort (the [[vocabulary]] discipline). */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = wordCounts(df, textCol)
+      .filter(length(col("word")) >= 2)
+      .select(col("wcount"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"),
+        col("word"))
+      .select(col("wcount"),
+        expr("substring(word, i, 1)").as("left"),
+        expr("substring(word, i + 1, 1)").as("right"))
+      .groupBy(col("left"), col("right"))
+      .agg(sum(col("wcount")).as("pair_count"))
+    pairs.orderBy(col("pair_count").desc, col("left"), col("right")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("pair_count").desc, col("left"),
+          col("right"))).cast(LongType))
+  }
+
+  /** Distinct words with corpus frequencies — the vocabulary table BPE
+    * training iterates on. */
+  private def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+
+  /** BPE MERGE INDUCTION — learn an `nMerges`-rule byte-pair-encoding
+    * merge table from the corpus (the training loop behind every
+    * GPT/Llama-family tokenizer): repeatedly take the most frequent
+    * adjacent symbol pair (ties: lexicographic — deterministic) and fuse
+    * it into one symbol everywhere, greedy left-to-right within each
+    * word ([a,a,a] under merge (a,a) → [aa,a], the reference BPE
+    * semantics via an order-aware fold). Returns the learned table
+    * `(rank, left, right, pair_count)` — rows ≤ `nMerges` (stops early
+    * when no pair repeats).
+    *
+    * Scale shape: the corpus is touched ONCE (the [[bpePairStats]]
+    * vocabulary reduction); every round after that is vocabulary-sized —
+    * a bounded pair explode, one map-side-combined aggregate, and a
+    * `limit(1)` argmax collected to the driver (one row per round, the
+    * merge RULE — collecting the rule is the algorithm, not a
+    * driver-side data loop). The per-word merge fold is a higher-order
+    * `aggregate` over the symbol array — interpreted, not codegen'd,
+    * which is the right trade on a vocabulary table (distinct words ≪
+    * corpus; the codegen'd hot path already ran in the word count).
+    * Each round re-persists the vocab and frees the previous one. */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = wordCounts(df, textCol)
+      .select(split(col("word"), "").as("syms"), col("wcount"))
+      .filter(size(col("syms")) > 0)
+      .persist()
+    vocab.count()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("wcount"),
+          explode(expr(
+            """transform(slice(syms, 1, size(syms) - 1),
+              |  (s, i) -> struct(s AS l, element_at(syms, i + 2) AS r))"""
+              .stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wcount")).as("n"))
+        .filter(col("n") >= 2) // a pair seen once can't help a tokenizer
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        learned += ((round + 1L, a, b, n))
+        // greedy left-to-right fusion: fold symbols, merging when the
+        // accumulated tail is `a` and the incoming symbol is `b` (a
+        // just-fused symbol is `a ++ b`, which no longer equals `a`, so
+        // overlaps cannot chain — the reference BPE contract)
+        val aLit = lit(a)
+        val bLit = lit(b)
+        val next = vocab.select(
+            aggregate(col("syms"),
+              array().cast(org.apache.spark.sql.types.ArrayType(StringType)),
+              (acc, s) =>
+                when(size(acc) > 0 && element_at(acc, -1) === aLit &&
+                    s === bLit,
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(concat(aLit, bLit))))
+                  .otherwise(concat(acc, array(s)))).as("syms"),
+            col("wcount"))
+          .persist()
+        next.count()
+        vocab.unpersist(blocking = false)
+        vocab = next
+        round += 1
+      }
+    }
+    vocab.unpersist(blocking = false)
+    learned.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
   /** Linear text classifier INFERENCE — the fastText/CCNet-style quality

@@ -34,6 +34,76 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("gopherRules: each rule flags its own violation, keep is the AND") {
+    val good = Seq.fill(6)(
+      "the quick brown foxes jumped over with lazy dogs and").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                      // passes everything
+      (2L, "tiny doc"),                                // word count
+      (3L, good + " " + Seq.fill(8)("####").mkString(" ")), // symbols
+      (4L, "- one two three\n- four five six\n- seven eight nine"), // bullets
+      (5L, Seq.fill(6)(
+        "the quick brown foxes jumped over with lazy dogs...")
+        .mkString("\n")),                              // ellipsis lines
+      (6L, Seq.fill(60)("12345").mkString(" ")),       // alpha words
+      (7L, ("a b c d e " * 12).trim),                  // mean word length
+      (8L, Seq.fill(60)("zebra").mkString(" "))        // stopwords
+    ).toDF("doc_id", "text")
+    val cols = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stopwords",
+      "keep")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        minWords = 50, maxWords = 100000)
+      .collect().map(r => r.getLong(0) ->
+        cols.map(c => c -> r.getBoolean(r.fieldIndex(c))).toMap).toMap
+    assert(out(1L).values.forall(identity), s"good doc: ${out(1L)}")
+    def failsExactly(id: Long, rule: String): Unit = {
+      assert(!out(id)(rule), s"doc $id should fail $rule")
+      assert(!out(id)("keep"), s"doc $id keep must be false")
+    }
+    failsExactly(2L, "r_word_count")
+    failsExactly(3L, "r_symbol_ratio")
+    failsExactly(4L, "r_bullet_lines")
+    failsExactly(5L, "r_ellipsis_lines")
+    failsExactly(6L, "r_alpha_words")
+    failsExactly(7L, "r_mean_word_len")
+    failsExactly(8L, "r_stopwords")
+    // the bullet doc is clean for the other line/symbol rules (its "-"
+    // tokens DO fail alpha-words — letterless words, correctly counted)
+    assert(out(4L)("r_symbol_ratio") && out(4L)("r_ellipsis_lines"))
+    assert(!out(4L)("r_alpha_words"))
+  }
+
+  test("bpePairStats / bpeMerges: hand-computed merge table, greedy fold") {
+    // the classic BPE corpus: low×5 lower×2 newest×6 widest×3
+    val corpus = Seq(
+      ((("low " * 5) + ("lower " * 2) + ("newest " * 6) +
+        ("widest " * 3)).trim)).toDF("text")
+    val stats = TextAnalysis.bpePairStats(corpus, "text", k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(stats.toSeq == Seq(
+      ("e", "s", 9L, 1L), ("s", "t", 9L, 2L), ("w", "e", 8L, 3L),
+      ("l", "o", 7L, 4L), ("o", "w", 7L, 5L)))
+    // merge loop: (e,s) 9 → es; (es,t) 9 → est; then (l,o) 7 wins
+    val merges = TextAnalysis.bpeMerges(corpus, "text", nMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L), (3L, "l", "o", 7L)))
+    // greedy left-to-right fusion cannot chain through a fresh merge:
+    // aaaa×2 → merge (a,a) count 6 → [aa,aa] → merge (aa,aa) count 2
+    val runs = Seq("aaaa aaaa").toDF("text")
+    val runMerges = TextAnalysis.bpeMerges(runs, "text", nMerges = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(runMerges.toSeq == Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L)),
+      s"got ${runMerges.toSeq}")
+    // singleton pairs can't help a tokenizer: no rule is learned
+    assert(TextAnalysis.bpeMerges(Seq("ab cd").toDF("text"), "text", 4)
+      .count() == 0)
+  }
+
   test("winnowing: docs sharing a long substring share a fingerprint") {
     val shared = "the identical stretch of text inside both documents"
     val df = Seq(
@@ -282,6 +352,40 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ("", 2L), "pure boilerplate must empty out")
     assert(out(4L) == ("", 0L), "empty input stays empty, nothing removed")
     assert(rows(docs.repartition(5)) == out,
+      "rewrite must not depend on partitioning")
+  }
+
+  test("spanDecontaminate: eval blocks excised from train, rest survives") {
+    // 4-word blocks. Train doc 1 quotes eval doc 10's first block in its
+    // middle block; doc 2 is clean; doc 3 is a verbatim eval quote and
+    // empties out; doc 4 is empty input.
+    val train = Seq(
+      (1L, "one two three four alpha beta gamma delta nine ten eleven twelve"),
+      (2L, "completely clean training text with no quoted benchmark words"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "")
+    ).toDF("id", "text")
+    val eval_ = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("id", "text")
+    def rows(t: org.apache.spark.sql.DataFrame,
+        e: org.apache.spark.sql.DataFrame): Map[Long, (String, Long)] =
+      Dedup.spanDecontaminate(t, "id", "text", e, "id", "text",
+          spanWords = 4)
+        .collect().map(r =>
+          r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val out = rows(train, eval_)
+    assert(out(1L) == ("one two three four nine ten eleven twelve", 1L),
+      "the quoted eval block must excise, its neighbors survive")
+    assert(out(2L) ==
+      ("completely clean training text with no quoted benchmark words", 0L))
+    assert(out(3L) == ("", 2L), "fully-contaminated doc empties out")
+    assert(out(4L) == ("", 0L))
+    // unlike spanDedupRewrite there is no first-occurrence privilege:
+    // EVERY train copy of an eval block is cut, even the earliest
+    assert(!out.values.exists(_._1.contains("alpha")),
+      "no train occurrence of an eval block may survive")
+    assert(rows(train.repartition(5), eval_.repartition(3)) == out,
       "rewrite must not depend on partitioning")
   }
 
