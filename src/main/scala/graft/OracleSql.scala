@@ -569,6 +569,24 @@ object OracleSql {
 
     "q_embed_covariance" -> embedCovSql,
 
+    // K-means summary over the same refined-IVF chain as the semantic
+    // dedup family (16 md5 seeds, one Lloyd round): per-cluster size +
+    // inertia. Each member's d2 is the asg CTE's assignment double
+    // (same op order as the engine's ivfD2); inertia sums them as
+    // DECIMAL(28,12) partials — exact and order-free.
+    "q_embed_kmeans" ->
+      s"""WITH $ivfRefinedCellCtes,
+         |mem AS (SELECT c.cid, a.d2 FROM cells c
+         |  JOIN asg a ON a.vid = c.vid AND a.cid = c.cid),
+         |st AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DECIMAL(38,12))
+         |      AS inertia
+         |  FROM mem GROUP BY 1)
+         |SELECT cent.vec_id AS cent_id,
+         |  COALESCE(st.n_members, CAST(0 AS BIGINT)) AS n_members,
+         |  COALESCE(st.inertia, CAST(0 AS DECIMAL(38,12))) AS inertia
+         |FROM cent LEFT JOIN st ON st.cid = cent.vec_id""".stripMargin,
+
     // Equi-depth histogram: NTILE shares the SQL-standard definition
     // (first buckets get the remainder) in both engines; total order
     // (value, event_id) makes bucket assignment deterministic.

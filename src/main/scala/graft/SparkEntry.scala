@@ -761,6 +761,13 @@ object SparkEntry {
   private def qEmbedCovariance(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Embeddings.covariance(emb(spark, dir), "embedding", 8)
 
+  /** K-means training summary: 16 md5-seeded centroids, one exact Lloyd
+    * round, per-cluster size + integer-exact inertia — the balance/
+    * convergence diagnostics behind cluster-stratified curation. */
+  private def qEmbedKmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansSummary(emb(spark, dir), "vec_id", "embedding",
+      k = 16, refineRounds = 1)
+
   private def qSimTopkDot(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -970,6 +977,7 @@ object SparkEntry {
     "q_cohort_retention" -> (qCohort _),
     "q_funnel" -> (qFunnel _),
     "q_embed_covariance" -> (qEmbedCovariance _),
+    "q_embed_kmeans" -> (qEmbedKmeans _),
     "q_rollup" -> (qRollup _),
     "q_pivot_counts" -> (qPivotCounts _),
     "q_anomaly_zscore" -> (qAnomaly _),

@@ -411,6 +411,44 @@ object Similarity {
       .select(col("corpus_id"), col("m.cent_id").as("cent_id"),
         col("m.cq").as("cq"))
 
+  /** K-MEANS TRAINING SUMMARY — the clustering behind SemDeDup /
+    * cluster-balanced sampling exposed as its own operator: md5-seeded
+    * centroids, `refineRounds` exact Lloyd rounds ([[ivfRefine]]), then
+    * per-cluster size and INERTIA (sum of members' squared distance to
+    * their refined centroid) — the convergence/balance diagnostics a
+    * curation pipeline reads before trusting cluster-stratified
+    * decisions. Per-member distances are the exact assignment
+    * arithmetic ([[ivfD2]]: correctly-rounded doubles of scale-12
+    * rationals, fixed op order) and inertia sums them as
+    * DECIMAL(28,12) partials — order-free, engine-reproducible, no
+    * double accumulation anywhere. Centroids whose cell drained report
+    * `n_members = 0`, `inertia = 0`.
+    *
+    * Scale shape: each Lloyd round is one corpus pass against K
+    * broadcast centroids with a map-side-combined `min_by` (the shuffle
+    * carries one row per vector), and the summary is a K-row aggregate.
+    */
+  def kmeansSummary(corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int = 16, refineRounds: Int = 1): DataFrame = {
+    registered(corpus)
+    val seed = ivfCentroids(corpus, corpusId, corpusVec, k)
+    val cent = (1 to refineRounds).foldLeft(seed) { (c, _) =>
+      ivfRefine(corpus, corpusId, corpusVec, c)
+    }
+    val scored = ivfCells(corpus, corpusId, corpusVec, cent)
+      .join(broadcast(cent), Seq("cent_id"))
+      .withColumn("d2",
+        ivfD2(col("cq"), V.dotQ12(col("cq"), col("cq"))))
+    val stats = scored.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("d2").cast(DecimalType(28, 12))).as("inertia"))
+    cent.select(col("cent_id")).join(stats, Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("inertia"),
+          lit(0).cast(DecimalType(38, 12))).as("inertia"))
+  }
+
   /** In-memory (lazy) IVF index — the one-shot [[ivfTopK]] path.
     * `refineRounds` Lloyd rounds ([[ivfRefine]]) between seeding and the
     * final assignment; each round is one corpus pass, so the default for

@@ -1010,6 +1010,34 @@ class SimilaritySpec extends SparkSpec {
     (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("kmeansSummary: exact sizes/inertia, drained clusters report zero") {
+    // two tight value classes over 8 vectors
+    val two = ((1L to 4L).map((_, Array(1.0f, 0.0f, 0.0f, 0.0f))) ++
+        (5L to 8L).map((_, Array(0.0f, 1.0f, 0.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame, k: Int)
+        : Map[Long, (Long, BigDecimal)] =
+      Similarity.kmeansSummary(df, "vec_id", "embedding", k = k,
+          refineRounds = 1)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    val out = rows(two, 2)
+    assert(out.size == 2)
+    assert(out.values.map(_._1).sum == 8L, s"members must total 8: $out")
+    assert(out.values.forall(_._2 >= 0))
+    assert(rows(two.repartition(5), 2) == out,
+      "summary must not depend on partitioning")
+    // all-identical corpus, k = 3: ties drain two clusters — they must
+    // still report (0, 0), and the surviving cluster is inertia-free
+    val same = (1L to 3L).map((_, Array(0.5f, 0.5f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val deg = rows(same, 3)
+    assert(deg.size == 3)
+    assert(deg.values.map(_._1).toSeq.sorted == Seq(0L, 0L, 3L))
+    assert(deg.values.forall(_._2 == 0),
+      s"identical members ⇒ zero inertia everywhere: $deg")
+  }
+
   test("bruteForceTopK cosine: self is rank 1, neighbor rank 2") {
     val out = Similarity.bruteForceTopK(
       vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
