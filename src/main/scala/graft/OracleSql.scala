@@ -953,6 +953,33 @@ object OracleSql {
         |FROM g ORDER BY pair_count DESC, "left", "right" LIMIT 30"""
         .stripMargin,
 
+    // BPE encode under TextAnalysis.referenceMerges: the same sentinel
+    // replace-chain as the engine — chr(1)-delimited symbols, one
+    // non-overlapping replace per rank — then tokens = chr(1)chr(1)
+    // splits, summed per doc (empty docs keep a 0 row).
+    "q_text_bpe_encode" -> {
+      val start = "chr(1) || array_to_string(regexp_extract_all(w, '.'), " +
+        "chr(1) || chr(1)) || chr(1)"
+      val enc = graft.operators.TextAnalysis.referenceMerges.foldLeft(start) {
+        case (acc, (a, b)) =>
+          s"replace($acc,\n         |    chr(1) || '$a' || chr(1) || " +
+            s"chr(1) || '$b' || chr(1), chr(1) || '$a$b' || chr(1))"
+      }
+      s"""WITH w AS (SELECT doc_id, unnest(CASE
+         |    WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
+         |  FROM documents),
+         |e AS (SELECT doc_id,
+         |    CAST(len(string_split($enc, chr(1) || chr(1))) AS BIGINT)
+         |      AS n_sub
+         |  FROM w),
+         |s AS (SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+         |  FROM e GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(s.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
+    },
+
     // Repetition signals: duplicate word/bigram/trigram fractions via the
     // same shingle definition as the dedup family (short docs: 1 shingle,
     // fraction 0).

@@ -430,6 +430,13 @@ object SparkEntry {
   private def qTextBpePairs(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpePairStats(docs(spark, dir), "text", k = 30)
 
+  /** BPE encode under the fixed 8-rule merge table: per-doc token count
+    * with the LEARNED-tokenizer semantics (rank-ordered greedy merges),
+    * the inference complement of q_text_bpe_pairs. */
+  private def qTextBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncode(docs(spark, dir), "doc_id", "text",
+      TextAnalysis.referenceMerges)
+
   private def qTextNormalize(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
       TextAnalysis.normalize(col("text")).as("normalized"))
@@ -991,6 +998,7 @@ object SparkEntry {
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_gopher" -> (qTextGopher _),
     "q_text_bpe_pairs" -> (qTextBpePairs _),
+    "q_text_bpe_encode" -> (qTextBpeEncode _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_profile_corpus" -> (qProfileCorpus _),
     "q_chunk_windows" -> (qChunkWindows _),

@@ -479,6 +479,58 @@ object TextAnalysis {
     learned.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** A fixed rank-ordered 8-rule merge table for the registry's encode
+    * query — a model constant (like the linear-classifier weights), so
+    * the DuckDB oracle can mirror the exact replace chain. */
+  val referenceMerges: Seq[(String, String)] = Seq(
+    ("e", "s"), ("s", "t"), ("t", "h"), ("th", "e"),
+    ("i", "n"), ("a", "n"), ("an", "d"), ("e", "r"))
+
+  /** BPE ENCODE — tokenize with a learned merge table (the inference
+    * side of [[bpeMerges]]): each word starts as characters and the
+    * merge rules apply in rank order, greedy left-to-right, the
+    * reference BPE encode semantics. Output: `(id, n_bpe_tokens)` per
+    * document — the token count under the LEARNED tokenizer (the exact
+    * complement of the [[subwordCount]] regex proxy).
+    *
+    * The encode itself is a chain of plain `replace` calls on a
+    * sentinel-delimited symbol string: symbols are joined as
+    * `␁sym₁␁␁sym₂␁…` so every symbol carries its OWN delimiters, and
+    * replacing `S a S S b S -> S ab S` left-to-right non-overlapping is
+    * exactly the greedy fusion fold ([[bpeMerges]]'s aggregate) —
+    * adjacent matches share no characters, so no boundary is ever
+    * consumed twice, and `[a,a,a] → [aa,a]` falls out of the scan
+    * order. Every step is a codegen'd built-in string function (no
+    * HOF, no UDF, no custom kernel) and the SQL oracle mirrors the
+    * same replace chain verbatim. Words must not contain ``
+    * (impossible for whitespace-split tokens of scrubbed corpora;
+    * [[normalize]] strips control chars upstream).
+    *
+    * Scale shape: one explode to words, the per-word replace chain
+    * inside the scan, one map-side-combined count per doc — a single
+    * narrow shuffle keyed on the id at any corpus size. The merge
+    * table is bounded (it is a MODEL, like [[linearScore]] weights);
+    * each rule adds one expression node, not a join. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeEncode needs at least one merge rule")
+    val S = "\u0001"
+    // S c1 S S c2 S ...: char-split, rejoin with doubled sentinels
+    val start = concat(lit(S),
+      array_join(split(col("word"), ""), S + S), lit(S))
+    val encoded = merges.foldLeft(start) { case (acc, (a, b)) =>
+      replace(acc, lit(S + a + S + S + b + S), lit(S + a + b + S))
+    }
+    val words = df.select(col(idCol),
+      explode_outer(filter(tokens(col(textCol)),
+        w => length(w) > 0)).as("word"))
+    words
+      .withColumn("n_sub", when(col("word").isNull, lit(0L))
+        .otherwise(size(split(encoded, S + S)).cast(LongType)))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_sub")).as("n_bpe_tokens"))
+  }
+
   /** Linear text classifier INFERENCE — the fastText/CCNet-style quality
     * filter shape: a document's score is the sum of its tokens' learned
     * weights (bag-of-words dot product) plus a bias, thresholded at 0.

@@ -104,6 +104,35 @@ class TextAnalysisSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("bpeEncode: rank-ordered greedy merges via the sentinel chain") {
+    def counts(docs: Seq[(Long, String)],
+        merges: Seq[(String, String)]): Map[Long, Long] =
+      TextAnalysis.bpeEncode(docs.toDF("doc_id", "text"), "doc_id", "text",
+          merges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // esto = [es,t,o] -> [est,o]; es = [es]; chain through merged symbol
+    val out = counts(Seq((1L, "esto es"), (2L, ""), (3L, "xyz")),
+      Seq(("e", "s"), ("es", "t")))
+    assert(out(1L) == 3L, s"esto(2) + es(1): $out")
+    assert(out(2L) == 0L, "empty doc keeps a zero row")
+    assert(out(3L) == 3L, "untouched word = char count")
+    // greedy left-to-right, no overlap: aaa -> [aa,a]; then (aa,a) fuses
+    assert(counts(Seq((1L, "aaa")), Seq(("a", "a")))(1L) == 2L)
+    assert(counts(Seq((1L, "aaa")),
+      Seq(("a", "a"), ("aa", "a")))(1L) == 1L)
+    // rank order is semantic: (s,t) before (e,s) leaves est split as
+    // [e,st]; the reverse leaves [es,t] — both 2, but DIFFERENT tokens,
+    // visible once (e,st) closes the gap
+    assert(counts(Seq((1L, "est")),
+      Seq(("s", "t"), ("e", "st")))(1L) == 1L)
+    assert(counts(Seq((1L, "est")),
+      Seq(("e", "s"), ("e", "st")))(1L) == 2L,
+      "the (e,st) rule must NOT fire after (e,s) consumed the s")
+    // composes with the learned table: newest under the classic merges
+    assert(counts(Seq((1L, "newest")),
+      Seq(("e", "s"), ("es", "t"), ("l", "o")))(1L) == 4L)
+  }
+
   test("winnowing: docs sharing a long substring share a fingerprint") {
     val shared = "the identical stretch of text inside both documents"
     val df = Seq(
