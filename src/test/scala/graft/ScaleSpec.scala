@@ -151,6 +151,37 @@ class ScaleSpec extends SparkSpec {
       mixed.count(), "(shard, position) must be unique per copy")
   }
 
+  test("round-9 curation ops: scan-resident or broadcast-only plans") {
+    import graft.operators.{Curation, Sampling, TextAnalysis}
+    val docs = spark.read.parquet(sf("documents"))
+    // Gopher rules are one pure projection — zero exchanges
+    val gopher = TextAnalysis.gopherRules(docs, "doc_id", "text")
+    assert(Scale.isShuffleFree(gopher),
+      gopher.queryExecution.executedPlan.toString)
+    // BPE encode: the replace chain runs inside the scan; the only
+    // exchange is the per-doc count aggregate
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+      TextAnalysis.referenceMerges)
+    val encPlan = enc.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(encPlan).size == 1,
+      s"bpe encode must shuffle once (doc-id agg):\n$encPlan")
+    // temperature mixture: the corpus probes a BROADCAST recipe — a
+    // sort-merge join would mean the corpus shuffled on the group key
+    val temp = Sampling.temperatureSample(docs, "doc_id", "lang", 0.5)
+    val tempPlan = temp.queryExecution.executedPlan.toString
+    assert(tempPlan.contains("BroadcastHashJoin") &&
+      !tempPlan.contains("SortMergeJoin"),
+      s"recipe must broadcast:\n$tempPlan")
+    // calibration: extremes and bucket-ECDF tables broadcast back; the
+    // corpus is never the shuffled side of a join
+    val cal = Curation.calibrateScores(
+      docs.select(col("doc_id"), col("n_chars").cast("double").as("s")),
+      "s", 64)
+    val calPlan = cal.queryExecution.executedPlan.toString
+    assert(!calPlan.contains("SortMergeJoin"),
+      s"calibration joins must broadcast:\n$calPlan")
+  }
+
   test("bm25 plan: tf materialized once, top-k without a global sort") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet(sf("documents"))
