@@ -174,6 +174,89 @@ object Multimodal {
     @inline private def bound(i: Int, total: Int, n: Int): Int =
       ((i.toLong * total) / n).toInt
 
+    /** REAL nearest-neighbor resize for the dependency-free raster
+      * formats — binary PNM (P5/P6) re-encodes as the same PNM, 24-bit
+      * BMP re-encodes as a minimal 54-byte-header bottom-up BMP (pixel
+      * rows sampled in STORAGE order, the same convention the feature
+      * extractor uses). Source pixel = `(x·srcW/dstW, y·srcH/dstH)`
+      * floor — the standard NN rule. Returns None for payloads the
+      * codec cannot decode (caller falls back to the stub), exactly
+      * mirroring the feature extractor's decode gate. */
+    private[graft] def resizeRaster(b: Array[Byte], w: Int,
+        h: Int): Option[Array[Byte]] =
+      if (w <= 0 || h <= 0) None
+      else if (isPnm(b)) resizePnm(b, w, h)
+      else if (isBmp(b)) resizeBmp(b, w, h)
+      else None
+
+    private def resizePnm(b: Array[Byte], w: Int,
+        h: Int): Option[Array[Byte]] = {
+      val gray = b(1) == '5'
+      val parsed = pnmHeader(b, 3)
+      if (parsed.isEmpty) return None
+      val (hdr, off) = parsed.get
+      val sw = hdr(0); val sh = hdr(1); val maxval = hdr(2)
+      val bpp = if (gray) 1 else 3
+      if (sw <= 0 || sh <= 0 || maxval != 255 ||
+          off.toLong + sw.toLong * sh * bpp > b.length) return None
+      val head = (s"P${if (gray) "5" else "6"}\n$w $h\n255\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](head.length + w * h * bpp)
+      System.arraycopy(head, 0, out, 0, head.length)
+      var y = 0
+      while (y < h) {
+        val sy = ((y.toLong * sh) / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx = ((x.toLong * sw) / w).toInt
+          val src = off + (sy * sw + sx) * bpp
+          val dst = head.length + (y * w + x) * bpp
+          var c = 0
+          while (c < bpp) { out(dst + c) = b(src + c); c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    }
+
+    private def resizeBmp(b: Array[Byte], w: Int,
+        h: Int): Option[Array[Byte]] = {
+      val off = le32(b, 10)
+      val sw = le32(b, 18)
+      val sh = math.abs(le32(b, 22))
+      val srcRow = ((24 * sw + 31) / 32) * 4
+      if (sw <= 0 || sh <= 0 || off < 54 ||
+          off.toLong + srcRow.toLong * sh > b.length) return None
+      val dstRow = ((24 * w + 31) / 32) * 4
+      val out = new Array[Byte](54 + dstRow * h)
+      def putLe32(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+        out(o + 2) = ((v >> 16) & 0xff).toByte
+        out(o + 3) = ((v >> 24) & 0xff).toByte
+      }
+      out(0) = 'B'; out(1) = 'M'
+      putLe32(2, out.length); putLe32(10, 54)
+      putLe32(14, 40); putLe32(18, w); putLe32(22, h)
+      out(26) = 1; out(28) = 24
+      putLe32(34, dstRow * h)
+      var y = 0
+      while (y < h) {
+        val sy = ((y.toLong * sh) / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx = ((x.toLong * sw) / w).toInt
+          val src = off + sy * srcRow + sx * 3
+          val dst = 54 + y * dstRow + x * 3
+          out(dst) = b(src); out(dst + 1) = b(src + 1)
+          out(dst + 2) = b(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    }
+
     /** 24-bit BMP: pixels at the declared offset, rows padded to 4
       * bytes, height may be negative (top-down); features = per-slice
       * mean luminance (r+g+b)/(3·255) over storage order. */
@@ -529,13 +612,18 @@ object Multimodal {
       }(enc)
   }
 
-  /** Distributed resize: batch-iterate partitions, "decode" each payload
-    * with the stub codec and re-encode at (w, h), emitting a new media
-    * row with updated metadata. Same `mapInPandas` shape as
-    * [[extractFeatures]] — iterator in/out, payloads never shuffled; a
-    * real implementation swaps the byte-level stub for libvips/ffmpeg
-    * scaling and nothing else changes. The stub output is deterministic:
-    * the payload truncated/cycled to the w·h "pixel" budget. */
+  /** Distributed resize: batch-iterate partitions, decode each payload
+    * and re-encode at (w, h), emitting a new media row with updated
+    * metadata. Same iterator-in/iterator-out `mapPartitions` shape as
+    * [[extractFeatures]] — payloads never shuffle. Raster formats the
+    * codec really decodes (binary PNM P5/P6, 24-bit BMP) get a REAL
+    * nearest-neighbor resample re-encoded in their own format —
+    * [[MediaCodec.sniff]] and the feature extractor read the output like
+    * any other image. Library-bound formats (PNG re-encode needs a zlib
+    * compressor choice; WAV/video aren't rasters) keep the documented
+    * deterministic stub: payload truncated to the w·h byte budget — a
+    * real deployment swaps libvips/ffmpeg into that one branch and
+    * nothing else changes. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val enc = ExpressionEncoder(mediaSchema)
     media.select("media_id", "kind", "payload", "mime", "width", "height",
@@ -544,10 +632,13 @@ object Multimodal {
         rows.map { r =>
           val payload = Option(r.getAs[Array[Byte]]("payload"))
             .getOrElse(Array.emptyByteArray)
-          val budget = math.min(w * h, math.max(payload.length, 1))
-          val resized = new Array[Byte](math.min(budget, payload.length))
-          var i = 0
-          while (i < resized.length) { resized(i) = payload(i); i += 1 }
+          val resized = MediaCodec.resizeRaster(payload, w, h).getOrElse {
+            val budget = math.min(w * h, math.max(payload.length, 1))
+            val stub = new Array[Byte](math.min(budget, payload.length))
+            var i = 0
+            while (i < stub.length) { stub(i) = payload(i); i += 1 }
+            stub
+          }
           Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), resized,
             r.getAs[String]("mime"), w, h, r.getAs[java.lang.Long]("duration_ms"),
             r.getAs[String]("caption"))

@@ -2125,6 +2125,46 @@ class MultimodalSpec extends SparkSpec {
       out(0).getAs[Array[Byte]]("payload").toSeq) // partition-independent
   }
 
+  test("resize: REAL nearest-neighbor resample for PNM and BMP rasters") {
+    import graft.operators.Multimodal.MediaCodec
+    // P6 4×1: four distinct pixels; downsample to 2×1 picks x = 0, 2
+    val p6 = ("P6\n4 1\n255\n".getBytes.toSeq ++
+      Seq(10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42).map(_.toByte))
+      .toArray
+    val down = MediaCodec.resizeRaster(p6, 2, 1).get
+    assert(new String(down.take(10)) == "P6\n2 1\n255", new String(down))
+    assert(down.drop(down.length - 6).toSeq ==
+      Seq(10, 11, 12, 30, 31, 32).map(_.toByte))
+    // P5 1×2 upsample to 2×4: each gray repeats as a 2×2 block
+    val p5 = ("P5\n1 2\n255\n".getBytes.toSeq ++ Seq(7, 9).map(_.toByte))
+      .toArray
+    val up = MediaCodec.resizeRaster(p5, 2, 4).get
+    assert(up.drop(up.length - 8).toSeq ==
+      Seq(7, 7, 7, 7, 9, 9, 9, 9).map(_.toByte))
+    // the re-encoded output is a first-class image: sniff reads the new
+    // dims, decode sees the sampled pixels
+    assert(MediaCodec.sniff(up).contains(
+      MediaCodec.Sniffed("image/x-portable-graymap", Some(2), Some(4), None)))
+    // BMP 2×2 → 1×1: storage pixel (0,0) survives, row pads to 4 bytes
+    val one = MediaCodec.resizeRaster(bmpBytes, 1, 1).get
+    assert(MediaCodec.sniff(one).contains(
+      MediaCodec.Sniffed("image/bmp", Some(1), Some(1), None)))
+    assert(one.length == 54 + 4)
+    // storage pixel (0,0) of the fixture is white
+    assert(one.slice(54, 57).toSeq == Seq(255, 255, 255).map(_.toByte))
+    // undecodable payloads keep the stub contract
+    assert(MediaCodec.resizeRaster("not an image".getBytes, 2, 2).isEmpty)
+    // and the operator routes rasters through the real path
+    val rows = Seq(org.apache.spark.sql.Row(1L, "image", p6,
+      "image/x-portable-pixmap", Integer.valueOf(4), Integer.valueOf(1),
+      null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val out = Multimodal.resize(df, 2, 1).collect()(0)
+    assert(out.getAs[Array[Byte]]("payload").toSeq == down.toSeq)
+    assert(out.getAs[Int]("width") == 2 && out.getAs[Int]("height") == 1)
+  }
+
   test("metadataProfile prunes payload column from the scan") {
     val docs = Seq((1L, "hello")).toDF("doc_id", "text")
     val media = Multimodal.mediaFromText(docs, "doc_id", "text")
