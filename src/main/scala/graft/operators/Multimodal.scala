@@ -187,7 +187,64 @@ object Multimodal {
       if (w <= 0 || h <= 0) None
       else if (isPnm(b)) resizePnm(b, w, h)
       else if (isBmp(b)) resizeBmp(b, w, h)
+      else if (isPng(b)) resizePng(b, w, h)
       else None
+
+    /** PNG nearest-neighbor resize: [[pngDecode]] (same gate as the
+      * feature branch), sample in the SOURCE color type (palette images
+      * resample indices and keep their PLTE), re-encode with filter-0
+      * scanlines through the JDK `Deflater` — zlib is the JDK's native
+      * format, so like the decoder this needs no codec library. */
+    private def resizePng(b: Array[Byte], w: Int,
+        h: Int): Option[Array[Byte]] =
+      pngDecode(b).map { case (sw, sh, colorType, palette, px) =>
+        val ch = colorType match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4
+        }
+        val raw = new Array[Byte](h * (1 + w * ch))
+        var y = 0
+        while (y < h) {
+          val sy = ((y.toLong * sh) / h).toInt
+          val rowBase = y * (1 + w * ch) + 1 // filter byte 0 leads each row
+          var x = 0
+          while (x < w) {
+            val sx = ((x.toLong * sw) / w).toInt
+            var c = 0
+            while (c < ch) {
+              raw(rowBase + x * ch + c) = px((sy * sw + sx) * ch + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val defl = new java.util.zip.Deflater()
+        defl.setInput(raw); defl.finish()
+        val z = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+        defl.end()
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+          .map(_.toByte), 0, 8)
+        def beBytes(v: Int): Array[Byte] = Array(
+          (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+        def chunk(kind: String, data: Array[Byte]): Unit = {
+          out.write(beBytes(data.length), 0, 4)
+          val tag = kind.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val crc = new java.util.zip.CRC32()
+          crc.update(tag); crc.update(data)
+          out.write(tag, 0, 4)
+          out.write(data, 0, data.length)
+          out.write(beBytes(crc.getValue.toInt), 0, 4)
+        }
+        chunk("IHDR", beBytes(w) ++ beBytes(h) ++
+          Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte))
+        if (colorType == 3) chunk("PLTE", palette)
+        chunk("IDAT", z.toByteArray)
+        chunk("IEND", Array.emptyByteArray)
+        out.toByteArray
+      }
 
     private def resizePnm(b: Array[Byte], w: Int,
         h: Int): Option[Array[Byte]] = {
@@ -616,14 +673,15 @@ object Multimodal {
     * and re-encode at (w, h), emitting a new media row with updated
     * metadata. Same iterator-in/iterator-out `mapPartitions` shape as
     * [[extractFeatures]] — payloads never shuffle. Raster formats the
-    * codec really decodes (binary PNM P5/P6, 24-bit BMP) get a REAL
-    * nearest-neighbor resample re-encoded in their own format —
-    * [[MediaCodec.sniff]] and the feature extractor read the output like
-    * any other image. Library-bound formats (PNG re-encode needs a zlib
-    * compressor choice; WAV/video aren't rasters) keep the documented
-    * deterministic stub: payload truncated to the w·h byte budget — a
-    * real deployment swaps libvips/ffmpeg into that one branch and
-    * nothing else changes. */
+    * codec really decodes (binary PNM P5/P6, 24-bit BMP, and PNG in the
+    * decoder's gate — gray/RGB/palette/RGBA, all five filters in, the
+    * JDK Deflater out) get a REAL nearest-neighbor resample re-encoded
+    * in their own format — [[MediaCodec.sniff]] and the feature
+    * extractor read the output like any other image. Non-raster or
+    * out-of-gate payloads (WAV, video, 16-bit/interlaced PNG) keep the
+    * documented deterministic stub: payload truncated to the w·h byte
+    * budget — a real deployment swaps libvips/ffmpeg into that one
+    * branch and nothing else changes. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val enc = ExpressionEncoder(mediaSchema)
     media.select("media_id", "kind", "payload", "mime", "width", "height",

@@ -2152,6 +2152,23 @@ class MultimodalSpec extends SparkSpec {
     assert(one.length == 54 + 4)
     // storage pixel (0,0) of the fixture is white
     assert(one.slice(54, 57).toSeq == Seq(255, 255, 255).map(_.toByte))
+    // PNG RGB 2×1 → 1×1: decode, sample pixel (0,0), re-encode — the
+    // output PNG round-trips through the SAME decoder
+    val rgb = pngBytes(2, 1, 2,
+      Array[Byte](0, 10, 20, 30, 40, 50, 60))
+    val png1 = MediaCodec.resizeRaster(rgb, 1, 1).get
+    val dec = MediaCodec.pngDecode(png1).get
+    assert(dec._1 == 1 && dec._2 == 1 && dec._3 == 2)
+    assert(dec._5.toSeq == Seq[Byte](10, 20, 30))
+    assert(MediaCodec.sniff(png1).contains(
+      MediaCodec.Sniffed("image/png", Some(1), Some(1), None)))
+    // palette PNG upsample: indices resample, PLTE survives
+    val pal = Array[Byte](0, 0, 0, 100, 110, 120)
+    val palPng = pngBytes(2, 1, 3, Array[Byte](0, 0, 1), plte = Some(pal))
+    val palUp = MediaCodec.resizeRaster(palPng, 4, 1).get
+    val palDec = MediaCodec.pngDecode(palUp).get
+    assert(palDec._3 == 3 && palDec._4.toSeq == pal.toSeq)
+    assert(palDec._5.toSeq == Seq[Byte](0, 0, 1, 1))
     // undecodable payloads keep the stub contract
     assert(MediaCodec.resizeRaster("not an image".getBytes, 2, 2).isEmpty)
     // and the operator routes rasters through the real path
