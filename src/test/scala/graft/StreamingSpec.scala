@@ -390,6 +390,41 @@ class ContinuousAggregateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming calibration: prefix-deterministic gate, replay idempotent") {
+    import graft.streaming.StreamingCalibration
+    val dir = Files.createTempDirectory("graft_cal").toString
+    // frozen scale [0, 10) in 5 buckets; keep the top 25 %
+    def gate(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingCalibration.calibrateBatch(df, id, dir, "score",
+        lo = 0.0, hi = 10.0, buckets = 5, keepFraction = 0.25)
+    def kept(id: Long): Set[Long] =
+      spark.read.parquet(s"$dir/out/batch=$id")
+        .select("doc_id").as[Long].collect().toSet
+    val b0 = (0 to 7).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "score")
+    gate(b0, 0L)
+    // buckets 0..3 hold 2 docs each (total 8); threshold = 8 - floor(2)
+    // = 6 → only bucket 3 (cum_lt 6) clears: docs 6, 7
+    assert(kept(0L) == Set(6L, 7L))
+    // batch 1 shifts the distribution up: three 8.5-9.5 scores (bucket
+    // 4) + one 1.0; running total 12, threshold 9 → bucket 4 only
+    val b1 = Seq((100L, 9.0), (101L, 9.5), (102L, 1.0), (103L, 8.5))
+      .toDF("doc_id", "score")
+    gate(b1, 1L)
+    assert(kept(1L) == Set(100L, 101L, 103L),
+      "batch 1 must gate against the running ECDF")
+    // audit columns record the evidence the decision used
+    val audit = spark.read.parquet(s"$dir/out/batch=1")
+      .select("cum_lt", "n_total").distinct().collect()
+    assert(audit.length == 1 && audit(0).getLong(0) == 9L &&
+      audit(0).getLong(1) == 12L)
+    // REPLAY batch 0 after batch 1 committed: the gate reads only the
+    // prefix (batch <= 0), so the rewrite is bit-identical — batch 1's
+    // counts must NOT leak backwards
+    gate(b0, 0L)
+    assert(kept(0L) == Set(6L, 7L),
+      "replay must reproduce the original decision from its prefix")
+  }
+
   test("retentionTrim keeps only the retention horizon") {
     val agg = Seq(
       (1700000000L, 5L), (1700000000L - 10 * 3600L, 3L))
