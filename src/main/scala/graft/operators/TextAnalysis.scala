@@ -456,18 +456,8 @@ object TextAnalysis {
         // accumulated tail is `a` and the incoming symbol is `b` (a
         // just-fused symbol is `a ++ b`, which no longer equals `a`, so
         // overlaps cannot chain — the reference BPE contract)
-        val aLit = lit(a)
-        val bLit = lit(b)
         val next = vocab.select(
-            aggregate(col("syms"),
-              array().cast(org.apache.spark.sql.types.ArrayType(StringType)),
-              (acc, s) =>
-                when(size(acc) > 0 && element_at(acc, -1) === aLit &&
-                    s === bLit,
-                  concat(slice(acc, lit(1), size(acc) - 1),
-                    array(concat(aLit, bLit))))
-                  .otherwise(concat(acc, array(s)))).as("syms"),
-            col("wcount"))
+            fuseOnce(col("syms"), a, b).as("syms"), col("wcount"))
           .persist()
         next.count()
         vocab.unpersist(blocking = false)
@@ -511,22 +501,51 @@ object TextAnalysis {
     * narrow shuffle keyed on the id at any corpus size. The merge
     * table is bounded (it is a MODEL, like [[linearScore]] weights);
     * each rule adds one expression node, not a join. */
-  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    require(merges.nonEmpty, "bpeEncode needs at least one merge rule")
+  /** Greedy left-to-right fusion of pair `(a, b)` over a symbol array —
+    * one BPE merge application as an order-aware fold. A just-fused
+    * symbol is `a ++ b`, which no longer equals `a`, so overlapping
+    * occurrences cannot chain ([a,a,a] under (a,a) → [aa,a]): the
+    * reference BPE contract. Shared by [[bpeMerges]] (training applies
+    * the freshly-learned rule) and the cross-check spec that proves the
+    * [[bpeTokens]] replace-chain computes the SAME function. */
+  private[graft] def fuseOnce(syms: Column, a: String,
+      b: String): Column = {
+    val aLit = lit(a)
+    val bLit = lit(b)
+    aggregate(syms,
+      array().cast(org.apache.spark.sql.types.ArrayType(StringType)),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === aLit && s === bLit,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(aLit, bLit))))
+          .otherwise(concat(acc, array(s))))
+  }
+
+  /** The per-word BPE token array under `merges` via the sentinel
+    * replace-chain — factored so the cross-check spec can compare it
+    * element-for-element against the [[fuseOnce]] fold chain (the
+    * compositional-fallback discipline every native kernel follows). */
+  private[graft] def bpeTokens(word: Column,
+      merges: Seq[(String, String)]): Column = {
     val S = "\u0001"
     // S c1 S S c2 S ...: char-split, rejoin with doubled sentinels
-    val start = concat(lit(S),
-      array_join(split(col("word"), ""), S + S), lit(S))
+    val start = concat(lit(S), array_join(split(word, ""), S + S), lit(S))
     val encoded = merges.foldLeft(start) { case (acc, (a, b)) =>
       replace(acc, lit(S + a + S + S + b + S), lit(S + a + b + S))
     }
+    transform(split(encoded, S + S),
+      t => regexp_replace(t, lit(S), lit("")))
+  }
+
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeEncode needs at least one merge rule")
     val words = df.select(col(idCol),
       explode_outer(filter(tokens(col(textCol)),
         w => length(w) > 0)).as("word"))
     words
       .withColumn("n_sub", when(col("word").isNull, lit(0L))
-        .otherwise(size(split(encoded, S + S)).cast(LongType)))
+        .otherwise(size(bpeTokens(col("word"), merges)).cast(LongType)))
       .groupBy(col(idCol))
       .agg(sum(col("n_sub")).as("n_bpe_tokens"))
   }

@@ -32,6 +32,31 @@ class KernelPropertySpec extends SparkSpec {
       s"shingles differ: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
   }
 
+  test("property: bpe replace-chain == fuseOnce fold chain on random words") {
+    import graft.operators.TextAnalysis
+    // small alphabet so merges actually fire, including runs (aa etc.)
+    val word = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val pair = Gen.zip(Gen.oneOf("a", "b", "c", "ab", "aa", "bc"),
+      Gen.oneOf("a", "b", "c", "ba", "cc"))
+    val mergeTables = sample(Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, pair)), 12)
+    val words = (sample(word, 80) ++ Seq("a", "aaaa", "ababab", "abcabc"))
+      .distinct
+    mergeTables.foreach { merges =>
+      val df = words.toDF("word").select(col("word"),
+        TextAnalysis.bpeTokens(col("word"), merges).as("chain"),
+        merges.foldLeft(split(col("word"), "")) { case (acc, (a, b)) =>
+          TextAnalysis.fuseOnce(acc, a, b)
+        }.as("fold"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"word '${r.getString(0)}' under $merges: " +
+            s"${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+      }
+    }
+  }
+
   test("property: window_min_distinct == compositional window minima") {
     graft.functions.GraftFunctions.register(spark)
     val W = graft.functions.WordShingleFunctions
