@@ -1254,6 +1254,34 @@ object OracleSql {
         |    (PARTITION BY lang ORDER BY hk, doc_id) AS BIGINT) AS sample_rank
         |FROM h QUALIFY sample_rank <= 40""".stripMargin,
 
+    // Exactly-k sample: the 200 smallest (md5_60(id), id) draws.
+    "q_sample_fixed" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT)
+        |    AS sample_rank
+        |FROM h ORDER BY hk, doc_id LIMIT 200""".stripMargin,
+
+    // Median/MAD robust outliers per event type: medians via
+    // quantile_cont (bit-equal to Spark's exact percentile), score
+    // arithmetic in fixed IEEE op order; mad = 0 → robust_z NULL and
+    // any deviation flags.
+    "q_profile_outliers" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |    ABS(e.value - m.med) AS dev
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value, d.med, md.mad,
+        |  CASE WHEN md.mad > 0 THEN (d.value - d.med) / md.mad END
+        |    AS robust_z,
+        |  ABS(d.value - d.med) > 3.0 * md.mad AS is_outlier
+        |FROM d JOIN md USING (event_type)""".stripMargin,
+
     // C4-style span excision: non-overlapping 8-word blocks, global
     // first occurrence by (doc_id, block_no) keeps, every other copy is
     // cut; surviving blocks re-join in order (single spaces). Docs with

@@ -672,6 +672,22 @@ object SparkEntry {
     Sampling.stratifiedCap(docs(spark, dir), "lang", "doc_id", 40)
       .select("doc_id", "lang", "sample_rank")
 
+  /** Exactly-200 deterministic sample (k smallest hash draws) — the
+    * fixed-size eval-set primitive; monotone in k. */
+  private def qSampleFixed(spark: SparkSession, dir: String): DataFrame =
+    Sampling.fixedSize(docs(spark, dir), "doc_id", 200)
+      .select("doc_id", "lang", "sample_rank")
+
+  /** Median/MAD robust outlier scoring per event type — the detector
+    * heavy tails can't corrupt; exact percentile parity with DuckDB
+    * quantile_cont. */
+  private def qProfileOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.robustOutliers(
+        events(spark, dir).select("event_id", "event_type", "value"),
+        "event_type", "value", k = 3.0)
+      .select("event_id", "event_type", "value", "med", "mad",
+        "robust_z", "is_outlier")
+
   /** Deterministic mixture resampling to a training recipe: en
     * upsampled 1.5×, fr kept, de/es downsampled, zh doubled — expected
     * multiplicity exactly the rate, same rows on every rerun. */
@@ -1020,6 +1036,8 @@ object SparkEntry {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_mixture" -> (qSampleMixture _),
     "q_sample_temperature" -> (qSampleTemperature _),
+    "q_sample_fixed" -> (qSampleFixed _),
+    "q_profile_outliers" -> (qProfileOutliers _),
     "q_curation_token_budget" -> (qCurationTokenBudget _),
     "q_curation_calibrate" -> (qCurationCalibrate _),
     "q_export_shards" -> (qExportShards _),

@@ -51,4 +51,39 @@ object Profiling {
       .select(g ++ Seq(col("n_docs"), col("total_size"), col("min_size"),
         col("max_size"), col(sizeCol).as("median_size"), col("share")): _*)
   }
+
+  /** Robust per-group outlier scoring — median/MAD instead of mean/σ,
+    * the detector that still works when the outliers THEMSELVES corrupt
+    * the yardstick (a few 10⁶-token pages shift a mean enough to hide
+    * themselves; they cannot move a median). Every row comes back with
+    * its group's `med` and `mad`, the `robust_z` score
+    * `(x − med) / mad` (NULL when `mad = 0` — a degenerate group has no
+    * scale to score against), and `is_outlier = |x − med| > k·mad`
+    * (`mad = 0`: any deviation flags, the natural limit). Medians are
+    * Spark's exact `percentile`, bit-equal to DuckDB `quantile_cont`
+    * (the [[graft.queries.TimeSeries.percentileSummary]] parity), and
+    * the score arithmetic is fixed-op-order IEEE — fully oracle-gated.
+    *
+    * Scale shape: two tiny per-group aggregates (med, then MAD over
+    * deviations) broadcast back over per-row math; exact `percentile`
+    * gathers each group's values to its reducer, so for extreme group
+    * cardinalities swap in `approx_percentile` (the
+    * [[graft.queries.TimeSeries.percentileSketch]] bounded-state arm) —
+    * the operator shape is identical. */
+  def robustOutliers(df: DataFrame, keyCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0 && k.isFinite, s"k must be finite and > 0, got $k")
+    val v = col(valueCol).cast(DoubleType)
+    val med = df.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = df.join(broadcast(med), Seq(keyCol))
+      .withColumn("dev", abs(v - col("med")))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq(keyCol))
+      .withColumn("robust_z",
+        when(col("mad") > 0, (v - col("med")) / col("mad")))
+      .withColumn("is_outlier", col("dev") > lit(k) * col("mad"))
+      .drop("dev")
+  }
 }

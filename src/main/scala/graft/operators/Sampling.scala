@@ -41,6 +41,24 @@ object Sampling {
       .filter(col("sample_rank") <= perStratum)
   }
 
+  /** EXACTLY `k` rows, deterministically: the k smallest
+    * `(md5_60(key), key)` draws — the fixed-size complement of
+    * [[uniform]]'s fixed-rate sample ("give me exactly 10k eval
+    * examples", where a rate would jitter with corpus size). Monotone:
+    * `fixedSize(k₁) ⊂ fixedSize(k₂)` for `k₁ ≤ k₂`, so eval sets only
+    * ever grow as the budget does. Adds `sample_rank` (1-based draw
+    * order). Plans as `TakeOrderedAndProject` — per-partition top-k and
+    * a driver merge of k-row heaps, never a global sort (locked by the
+    * ScaleSpec plan audit). */
+  def fixedSize(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    df.orderBy(hashKey(col(keyCol)), col(keyCol)).limit(k)
+      .withColumn("sample_rank", row_number()
+        .over(Window.orderBy(hashKey(col(keyCol)), col(keyCol)))
+        .cast(LongType))
+  }
+
   /** Deterministic training-shard export: every row gets a `shard` in
     * `[0, nShards)` (uniform by the hash draw) and a 1-based `position`
     * within its shard, ordered by `(md5_60(key), key)` — a reproducible

@@ -839,6 +839,40 @@ class CurationSpec extends SparkSpec {
 
 class ProfilingSpec extends SparkSpec {
   import spark.implicits._
+
+  test("robustOutliers: median/MAD scoring, degenerate-scale contract") {
+    import graft.operators.Profiling
+    // group a: [1,2,3,4,100] → med 3, devs [2,1,0,1,97], mad 1 →
+    // only 100 clears |x-med| > 3·mad, robust_z = 97
+    // group b: [5,5,5,9] → med 5, mad 0 → z NULL, the 9 still flags
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex
+        .map { case (v, i) => (i.toLong, "a", v) } ++
+      Seq(5.0, 5.0, 5.0, 9.0).zipWithIndex
+        .map { case (v, i) => (10L + i, "b", v) })
+      .toDF("id", "grp", "value")
+    def rows(d: org.apache.spark.sql.DataFrame)
+        : Map[Long, (Double, Double, Option[Double], Boolean)] =
+      Profiling.robustOutliers(d, "grp", "value", k = 3.0)
+        .collect().map { r =>
+          r.getAs[Long]("id") -> ((r.getAs[Double]("med"),
+            r.getAs[Double]("mad"),
+            Option(r.getAs[java.lang.Double]("robust_z"))
+              .map(_.doubleValue),
+            r.getAs[Boolean]("is_outlier")))
+        }.toMap
+    val out = rows(df)
+    assert(out(4L) == ((3.0, 1.0, Some(97.0), true)), s"got ${out(4L)}")
+    assert((0L to 3L).forall(!out(_)._4), "inliers must not flag")
+    assert(out(0L)._3.contains(-2.0))
+    // degenerate group: no scale → NULL z; deviation still flags
+    assert(out(10L) == ((5.0, 0.0, None, false)))
+    assert(out(13L) == ((5.0, 0.0, None, true)),
+      "any deviation from a zero-MAD group flags")
+    assert(rows(df.repartition(5)) == out,
+      "scoring must not depend on partitioning")
+  }
+
+  import spark.implicits._
   import graft.operators.Profiling
 
   test("corpusProfile: exact lower median, totals, and shares") {
@@ -987,6 +1021,28 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(doubled == halfDraw,
       "fractional copies must ride the same hash draw as uniform()")
+  }
+
+  test("fixedSize: exactly k, monotone in k, partition-independent") {
+    def ids(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+      Sampling.fixedSize(df, "doc_id", k)
+        .orderBy("sample_rank").select("doc_id").as[Long].collect().toSeq
+    val k50 = ids(docs, 50)
+    assert(k50.size == 50 && k50.distinct.size == 50)
+    assert(ids(docs.repartition(7), 50) == k50,
+      "fixed-size draw must not depend on partitioning")
+    // monotone: a bigger budget only APPENDS draws
+    assert(ids(docs, 80).take(50) == k50)
+    // same draw order as uniform(): the 50 smallest hashes are all
+    // below any rate cut that admits at least 50 rows
+    val r30 = Sampling.uniform(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(r30.size >= 50 && k50.toSet.subsetOf(r30),
+      "fixed-size and fixed-rate samples must share the hash order")
+    // plan: TakeOrderedAndProject, never a global sort
+    val plan = Sampling.fixedSize(docs, "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("temperatureSample: rates ∝ sqrt(n_max/n_g), derived not handed in") {
