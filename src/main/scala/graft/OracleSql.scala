@@ -877,6 +877,27 @@ object OracleSql {
          |FROM documents""".stripMargin
     },
 
+    // HTML→text extraction: the same fixed replace chain as
+    // TextAnalysis.stripHtml — script/style/comments, tags, entities
+    // (&lt;-family before &amp;), whitespace collapse.
+    "q_text_strip_html" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |  replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(text,
+        |              '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+        |            '(?is)<style\b.*?</style\s*>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+        |    '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS stripped
+        |FROM documents""".stripMargin,
+
     // Canonical normalization: control chars → space, collapse
     // whitespace, trim, lowercase.
     "q_text_normalize" ->

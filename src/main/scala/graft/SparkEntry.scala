@@ -441,6 +441,13 @@ object SparkEntry {
     docs(spark, dir).select(col("doc_id"),
       TextAnalysis.normalize(col("text")).as("normalized"))
 
+  /** HTML→text extraction (C4/CCNet-class regex stripper): scripts/
+    * styles/comments out, tags to spaces, entities decoded, whitespace
+    * collapsed. */
+  private def qTextStripHtml(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      TextAnalysis.stripHtml(col("text")).as("stripped"))
+
   /** Context-window chunking: 32-token windows, 8-token overlap. */
   private def qChunkWindows(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunk(docs(spark, dir), "doc_id", "text",
@@ -1016,6 +1023,7 @@ object SparkEntry {
     "q_text_bpe_pairs" -> (qTextBpePairs _),
     "q_text_bpe_encode" -> (qTextBpeEncode _),
     "q_text_normalize" -> (qTextNormalize _),
+    "q_text_strip_html" -> (qTextStripHtml _),
     "q_profile_corpus" -> (qProfileCorpus _),
     "q_chunk_windows" -> (qChunkWindows _),
     "q_vocab_topk" -> (qVocabTopk _),

@@ -190,6 +190,74 @@ object Multimodal {
       else if (isPng(b)) resizePng(b, w, h)
       else None
 
+    /** Nearest-neighbor AUDIO resample for 16-bit PCM WAV — the audio
+      * analog of [[resizeRaster]]: walk the RIFF chunks with the same
+      * gate as the feature branch (PCM, 16-bit), pick source FRAMES at
+      * `floor(i·srcFrames/dstFrames)` (all channels of a frame move
+      * together), and re-encode a canonical 44-byte-header WAV at
+      * `targetHz`. Duration is preserved by construction
+      * (`dstFrames = floor(srcFrames·targetHz/srcRate)`, min 1 when any
+      * source frame exists); returns None outside the decode gate. */
+    private[graft] def resampleWav(b: Array[Byte],
+        targetHz: Int): Option[Array[Byte]] = {
+      if (targetHz <= 0 || !isWav(b)) return None
+      var o = 12
+      var dataOff = -1; var dataLen = 0
+      var fmtOk = false; var channels = 0; var srcRate = 0
+      while (o + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+        val size = le32(b, o + 4)
+        if (size < 0) return None
+        if (b(o) == 'f' && b(o + 1) == 'm' && b(o + 2) == 't' &&
+            b(o + 3) == ' ') {
+          fmtOk = size >= 16 && le16(b, o + 8) == 1 && le16(b, o + 22) == 16
+          if (size >= 16 && !fmtOk) return None
+          if (fmtOk) {
+            channels = le16(b, o + 10)
+            srcRate = le32(b, o + 12)
+          }
+        } else if (b(o) == 'd' && b(o + 1) == 'a' && b(o + 2) == 't' &&
+            b(o + 3) == 'a') {
+          dataOff = o + 8
+          dataLen = math.min(size, b.length - dataOff)
+        }
+        o += 8 + size + (size & 1)
+      }
+      if (!fmtOk || dataOff < 0 || channels < 1 || srcRate < 1) return None
+      val frameBytes = 2 * channels
+      val srcFrames = dataLen / frameBytes
+      val dstFrames =
+        if (srcFrames == 0) 0
+        else math.max(1L, srcFrames.toLong * targetHz / srcRate).toInt
+      val outData = dstFrames * frameBytes
+      val out = new Array[Byte](44 + outData)
+      def putLe32(p: Int, v: Int): Unit = {
+        out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte
+        out(p + 2) = ((v >> 16) & 0xff).toByte
+        out(p + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def putLe16(p: Int, v: Int): Unit = {
+        out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte
+      }
+      System.arraycopy("RIFF".getBytes, 0, out, 0, 4)
+      putLe32(4, 36 + outData)
+      System.arraycopy("WAVE".getBytes, 0, out, 8, 4)
+      System.arraycopy("fmt ".getBytes, 0, out, 12, 4)
+      putLe32(16, 16); putLe16(20, 1); putLe16(22, channels)
+      putLe32(24, targetHz)
+      putLe32(28, targetHz * frameBytes)
+      putLe16(32, frameBytes); putLe16(34, 16)
+      System.arraycopy("data".getBytes, 0, out, 36, 4)
+      putLe32(40, outData)
+      var i = 0
+      while (i < dstFrames) {
+        val sf = (i.toLong * srcFrames / dstFrames).toInt
+        System.arraycopy(b, dataOff + sf * frameBytes,
+          out, 44 + i * frameBytes, frameBytes)
+        i += 1
+      }
+      Some(out)
+    }
+
     /** PNG nearest-neighbor resize: [[pngDecode]] (same gate as the
       * feature branch), sample in the SOURCE color type (palette images
       * resample indices and keep their PLTE), re-encode with filter-0
@@ -699,6 +767,32 @@ object Multimodal {
           }
           Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), resized,
             r.getAs[String]("mime"), w, h, r.getAs[java.lang.Long]("duration_ms"),
+            r.getAs[String]("caption"))
+        }
+      }(enc)
+  }
+
+  /** Distributed audio resample: every 16-bit PCM WAV payload re-encoded
+    * at `targetHz` ([[MediaCodec.resampleWav]] — real nearest-neighbor
+    * frame sampling, channels preserved); rows outside the decode gate
+    * pass through UNCHANGED (an audio resampler must not mangle images
+    * or undecodable blobs). Same iterator `mapPartitions` shape as
+    * [[resize]]; payloads never shuffle. */
+  def resampleAudio(media: DataFrame, targetHz: Int): DataFrame = {
+    require(targetHz >= 1, s"targetHz must be >= 1, got $targetHz")
+    val enc = ExpressionEncoder(mediaSchema)
+    media.select("media_id", "kind", "payload", "mime", "width", "height",
+        "duration_ms", "caption")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          val res = MediaCodec.resampleWav(payload, targetHz)
+            .getOrElse(payload)
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), res,
+            r.getAs[String]("mime"), r.getAs[java.lang.Integer]("width"),
+            r.getAs[java.lang.Integer]("height"),
+            r.getAs[java.lang.Long]("duration_ms"),
             r.getAs[String]("caption"))
         }
       }(enc)

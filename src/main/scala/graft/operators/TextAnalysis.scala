@@ -469,6 +469,32 @@ object TextAnalysis {
     learned.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** HTML → text extraction — the first transform every web-corpus
+    * pipeline runs. Deliberately regex-based and deterministic (the
+    * C4/CCNet class of stripper, not a DOM parser): script/style blocks
+    * and comments die first (non-greedy spans — RE2-safe, no
+    * lookaround), remaining tags become spaces, then the common
+    * entities decode (`&lt;`-family BEFORE `&amp;`, the standard
+    * double-escape order — decoded angle brackets are literal text, the
+    * tag pass is already over), and whitespace collapses. Every step is
+    * a codegen'd `regexp_replace`/`replace` in the RE2∩Java subset with
+    * a fixed chain order, so the DuckDB oracle mirrors it verbatim:
+    * shuffle-free, one scan at any corpus size. */
+  def stripHtml(text: Column): Column = {
+    val noScript =
+      regexp_replace(text, "(?is)<script\\b.*?</script\\s*>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style\\b.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    trim(regexp_replace(replace(entities, lit("&amp;"), lit("&")),
+      "\\s+", " "))
+  }
+
   /** A fixed rank-ordered 8-rule merge table for the registry's encode
     * query — a model constant (like the linear-classifier weights), so
     * the DuckDB oracle can mirror the exact replace chain. */

@@ -34,6 +34,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("stripHtml: scripts/styles/comments out, tags to text, entities") {
+    val cases = Seq(
+      ("<html><body><h1>Title</h1><p>Hello <b>world</b>.</p></body></html>",
+        "Title Hello world ."),
+      ("<script type=\"text/javascript\">var x = '<p>';</script>keep me",
+        "keep me"),
+      ("<style>p { color: red; }</style>styled<!-- note -->text",
+        "styled text"),
+      ("a &lt;tag&gt; &amp;amp; &quot;q&quot; &#39;s&#39;&nbsp;end",
+        "a <tag> &amp; \"q\" 's' end"),
+      ("<SCRIPT>\nmultiline();\n</SCRIPT>after", "after"),
+      ("no markup at all", "no markup at all"),
+      ("", ""))
+    val out = cases.map(_._1).toDF("text")
+      .select(TextAnalysis.stripHtml(col("text")).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"expected '$want', got '$got'")
+    }
+  }
+
   test("gopherRules: each rule flags its own violation, keep is the AND") {
     val good = Seq.fill(6)(
       "the quick brown foxes jumped over with lazy dogs and").mkString(" ")
@@ -2236,6 +2257,41 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.resize(df, 2, 1).collect()(0)
     assert(out.getAs[Array[Byte]]("payload").toSeq == down.toSeq)
     assert(out.getAs[Int]("width") == 2 && out.getAs[Int]("height") == 1)
+  }
+
+  test("resampleAudio: real frame-sampled WAV re-encode, pass-through gate") {
+    import graft.operators.Multimodal.MediaCodec
+    // fixture: mono 8000 Hz, samples 16384, -16384, 0, 32767
+    val wav = wavBytes(16000)
+    // downsample 8000 → 4000: frames 0, 2 survive
+    val down = MediaCodec.resampleWav(wav, 4000).get
+    assert(MediaCodec.decode(down, 2).toSeq ==
+      Seq(16384.0 / 32768.0, 0.0))
+    assert(MediaCodec.sniff(down).exists(_.mime == "audio/wav"))
+    // upsample 8000 → 16000: every frame doubled —
+    // [16384, 16384, -16384, -16384, 0, 0, 32767, 32767]
+    val up = MediaCodec.resampleWav(wav, 16000).get
+    assert(MediaCodec.decode(up, 8).toSeq ==
+      Seq(16384, 16384, 16384, 16384, 0, 0, 32767, 32767)
+        .map(_ / 32768.0),
+      s"got ${MediaCodec.decode(up, 8).toSeq}")
+    // duration preserved: same frames/second ratio → byteRate doubles
+    // with the rate, so sniffed duration is unchanged
+    assert(MediaCodec.sniff(up).map(_.durationMs) ==
+      MediaCodec.sniff(wav).map(_.durationMs))
+    // out-of-gate payloads pass through unchanged via the operator
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "audio", wav, "audio/wav",
+        null, null, null, null),
+      org.apache.spark.sql.Row(2L, "image", bmpBytes, "image/bmp",
+        null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val out = Multimodal.resampleAudio(df, 4000).orderBy("media_id")
+      .collect()
+    assert(out(0).getAs[Array[Byte]]("payload").toSeq == down.toSeq)
+    assert(out(1).getAs[Array[Byte]]("payload").toSeq == bmpBytes.toSeq,
+      "non-WAV payloads must pass through untouched")
   }
 
   test("metadataProfile prunes payload column from the scan") {
