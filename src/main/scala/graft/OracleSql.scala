@@ -1333,6 +1333,34 @@ object OracleSql {
         |  COALESCE(r.n_removed, CAST(0 AS BIGINT)) AS n_removed
         |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
 
+    // Corpus duplication telemetry: the q_dedup_span block/keep chain
+    // aggregated to one row of totals + fraction.
+    "q_dedup_span_profile" ->
+      """WITH w AS (SELECT doc_id, trim(text) AS t,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |w2 AS (SELECT doc_id, ws,
+        |    CASE WHEN len(t) = 0 THEN 0 ELSE len(ws) END AS nw FROM w),
+        |b AS (SELECT doc_id, ws, nw,
+        |    unnest(generate_series(0, (nw + 7) // 8 - 1)) AS block_no
+        |  FROM w2 WHERE nw > 0),
+        |b2 AS (SELECT doc_id, block_no,
+        |    array_to_string(ws[block_no * 8 + 1 : least(block_no * 8 + 8, nw)],
+        |      ' ') AS span
+        |  FROM b),
+        |f AS (SELECT doc_id, block_no,
+        |    row_number() OVER (PARTITION BY md5(span)
+        |      ORDER BY doc_id, block_no) = 1 AS keep
+        |  FROM b2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dup_blocks,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with_blocks,
+        |  CAST(COUNT(DISTINCT CASE WHEN NOT keep THEN doc_id END)
+        |    AS BIGINT) AS n_docs_affected,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+        |FROM f""".stripMargin,
+
     // Span-level decontamination: same 8-word block machinery as
     // q_dedup_span, but a train block (doc_id % 4 <> 0) is cut when its
     // text occurs as ANY eval-split block (doc_id % 4 = 0); all train

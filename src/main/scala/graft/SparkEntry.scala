@@ -624,6 +624,12 @@ object SparkEntry {
   private def qDedupSpan(spark: SparkSession, dir: String): DataFrame =
     Dedup.spanDedupRewrite(docs(spark, dir), "doc_id", "text", spanWords = 8)
 
+  /** Corpus duplication telemetry off the 8-word span decision: one row
+    * of block totals, duplicated fraction, and affected-doc counts. */
+  private def qDedupSpanProfile(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDuplicationProfile(docs(spark, dir), "doc_id", "text",
+      spanWords = 8)
+
   /** Span-level decontamination: train docs (¾ split) come back with any
     * 8-word block that also occurs in the eval split (¼) excised — the
     * surgical complement of q_decontaminate's whole-doc flag. */
@@ -1059,6 +1065,7 @@ object SparkEntry {
     "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_span" -> (qDedupSpan _),
+    "q_dedup_span_profile" -> (qDedupSpanProfile _),
     "q_decontaminate_span" -> (qDecontaminateSpan _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_norm" -> (qDecontaminateNormalized _),

@@ -110,6 +110,31 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** Corpus duplication-rate telemetry off the span-dedup decision —
+    * the "how much boilerplate is in this crawl" number a pipeline
+    * reads before deciding whether span excision is worth a rewrite
+    * pass: total blocks, duplicated (non-first-occurrence) blocks, the
+    * duplication fraction, and how many docs are touched. One row out;
+    * same two shuffles as [[spanDedupRewrite]] minus the rebuild. */
+  def spanDuplicationProfile(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val flagged = wordBlocks(base, spanWords).withColumn("keep",
+      row_number().over(
+        Window.partitionBy(md5(col("span").cast(BinaryType)))
+          .orderBy(col("doc_id"), col("block_no"))) === 1)
+    flagged.agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup_blocks"),
+      count_distinct(col("doc_id")).as("n_docs_with_blocks"),
+      count_distinct(when(!col("keep"), col("doc_id")))
+        .as("n_docs_affected"))
+      .withColumn("dup_fraction",
+        col("n_dup_blocks").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_blocks").cast(org.apache.spark.sql.types.DoubleType))
+  }
+
   /** Span-level DECONTAMINATION, rewrite form: every `spanWords`-word
     * train block whose text also appears as an eval-corpus block is cut
     * — the document survives with the quoted benchmark material excised,

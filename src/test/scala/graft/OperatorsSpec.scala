@@ -405,6 +405,23 @@ class DedupSpec extends SparkSpec {
       "rewrite must not depend on partitioning")
   }
 
+  test("spanDuplicationProfile: block totals, fraction, affected docs") {
+    // 4-word blocks; docs 1 and 2 share their first block; doc 3 empty
+    val docs = Seq(
+      (1L, "alpha beta gamma delta one two three four"),
+      (2L, "alpha beta gamma delta five six seven eight"),
+      (3L, "")
+    ).toDF("id", "text")
+    val out = Dedup.spanDuplicationProfile(docs, "id", "text", spanWords = 4)
+      .collect()(0)
+    assert(out.getAs[Long]("n_blocks") == 4L)
+    assert(out.getAs[Long]("n_dup_blocks") == 1L,
+      "doc 2's copy of the shared block is the one duplicate")
+    assert(out.getAs[Long]("n_docs_with_blocks") == 2L)
+    assert(out.getAs[Long]("n_docs_affected") == 1L)
+    assert(out.getAs[Double]("dup_fraction") == 0.25)
+  }
+
   test("spanDecontaminate: eval blocks excised from train, rest survives") {
     // 4-word blocks. Train doc 1 quotes eval doc 10's first block in its
     // middle block; doc 2 is clean; doc 3 is a verbatim eval quote and
