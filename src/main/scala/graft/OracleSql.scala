@@ -2332,6 +2332,30 @@ object OracleSql {
         |    AS rank
         |FROM s QUALIFY rank <= 20""".stripMargin,
 
+    // TF-IDF top-5 keywords per document: idf quantized to quarter bits
+    // by the exact integer identity floor(4·log2(N/df)) =
+    // bitlen(⌊N⁴/df⁴⌋)−1 in HUGEINT — the same value graft's
+    // log2_quarter_bits kernel computes — so score = tf·idf_qb is an
+    // exact BIGINT; ties break on the token string.
+    "q_text_tfidf" ->
+      """WITH base AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS arr FROM documents),
+        |tf AS (SELECT doc_id, tok AS token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(arr) AS tok FROM base)
+        |  WHERE len(tok) > 0 GROUP BY 1, 2),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, token, tf,
+        |    CAST(length(bin((CAST(n AS HUGEINT) * n * n * n)
+        |      // (CAST(df AS HUGEINT) * df * df * df))) - 1 AS BIGINT)
+        |      AS idf_qb
+        |  FROM tf JOIN dfq USING (token) CROSS JOIN nn)
+        |SELECT doc_id, token, tf, idf_qb, tf * idf_qb AS score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tf * idf_qb DESC, token) AS BIGINT) AS rank
+        |FROM sc QUALIFY rank <= 5""".stripMargin,
+
     // CCNet-style bigram-LM perplexity, α = 1/10, trained on the lang='en'
     // slice. Every probability is the integer rational A/B and the
     // per-bigram cost is floor(4·log2(B/A)) = bitlen(⌊B⁴/A⁴⌋)−1, exact in

@@ -485,6 +485,10 @@ object SparkEntry {
     TextAnalysis.bm25Rational(docs(spark, dir), "doc_id", "text",
       Seq("spark", "vector", "merge"), topK = 20)
 
+  /** TF-IDF top-5 keywords per document (quarter-bit exact idf). */
+  private def qTextTfidf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(docs(spark, dir), "doc_id", "text", k = 5)
+
   /** CCNet-style LM quality scoring: bigram model trained on the English
     * slice (the "clean reference"), every document scored in exact
     * quarter-bit NLL — out-of-language and junk text surfaces as high
@@ -1037,6 +1041,7 @@ object SparkEntry {
     "q_text_linear" -> (qTextLinear _),
     "q_dedup_apply_stats" -> (qDedupApplyStats _),
     "q_text_bm25" -> (qTextBm25 _),
+    "q_text_tfidf" -> (qTextTfidf _),
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_lm_buckets" -> (qLmBuckets _),
     "q_text_oov" -> (qTextOov _),

@@ -947,6 +947,58 @@ object TextAnalysis {
         .cast(LongType))
   }
 
+  /** TF-IDF top-`k` keywords per document — the per-document complement
+    * of [[bm25Rational]] (which scores documents against one fixed query;
+    * this surfaces each document's OWN most distinctive terms, the
+    * classic keyword-extraction / topic-telemetry pass a curation
+    * pipeline runs to label clusters and spot boilerplate).
+    *
+    * Transcendental-free like every ranked operator here: idf is
+    * quantized to quarter bits by the exact integer identity
+    * `floor(4·log2(N/df)) = bitlen(⌊N⁴/df⁴⌋) − 1`
+    * ([[graft.functions.FixedLogImpl.log2QuarterBits]]; the DuckDB
+    * oracle states the same value in HUGEINT), so
+    * `score = tf · idf_qb` is an exact BIGINT both engines agree on.
+    * A term in every document prices to idf_qb = 0 — stopwords rank
+    * last without a stop list, which is the point of idf.
+    *
+    * Scale shape: ONE corpus scan collapses to the compact
+    * `(doc, token) → tf` postings aggregate (map-side combined), sealed
+    * with `localCheckpoint` exactly like the dedup postings tables —
+    * left lazy, the df branch re-plans as a second corpus scan + explode
+    * (the [[bm25Rational]] lesson). df is a `groupBy(token)` over those
+    * postings (partial aggregation absorbs the stopword hot keys
+    * map-side — deliberately NOT a `count over (partition by token)`
+    * window, which would ship every posting of a web-scale stopword
+    * into one partition), the postings⨝df join is AQE-skew-splittable,
+    * the doc-count constant broadcasts, and the per-document top-k is a
+    * `row_number ≤ k` planned as map-side `WindowGroupLimit` — the
+    * shuffle carries O(docs·k), never the full postings. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.FixedLogFunctions.log2QuarterBits
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val consts = df.agg(count(lit(1)).as("nn"))
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfq, Seq("token"))
+      .crossJoin(broadcast(consts))
+      .withColumn("idf_qb", log2QuarterBits(col("df"), col("nn")))
+      .withColumn("score", col("tf") * col("idf_qb"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("idf_qb"),
+        col("score"), col("rank"))
+  }
+
   /** Sliding word `n`-gram shingles as an array column (distinct, to make
     * set semantics explicit for Jaccard). Text with fewer than `n` words
     * yields one shingle = the whole trimmed text. */

@@ -14,6 +14,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 0, 0, 1))
   }
 
+  test("tfidfTopK: hand-computed quarter-bit idf, per-doc ranking, ties") {
+    // N=4. df: apple=3 (idf=floor(4·log2(4/3))=1), banana=2 (idf=4),
+    // cherry=3 (idf=1), zebra=1 (idf=floor(4·log2 4)=8).
+    val docs = Seq(
+      (1L, "apple apple zebra"),
+      (2L, "apple cherry"),
+      (3L, "banana cherry cherry"),
+      (4L, "apple banana cherry")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "token", "tf", "idf_qb", "score", "rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, "zebra", 1L, 8L, 8L, 1L), (1L, "apple", 2L, 1L, 2L, 2L),
+      // d2: equal scores 1,1 → token ascending breaks the tie
+      (2L, "apple", 1L, 1L, 1L, 1L), (2L, "cherry", 1L, 1L, 1L, 2L),
+      (3L, "banana", 1L, 4L, 4L, 1L), (3L, "cherry", 2L, 1L, 2L, 2L),
+      (4L, "banana", 1L, 4L, 4L, 1L), (4L, "apple", 1L, 1L, 1L, 2L)))
+  }
+
   test("shingles: sliding distinct n-grams; short text → whole text") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(TextAnalysis.shingles(col("text"), 3).as("sh"))
