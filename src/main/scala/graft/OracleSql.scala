@@ -2356,6 +2356,52 @@ object OracleSql {
         |    ORDER BY tf * idf_qb DESC, token) AS BIGINT) AS rank
         |FROM sc QUALIFY rank <= 5""".stripMargin,
 
+    // Unicode-script profile: the same block-range character classes as
+    // scriptProfile, stated in RE2's \x{…} spelling; counting is the
+    // length-diff idiom with the 'g' flag; dominant-script CASE chain is
+    // the identical priority-ordered argmax.
+    "q_text_scripts" ->
+      """WITH c AS (SELECT doc_id, length(text) AS n_chars,
+        |  length(text) - length(regexp_replace(text,
+        |    '[A-Za-z\x{C0}-\x{D6}\x{D8}-\x{F6}\x{F8}-\x{24F}]', '', 'g'))
+        |    AS n_latin,
+        |  length(text) - length(regexp_replace(text,
+        |    '[\x{400}-\x{52F}]', '', 'g')) AS n_cyrillic,
+        |  length(text) - length(regexp_replace(text,
+        |    '[\x{370}-\x{3FF}\x{1F00}-\x{1FFF}]', '', 'g')) AS n_greek,
+        |  length(text) - length(regexp_replace(text,
+        |    '[\x{600}-\x{6FF}\x{750}-\x{77F}]', '', 'g')) AS n_arabic,
+        |  length(text) - length(regexp_replace(text,
+        |    '[\x{2E80}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}]', '',
+        |    'g')) AS n_cjk,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |    AS n_digit,
+        |  length(text) - length(regexp_replace(text,
+        |    '[ \t\n\r\f\x{0B}]', '', 'g')) AS n_space
+        |FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(n_latin AS BIGINT) AS n_latin,
+        |  CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+        |  CAST(n_greek AS BIGINT) AS n_greek,
+        |  CAST(n_arabic AS BIGINT) AS n_arabic,
+        |  CAST(n_cjk AS BIGINT) AS n_cjk,
+        |  CAST(n_digit AS BIGINT) AS n_digit,
+        |  CAST(n_space AS BIGINT) AS n_space,
+        |  CAST(n_chars - n_latin - n_cyrillic - n_greek - n_arabic - n_cjk
+        |    - n_digit - n_space AS BIGINT) AS n_other,
+        |  CASE
+        |    WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+        |      AND n_latin >= n_arabic AND n_latin >= n_cjk
+        |      AND n_latin > 0 THEN 'latin'
+        |    WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_arabic
+        |      AND n_cyrillic >= n_cjk AND n_cyrillic > 0 THEN 'cyrillic'
+        |    WHEN n_greek >= n_arabic AND n_greek >= n_cjk
+        |      AND n_greek > 0 THEN 'greek'
+        |    WHEN n_arabic >= n_cjk AND n_arabic > 0 THEN 'arabic'
+        |    WHEN n_cjk > 0 THEN 'cjk'
+        |    ELSE 'none' END AS main_script
+        |FROM c""".stripMargin,
+
     // CCNet-style bigram-LM perplexity, α = 1/10, trained on the lang='en'
     // slice. Every probability is the integer rational A/B and the
     // per-bigram cost is floor(4·log2(B/A)) = bitlen(⌊B⁴/A⁴⌋)−1, exact in

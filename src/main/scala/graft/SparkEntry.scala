@@ -489,6 +489,11 @@ object SparkEntry {
   private def qTextTfidf(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopK(docs(spark, dir), "doc_id", "text", k = 5)
 
+  /** Unicode-script profile: per-doc block-range char counts + dominant
+    * script — the script router in front of per-language pipelines. */
+  private def qTextScripts(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scriptProfile(docs(spark, dir), "doc_id", "text")
+
   /** CCNet-style LM quality scoring: bigram model trained on the English
     * slice (the "clean reference"), every document scored in exact
     * quarter-bit NLL — out-of-language and junk text surfaces as high
@@ -1042,6 +1047,7 @@ object SparkEntry {
     "q_dedup_apply_stats" -> (qDedupApplyStats _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_text_tfidf" -> (qTextTfidf _),
+    "q_text_scripts" -> (qTextScripts _),
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_lm_buckets" -> (qLmBuckets _),
     "q_text_oov" -> (qTextOov _),

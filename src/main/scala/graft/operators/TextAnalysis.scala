@@ -947,6 +947,66 @@ object TextAnalysis {
         .cast(LongType))
   }
 
+  /** Unicode-script profile per document — the writing-system companion
+    * to [[languageId]] (which is n-gram-based and Latin-centric): counts
+    * of characters per major script plus digits/whitespace/other, and
+    * the dominant script. This is the CCNet/fastText-preprocessing
+    * signal that routes documents to per-script pipelines and catches
+    * mixed-script spam (e.g. Cyrillic homoglyphs inside Latin text)
+    * before any tokenizer sees them.
+    *
+    * Portability: classes are explicit CODEPOINT-RANGE character
+    * classes (Unicode blocks, stable across Unicode versions), never
+    * `\p{script=…}` properties — Java regex and RE2 disagree on
+    * property spelling and table version, but `[Ѐ-ԯ]` means
+    * the same thing everywhere (the oracle states the same ranges in
+    * RE2's `\x{…}` spelling). Counting is the [[quality]] idiom:
+    * `length − length(regexp_replace(cls, ''))`. CJK counts the whole
+    * 2E80–9FFF span (radicals, kana, jamo, CJK punctuation) plus
+    * Hangul syllables and compatibility ideographs — block-level, like
+    * the published script routers. `main_script` is the argmax over
+    * the five scripts with ties broken in the listed priority order;
+    * all-zero → 'none'.
+    *
+    * Shuffle-free per-row codegen'd projections: one scan at any
+    * corpus size. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String): Column =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast(LongType)
+    val nLatin = cnt("[A-Za-zÀ-ÖØ-öø-ɏ]")
+    val nCyr = cnt("[Ѐ-ԯ]")
+    val nGreek = cnt("[Ͱ-Ͽἀ-῿]")
+    val nArabic = cnt("[؀-ۿݐ-ݿ]")
+    val nCjk = cnt("[⺀-鿿가-힯豈-﫿]")
+    val nDigit = cnt("[0-9]")
+    val nSpace = cnt("[ \\t\\n\\r\\f\\x0B]")
+    df.select(col(idCol).as("doc_id"),
+        length(t).cast(LongType).as("n_chars"),
+        nLatin.as("n_latin"), nCyr.as("n_cyrillic"),
+        nGreek.as("n_greek"), nArabic.as("n_arabic"), nCjk.as("n_cjk"),
+        nDigit.as("n_digit"), nSpace.as("n_space"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_latin") - col("n_cyrillic") -
+          col("n_greek") - col("n_arabic") - col("n_cjk") -
+          col("n_digit") - col("n_space"))
+      .withColumn("main_script",
+        when(col("n_latin") >= col("n_cyrillic") &&
+             col("n_latin") >= col("n_greek") &&
+             col("n_latin") >= col("n_arabic") &&
+             col("n_latin") >= col("n_cjk") && col("n_latin") > 0, "latin")
+        .when(col("n_cyrillic") >= col("n_greek") &&
+              col("n_cyrillic") >= col("n_arabic") &&
+              col("n_cyrillic") >= col("n_cjk") &&
+              col("n_cyrillic") > 0, "cyrillic")
+        .when(col("n_greek") >= col("n_arabic") &&
+              col("n_greek") >= col("n_cjk") && col("n_greek") > 0, "greek")
+        .when(col("n_arabic") >= col("n_cjk") &&
+              col("n_arabic") > 0, "arabic")
+        .when(col("n_cjk") > 0, "cjk")
+        .otherwise("none"))
+  }
+
   /** TF-IDF top-`k` keywords per document — the per-document complement
     * of [[bm25Rational]] (which scores documents against one fixed query;
     * this surfaces each document's OWN most distinctive terms, the

@@ -35,6 +35,31 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, "banana", 1L, 4L, 4L, 1L), (4L, "apple", 1L, 1L, 1L, 2L)))
   }
 
+  test("scriptProfile: block-range counts, dominant script, priority ties") {
+    val docs = Seq(
+      (1L, "Hello мир 42"),          // 5 latin, 3 cyrillic, 2 digit, 2 space
+      (2L, "αβγ ΑΒΓ"),               // greek only
+      (3L, "日本語とハングル한글"),    // cjk (ideographs + kana + hangul)
+      (4L, "مرحبا"),                 // arabic
+      (5L, ""),                      // empty → none
+      (6L, "ab аб")                  // 2 latin vs 2 cyrillic → latin wins tie
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert((r1.getAs[Long]("n_latin"), r1.getAs[Long]("n_cyrillic"),
+      r1.getAs[Long]("n_digit"), r1.getAs[Long]("n_space"),
+      r1.getAs[Long]("n_other"), r1.getAs[String]("main_script")) ==
+      (5L, 3L, 2L, 2L, 0L, "latin"))
+    assert(got(1).getAs[String]("main_script") == "greek")
+    assert(got(1).getAs[Long]("n_greek") == 6L)
+    assert(got(2).getAs[String]("main_script") == "cjk")
+    assert(got(2).getAs[Long]("n_cjk") == 10L)
+    assert(got(3).getAs[String]("main_script") == "arabic")
+    assert(got(4).getAs[String]("main_script") == "none")
+    assert(got(5).getAs[String]("main_script") == "latin")
+  }
+
   test("shingles: sliding distinct n-grams; short text → whole text") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(TextAnalysis.shingles(col("text"), 3).as("sh"))
