@@ -587,6 +587,33 @@ object OracleSql {
          |  COALESCE(st.inertia, CAST(0 AS DECIMAL(38,12))) AS inertia
          |FROM cent LEFT JOIN st ON st.cid = cent.vec_id""".stripMargin,
 
+    // Simplified silhouette over the same refined-IVF clustering as
+    // q_embed_kmeans: per vector a2 = d2 to the nearest centroid,
+    // b2 = d2 to the second-nearest (rank 2 under the identical
+    // (d2, cid) tie order), s = (b2-a2)/max(a2,b2) with b2=0 -> 0;
+    // per-cluster mean via DECIMAL(28,12) partial sums, the exact
+    // Spark op order (decimal sum -> double -> / n).
+    "q_embed_silhouette" ->
+      s"""WITH $ivfRefinedCellCtes,
+         |two AS (SELECT vid, cid, d2,
+         |    row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+         |  FROM asg),
+         |ab AS (SELECT f.vid, f.cid, f.d2 AS a2, s.d2 AS b2
+         |  FROM two f JOIN two s ON s.vid = f.vid AND s.rn = 2
+         |  WHERE f.rn = 1),
+         |sil AS (SELECT vid, cid,
+         |    CASE WHEN b2 = 0 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE (b2 - a2) / GREATEST(a2, b2) END AS sil
+         |  FROM ab),
+         |st AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    SUM(CAST(sil AS DECIMAL(28,12))) AS ssum
+         |  FROM sil GROUP BY 1)
+         |SELECT cent.vec_id AS cent_id,
+         |  COALESCE(st.n_members, CAST(0 AS BIGINT)) AS n_members,
+         |  CAST(st.ssum AS DOUBLE) / CAST(st.n_members AS DOUBLE)
+         |    AS silhouette
+         |FROM cent LEFT JOIN st ON st.cid = cent.vec_id""".stripMargin,
+
     // Equi-depth histogram: NTILE shares the SQL-standard definition
     // (first buckets get the remainder) in both engines; total order
     // (value, event_id) makes bucket assignment deterministic.

@@ -813,6 +813,12 @@ object SparkEntry {
     Similarity.kmeansSummary(emb(spark, dir), "vec_id", "embedding",
       k = 16, refineRounds = 1)
 
+  /** Simplified silhouette over the same refined k-means clustering as
+    * [[qEmbedKmeans]] — per-cluster separation quality. */
+  private def qEmbedSilhouette(spark: SparkSession, dir: String): DataFrame =
+    Similarity.silhouetteSummary(emb(spark, dir), "vec_id", "embedding",
+      k = 16, refineRounds = 1)
+
   private def qSimTopkDot(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -1023,6 +1029,7 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_embed_covariance" -> (qEmbedCovariance _),
     "q_embed_kmeans" -> (qEmbedKmeans _),
+    "q_embed_silhouette" -> (qEmbedSilhouette _),
     "q_rollup" -> (qRollup _),
     "q_pivot_counts" -> (qPivotCounts _),
     "q_anomaly_zscore" -> (qAnomaly _),

@@ -449,6 +449,63 @@ object Similarity {
           lit(0).cast(DecimalType(38, 12))).as("inertia"))
   }
 
+  /** SIMPLIFIED SILHOUETTE — the per-cluster separation diagnostic that
+    * complements [[kmeansSummary]]'s inertia: for every vector,
+    * `a² = d²` to its own (nearest) centroid and `b² = d²` to the
+    * closest OTHER centroid, scored `s = (b² − a²) / max(a², b²)`
+    * ∈ [0, 1] (centroid-based simplified silhouette over squared
+    * distances — the O(n·K) published variant of the O(n²) classic;
+    * squared form keeps every distance the exact assignment arithmetic
+    * [[ivfD2]] already produces, no sqrt). Near 1 = well separated;
+    * near 0 = the vector sits on a cluster boundary — low cluster means
+    * say "don't trust cluster-stratified curation decisions here".
+    *
+    * Exactness: a²/b² are [[ivfD2]] doubles (correctly-rounded scale-12
+    * rationals, fixed op order), the per-row score is one IEEE
+    * division, and per-cluster means sum DECIMAL(28,12) partials —
+    * order-free, engine-reproducible. `b² = 0` (vector identical to two
+    * centroids) scores 0 by convention. Drained centroids report
+    * `n_members = 0`, NULL silhouette.
+    *
+    * Scale shape: one corpus pass against K broadcast centroids; the
+    * two nearest centroids per vector come from a map-side-combinable
+    * `collect_list` capped at K structs per vector (K fixed = the same
+    * O(n·K) class as the assignment itself — the shuffle carries K
+    * 16-byte structs per vector, comparable to shipping the vector);
+    * the summary is a K-row aggregate. */
+  def silhouetteSummary(corpus: DataFrame, corpusId: String,
+      corpusVec: String, k: Int = 16, refineRounds: Int = 1): DataFrame = {
+    require(k >= 2, "silhouette needs at least 2 clusters")
+    registered(corpus)
+    val seed = ivfCentroids(corpus, corpusId, corpusVec, k)
+    val cent = (1 to refineRounds).foldLeft(seed) { (c, _) =>
+      ivfRefine(corpus, corpusId, corpusVec, c)
+    }
+    val scored = corpus.select(col(corpusId).as("corpus_id"),
+        V.quantize6(col(corpusVec)).as("cq"))
+      .withColumn("c_s2", V.dotQ12(col("cq"), col("cq")))
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", ivfD2(col("cq"), col("c_s2")))
+    val two = scored.groupBy(col("corpus_id"))
+      .agg(slice(array_sort(collect_list(struct(col("d2"), col("cent_id")))),
+        1, 2).as("nn"))
+      .select(col("corpus_id"),
+        col("nn").getItem(0).getField("cent_id").as("cent_id"),
+        col("nn").getItem(0).getField("d2").as("a2"),
+        col("nn").getItem(1).getField("d2").as("b2"))
+      .withColumn("sil", when(col("b2") === 0.0, lit(0.0))
+        .otherwise((col("b2") - col("a2")) /
+          greatest(col("a2"), col("b2"))))
+    val stats = two.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("sil").cast(DecimalType(28, 12))).as("ssum"))
+    cent.select(col("cent_id")).join(stats, Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        (col("ssum").cast(DoubleType) /
+          col("n_members").cast(DoubleType)).as("silhouette"))
+  }
+
   /** In-memory (lazy) IVF index — the one-shot [[ivfTopK]] path.
     * `refineRounds` Lloyd rounds ([[ivfRefine]]) between seeding and the
     * final assignment; each round is one corpus pass, so the default for

@@ -1207,6 +1207,40 @@ class SimilaritySpec extends SparkSpec {
       s"identical members ⇒ zero inertia everywhere: $deg")
   }
 
+  test("silhouetteSummary: separated clusters ≈1, degenerate 0, " +
+      "partition-independent") {
+    // two tight, well-separated value classes → members score near 1
+    val two = ((1L to 4L).map((_, Array(10.0f, 0.0f, 0.0f, 0.0f))) ++
+        (5L to 8L).map((_, Array(-10.0f, 0.0f, 0.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    // 3 Lloyd rounds: even if both md5-ordered seeds land in one blob,
+    // the drained-centroid escape + two reassignments separate them
+    def rows(df: org.apache.spark.sql.DataFrame, k: Int)
+        : Map[Long, (Long, Option[Double])] =
+      Similarity.silhouetteSummary(df, "vec_id", "embedding", k = k,
+          refineRounds = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val out = rows(two, 2)
+    assert(out.size == 2)
+    assert(out.values.map(_._1).sum == 8L)
+    assert(out.values.forall(_._2.exists(s => s > 0.9 && s <= 1.0)),
+      s"tight separated clusters must score near 1: $out")
+    assert(rows(two.repartition(5), 2) == out,
+      "silhouette must not depend on partitioning")
+    // all-identical corpus: every vector sits ON both centroids →
+    // b2 = 0 convention scores 0; drained clusters report NULL
+    val same = (1L to 3L).map((_, Array(0.5f, 0.5f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val deg = rows(same, 3)
+    assert(deg.size == 3)
+    assert(deg.values.map(_._1).toSeq.sorted == Seq(0L, 0L, 3L))
+    assert(deg.values.filter(_._1 > 0).forall(_._2.contains(0.0)),
+      s"identical corpus ⇒ zero silhouette: $deg")
+    assert(deg.values.filter(_._1 == 0).forall(_._2.isEmpty),
+      s"drained clusters ⇒ NULL silhouette: $deg")
+  }
+
   test("bruteForceTopK cosine: self is rank 1, neighbor rank 2") {
     val out = Similarity.bruteForceTopK(
       vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
