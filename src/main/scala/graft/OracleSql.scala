@@ -2072,6 +2072,42 @@ object OracleSql {
         |    AS rank
         |FROM s QUALIFY rank <= 5""".stripMargin,
 
+    // SQ8 scalar quantization: per-dim 256-level affine grid between the
+    // corpus per-dim min/max on the scale-6 integers; code = floor
+    // division (both engines truncate == floor on non-negatives); score
+    // = 255-scaled exact integer reconstruction dot, rescaled through
+    // the lossless DECIMAL(20,0)×10^-12 path then one /255.0 — the same
+    // doubles Spark's pqRescale produces.
+    "q_sim_sq8" ->
+      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS x
+        |  FROM embeddings),
+        |dims AS (SELECT i, MIN(x) AS mn, MAX(x) - MIN(x) AS span
+        |  FROM el GROUP BY 1),
+        |codes AS (SELECT e.vec_id, e.i,
+        |    CASE WHEN d.span = 0 THEN 0
+        |         ELSE ((e.x - d.mn) * 255) // d.span END AS code
+        |  FROM el e JOIN dims d USING (i)),
+        |qt AS (SELECT e.vec_id AS query_id, e.i,
+        |    e.x * d.span AS w, e.x * d.mn AS qm
+        |  FROM el e JOIN dims d USING (i) WHERE e.vec_id < 10),
+        |s AS (SELECT q.query_id, c.vec_id AS corpus_id,
+        |    255 * SUM(CAST(q.qm AS HUGEINT))
+        |      + SUM(CAST(c.code AS HUGEINT) * q.w) AS u255
+        |  FROM codes c JOIN qt q ON q.i = c.i
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT query_id, corpus_id,
+        |    CAST(CAST(u255 AS DECIMAL(20,0))
+        |      * CAST(0.000000000001 AS DECIMAL(13,12)) AS DOUBLE) / 255.0
+        |      AS score
+        |  FROM s)
+        |SELECT query_id, corpus_id, score,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS BIGINT)
+        |    AS rank
+        |FROM sc QUALIFY rank <= 5""".stripMargin,
+
     // IVF-PQ: the refined-IVF probe bounds candidates (nprobe = 2 cells
     // per query, same chain as q_sim_ivf), the PQ code table prices
     // each candidate (same chain as q_sim_pq); candidates score by ADC

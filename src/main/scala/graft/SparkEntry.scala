@@ -819,6 +819,13 @@ object SparkEntry {
     Similarity.silhouetteSummary(emb(spark, dir), "vec_id", "embedding",
       k = 16, refineRounds = 1)
 
+  /** SQ8 scalar-quantized ANN: per-dimension 256-level affine grid —
+    * the codebook-free compression arm beside PQ/IVF-PQ. */
+  private def qSimSq8(spark: SparkSession, dir: String): DataFrame =
+    Similarity.sq8TopK(
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding", k = 5)
+
   private def qSimTopkDot(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -1097,6 +1104,7 @@ object SparkEntry {
     "q_prune_prototypes" -> (qPrunePrototypes _),
     "q_sim_ivf2" -> (qSimIvf2 _),
     "q_sim_pq" -> (qSimPq _),
+    "q_sim_sq8" -> (qSimSq8 _),
     "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_sim_ivfpq_res" -> (qSimIvfPqRes _),
     "q_sim_ivfpq_rr" -> (qSimIvfPqRerank _),

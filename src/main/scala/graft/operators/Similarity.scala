@@ -983,6 +983,66 @@ object Similarity {
     pqTopKWindow(codes.crossJoin(broadcast(tabs))
       .withColumn("score", pqAdcScore(m)), k)
 
+  /** SQ8 SCALAR QUANTIZATION top-k — the third arm of the quantization
+    * family (FAISS `SQ8` flat): each dimension is affinely mapped onto
+    * its own 256-level grid between the corpus per-dimension min and
+    * max, so a d-float vector becomes d one-byte codes (4× over
+    * float32) with NO codebook training and NO subspace structure —
+    * the cheap memory-compression baseline PQ is judged against.
+    *
+    * Everything is integer-exact on the scale-6 grid:
+    * `code_i = ((x_i − mn_i)·255) div span_i` (span 0 → 0; truncating
+    * div == floor on the non-negative operands, identical in DuckDB),
+    * and the score against query q is the reconstruction dot
+    *
+    *   q · x̂ = Σ q_i·mn_i + (1/255)·Σ code_i·(q_i·span_i)
+    *
+    * kept exact by scaling through by 255: `u255 = 255·Σ q_i·mn_i +
+    * Σ code_i·w_i` (w = q·span, all scale-12 longs, |u255| ≲ 10¹⁷),
+    * surfaced via the [[pqRescale]] lossless decimal path then ONE
+    * IEEE division by 255.0 — both engines produce bit-identical
+    * doubles.
+    *
+    * Scale shape: the per-dimension extremes are a d-row map-side-
+    * combined aggregate (broadcast back); encoding is one
+    * explode + broadcast-join + gather pass exactly like [[pqEncodeQ]];
+    * scoring is the ADC shape — per (query, candidate) a d-length
+    * integer fold over the broadcast query weight array, no float math,
+    * no corpus re-scan; top-k is the [[pqTopKWindow]]
+    * `WindowGroupLimit`. */
+  def sq8TopK(queries: DataFrame, queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int = 5): DataFrame = {
+    registered(corpus)
+    val el = corpus.select(col(corpusId).as("corpus_id"),
+        V.quantize6(col(corpusVec)).as("cq"))
+      .select(col("corpus_id"), posexplode(col("cq")).as(Seq("i", "x")))
+    val dims = el.groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .withColumn("span", col("mx") - col("mn"))
+    val codes = el.join(broadcast(dims), Seq("i"))
+      .withColumn("code", when(col("span") === 0L, lit(0L))
+        .otherwise(expr("((x - mn) * 255) div span")))
+      .groupBy(col("corpus_id"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    val qtab = queries.select(col(queryId).as("query_id"),
+        V.quantize6(col(queryVec)).as("qq"))
+      .select(col("query_id"), posexplode(col("qq")).as(Seq("i", "q")))
+      .join(broadcast(dims), Seq("i"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("i"),
+          (col("q") * col("span")).as("w")))),
+        s => s.getField("w")).as("wq"),
+        sum(col("q") * col("mn")).as("qmn_u"))
+    val scored = codes.crossJoin(broadcast(qtab))
+      .withColumn("u255", col("qmn_u") * lit(255L) +
+        aggregate(zip_with(col("codes"), col("wq"), (c, w) => c * w),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("score", pqRescale(col("u255")) / lit(255.0))
+    pqTopKWindow(scored, k)
+  }
+
   /** IVF-PQ — the two bounds composed, the shape a production
     * 10¹⁰-vector index actually runs: the IVF coarse quantizer bounds
     * WHICH vectors are scored (`nprobe` cells per query) and PQ bounds

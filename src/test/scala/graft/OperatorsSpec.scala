@@ -1241,6 +1241,24 @@ class SimilaritySpec extends SparkSpec {
       s"drained clusters ⇒ NULL silhouette: $deg")
   }
 
+  test("sq8TopK: hand-computed codes and exact reconstruction scores") {
+    // dims: d1 ∈ [0,1] span 1e6; d2 ∈ [0,2] span 2e6
+    val corpus = Seq(
+      (1L, Array(0.0f, 0.0f)),   // codes [0,0]
+      (2L, Array(1.0f, 2.0f)),   // codes [255,255] → exact corners
+      (3L, Array(0.5f, 1.0f))    // codes [127,127] (127.5 floors)
+    ).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.sq8TopK(q, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // v2 reconstructs exactly (grid corners): score = 1·1 + 1·2 = 3.0
+    // v3: (127/255)·1 + (127/255)·2 = 381/255; v1: mn corner = 0.0
+    assert(out == Seq((2L, 3.0, 1L), (3L, 381.0 / 255.0, 2L),
+      (1L, 0.0, 3L)))
+  }
+
   test("bruteForceTopK cosine: self is rank 1, neighbor rank 2") {
     val out = Similarity.bruteForceTopK(
       vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
