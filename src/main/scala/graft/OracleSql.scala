@@ -1360,6 +1360,31 @@ object OracleSql {
         |  COALESCE(r.n_removed, CAST(0 AS BIGINT)) AS n_removed
         |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
 
+    // Paragraph-level dedup: q_dedup_span's digest/first-occurrence/
+    // rebuild chain over \n\n-delimited natural blocks instead of fixed
+    // 8-word spans; the rebuild joiner is the same two-newline
+    // delimiter (chr(10) twice — DuckDB standard strings don't process
+    // backslash escapes outside regex arguments).
+    "q_dedup_paragraph" ->
+      """WITH p AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(text, '\n\n')) AS span,
+        |    generate_subscripts(regexp_split_to_array(text, '\n\n'), 1) - 1
+        |      AS block_no
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id, block_no, span,
+        |    row_number() OVER (PARTITION BY md5(span)
+        |      ORDER BY doc_id, block_no) = 1 AS keep
+        |  FROM p),
+        |r AS (SELECT doc_id,
+        |    string_agg(CASE WHEN keep THEN span END, chr(10) || chr(10)
+        |      ORDER BY block_no) AS text,
+        |    CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_removed
+        |  FROM f GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(r.text, '') AS text,
+        |  COALESCE(r.n_removed, CAST(0 AS BIGINT)) AS n_removed
+        |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
+
     // Corpus duplication telemetry: the q_dedup_span block/keep chain
     // aggregated to one row of totals + fraction.
     "q_dedup_span_profile" ->

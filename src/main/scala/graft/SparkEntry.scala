@@ -633,6 +633,11 @@ object SparkEntry {
   private def qDedupSpan(spark: SparkSession, dir: String): DataFrame =
     Dedup.spanDedupRewrite(docs(spark, dir), "doc_id", "text", spanWords = 8)
 
+  /** Paragraph-level dedup (Dolma recipe): first corpus occurrence of
+    * each \n\n-delimited block survives; docs come back rewritten. */
+  private def qDedupParagraph(spark: SparkSession, dir: String): DataFrame =
+    Dedup.paragraphDedup(docs(spark, dir), "doc_id", "text")
+
   /** Corpus duplication telemetry off the 8-word span decision: one row
     * of block totals, duplicated fraction, and affected-doc counts. */
   private def qDedupSpanProfile(spark: SparkSession, dir: String): DataFrame =
@@ -1090,6 +1095,7 @@ object SparkEntry {
     "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_span" -> (qDedupSpan _),
+    "q_dedup_paragraph" -> (qDedupParagraph _),
     "q_dedup_span_profile" -> (qDedupSpanProfile _),
     "q_decontaminate_span" -> (qDecontaminateSpan _),
     "q_decontaminate" -> (qDecontaminate _),

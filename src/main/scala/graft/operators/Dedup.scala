@@ -95,19 +95,50 @@ object Dedup {
   /** Re-join each doc's kept blocks in order and restore block-less
     * rows: `(doc_id, text, n_removed)` for EVERY row of `base`. */
   private def rebuildFromBlocks(base: DataFrame,
-      flagged: DataFrame): DataFrame = {
+      flagged: DataFrame, joiner: String = " "): DataFrame = {
     val rebuilt = flagged.groupBy(col("doc_id")).agg(
       array_join(
         transform(
           array_sort(collect_list(
             when(col("keep"), struct(col("block_no"), col("span"))))),
           s => s.getField("span")),
-        " ").as("text"),
+        joiner).as("text"),
       sum(when(col("keep"), lit(0L)).otherwise(lit(1L))).as("n_removed"))
     base.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text"), lit("")).as("text"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** PARAGRAPH-level dedup (the Dolma `dedupe-paragraphs` recipe): any
+    * paragraph — a `\n\n`-delimited block, the NATURAL-boundary
+    * complement of [[spanDedupRewrite]]'s fixed k-word blocks — survives
+    * only at its first corpus occurrence (order: doc_id, then position
+    * within the doc); documents come back REWRITTEN with the surviving
+    * paragraphs re-joined by `\n\n` plus `n_removed` telemetry. Catches
+    * the boilerplate the fixed-block excision chops through mid-span:
+    * nav bars, footers, license blocks repeat as WHOLE paragraphs, so
+    * deduping at the author's own boundaries removes them cleanly
+    * without shifting any surviving text. A paragraph duplicated within
+    * one document dedups the same way (first position wins); empty
+    * paragraphs (consecutive delimiters) participate like any block.
+    *
+    * Same two-shuffle shape as [[spanDedupRewrite]]: one digest-keyed
+    * first-occurrence window (the md5 partition key is uniform — no hot
+    * key survives the hash), one per-doc rebuild groupBy; no driver
+    * state, no corpus self-join. */
+  def paragraphDedup(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val paras = base
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n\n")).as(Seq("block_no", "span")))
+    val flagged = paras.withColumn("keep",
+      row_number().over(
+        Window.partitionBy(md5(col("span").cast(BinaryType)))
+          .orderBy(col("doc_id"), col("block_no"))) === 1)
+    rebuildFromBlocks(base, flagged, joiner = "\n\n")
   }
 
   /** Corpus duplication-rate telemetry off the span-dedup decision —

@@ -426,6 +426,20 @@ class DedupSpec extends SparkSpec {
     assert(g.map(_.getBoolean(2)).toSeq == Seq(true, false))
   }
 
+  test("paragraphDedup: first occurrence wins, in-doc dups, empty docs") {
+    val docs = Seq(
+      (1L, "A\n\nB\n\nA"),   // in-doc dup: second A removed
+      (2L, "B\n\nC"),        // B already seen in doc 1
+      (3L, ""),              // empty doc survives as-is
+      (4L, "X")              // single paragraph, untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, "A\n\nB", 1L), (2L, "C", 1L), (3L, "", 0L), (4L, "X", 0L)))
+  }
+
   test("spanDedupRewrite: duplicated blocks excised, first occurrence kept") {
     // spanWords = 4 over 3 docs: doc 1 and doc 2 share their first two
     // 4-word blocks (8 words of boilerplate); doc 2 keeps only its
