@@ -1154,6 +1154,26 @@ object OracleSql {
         |    AS rank
         |FROM f QUALIFY rank <= 100""".stripMargin,
 
+    // Edit-distance-1 fuzzy pairs in the top-200 char-5-gram vocabulary:
+    // the oracle deliberately BRUTE-FORCES all pairs with levenshtein —
+    // an exact-match against Spark's FastSS deletion-neighborhood
+    // blocking independently proves the blocking is lossless.
+    "q_vocab_fuzzy" ->
+      """WITH t AS (SELECT substr(text, i, 5) AS token
+        |  FROM documents,
+        |    unnest(range(1, GREATEST(length(text) - 4, 1) + 1)) AS u(i)),
+        |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM t
+        |  WHERE length(token) > 0 GROUP BY 1),
+        |v AS (SELECT token, freq FROM f
+        |  ORDER BY freq DESC, token LIMIT 200),
+        |p AS (SELECT a.token AS tok_a, b.token AS tok_b,
+        |    a.freq AS freq_a, b.freq AS freq_b
+        |  FROM v a JOIN v b ON a.token < b.token
+        |  WHERE levenshtein(a.token, b.token) = 1)
+        |SELECT tok_a, tok_b, freq_a, freq_b,
+        |  CASE WHEN freq_a >= freq_b THEN tok_a ELSE tok_b END AS survivor
+        |FROM p""".stripMargin,
+
     // linear-classifier inference: top-100-vocab weight table with
     // md5_60-derived milli-weights, exact integer logit per doc
     "q_text_linear" ->

@@ -472,6 +472,17 @@ object SparkEntry {
     TextAnalysis.linearScore(d, "doc_id", "text", weights, biasMilli = 50L)
   }
 
+  /** Edit-distance-1 fuzzy pairs via lossless FastSS deletion-
+    * neighborhood blocking, over the top-200 CHAR-5-GRAM vocabulary
+    * (this corpus's word vocabulary is a closed 31-token set with no
+    * distance-1 pairs — the gram level exercises the blocking + verify
+    * non-trivially); the oracle brute-forces all pairs, independently
+    * proving the blocking loses nothing. */
+  private def qVocabFuzzy(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fuzzyPairs(
+      TextAnalysis.charGramVocabulary(docs(spark, dir), "text", n = 5,
+        k = 200).select(col("token"), col("freq")))
+
   /** Bounded-memory heavy hitters — the same exact top-100 through the
     * Misra-Gries candidates + exact-recount scale path (the shuffle
     * carries ≤ 1/support tokens, not the vocabulary); oracle = the exact
@@ -1062,6 +1073,7 @@ object SparkEntry {
     "q_chunk_windows" -> (qChunkWindows _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_vocab_heavy" -> (qVocabHeavy _),
+    "q_vocab_fuzzy" -> (qVocabFuzzy _),
     "q_text_linear" -> (qTextLinear _),
     "q_dedup_apply_stats" -> (qDedupApplyStats _),
     "q_text_bm25" -> (qTextBm25 _),

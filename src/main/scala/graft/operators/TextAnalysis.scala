@@ -1059,6 +1059,77 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** Edit-distance-1 fuzzy pairs within the top-`topK` vocabulary — the
+    * typo-clustering pass (misspelled variants of frequent terms inflate
+    * vocabulary and fragment counts; pairing each with its high-frequency
+    * `survivor` is the standard normalization table). This is an
+    * APPROXIMATE STRING JOIN: the all-pairs O(k²·len) comparison is
+    * avoided by FastSS deletion-neighborhood blocking (Bocek et al.
+    * 2007) — every token posts itself plus each single-character
+    * deletion, and any distance-1 pair (substitution, insertion, or
+    * deletion) provably shares a posting key, so the bucket join is
+    * LOSSLESS; sharing a key is not sufficient (e.g. transposed "ab"/
+    * "ba" share two), so candidates verify with the codegen'd built-in
+    * `levenshtein`. The oracle brute-forces all pairs over the same
+    * vocabulary, independently proving the blocking loses nothing.
+    *
+    * Scale shape: one corpus scan (the [[vocabulary]] count) collapses
+    * everything to the k-row vocabulary; postings fan out O(k·len) keys,
+    * pairs expand in-bucket via the `pair_combinations_struct` kernel
+    * (buckets are variant-keyed — bounded by alphabet × len, no hot
+    * key), and verification is per-candidate. Output: `(tok_a, tok_b,
+    * freq_a, freq_b, survivor)`, `tok_a < tok_b`, survivor = the
+    * higher-frequency side (ties → `tok_a`). */
+  def fuzzyVocabPairs(df: DataFrame, textCol: String,
+      topK: Int): DataFrame =
+    fuzzyPairs(vocabulary(df, textCol, topK).select(col("token"), col("freq")))
+
+  /** Character `n`-gram vocabulary top-k — [[vocabulary]] over sliding
+    * char grams (frequency-weighted, non-distinct per doc; text shorter
+    * than `n` contributes itself whole). The gram-level view catches
+    * what whole-word counts cannot: OCR noise and tokenizer-splitting
+    * hotspots live at the sub-word level. Same scale shape as
+    * [[vocabulary]]: map-side-combined counts, `TakeOrderedAndProject`
+    * top-k. */
+  def charGramVocabulary(df: DataFrame, textCol: String, n: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = transform(
+      sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
+      i => col(textCol).substr(i, lit(n)))
+    val counts = df.select(explode(grams).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    counts.orderBy(col("freq").desc, col("token")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("freq").desc, col("token"))).cast(LongType))
+  }
+
+  /** The blocking+verify tail of [[fuzzyVocabPairs]] over any
+    * `(token, freq)` vocabulary frame. */
+  def fuzzyPairs(vocab: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vocab.sparkSession)
+    val dels = transform(sequence(lit(1), length(col("token"))),
+      i => concat(col("token").substr(lit(1), i - 1),
+        col("token").substr(i + 1, length(col("token")))))
+    val posts = vocab.select(col("token"), col("freq"),
+      explode(array_union(array(col("token")), array_distinct(dels)))
+        .as("variant"))
+    posts.groupBy(col("variant"))
+      .agg(array_sort(collect_list(struct(col("token"), col("freq"))))
+        .as("es"))
+      .filter(size(col("es")) > 1)
+      .select(explode(graft.functions.PairFunctions
+        .pairCombinationsStruct(col("es"))).as("p"))
+      .select(col("p.a.token").as("tok_a"), col("p.b.token").as("tok_b"),
+        col("p.a.freq").as("freq_a"), col("p.b.freq").as("freq_b"))
+      .distinct()
+      .filter(levenshtein(col("tok_a"), col("tok_b")) === 1)
+      .withColumn("survivor",
+        when(col("freq_a") >= col("freq_b"), col("tok_a"))
+          .otherwise(col("tok_b")))
+  }
+
   /** Sliding word `n`-gram shingles as an array column (distinct, to make
     * set semantics explicit for Jaccard). Text with fewer than `n` words
     * yields one shingle = the whole trimmed text. */

@@ -14,6 +14,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 0, 0, 1))
   }
 
+  test("fuzzyVocabPairs: sub/ins/del pairs found, transposition rejected") {
+    // vocabulary: cat(4) car(2) cart(1) dog(1) act(1) ox(1) — distance-1
+    // pairs: cat~car (substitution), car~cart (insertion), cart~cat
+    // (deletion); cat~act is a transposition (distance 2): it shares
+    // deletion keys ("at"/"ct") but the levenshtein verify rejects it
+    val docs = Seq(
+      (1L, "cat cat cat cat car car"),
+      (2L, "cart dog act ox")).toDF("doc_id", "text")
+    val got = TextAnalysis.fuzzyVocabPairs(docs, "text", topK = 10)
+      .orderBy("tok_a", "tok_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      ("car", "cart", 2L, 1L, "car"),
+      ("car", "cat", 2L, 4L, "cat"),
+      ("cart", "cat", 1L, 4L, "cat")))
+  }
+
   test("tfidfTopK: hand-computed quarter-bit idf, per-doc ranking, ties") {
     // N=4. df: apple=3 (idf=floor(4·log2(4/3))=1), banana=2 (idf=4),
     // cherry=3 (idf=1), zebra=1 (idf=floor(4·log2 4)=8).
