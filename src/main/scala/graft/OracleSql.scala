@@ -700,6 +700,26 @@ object OracleSql {
 
     // Cohort retention: first-activity week × week offset, distinct
     // users; epoch-week floor-division on both sides.
+    // DAU + exact trailing-7-day WAU: distinct (day, user) pairs first,
+    // then each pair explodes into the 7 window-END days it serves and
+    // distinct-counts per end day; phantom trailing days semi-join away
+    // against the real activity-day set.
+    "q_wau_sliding" ->
+      """WITH pairs AS (SELECT DISTINCT
+        |    ((epoch_ns(ts) // 1000000000) // 86400) * 86400 AS day_s,
+        |    user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day_s FROM pairs),
+        |dau AS (SELECT day_s, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS dau FROM pairs GROUP BY 1),
+        |ex AS (SELECT p.user_id, p.day_s + 86400 * o.off AS day_s
+        |  FROM pairs p, unnest(range(0, 7)) AS o(off)),
+        |wau AS (SELECT e.day_s, CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+        |    AS wau
+        |  FROM ex e JOIN days d ON d.day_s = e.day_s GROUP BY 1)
+        |SELECT dau.day_s, dau.dau, wau.wau
+        |FROM dau JOIN wau USING (day_s)""".stripMargin,
+
     "q_cohort_retention" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS es
         |  FROM events),

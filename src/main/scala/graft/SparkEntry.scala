@@ -354,6 +354,11 @@ object SparkEntry {
   private def qCohort(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.cohortRetention(events(spark, dir), "ts", "user_id")
 
+  /** DAU + exact trailing-7-day WAU per activity day. */
+  private def qWauSliding(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.slidingActiveUsers(events(spark, dir), "ts", "user_id",
+      windowDays = 7)
+
   /** view → click → purchase funnel: users completing each prefix,
     * every step strictly after the previous. */
   private def qFunnel(spark: SparkSession, dir: String): DataFrame =
@@ -1049,6 +1054,7 @@ object SparkEntry {
     "q_topk_users" -> (qTopkUsers _),
     "q_histogram" -> (qHistogram _),
     "q_cohort_retention" -> (qCohort _),
+    "q_wau_sliding" -> (qWauSliding _),
     "q_funnel" -> (qFunnel _),
     "q_embed_covariance" -> (qEmbedCovariance _),
     "q_embed_kmeans" -> (qEmbedKmeans _),

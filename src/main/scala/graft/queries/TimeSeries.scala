@@ -648,6 +648,43 @@ object TimeSeries {
       .select(col(pointId), col(key), col("epoch_s"), col("interval_id"))
   }
 
+  /** SLIDING-WINDOW DISTINCT ACTIVE USERS (DAU/WAU) — per activity day,
+    * the exact distinct-user count over the trailing `windowDays` window
+    * ending that day, alongside the same-day count. Rolling distinct
+    * does NOT decompose like a sum (a user active twice in the window
+    * counts once), so a running-window aggregate over per-day partials
+    * is WRONG; the classic exact plan used here: collapse the corpus to
+    * distinct `(day, user)` pairs first (the only corpus-sized shuffle —
+    * map-side combine collapses repeat activity), then explode each pair
+    * into the `windowDays` window-END days it participates in and
+    * distinct-count per end day. Shuffle volume after the collapse is
+    * `windowDays × active-pairs` — bounded by the window parameter, not
+    * the corpus — and the day key cannot develop skew beyond
+    * `windowDays × users/day`. Only REAL activity days are emitted (the
+    * explode's trailing phantom days are semi-joined away against the
+    * distinct day set, a broadcastable side). */
+  def slidingActiveUsers(df: DataFrame, ts: String, key: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val daySec = 86400L
+    val pairs = df.select(
+        (epochSeconds(date_trunc("DAY", col(ts)))).as("day_s"),
+        col(key).as("uid"))
+      .distinct()
+    val days = pairs.select(col("day_s")).distinct()
+    val dau = pairs.groupBy(col("day_s"))
+      .agg(countDistinct(col("uid")).as("dau"))
+    val wau = pairs
+      .select(col("uid"), explode(sequence(lit(0), lit(windowDays - 1)))
+        .as("off"), col("day_s"))
+      .select(col("uid"), (col("day_s") + col("off") * daySec).as("day_s"))
+      .join(days, Seq("day_s"), "left_semi")
+      .groupBy(col("day_s"))
+      .agg(countDistinct(col("uid")).as("wau"))
+    dau.join(wau, Seq("day_s"))
+      .select(col("day_s"), col("dau"), col("wau"))
+  }
+
   /** Gap-based sessionization: a new session starts after `gapSeconds` of
     * per-key inactivity. Classic cumulative-sum-over-flags plan: one shuffle
     * on the key, two window passes, all codegen. Order key is

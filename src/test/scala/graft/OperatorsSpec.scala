@@ -1928,6 +1928,21 @@ class TimeSeriesSpec extends SparkSpec {
       3 -> (7.0, 8.0, 2L), 4 -> (9.0, 10.0, 2L)))
   }
 
+  test("slidingActiveUsers: trailing-7d distinct, once-per-window, " +
+      "real days only") {
+    val d = 86400L
+    val df = Seq(
+      (10L, d * 1), (11L, d * 1),    // day 1: users 10, 11
+      (10L, d * 2), (10L, d * 2 + 5), // day 2: user 10 (twice — counts once)
+      (11L, d * 9))                   // day 9: user 11 (day 2 outside window)
+      .toDF("user_id", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val out = TimeSeries.slidingActiveUsers(df, "ts", "user_id", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // day 8 (user 10's window tail) is a phantom — not emitted
+    assert(out == Set((d * 1, 2L, 2L), (d * 2, 1L, 2L), (d * 9, 1L, 1L)))
+  }
+
   test("cohortRetention: first week anchors the cohort, offsets count once") {
     val wk = 604800L
     val df = Seq(
