@@ -1174,6 +1174,39 @@ object OracleSql {
         |    AS rank
         |FROM f QUALIFY rank <= 100""".stripMargin,
 
+    // PMI collocations: pmi_qb = qb(c_a,N_ug) + qb(c_b,N_ug) −
+    // qb(c_ab,N_bg) with qb(a,b) = floor(4·log2(b/a)) stated as
+    // bitlen(⌊b⁴/a⁴⌋)−1 in HUGEINT — the same per-term floors Spark's
+    // log2_quarter_bits kernel computes; min pair count 5.
+    "q_text_collocations" ->
+      """WITH doc AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS arr FROM documents),
+        |bg AS (SELECT arr[i] AS w1, arr[i + 1] AS w2
+        |  FROM doc, unnest(range(1, len(arr))) AS t(i)
+        |  WHERE len(arr) >= 2),
+        |nbg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bg FROM bg),
+        |tok AS (SELECT unnest(arr) AS w FROM doc),
+        |tok2 AS (SELECT w FROM tok WHERE length(w) > 0),
+        |nug AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ug FROM tok2),
+        |ug AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok2
+        |  GROUP BY 1),
+        |pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |s AS (SELECT w1, w2, c_ab,
+        |    (length(bin((CAST(n_ug AS HUGEINT) * n_ug * n_ug * n_ug)
+        |       // (CAST(ua.c AS HUGEINT) * ua.c * ua.c * ua.c))) - 1)
+        |    + (length(bin((CAST(n_ug AS HUGEINT) * n_ug * n_ug * n_ug)
+        |       // (CAST(ub.c AS HUGEINT) * ub.c * ub.c * ub.c))) - 1)
+        |    - (length(bin((CAST(n_bg AS HUGEINT) * n_bg * n_bg * n_bg)
+        |       // (CAST(c_ab AS HUGEINT) * c_ab * c_ab * c_ab))) - 1)
+        |      AS pmi_qb
+        |  FROM pc JOIN ug ua ON ua.w = pc.w1 JOIN ug ub ON ub.w = pc.w2
+        |  CROSS JOIN nug CROSS JOIN nbg)
+        |SELECT w1, w2, c_ab, CAST(pmi_qb AS BIGINT) AS pmi_qb,
+        |  CAST(row_number() OVER (ORDER BY pmi_qb DESC, w1, w2) AS BIGINT)
+        |    AS rank
+        |FROM s QUALIFY rank <= 20""".stripMargin,
+
     // Edit-distance-1 fuzzy pairs in the top-200 char-5-gram vocabulary:
     // the oracle deliberately BRUTE-FORCES all pairs with levenshtein —
     // an exact-match against Spark's FastSS deletion-neighborhood

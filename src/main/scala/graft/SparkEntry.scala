@@ -477,6 +477,12 @@ object SparkEntry {
     TextAnalysis.linearScore(d, "doc_id", "text", weights, biasMilli = 50L)
   }
 
+  /** Top-20 PMI collocations over adjacent bigrams (quarter-bit exact
+    * scores, min pair count 5). */
+  private def qTextCollocations(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(docs(spark, dir), "doc_id", "text",
+      minCount = 5L, topK = 20)
+
   /** Edit-distance-1 fuzzy pairs via lossless FastSS deletion-
     * neighborhood blocking, over the top-200 CHAR-5-GRAM vocabulary
     * (this corpus's word vocabulary is a closed 31-token set with no
@@ -1080,6 +1086,7 @@ object SparkEntry {
     "q_vocab_topk" -> (qVocabTopk _),
     "q_vocab_heavy" -> (qVocabHeavy _),
     "q_vocab_fuzzy" -> (qVocabFuzzy _),
+    "q_text_collocations" -> (qTextCollocations _),
     "q_text_linear" -> (qTextLinear _),
     "q_dedup_apply_stats" -> (qDedupApplyStats _),
     "q_text_bm25" -> (qTextBm25 _),

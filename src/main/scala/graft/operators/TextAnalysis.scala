@@ -1059,6 +1059,56 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** PMI COLLOCATIONS — top multi-word expressions by pointwise mutual
+    * information over adjacent bigrams, the corpus-analysis pass behind
+    * tokenizer vocabulary design ("new york" should be one token) and
+    * boilerplate discovery. PMI's log is transcendental, so like
+    * [[lmPerplexity]] the score is stated in exact quarter bits as a
+    * DIFFERENCE of per-term floors:
+    *
+    *   pmi_qb = qb(c_a, N_ug) + qb(c_b, N_ug) − qb(c_ab, N_bg),
+    *   qb(a, b) = floor(4·log2(b/a))
+    *
+    * — within 0.75 bits of 4·PMI (three independent floors), exact
+    * BIGINT, identical in DuckDB's HUGEINT statement. `minCount` prunes
+    * the unstable low-count tail (the standard PMI guard: a hapax pair
+    * otherwise maxes the score).
+    *
+    * Scale shape: one corpus scan feeds the bigram stream (the
+    * [[docBigrams]] single-pass explode) and one the unigram stream;
+    * both collapse to map-side-combined count tables; the pair table
+    * joins the vocab-sized unigram counts (hash joins on the token key,
+    * AQE-skew-safe), the two scalar totals broadcast, and the top-k is
+    * `TakeOrderedAndProject`. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.FixedLogFunctions.log2QuarterBits
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val bg = docBigrams(df, idCol, textCol).filter(col("w1").isNotNull)
+    val nBg = bg.agg(count(lit(1)).as("n_bg"))
+    val toks = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val nUg = toks.agg(count(lit(1)).as("n_ug"))
+    val ug = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val scored = pairs
+      .join(ug.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(ug.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nUg)).crossJoin(broadcast(nBg))
+      .withColumn("pmi_qb",
+        log2QuarterBits(col("c_a"), col("n_ug")) +
+          log2QuarterBits(col("c_b"), col("n_ug")) -
+          log2QuarterBits(col("c_ab"), col("n_bg")))
+      .select(col("w1"), col("w2"), col("c_ab"), col("pmi_qb"))
+    scored.orderBy(col("pmi_qb").desc, col("w1"), col("w2")).limit(topK)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("pmi_qb").desc, col("w1"), col("w2")))
+        .cast(LongType))
+  }
+
   /** Edit-distance-1 fuzzy pairs within the top-`topK` vocabulary — the
     * typo-clustering pass (misspelled variants of frequent terms inflate
     * vocabulary and fragment counts; pairing each with its high-frequency

@@ -14,6 +14,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 0, 0, 1))
   }
 
+  test("collocations: hand-computed quarter-bit PMI, rank order") {
+    // "x y x y x y": bigrams (x,y)×3, (y,x)×2 → n_bg=5; unigrams x=3,
+    // y=3 → n_ug=6. qb(3,6)=4, qb(3,5)=2, qb(2,5)=5 →
+    // pmi(x,y)=4+4-2=6, pmi(y,x)=4+4-5=3.
+    val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "doc_id", "text",
+        minCount = 1L, topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("x", "y", 3L, 6L, 1L), ("y", "x", 2L, 3L, 2L)))
+  }
+
   test("fuzzyVocabPairs: sub/ins/del pairs found, transposition rejected") {
     // vocabulary: cat(4) car(2) cart(1) dog(1) act(1) ox(1) — distance-1
     // pairs: cat~car (substitution), car~cart (insertion), cart~cat
