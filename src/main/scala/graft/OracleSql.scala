@@ -574,6 +574,35 @@ object OracleSql {
     // inertia. Each member's d2 is the asg CTE's assignment double
     // (same op order as the engine's ivfD2); inertia sums them as
     // DECIMAL(28,12) partials — exact and order-free.
+    // Per-label centroid cosine matrix: exact scale-6 HALF_UP integer
+    // means per (label, dim) — the same (2s±n)//(2n) formula as the
+    // Lloyd step — then dot/norms from exact DECIMAL(25,12) sums
+    // surfaced as doubles; cosine = dot / (sqrt·sqrt) in the identical
+    // op order; zero-norm → NULL.
+    "q_embed_label_sim" ->
+      """WITH el AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS x
+        |  FROM embeddings),
+        |cm AS (SELECT label, i, SUM(x) AS s, COUNT(*) AS n FROM el
+        |  GROUP BY 1, 2),
+        |ct AS (SELECT label, i,
+        |    CAST((2 * s + CASE WHEN s < 0 THEN -n ELSE n END) // (2 * n)
+        |      AS DECIMAL(18,0)) * CAST(0.000001 AS DECIMAL(7,6)) AS m
+        |  FROM cm),
+        |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(SUM(CAST(a.m * b.m AS DECIMAL(25,12))) AS DOUBLE) AS dot
+        |  FROM ct a JOIN ct b ON a.i = b.i AND a.label < b.label
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT label,
+        |    sqrt(CAST(SUM(CAST(m * m AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+        |  FROM ct GROUP BY 1)
+        |SELECT d.label_a, d.label_b,
+        |  CASE WHEN na.nrm * nb.nrm = 0 THEN NULL
+        |       ELSE d.dot / (na.nrm * nb.nrm) END AS cosine
+        |FROM dots d JOIN norms na ON na.label = d.label_a
+        |JOIN norms nb ON nb.label = d.label_b""".stripMargin,
+
     "q_embed_kmeans" ->
       s"""WITH $ivfRefinedCellCtes,
          |mem AS (SELECT c.cid, a.d2 FROM cells c

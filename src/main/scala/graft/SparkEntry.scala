@@ -833,6 +833,12 @@ object SparkEntry {
   private def qEmbedCovariance(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Embeddings.covariance(emb(spark, dir), "embedding", 8)
 
+  /** Per-label centroid cosine matrix: class-geometry audit over the
+    * labeled embedding table (45 pairs over the 10 labels). */
+  private def qEmbedLabelSim(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Embeddings.labelCentroidSimilarity(emb(spark, dir),
+      "label", "embedding")
+
   /** K-means training summary: 16 md5-seeded centroids, one exact Lloyd
     * round, per-cluster size + integer-exact inertia — the balance/
     * convergence diagnostics behind cluster-stratified curation. */
@@ -1063,6 +1069,7 @@ object SparkEntry {
     "q_wau_sliding" -> (qWauSliding _),
     "q_funnel" -> (qFunnel _),
     "q_embed_covariance" -> (qEmbedCovariance _),
+    "q_embed_label_sim" -> (qEmbedLabelSim _),
     "q_embed_kmeans" -> (qEmbedKmeans _),
     "q_embed_silhouette" -> (qEmbedSilhouette _),
     "q_rollup" -> (qRollup _),

@@ -54,6 +54,53 @@ object Embeddings {
     * deterministic, dependency-free, fine for the d×d matrices this
     * stage sees (d up to a few thousand). Returns (eigenvalues,
     * eigenvectors as rows), sorted by eigenvalue descending. */
+  /** PER-LABEL CENTROID COSINE MATRIX — the class-geometry audit for a
+    * labeled embedding table: exact per-label centroids (the same
+    * scale-6 HALF_UP integer means the IVF Lloyd step uses), then the
+    * cosine between every label pair. High off-diagonal cosines mean
+    * the classes are not separable in this embedding space — the check
+    * a pipeline runs before trusting label-stratified sampling or a
+    * label-routed classifier on these vectors.
+    *
+    * Exactness: centroid means are exact integers, the pairwise dot is
+    * the scale-12 exact sum surfaced as a correctly-rounded double
+    * (`dot_q12`), norms are IEEE `sqrt` of the same (correctly rounded
+    * in every conforming engine, unlike exp/log), and the final ratio
+    * follows one fixed op order the oracle mirrors. A zero-norm
+    * centroid yields NULL, never NaN.
+    *
+    * Scale shape: one corpus pass to the (label, dim) partial sums
+    * (map-side combined; the shuffle carries labels×d rows), centroids
+    * gather per label, and the pair expansion runs inside ONE
+    * class-cardinality-bounded row via `pair_combinations_struct` —
+    * label counts are dozens-to-thousands, never corpus-sized, so the
+    * K² pairs are trivially bounded and no corpus self-join exists. */
+  def labelCentroidSimilarity(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val V = graft.functions.VectorFunctions
+    val el = df.select(col(labelCol).as("label"),
+      posexplode(V.quantize6(col(vecCol))).as(Seq("i", "x")))
+    val cent = el.groupBy(col("label"), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr(
+        "(2 * s + CASE WHEN s < 0 THEN -n ELSE n END) div (2 * n)"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m"))))
+        .getField("m").as("centq"))
+    val pairs = cent
+      .agg(array_sort(collect_list(struct(col("label"), col("centq"))))
+        .as("es"))
+      .select(explode(graft.functions.PairFunctions
+        .pairCombinationsStruct(col("es"))).as("p"))
+      .select(col("p.a.label").as("label_a"), col("p.b.label").as("label_b"),
+        col("p.a.centq").as("ca"), col("p.b.centq").as("cb"))
+    val denom = V.normQ12(col("ca")) * V.normQ12(col("cb"))
+    pairs.select(col("label_a"), col("label_b"),
+      when(denom === 0.0, lit(null).cast(DoubleType))
+        .otherwise(V.dotQ12(col("ca"), col("cb")) / denom).as("cosine"))
+  }
+
   private[graft] def jacobiEigen(m: Array[Array[Double]],
       sweeps: Int = 32): (Array[Double], Array[Array[Double]]) = {
     val d = m.length

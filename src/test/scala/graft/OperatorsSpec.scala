@@ -2488,6 +2488,25 @@ class EmbeddingsSpec extends SparkSpec {
     (3L, Array(5.0f, 4.0f, 0.0f)),
     (4L, Array(7.0f, 2.0f, 0.0f))).toDF("vec_id", "embedding")
 
+  test("labelCentroidSimilarity: exact centroids, hand cosines, " +
+      "zero-norm NULL") {
+    val df = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 0.0f)), // centroid (1, 0)
+      (1, Array(0.0f, 2.0f)),                         // centroid (0, 2)
+      (2, Array(1.0f, 1.0f)), (2, Array(3.0f, 1.0f)), // centroid (2, 1)
+      (3, Array(0.0f, 0.0f))                          // zero norm
+    ).toDF("label", "embedding")
+    val got = Embeddings.labelCentroidSimilarity(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.size == 6)
+    assert(got((0, 1)).contains(0.0))
+    assert(got((0, 2)).contains(2.0 / (1.0 * math.sqrt(5.0))))
+    assert(got((1, 2)).contains(2.0 / (2.0 * math.sqrt(5.0))))
+    assert(got((0, 3)).isEmpty && got((1, 3)).isEmpty &&
+      got((2, 3)).isEmpty, "zero-norm centroid must yield NULL")
+  }
+
   test("covariance: exact hand values, partition-independent") {
     // x0 mean 4, x1 mean 2: cov00 = (1+9+25+49)/4-16 = 5, cov01 =
     // (2+0+20+14)/4-8 = 1, cov11 = (4+0+16+4)/4-4 = 2, x2 constant → 0
