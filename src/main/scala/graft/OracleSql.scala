@@ -749,6 +749,44 @@ object OracleSql {
         |SELECT dau.day_s, dau.dau, wau.wau
         |FROM dau JOIN wau USING (day_s)""".stripMargin,
 
+    // Markov transitions: consecutive event-type pairs per user, ordered
+    // by (ts, event_id); P(next|prev) = one double division of two exact
+    // longs.
+    "q_event_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |pairs AS (SELECT prev_type, event_type AS next_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS total
+        |  FROM pairs GROUP BY 1)
+        |SELECT p.prev_type, p.next_type, p.n, t.total,
+        |  CAST(p.n AS DOUBLE) / t.total AS prob
+        |FROM pairs p JOIN tot t USING (prev_type)""".stripMargin,
+
+    // CUSUM change point: argmax over t of |n·S_t − t·S_n| on scale-6
+    // unscaled values — exact HUGEINT mirror of the engine's
+    // DECIMAL(38,0) fold; ties to the earliest (ts, event_id); the
+    // exact integer converts to double once, /1e6 back to value units.
+    "q_change_point" ->
+      """WITH d AS (SELECT event_type AS key, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS HUGEINT) AS v
+        |  FROM events),
+        |p AS (SELECT key, ts, event_id,
+        |    SUM(v) OVER (PARTITION BY key ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS s,
+        |    CAST(row_number() OVER (PARTITION BY key
+        |      ORDER BY ts, event_id) AS HUGEINT) AS t,
+        |    CAST(COUNT(*) OVER (PARTITION BY key) AS HUGEINT) AS n,
+        |    SUM(v) OVER (PARTITION BY key) AS tt
+        |  FROM d),
+        |c AS (SELECT key, ts, event_id, abs(n * s - t * tt) AS a FROM p)
+        |SELECT key, ts AS change_ts, CAST(a AS DOUBLE) / 1000000.0 AS score
+        |FROM c QUALIFY row_number() OVER (PARTITION BY key
+        |  ORDER BY a DESC, ts, event_id) = 1""".stripMargin,
+
     "q_cohort_retention" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS es
         |  FROM events),
@@ -2235,6 +2273,93 @@ object OracleSql {
         |    AS rank
         |FROM sc QUALIFY rank <= 5""".stripMargin,
 
+    // Binary quantization: 1 bit/dim against the per-dim corpus mean
+    // (compared exactly as x·n >= Σx — no division), Hamming top-20
+    // candidates, exact-cosine rerank to top-5. The bit table stands in
+    // for the engine's packed words: popcount(xor) == count of unequal
+    // bits.
+    "q_sim_binary" ->
+      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
+        |  FROM embeddings),
+        |elu AS (SELECT vec_id, i, CAST(x * 1000000 AS BIGINT) AS u FROM el),
+        |dims AS (SELECT i, SUM(CAST(u AS HUGEINT)) AS s, COUNT(*) AS n
+        |  FROM elu GROUP BY 1),
+        |bits AS (SELECT e.vec_id, e.i,
+        |    CASE WHEN CAST(e.u AS HUGEINT) * d.n >= d.s THEN 1 ELSE 0 END AS b
+        |  FROM elu e JOIN dims d USING (i)),
+        |ham AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    SUM(CASE WHEN q.b <> c.b THEN 1 ELSE 0 END) AS hd
+        |  FROM bits q JOIN bits c ON q.i = c.i
+        |  WHERE q.vec_id < 10 GROUP BY 1, 2),
+        |cand AS (SELECT query_id, corpus_id FROM ham
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY query_id ORDER BY hd, corpus_id) <= 20),
+        |norms AS (SELECT vec_id,
+        |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+        |  FROM el GROUP BY 1),
+        |s AS (SELECT ca.query_id, ca.corpus_id,
+        |    CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+        |  FROM cand ca
+        |  JOIN el q ON q.vec_id = ca.query_id
+        |  JOIN el c ON c.vec_id = ca.corpus_id AND c.i = q.i
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT query_id, corpus_id,
+        |    dot / (nq.nrm * nc.nrm) AS score
+        |  FROM s JOIN norms nq ON nq.vec_id = query_id
+        |         JOIN norms nc ON nc.vec_id = corpus_id)
+        |SELECT query_id, corpus_id, score,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS BIGINT)
+        |    AS rank
+        |FROM sc QUALIFY rank <= 5""".stripMargin,
+
+    // Recall@5 of the binary-quantization chain (same CTEs as
+    // q_sim_binary) against the exact-cosine top-5 ground truth (same
+    // chain as q_sim_topk_cosine): per query, |approx ∩ exact| / 5.
+    "q_sim_recall_binary" ->
+      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
+        |  FROM embeddings),
+        |elu AS (SELECT vec_id, i, CAST(x * 1000000 AS BIGINT) AS u FROM el),
+        |dims AS (SELECT i, SUM(CAST(u AS HUGEINT)) AS s, COUNT(*) AS n
+        |  FROM elu GROUP BY 1),
+        |bits AS (SELECT e.vec_id, e.i,
+        |    CASE WHEN CAST(e.u AS HUGEINT) * d.n >= d.s THEN 1 ELSE 0 END AS b
+        |  FROM elu e JOIN dims d USING (i)),
+        |ham AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    SUM(CASE WHEN q.b <> c.b THEN 1 ELSE 0 END) AS hd
+        |  FROM bits q JOIN bits c ON q.i = c.i
+        |  WHERE q.vec_id < 10 GROUP BY 1, 2),
+        |cand AS (SELECT query_id, corpus_id FROM ham
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY query_id ORDER BY hd, corpus_id) <= 20),
+        |norms AS (SELECT vec_id,
+        |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+        |  FROM el GROUP BY 1),
+        |sall AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+        |  FROM el q JOIN el c ON q.i = c.i
+        |  WHERE q.vec_id < 10 GROUP BY 1, 2),
+        |scall AS (SELECT query_id, corpus_id,
+        |    dot / (nq.nrm * nc.nrm) AS score
+        |  FROM sall JOIN norms nq ON nq.vec_id = query_id
+        |            JOIN norms nc ON nc.vec_id = corpus_id),
+        |topb AS (SELECT sc.query_id, sc.corpus_id FROM scall sc
+        |  JOIN cand ca ON ca.query_id = sc.query_id
+        |              AND ca.corpus_id = sc.corpus_id
+        |  QUALIFY row_number() OVER (PARTITION BY sc.query_id
+        |    ORDER BY sc.score DESC, sc.corpus_id) <= 5),
+        |tope AS (SELECT query_id, corpus_id FROM scall
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, corpus_id) <= 5),
+        |h AS (SELECT topb.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM topb JOIN tope USING (query_id, corpus_id) GROUP BY 1),
+        |q AS (SELECT DISTINCT query_id FROM topb)
+        |SELECT q.query_id, COALESCE(h.hits, 0) AS hits,
+        |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5 AS recall
+        |FROM q LEFT JOIN h USING (query_id)""".stripMargin,
+
     // IVF-PQ: the refined-IVF probe bounds candidates (nprobe = 2 cells
     // per query, same chain as q_sim_ivf), the PQ code table prices
     // each candidate (same chain as q_sim_pq); candidates score by ADC
@@ -2521,6 +2646,66 @@ object OracleSql {
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
         |    AS rank
         |FROM s QUALIFY rank <= 20""".stripMargin,
+
+    // Hybrid retrieval: BM25 top-50 (same rational fixed-point chain as
+    // q_text_bm25) fused with the exact-cosine top-50 of query vector 0
+    // (same chain as q_sim_topk_cosine) by integer reciprocal rank,
+    // rrf = Σ ⌊10¹²/(60+rank)⌋, missing list ⇒ 0; ties on doc_id.
+    "q_text_hybrid_rrf" ->
+      """WITH base AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS arr FROM documents),
+        |bl AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl, arr FROM base),
+        |consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+        |    CAST(SUM(dl) AS BIGINT) AS ll FROM bl),
+        |tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(arr) AS tok FROM bl)
+        |  WHERE tok IN ('spark', 'vector', 'merge')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT doc_id,
+        |    SUM(
+        |      (CAST(2 * (nn - df) + 1 AS HUGEINT)
+        |        * ((CAST(1000000 AS HUGEINT) * CAST(44 AS HUGEINT)
+        |              * CAST(tf AS HUGEINT) * CAST(ll AS HUGEINT))
+        |           // (CAST(20 AS HUGEINT) * CAST(tf AS HUGEINT)
+        |                * CAST(ll AS HUGEINT)
+        |              + CAST(6 AS HUGEINT) * CAST(ll AS HUGEINT)
+        |              + CAST(18 AS HUGEINT) * CAST(dl AS HUGEINT)
+        |                * CAST(nn AS HUGEINT))))
+        |      // CAST(2 * df + 1 AS HUGEINT)) AS score
+        |  FROM tf JOIN dfq USING (tok) CROSS JOIN consts
+        |  GROUP BY 1),
+        |lex AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |      AS lex_rank
+        |  FROM s QUALIFY lex_rank <= 50),
+        |el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id,
+        |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+        |  FROM el GROUP BY 1),
+        |sdot AS (SELECT c.vec_id AS doc_id,
+        |    CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+        |  FROM el q JOIN el c ON q.i = c.i
+        |  WHERE q.vec_id = 0 GROUP BY 1),
+        |sem AS (SELECT sd.doc_id,
+        |    CAST(row_number() OVER
+        |      (ORDER BY sd.dot / (nq.nrm * nc.nrm) DESC, sd.doc_id)
+        |      AS BIGINT) AS sem_rank
+        |  FROM sdot sd
+        |  JOIN norms nq ON nq.vec_id = 0
+        |  JOIN norms nc ON nc.vec_id = sd.doc_id
+        |  QUALIFY sem_rank <= 50),
+        |f AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+        |    lex_rank, sem_rank,
+        |    COALESCE(1000000000000 // (60 + lex_rank), 0)
+        |      + COALESCE(1000000000000 // (60 + sem_rank), 0) AS rrf
+        |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+        |SELECT doc_id, lex_rank, sem_rank, CAST(rrf AS BIGINT) AS rrf,
+        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+        |    AS rank
+        |FROM f QUALIFY rank <= 20""".stripMargin,
 
     // TF-IDF top-5 keywords per document: idf quantized to quarter bits
     // by the exact integer identity floor(4·log2(N/df)) =

@@ -359,6 +359,17 @@ object SparkEntry {
     TimeSeries.slidingActiveUsers(events(spark, dir), "ts", "user_id",
       windowDays = 7)
 
+  /** Markov transition matrix over per-user event-type sequences. */
+  private def qEventTransitions(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.transitionMatrix(events(spark, dir), "ts", "user_id",
+      "event_type", "event_id")
+
+  /** CUSUM change point: the most likely mean-shift instant per event
+    * type, exact integer statistic, ties to the earliest event. */
+  private def qChangePoint(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.changePointCusum(events(spark, dir), "ts", "event_type",
+      "value", "event_id")
+
   /** view → click → purchase funnel: users completing each prefix,
     * every step strictly after the previous. */
   private def qFunnel(spark: SparkSession, dir: String): DataFrame =
@@ -506,6 +517,14 @@ object SparkEntry {
   private def qTextBm25(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25Rational(docs(spark, dir), "doc_id", "text",
       Seq("spark", "vector", "merge"), topK = 20)
+
+  /** Hybrid retrieval: BM25 top-50 ⊕ exact-cosine top-50 (query vector
+    * 0) fused by integer reciprocal-rank, final top-20. */
+  private def qTextHybridRrf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hybridRrfTopK(docs(spark, dir), "doc_id", "text",
+      Seq("spark", "vector", "merge"),
+      emb(spark, dir), "vec_id", "embedding", queryVecId = 0L,
+      n = 50, k = 20)
 
   /** TF-IDF top-5 keywords per document (quarter-bit exact idf). */
   private def qTextTfidf(spark: SparkSession, dir: String): DataFrame =
@@ -859,6 +878,21 @@ object SparkEntry {
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
       emb(spark, dir), "vec_id", "embedding", k = 5)
 
+  private def qSimBinary(spark: SparkSession, dir: String): DataFrame =
+    Similarity.binaryTopK(
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding", k = 5, rerank = 20)
+
+  /** Recall@5 of the binary-quantization index vs exact cosine ground
+    * truth — the knob-tuning evaluation harness, itself oracle-gated. */
+  private def qSimRecallBinary(spark: SparkSession, dir: String): DataFrame =
+    Similarity.recallAtK(
+      qSimBinary(spark, dir),
+      Similarity.bruteForceTopK(
+        emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+        emb(spark, dir), "vec_id", "embedding", k = 5, cosine = true),
+      k = 5)
+
   private def qSimTopkDot(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -1067,6 +1101,8 @@ object SparkEntry {
     "q_histogram" -> (qHistogram _),
     "q_cohort_retention" -> (qCohort _),
     "q_wau_sliding" -> (qWauSliding _),
+    "q_event_transitions" -> (qEventTransitions _),
+    "q_change_point" -> (qChangePoint _),
     "q_funnel" -> (qFunnel _),
     "q_embed_covariance" -> (qEmbedCovariance _),
     "q_embed_label_sim" -> (qEmbedLabelSim _),
@@ -1097,6 +1133,7 @@ object SparkEntry {
     "q_text_linear" -> (qTextLinear _),
     "q_dedup_apply_stats" -> (qDedupApplyStats _),
     "q_text_bm25" -> (qTextBm25 _),
+    "q_text_hybrid_rrf" -> (qTextHybridRrf _),
     "q_text_tfidf" -> (qTextTfidf _),
     "q_text_scripts" -> (qTextScripts _),
     "q_lm_perplexity" -> (qLmPerplexity _),
@@ -1143,6 +1180,8 @@ object SparkEntry {
     "q_sim_ivf2" -> (qSimIvf2 _),
     "q_sim_pq" -> (qSimPq _),
     "q_sim_sq8" -> (qSimSq8 _),
+    "q_sim_binary" -> (qSimBinary _),
+    "q_sim_recall_binary" -> (qSimRecallBinary _),
     "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_sim_ivfpq_res" -> (qSimIvfPqRes _),
     "q_sim_ivfpq_rr" -> (qSimIvfPqRerank _),

@@ -82,6 +82,23 @@ object VectorOpsImpl {
         .doubleValue()))
   }
 
+  /** Hamming distance between two packed bit signatures (arrays of
+    * 64-bit words): popcount of the per-word XOR, summed. The per-pair
+    * kernel of the binary-quantization ANN — one xor + one POPCNT per
+    * word, so a 64-dim signature costs a single instruction pair where
+    * the exact dot costs 64 multiply-adds. */
+  def hammingWords(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** Deterministic ±1 for hyperplane component (table, plane, dim) — a
     * splitmix64 bit. Any executor anywhere reproduces the same planes
     * with zero shipped state. */
@@ -199,6 +216,31 @@ case class DotQ12(left: Expression, right: Expression)
   override def prettyName: String = "dot_q12"
 }
 
+/** `hamming_words(a ARRAY<LONG>, b ARRAY<LONG>) -> LONG`: Hamming
+  * distance between packed bit signatures. */
+case class HammingWords(left: Expression, right: Expression)
+    extends BinaryExpression with LongArrayCheck {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkLongArray(left, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else checkLongArray(right, prettyName)
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOpsImpl.hammingWords(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""java.lang.Long r = graft.functions.VectorOpsImpl.hammingWords($a, $b);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = r.longValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming_words"
+}
+
 /** `norm_q12(qa) -> DOUBLE`: exact L2 norm of a quantized vector. */
 case class NormQ12(child: Expression)
     extends UnaryExpression with LongArrayCheck {
@@ -258,7 +300,10 @@ object VectorFunctions {
       (es: Seq[Expression]) => NormQ12(es(0))),
     (FunctionIdentifier("rhp_signatures"),
       new ExpressionInfo(classOf[RhpSignatures].getName, "rhp_signatures"),
-      (es: Seq[Expression]) => RhpSignatures(es(0), es(1), es(2))))
+      (es: Seq[Expression]) => RhpSignatures(es(0), es(1), es(2))),
+    (FunctionIdentifier("hamming_words"),
+      new ExpressionInfo(classOf[HammingWords].getName, "hamming_words"),
+      (es: Seq[Expression]) => HammingWords(es(0), es(1))))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     descriptors.foreach { case (id, _, builder) =>
@@ -275,4 +320,6 @@ object VectorFunctions {
   def normExact(a: Column): Column = normQ12(quantize6(a))
   def rhpSignatures(vec: Column, planes: Int, tables: Int): Column =
     call_function("rhp_signatures", vec, lit(planes), lit(tables))
+  def hammingWords(a: Column, b: Column): Column =
+    call_function("hamming_words", a, b)
 }

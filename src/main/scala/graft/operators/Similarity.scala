@@ -1043,6 +1043,106 @@ object Similarity {
     pqTopKWindow(scored, k)
   }
 
+  /** BINARY-QUANTIZATION ANN (1 bit/dim + exact rerank) — the extreme
+    * end of the compression ladder next to [[sq8TopK]] (8 bit/dim) and
+    * [[pqTopK]] (~1 byte/subspace): each dimension collapses to a single
+    * sign bit against the corpus' per-dimension mean, packed 64 bits to
+    * a long. Candidate generation scans signatures only — one XOR +
+    * POPCNT per 64 dims per pair (the codegen'd `hamming_words` kernel),
+    * a 64× cheaper inner loop and a 32× smaller shuffle/cache footprint
+    * than the exact dot — then the top-`rerank` Hamming candidates per
+    * query are re-scored with the EXACT quantized cosine, so the final
+    * top-k ordering carries true scores, not proxies.
+    *
+    * Everything is exact integer arithmetic and therefore engine- and
+    * partitioning-reproducible: the mean threshold is compared as
+    * `x·n ≥ Σx` in `DECIMAL(38,0)` (no division, no rounding), ties in
+    * both ranking stages break on `corpus_id`.
+    *
+    * Scale shape: the per-dim threshold table is `d` rows (broadcast);
+    * signature packing is two map-side-combined aggregations keyed by
+    * (id, word) then id; candidate scoring is a corpus scan against the
+    * BROADCAST query signatures with `WindowGroupLimit` pruning the
+    * per-query top-`rerank` before any sort; the exact rerank touches
+    * only `Q × rerank` rows, joined back to the quantized corpus on a
+    * hash-partitioned id join. No all-pairs exact work anywhere. */
+  def binaryTopK(queries: DataFrame, queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int = 5, rerank: Int = 20): DataFrame = {
+    registered(corpus)
+    registered(queries) // sessions can differ (e.g. foreachBatch clones)
+    val c0 = corpus.select(col(corpusId).as("corpus_id"),
+      V.quantize6(col(corpusVec)).as("cq"))
+    val el = c0.select(col("corpus_id"),
+      posexplode(col("cq")).as(Seq("i", "x")))
+    // Per-dimension mean threshold, held exactly: bit = (x·n ≥ Σx) in
+    // DECIMAL(38,0) — the comparison every engine reproduces bit-for-bit
+    // because the mean is never materialized as a rounded quotient.
+    val dims = el.groupBy(col("i")).agg(
+      sum(col("x").cast(DecimalType(38, 0))).as("s"),
+      count(lit(1)).cast(DecimalType(38, 0)).as("n"))
+    def packed(side: DataFrame, id: String): DataFrame =
+      side.join(broadcast(dims), Seq("i"))
+        .withColumn("bit",
+          when(col("x").cast(DecimalType(38, 0)) * col("n") >= col("s"),
+            lit(1L)).otherwise(lit(0L)))
+        .withColumn("w", expr("i div 64"))
+        .groupBy(col(id), col("w"))
+        .agg(sum(expr("shiftleft(bit, CAST(i % 64 AS INT))")).as("word"))
+        .groupBy(col(id))
+        .agg(transform(array_sort(collect_list(struct(col("w"), col("word")))),
+          s => s.getField("word")).as("sig"))
+    val q0 = queries.select(col(queryId).as("query_id"),
+        V.quantize6(col(queryVec)).as("qq"))
+      .withColumn("qnorm", V.normQ12(col("qq")))
+    val qel = q0.select(col("query_id"),
+      posexplode(col("qq")).as(Seq("i", "x")))
+    val qsig = packed(qel, "query_id").withColumnRenamed("sig", "qsig")
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham"), col("corpus_id"))
+    val cand = packed(el, "corpus_id").crossJoin(broadcast(qsig))
+      .withColumn("ham", V.hammingWords(col("sig"), col("qsig")))
+      .withColumn("crank", row_number().over(wHam))
+      .filter(col("crank") <= rerank)
+      .select("query_id", "corpus_id")
+    val cn = c0.withColumn("cnorm", V.normQ12(col("cq")))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id"))
+    cand.join(cn, Seq("corpus_id"))
+      .join(broadcast(q0), Seq("query_id"))
+      .withColumn("score",
+        V.dotQ12(col("qq"), col("cq")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(wK).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "score", "rank")
+  }
+
+  /** RECALL@K EVALUATION — the harness that prices every approximate
+    * index against exact ground truth: for each query, the fraction of
+    * the true (exact-scoring) top-k that the approximate top-k
+    * recovered. This is how `nprobe`/`planes`/`rerank` knobs are tuned
+    * before a 10¹⁰-vector index ships — recall is measured on a query
+    * sample, never assumed. Both inputs are any of this family's top-k
+    * frames (`query_id`, `corpus_id`, `rank`); queries with zero
+    * overlap still appear (hits = 0). `recall` is one double division
+    * of two exact longs.
+    *
+    * Scale shape: both sides are already bounded at `Q × k` rows, so
+    * the intersection semi-join and the per-query count are trivial at
+    * any corpus scale — the cost lives in the two retrieval arms being
+    * evaluated, not here. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.select(col("query_id"), col("corpus_id"))
+    val hits = a
+      .join(exact.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    a.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall", col("hits").cast(DoubleType) / k)
+  }
+
   /** IVF-PQ — the two bounds composed, the shape a production
     * 10¹⁰-vector index actually runs: the IVF coarse quantizer bounds
     * WHICH vectors are scored (`nprobe` cells per query) and PQ bounds

@@ -728,6 +728,49 @@ object TextAnalysis {
         .over(Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
   }
 
+  /** HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack et al. 2009) —
+    * the standard way a training-data pipeline combines a lexical and a
+    * semantic retriever without calibrating their incomparable scores:
+    * fetch the top-`n` of each list, then fuse by rank alone,
+    * `rrf(d) = Σ_lists 1/(c + rank_list(d))`, and keep the top-`k`.
+    *
+    * The lexical list is [[bm25Rational]] (exact fixed-point BM25); the
+    * semantic list is the exact quantized cosine top-`n` of one query
+    * vector ([[Similarity.bruteForceTopK]]). The fused score is held as
+    * an exact integer — `⌊10¹²/(c+r)⌋` per list, summed — so engines
+    * agree to the bit and ties break on `doc_id`. A document present in
+    * only one list contributes only that list's term (the RRF convention:
+    * missing rank ⇒ zero contribution, not a penalty).
+    *
+    * Scale shape: both retriever lists are already bounded at `n` rows,
+    * so the fusion join, the fused sort, and the final window all run on
+    * at most `2n` rows per query — the expensive parts are the
+    * retrievers themselves, each audited separately ([[bm25Rational]]'s
+    * postings pruning, the ANN family's candidate bounds; swap the brute
+    * arm for [[Similarity.binaryTopK]]/IVF at corpus scale). */
+  def hybridRrfTopK(docs: DataFrame, docId: String, textCol: String,
+      terms: Seq[String],
+      embs: DataFrame, embId: String, vecCol: String, queryVecId: Long,
+      n: Int, k: Int, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Rational(docs, docId, textCol, terms, n)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val sem = Similarity.bruteForceTopK(
+        embs.filter(col(embId) === queryVecId), embId, vecCol,
+        embs, embId, vecCol, k = n, cosine = true)
+      .select(col("corpus_id").as("doc_id"), col("rank").as("sem_rank"))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr(s"CAST(1000000000000 div ($c + lex_rank) AS BIGINT)"),
+          lit(0L)) +
+        coalesce(expr(s"CAST(1000000000000 div ($c + sem_rank) AS BIGINT)"),
+          lit(0L)))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("doc_id", "lex_rank", "sem_rank", "rrf", "rank")
+  }
+
   /** CCNet-style language-model perplexity scoring with EXACT fixed-point
     * arithmetic: train an add-α-smoothed bigram LM on a clean reference
     * slice, score every document by its negative log-likelihood, and rank

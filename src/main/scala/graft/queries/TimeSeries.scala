@@ -705,4 +705,75 @@ object TimeSeries {
           ord.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("prev_us", "new_session")
   }
+
+  /** MARKOV TRANSITION MATRIX over per-entity event sequences: for every
+    * ordered pair of consecutive event types within an entity's
+    * time-ordered stream, the transition count and the conditional
+    * probability `P(next | prev)` — the sequence-analytics primitive
+    * behind clickstream flow maps, behavioral cohorting, and
+    * next-action models. Ordering is `(ts, rowId)`, so the sequence —
+    * and therefore every count — is unique and engine-reproducible
+    * regardless of partitioning. The probability is one double division
+    * of two exact longs (identical in any IEEE-754 engine).
+    *
+    * Scale shape: one shuffle keyed on the entity for the `lag` window
+    * (bounded one-row state), then a map-side-combined count keyed on
+    * the (prev, next) pair — output is |types|² rows at most, and the
+    * per-prev totals come from a window over that tiny aggregate, not a
+    * second pass over the events. */
+  def transitionMatrix(df: DataFrame, ts: String, key: String,
+      typeCol: String, rowId: String): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts), col(rowId))
+    val pairs = df
+      .withColumn("prev_type", lag(col(typeCol), 1).over(ord))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("total",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("prob", col("n").cast(DoubleType) / col("total"))
+      .select("prev_type", "next_type", "n", "total", "prob")
+  }
+
+  /** CUSUM CHANGE-POINT DETECTION per series: the single most likely
+    * mean-shift instant, found as the argmax over t of
+    * `|n·S_t − t·S_n|` — the classic cumulative-sum statistic
+    * `|S_t − t·μ|` scaled by n so it needs NO division and stays exact
+    * integer arithmetic end to end. Values quantize once to scale-6
+    * longs; prefix sums and the cross products fold in `DECIMAL(38,0)`
+    * (scale 0 ⇒ no rounding ever; headroom to 10³⁸ covers n·S_t for
+    * 10¹² rows of 10⁹-unscaled values), so every engine lands on the
+    * same argmax, with ties broken by earliest `(ts, rowId)`. The
+    * reported score converts the exact integer to double once, divided
+    * by 10⁶ back into value units.
+    *
+    * Scale shape: one shuffle keyed on the series for the ordered
+    * prefix-sum window (running state, no buffering); the per-series
+    * totals ride the same partitioning as an unordered window; the
+    * argmax is a `row_number` top-1 that `WindowGroupLimit` prunes
+    * map-side. Linear in rows at any scale. */
+  def changePointCusum(df: DataFrame, ts: String, key: String,
+      value: String, rowId: String): DataFrame = {
+    val ord = Window.partitionBy(col("key"))
+      .orderBy(col("__ts"), col("__rid"))
+    val whole = Window.partitionBy(col("key"))
+    val d = df.select(col(key).as("key"), col(ts).as("__ts"),
+      col(rowId).as("__rid"),
+      (col(value).cast(DecimalType(28, 6)) * 1000000L)
+        .cast(DecimalType(38, 0)).as("v"))
+    val pick = Window.partitionBy(col("key"))
+      .orderBy(col("a").desc, col("__ts"), col("__rid"))
+    d.withColumn("s",
+        sum(col("v")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t", count(lit(1)).over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)).cast(DecimalType(38, 0)))
+      .withColumn("n", count(lit(1)).over(whole).cast(DecimalType(38, 0)))
+      .withColumn("tt", sum(col("v")).over(whole))
+      .withColumn("a", abs(col("n") * col("s") - col("t") * col("tt")))
+      .withColumn("pr", row_number().over(pick))
+      .filter(col("pr") === 1)
+      .select(col("key"), col("__ts").as("change_ts"),
+        (col("a").cast(DoubleType) / 1000000.0).as("score"))
+  }
 }
