@@ -125,6 +125,25 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: hamming_words kernel == zip_with bit_count formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val V = graft.functions.VectorFunctions
+    val word = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    val sig = Gen.listOfN(3, word).map(_.toArray)
+    val pairs = sample(Gen.zip(sig, sig), 60)
+    val df = pairs.toDF("a", "b")
+    df.select(V.hammingWords(col("a"), col("b")).as("fast"),
+        aggregate(zip_with(col("a"), col("b"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("ref"))
+      .collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1), "hamming_words"))
+    // length mismatch → null, not a wrong number
+    val m = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+      .select(V.hammingWords(col("a"), col("b"))).collect()
+    assert(m.head.isNullAt(0), "length mismatch must be null")
+  }
+
   test("property: minhash/simhash kernels == aggregation forms on random docs") {
     val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2", "läng", "中文")
     val doc = Gen.chooseNum(1, 30).flatMap(n =>
