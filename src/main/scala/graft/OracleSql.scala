@@ -1901,6 +1901,33 @@ object OracleSql {
     // seed centroids (smallest md5_60(id)), exact quantized-L2 cells,
     // nprobe = 2 probes; PQ = 4 subspaces of 2 dims, 16 sampled codes,
     // ADC lookup-sum scores, top-5 per query.
+    // Perceptual-hash near-dup on the text-byte gate corpus after the
+    // 8×8 thumbnail resize: every payload takes the stub branches —
+    // resize truncates to the 64-byte budget, so
+    // phash = md5_60(first 64 bytes). substring() is char-based but the
+    // corpus is pure ASCII at every SF (verified), so chars == bytes.
+    // Banding/bucket-cap/verify mirrors q_dedup_simhash exactly.
+    "q_multimodal_phash" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    ('0x' || substring(md5(substring(text, 1, 64)), 1, 15))::BIGINT
+        |      AS phash
+        |  FROM documents),
+        |chunked AS (SELECT media_id, phash, c.c AS chunk,
+        |    (phash >> CAST(c.c * 15 AS INTEGER)) & 32767 AS chunk_val
+        |  FROM m, range(0, 4) c(c)),
+        |bsz AS (SELECT chunk, chunk_val, COUNT(*) AS n
+        |  FROM chunked GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
+        |    a.phash AS ph_a, b2.phash AS ph_b
+        |  FROM chunked a
+        |  JOIN chunked b2 ON a.chunk = b2.chunk
+        |                 AND a.chunk_val = b2.chunk_val
+        |  JOIN bsz ON bsz.chunk = a.chunk AND bsz.chunk_val = a.chunk_val
+        |  WHERE a.media_id < b2.media_id AND bsz.n BETWEEN 2 AND 2000)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+        |FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 3""".stripMargin,
+
     "q_multimodal_neardup" ->
       """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS vec_id, j.j AS jj,
         |    CAST(('0x' || substring(md5(text || CAST(j.j AS VARCHAR)), 1, 15))
@@ -2295,6 +2322,44 @@ object OracleSql {
         |cand AS (SELECT query_id, corpus_id FROM ham
         |  QUALIFY row_number() OVER
         |    (PARTITION BY query_id ORDER BY hd, corpus_id) <= 20),
+        |norms AS (SELECT vec_id,
+        |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+        |  FROM el GROUP BY 1),
+        |s AS (SELECT ca.query_id, ca.corpus_id,
+        |    CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+        |  FROM cand ca
+        |  JOIN el q ON q.vec_id = ca.query_id
+        |  JOIN el c ON c.vec_id = ca.corpus_id AND c.i = q.i
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT query_id, corpus_id,
+        |    dot / (nq.nrm * nc.nrm) AS score
+        |  FROM s JOIN norms nq ON nq.vec_id = query_id
+        |         JOIN norms nc ON nc.vec_id = corpus_id)
+        |SELECT query_id, corpus_id, score,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS BIGINT)
+        |    AS rank
+        |FROM sc QUALIFY rank <= 5""".stripMargin,
+
+    // Matryoshka: candidates by exact cosine over the FIRST 16 dims
+    // (i <= 16 — prefix dot and prefix norms), full-64-dim exact-cosine
+    // rerank of the top-20, final top-5 carries true scores.
+    "q_sim_matryoshka" ->
+      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
+        |  FROM embeddings),
+        |pnorms AS (SELECT vec_id,
+        |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+        |  FROM el WHERE i <= 16 GROUP BY 1),
+        |pdot AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+        |  FROM el q JOIN el c ON q.i = c.i
+        |  WHERE q.vec_id < 10 AND q.i <= 16 GROUP BY 1, 2),
+        |cand AS (SELECT pd.query_id, pd.corpus_id FROM pdot pd
+        |  JOIN pnorms nq ON nq.vec_id = pd.query_id
+        |  JOIN pnorms nc ON nc.vec_id = pd.corpus_id
+        |  QUALIFY row_number() OVER (PARTITION BY pd.query_id
+        |    ORDER BY pd.dot / (nq.nrm * nc.nrm) DESC, pd.corpus_id) <= 20),
         |norms AS (SELECT vec_id,
         |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
         |  FROM el GROUP BY 1),

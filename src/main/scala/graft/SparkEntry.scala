@@ -883,6 +883,14 @@ object SparkEntry {
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
       emb(spark, dir), "vec_id", "embedding", k = 5, rerank = 20)
 
+  /** Matryoshka retrieval: 16-dim prefix candidates, full 64-dim exact
+    * rerank — the MRL-embedding cost/recall trade. */
+  private def qSimMatryoshka(spark: SparkSession, dir: String): DataFrame =
+    Similarity.matryoshkaTopK(
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding",
+      k = 5, prefixDims = 16, rerank = 20)
+
   /** Recall@5 of the binary-quantization index vs exact cosine ground
     * truth — the knob-tuning evaluation harness, itself oracle-gated. */
   private def qSimRecallBinary(spark: SparkSession, dir: String): DataFrame =
@@ -1049,6 +1057,19 @@ object SparkEntry {
     Multimodal.frameSamplePlan(media, everyMs = 1000L)
   }
 
+  /** Perceptual-hash near-dup pairs over the media corpus, in the real
+    * pipeline shape: thumbnail-resize first (8×8 — raster payloads get a
+    * true nearest-neighbor thumbnail, out-of-gate payloads the
+    * documented 64-byte-budget truncation), then dHash + banded
+    * Hamming ≤ 3. On the text-byte gate corpus every row takes the
+    * md5-stub branch over its first 64 bytes, so near-dup documents
+    * sharing a prefix collide and the whole chain stays
+    * oracle-reproducible. */
+  private def qMultimodalPhash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashNearDuplicates(
+      Multimodal.resize(
+        Multimodal.mediaFromText(docs(spark, dir), "doc_id", "text"), 8, 8))
+
   /** Multimodal features composed into ANN end to end: decode every
     * payload into an 8-dim feature vector ([[Multimodal.extractFeatures]]
     * — deterministic, so fully oracle-checkable), then run IVF-PQ top-5
@@ -1182,6 +1203,7 @@ object SparkEntry {
     "q_sim_sq8" -> (qSimSq8 _),
     "q_sim_binary" -> (qSimBinary _),
     "q_sim_recall_binary" -> (qSimRecallBinary _),
+    "q_sim_matryoshka" -> (qSimMatryoshka _),
     "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_sim_ivfpq_res" -> (qSimIvfPqRes _),
     "q_sim_ivfpq_rr" -> (qSimIvfPqRerank _),
@@ -1192,7 +1214,8 @@ object SparkEntry {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
-    "q_multimodal_neardup" -> (qMultimodalNeardup _)
+    "q_multimodal_neardup" -> (qMultimodalNeardup _),
+    "q_multimodal_phash" -> (qMultimodalPhash _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

@@ -652,6 +652,138 @@ object Multimodal {
         } else None
       } catch { case _: IndexOutOfBoundsException => None }
 
+    /** Decode any in-gate raster to 8-bit luma, row-major top-down:
+      * P5 `v`, P6/BMP-24/PNG-RGB `(r+g+b)/3` (integer division —
+      * deterministic), PNG palette via PLTE lookup, PNG RGBA ignores
+      * alpha. BMP's bottom-up row order is flipped so (0,0) is the
+      * top-left in every format. Out-of-gate bytes → None. */
+    private[graft] def grayRaster(
+        b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      try {
+        if (isBmp(b)) grayBmp(b)
+        else if (isPng(b)) pngDecode(b).map(grayPng)
+        else if (isPnm(b)) grayPnm(b)
+        else None
+      } catch { case _: IndexOutOfBoundsException |
+                     _: ArithmeticException => None }
+
+    private def grayBmp(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      val off = le32(b, 10)
+      val width = le32(b, 18)
+      val rawH = le32(b, 22)
+      val height = math.abs(rawH)
+      val rowSize = ((24 * width + 31) / 32) * 4
+      if (width <= 0 || height <= 0 || off < 54 ||
+          off.toLong + rowSize.toLong * height > b.length) return None
+      val g = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        // positive height = bottom-up storage; negative = top-down
+        val srcRow = if (rawH > 0) height - 1 - y else y
+        var x = 0
+        while (x < width) {
+          val base = off + srcRow * rowSize + x * 3
+          g(y * width + x) =
+            ((b(base) & 0xff) + (b(base + 1) & 0xff) + (b(base + 2) & 0xff)) / 3
+          x += 1
+        }
+        y += 1
+      }
+      Some((width, height, g))
+    }
+
+    private def grayPnm(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      val gray = b(1) == '5'
+      val parsed = pnmHeader(b, 3)
+      if (parsed.isEmpty) return None
+      val (hdr, off) = parsed.get
+      val sw = hdr(0); val sh = hdr(1); val maxval = hdr(2)
+      val bpp = if (gray) 1 else 3
+      if (sw <= 0 || sh <= 0 || maxval != 255 ||
+          off.toLong + sw.toLong * sh * bpp > b.length) return None
+      val g = new Array[Int](sw * sh)
+      var p = 0
+      while (p < g.length) {
+        val base = off + p * bpp
+        g(p) =
+          if (gray) b(base) & 0xff
+          else ((b(base) & 0xff) + (b(base + 1) & 0xff) +
+            (b(base + 2) & 0xff)) / 3
+        p += 1
+      }
+      Some((sw, sh, g))
+    }
+
+    private def grayPng(
+        d: (Int, Int, Int, Array[Byte], Array[Byte])): (Int, Int, Array[Int]) = {
+      val (w, h, colorType, palette, px) = d
+      val ch = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4
+      }
+      val g = new Array[Int](w * h)
+      var p = 0
+      while (p < g.length) {
+        val base = p * ch
+        g(p) = colorType match {
+          case 0 => px(base) & 0xff
+          case 3 =>
+            val pi = (px(base) & 0xff) * 3
+            if (pi + 2 < palette.length)
+              ((palette(pi) & 0xff) + (palette(pi + 1) & 0xff) +
+                (palette(pi + 2) & 0xff)) / 3
+            else 0
+          case _ => ((px(base) & 0xff) + (px(base + 1) & 0xff) +
+            (px(base + 2) & 0xff)) / 3
+        }
+        p += 1
+      }
+      (w, h, g)
+    }
+
+    /** 60-bit difference hash (dHash): sample a 9-wide × 8-tall
+      * nearest-neighbor luma grid, bit `y·8+x` = (g(y,x) < g(y,x+1)),
+      * keeping bits 0–59 so the hash lives in the same non-negative
+      * 60-bit space as `md5_60` (4 comparisons of the last row are
+      * dropped). Gradient direction survives uniform brightness/contrast
+      * shifts and rescaling — the property that makes dHash the standard
+      * cheap image near-dup fingerprint. Out-of-gate payloads take the
+      * md5-derived stub (same bytes → same hash, reproducible by the
+      * DuckDB oracle since the gate corpus is text bytes). */
+    private[graft] def dhash60(b: Array[Byte]): Long =
+      grayRaster(b) match {
+        case Some((w, h, g)) if w >= 9 && h >= 8 =>
+          var bits = 0L
+          var y = 0
+          while (y < 8) {
+            val gy = (y.toLong * h / 8).toInt
+            var x = 0
+            while (x < 8) {
+              val k = y * 8 + x
+              if (k < 60) {
+                val gx0 = (x.toLong * w / 9).toInt
+                val gx1 = ((x + 1).toLong * w / 9).toInt
+                if (g(gy * w + gx0) < g(gy * w + gx1)) bits |= 1L << k
+              }
+              x += 1
+            }
+            y += 1
+          }
+          bits
+        case _ => stubPhash(b)
+      }
+
+    /** First 60 bits of md5(payload) — numerically identical to the
+      * oracle's `('0x' || substring(md5(text), 1, 15))::BIGINT`. */
+    private[graft] def stubPhash(payload: Array[Byte]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(payload)
+      val d = md.digest()
+      var hh = 0L
+      var i = 0
+      while (i < 8) { hh = (hh << 8) | (d(i) & 0xffL); i += 1 }
+      hh >>> 4
+    }
+
     private def stubFeatures(payload: Array[Byte], n: Int): Array[Double] = {
       val out = new Array[Double](n)
       var j = 0
@@ -814,4 +946,49 @@ object Multimodal {
       .agg(count(lit(1)).as("n"),
         max(col("width")).as("max_width"),
         max(col("height")).as("max_height"))
+
+  /** Per-media 60-bit perceptual hash ([[MediaCodec.dhash60]]): real
+    * dHash for in-gate rasters, md5-stub otherwise. Same iterator
+    * `mapPartitions` shape as [[extractFeatures]] — payloads never
+    * shuffle; an 8-byte hash is all that leaves the scan. */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false))))
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val p = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          Row(r.getAs[Long]("media_id"), MediaCodec.dhash60(p))
+        }
+      }(enc)
+  }
+
+  /** Perceptual near-duplicate pairs: [[perceptualHash]] then the SAME
+    * banded-Hamming candidate scheme as
+    * [[Dedup.simhashNearDuplicates]] — 4 × 15-bit chunks (pigeonhole:
+    * any pair within hamming < 4 shares ≥ 1 exact chunk), hot buckets
+    * structurally dropped at `maxBucket`, verification =
+    * `bit_count(xor)` on the 8-byte hash riding the bucket shuffle.
+    * This is the image-dedup recipe curation pipelines run before
+    * training multimodal models: one decode pass, then pure integer
+    * candidate generation that never touches payloads again. */
+  def phashNearDuplicates(media: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame = {
+    val ph = perceptualHash(media)
+    val chunked = ph
+      .select(col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("chunk_val",
+        expr("shiftright(phash, CAST(chunk * 15 AS INT)) & 32767"))
+    val pairs = Dedup.pairsFromBucketsWithPayload(chunked, "media_id",
+      "phash", Seq("chunk", "chunk_val"), maxBucket)
+    graft.operators.Lifetime.seal(
+      pairs.select(col("id_a"), col("id_b"),
+          bit_count(col("phash_a").bitwiseXOR(col("phash_b")))
+            .cast(LongType).as("hamming"))
+        .filter(col("hamming") <= maxHamming),
+      pairs)
+  }
 }

@@ -1117,6 +1117,60 @@ object Similarity {
       .select("query_id", "corpus_id", "score", "rank")
   }
 
+  /** MATRYOSHKA (truncated-dimension) ANN — the retrieval pattern MRL
+    * embeddings (Kusupati et al. 2022) are trained for: the first
+    * `prefixDims` coordinates carry most of the signal, so candidate
+    * generation scores ONLY the prefix (a `prefixDims/d` fraction of
+    * the dot-product work and of the bytes a cache line moves), and the
+    * full-dimension exact cosine re-scores just the top-`rerank`
+    * survivors per query. Both stages are the same exact quantized
+    * arithmetic as [[bruteForceTopK]] — scale-6 longs, `dot_q12`
+    * kernels, ties on `corpus_id` — so the result is engine- and
+    * partitioning-reproducible, and the final scores are TRUE full-dim
+    * scores, not prefix proxies.
+    *
+    * Scale shape: prefixes are sliced once per row before any join
+    * (never per pair); the prefix scan ranks against BROADCAST query
+    * prefixes with `WindowGroupLimit` pruning to `rerank` per query
+    * before any sort; the full-dim rerank touches `Q × rerank` rows
+    * via a hash join on `corpus_id`. The full-width vectors of the
+    * corpus are read once in the scan and never shuffled. */
+  def matryoshkaTopK(queries: DataFrame, queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int = 5, prefixDims: Int = 16, rerank: Int = 20): DataFrame = {
+    registered(corpus)
+    registered(queries) // sessions can differ (e.g. foreachBatch clones)
+    val c0 = corpus.select(col(corpusId).as("corpus_id"),
+        V.quantize6(col(corpusVec)).as("cq"))
+      .withColumn("cp", slice(col("cq"), 1, prefixDims))
+    val q0 = queries.select(col(queryId).as("query_id"),
+        V.quantize6(col(queryVec)).as("qq"))
+      .withColumn("qp", slice(col("qq"), 1, prefixDims))
+      .withColumn("qnorm", V.normQ12(col("qq")))
+      .withColumn("qpnorm", V.normQ12(col("qp")))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("pre_score").desc, col("corpus_id"))
+    val cand = c0
+      .withColumn("cpnorm", V.normQ12(col("cp")))
+      .crossJoin(broadcast(q0.select("query_id", "qp", "qpnorm")))
+      .withColumn("pre_score",
+        V.dotQ12(col("qp"), col("cp")) / (col("qpnorm") * col("cpnorm")))
+      .withColumn("crank", row_number().over(wPre))
+      .filter(col("crank") <= rerank)
+      .select("query_id", "corpus_id")
+    val cn = c0.select(col("corpus_id"), col("cq"))
+      .withColumn("cnorm", V.normQ12(col("cq")))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id"))
+    cand.join(cn, Seq("corpus_id"))
+      .join(broadcast(q0.select("query_id", "qq", "qnorm")), Seq("query_id"))
+      .withColumn("score",
+        V.dotQ12(col("qq"), col("cq")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(wK).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "score", "rank")
+  }
+
   /** RECALL@K EVALUATION — the harness that prices every approximate
     * index against exact ground truth: for each query, the fraction of
     * the true (exact-scoring) top-k that the approximate top-k

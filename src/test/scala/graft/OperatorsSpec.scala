@@ -2339,6 +2339,81 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.sniff(p6short).isEmpty)
   }
 
+  test("dhash60: gradient-invariant on real rasters; md5-stub otherwise") {
+    import graft.operators.Multimodal.MediaCodec
+    // 16×8 P5 horizontal ramp: luma = 10·x + shift (max 150+shift ≤ 255)
+    def ramp(shift: Int, desc: Boolean): Array[Byte] =
+      ("P5\n16 8\n255\n".getBytes.toSeq ++
+        (0 until 8).flatMap(_ => (0 until 16).map { x =>
+          val v = 10 * (if (desc) 15 - x else x) + shift
+          v.toByte
+        })).toArray
+    val base = MediaCodec.dhash60(ramp(0, desc = false))
+    // uniform brightness shift preserves every gradient comparison
+    assert(base == MediaCodec.dhash60(ramp(40, desc = false)),
+      "dHash must survive a uniform brightness shift")
+    // reversed ramp flips every comparison → far in Hamming space
+    val rev = MediaCodec.dhash60(ramp(0, desc = true))
+    assert(java.lang.Long.bitCount(base ^ rev) > 30,
+      s"reversed gradient too close: ${java.lang.Long.bitCount(base ^ rev)}")
+    // BMP bottom-up storage is flipped to top-down luma
+    assert(MediaCodec.grayRaster(bmpBytes).contains((2, 2,
+      Array(85, 85, 255, 0))) ||
+      MediaCodec.grayRaster(bmpBytes).exists { case (w, h, g) =>
+        w == 2 && h == 2 && g.toSeq == Seq(85, 85, 255, 0) },
+      s"bmp luma: ${MediaCodec.grayRaster(bmpBytes).map(_._3.toSeq)}")
+    // out-of-gate payload → first 60 bits of md5 (oracle-reproducible)
+    val txt = "no raster here".getBytes
+    val md = java.security.MessageDigest.getInstance("MD5").digest(txt)
+    var expect = 0L
+    (0 until 8).foreach(i => expect = (expect << 8) | (md(i) & 0xffL))
+    assert(MediaCodec.dhash60(txt) == (expect >>> 4))
+    // sub-grid rasters (w < 9 or h < 8) also fall to the stub: an 8-wide
+    // thumbnail has no 9-sample gradient row
+    val tiny = ("P5\n4 4\n255\n".getBytes.toSeq ++
+      Seq.fill(16)(9.toByte)).toArray
+    assert(MediaCodec.dhash60(tiny) == MediaCodec.stubPhash(tiny))
+  }
+
+  test("phashNearDuplicates: brightness twin pairs; distinct image does not") {
+    val mk = (shift: Int, desc: Boolean) =>
+      ("P5\n16 8\n255\n".getBytes.toSeq ++
+        (0 until 8).flatMap(_ => (0 until 16).map { x =>
+          (10 * (if (desc) 15 - x else x) + shift).toByte
+        })).toArray
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "image", mk(0, false), "x",
+        Integer.valueOf(16), Integer.valueOf(8), null, null),
+      org.apache.spark.sql.Row(2L, "image", mk(40, false), "x",
+        Integer.valueOf(16), Integer.valueOf(8), null, null),
+      org.apache.spark.sql.Row(3L, "image", mk(0, true), "x",
+        Integer.valueOf(16), Integer.valueOf(8), null, null))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("mime",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("width",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("height",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("duration_ms",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("caption",
+        org.apache.spark.sql.types.StringType)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val pairs = Multimodal.phashNearDuplicates(media)
+      .select("id_a", "id_b", "hamming").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)), pairs.mkString(","))
+    assert(pairs.head.getLong(2) == 0L, "brightness twins must be hamming 0")
+  }
+
   test("sniffMetadata: parsed headers override declared values; others keep them") {
     val rows = Seq(
       org.apache.spark.sql.Row(1L, "image", bmpBytes, "application/octet-stream",
