@@ -2341,6 +2341,40 @@ object OracleSql {
         |    AS rank
         |FROM sc QUALIFY rank <= 5""".stripMargin,
 
+    // Leave-one-out 5-NN per-class label accuracy: exact-cosine top-5
+    // with the self pair excluded BEFORE ranking, majority vote with
+    // ties to the smaller label, rollup per true label.
+    "q_embed_knn" ->
+      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id,
+        |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+        |  FROM el GROUP BY 1),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+        |  FROM el q JOIN el c ON q.i = c.i AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 50 GROUP BY 1, 2),
+        |top AS (SELECT s.query_id, s.corpus_id FROM s
+        |  JOIN norms nq ON nq.vec_id = s.query_id
+        |  JOIN norms nc ON nc.vec_id = s.corpus_id
+        |  QUALIFY row_number() OVER (PARTITION BY s.query_id
+        |    ORDER BY s.dot / (nq.nrm * nc.nrm) DESC, s.corpus_id) <= 5),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |votes AS (SELECT t.query_id, l.label,
+        |    CAST(COUNT(*) AS BIGINT) AS votes
+        |  FROM top t JOIN lab l ON l.vec_id = t.corpus_id GROUP BY 1, 2),
+        |pred AS (SELECT query_id, label AS predicted FROM votes
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY votes DESC, label) = 1)
+        |SELECT lq.label AS true_label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN p.predicted = lq.label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  CAST(SUM(CASE WHEN p.predicted = lq.label THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS accuracy
+        |FROM pred p JOIN lab lq ON lq.vec_id = p.query_id
+        |GROUP BY 1""".stripMargin,
+
     // Matryoshka: candidates by exact cosine over the FIRST 16 dims
     // (i <= 16 — prefix dot and prefix norms), full-64-dim exact-cosine
     // rerank of the top-20, final top-5 carries true scores.
@@ -2771,6 +2805,23 @@ object OracleSql {
         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
         |    AS rank
         |FROM f QUALIFY rank <= 20""".stripMargin,
+
+    // Per-doc 8-gram novelty: distinct shingles (same expr as the dedup
+    // family; short docs = one whole-doc shingle), df across the corpus,
+    // novel = df == 1.
+    "q_text_novelty" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS words
+         |  FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shingleExpr(8)}) AS shingle FROM w),
+         |dfq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM sh GROUP BY 1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS novelty
+         |FROM sh JOIN dfq USING (shingle) GROUP BY 1""".stripMargin,
 
     // TF-IDF top-5 keywords per document: idf quantized to quarter bits
     // by the exact integer identity floor(4·log2(N/df)) =

@@ -883,6 +883,21 @@ object SparkEntry {
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
       emb(spark, dir), "vec_id", "embedding", k = 5, rerank = 20)
 
+  /** Leave-one-out 5-NN label accuracy per class over exact cosine —
+    * the representation-quality probe. */
+  private def qEmbedKnn(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Embeddings.knnLabelAccuracy(
+      Similarity.bruteForceTopK(
+        emb(spark, dir).filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb(spark, dir), "vec_id", "embedding",
+        k = 5, cosine = true, excludeSelf = true),
+      emb(spark, dir), "vec_id", "label")
+
+  /** Per-document 8-gram novelty (memorization-risk score). */
+  private def qTextNovelty(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramNovelty(docs(spark, dir), "doc_id", "text",
+      shingleWords = 8)
+
   /** Matryoshka retrieval: 16-dim prefix candidates, full 64-dim exact
     * rerank — the MRL-embedding cost/recall trade. */
   private def qSimMatryoshka(spark: SparkSession, dir: String): DataFrame =
@@ -1204,6 +1219,8 @@ object SparkEntry {
     "q_sim_binary" -> (qSimBinary _),
     "q_sim_recall_binary" -> (qSimRecallBinary _),
     "q_sim_matryoshka" -> (qSimMatryoshka _),
+    "q_embed_knn" -> (qEmbedKnn _),
+    "q_text_novelty" -> (qTextNovelty _),
     "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_sim_ivfpq_res" -> (qSimIvfPqRes _),
     "q_sim_ivfpq_rr" -> (qSimIvfPqRerank _),

@@ -183,4 +183,48 @@ object Embeddings {
     }
     df.withColumn("whitened", array(comps: _*))
   }
+
+  /** LEAVE-ONE-OUT kNN LABEL ACCURACY — the standard representation-
+    * quality probe: predict every query's label as the majority vote of
+    * its k nearest neighbors (self excluded), and report per-class
+    * accuracy. An embedding space where kNN accuracy is high separates
+    * classes geometrically; a collapsed or noisy space shows up here
+    * before any downstream model does. Composable: `topk` is ANY of the
+    * ANN family's `(query_id, corpus_id, rank)` frames — brute force
+    * for the exact number, IVF/binary for the at-scale estimate (and
+    * the delta between the two is itself an index-quality signal,
+    * cf. [[Similarity.recallAtK]]).
+    *
+    * Deterministic end to end: votes tie-break on the smaller label,
+    * accuracy is one double division of exact longs.
+    *
+    * Scale shape: the vote join keys the bounded `Q × k` list against
+    * the label table on the neighbor id (hash join; AQE broadcasts the
+    * small side), the majority pick is a `row_number` top-1 window over
+    * ≤ k rows per query, and the final per-class rollup touches Q rows.
+    * Evaluation cost is the retrieval arm, never this harness. */
+  def knnLabelAccuracy(topk: DataFrame, labeled: DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = labeled.select(col(idCol).cast(LongType).as("__id"),
+      col(labelCol).as("__lab"))
+    val votes = topk
+      .join(lab.withColumnRenamed("__id", "corpus_id"), Seq("corpus_id"))
+      .groupBy(col("query_id"), col("__lab"))
+      .agg(count(lit(1)).as("votes"))
+    val pick = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("__lab"))
+    val pred = votes
+      .withColumn("__r", row_number().over(pick))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("__lab").as("predicted"))
+    pred
+      .join(lab.withColumnRenamed("__id", "query_id")
+        .withColumnRenamed("__lab", "true_label"), Seq("query_id"))
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted") === col("true_label"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", col("n_correct").cast(DoubleType) / col("n"))
+  }
 }

@@ -74,7 +74,8 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,
-      k: Int, cosine: Boolean = false): DataFrame = {
+      k: Int, cosine: Boolean = false,
+      excludeSelf: Boolean = false): DataFrame = {
     registered(corpus)
     registered(queries) // sessions can differ (e.g. foreachBatch clones)
     // Quantize each side ONCE (the only decimal conversion), so the
@@ -89,7 +90,12 @@ object Similarity {
         val cn = c0.withColumn("cnorm", V.normQ12(col("cv")))
         (qn, cn, V.dotQ12(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
       } else (q0, c0, V.dotQ12(col("qv"), col("cv")))
-    val scored = c.crossJoin(broadcast(q)).withColumn("score", score)
+    val scored0 = c.crossJoin(broadcast(q)).withColumn("score", score)
+    // leave-one-out mode (kNN eval): the query's own corpus row never
+    // competes — filtered BEFORE ranking so all k slots stay real
+    val scored =
+      if (excludeSelf) scored0.filter(col("corpus_id") =!= col("query_id"))
+      else scored0
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))

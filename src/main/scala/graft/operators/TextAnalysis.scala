@@ -728,6 +728,42 @@ object TextAnalysis {
         .over(Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
   }
 
+  /** N-GRAM NOVELTY / MEMORIZATION-RISK SCORE — per document, the
+    * fraction of its distinct `shingleWords`-grams that occur in NO
+    * other document. Low novelty means the document is stitched from
+    * corpus-repeated blocks (boilerplate, templates, quotations) — the
+    * per-document complement of [[Dedup.spanDuplicationProfile]]'s
+    * corpus totals, and the score memorization audits rank documents by
+    * before training. Short documents (< `shingleWords` words) count as
+    * one whole-document shingle, so every document scores and the
+    * division is never by zero.
+    *
+    * Scale shape: one scan shingles the corpus (native `word_shingles`
+    * kernel, distinct within doc); the sealed postings fold to
+    * document frequencies with a map-side-combined count and join BACK
+    * to the same postings co-partitioned on the shingle — two
+    * shuffles, both postings-sized, no self-join of the raw corpus;
+    * the per-doc rollup rides the doc key. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val post = df.select(col(idCol).cast(LongType).as("doc_id"),
+        graft.functions.WordShingleFunctions
+          .wordShingles(col(textCol), shingleWords).as("sh_arr"))
+      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+      .localCheckpoint(true) // read twice: df fold + join-back
+    val dfq = post.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")) // postings are distinct per doc
+    Lifetime.seal(
+      post.join(dfq, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast(DoubleType) / col("n_grams")),
+      post)
+  }
+
   /** HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack et al. 2009) —
     * the standard way a training-data pipeline combines a lexical and a
     * semantic retriever without calibrating their incomparable scores:
