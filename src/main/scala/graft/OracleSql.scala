@@ -667,6 +667,36 @@ object OracleSql {
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM e GROUP BY ROLLUP (event_type, day_s)""".stripMargin,
 
+    // CUBE: all four grouping planes, same exact decimal sum and
+    // GROUPING() id as the rollup oracle.
+    "q_cube" ->
+      """WITH e AS (SELECT event_type,
+        |    ((epoch_ns(ts) // 1000000000) // 86400) * 86400 AS day_s,
+        |    value FROM events)
+        |SELECT event_type, day_s,
+        |  CAST(GROUPING(event_type, day_s) AS INT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY CUBE (event_type, day_s)""".stripMargin,
+
+    // First-touch attribution: first event type per user by (ts,
+    // event_id), conversion = any purchase; rate = one double division.
+    "q_attribution" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS r
+        |  FROM events),
+        |ft AS (SELECT user_id, event_type AS first_touch
+        |  FROM seq WHERE r = 1),
+        |conv AS (SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS converted
+        |  FROM events GROUP BY 1)
+        |SELECT first_touch, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |  CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conversion_rate
+        |FROM ft JOIN conv USING (user_id) GROUP BY 1""".stripMargin,
+
     // Pivot over the enumerated event types: conditional counts; absent
     // combinations are 0 on both sides.
     "q_pivot_counts" ->
@@ -2805,6 +2835,26 @@ object OracleSql {
         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
         |    AS rank
         |FROM f QUALIFY rank <= 20""".stripMargin,
+
+    // Feature-hashing doc vectors: bucket = md5_60(token) % 16, exact
+    // BIGINT conditional counts per bucket; token-less docs are absent
+    // on both sides.
+    "q_text_feature_hash" -> {
+      val fcols = (0 until 16).map(i =>
+        s"  CAST(SUM(CASE WHEN bkt = $i THEN 1 ELSE 0 END) AS BIGINT) AS f$i")
+        .mkString(",\n")
+      s"""WITH base AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS arr FROM documents),
+         |t AS (SELECT doc_id, tok
+         |  FROM (SELECT doc_id, unnest(arr) AS tok FROM base)
+         |  WHERE len(tok) > 0),
+         |b AS (SELECT doc_id,
+         |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 16 AS bkt
+         |  FROM t)
+         |SELECT doc_id,
+         |$fcols
+         |FROM b GROUP BY 1""".stripMargin
+    },
 
     // Per-doc 8-gram novelty: distinct shingles (same expr as the dedup
     // family; short docs = one whole-doc shingle), df across the corpus,

@@ -828,6 +828,24 @@ object SparkEntry {
     TimeSeries.pivotCounts(events(spark, dir), "user_id", "event_type",
       Seq("click", "error", "purchase", "signup", "view"))
 
+  /** OLAP cube: all four grouping planes of (event_type, day). */
+  private def qCube(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.cubeSummary(
+      events(spark, dir)
+        .withColumn("day_s", epochS(date_trunc("day", col("ts")))),
+      Seq("event_type", "day_s"), "value")
+
+  /** First-touch attribution: purchases credited to each user's
+    * earliest event type. */
+  private def qAttribution(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.firstTouchAttribution(events(spark, dir), "ts", "user_id",
+      "event_type", "event_id", conversionType = "purchase")
+
+  /** Feature-hashed 16-dim doc vectors (exact bucket counts). */
+  private def qTextFeatureHash(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.featureHashVectors(docs(spark, dir), "doc_id", "text",
+      dims = 16)
+
   /** Funnel step latencies: converted-key counts and exact mean µs
     * between adjacent steps. */
   private def qFunnelLatency(spark: SparkSession, dir: String): DataFrame =
@@ -1146,6 +1164,9 @@ object SparkEntry {
     "q_embed_silhouette" -> (qEmbedSilhouette _),
     "q_rollup" -> (qRollup _),
     "q_pivot_counts" -> (qPivotCounts _),
+    "q_cube" -> (qCube _),
+    "q_attribution" -> (qAttribution _),
+    "q_text_feature_hash" -> (qTextFeatureHash _),
     "q_anomaly_zscore" -> (qAnomaly _),
     "q_histogram_depth" -> (qHistogramDepth _),
     "q_funnel_latency" -> (qFunnelLatency _),

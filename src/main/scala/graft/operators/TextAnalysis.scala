@@ -728,6 +728,37 @@ object TextAnalysis {
         .over(Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
   }
 
+  /** FEATURE-HASHING DOCUMENT VECTORS (the hashing trick, Weinberger
+    * et al. 2009) — a model-free text→vector bridge: every token lands
+    * in bucket `md5_60(token) mod dims` and the document's vector is
+    * the per-bucket token count, emitted as `dims` integer columns
+    * `f0…f{dims−1}`. This is how a pipeline gets clusterable /
+    * ANN-searchable vectors for corpora that have no learned embedding
+    * yet — the output plugs directly into the `Similarity` family (or
+    * [[Embeddings.covariance]]) as an `array(f0, …)` column. Exact
+    * BIGINT counts, no normalization baked in (consumers divide by
+    * their own norm so the stored vector stays integral).
+    *
+    * Scale shape: one scan, one explode, ONE map-side-combinable hash
+    * aggregate keyed on the doc — the `dims` conditional counters fold
+    * in the partial aggregate, so no (doc, bucket) intermediate
+    * shuffle and no pivot pass. `dims` is a schema constant (16–1024
+    * in practice); the hash keeps memory per row at `dims` longs. */
+  def featureHashVectors(df: DataFrame, idCol: String, textCol: String,
+      dims: Int = 16): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val t = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("bkt", pmod(Dedup.md5_60(col("tok")), lit(dims.toLong)))
+    t.groupBy(col("doc_id"))
+      .agg(
+        (0 until dims).map(i =>
+          sum(when(col("bkt") === i.toLong, 1L).otherwise(0L)).as(s"f$i")).head,
+        (1 until dims).map(i =>
+          sum(when(col("bkt") === i.toLong, 1L).otherwise(0L)).as(s"f$i")): _*)
+  }
+
   /** N-GRAM NOVELTY / MEMORIZATION-RISK SCORE — per document, the
     * fraction of its distinct `shingleWords`-grams that occur in NO
     * other document. Low novelty means the document is stitched from

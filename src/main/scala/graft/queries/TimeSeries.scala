@@ -444,6 +444,50 @@ object TimeSeries {
         count(lit(1)).as("n"), exactSum(col(measure)).as("sum_value"))
   }
 
+  /** CUBE — every grouping-set combination of `groupCols` (2ⁿ
+    * subtotal planes) in ONE Expand-pass aggregate, the OLAP companion
+    * of [[rollupSummary]]'s subtotal ladder. Same exact decimal sums;
+    * `gid` disambiguates planes exactly like `GROUPING()`.
+    *
+    * Scale shape: Spark's `cube` plans a single scan + Expand (each
+    * input row fans to 2ⁿ grouping rows) + one hash aggregate with
+    * map-side partials — n must stay small (2–3 dims) by design, the
+    * same constraint every OLAP engine documents for CUBE. */
+  def cubeSummary(df: DataFrame, groupCols: Seq[String],
+      measure: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    df.cube(groupCols.map(col): _*)
+      .agg(grouping_id().cast(IntegerType).as("gid"),
+        count(lit(1)).as("n"), exactSum(col(measure)).as("sum_value"))
+  }
+
+  /** FIRST-TOUCH ATTRIBUTION — the acquisition-analytics primitive:
+    * credit each entity's conversion to the event type that FIRST
+    * touched it. Per entity, `first_touch` = the type of its earliest
+    * event (`min_by` over the unique `(ts, rowId)` order — no window,
+    * no second pass) and `converted` = whether any `conversionType`
+    * event exists; the rollup reports users, conversions, and the rate
+    * per acquisition channel. Exact: one `min_by` over a unique key,
+    * one double division of exact longs.
+    *
+    * Scale shape: ONE shuffle keyed on the entity computes both the
+    * first touch and the conversion flag as map-side-combinable
+    * aggregates in the same pass; the channel rollup then touches one
+    * row per entity. No window state, no join between two scans. */
+  def firstTouchAttribution(df: DataFrame, ts: String, key: String,
+      typeCol: String, rowId: String, conversionType: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(
+        min_by(col(typeCol), struct(col(ts), col(rowId)))
+          .as("first_touch"),
+        max(when(col(typeCol) === conversionType, 1L).otherwise(0L))
+          .as("converted"))
+      .groupBy(col("first_touch"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"))
+      .withColumn("conversion_rate",
+        col("n_converted").cast(DoubleType) / col("n_users"))
+
   /** Pivot — one row per key, one measure column per (known) pivot
     * value: the wide dashboard matrix. `values` must be enumerated by
     * the caller: at 100 TB an unenumerated pivot needs a full distinct
