@@ -2856,6 +2856,65 @@ object OracleSql {
          |FROM b GROUP BY 1""".stripMargin
     },
 
+    // Feature-hash vectors → exact cosine top-5: the same bucket-count
+    // chain as q_text_feature_hash feeds the q_sim_topk_cosine scoring
+    // shape, with (doc, bucket) count rows standing in for vector
+    // elements (absent buckets are zeros — they cancel from dots and
+    // norms identically).
+    "q_text_hashvec_knn" ->
+      """WITH base AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS arr FROM documents),
+        |t AS (SELECT doc_id, tok
+        |  FROM (SELECT doc_id, unnest(arr) AS tok FROM base)
+        |  WHERE len(tok) > 0),
+        |el AS (SELECT doc_id,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 16 AS i,
+        |    CAST(CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS x
+        |  FROM t GROUP BY 1, 2),
+        |norms AS (SELECT doc_id,
+        |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+        |  FROM el GROUP BY 1),
+        |s AS (SELECT q.doc_id AS query_id, c.doc_id AS corpus_id,
+        |    CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+        |  FROM el q JOIN el c ON q.i = c.i
+        |  WHERE q.doc_id < 10 GROUP BY 1, 2),
+        |sc AS (SELECT query_id, corpus_id,
+        |    dot / (nq.nrm * nc.nrm) AS score
+        |  FROM s JOIN norms nq ON nq.doc_id = query_id
+        |         JOIN norms nc ON nc.doc_id = corpus_id)
+        |SELECT query_id, corpus_id, score,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS BIGINT)
+        |    AS rank
+        |FROM sc QUALIFY rank <= 5""".stripMargin,
+
+    // Language-ID confusion: the q_text_langid chain grouped into
+    // (true, predicted) cells with the per-true-language row share.
+    "q_text_langid_eval" -> {
+      val markers = graft.operators.TextAnalysis.defaultMarkers
+      val langs = markers.keys.toSeq.sorted
+      val scoreCols = langs.map { l =>
+        val list = markers(l).map(w => s"'$w'").mkString(", ")
+        s"""CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+           |      x -> list_contains([$list], x))) AS BIGINT) AS score_$l""".stripMargin
+      }.mkString(",\n    ")
+      val m = langs.map(l => s"score_$l").mkString(", ")
+      val cases = langs.map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
+      s"""WITH s AS (SELECT doc_id, lang,
+         |    $scoreCols
+         |  FROM documents),
+         |g AS (SELECT *, GREATEST($m) AS m FROM s),
+         |p AS (SELECT lang,
+         |    CASE WHEN m = 0 THEN 'und' $cases END AS predicted_lang
+         |  FROM g),
+         |cells AS (SELECT lang, predicted_lang,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2)
+         |SELECT lang, predicted_lang, n,
+         |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang) AS row_share
+         |FROM cells""".stripMargin
+    },
+
     // Per-doc 8-gram novelty: distinct shingles (same expr as the dedup
     // family; short docs = one whole-doc shingle), df across the corpus,
     // novel = df == 1.

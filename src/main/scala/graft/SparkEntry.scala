@@ -846,6 +846,23 @@ object SparkEntry {
     TextAnalysis.featureHashVectors(docs(spark, dir), "doc_id", "text",
       dims = 16)
 
+  /** The text→vector bridge composed end to end: feature-hashed doc
+    * vectors feed exact-cosine ANN — clusterable search with no learned
+    * embedding anywhere. */
+  private def qTextHashvecKnn(spark: SparkSession, dir: String): DataFrame = {
+    val v = TextAnalysis.featureHashVectors(docs(spark, dir), "doc_id",
+        "text", dims = 16)
+      .withColumn("vec",
+        array((0 until 16).map(i => col(s"f$i").cast(DoubleType)): _*))
+    Similarity.bruteForceTopK(
+      v.filter(col("doc_id") < 10), "doc_id", "vec",
+      v, "doc_id", "vec", k = 5, cosine = true)
+  }
+
+  /** Language-ID confusion matrix vs the ground-truth lang column. */
+  private def qTextLangidEval(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageIdConfusion(docs(spark, dir), "text", "lang")
+
   /** Funnel step latencies: converted-key counts and exact mean µs
     * between adjacent steps. */
   private def qFunnelLatency(spark: SparkSession, dir: String): DataFrame =
@@ -1167,6 +1184,8 @@ object SparkEntry {
     "q_cube" -> (qCube _),
     "q_attribution" -> (qAttribution _),
     "q_text_feature_hash" -> (qTextFeatureHash _),
+    "q_text_hashvec_knn" -> (qTextHashvecKnn _),
+    "q_text_langid_eval" -> (qTextLangidEval _),
     "q_anomaly_zscore" -> (qAnomaly _),
     "q_histogram_depth" -> (qHistogramDepth _),
     "q_funnel_latency" -> (qFunnelLatency _),

@@ -167,6 +167,28 @@ object TextAnalysis {
       when(winner("s") === 0, lit("und")).otherwise(winner("l")))
   }
 
+  /** LANGUAGE-ID CONFUSION MATRIX — [[languageId]] audited against a
+    * ground-truth label column: per (true, predicted) cell, the count
+    * and the row share (recall when on the diagonal). The audit a
+    * routing pipeline runs before trusting the classifier to split a
+    * corpus into per-language branches — systematic confusion between
+    * sibling languages shows up here as off-diagonal mass.
+    *
+    * Scale shape: the classifier is shuffle-free per-row scoring; the
+    * confusion rollup is one map-side-combined aggregate over
+    * |langs|² cells, and the row share windows over that tiny result,
+    * never the corpus. */
+  def languageIdConfusion(df: DataFrame, textCol: String,
+      truthCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    languageId(df, textCol)
+      .groupBy(col(truthCol).as("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_share",
+        col("n").cast(DoubleType) /
+          sum(col("n")).over(Window.partitionBy(col("lang"))))
+  }
+
   /** Document fingerprint #1 — content hash family:
     * `md5` (engine-portable), `xxhash64` (fast 64-bit), and a winnowing-ish
     * shingle fingerprint: the minimum md5 over sliding `n`-word shingles,
