@@ -851,6 +851,47 @@ object OracleSql {
         |UNION ALL SELECT CAST(2 AS INT), 'purchase', n2 FROM t"""
         .stripMargin,
 
+    // Time-bounded funnel: q_funnel's chain with the conversion
+    // deadline t0 + 3600 s conjoined onto every post-first level.
+    "q_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |w0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |    OVER (PARTITION BY user_id) AS t0 FROM e),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > t0
+        |    AND us <= t0 + 3600000000 THEN us END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM w0),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t1
+        |    AND us <= t0 + 3600000000 THEN us END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |k AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+        |  FROM w2 GROUP BY 1),
+        |t AS (SELECT CAST(count(t0) AS BIGINT) AS n0,
+        |    CAST(count(t1) AS BIGINT) AS n1,
+        |    CAST(count(t2) AS BIGINT) AS n2 FROM k)
+        |SELECT CAST(0 AS INT) AS step, 'view' AS event_type, n0 AS n_keys
+        |  FROM t
+        |UNION ALL SELECT CAST(1 AS INT), 'click', n1 FROM t
+        |UNION ALL SELECT CAST(2 AS INT), 'purchase', n2 FROM t"""
+        .stripMargin,
+
+    // New vs returning daily actives: distinct (user, day) pairs, each
+    // user's first day, per-day split; share = one double division.
+    "q_user_growth" ->
+      """WITH pairs AS (SELECT DISTINCT user_id,
+        |    ((epoch_ns(ts) // 1000000000) // 86400) * 86400 AS day_s
+        |  FROM events),
+        |f AS (SELECT user_id, min(day_s) AS first_day
+        |  FROM pairs GROUP BY 1)
+        |SELECT day_s,
+        |  CAST(SUM(CASE WHEN day_s = first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN day_s <> first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returning,
+        |  CAST(SUM(CASE WHEN day_s = first_day THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS new_share
+        |FROM pairs JOIN f USING (user_id) GROUP BY 1""".stripMargin,
+
     // Funnel latencies: per adjacent step pair, converted keys and the
     // exact mean µs delta (decimal sum / count, combined in double).
     "q_funnel_latency" ->

@@ -863,6 +863,15 @@ object SparkEntry {
   private def qTextLangidEval(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.languageIdConfusion(docs(spark, dir), "text", "lang")
 
+  /** Funnel with a 1-hour conversion deadline from step 0. */
+  private def qFunnelWindowed(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.funnelWindowed(events(spark, dir), "ts", "user_id",
+      "event_type", Seq("view", "click", "purchase"), windowSeconds = 3600L)
+
+  /** New vs returning daily actives (growth accounting). */
+  private def qUserGrowth(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.newVsReturning(events(spark, dir), "ts", "user_id")
+
   /** Funnel step latencies: converted-key counts and exact mean µs
     * between adjacent steps. */
   private def qFunnelLatency(spark: SparkSession, dir: String): DataFrame =
@@ -1186,6 +1195,8 @@ object SparkEntry {
     "q_text_feature_hash" -> (qTextFeatureHash _),
     "q_text_hashvec_knn" -> (qTextHashvecKnn _),
     "q_text_langid_eval" -> (qTextLangidEval _),
+    "q_funnel_windowed" -> (qFunnelWindowed _),
+    "q_user_growth" -> (qUserGrowth _),
     "q_anomaly_zscore" -> (qAnomaly _),
     "q_histogram_depth" -> (qHistogramDepth _),
     "q_funnel_latency" -> (qFunnelLatency _),

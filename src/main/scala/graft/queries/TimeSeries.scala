@@ -429,6 +429,77 @@ object TimeSeries {
       .select("r.*")
   }
 
+  /** TIME-BOUNDED FUNNEL — [[funnel]] with a conversion deadline: step
+    * `i` counts only at the earliest `steps(i)` event STRICTLY AFTER
+    * step `i−1` AND within `windowSeconds` of step 0 — the
+    * "converted within N days" product-analytics shape (an eventual
+    * conversion outside the window is churn, not success). Same
+    * sequential per-key window-min construction as the base funnel
+    * (each level's condition references the previous level's min), so
+    * determinism and the one-shuffle-per-key shape carry over
+    * unchanged; the deadline is one extra conjunct per level.
+    *
+    * Scale shape: identical to [[funnel]] — the level minima all
+    * evaluate inside ONE per-key window pass over the events (no
+    * self-joins, no per-step scans), then two tiny aggregates. */
+  def funnelWindowed(df: DataFrame, ts: String, key: String,
+      typeCol: String, steps: Seq[String],
+      windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val w = Window.partitionBy(col(key))
+    val deadline = windowSeconds * 1000000L
+    var d = df.select(col(key), col(typeCol).as("__type"),
+      epochMicros(col(ts)).as("__us"))
+    steps.zipWithIndex.foreach { case (step, i) =>
+      val cond =
+        if (i == 0) col("__type") === step
+        else col("__type") === step && col("__us") > col(s"__t${i - 1}") &&
+          col("__us") <= col("__t0") + deadline
+      d = d.withColumn(s"__t$i", min(when(cond, col("__us"))).over(w))
+    }
+    val perKey = d.groupBy(col(key))
+      .agg(max(col("__t0")).as("__t0"),
+        steps.indices.tail.map(i => max(col(s"__t$i")).as(s"__t$i")): _*)
+    val totals = perKey
+      .agg(count(col("__t0")).as("n0"),
+        steps.indices.tail.map(i => count(col(s"__t$i")).as(s"n$i")): _*)
+    totals.select(explode(array(steps.indices.map(i =>
+        struct(lit(i).as("step"), lit(steps(i)).as("event_type"),
+          col(s"n$i").as("n_keys"))): _*)).as("r"))
+      .select("r.*")
+  }
+
+  /** NEW vs RETURNING daily actives — the growth-accounting split every
+    * product dashboard leads with: per activity day, how many distinct
+    * entities were seen for the FIRST time that day vs seen before.
+    * First-day is a per-entity `min` over its distinct activity days;
+    * the day rollup counts each entity once per active day. Exact
+    * integer day arithmetic (same `86 400`-second grid as the WAU
+    * query), deterministic everywhere.
+    *
+    * Scale shape: distinct (entity, day) pairs collapse map-side in one
+    * aggregate; the per-entity first day is a second map-combinable
+    * `min` keyed on the entity; the join back to pairs is
+    * co-partitioned on the entity key, and the final day rollup is one
+    * more map-combined aggregate — three shuffles, all on shrinking
+    * keyed aggregates, never a window over raw events. */
+  def newVsReturning(df: DataFrame, ts: String, key: String): DataFrame = {
+    val day = epochSeconds(date_trunc("DAY", col(ts)))
+    val pairs = df.select(col(key).as("__k"), day.as("day_s"))
+      .distinct()
+    val first = pairs.groupBy(col("__k"))
+      .agg(min(col("day_s")).as("first_day"))
+    pairs.join(first, Seq("__k"))
+      .groupBy(col("day_s"))
+      .agg(
+        sum(when(col("day_s") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("day_s") =!= col("first_day"), 1L).otherwise(0L))
+          .as("n_returning"))
+      .withColumn("new_share",
+        col("n_new").cast(DoubleType) / (col("n_new") + col("n_returning")))
+  }
+
   /** Hierarchical rollup — subtotals at every prefix of the grouping
     * columns plus the grand total, each level tagged by `grouping_id`
     * (0 = finest). The OLAP answer to "totals by (type, day), by type,
