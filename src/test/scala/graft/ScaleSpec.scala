@@ -182,6 +182,46 @@ class ScaleSpec extends SparkSpec {
       s"calibration joins must broadcast:\n$calPlan")
   }
 
+  test("round-9 retrieval/analytics ops: plan shapes hold") {
+    import graft.operators.{Similarity, TextAnalysis}
+    import graft.queries.TimeSeries
+    val docs = spark.read.parquet(sf("documents"))
+    val emb = spark.read.parquet(sf("embeddings"))
+    val events = spark.read.parquet(sf("events"))
+    // feature hashing: ONE aggregate keyed on the doc — a second
+    // exchange would mean a (doc, bucket) intermediate shuffle
+    val fh = TextAnalysis.featureHashVectors(docs, "doc_id", "text", 16)
+    val fhPlan = fh.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(fhPlan).size == 1,
+      s"feature hashing must aggregate once:\n$fhPlan")
+    // attribution: two keyed aggregates, no window over raw events
+    val att = TimeSeries.firstTouchAttribution(events, "ts", "user_id",
+      "event_type", "event_id", "purchase")
+    val attPlan = att.queryExecution.executedPlan.toString
+    assert(!attPlan.contains("Window"),
+      s"attribution must not window raw events:\n$attPlan")
+    // binary ANN: Hamming candidate cut runs as WindowGroupLimit
+    // (map-side top-rerank before any sort); query side broadcast
+    val bin = Similarity.binaryTopK(
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3, rerank = 5)
+    val binPlan = bin.queryExecution.executedPlan.toString
+    assert(binPlan.contains("WindowGroupLimit") &&
+      binPlan.contains("BroadcastNestedLoopJoin") ||
+      binPlan.contains("WindowGroupLimit") &&
+      binPlan.contains("BroadcastExchange"),
+      s"binary ANN: WindowGroupLimit + broadcast queries expected:\n$binPlan")
+    // matryoshka: full-width corpus vectors are joined back by id as a
+    // hash join — never re-scored all-pairs (exactly one cross join,
+    // the prefix candidate stage)
+    val mat = Similarity.matryoshkaTopK(
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3, prefixDims = 16, rerank = 5)
+    val matPlan = mat.queryExecution.executedPlan.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(matPlan).size == 1,
+      s"matryoshka: exactly one cross stage (prefix candidates):\n$matPlan")
+  }
+
   test("bm25 plan: tf materialized once, top-k without a global sort") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet(sf("documents"))
