@@ -85,6 +85,48 @@ object OracleSql {
        |    / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE)
        |  >= $threshold""".stripMargin
 
+  /** Banded-minhash near-dup pair SQL (3-word shingles, md5_60
+    * double-hash KM family `b1 + i·b2 mod 2⁶⁰` split 54/6, k = 64
+    * component mins, 16 bands of 4, md5_60 band hash of the canonical
+    * "m0,m1,m2,m3|band" string) — shared by q_dedup_minhash and the
+    * recall-eval composition. */
+  private def minhashPairsSql(threshold: Double): String = {
+    val km = """(b1 + ((r.i * (b2 & 18014398509481983)) & 1152921504606846975)
+               |       + (((r.i * (b2 >> 54)) & 63) << 54)) & 1152921504606846975"""
+      .stripMargin
+    s"""WITH w AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
+       |sh AS (SELECT doc_id AS id, unnest(${shingleExpr(3)}) AS s FROM w),
+       |hb AS (SELECT id, s,
+       |    ('0x' || substring(md5(s), 1, 15))::BIGINT AS b1,
+       |    ('0x' || substring(md5(s || '#'), 1, 15))::BIGINT AS b2
+       |  FROM sh),
+       |mins AS (SELECT id, r.i, MIN($km) AS m
+       |  FROM hb, range(0, 64) r(i) GROUP BY 1, 2),
+       |bnd AS (SELECT id, i // 4 AS band,
+       |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+       |  FROM mins GROUP BY 1, 2),
+       |banded AS (SELECT id, band,
+       |    ('0x' || substring(md5(key || '|' || CAST(band AS VARCHAR)), 1, 15))::BIGINT
+       |      AS band_hash
+       |  FROM bnd),
+       |bsz AS (SELECT band, band_hash, COUNT(*) AS n FROM banded GROUP BY 1, 2),
+       |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a
+       |  JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+       |  JOIN bsz ON bsz.band = a.band AND bsz.band_hash = a.band_hash
+       |  WHERE a.id < b.id AND bsz.n BETWEEN 2 AND 2000),
+       |sim AS (SELECT id_a, id_b,
+       |    CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE) / 64.0
+       |      AS sig_similarity
+       |  FROM pairs
+       |  JOIN mins ma ON ma.id = id_a
+       |  JOIN mins mb ON mb.id = id_b AND ma.i = mb.i
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, sig_similarity FROM sim
+       |WHERE sig_similarity >= $threshold""".stripMargin
+  }
+
   /** Shared CTE prefix: quantized embedding elements + per-(vec, table)
     * packed RHP bucket ids. */
   private def lshSigCtes(tables: Int, planes: Int): String =
@@ -2118,42 +2160,7 @@ object OracleSql {
     // MinHash: md5_60 double-hash KM family (b1 + i*b2 mod 2^60, split
     // 54/6 so nothing overflows), k=64 component mins, 16 bands of 4,
     // md5_60 band hash of the canonical "m0,m1,m2,m3|band" string.
-    "q_dedup_minhash" -> {
-      val km = """(b1 + ((r.i * (b2 & 18014398509481983)) & 1152921504606846975)
-                 |       + (((r.i * (b2 >> 54)) & 63) << 54)) & 1152921504606846975"""
-        .stripMargin
-      s"""WITH w AS (SELECT doc_id,
-         |    regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
-         |sh AS (SELECT doc_id AS id, unnest(${shingleExpr(3)}) AS s FROM w),
-         |hb AS (SELECT id, s,
-         |    ('0x' || substring(md5(s), 1, 15))::BIGINT AS b1,
-         |    ('0x' || substring(md5(s || '#'), 1, 15))::BIGINT AS b2
-         |  FROM sh),
-         |mins AS (SELECT id, r.i, MIN($km) AS m
-         |  FROM hb, range(0, 64) r(i) GROUP BY 1, 2),
-         |bnd AS (SELECT id, i // 4 AS band,
-         |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
-         |  FROM mins GROUP BY 1, 2),
-         |banded AS (SELECT id, band,
-         |    ('0x' || substring(md5(key || '|' || CAST(band AS VARCHAR)), 1, 15))::BIGINT
-         |      AS band_hash
-         |  FROM bnd),
-         |bsz AS (SELECT band, band_hash, COUNT(*) AS n FROM banded GROUP BY 1, 2),
-         |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM banded a
-         |  JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
-         |  JOIN bsz ON bsz.band = a.band AND bsz.band_hash = a.band_hash
-         |  WHERE a.id < b.id AND bsz.n BETWEEN 2 AND 2000),
-         |sim AS (SELECT id_a, id_b,
-         |    CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE) / 64.0
-         |      AS sig_similarity
-         |  FROM pairs
-         |  JOIN mins ma ON ma.id = id_a
-         |  JOIN mins mb ON mb.id = id_b AND ma.i = mb.i
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, sig_similarity FROM sim
-         |WHERE sig_similarity >= 0.10""".stripMargin
-    },
+    "q_dedup_minhash" -> minhashPairsSql(0.10),
 
     // SimHash: 60-bit md5_60 per token, bit votes, 4×15-bit chunk LSH,
     // hamming = bit_count(xor) <= 14.
@@ -3168,6 +3175,163 @@ object OracleSql {
         |  FROM (SELECT doc_id FROM documents) d LEFT JOIN s USING (doc_id))
         |SELECT *, CAST(row_number() OVER (ORDER BY importance_qbits DESC,
         |    doc_id) AS BIGINT) AS rank
-        |FROM scored QUALIFY rank <= 200""".stripMargin
+        |FROM scored QUALIFY rank <= 200""".stripMargin,
+
+    // RFM: cumulative-histogram quantile scores (ties share a score);
+    // money sums as exact decimals, scoring on a 100-unit grid;
+    // ceil(t·cum/n) = (t·cum + n − 1) // n, worst-to-best cum order.
+    "q_rfm" ->
+      """WITH base AS (SELECT o_custkey AS custkey,
+        |    MAX(epoch_ns(date_trunc('day', o_orderdate))//1000000000)
+        |      AS last_day_s,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS monetary_dec
+        |  FROM orders GROUP BY 1),
+        |anchor AS (SELECT MAX(last_day_s) AS as_of_s FROM base),
+        |b2 AS (SELECT custkey, frequency,
+        |    (as_of_s - last_day_s) // 86400 AS recency_days,
+        |    CAST(monetary_dec * 1000000 AS BIGINT) // 100000000 AS m_grid,
+        |    CAST(monetary_dec AS DOUBLE) AS monetary
+        |  FROM base, anchor),
+        |rh AS (SELECT recency_days AS v, COUNT(*) AS cnt FROM b2 GROUP BY 1),
+        |rs AS (SELECT v AS recency_days, CAST(
+        |    (5 * SUM(cnt) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+        |     + SUM(cnt) OVER () - 1) // (SUM(cnt) OVER ()) AS BIGINT)
+        |    AS r_score FROM rh),
+        |fh AS (SELECT frequency AS v, COUNT(*) AS cnt FROM b2 GROUP BY 1),
+        |fs AS (SELECT v AS frequency, CAST(
+        |    (5 * SUM(cnt) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING)
+        |     + SUM(cnt) OVER () - 1) // (SUM(cnt) OVER ()) AS BIGINT)
+        |    AS f_score FROM fh),
+        |mh AS (SELECT m_grid AS v, COUNT(*) AS cnt FROM b2 GROUP BY 1),
+        |ms AS (SELECT v AS m_grid, CAST(
+        |    (5 * SUM(cnt) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING)
+        |     + SUM(cnt) OVER () - 1) // (SUM(cnt) OVER ()) AS BIGINT)
+        |    AS m_score FROM mh)
+        |SELECT custkey, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm_cell,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |         THEN 'champion'
+        |       WHEN f_score >= 4 THEN 'loyal'
+        |       WHEN m_score >= 4 THEN 'big_spender'
+        |       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |       WHEN r_score <= 2 THEN 'dormant'
+        |       ELSE 'regular' END AS segment
+        |FROM b2 JOIN rs USING (recency_days) JOIN fs USING (frequency)
+        |JOIN ms USING (m_grid)""".stripMargin,
+
+    // SCD2: gaps-and-islands — lag change flag, running run number,
+    // per-run rollup, lead for the closing edge; order (ts, event_id).
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, ts,
+        |    epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+        |    AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM f),
+        |runs AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+        |    MIN(event_type) AS event_type, MIN(ts_s) AS valid_from_s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, event_type, valid_from_s,
+        |  lead(valid_from_s) OVER w2 AS valid_to_s, n_events,
+        |  (lead(valid_from_s) OVER w2 IS NULL) AS is_current
+        |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY version)""".stripMargin,
+
+    // CDC latest-wins: newest record per key by (ts, event_id); a
+    // latest 'error' record tombstones the key.
+    "q_cdc_apply" ->
+      """WITH r AS (SELECT user_id, event_type, value, event_id,
+        |    epoch_ns(ts)//1000000000 AS ts_s,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts_s AS last_ts_s, event_id AS last_row_id,
+        |  event_type, value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // PSI drift: integer parts-per-1e9 probabilities with add-one
+    // smoothing; signed quarter-bit log ratio = ±(bitlen(⌊x⁴/y⁴⌋)−1)
+    // in HUGEINT — the same value graft's log2_quarter_bits computes.
+    "q_drift_psi" ->
+      """WITH bd AS (SELECT MIN(epoch_ns(ts)//1000000000) AS lo_s,
+        |    MAX(epoch_ns(ts)//1000000000) AS hi_s FROM events),
+        |ev AS (SELECT event_type,
+        |    CAST(floor(value / 20.0) AS BIGINT) AS bin,
+        |    CASE WHEN epoch_ns(ts)//1000000000 >= (lo_s + hi_s) // 2
+        |      THEN 1 ELSE 0 END AS late
+        |  FROM events, bd),
+        |cells AS (SELECT event_type, bin,
+        |    CAST(SUM(1 - late) AS BIGINT) AS ca,
+        |    CAST(SUM(late) AS BIGINT) AS cb
+        |  FROM ev GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(COUNT(*) OVER w AS BIGINT) AS n_bins,
+        |    CAST(SUM(ca) OVER w AS BIGINT) AS tot_a,
+        |    CAST(SUM(cb) OVER w AS BIGINT) AS tot_b
+        |  FROM cells WINDOW w AS (PARTITION BY event_type)),
+        |pq AS (SELECT *,
+        |    GREATEST(1, ((ca + 1) * 1000000000) // (tot_a + n_bins)) AS p,
+        |    GREATEST(1, ((cb + 1) * 1000000000) // (tot_b + n_bins)) AS q
+        |  FROM t),
+        |terms AS (SELECT event_type, n_bins, tot_a, tot_b, (p - q) *
+        |    (CASE WHEN p >= q
+        |      THEN length(bin((CAST(p AS HUGEINT) * p * p * p)
+        |        // (CAST(q AS HUGEINT) * q * q * q))) - 1
+        |      ELSE -(length(bin((CAST(q AS HUGEINT) * q * q * q)
+        |        // (CAST(p AS HUGEINT) * p * p * p))) - 1) END) AS term
+        |  FROM pq)
+        |SELECT event_type, MAX(n_bins) AS n_bins, MAX(tot_a) AS n_before,
+        |  MAX(tot_b) AS n_after, CAST(SUM(term) AS BIGINT) AS psi_q,
+        |  CAST(SUM(term) AS DOUBLE) / 4000000000.0 AS psi_bits
+        |FROM terms GROUP BY 1""".stripMargin,
+
+    // MaxSim late interaction: pseudo-docs of 4 token vectors
+    // (doc = vec_id // 4); per query token the best-matching corpus
+    // token dot (exact scale-12 decimals), summed per document.
+    "q_sim_maxsim" ->
+      """WITH el AS (SELECT vec_id, vec_id // 4 AS doc,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
+        |  FROM embeddings),
+        |dots AS (SELECT q.doc AS query_id, q.vec_id AS q_vec,
+        |    c.doc AS corpus_id, c.vec_id AS c_vec,
+        |    CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+        |  FROM el q JOIN el c ON q.i = c.i
+        |  WHERE q.doc < 2 GROUP BY 1, 2, 3, 4),
+        |tokmax AS (SELECT query_id, q_vec, corpus_id, MAX(dot) AS tok_max
+        |  FROM dots GROUP BY 1, 2, 3),
+        |sc AS (SELECT query_id, corpus_id,
+        |    CAST(SUM(CAST(tok_max AS DECIMAL(28,12))) AS DOUBLE) AS score
+        |  FROM tokmax GROUP BY 1, 2)
+        |SELECT query_id, corpus_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, corpus_id) AS BIGINT) AS rank
+        |FROM sc QUALIFY rank <= 5""".stripMargin,
+
+    // LSH banding quality: the minhash pair set vs the exact Jaccard
+    // ground truth at the same threshold — both reuse the very SQL that
+    // oracles the underlying operators.
+    "q_dedup_recall_minhash" ->
+      s"""WITH truth AS (SELECT id_a, id_b FROM (${ngramJaccardSql(0.10)})),
+         |pred AS (SELECT id_a, id_b FROM (${minhashPairsSql(0.10)})),
+         |j AS (SELECT t.id_a IS NOT NULL AS in_t, p.id_a IS NOT NULL AS in_p
+         |  FROM truth t FULL OUTER JOIN pred p
+         |    ON t.id_a = p.id_a AND t.id_b = p.id_b)
+         |SELECT
+         |  CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+         |  CAST(SUM(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  CASE WHEN SUM(CASE WHEN in_p THEN 1 ELSE 0 END) > 0 THEN
+         |    CAST(SUM(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / SUM(CASE WHEN in_p THEN 1 ELSE 0 END) END AS "precision",
+         |  CASE WHEN SUM(CASE WHEN in_t THEN 1 ELSE 0 END) > 0 THEN
+         |    CAST(SUM(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / SUM(CASE WHEN in_t THEN 1 ELSE 0 END) END AS recall
+         |FROM j""".stripMargin
   )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{Dedup, Multimodal, Profiling, Sampling, Similarity, TextAnalysis}
-import graft.queries.TimeSeries
+import graft.queries.{TimeSeries, Warehouse}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 plus the training-data-pipeline operators (dedup,
@@ -1147,6 +1147,53 @@ object SparkEntry {
       numSubspaces = 4, numCodes = 16)
   }
 
+  /** RFM customer segmentation over orders: quintile scores from
+    * cumulative-histogram quantiles (ties share a score); monetary
+    * snapped to a 100-unit grid for scoring. */
+  private def qRfm(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.rfmSegments(t(spark, dir, "orders"), "o_custkey",
+      "o_orderdate", "o_totalprice", tiles = 5, monetaryGrid = 100L)
+
+  /** SCD Type-2 versioned dimension: per user, consecutive runs of the
+    * same event_type become validity intervals. */
+  private def qScd2(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.scd2Dimension(events(spark, dir), "ts", "user_id",
+      "event_type", "event_id")
+
+  /** CDC latest-wins snapshot: newest event's payload per user, via one
+    * map-side-combined max_by; a latest 'error' record tombstones the
+    * key out of the state. */
+  private def qCdcApply(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.cdcLatestWins(events(spark, dir), "ts", "user_id",
+      "event_id", Seq("event_type", "value"),
+      deleteWhen = col("event_type") === "error")
+
+  /** PSI drift per event type: value distribution of the first vs the
+    * second half of the observed time range, bin width 20, quarter-bit
+    * exact log ratios. */
+  private def qDriftPsi(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.distributionDrift(events(spark, dir), "ts", "event_type",
+      "value", binWidth = 20.0)
+
+  /** MaxSim late interaction over pseudo-documents of 4 consecutive
+    * 8-dim token vectors (doc = vec_id >> 2, token = vec_id mod 4);
+    * queries are docs 0–1. */
+  private def qSimMaxsim(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "embeddings")
+      .select(shiftright(col("vec_id"), 2).as("doc"),
+        pmod(col("vec_id"), lit(4L)).as("tok"), col("embedding"))
+    Similarity.maxSimTopK(
+      toks.filter(col("doc") < 2), "doc", "tok", "embedding",
+      toks, "doc", "embedding", k = 5)
+  }
+
+  /** MinHash-LSH banding quality vs the exact 3-gram Jaccard ground
+    * truth at the same 0.10 threshold (the registry's own minhash and
+    * jaccard configs). */
+  private def qDedupRecallMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashQualityEval(docs(spark, dir), "doc_id", "text",
+      shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.10)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1283,7 +1330,13 @@ object SparkEntry {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_neardup" -> (qMultimodalNeardup _),
-    "q_multimodal_phash" -> (qMultimodalPhash _)
+    "q_multimodal_phash" -> (qMultimodalPhash _),
+    "q_rfm" -> (qRfm _),
+    "q_scd2" -> (qScd2 _),
+    "q_cdc_apply" -> (qCdcApply _),
+    "q_drift_psi" -> (qDriftPsi _),
+    "q_sim_maxsim" -> (qSimMaxsim _),
+    "q_dedup_recall_minhash" -> (qDedupRecallMinhash _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

@@ -396,6 +396,38 @@ object Dedup {
     Lifetime.seal(result, pairs)
   }
 
+  /** MINHASH-LSH QUALITY EVAL — precision/recall of the banded-minhash
+    * pair set against the EXACT n-gram Jaccard ground truth at the same
+    * threshold: the knob-pricing harness for `(bands, rowsPerBand)`. The
+    * LSH S-curve misses low-margin true pairs and the signature estimate
+    * admits noise pairs; this measures both BEFORE a dedup config ships —
+    * the same role the recall@k harness plays for the ANN family.
+    *
+    * Cost is the two operators themselves; the evaluation is a
+    * full-outer join of two PAIR lists (tiny relative to the corpus)
+    * plus a one-row rollup. Ratios are per-row double divisions of
+    * exact longs — deterministic. Returns one row:
+    * `(n_truth, n_pred, n_hit, precision, recall)`. */
+  def minhashQualityEval(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val truth = ngramJaccardPairs(df, idCol, textCol, shingleWords,
+      threshold).select(col("id_a"), col("id_b"), lit(1L).as("in_truth"))
+    val pred = minhashNearDuplicates(df, idCol, textCol, shingleWords,
+      bands, rowsPerBand, threshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_pred"))
+    truth.join(pred, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_truth"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("in_pred"), lit(0L))).as("n_pred"),
+        sum(when(col("in_truth").isNotNull && col("in_pred").isNotNull,
+          1L).otherwise(0L)).as("n_hit"))
+      .withColumn("precision", when(col("n_pred") > 0,
+        col("n_hit").cast(DoubleType) / col("n_pred")))
+      .withColumn("recall", when(col("n_truth") > 0,
+        col("n_hit").cast(DoubleType) / col("n_truth")))
+  }
+
   /** 60-bit SimHash per document via the native [[graft.functions.SimHash60]]
     * expression: one codegen'd pass per row inside the scan — no explode, no
     * shuffle, nothing but the row. */

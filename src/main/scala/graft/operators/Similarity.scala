@@ -1823,4 +1823,51 @@ object Similarity {
     // decides their fate, not this loop.
     (finished.foldLeft(active)(_ unionByName _), levels.toSeq)
   }
+
+  /** MAXSIM LATE-INTERACTION TOP-K — multi-vector (ColBERT-style)
+    * retrieval: documents and queries are BAGS of token vectors, and
+    *
+    *   score(q, d) = Σ_{t ∈ tokens(q)}  max_{u ∈ tokens(d)}  ⟨t, u⟩
+    *
+    * — each query token matches its best-aligned document token, so a
+    * query phrase buried anywhere in a long document still scores, which
+    * single-vector pooling dilutes away. Inputs are exploded token rows
+    * `(docId, tokenId, vec)` per side.
+    *
+    * Plan: both sides quantize ONCE per token row (scale-6 — the scores
+    * are exact scale-12 decimals, oracle-reproducible); the query token
+    * bag is BROADCAST against the corpus token scan; the per-pair dot
+    * feeds `max` grouped on `(query, query_token, corpus_doc)` — folded
+    * MAP-SIDE, so the shuffle carries one row per (query token, matched
+    * doc), not per token pair — then the token maxes sum per
+    * `(query, doc)` as exact decimals, and `row_number` (planned as
+    * WindowGroupLimit: per-partition top-k before the exchange) cuts to
+    * `k`. At 100 TB the corpus token table streams through one scan; no
+    * corpus-side state ever exceeds the aggregate widths above.
+    *
+    * Determinism: `max` is order-free; the scale-12 dot doubles are
+    * exact multiples of 10⁻¹² (|score| ≪ 2⁴⁰), so the DECIMAL(28,12)
+    * re-cast loses nothing and the sum is order-independent; ties break
+    * by `corpus_id`. */
+  def maxSimTopK(queries: DataFrame, queryDoc: String, queryTok: String,
+      queryVec: String, corpus: DataFrame, corpusDoc: String,
+      corpusVec: String, k: Int = 5): DataFrame = {
+    registered(corpus)
+    registered(queries) // sessions can differ (e.g. foreachBatch clones)
+    val q = queries.select(col(queryDoc).as("query_id"),
+      col(queryTok).as("q_tok"), V.quantize6(col(queryVec)).as("qv"))
+    val c = corpus.select(col(corpusDoc).as("corpus_id"),
+      V.quantize6(col(corpusVec)).as("cv"))
+    c.crossJoin(broadcast(q))
+      .groupBy(col("query_id"), col("q_tok"), col("corpus_id"))
+      .agg(max(V.dotQ12(col("qv"), col("cv"))).as("tok_max"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("tok_max").cast(DecimalType(28, 12)))
+        .cast(DoubleType).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("corpus_id"))).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "score", "rank")
+  }
 }

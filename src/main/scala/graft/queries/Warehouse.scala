@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Warehouse-side lifecycle operators — the pieces a deployment keeps
+  * NEXT to the raw event/order tables: customer scoring (RFM), slowly
+  * changing dimension maintenance (SCD Type 2), changelog application
+  * (CDC latest-wins), and distribution-drift monitoring (PSI). The
+  * reference stores append-only sensor history and leaves the derived
+  * state to the operator (SURVEY §2.8 maintenance policies); these are
+  * the standard derived-state builds, re-expressed as one- or two-pass
+  * Spark plans.
+  *
+  * Numeric determinism follows the registry conventions: time is epoch
+  * seconds (integer floor), money sums as fixed-scale decimals, scores
+  * and drift statistics are integer arithmetic end to end (`div`,
+  * `log2_quarter_bits`) so every value hash-compares against the DuckDB
+  * oracle bit for bit.
+  */
+object Warehouse {
+
+  private def epochS(c: Column): Column =
+    c.cast(TimestampType).cast(LongType)
+
+  /** RFM CUSTOMER SEGMENTATION — recency / frequency / monetary scoring,
+    * the classic CRM rollup.
+    *
+    * Per customer: `recency_days` (days from the last order's day to the
+    * newest order day in the table — the "as of" anchor, so the query is
+    * reproducible on a frozen snapshot), `frequency` (order count) and
+    * `monetary` (exact decimal revenue sum). Each dimension is scored
+    * 1..`tiles` by CUMULATIVE-HISTOGRAM quantiles: per distinct metric
+    * value, `score = ceil(tiles · cum / n)` where `cum` counts customers
+    * from worst to best. Equal metric values always share a score — no
+    * arbitrary tie-split — and the monetary axis is first snapped to a
+    * `monetaryGrid` grid so its histogram stays bounded.
+    *
+    * Scale shape: the base rollup is ONE shuffle keyed on the customer
+    * (map-side combinable). Scoring never sorts the customer table:
+    * each dimension builds a per-VALUE histogram (bounded — days span,
+    * order counts, grid cells), runs the cumulative window over THAT
+    * tiny table, and broadcast-joins the value→score map back. A global
+    * `ntile` window would serialize every customer through one task;
+    * this is the same answer with three broadcast hash joins.
+    *
+    * Integer exactness: `ceil(t·cum/n) = (t·cum + n − 1) div n`; the
+    * grid snap is `(m_micro − pmod(m_micro, grid_micro)) / grid_micro`
+    * on scale-6 decimal micro-units — both floor identically in DuckDB.
+    */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+      priceCol: String, tiles: Int = 5,
+      monetaryGrid: Long = 100L): DataFrame = {
+    require(tiles >= 2, "tiles must be >= 2")
+    val day = epochS(date_trunc("day", col(dateCol).cast(TimestampType)))
+    // as-of anchor: newest order day — one-row aggregate, broadcast.
+    val asOf = orders.agg(max(day).as("as_of_s"))
+    val base = orders
+      .groupBy(col(custCol).as("custkey"))
+      .agg(
+        max(day).as("last_day_s"),
+        count(lit(1)).as("frequency"),
+        sum(col(priceCol).cast(DecimalType(28, 6))).as("monetary_dec"))
+      .crossJoin(broadcast(asOf))
+      .withColumn("recency_days",
+        ((col("as_of_s") - col("last_day_s")) / 86400L).cast(LongType))
+      // grid snap on exact micro-units (scale-6 decimal → long is exact
+      // for |monetary| < 9.2·10¹²; order totals are far below)
+      .withColumn("m_micro",
+        (col("monetary_dec") * lit(1000000L)).cast(LongType))
+      .withColumn("m_grid", expr(s"m_micro div ${monetaryGrid * 1000000L}L"))
+      .withColumn("monetary", col("monetary_dec").cast(DoubleType))
+
+    // score one dimension: per-value histogram → worst-to-best running
+    // count → ceil-quantile score → broadcast value→score map.
+    def scores(valueCol: String, worstFirst: Column, out: String): DataFrame = {
+      val hist = base.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(worstFirst)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col(valueCol),
+          expr(s"CAST((${tiles}L * cum + n - 1) div n AS BIGINT)").as(out))
+    }
+    // recency: larger gap = worse (score 1); frequency/monetary:
+    // smaller = worse.
+    val r = scores("recency_days", col("recency_days").desc, "r_score")
+    val f = scores("frequency", col("frequency").asc, "f_score")
+    val m = scores("m_grid", col("m_grid").asc, "m_score")
+
+    base
+      .join(broadcast(r), Seq("recency_days"))
+      .join(broadcast(f), Seq("frequency"))
+      .join(broadcast(m), Seq("m_grid"))
+      .withColumn("rfm_cell",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+      .withColumn("segment",
+        when(col("r_score") >= tiles - 1 && col("f_score") >= tiles - 1 &&
+          col("m_score") >= tiles - 1, "champion")
+          .when(col("f_score") >= tiles - 1, "loyal")
+          .when(col("m_score") >= tiles - 1, "big_spender")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") <= 2, "dormant")
+          .otherwise("regular"))
+      .select("custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score", "rfm_cell", "segment")
+  }
+
+  /** SCD TYPE 2 — build the versioned dimension from an append-only
+    * changelog: per entity, consecutive runs of the same attribute value
+    * collapse into one validity interval `[valid_from_s, valid_to_s)`;
+    * the open run (`valid_to_s` NULL) is the current version. The
+    * classic gaps-and-islands build: a lag-change flag, a running sum
+    * numbering the runs, a per-run rollup, and a lead for the closing
+    * edge.
+    *
+    * Scale shape: every window and the rollup partition BY THE ENTITY —
+    * one shuffle keyed on it, per-key sorted state bounded by the key's
+    * history (AQE splits skewed keys). Nothing global anywhere.
+    * Determinism: the change order is `(ts, rowId)` — unique — so run
+    * numbering is reproducible under any partitioning.
+    */
+  def scd2Dimension(df: DataFrame, ts: String, key: String,
+      attr: String, rowId: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).cast(TimestampType), col(rowId))
+    val runs = df
+      .select(col(key), col(attr), col(rowId), col(ts),
+        epochS(col(ts)).as("ts_s"))
+      .withColumn("chg",
+        when(lag(col(attr), 1).over(w).isNull ||
+          lag(col(attr), 1).over(w) =!= col(attr), 1L).otherwise(0L))
+      .withColumn("version",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col(key), col("version"))
+      .agg(min(col(attr)).as(attr), // constant within a run
+        min(col("ts_s")).as("valid_from_s"),
+        count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(col(key)).orderBy(col("version"))
+    runs
+      .withColumn("valid_to_s", lead(col("valid_from_s"), 1).over(wv))
+      .withColumn("is_current", col("valid_to_s").isNull)
+      .select(col(key), col("version"), col(attr),
+        col("valid_from_s"), col("valid_to_s"), col("n_events"),
+        col("is_current"))
+  }
+
+  /** CDC LATEST-WINS APPLY — materialize current state from a changelog:
+    * per key, the payload of the newest record (by the unique
+    * `(ts, rowId)` order) wins; keys whose newest record satisfies
+    * `deleteWhen` are tombstoned out of the snapshot.
+    *
+    * Scale shape: ONE `max_by` aggregate keyed on the entity — the
+    * struct comparator folds map-side, so each partition forwards one
+    * candidate row per key (contrast a window + `row_number`, which
+    * shuffles EVERY changelog row to its key's reducer and sorts).
+    * This is the replay path for the reference's append-only store:
+    * the same plan at 100 TB applies a day of changes in one shuffle
+    * whose width is |keys|, not |changes|.
+    */
+  def cdcLatestWins(df: DataFrame, ts: String, key: String, rowId: String,
+      payload: Seq[String], deleteWhen: Column): DataFrame = {
+    val last = df
+      .withColumn("__del", when(deleteWhen, 1L).otherwise(0L))
+      .groupBy(col(key))
+      .agg(max_by(
+        struct((Seq(epochS(col(ts)).as("last_ts_s"),
+          col(rowId).as("last_row_id"), col("__del").as("del")) ++
+          payload.map(col)): _*),
+        struct(col(ts).cast(TimestampType), col(rowId))).as("lastv"))
+    last
+      .filter(col("lastv.del") === 0L)
+      .select(col(key) +: (Seq("last_ts_s", "last_row_id") ++ payload)
+        .map(c => col(s"lastv.$c").as(c)): _*)
+  }
+
+  /** POPULATION STABILITY INDEX — distribution drift between the first
+    * and second half of the observed time range, per group: the
+    * monitoring statistic that tells an operator a feature's
+    * distribution moved before a model downstream degrades.
+    *
+    *   PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+    *
+    * computed EXACTLY in integer arithmetic: counts per `(group, bin)`
+    * with `bin = floor(value / binWidth)` (per-row IEEE, identical in
+    * DuckDB), add-one smoothing over the group's observed bins, both
+    * probabilities scaled to integer parts-per-`scale` by truncating
+    * division, and the log ratio quantized by the
+    * [[graft.functions.FixedLogImpl quarter-bit log2 kernel]] — so
+    * `psi_q = Σ (p − q) · floor±(4·log2(p/q))` is a BIGINT both engines
+    * agree on, and `psi_bits = psi_q / (4·scale)` is the PSI in log2
+    * units (× ln 2 for nats). Probabilities floor at 1 part to stay in
+    * the log domain.
+    *
+    * Scale shape: the time midpoint is a one-row aggregate; the cell
+    * table is ONE shuffle keyed `(group, bin)` with both window counts
+    * folded map-side in the same pass; totals/bin-counts are windows
+    * over the CELL table (|groups|·|bins| rows, not the corpus); the
+    * final rollup touches cells only. `scale` = 10⁹ keeps every product
+    * under 2⁶³ (p, q ≤ 10⁹; |p−q|·qlb ≤ 10⁹·4·62).
+    */
+  def distributionDrift(df: DataFrame, ts: String, groupCol: String,
+      valueCol: String, binWidth: Double,
+      scale: Long = 1000000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val bounds = df.agg(
+      min(epochS(col(ts))).as("lo_s"), max(epochS(col(ts))).as("hi_s"))
+    val cells = df
+      .crossJoin(broadcast(bounds))
+      .withColumn("mid_s", expr("(lo_s + hi_s) div 2"))
+      .withColumn("bin",
+        floor(col(valueCol) / lit(binWidth)).cast(LongType))
+      .withColumn("late",
+        when(epochS(col(ts)) >= col("mid_s"), 1L).otherwise(0L))
+      .groupBy(col(groupCol).as("grp"), col("bin"))
+      .agg(sum(lit(1L) - col("late")).as("a"), sum(col("late")).as("b"))
+    val wg = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val terms = cells
+      .withColumn("n_bins", count(lit(1)).over(wg))
+      .withColumn("tot_a", sum(col("a")).over(wg))
+      .withColumn("tot_b", sum(col("b")).over(wg))
+      // add-one smoothing, then integer parts-per-scale (floor ≥ 1)
+      .withColumn("p", greatest(lit(1L),
+        expr(s"((a + 1) * ${scale}L) div (tot_a + n_bins)")))
+      .withColumn("q", greatest(lit(1L),
+        expr(s"((b + 1) * ${scale}L) div (tot_b + n_bins)")))
+      .withColumn("qlb", when(col("p") >= col("q"),
+        graft.functions.FixedLogFunctions.log2QuarterBits(col("q"), col("p")))
+        .otherwise(-graft.functions.FixedLogFunctions
+          .log2QuarterBits(col("p"), col("q"))))
+      .withColumn("term", (col("p") - col("q")) * col("qlb"))
+    terms
+      .groupBy(col("grp").as(groupCol))
+      .agg(max(col("n_bins")).as("n_bins"),
+        max(col("tot_a")).as("n_before"),
+        max(col("tot_b")).as("n_after"),
+        sum(col("term")).as("psi_q"))
+      .withColumn("psi_bits",
+        col("psi_q").cast(DoubleType) / lit(4.0 * scale))
+  }
+}

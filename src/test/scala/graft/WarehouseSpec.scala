@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.queries.Warehouse
+import graft.operators.{Dedup, Similarity}
+
+/** Warehouse lifecycle operators: RFM, SCD2, CDC latest-wins, PSI drift,
+  * plus the MaxSim and LSH-eval retrieval additions. Hand-computed
+  * fixtures + plan-shape locks (the scale contracts). */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("rfmSegments: hand-computed scores, ties share a score") {
+    // 4 customers; as-of anchor = 2024-01-10 (newest order day).
+    val orders = Seq(
+      (1L, ts("2024-01-10 10:00:00"), 100.0), // recency 0, freq 3, mon 300
+      (1L, ts("2024-01-05 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (2L, ts("2024-01-08 10:00:00"), 50.0),  // recency 2, freq 1, mon 50
+      (3L, ts("2024-01-04 10:00:00"), 500.0), // recency 6, freq 2, mon 900
+      (3L, ts("2024-01-02 10:00:00"), 400.0),
+      (4L, ts("2024-01-08 10:00:00"), 50.0)   // recency 2, freq 1, mon 50
+    ).toDF("cust", "odate", "price")
+    val out = Warehouse.rfmSegments(orders, "cust", "odate", "price",
+      tiles = 4, monetaryGrid = 100L).collect()
+      .map(r => r.getAs[Long]("custkey") -> r).toMap
+    // recency histogram (worst->best): 6(c3,cum1), 2(c2,c4,cum3), 0(c1,cum4)
+    // n=4, tiles=4: score = ceil(4*cum/4) = cum -> c3:1, c2/c4:3, c1:4
+    assert(out(3L).getAs[Long]("r_score") == 1L)
+    assert(out(2L).getAs[Long]("r_score") == 3L)
+    assert(out(4L).getAs[Long]("r_score") == 3L)
+    assert(out(1L).getAs[Long]("r_score") == 4L)
+    // frequency (asc): 1(c2,c4,cum2->2), 2(c3,cum3->3), 3(c1,cum4->4)
+    assert(out(2L).getAs[Long]("f_score") == 2L &&
+      out(4L).getAs[Long]("f_score") == 2L)
+    assert(out(3L).getAs[Long]("f_score") == 3L)
+    assert(out(1L).getAs[Long]("f_score") == 4L)
+    // monetary grid floor(m/100): 0(c2,c4,cum2->2), 3(c1,cum3->3), 9(c3,->4)
+    assert(out(2L).getAs[Long]("m_score") == 2L)
+    assert(out(1L).getAs[Long]("m_score") == 3L)
+    assert(out(3L).getAs[Long]("m_score") == 4L)
+    // ties (c2, c4) share every score and the exact sums survive
+    assert(out(2L).getAs[Long]("rfm_cell") == out(4L).getAs[Long]("rfm_cell"))
+    assert(out(1L).getAs[Double]("monetary") == 300.0)
+    assert(out(1L).getAs[Long]("recency_days") == 0L)
+  }
+
+  test("rfmSegments plan: no global window over customers, score maps broadcast") {
+    val orders = spark.read.parquet(sf("orders"))
+    val plan = Warehouse.rfmSegments(orders, "o_custkey", "o_orderdate",
+      "o_totalprice").queryExecution.executedPlan.toString
+    // all three value->score maps come back as broadcast hash joins
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"score maps must broadcast:\n$plan")
+  }
+
+  test("scd2Dimension: runs collapse, intervals chain, open current") {
+    val events = Seq(
+      (7L, ts("2024-01-01 00:00:10"), "a", 1L),
+      (7L, ts("2024-01-01 00:00:20"), "a", 2L), // same run
+      (7L, ts("2024-01-01 00:00:30"), "b", 3L), // change
+      (7L, ts("2024-01-01 00:00:40"), "a", 4L), // change back = new run
+      (8L, ts("2024-01-01 00:00:15"), "x", 5L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = Warehouse.scd2Dimension(events, "ts", "user_id",
+      "event_type", "event_id")
+      .orderBy("user_id", "version").collect()
+    val u7 = out.filter(_.getLong(0) == 7L)
+    assert(u7.map(_.getAs[String]("event_type")).toSeq == Seq("a", "b", "a"))
+    assert(u7.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L, 1L))
+    // interval chaining: each valid_to = next valid_from; last open
+    assert(u7(0).getAs[Long]("valid_to_s") == u7(1).getAs[Long]("valid_from_s"))
+    assert(u7(1).getAs[Long]("valid_to_s") == u7(2).getAs[Long]("valid_from_s"))
+    assert(u7(2).isNullAt(u7(2).fieldIndex("valid_to_s")))
+    assert(u7.map(_.getAs[Boolean]("is_current")).toSeq ==
+      Seq(false, false, true))
+    val u8 = out.filter(_.getLong(0) == 8L)
+    assert(u8.length == 1 && u8(0).getAs[Boolean]("is_current"))
+  }
+
+  test("cdcLatestWins: newest payload wins, tombstone excludes, no window") {
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:10"), 10L, "view", 1.0),
+      (1L, ts("2024-01-01 00:00:20"), 11L, "click", 2.0),  // winner
+      (2L, ts("2024-01-01 00:00:10"), 12L, "view", 3.0),
+      (2L, ts("2024-01-01 00:00:30"), 13L, "error", 4.0),  // tombstone
+      (3L, ts("2024-01-01 00:00:10"), 14L, "error", 5.0),
+      (3L, ts("2024-01-01 00:00:10"), 15L, "view", 6.0)    // same ts: id wins
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val snap = Warehouse.cdcLatestWins(log, "ts", "user_id", "event_id",
+      Seq("event_type", "value"), col("event_type") === "error")
+    val rows = snap.orderBy("user_id").collect()
+    assert(rows.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 3L))
+    assert(rows(0).getAs[String]("event_type") == "click" &&
+      rows(0).getAs[Long]("last_row_id") == 11L)
+    assert(rows(1).getAs[Long]("last_row_id") == 15L) // ties break on rowId
+    val plan = snap.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"latest-wins must be a max_by aggregate, not a window:\n$plan")
+  }
+
+  test("distributionDrift: identical halves give PSI 0; shift is positive") {
+    // two half-ranges with IDENTICAL value distributions -> every cell
+    // has a == b -> p == q -> psi_q exactly 0
+    val same = (0 until 50).flatMap { i =>
+      Seq(("k", ts(f"2024-01-01 00:00:${i % 30}%02d"), (i % 5) * 10.0),
+        ("k", ts(f"2024-01-02 00:00:${i % 30}%02d"), (i % 5) * 10.0))
+    }.toDF("event_type", "ts", "value")
+    val zero = Warehouse.distributionDrift(same, "ts", "event_type",
+      "value", binWidth = 10.0).collect()
+    assert(zero.length == 1 && zero(0).getAs[Long]("psi_q") == 0L)
+    // a hard shift (all mass moves bins) must score positive
+    val moved = ((0 until 50).map(i =>
+      ("k", ts(f"2024-01-01 00:00:${i % 30}%02d"), 0.0)) ++
+      (0 until 50).map(i =>
+        ("k", ts(f"2024-01-02 00:00:${i % 30}%02d"), 100.0)))
+      .toDF("event_type", "ts", "value")
+    val psi = Warehouse.distributionDrift(moved, "ts", "event_type",
+      "value", binWidth = 10.0).collect()(0)
+    assert(psi.getAs[Long]("psi_q") > 0L)
+    assert(psi.getAs[Double]("psi_bits") > 0.5) // a full swap is >> alert bar
+  }
+
+  test("maxSimTopK: best-aligned token matches sum; self-match tops") {
+    // doc 0 tokens point along axes; doc 1 is a rotation; query = doc 0.
+    val corpus = Seq(
+      (0L, 0L, Array(1.0f, 0.0f)), (0L, 1L, Array(0.0f, 1.0f)),
+      (1L, 0L, Array(0.6f, 0.8f)), (1L, 1L, Array(0.8f, 0.6f)),
+      (2L, 0L, Array(-1.0f, 0.0f)), (2L, 1L, Array(0.0f, -1.0f))
+    ).toDF("doc", "tok", "vec")
+    val out = Similarity.maxSimTopK(
+      corpus.filter(col("doc") === 0L), "doc", "tok", "vec",
+      corpus, "doc", "vec", k = 3)
+      .orderBy("rank").collect()
+    // score(q0, d0) = 1 + 1; score(q0, d1) = max(.6,.8) + max(.8,.6) = 1.6;
+    // score(q0, d2) = 0 + 0
+    assert(out.map(_.getAs[Long]("corpus_id")).toSeq == Seq(0L, 1L, 2L))
+    assert(math.abs(out(0).getAs[Double]("score") - 2.0) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("score") - 1.6) < 1e-9)
+    assert(math.abs(out(2).getAs[Double]("score") - 0.0) < 1e-9)
+  }
+
+  test("minhashQualityEval: exact-duplicate corpus scores perfect") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven"),
+      (5L, "completely different text goes here now")
+    ).toDF("doc_id", "text")
+    val row = Dedup.minhashQualityEval(docs, "doc_id", "text",
+      shingleWords = 3, bands = 16, rowsPerBand = 4,
+      threshold = 0.5).collect()(0)
+    // identical docs share every minhash component: both pairs found,
+    // nothing spurious at threshold 0.5
+    assert(row.getAs[Long]("n_truth") == 2L)
+    assert(row.getAs[Long]("n_pred") == 2L)
+    assert(row.getAs[Long]("n_hit") == 2L)
+    assert(row.getAs[Double]("precision") == 1.0)
+    assert(row.getAs[Double]("recall") == 1.0)
+  }
+}
