@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Multimodal, Profiling, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Profiling, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.queries.{TimeSeries, Warehouse}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1194,6 +1194,18 @@ object SparkEntry {
     Dedup.minhashQualityEval(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.10)
 
+  /** Mergeable HLL lifecycle: daily user sketches unioned to weekly
+    * uniques (vs the double-counting daily sum). DataSketches estimates
+    * are deterministic but not DuckDB-expressible — rows-only gate;
+    * accuracy and merge-identity are spec-locked. */
+  private def qSketchDistinct(spark: SparkSession, dir: String): DataFrame =
+    Sketches.distinctRollup(events(spark, dir), "ts", "user_id")
+
+  /** Sketch-algebra audience overlap between the two halves of the time
+    * range: est(A) + est(B) − est(A∪B), one pass, one row. */
+  private def qSketchOverlap(spark: SparkSession, dir: String): DataFrame =
+    Sketches.overlapEstimate(events(spark, dir), "ts", "user_id")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1336,7 +1348,9 @@ object SparkEntry {
     "q_cdc_apply" -> (qCdcApply _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_sim_maxsim" -> (qSimMaxsim _),
-    "q_dedup_recall_minhash" -> (qDedupRecallMinhash _)
+    "q_dedup_recall_minhash" -> (qDedupRecallMinhash _),
+    "q_sketch_distinct" -> (qSketchDistinct _),
+    "q_sketch_overlap" -> (qSketchOverlap _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
