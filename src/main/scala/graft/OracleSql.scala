@@ -292,7 +292,11 @@ object OracleSql {
     * contribs for vec_id < 10): sampled codebook = sub-slices of the 16
     * md5-smallest corpus rows (code id = rank), nearest code per
     * (vector, subspace) by exact quantized L2 with (d2, code) ties. */
-  private val pqAdcCtes: String =
+  /** PQ assignment prefix (codebook seeding + per-(vector, subspace,
+    * code) exact L2 terms) — leaves `elm`, `pcb`, `pcs2`, `pvs2`,
+    * `pvdot` in scope; shared by the ADC chain and the distortion
+    * audit. */
+  private val pqAssignCtes: String =
     """dims AS (SELECT CAST(len(embedding) AS BIGINT) AS d
       |  FROM embeddings LIMIT 1),
       |elm AS (SELECT vec_id, i, x, LEAST((i - 1) // (d // 4), 3) AS m
@@ -316,7 +320,10 @@ object OracleSql {
       |pvdot AS (SELECT e.vec_id, c.r, e.m,
       |    CAST(SUM(CAST(e.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
       |  FROM elm e JOIN pcb c ON c.i = e.i
-      |  GROUP BY 1, 2, 3),
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
+  private val pqAdcCtes: String =
+    s"""$pqAssignCtes,
       |enc AS (SELECT vec_id, m, r FROM (
       |    SELECT v.vec_id, v.m, v.r, pvs2.s2 + pcs2.s2 - 2.0 * v.dot AS d2
       |    FROM pvdot v
@@ -3332,6 +3339,87 @@ object OracleSql {
          |  CASE WHEN SUM(CASE WHEN in_t THEN 1 ELSE 0 END) > 0 THEN
          |    CAST(SUM(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END) AS DOUBLE)
          |      / SUM(CASE WHEN in_t THEN 1 ELSE 0 END) END AS recall
-         |FROM j""".stripMargin
+         |FROM j""".stripMargin,
+
+    // Point-in-time feature join: SCD2 runs over NON-purchase events
+    // (same gaps-and-islands build as q_scd2), then each purchase takes
+    // the run with the greatest valid_from_s at-or-before its second
+    // (ties on equal starts resolved to the highest version — the
+    // engine's max_by collapse).
+    "q_feature_pit" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, ts,
+        |    epoch_ns(ts)//1000000000 AS ts_s FROM events
+        |  WHERE event_type <> 'purchase'),
+        |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+        |    AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM f),
+        |runs AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+        |    MIN(event_type) AS event_type, MIN(ts_s) AS valid_from_s
+        |  FROM v GROUP BY 1, 2),
+        |dim AS (SELECT user_id, valid_from_s, event_type, version FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, valid_from_s
+        |      ORDER BY version DESC) AS rn FROM runs) WHERE rn = 1),
+        |lab AS (SELECT user_id, event_id,
+        |    epoch_ns(ts)//1000000000 AS label_ts_s
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT l.event_id, l.user_id, l.label_ts_s,
+        |    d.event_type, d.version,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY d.valid_from_s DESC NULLS LAST) AS rn
+        |  FROM lab l LEFT JOIN dim d
+        |    ON d.user_id = l.user_id AND d.valid_from_s <= l.label_ts_s)
+        |SELECT event_id, user_id, label_ts_s, event_type, version
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    // PQ distortion audit: the ADC chain's own assignment d2 kept and
+    // rolled up per subspace (min over codes with (d2, r) ties shares
+    // the d2 either way); sums as exact DECIMAL(28,12).
+    "q_sim_pq_distortion" ->
+      s"""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
+        |  FROM embeddings),
+        |$pqAssignCtes,
+        |best AS (SELECT vec_id, m, d2 FROM (
+        |    SELECT v.vec_id, v.m,
+        |      pvs2.s2 + pcs2.s2 - 2.0 * v.dot AS d2,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.m
+        |        ORDER BY pvs2.s2 + pcs2.s2 - 2.0 * v.dot, v.r) AS rn
+        |    FROM pvdot v
+        |    JOIN pvs2 ON pvs2.vec_id = v.vec_id AND pvs2.m = v.m
+        |    JOIN pcs2 ON pcs2.r = v.r AND pcs2.m = v.m)
+        |  WHERE rn = 1)
+        |SELECT CAST(m AS BIGINT) AS m,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) AS sum_d2,
+        |  CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+        |    AS mean_d2,
+        |  MAX(d2) AS max_d2
+        |FROM best GROUP BY 1""".stripMargin,
+
+    // Triangle census of the minhash near-dup graph: naive closed-wedge
+    // join over the canonical (a < b) edge set — the degree-oriented
+    // engine enumeration counts the same triangles exactly once.
+    "q_dedup_triangles" ->
+      s"""WITH edges AS (SELECT id_a AS a, id_b AS b
+         |  FROM (${minhashPairsSql(0.10)})),
+         |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+         |    SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+         |  GROUP BY 1),
+         |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |  FROM edges e1
+         |  JOIN edges e2 ON e2.a = e1.b
+         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |vw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         |    CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+         |  FROM deg),
+         |ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+         |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges > 0 THEN
+         |    CAST(3 * n_triangles AS DOUBLE) / n_wedges END AS transitivity
+         |FROM vw, ec, tri""".stripMargin
   )
 }

@@ -1206,6 +1206,33 @@ object SparkEntry {
   private def qSketchOverlap(spark: SparkSession, dir: String): DataFrame =
     Sketches.overlapEstimate(events(spark, dir), "ts", "user_id")
 
+  /** Point-in-time feature join: each purchase (label) gets the user's
+    * SCD2 state (built from non-purchase events) valid AT purchase time
+    * — the leakage-free feature-store lookup. */
+  private def qFeaturePit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val dim = Warehouse.scd2Dimension(
+      ev.filter(col("event_type") =!= "purchase"),
+      "ts", "user_id", "event_type", "event_id")
+    Warehouse.pointInTimeJoin(
+      ev.filter(col("event_type") === "purchase"), "event_id", "ts",
+      dim, "valid_from_s", Seq("event_type", "version"),
+      "user_id", tieBreak = "version")
+  }
+
+  /** PQ codebook distortion audit: per-subspace assignment L2 error of
+    * the registry's own (4 subspaces × 16 codes) config. */
+  private def qSimPqDistortion(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqDistortion(t(spark, dir, "embeddings"), "vec_id",
+      "embedding", numSubspaces = 4, numCodes = 16)
+
+  /** Triangle census of the minhash near-dup graph: clique-ness
+    * (transitivity) of the pair set the dedup components collapse. */
+  private def qDedupTriangles(spark: SparkSession, dir: String): DataFrame =
+    Dedup.triangleStats(
+      Dedup.minhashNearDuplicates(docs(spark, dir), "doc_id", "text",
+        shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.10))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1350,7 +1377,10 @@ object SparkEntry {
     "q_sim_maxsim" -> (qSimMaxsim _),
     "q_dedup_recall_minhash" -> (qDedupRecallMinhash _),
     "q_sketch_distinct" -> (qSketchDistinct _),
-    "q_sketch_overlap" -> (qSketchOverlap _)
+    "q_sketch_overlap" -> (qSketchOverlap _),
+    "q_feature_pit" -> (qFeaturePit _),
+    "q_sim_pq_distortion" -> (qSimPqDistortion _),
+    "q_dedup_triangles" -> (qDedupTriangles _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

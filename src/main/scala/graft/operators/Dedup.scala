@@ -428,6 +428,57 @@ object Dedup {
         col("n_hit").cast(DoubleType) / col("n_truth")))
   }
 
+  /** TRIANGLE CENSUS of a pair graph — the structural audit of a
+    * near-dup edge set: transitivity (`3·triangles / wedges`) says
+    * whether the pairs form tight cliques (template families, boiler-
+    * plate — safe to collapse via [[connectedComponents]]) or sprawling
+    * chains (threshold too loose: components will over-merge). Input is
+    * a canonical pair frame (`id_a < id_b`, e.g. any near-dup operator's
+    * output); returns one row `(n_vertices, n_edges, n_wedges,
+    * n_triangles, transitivity)`.
+    *
+    * Scale shape: the classic DEGREE-ORIENTED enumeration — every edge
+    * is directed from its lower-`(degree, id)` endpoint, so each
+    * triangle is generated by exactly one wedge at its lowest-degree
+    * corner and the per-vertex out-degree is O(√|E|) on any graph
+    * (arboricity bound): the wedge self-join cannot explode on hub
+    * vertices the way a naive neighbor join does. One join to close
+    * wedges against the canonical edge set; counts are map-combined
+    * aggregates; nothing ever collects. */
+  def triangleStats(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val edges = pairs
+      .select(col(idA).cast(LongType).as("a"), col(idB).cast(LongType).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint(true) // feeds degrees, orientation, and closure
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        col("a")).otherwise(col("b")).as("src"),
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        col("b")).otherwise(col("a")).as("dst"))
+    val closing = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(least(col("x.dst"), col("y.dst")).as("a"),
+        greatest(col("x.dst"), col("y.dst")).as("b"))
+    val tri = closing.join(edges, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedge = deg.agg(count(lit(1)).as("n_vertices"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val ecnt = edges.agg(count(lit(1)).as("n_edges"))
+    wedge.crossJoin(ecnt).crossJoin(tri)
+      .withColumn("transitivity",
+        when(col("n_wedges") > 0,
+          (lit(3L) * col("n_triangles")).cast(DoubleType) / col("n_wedges")))
+      .select("n_vertices", "n_edges", "n_wedges", "n_triangles",
+        "transitivity")
+  }
+
   /** 60-bit SimHash per document via the native [[graft.functions.SimHash60]]
     * expression: one codegen'd pass per row inside the scan — no explode, no
     * shuffle, nothing but the row. */

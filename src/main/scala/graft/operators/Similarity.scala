@@ -903,6 +903,47 @@ object Similarity {
       .select("m", "r", "cq_sub", "c_s2")
   }
 
+  /** PQ CODEBOOK DISTORTION AUDIT — the quality gauge for the
+    * compression arm: per subspace, the L2 error each vector pays for
+    * being replaced by its nearest code (`d2 = |v_sub|² + |c_sub|² −
+    * 2⟨v_sub, c_sub⟩`, the encoder's own assignment metric). High mean
+    * distortion in a subspace means its `numCodes` grid is too coarse —
+    * THE number an operator reads before trading recall for the 16–32×
+    * memory cut, the same role the recall@k harness plays for the probe
+    * knobs. Returns one row per subspace: `(m, n_vectors, sum_d2,
+    * mean_d2, max_d2)`.
+    *
+    * Scale shape: identical to encoding itself — broadcast codebook,
+    * one corpus pass, the min-assignment folds map-side per
+    * (vector, subspace), then one tiny M-row rollup. Determinism: d2
+    * doubles come from exact integer dots in a fixed op order; the
+    * rollup sums them as DECIMAL(28,12) (order-independent), and
+    * `mean = sum/n`, `max` are order-free. */
+  def pqDistortion(corpus: DataFrame, corpusId: String, corpusVec: String,
+      numSubspaces: Int = 4, numCodes: Int = 16): DataFrame = {
+    registered(corpus)
+    val cb = pqCodebook(corpus, corpusId, corpusVec, numSubspaces, numCodes)
+    corpus
+      .select(col(corpusId).as("corpus_id"),
+        V.quantize6(col(corpusVec)).as("cq"))
+      .select(col("corpus_id"),
+        explode(sequence(lit(0), lit(numSubspaces - 1))).as("m"), col("cq"))
+      .withColumn("v_sub", pqSub(numSubspaces)(col("cq"), col("m")))
+      .withColumn("v_s2", V.dotQ12(col("v_sub"), col("v_sub")))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d2", col("v_s2") + col("c_s2") -
+        lit(2.0) * V.dotQ12(col("v_sub"), col("cq_sub")))
+      .groupBy(col("corpus_id"), col("m"))
+      .agg(min(struct(col("d2"), col("r"))).getField("d2").as("best_d2"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("best_d2").cast(DecimalType(28, 12)))
+          .cast(DoubleType).as("sum_d2"),
+        max(col("best_d2")).as("max_d2"))
+      .withColumn("mean_d2", col("sum_d2") / col("n_vectors"))
+      .select("m", "n_vectors", "sum_d2", "mean_d2", "max_d2")
+  }
+
   /** Encode: nearest code per (vector, subspace) by exact quantized-L2
     * with (d2, code) ties, then the M codes gathered per vector. */
   private def pqEncode(corpus: DataFrame, corpusId: String,

@@ -180,6 +180,47 @@ object Warehouse {
         .map(c => col(s"lastv.$c").as(c)): _*)
   }
 
+  /** POINT-IN-TIME (feature-store) JOIN — for every label row, the
+    * feature payload whose effective time is the GREATEST at-or-before
+    * the label's time, per entity: the join that keeps training data
+    * leakage-free (a feature computed AFTER the label's moment must
+    * never reach that example). Against a tiling dimension like
+    * [[scd2Dimension]]'s runs, "latest start at-or-before" IS "version
+    * valid at" — no interval predicate needed; labels before the first
+    * version get NULL features.
+    *
+    * Scale shape: NOT a range join (Catalyst would plan the interval
+    * predicate as a broadcast-nested-loop). Features collapse to one
+    * row per `(entity, second)` (`max_by` on `tieBreak` — explicit
+    * determinism), both sides are tagged and UNIONED, and a single
+    * per-entity window ordered by `(second, side)` carries the last
+    * feature struct onto each label row — feature rows sort before
+    * labels at equal times, so the match is at-or-before inclusive at
+    * second grain. One shuffle keyed on the entity, bounded running
+    * state: the [[TimeSeries.asofJoin]] plan, generalized to a struct
+    * payload. */
+  def pointInTimeJoin(labels: DataFrame, labelId: String, labelTs: String,
+      features: DataFrame, featureTsS: String, payload: Seq[String],
+      key: String, tieBreak: String): DataFrame = {
+    val feat = features
+      .groupBy(col(key), col(featureTsS).cast(LongType).as("t_s"))
+      .agg(max_by(struct(payload.map(col): _*), col(tieBreak)).as("__feat"))
+      .select(col(key), col("t_s"), col("__feat"),
+        lit(0).as("__side"), lit(null).cast(LongType).as("__label_id"))
+    val lab = labels.select(col(key), epochS(col(labelTs)).as("t_s"),
+      lit(null).cast(feat.schema("__feat").dataType).as("__feat"),
+      lit(1).as("__side"), col(labelId).cast(LongType).as("__label_id"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("t_s"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    feat.unionByName(lab)
+      .withColumn("__feat", last(col("__feat"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__label_id").as(labelId) +: col(key) +:
+        col("t_s").as("label_ts_s") +:
+        payload.map(c => col(s"__feat.$c").as(c)): _*)
+  }
+
   /** POPULATION STABILITY INDEX — distribution drift between the first
     * and second half of the observed time range, per group: the
     * monitoring statistic that tells an operator a feature's

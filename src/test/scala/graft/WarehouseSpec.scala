@@ -143,6 +143,88 @@ class WarehouseSpec extends SparkSpec {
     assert(math.abs(out(2).getAs[Double]("score") - 0.0) < 1e-9)
   }
 
+  test("pointInTimeJoin: at-or-before inclusive, leakage-free, null before first") {
+    val dim = Seq(
+      (1L, 100L, "bronze", 1L),
+      (1L, 200L, "silver", 2L),
+      (1L, 200L, "gold", 3L) // same-second start: version 3 wins
+    ).toDF("user_id", "valid_from_s", "state", "version")
+    val labels = Seq(
+      (1L, ts("1970-01-01 00:00:50"), 10L),  // before first -> null
+      (1L, ts("1970-01-01 00:01:40"), 11L),  // == 100s: inclusive match
+      (1L, ts("1970-01-01 00:02:30"), 12L),  // 150s -> bronze
+      (1L, ts("1970-01-01 00:05:00"), 13L)   // 300s -> gold (tie winner)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Warehouse.pointInTimeJoin(labels, "event_id", "ts",
+      dim, "valid_from_s", Seq("state", "version"), "user_id", "version")
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(out(10L).isNullAt(out(10L).fieldIndex("state")))
+    assert(out(11L).getAs[String]("state") == "bronze")
+    assert(out(12L).getAs[String]("state") == "bronze")
+    assert(out(13L).getAs[String]("state") == "gold" &&
+      out(13L).getAs[Long]("version") == 3L)
+    // leakage audit on real data: every joined feature started
+    // at-or-before its label's second
+    val ev = spark.read.parquet(sf("events"))
+    val d2 = Warehouse.scd2Dimension(
+      ev.filter(col("event_type") =!= "purchase"),
+      "ts", "user_id", "event_type", "event_id")
+    val pit = Warehouse.pointInTimeJoin(
+      ev.filter(col("event_type") === "purchase"), "event_id", "ts",
+      d2, "valid_from_s", Seq("event_type", "version"), "user_id", "version")
+    val leaks = pit.join(d2.select(col("user_id"), col("version"),
+        col("valid_from_s")), Seq("user_id", "version"))
+      .filter(col("valid_from_s") > col("label_ts_s")).count()
+    assert(leaks == 0L, s"$leaks features from the label's future")
+  }
+
+  test("triangleStats: hand graph — one triangle plus a pendant") {
+    // K3 {1,2,3} + pendant edge 3-4
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val row = Dedup.triangleStats(pairs).collect()(0)
+    assert(row.getAs[Long]("n_vertices") == 4L)
+    assert(row.getAs[Long]("n_edges") == 4L)
+    // wedges: deg 2,2,3,1 -> 1 + 1 + 3 + 0 = 5
+    assert(row.getAs[Long]("n_wedges") == 5L)
+    assert(row.getAs[Long]("n_triangles") == 1L)
+    assert(math.abs(row.getAs[Double]("transitivity") - 0.6) < 1e-12)
+    // orientation invariance: flipped input pairs are filtered/canonical
+    val flipped = Seq((2L, 1L), (3L, 2L), (3L, 1L), (4L, 3L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    val r2 = Dedup.triangleStats(
+      flipped.select(least($"id_a", $"id_b").as("id_a"),
+        greatest($"id_a", $"id_b").as("id_b"))).collect()(0)
+    assert(r2.getAs[Long]("n_triangles") == 1L &&
+      r2.getAs[Long]("n_edges") == 4L)
+  }
+
+  test("pqDistortion: zero when every vector seeds the codebook") {
+    // corpus of 10 <= numCodes = 16: each vector's sub-slices ARE codes,
+    // so the best assignment distance is exactly 0 in every subspace
+    val small = spark.read.parquet(sf("embeddings"))
+      .filter(col("vec_id") < 10)
+    val zero = Similarity.pqDistortion(small, "vec_id", "embedding",
+      numSubspaces = 4, numCodes = 16).collect()
+    assert(zero.length == 4)
+    zero.foreach { r =>
+      assert(r.getAs[Double]("sum_d2") == 0.0, r.toString)
+      assert(r.getAs[Double]("max_d2") == 0.0, r.toString)
+    }
+    // full table: a real quantization error, one row per subspace,
+    // mean consistent with sum/n
+    val full = Similarity.pqDistortion(
+      spark.read.parquet(sf("embeddings")), "vec_id", "embedding")
+      .collect()
+    assert(full.length == 4)
+    full.foreach { r =>
+      assert(r.getAs[Double]("sum_d2") > 0.0)
+      assert(math.abs(r.getAs[Double]("mean_d2") -
+        r.getAs[Double]("sum_d2") / r.getAs[Long]("n_vectors")) < 1e-12)
+      assert(r.getAs[Double]("max_d2") >= r.getAs[Double]("mean_d2"))
+    }
+  }
+
   test("minhashQualityEval: exact-duplicate corpus scores perfect") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
