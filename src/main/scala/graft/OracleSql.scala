@@ -3420,6 +3420,73 @@ object OracleSql {
          |SELECT n_vertices, n_edges, n_wedges, n_triangles,
          |  CASE WHEN n_wedges > 0 THEN
          |    CAST(3 * n_triangles AS DOUBLE) / n_wedges END AS transitivity
-         |FROM vw, ec, tri""".stripMargin
+         |FROM vw, ec, tri""".stripMargin,
+
+    // Entity-consistent split: cumulative md5_60 thresholds over the
+    // 2^60 space (exact longs from Sampling.rateThreshold).
+    "q_sample_entity_split" ->
+      s"""WITH h AS (SELECT user_id,
+         |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |      ::BIGINT AS hk
+         |  FROM events),
+         |s AS (SELECT user_id,
+         |    CASE WHEN hk < ${graft.operators.Sampling.rateThreshold(0.8)}
+         |      THEN 'train'
+         |    WHEN hk < ${graft.operators.Sampling
+                .rateThreshold(0.8 + 0.1)} THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM h)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities
+         |FROM s GROUP BY 1""".stripMargin,
+
+    // A/B conversion: arm = salted md5_60 below/above half the hash
+    // space; pooled two-proportion z in the engine's exact double op
+    // order (IEEE ops incl. sqrt are correctly rounded).
+    "q_ab_test" ->
+      s"""WITH pe AS (SELECT user_id,
+         |    CASE WHEN ('0x' || substring(
+         |        md5(CAST(user_id AS VARCHAR) || 'exp1'), 1, 15))::BIGINT
+         |      < ${1L << 59} THEN 'A' ELSE 'B' END AS arm,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS converted
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT
+         |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+         |      AS BIGINT) AS conv_a,
+         |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+         |      AS BIGINT) AS conv_b
+         |  FROM pe),
+         |d AS (SELECT *, CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+         |    CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+         |    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p_pool
+         |  FROM r),
+         |s AS (SELECT *,
+         |    sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)) AS se
+         |  FROM d)
+         |SELECT n_a, conv_a, rate_a, n_b, conv_b, rate_b,
+         |  CASE WHEN se > 0.0 THEN (rate_a - rate_b) / se END AS z
+         |FROM s""".stripMargin,
+
+    // IVF cell balance over the refined (K=16, 1 Lloyd round) cells —
+    // the same `cells` CTE as q_sim_ivf; imbalance = max / mean in the
+    // engine's division order.
+    "q_sim_ivf_balance" ->
+      s"""WITH $ivfRefinedCellCtes,
+        |sz AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    CAST(SUM(n) AS BIGINT) AS n_vectors,
+        |    MIN(n) AS min_cell, MAX(n) AS max_cell
+        |  FROM sz)
+        |SELECT n_cells, 16 - n_cells AS n_empty, n_vectors, min_cell,
+        |  max_cell, CAST(n_vectors AS DOUBLE) / n_cells AS mean_cell,
+        |  CAST(max_cell AS DOUBLE)
+        |    / (CAST(n_vectors AS DOUBLE) / n_cells) AS imbalance
+        |FROM agg""".stripMargin
   )
 }

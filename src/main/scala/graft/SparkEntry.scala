@@ -1233,6 +1233,28 @@ object SparkEntry {
       Dedup.minhashNearDuplicates(docs(spark, dir), "doc_id", "text",
         shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.10))
 
+  /** Entity-consistent 80/10/10 split of events keyed on the user hash:
+    * per-split row/entity counts (no user straddles two splits —
+    * structural, from the hash). */
+  private def qSampleEntitySplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.entitySplit(events(spark, dir), "user_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_entities"))
+
+  /** Two-arm conversion experiment over events: salted user-hash
+    * assignment, purchase conversion, pooled two-proportion z. */
+  private def qAbTest(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.abTestConversion(events(spark, dir), "user_id",
+      "event_type", conversionType = "purchase", salt = "exp1")
+
+  /** IVF cell-balance audit of the registry's refined (K=16, 1 Lloyd
+    * round) index config. */
+  private def qSimIvfBalance(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfCellBalance(t(spark, dir, "embeddings"), "vec_id",
+      "embedding", numCentroids = 16, refineRounds = 1)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1380,7 +1402,10 @@ object SparkEntry {
     "q_sketch_overlap" -> (qSketchOverlap _),
     "q_feature_pit" -> (qFeaturePit _),
     "q_sim_pq_distortion" -> (qSimPqDistortion _),
-    "q_dedup_triangles" -> (qDedupTriangles _)
+    "q_dedup_triangles" -> (qDedupTriangles _),
+    "q_sample_entity_split" -> (qSampleEntitySplit _),
+    "q_ab_test" -> (qAbTest _),
+    "q_sim_ivf_balance" -> (qSimIvfBalance _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

@@ -282,7 +282,7 @@ object Dedup {
     * every signature here builds on (MD5 exists in every SQL engine, so
     * the DuckDB oracle reproduces signatures exactly; and 60 bits keep
     * all arithmetic positive and overflow-free in signed 64-bit). */
-  private[operators] def md5_60(c: Column): Column =
+  private[graft] def md5_60(c: Column): Column =
     conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
 
   /** The Kirsch–Mitzenmacher family `h_i = (b1 + i·b2) mod 2^60`,

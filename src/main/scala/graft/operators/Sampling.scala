@@ -30,6 +30,30 @@ object Sampling {
   def uniform(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(hashKey(col(keyCol)) < lit(rateThreshold(rate)))
 
+  /** ENTITY-CONSISTENT SPLIT — train/val/test assignment keyed on the
+    * ENTITY's hash, not the row's: every row of a user lands in the
+    * same split, so temporally-correlated rows of one entity can never
+    * straddle train and eval (the split-leakage failure mode the
+    * point-in-time join guards against in time). Fractions partition
+    * the 2⁶⁰ hash space by cumulative thresholds; assignment is a pure
+    * per-row expression — no shuffle, no state, reproducible forever
+    * from the entity id alone (the property that lets a 100 TB corpus
+    * re-derive its split on every read instead of storing one).
+    * Appends a `split` column. */
+  def entitySplit(df: DataFrame, entityCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val h = hashKey(col(entityCol))
+    val expr = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1)) { case (((name, _), c), rest) =>
+      when(h < lit(rateThreshold(c)), name).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** At most `perStratum` rows per stratum, chosen in hash order (ties by
     * the key itself) — a deterministic per-class cap for rebalancing
     * skewed corpora. Adds `sample_rank` (1-based). */

@@ -903,6 +903,37 @@ object Similarity {
       .select("m", "r", "cq_sub", "c_s2")
   }
 
+  /** IVF CELL-BALANCE AUDIT — the load report for the partition arm:
+    * rows per cell after assignment (and Lloyd refinement), rolled to
+    * one row of extremes and the imbalance factor `max_cell /
+    * mean_cell`. A hot cell is simultaneously a recall trap (its
+    * nprobe-share of candidates crowds out other cells) and a straggler
+    * task at 10¹⁰ vectors; this is the number that says "refine more
+    * rounds / raise K" before the index ships — completing the eval
+    * trio next to recall@k and [[pqDistortion]]. Empty seeds are
+    * reported, not hidden (`n_empty = K − n_cells`).
+    *
+    * Scale shape: the index build itself plus one map-combined count
+    * per cell and a K-row rollup — nothing beyond the build cost. */
+  def ivfCellBalance(corpus: DataFrame, corpusId: String,
+      corpusVec: String, numCentroids: Int = 16,
+      refineRounds: Int = 0): DataFrame = {
+    val idx = buildIvfIndex(corpus, corpusId, corpusVec, numCentroids,
+      refineRounds)
+    idx.cells.groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n")).as("n_vectors"),
+        min(col("n")).as("min_cell"),
+        max(col("n")).as("max_cell"))
+      .withColumn("n_empty", lit(numCentroids.toLong) - col("n_cells"))
+      .withColumn("mean_cell",
+        col("n_vectors").cast(DoubleType) / col("n_cells"))
+      .withColumn("imbalance",
+        col("max_cell").cast(DoubleType) / col("mean_cell"))
+      .select("n_cells", "n_empty", "n_vectors", "min_cell", "max_cell",
+        "mean_cell", "imbalance")
+  }
+
   /** PQ CODEBOOK DISTORTION AUDIT — the quality gauge for the
     * compression arm: per subspace, the L2 error each vector pays for
     * being replaced by its nearest code (`d2 = |v_sub|² + |c_sub|² −

@@ -180,6 +180,50 @@ object Warehouse {
         .map(c => col(s"lastv.$c").as(c)): _*)
   }
 
+  /** A/B CONVERSION TEST — the experimentation rollup: entities are
+    * deterministically bucketed into two arms by a salted hash (the
+    * salt IS the experiment id — re-salting re-randomizes, same salt
+    * reproduces the assignment on any engine), per-entity conversion is
+    * an any-match flag, and the two-proportion pooled z-statistic
+    * prices the observed lift. One row out: counts, rates, and z.
+    *
+    * Scale shape: ONE shuffle keyed on the entity (arm + conversion
+    * flag fold map-side in the same aggregate), then a single-group
+    * rollup with conditional sums — the arm rollup never re-shuffles
+    * raw events. Determinism: counts are exact longs; the z is a fixed
+    * double op order over them — `p=(cA+cB)/(nA+nB)`, `se=√(p·(1−p)·
+    * (1/nA+1/nB))`, `z=(rA−rB)/se` — mirrored token-for-token by the
+    * oracle (IEEE ops incl. sqrt are correctly rounded, so the engines
+    * agree bit-for-bit); a degenerate se (empty arm or p ∈ {0,1})
+    * yields NULL z. */
+  def abTestConversion(df: DataFrame, key: String, typeCol: String,
+      conversionType: String, salt: String): DataFrame = {
+    val arm = when(graft.operators.Dedup.md5_60(
+      concat(col(key).cast(StringType), lit(salt))) <
+      lit(1L << 59), "A").otherwise("B")
+    val perEntity = df
+      .groupBy(col(key), arm.as("arm"))
+      .agg(max(when(col(typeCol) === conversionType, 1L).otherwise(0L))
+        .as("converted"))
+    val r = perEntity.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "A", col("converted")).otherwise(0L))
+        .as("conv_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "B", col("converted")).otherwise(0L))
+        .as("conv_b"))
+    r.withColumn("rate_a", col("conv_a").cast(DoubleType) / col("n_a"))
+      .withColumn("rate_b", col("conv_b").cast(DoubleType) / col("n_b"))
+      .withColumn("p_pool",
+        (col("conv_a") + col("conv_b")).cast(DoubleType) /
+          (col("n_a") + col("n_b")))
+      .withColumn("se", sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .withColumn("z", when(col("se") > 0.0,
+        (col("rate_a") - col("rate_b")) / col("se")))
+      .select("n_a", "conv_a", "rate_a", "n_b", "conv_b", "rate_b", "z")
+  }
+
   /** POINT-IN-TIME (feature-store) JOIN — for every label row, the
     * feature payload whose effective time is the GREATEST at-or-before
     * the label's time, per entity: the join that keeps training data

@@ -225,6 +225,52 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("entitySplit: entities never straddle splits; assignment is scan-resident") {
+    val ev = spark.read.parquet(sf("events"))
+    val split = graft.operators.Sampling.entitySplit(ev, "user_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // structural: one split per entity
+    val straddlers = split.groupBy("user_id")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(straddlers == 0L)
+    assert(split.select("split").distinct().count() <= 3)
+    assert(split.count() == ev.count())
+    // the assignment is a pure per-row expression: no exchange at all
+    val plan = split.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"split assignment must not shuffle:\n$plan")
+  }
+
+  test("abTestConversion: exhaustive arms, reproducible salt, degenerate se gates") {
+    val ev = spark.read.parquet(sf("events"))
+    val r = Warehouse.abTestConversion(ev, "user_id", "event_type",
+      "purchase", salt = "exp1").collect()(0)
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == nUsers)
+    assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
+    // same salt = identical assignment; the whole row reproduces
+    val r2 = Warehouse.abTestConversion(ev, "user_id", "event_type",
+      "purchase", salt = "exp1").collect()(0)
+    assert(r.toString == r2.toString)
+    // degenerate: every entity converts -> p_pool = 1 -> se = 0 -> NULL z
+    val allConv = Seq((1L, "purchase"), (2L, "purchase"), (3L, "purchase"))
+      .toDF("user_id", "event_type")
+    val d = Warehouse.abTestConversion(allConv, "user_id", "event_type",
+      "purchase", salt = "s").collect()(0)
+    assert(d.isNullAt(d.fieldIndex("z")))
+  }
+
+  test("ivfCellBalance: partition accounting and imbalance bounds") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val r = Similarity.ivfCellBalance(emb, "vec_id", "embedding",
+      numCentroids = 16, refineRounds = 1).collect()(0)
+    assert(r.getAs[Long]("n_vectors") == emb.count())
+    assert(r.getAs[Long]("n_cells") + r.getAs[Long]("n_empty") == 16L)
+    assert(r.getAs[Long]("min_cell") >= 1L)
+    assert(r.getAs[Double]("imbalance") >= 1.0)
+    assert(r.getAs[Long]("max_cell") >= r.getAs[Long]("min_cell"))
+  }
+
   test("minhashQualityEval: exact-duplicate corpus scores perfect") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
