@@ -3487,6 +3487,81 @@ object OracleSql {
         |  max_cell, CAST(n_vectors AS DOUBLE) / n_cells AS mean_cell,
         |  CAST(max_cell AS DOUBLE)
         |    / (CAST(n_vectors AS DOUBLE) / n_cells) AS imbalance
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // Time-weighted average (TimescaleDB time_weight LOCF): value·Δµs
+    // as exact decimal sums; ONE double division at the end; ties by
+    // event_id; single-observation keys (duration 0) -> NULL twa.
+    "q_twa" ->
+      """WITH e AS (SELECT event_type, event_id, value,
+        |    epoch_ns(ts)//1000 AS t_us,
+        |    epoch_ns(ts)//1000000000 AS t_s FROM events),
+        |l AS (SELECT *, lead(t_s) OVER (PARTITION BY event_type
+        |    ORDER BY t_us, event_id) AS next_s FROM e),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(CASE WHEN next_s IS NOT NULL THEN
+        |      CAST(value AS DECIMAL(18,6)) * (next_s - t_s) END)
+        |      * 1000000 AS BIGINT) AS num_micro,
+        |    MAX(t_s) - MIN(t_s) AS duration_s
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, n_obs, duration_s,
+        |  CASE WHEN duration_s > 0 THEN
+        |    CAST(num_micro AS DOUBLE)
+        |      / CAST(duration_s * 1000000 AS DOUBLE) END AS twa
+        |FROM a""".stripMargin,
+
+    // Counter aggregation with resets: non-negative step -> delta, a
+    // negative step is a reset and the new reading is the increase;
+    // contributions summed as scale-6 decimals.
+    "q_counter_agg" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    epoch_ns(ts)//1000 AS t_us FROM events),
+        |l AS (SELECT *, lag(value) OVER (PARTITION BY user_id
+        |    ORDER BY t_us, event_id) AS prev FROM e),
+        |c AS (SELECT *, CASE WHEN prev IS NULL THEN NULL
+        |    WHEN value >= prev THEN value - prev ELSE value END AS contrib
+        |  FROM l),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY t_us, event_id) AS rna,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY t_us DESC, event_id DESC) AS rnd
+        |  FROM c)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND value < prev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+        |  CAST(SUM(CAST(contrib AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS total_increase,
+        |  MAX(CASE WHEN rna = 1 THEN value END) AS first_value,
+        |  MAX(CASE WHEN rnd = 1 THEN value END) AS last_value
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // FK orphan audit: lineitem.l_partkey without a part parent.
+    "q_dq_orphans" ->
+      """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+        |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_child_keys
+        |  FROM lineitem),
+        |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+        |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_orphan_keys
+        |  FROM lineitem
+        |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |SELECT n_child, n_child_keys, n_orphan_rows, n_orphan_keys,
+        |  CAST(n_orphan_rows AS DOUBLE) / n_child AS orphan_rate
+        |FROM t, o""".stripMargin,
+
+    // PK uniqueness audit of (l_orderkey, l_linenumber).
+    "q_dq_pk_violations" ->
+      """WITH g AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_keys,
+        |  CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+        |    AS n_excess_rows,
+        |  MAX(n) AS max_multiplicity,
+        |  CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS DOUBLE)
+        |    / SUM(n) AS dup_rate
+        |FROM g""".stripMargin
   )
 }

@@ -1255,6 +1255,29 @@ object SparkEntry {
     Similarity.ivfCellBalance(t(spark, dir, "embeddings"), "vec_id",
       "embedding", numCentroids = 16, refineRounds = 1)
 
+  /** Time-weighted average of events.value per event type (LOCF
+    * weighting — TimescaleDB `time_weight`/`average` semantics). */
+  private def qTwa(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.timeWeightedAverage(events(spark, dir), "ts", "event_type",
+      "value", "event_id")
+
+  /** Counter aggregation with reset handling (TimescaleDB
+    * `counter_agg`): per-user total increase, reset count, endpoints. */
+  private def qCounterAgg(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.counterAggregate(events(spark, dir), "ts", "user_id",
+      "value", "event_id")
+
+  /** FK orphan audit: lineitem.l_partkey rows without a part parent. */
+  private def qDqOrphans(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.referentialOrphans(t(spark, dir, "lineitem"), "l_partkey",
+      t(spark, dir, "part"), "p_partkey")
+
+  /** PK uniqueness audit of lineitem's composite (orderkey, linenumber)
+    * key — sizes the damage before a dedup. */
+  private def qDqPkViolations(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.pkViolations(t(spark, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber"))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1405,7 +1428,11 @@ object SparkEntry {
     "q_dedup_triangles" -> (qDedupTriangles _),
     "q_sample_entity_split" -> (qSampleEntitySplit _),
     "q_ab_test" -> (qAbTest _),
-    "q_sim_ivf_balance" -> (qSimIvfBalance _)
+    "q_sim_ivf_balance" -> (qSimIvfBalance _),
+    "q_twa" -> (qTwa _),
+    "q_counter_agg" -> (qCounterAgg _),
+    "q_dq_orphans" -> (qDqOrphans _),
+    "q_dq_pk_violations" -> (qDqPkViolations _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

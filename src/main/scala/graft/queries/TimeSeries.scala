@@ -891,4 +891,84 @@ object TimeSeries {
       .select(col("key"), col("__ts").as("change_ts"),
         (col("a").cast(DoubleType) / 1000000.0).as("score"))
   }
+
+  /** TIME-WEIGHTED AVERAGE — TimescaleDB's `time_weight('LOCF', …)` →
+    * `average()`: irregular samples weighted by how LONG each value
+    * held, not how often it was reported (a sensor that reports 10×
+    * during a spike must not drag the daily mean). Each observation
+    * carries its value until the next one (LOCF weighting); the last
+    * observation spans zero time, so
+    * `twa = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_N − t₀)`. Single-observation keys
+    * have no duration → NULL twa, never a fake number.
+    *
+    * Exactness: weights are integer SECOND deltas (ordering stays at
+    * µs, ties by `rowId`); `value·Δt` multiplies a scale-6 decimal by
+    * a long (exact), sums exactly, and rescales to BIGINT micro-units
+    * — so the one double division at the end divides two exactly-
+    * representable int64 values, which every IEEE engine rounds
+    * identically (a wide DECIMAL→DOUBLE cast does not carry that
+    * guarantee cross-engine).
+    *
+    * Scale shape: one key-partitioned `lead` window + one keyed
+    * aggregate on the SAME partitioning — a single shuffle, bounded
+    * per-key state. */
+  def timeWeightedAverage(df: DataFrame, ts: String, key: String,
+      value: String, rowId: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("t_us"), col(rowId))
+    df.select(col(key), col(rowId), col(value).as("v"),
+        epochMicros(col(ts)).as("t_us"),
+        epochSeconds(col(ts)).as("t_s"))
+      .withColumn("next_s", lead(col("t_s"), 1).over(w))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_obs"),
+        // weights at SECOND grain, rescaled to exact BIGINT micro-units:
+        // int64→double is correctly rounded in every engine, where a
+        // wide DECIMAL→DOUBLE cast is not guaranteed to agree cross-
+        // engine in the last ulp (observed vs DuckDB)
+        (sum(when(col("next_s").isNotNull,
+          col("v").cast(DecimalType(18, 6)) * (col("next_s") - col("t_s"))))
+          * lit(1000000L)).cast(LongType).as("num_micro"),
+        (max(col("t_s")) - min(col("t_s"))).as("duration_s"))
+      .withColumn("twa", when(col("duration_s") > 0,
+        col("num_micro").cast(DoubleType) /
+          (col("duration_s") * 1000000L).cast(DoubleType)))
+      .select(col(key), col("n_obs"), col("duration_s"), col("twa"))
+  }
+
+  /** COUNTER AGGREGATION — TimescaleDB's `counter_agg` delta/resets
+    * semantics for monotonic counters that occasionally restart (a
+    * rebooting sensor, a rolled process stat): per key in time order,
+    * a non-negative step contributes its delta; a NEGATIVE step is a
+    * RESET and the new reading itself is the increase since the
+    * restart-from-zero. Reports observation/reset counts, the exact
+    * total increase, and the first/last readings.
+    *
+    * Exactness: per-row double subtraction is deterministic IEEE; the
+    * chosen contribution is cast to a scale-6 decimal once and summed
+    * exactly. `first`/`last` take the `(ts, rowId)` extremes via
+    * min_by/max_by — no second window pass.
+    *
+    * Scale shape: one key-partitioned `lag` window, then one keyed
+    * aggregate on the same partitioning — a single shuffle. */
+  def counterAggregate(df: DataFrame, ts: String, key: String,
+      value: String, rowId: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("t_us"), col(rowId))
+    df.select(col(key), col(rowId), col(value).as("v"),
+        epochMicros(col(ts)).as("t_us"))
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .withColumn("contrib",
+        when(col("prev").isNull, lit(null))
+          .when(col("v") >= col("prev"), col("v") - col("prev"))
+          .otherwise(col("v")))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("prev").isNotNull && col("v") < col("prev"), 1L)
+          .otherwise(0L)).as("n_resets"),
+        sum(col("contrib").cast(DecimalType(28, 6)))
+          .cast(DoubleType).as("total_increase"),
+        min_by(col("v"), struct(col("t_us"), col(rowId))).as("first_value"),
+        max_by(col("v"), struct(col("t_us"), col(rowId))).as("last_value"))
+  }
 }

@@ -180,6 +180,53 @@ object Warehouse {
         .map(c => col(s"lastv.$c").as(c)): _*)
   }
 
+  /** REFERENTIAL-INTEGRITY AUDIT — count child rows whose foreign key
+    * has no parent: the constraint a data lake cannot enforce on write
+    * and therefore must MEASURE on read (the reference's RDBMS targets
+    * enforce FKs; a parquet lake silently accumulates orphans instead).
+    * One row out: child rows, distinct child keys, orphan rows,
+    * distinct orphan keys, orphan rate.
+    *
+    * Scale shape: the row/key totals fold in one pass over the child;
+    * orphan detection is a LEFT ANTI join — when the parent key set is
+    * small it broadcasts, otherwise it is one shuffle on the key, and
+    * either way only the key column of the parent ever travels. */
+  def referentialOrphans(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val totals = child.agg(
+      count(lit(1)).as("n_child"),
+      countDistinct(col(childKey)).as("n_child_keys"))
+    val orphans = child.join(
+        parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_rows"),
+        countDistinct(col(childKey)).as("n_orphan_keys"))
+    totals.crossJoin(orphans)
+      .withColumn("orphan_rate",
+        col("n_orphan_rows").cast(DoubleType) / col("n_child"))
+  }
+
+  /** PRIMARY-KEY UNIQUENESS AUDIT — how broken is a composite key:
+    * total rows, distinct keys, keys with duplicates, excess rows (what
+    * a dedup would delete), and the worst key's multiplicity. The read
+    * side of [[graft.transform.Transforms]] PK dedup: run THIS first to
+    * size the damage, then dedup.
+    *
+    * Scale shape: one count aggregate keyed on the composite key
+    * (map-side combined), then a tiny rollup over the per-key counts.
+    */
+  def pkViolations(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+        sum(when(col("n") > 1, col("n") - 1L).otherwise(0L))
+          .as("n_excess_rows"),
+        max(col("n")).as("max_multiplicity"))
+      .withColumn("dup_rate",
+        col("n_excess_rows").cast(DoubleType) / col("n_rows"))
+
   /** A/B CONVERSION TEST — the experimentation rollup: entities are
     * deterministically bucketed into two arms by a salted hash (the
     * salt IS the experiment id — re-salting re-randomizes, same salt

@@ -271,6 +271,61 @@ class WarehouseSpec extends SparkSpec {
     assert(r.getAs[Long]("max_cell") >= r.getAs[Long]("min_cell"))
   }
 
+  test("timeWeightedAverage: duration-weighted, last point spans zero") {
+    import graft.queries.TimeSeries
+    val obs = Seq(
+      ("k", ts("1970-01-01 00:00:00"), 1L, 10.0), // holds 10 s
+      ("k", ts("1970-01-01 00:00:10"), 2L, 30.0), // holds 30 s
+      ("k", ts("1970-01-01 00:00:40"), 3L, 99.0), // last: zero span
+      ("solo", ts("1970-01-01 00:00:05"), 4L, 7.0)
+    ).toDF("key", "ts", "event_id", "value")
+    val out = TimeSeries.timeWeightedAverage(obs, "ts", "key", "value",
+      "event_id").collect().map(r => r.getAs[String]("key") -> r).toMap
+    // (10*10 + 30*30) / 40 = 25 — a plain mean would say 46.3
+    assert(out("k").getAs[Double]("twa") == 25.0)
+    assert(out("k").getAs[Long]("duration_s") == 40L)
+    // a single observation has no duration: NULL, never a fake number
+    assert(out("solo").isNullAt(out("solo").fieldIndex("twa")))
+  }
+
+  test("counterAggregate: resets contribute the new reading") {
+    import graft.queries.TimeSeries
+    val obs = Seq(
+      ("c", ts("1970-01-01 00:00:01"), 1L, 5.0),
+      ("c", ts("1970-01-01 00:00:02"), 2L, 7.0),   // +2
+      ("c", ts("1970-01-01 00:00:03"), 3L, 10.0),  // +3
+      ("c", ts("1970-01-01 00:00:04"), 4L, 2.0),   // RESET -> +2
+      ("c", ts("1970-01-01 00:00:05"), 5L, 6.0)    // +4
+    ).toDF("key", "ts", "event_id", "value")
+    val r = TimeSeries.counterAggregate(obs, "ts", "key", "value",
+      "event_id").collect()(0)
+    assert(r.getAs[Long]("n_obs") == 5L)
+    assert(r.getAs[Long]("n_resets") == 1L)
+    assert(r.getAs[Double]("total_increase") == 11.0)
+    assert(r.getAs[Double]("first_value") == 5.0)
+    assert(r.getAs[Double]("last_value") == 6.0)
+  }
+
+  test("referentialOrphans and pkViolations: hand-counted audits") {
+    val child = Seq(1L, 2L, 3L, 3L).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val o = Warehouse.referentialOrphans(child, "fk", parent, "pk")
+      .collect()(0)
+    assert(o.getAs[Long]("n_child") == 4L &&
+      o.getAs[Long]("n_child_keys") == 3L)
+    assert(o.getAs[Long]("n_orphan_rows") == 2L &&
+      o.getAs[Long]("n_orphan_keys") == 1L)
+    assert(o.getAs[Double]("orphan_rate") == 0.5)
+    val dup = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L),
+      (2L, 1L)).toDF("a", "b")
+    val p = Warehouse.pkViolations(dup, Seq("a", "b")).collect()(0)
+    assert(p.getAs[Long]("n_rows") == 6L && p.getAs[Long]("n_keys") == 3L)
+    assert(p.getAs[Long]("n_dup_keys") == 2L)
+    assert(p.getAs[Long]("n_excess_rows") == 3L)
+    assert(p.getAs[Long]("max_multiplicity") == 3L)
+    assert(p.getAs[Double]("dup_rate") == 0.5)
+  }
+
   test("minhashQualityEval: exact-duplicate corpus scores perfect") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
