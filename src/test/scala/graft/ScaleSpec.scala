@@ -345,4 +345,31 @@ class DashboardSpec extends SparkSpec {
         .contains("date"),
       s"date partition predicate missing from scan: $scan")
   }
+
+  test("continuation-wave ops: shuffle budgets hold") {
+    def plan(q: String): String = graft.SparkEntry.queries(q)(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
+    // TWA / counter_agg: window + rollup share the key partitioning —
+    // exactly ONE shuffle end to end
+    assert(exchanges(plan("q_twa")) == 1, s"q_twa:\n${plan("q_twa")}")
+    assert(exchanges(plan("q_counter_agg")) == 1,
+      s"q_counter_agg:\n${plan("q_counter_agg")}")
+    // CDC latest-wins: one max_by aggregate, never a window
+    val cdc = plan("q_cdc_apply")
+    assert(exchanges(cdc) == 1 && !cdc.contains("Window"), s"cdc:\n$cdc")
+    // sketch lifecycle: day-grain aggregate + week-grain union — the raw
+    // keys shuffle once, the sketch blobs once
+    assert(exchanges(plan("q_sketch_distinct")) == 2,
+      s"sketch:\n${plan("q_sketch_distinct")}")
+    // MaxSim: the ONLY join is the broadcast of the query token bag —
+    // corpus token vectors never ride a join shuffle
+    val ms = plan("q_sim_maxsim")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(ms).size == 1 &&
+      !ms.contains("SortMergeJoin"), s"maxsim:\n$ms")
+    // FK orphan audit: the anti join must hash (broadcast), not BNL
+    val orph = plan("q_dq_orphans")
+    assert(orph.contains("BroadcastHashJoin") &&
+      orph.contains("LeftAnti"), s"orphans:\n$orph")
+  }
 }
