@@ -3562,6 +3562,34 @@ object OracleSql {
         |  MAX(n) AS max_multiplicity,
         |  CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS DOUBLE)
         |    / SUM(n) AS dup_rate
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // Two-sample KS: per distinct value, halves' counts cumulate in
+    // value order; D_scaled = max |cumA·nB − cumB·nA| exact BIGINT,
+    // one double division at the end.
+    "q_drift_ks" ->
+      """WITH bd AS (SELECT MIN(epoch_ns(ts)//1000000000) AS lo_s,
+        |    MAX(epoch_ns(ts)//1000000000) AS hi_s FROM events),
+        |cells AS (SELECT event_type AS grp, value AS v,
+        |    CAST(SUM(CASE WHEN epoch_ns(ts)//1000000000
+        |      >= (lo_s + hi_s) // 2 THEN 0 ELSE 1 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN epoch_ns(ts)//1000000000
+        |      >= (lo_s + hi_s) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events, bd GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |    CAST(SUM(a) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+        |    CAST(SUM(b) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b,
+        |    CAST(SUM(a) OVER (PARTITION BY grp) AS BIGINT) AS n_a,
+        |    CAST(SUM(b) OVER (PARTITION BY grp) AS BIGINT) AS n_b
+        |  FROM cells)
+        |SELECT grp AS event_type, MAX(n_a) AS n_before,
+        |  MAX(n_b) AS n_after,
+        |  MAX(abs(cum_a * n_b - cum_b * n_a)) AS d_scaled,
+        |  CASE WHEN MAX(n_a) > 0 AND MAX(n_b) > 0 THEN
+        |    CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+        |      / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE) END AS ks
+        |FROM c GROUP BY 1""".stripMargin
   )
 }

@@ -1278,6 +1278,12 @@ object SparkEntry {
     Warehouse.pkViolations(t(spark, dir, "lineitem"),
       Seq("l_orderkey", "l_linenumber"))
 
+  /** KS drift per event type: bin-free sup-distance between the two
+    * half-range value distributions (exact integer D). */
+  private def qDriftKs(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.distributionDriftKs(events(spark, dir), "ts", "event_type",
+      "value")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1432,7 +1438,8 @@ object SparkEntry {
     "q_twa" -> (qTwa _),
     "q_counter_agg" -> (qCounterAgg _),
     "q_dq_orphans" -> (qDqOrphans _),
-    "q_dq_pk_violations" -> (qDqPkViolations _)
+    "q_dq_pk_violations" -> (qDqPkViolations _),
+    "q_drift_ks" -> (qDriftKs _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

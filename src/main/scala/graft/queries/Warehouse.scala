@@ -312,6 +312,54 @@ object Warehouse {
         payload.map(c => col(s"__feat.$c").as(c)): _*)
   }
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT — the bin-free companion to
+    * [[distributionDrift]]: D = sup |F_A(x) − F_B(x)| between the first
+    * and second half of the time range, per group. PSI needs a binning
+    * choice; KS sees ANY distributional shift at the resolution of the
+    * data itself — run both, they fail differently.
+    *
+    * Exact integer formulation: per distinct value, the per-half counts
+    * cumulate in value order, and `D_scaled = max |cumA·nB − cumB·nA|`
+    * is a BIGINT (no division anywhere until the final
+    * `D = D_scaled / (nA·nB)` double). Overflow bound: cumA·nB ≤
+    * nA·nB < 2⁶³ for up to ~3·10⁹ rows per (group, half) — beyond
+    * that, pre-bin (the PSI operator's grid) before the statistic.
+    *
+    * Scale shape: one `(group, value)` count aggregate (map-combined —
+    * ties collapse BEFORE the sort), then a value-ordered running
+    * window and max PER GROUP over the distinct-value table. The sort
+    * is per group over distinct values, the same cost class as the
+    * exact-percentile operator. */
+  def distributionDriftKs(df: DataFrame, ts: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val bounds = df.agg(
+      min(epochS(col(ts))).as("lo_s"), max(epochS(col(ts))).as("hi_s"))
+    val cells = df
+      .crossJoin(broadcast(bounds))
+      .withColumn("late",
+        when(epochS(col(ts)) >= expr("(lo_s + hi_s) div 2"), 1L)
+          .otherwise(0L))
+      .groupBy(col(groupCol).as("grp"), col(valueCol).as("v"))
+      .agg(sum(lit(1L) - col("late")).as("a"), sum(col("late")).as("b"))
+    val wOrd = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("cum_a", sum(col("a")).over(wOrd))
+      .withColumn("cum_b", sum(col("b")).over(wOrd))
+      .withColumn("n_a", sum(col("a")).over(wAll))
+      .withColumn("n_b", sum(col("b")).over(wAll))
+      .withColumn("d_scaled",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .groupBy(col("grp").as(groupCol))
+      .agg(max(col("n_a")).as("n_before"), max(col("n_b")).as("n_after"),
+        max(col("d_scaled")).as("d_scaled"))
+      .withColumn("ks", when(col("n_before") > 0 && col("n_after") > 0,
+        col("d_scaled").cast(DoubleType) /
+          (col("n_before") * col("n_after")).cast(DoubleType)))
+  }
+
   /** POPULATION STABILITY INDEX — distribution drift between the first
     * and second half of the observed time range, per group: the
     * monitoring statistic that tells an operator a feature's

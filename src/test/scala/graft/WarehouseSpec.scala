@@ -326,6 +326,34 @@ class WarehouseSpec extends SparkSpec {
     assert(p.getAs[Double]("dup_rate") == 0.5)
   }
 
+  test("distributionDriftKs: identical halves 0, disjoint halves 1") {
+    val same = (0 until 40).flatMap { i =>
+      Seq(("k", ts(f"2024-01-01 00:00:${i % 30}%02d"), (i % 4) * 10.0),
+        ("k", ts(f"2024-01-02 00:00:${i % 30}%02d"), (i % 4) * 10.0))
+    }.toDF("event_type", "ts", "value")
+    val zero = Warehouse.distributionDriftKs(same, "ts", "event_type",
+      "value").collect()(0)
+    assert(zero.getAs[Long]("d_scaled") == 0L && zero.getAs[Double]("ks") == 0.0)
+    // fully disjoint supports: D = 1 exactly
+    val moved = ((0 until 40).map(i =>
+      ("k", ts(f"2024-01-01 00:00:${i % 30}%02d"), 1.0)) ++
+      (0 until 40).map(i =>
+        ("k", ts(f"2024-01-02 00:00:${i % 30}%02d"), 100.0)))
+      .toDF("event_type", "ts", "value")
+    val one = Warehouse.distributionDriftKs(moved, "ts", "event_type",
+      "value").collect()(0)
+    assert(one.getAs[Double]("ks") == 1.0, one.toString)
+    // a subtle mean shift PSI's wide bins can miss still moves KS
+    val shifted = ((0 until 40).map(i =>
+      ("k", ts(f"2024-01-01 00:00:${i % 30}%02d"), (i % 4) * 10.0)) ++
+      (0 until 40).map(i =>
+        ("k", ts(f"2024-01-02 00:00:${i % 30}%02d"), (i % 4) * 10.0 + 1.0)))
+      .toDF("event_type", "ts", "value")
+    val s = Warehouse.distributionDriftKs(shifted, "ts", "event_type",
+      "value").collect()(0)
+    assert(s.getAs[Double]("ks") > 0.2, s.toString)
+  }
+
   test("minhashQualityEval: exact-duplicate corpus scores perfect") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
