@@ -3590,6 +3590,23 @@ object OracleSql {
         |  CASE WHEN MAX(n_a) > 0 AND MAX(n_b) > 0 THEN
         |    CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
         |      / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE) END AS ks
-        |FROM c GROUP BY 1""".stripMargin
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // Priority sampling: priority = (w·2^60) / (h+1), both operands
+    // exact doubles (2^60 is representable; BIGINT→DOUBLE correctly
+    // rounded), ties by doc_id.
+    "q_sample_weighted" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS hk
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars,
+        |  (CAST(n_chars AS DOUBLE) * 1.152921504606846976e18)
+        |    / CAST(hk + 1 AS DOUBLE) AS priority,
+        |  CAST(row_number() OVER (ORDER BY
+        |    (CAST(n_chars AS DOUBLE) * 1.152921504606846976e18)
+        |      / CAST(hk + 1 AS DOUBLE) DESC, doc_id) AS BIGINT)
+        |    AS sample_rank
+        |FROM h QUALIFY sample_rank <= 100""".stripMargin
   )
 }

@@ -1284,6 +1284,13 @@ object SparkEntry {
     Warehouse.distributionDriftKs(events(spark, dir), "ts", "event_type",
       "value")
 
+  /** Weighted priority sample: 100 documents drawn proportional to
+    * n_chars — the "mostly-but-not-only high quality" curation draw. */
+  private def qSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedPriority(
+      docs(spark, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", k = 100)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1439,7 +1446,8 @@ object SparkEntry {
     "q_counter_agg" -> (qCounterAgg _),
     "q_dq_orphans" -> (qDqOrphans _),
     "q_dq_pk_violations" -> (qDqPkViolations _),
-    "q_drift_ks" -> (qDriftKs _)
+    "q_drift_ks" -> (qDriftKs _),
+    "q_sample_weighted" -> (qSampleWeighted _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

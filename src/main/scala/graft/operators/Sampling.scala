@@ -30,6 +30,40 @@ object Sampling {
   def uniform(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(hashKey(col(keyCol)) < lit(rateThreshold(rate)))
 
+  /** WEIGHTED PRIORITY SAMPLE — k rows drawn with probability
+    * proportional to a weight (a quality score, a length, an
+    * importance): the Duffield–Lund–Thorup priority-sampling scheme
+    * `priority = w / u` with `u = (h+1)/2⁶⁰` from the key's md5_60 —
+    * deterministic, reproducible from the key alone, and mergeable
+    * (the global top-k of priorities is the sample, so distributed
+    * top-k IS the algorithm). This is how a curation pipeline samples
+    * "mostly high-quality but not only high-quality" — hard top-k by
+    * score keeps one mode; priority sampling keeps the distribution.
+    *
+    * Determinism: `priority = (w · 2⁶⁰) / (h+1)` — the product
+    * multiplies by the exactly-representable double 2⁶⁰, the BIGINT→
+    * DOUBLE conversion of `h+1` is correctly rounded, and both ops are
+    * IEEE-exact in any engine; ties break on the key. Zero/negative
+    * weights never enter the sample.
+    *
+    * Scale shape: per-row hash + `orderBy(priority).limit(k)`, which
+    * Catalyst plans as TakeOrderedAndProject — each partition forwards
+    * at most k candidates to one tiny k-row merge; the corpus is NEVER
+    * globally sorted. The rank window then runs over the k survivors
+    * only. */
+  def weightedPriority(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val pri = (col(weightCol).cast(DoubleType) *
+      lit(1.152921504606846976e18)) /
+      (hashKey(col(keyCol)) + lit(1L)).cast(DoubleType)
+    val top = df.filter(col(weightCol) > 0)
+      .withColumn("priority", pri)
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+    top.withColumn("sample_rank", row_number().over(
+      Window.orderBy(col("priority").desc, col(keyCol))).cast(LongType))
+  }
+
   /** ENTITY-CONSISTENT SPLIT — train/val/test assignment keyed on the
     * ENTITY's hash, not the row's: every row of a user lands in the
     * same split, so temporally-correlated rows of one entity can never

@@ -354,6 +354,31 @@ class WarehouseSpec extends SparkSpec {
     assert(s.getAs[Double]("ks") > 0.2, s.toString)
   }
 
+  test("weightedPriority: scale-invariant, zero-weight excluded, map-side top-k") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("n_chars"))
+    val s1 = Sampling.weightedPriority(docs, "doc_id", "n_chars", k = 20)
+    val ids1 = s1.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids1.size == 20)
+    // priorities scale uniformly with the weights: the SAMPLE is
+    // invariant under weight rescaling (the defining PPS property)
+    val scaled = docs.withColumn("n_chars", col("n_chars") * 7)
+    val ids2 = Sampling.weightedPriority(scaled, "doc_id", "n_chars",
+      k = 20).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids1 == ids2, "sample must be invariant under weight rescaling")
+    // zero/negative weights never enter
+    val withZero = docs.withColumn("n_chars",
+      when(col("doc_id") === 0L, 0L).otherwise(col("n_chars")))
+    val ids3 = Sampling.weightedPriority(withZero, "doc_id", "n_chars",
+      k = 2000).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!ids3.contains(0L))
+    // top-k runs as TakeOrderedAndProject (partition-local prune, no
+    // full corpus through one sort task)
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
   test("minhashQualityEval: exact-duplicate corpus scores perfect") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
