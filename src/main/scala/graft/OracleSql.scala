@@ -338,6 +338,25 @@ object OracleSql {
       |  WHERE e.vec_id < 10
       |  GROUP BY 1, 2, 3)""".stripMargin
 
+  /** SCD2 gaps-and-islands CTE chain over `events` (optionally
+    * filtered): leaves `runs` (user_id, version, event_type,
+    * valid_from_s, n_events) in scope — shared by q_scd2 and the
+    * point-in-time composition. */
+  private def scd2RunsCtes(where: String): String =
+    s"""e AS (SELECT user_id, event_type, event_id, ts,
+       |    epoch_ns(ts)//1000000000 AS ts_s FROM events$where),
+       |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+       |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+       |    AS chg
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |v AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS version
+       |  FROM f),
+       |runs AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+       |    MIN(event_type) AS event_type, MIN(ts_s) AS valid_from_s,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM v GROUP BY 1, 2)""".stripMargin
+
   /** CCNet bigram-LM scoring CTEs (α = 1/10, reference = the lang='en'
     * slice): leaves `s` (doc_id, n, nll) in scope — shared by
     * q_lm_perplexity and q_lm_buckets. Every probability is the integer
@@ -3231,19 +3250,7 @@ object OracleSql {
     // SCD2: gaps-and-islands — lag change flag, running run number,
     // per-run rollup, lead for the closing edge; order (ts, event_id).
     "q_scd2" ->
-      """WITH e AS (SELECT user_id, event_type, event_id, ts,
-        |    epoch_ns(ts)//1000000000 AS ts_s FROM events),
-        |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
-        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
-        |    AS chg
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |v AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS version
-        |  FROM f),
-        |runs AS (SELECT user_id, CAST(version AS BIGINT) AS version,
-        |    MIN(event_type) AS event_type, MIN(ts_s) AS valid_from_s,
-        |    CAST(COUNT(*) AS BIGINT) AS n_events
-        |  FROM v GROUP BY 1, 2)
+      s"""WITH ${scd2RunsCtes("")}
         |SELECT user_id, version, event_type, valid_from_s,
         |  lead(valid_from_s) OVER w2 AS valid_to_s, n_events,
         |  (lead(valid_from_s) OVER w2 IS NULL) AS is_current
@@ -3347,19 +3354,7 @@ object OracleSql {
     // (ties on equal starts resolved to the highest version — the
     // engine's max_by collapse).
     "q_feature_pit" ->
-      """WITH e AS (SELECT user_id, event_type, event_id, ts,
-        |    epoch_ns(ts)//1000000000 AS ts_s FROM events
-        |  WHERE event_type <> 'purchase'),
-        |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
-        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
-        |    AS chg
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |v AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS version
-        |  FROM f),
-        |runs AS (SELECT user_id, CAST(version AS BIGINT) AS version,
-        |    MIN(event_type) AS event_type, MIN(ts_s) AS valid_from_s
-        |  FROM v GROUP BY 1, 2),
+      s"""WITH ${scd2RunsCtes(" WHERE event_type <> 'purchase'")},
         |dim AS (SELECT user_id, valid_from_s, event_type, version FROM (
         |    SELECT *, row_number() OVER (PARTITION BY user_id, valid_from_s
         |      ORDER BY version DESC) AS rn FROM runs) WHERE rn = 1),
@@ -3536,15 +3531,22 @@ object OracleSql {
         |FROM r GROUP BY 1""".stripMargin,
 
     // FK orphan audit: lineitem.l_partkey without a part parent.
+    // SQL FK semantics: NULL keys violate nothing — excluded from the
+    // orphan count (and from the parent key set, where a single NULL
+    // would poison NOT IN) and reported separately as n_null_fk.
     "q_dq_orphans" ->
       """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
-        |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_child_keys
+        |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_child_keys,
+        |    CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null_fk
         |  FROM lineitem),
         |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
         |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_orphan_keys
         |  FROM lineitem
-        |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
-        |SELECT n_child, n_child_keys, n_orphan_rows, n_orphan_keys,
+        |  WHERE l_partkey IS NOT NULL AND l_partkey NOT IN
+        |    (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL))
+        |SELECT n_child, n_child_keys, n_null_fk, n_orphan_rows,
+        |  n_orphan_keys,
         |  CAST(n_orphan_rows AS DOUBLE) / n_child AS orphan_rate
         |FROM t, o""".stripMargin,
 

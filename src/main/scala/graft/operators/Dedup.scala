@@ -447,6 +447,15 @@ object Dedup {
     * aggregates; nothing ever collects. */
   def triangleStats(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b"): DataFrame = {
+    // fail loudly on non-numeric ids: a silent LongType cast would NULL
+    // every edge and report an empty census indistinguishable from a
+    // genuinely triangle-free graph
+    Seq(idA, idB).foreach { c =>
+      require(pairs.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"triangleStats needs numeric pair ids; " +
+          s"'$c' is ${pairs.schema(c).dataType.sql}")
+    }
     val edges = pairs
       .select(col(idA).cast(LongType).as("a"), col(idB).cast(LongType).as("b"))
       .filter(col("a") < col("b")).distinct()

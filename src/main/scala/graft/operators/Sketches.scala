@@ -23,8 +23,10 @@ import org.apache.spark.sql.types._
   */
 object Sketches {
 
+  /** One timestamp-normalization rule for the whole engine — see
+    * [[graft.queries.TimeSeries.epochSeconds]] for the NTZ rationale. */
   private def epochS(c: Column): Column =
-    c.cast(TimestampType).cast(LongType)
+    graft.queries.TimeSeries.epochSeconds(c)
 
   /** Daily HLL sketches unioned to a weekly distinct-user rollup.
     * Returns one row per week: the union estimate, the sum of the daily

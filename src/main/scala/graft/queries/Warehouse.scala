@@ -22,8 +22,9 @@ import org.apache.spark.sql.types._
   */
 object Warehouse {
 
-  private def epochS(c: Column): Column =
-    c.cast(TimestampType).cast(LongType)
+  /** One timestamp-normalization rule for the whole engine — see
+    * [[TimeSeries.epochSeconds]] for the NTZ-safety rationale. */
+  private def epochS(c: Column): Column = TimeSeries.epochSeconds(c)
 
   /** RFM CUSTOMER SEGMENTATION — recency / frequency / monetary scoring,
     * the classic CRM rollup.
@@ -53,7 +54,15 @@ object Warehouse {
   def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
       priceCol: String, tiles: Int = 5,
       monetaryGrid: Long = 100L): DataFrame = {
-    require(tiles >= 2, "tiles must be >= 2")
+    // <= 9 keeps the decimal-digit rfm_cell encoding unambiguous
+    require(tiles >= 2 && tiles <= 9, "tiles must be in [2, 9]")
+    // segment cutoffs derived from the tile count: the top band is the
+    // best tile (hiCut), "low" is the bottom half (loCut), and the
+    // at-risk frequency bar sits just above the midpoint (midCut) —
+    // at the default tiles = 5 these are the classic 4 / 2 / 3
+    val hiCut = tiles - 1
+    val loCut = tiles / 2
+    val midCut = tiles / 2 + 1
     val day = epochS(date_trunc("day", col(dateCol).cast(TimestampType)))
     // as-of anchor: newest order day — one-row aggregate, broadcast.
     val asOf = orders.agg(max(day).as("as_of_s"))
@@ -100,12 +109,13 @@ object Warehouse {
       .withColumn("rfm_cell",
         col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
       .withColumn("segment",
-        when(col("r_score") >= tiles - 1 && col("f_score") >= tiles - 1 &&
-          col("m_score") >= tiles - 1, "champion")
-          .when(col("f_score") >= tiles - 1, "loyal")
-          .when(col("m_score") >= tiles - 1, "big_spender")
-          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
-          .when(col("r_score") <= 2, "dormant")
+        when(col("r_score") >= hiCut && col("f_score") >= hiCut &&
+          col("m_score") >= hiCut, "champion")
+          .when(col("f_score") >= hiCut, "loyal")
+          .when(col("m_score") >= hiCut, "big_spender")
+          .when(col("r_score") <= loCut && col("f_score") >= midCut,
+            "at_risk")
+          .when(col("r_score") <= loCut, "dormant")
           .otherwise("regular"))
       .select("custkey", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score", "rfm_cell", "segment")
@@ -195,9 +205,13 @@ object Warehouse {
       parent: DataFrame, parentKey: String): DataFrame = {
     val totals = child.agg(
       count(lit(1)).as("n_child"),
-      countDistinct(col(childKey)).as("n_child_keys"))
-    val orphans = child.join(
-        parent.select(col(parentKey).as(childKey)).distinct(),
+      countDistinct(col(childKey)).as("n_child_keys"),
+      // SQL FK semantics: a NULL key violates nothing — reported
+      // separately, never folded into the orphan count
+      sum(when(col(childKey).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+    val orphans = child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey))
+          .filter(col(childKey).isNotNull).distinct(),
         Seq(childKey), "left_anti")
       .agg(count(lit(1)).as("n_orphan_rows"),
         countDistinct(col(childKey)).as("n_orphan_keys"))
@@ -293,6 +307,13 @@ object Warehouse {
   def pointInTimeJoin(labels: DataFrame, labelId: String, labelTs: String,
       features: DataFrame, featureTsS: String, payload: Seq[String],
       key: String, tieBreak: String): DataFrame = {
+    // the union carries the label id through a typed NULL slot on the
+    // feature side — a silent LongType cast would NULL every
+    // non-numeric id (the repo-wide fail-loud rule for id columns)
+    require(labels.schema(labelId).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"pointInTimeJoin needs a numeric label id; " +
+        s"'$labelId' is ${labels.schema(labelId).dataType.sql}")
     val feat = features
       .groupBy(col(key), col(featureTsS).cast(LongType).as("t_s"))
       .agg(max_by(struct(payload.map(col): _*), col(tieBreak)).as("__feat"))

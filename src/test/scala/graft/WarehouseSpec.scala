@@ -307,15 +307,19 @@ class WarehouseSpec extends SparkSpec {
   }
 
   test("referentialOrphans and pkViolations: hand-counted audits") {
-    val child = Seq(1L, 2L, 3L, 3L).toDF("fk")
-    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(3L), None)
+      .toDF("fk")
+    val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
     val o = Warehouse.referentialOrphans(child, "fk", parent, "pk")
       .collect()(0)
-    assert(o.getAs[Long]("n_child") == 4L &&
+    assert(o.getAs[Long]("n_child") == 5L &&
       o.getAs[Long]("n_child_keys") == 3L)
+    // SQL FK semantics: the NULL child key violates nothing (reported
+    // separately); the NULL parent key never "adopts" anything
+    assert(o.getAs[Long]("n_null_fk") == 1L)
     assert(o.getAs[Long]("n_orphan_rows") == 2L &&
       o.getAs[Long]("n_orphan_keys") == 1L)
-    assert(o.getAs[Double]("orphan_rate") == 0.5)
+    assert(o.getAs[Double]("orphan_rate") == 0.4)
     val dup = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L),
       (2L, 1L)).toDF("a", "b")
     val p = Warehouse.pkViolations(dup, Seq("a", "b")).collect()(0)
