@@ -3609,6 +3609,50 @@ object OracleSql {
         |    (CAST(n_chars AS DOUBLE) * 1.152921504606846976e18)
         |      / CAST(hk + 1 AS DOUBLE) DESC, doc_id) AS BIGINT)
         |    AS sample_rank
-        |FROM h QUALIFY sample_rank <= 100""".stripMargin
+        |FROM h QUALIFY sample_rank <= 100""".stripMargin,
+
+    // Pairwise Pearson over hourly exact-decimal sums; the combine is
+    // the engine's fixed double op chain, degenerate pairs NULL.
+    "q_series_corr" ->
+      """WITH b AS (SELECT event_type AS series,
+        |    epoch_ns(date_trunc('hour', ts))//1000000000 AS bucket_s,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,2)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.series AS series_a, c.series AS series_b,
+        |    a.v AS va, c.v AS vb
+        |  FROM b a JOIN b c ON a.bucket_s = c.bucket_s
+        |  WHERE a.series <= c.series),
+        |m AS (SELECT series_a, series_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(va) AS sx, SUM(vb) AS sy,
+        |    SUM(CAST(va * vb AS DECIMAL(38,4))) AS sxy,
+        |    SUM(CAST(va * va AS DECIMAL(38,4))) AS sxx,
+        |    SUM(CAST(vb * vb AS DECIMAL(38,4))) AS syy
+        |  FROM j GROUP BY 1, 2),
+        |d AS (SELECT *,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+        |  FROM m)
+        |SELECT series_a, series_b, n,
+        |  CASE WHEN n >= 2 AND dx > 0.0 AND dy > 0.0 THEN
+        |    num / (sqrt(dx) * sqrt(dy)) END AS corr_r
+        |FROM d""".stripMargin,
+
+    // Seasonality cells from pure integer arithmetic on the epoch
+    // second (1970-01-01 = Thursday; Monday = 1).
+    "q_seasonality" ->
+      """WITH e AS (SELECT event_type AS series, value,
+        |    epoch_ns(ts)//1000000000 AS s FROM events)
+        |SELECT series,
+        |  (s // 3600) % 24 AS hour_of_day,
+        |  (s // 86400 + 3) % 7 + 1 AS day_of_week,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        |    AS avg_value
+        |FROM e GROUP BY 1, 2, 3""".stripMargin
   )
 }

@@ -1291,6 +1291,17 @@ object SparkEntry {
       docs(spark, dir).select(col("doc_id"), col("n_chars")),
       "doc_id", "n_chars", k = 100)
 
+  /** Pairwise Pearson correlation between event types' hourly sums —
+    * the reference domain's "does PM2.5 track humidity" question. */
+  private def qSeriesCorr(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.seriesCorrelation(events(spark, dir), "ts", "event_type",
+      "value", bucketUnit = "hour")
+
+  /** Hour-of-day × day-of-week seasonality fingerprint per event type. */
+  private def qSeasonality(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.seasonalityProfile(events(spark, dir), "ts", "event_type",
+      "value")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1447,7 +1458,9 @@ object SparkEntry {
     "q_dq_orphans" -> (qDqOrphans _),
     "q_dq_pk_violations" -> (qDqPkViolations _),
     "q_drift_ks" -> (qDriftKs _),
-    "q_sample_weighted" -> (qSampleWeighted _)
+    "q_sample_weighted" -> (qSampleWeighted _),
+    "q_series_corr" -> (qSeriesCorr _),
+    "q_seasonality" -> (qSeasonality _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

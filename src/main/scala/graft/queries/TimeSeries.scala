@@ -892,6 +892,81 @@ object TimeSeries {
         (col("a").cast(DoubleType) / 1000000.0).as("score"))
   }
 
+  /** CROSS-SERIES CORRELATION MATRIX — pairwise Pearson correlation
+    * between every two series' bucketed sums (the reference domain's
+    * own question: does PM2.5 track humidity?). Series are first
+    * reduced to `(series, bucket)` exact decimal sums; buckets present
+    * in only one series drop from that pair (inner alignment), and
+    * degenerate pairs (fewer than 2 common buckets or zero variance)
+    * yield NULL, never NaN.
+    *
+    * Determinism: per-pair moments are exact decimal sums over the
+    * aligned buckets; the Pearson combine is one fixed double op chain
+    * `(n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))` the
+    * oracle mirrors token for token (IEEE mul/sub/div/sqrt are all
+    * correctly rounded).
+    *
+    * Scale shape: the bucket rollup is the only corpus pass (one
+    * map-combined shuffle); the pair join and moment rollup run over
+    * the |series|·|buckets| aggregate. Pairs are emitted for
+    * `series_a ≤ series_b` (the matrix is symmetric). */
+  def seriesCorrelation(df: DataFrame, ts: String, seriesCol: String,
+      value: String, bucketUnit: String = "hour"): DataFrame = {
+    // bucket sums quantize to scale 2 (HALF_UP, identical in DuckDB)
+    // so every moment's scaled integer stays below 2^53 — DECIMAL→
+    // DOUBLE conversion is then EXACT in any engine; wider scales put
+    // the grains past 2^53 where engines legally disagree by one ulp
+    // (the TWA lesson). Bound: |Σxy|·10⁴ < 9·10¹⁵ holds to ~10⁷-unit
+    // bucket sums over ~10⁴ buckets.
+    val buckets = df
+      .groupBy(col(seriesCol).as("series"),
+        epochSeconds(date_trunc(bucketUnit, col(ts))).as("bucket_s"))
+      .agg(sum(col(value).cast(DecimalType(28, 6)))
+        .cast(DecimalType(38, 2)).as("v"))
+    val joined = buckets.select(col("series").as("series_a"),
+        col("bucket_s"), col("v").as("va"))
+      .join(buckets.select(col("series").as("series_b"),
+        col("bucket_s"), col("v").as("vb")), Seq("bucket_s"))
+      .filter(col("series_a") <= col("series_b"))
+    joined
+      .groupBy(col("series_a"), col("series_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("va")).as("sx"), sum(col("vb")).as("sy"),
+        sum((col("va") * col("vb")).cast(DecimalType(38, 4))).as("sxy"),
+        sum((col("va") * col("va")).cast(DecimalType(38, 4))).as("sxx"),
+        sum((col("vb") * col("vb")).cast(DecimalType(38, 4))).as("syy"))
+      .withColumn("num", col("n").cast(DoubleType) *
+        col("sxy").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+      .withColumn("dx", col("n").cast(DoubleType) *
+        col("sxx").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+      .withColumn("dy", col("n").cast(DoubleType) *
+        col("syy").cast(DoubleType) -
+        col("sy").cast(DoubleType) * col("sy").cast(DoubleType))
+      .withColumn("corr_r", when(col("n") >= 2 &&
+        col("dx") > 0.0 && col("dy") > 0.0,
+        col("num") / (sqrt(col("dx")) * sqrt(col("dy")))))
+      .select("series_a", "series_b", "n", "corr_r")
+  }
+
+  /** SEASONALITY PROFILE — the hour-of-day / day-of-week fingerprint
+    * per series: exact mean and count per `(series, hour 0–23,
+    * weekday 1–7)` cell, the panel every monitoring dashboard draws to
+    * separate diurnal rhythm from drift. One map-combined aggregate;
+    * cell extraction is integer arithmetic on the epoch second
+    * (`dow` ISO-like: 1970-01-01 was a Thursday → `(d+3) mod 7 + 1`
+    * with Monday = 1), identical in any engine — no locale-dependent
+    * date functions anywhere. */
+  def seasonalityProfile(df: DataFrame, ts: String, seriesCol: String,
+      value: String): DataFrame =
+    df.withColumn("__s", epochSeconds(col(ts)))
+      .withColumn("hour_of_day", expr("pmod(__s div 3600, 24)"))
+      .withColumn("day_of_week", expr("pmod(__s div 86400 + 3, 7) + 1"))
+      .groupBy(col(seriesCol).as("series"), col("hour_of_day"),
+        col("day_of_week"))
+      .agg(count(lit(1)).as("n"), exactAvg(col(value)).as("avg_value"))
+
   /** TIME-WEIGHTED AVERAGE — TimescaleDB's `time_weight('LOCF', …)` →
     * `average()`: irregular samples weighted by how LONG each value
     * held, not how often it was reported (a sensor that reports 10×

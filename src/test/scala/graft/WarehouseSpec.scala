@@ -383,6 +383,43 @@ class WarehouseSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 
+  test("seriesCorrelation: self +1, anti-phase -1, degenerate NULL") {
+    import graft.queries.TimeSeries
+    // two hourly series: y = -x (perfect anticorrelation), z constant
+    val rows = (0 until 6).flatMap { h =>
+      Seq(("x", ts(f"2024-01-01 $h%02d:30:00"), h.toDouble),
+        ("y", ts(f"2024-01-01 $h%02d:30:00"), -h.toDouble),
+        ("z", ts(f"2024-01-01 $h%02d:30:00"), 5.0))
+    }.toDF("series", "ts", "value")
+    val out = TimeSeries.seriesCorrelation(rows, "ts", "series", "value")
+      .collect()
+      .map(r => (r.getAs[String]("series_a"),
+        r.getAs[String]("series_b")) -> r).toMap
+    // sqrt(dx)*sqrt(dx) reassembles dx only to within an ulp — the
+    // values are deterministic but not algebraically clamped to [-1, 1]
+    assert(math.abs(out(("x", "x")).getAs[Double]("corr_r") - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "y")).getAs[Double]("corr_r") + 1.0) < 1e-12)
+    // zero-variance series: NULL, never NaN
+    assert(out(("x", "z")).isNullAt(out(("x", "z")).fieldIndex("corr_r")))
+    assert(out(("z", "z")).isNullAt(out(("z", "z")).fieldIndex("corr_r")))
+    assert(out(("x", "y")).getAs[Long]("n") == 6L)
+  }
+
+  test("seasonalityProfile: integer hour/dow cells (1970-01-01 = Thursday)") {
+    import graft.queries.TimeSeries
+    val rows = Seq(
+      ("k", ts("1970-01-01 07:10:00"), 2.0),  // Thursday = 4
+      ("k", ts("1970-01-01 07:50:00"), 4.0),
+      ("k", ts("1970-01-05 23:00:00"), 9.0)   // Monday = 1
+    ).toDF("series", "ts", "value")
+    val out = TimeSeries.seasonalityProfile(rows, "ts", "series", "value")
+      .collect().map(r => (r.getAs[Long]("hour_of_day"),
+        r.getAs[Long]("day_of_week")) -> r).toMap
+    assert(out((7L, 4L)).getAs[Long]("n") == 2L)
+    assert(out((7L, 4L)).getAs[Double]("avg_value") == 3.0)
+    assert(out((23L, 1L)).getAs[Long]("n") == 1L)
+  }
+
   test("minhashQualityEval: exact-duplicate corpus scores perfect") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
