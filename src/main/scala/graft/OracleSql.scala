@@ -3653,6 +3653,89 @@ object OracleSql {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
         |    AS avg_value
-        |FROM e GROUP BY 1, 2, 3""".stripMargin
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+
+    // Snapshot diff of the synthetic before/after event versions:
+    // presence markers + null-safe fieldwise payload compare (the
+    // engine's struct <=>).
+    "q_table_diff" ->
+      """WITH before AS (SELECT event_id, user_id, event_type, value,
+        |    1 AS pb FROM events WHERE event_id % 7 <> 0),
+        |after AS (SELECT event_id, user_id AS au, event_type AS at2,
+        |    CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END
+        |      AS av, 1 AS pa
+        |  FROM events WHERE event_id % 11 <> 0),
+        |j AS (SELECT pb, pa,
+        |    (user_id IS NOT DISTINCT FROM au
+        |     AND event_type IS NOT DISTINCT FROM at2
+        |     AND value IS NOT DISTINCT FROM av) AS same
+        |  FROM before b FULL OUTER JOIN after a USING (event_id)),
+        |r AS (SELECT
+        |    CAST(SUM(CASE WHEN pb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_added,
+        |    CAST(SUM(CASE WHEN pa IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_removed,
+        |    CAST(SUM(CASE WHEN pb = 1 AND pa = 1 AND NOT same
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |    CAST(SUM(CASE WHEN pb = 1 AND pa = 1 AND same
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |  FROM j)
+        |SELECT *, n_added + n_removed + n_changed + n_unchanged
+        |    AS n_total,
+        |  CAST(n_added + n_removed + n_changed AS DOUBLE)
+        |    / (n_added + n_removed + n_changed + n_unchanged)
+        |    AS drift_rate
+        |FROM r""".stripMargin,
+
+    // K-anonymity audit of the generalized export; the pseudonym never
+    // joins the quasi tuple.
+    "q_anonymize_k" ->
+      """WITH ex AS (SELECT
+        |    epoch_ns(date_trunc('day', ts))//1000000000 AS day_s,
+        |    event_type,
+        |    CAST(floor(value / 10.0) AS BIGINT) * 10 AS value_bucket
+        |  FROM events),
+        |g AS (SELECT day_s, event_type, value_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1, 2, 3)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  MIN(n) AS min_class,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_below_k,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_singletons,
+        |  CAST(5 AS BIGINT) AS k_threshold,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+        |    / SUM(n) AS below_k_share
+        |FROM g""".stripMargin,
+
+    // Per-series OLS over hourly sums: hours-since-start re-index +
+    // scale-2 sums keep every moment's grains below 2^53.
+    "q_series_trend" ->
+      """WITH b AS (SELECT event_type AS series,
+        |    epoch_ns(date_trunc('hour', ts))//1000000000 AS bucket_s,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,2)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT *, MIN(bucket_s) OVER (PARTITION BY series) AS t0
+        |  FROM b),
+        |u AS (SELECT series, (bucket_s - t0) // 3600 AS t_h, y FROM t),
+        |m AS (SELECT series, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(t_h) AS BIGINT) AS st,
+        |    CAST(SUM(t_h * t_h) AS BIGINT) AS stt,
+        |    SUM(y) AS sy,
+        |    SUM(CAST(t_h * y AS DECIMAL(38,2))) AS sty
+        |  FROM u GROUP BY 1),
+        |d AS (SELECT *, CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+        |    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS den FROM m),
+        |sl AS (SELECT *, CASE WHEN n >= 2 AND den > 0.0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+        |     - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)) / den END
+        |    AS slope_per_hour
+        |  FROM d)
+        |SELECT series, n, slope_per_hour,
+        |  CASE WHEN slope_per_hour IS NOT NULL THEN
+        |    (CAST(sy AS DOUBLE) - slope_per_hour * CAST(st AS DOUBLE))
+        |      / CAST(n AS DOUBLE) END AS intercept
+        |FROM sl""".stripMargin
   )
 }

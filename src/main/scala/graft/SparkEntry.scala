@@ -1302,6 +1302,39 @@ object SparkEntry {
     TimeSeries.seasonalityProfile(events(spark, dir), "ts", "event_type",
       "value")
 
+  /** Snapshot diff: a synthetic "after" version of events (drop every
+    * 11th row, bump value on every 5th) reconciled against a "before"
+    * that dropped every 7th — migration-audit accounting. */
+  private def qTableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val before = ev.filter(pmod(col("event_id"), lit(7L)) =!= 0L)
+    val after = ev.filter(pmod(col("event_id"), lit(11L)) =!= 0L)
+      .withColumn("value", when(pmod(col("event_id"), lit(5L)) === 0L,
+        col("value") + 1.0).otherwise(col("value")))
+    Warehouse.snapshotDiff(before, after, Seq("event_id"),
+      Seq("user_id", "event_type", "value"))
+  }
+
+  /** K-anonymity audit of a pseudonymized event export: event_id
+    * dropped, user_id salted-hash pseudonym, ts generalized to the day,
+    * value to a width-10 bucket; quasi-identifiers = (day, type,
+    * value bucket), k = 5. */
+  private def qAnonymizeK(spark: SparkSession, dir: String): DataFrame = {
+    val export = events(spark, dir).select(
+      graft.operators.Dedup.md5_60(
+        concat(col("user_id").cast(StringType), lit("pepper1")))
+        .as("pseudonym"),
+      epochS(date_trunc("day", col("ts"))).as("day_s"),
+      col("event_type"),
+      (floor(col("value") / 10.0).cast(LongType) * 10L).as("value_bucket"))
+    Warehouse.kAnonymityAudit(export,
+      Seq("day_s", "event_type", "value_bucket"), k = 5)
+  }
+
+  /** Per-event-type OLS trend of hourly sums (slope per hour). */
+  private def qSeriesTrend(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.seriesTrend(events(spark, dir), "ts", "event_type", "value")
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1460,7 +1493,10 @@ object SparkEntry {
     "q_drift_ks" -> (qDriftKs _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_series_corr" -> (qSeriesCorr _),
-    "q_seasonality" -> (qSeasonality _)
+    "q_seasonality" -> (qSeasonality _),
+    "q_table_diff" -> (qTableDiff _),
+    "q_anonymize_k" -> (qAnonymizeK _),
+    "q_series_trend" -> (qSeriesTrend _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

@@ -967,6 +967,53 @@ object TimeSeries {
         col("day_of_week"))
       .agg(count(lit(1)).as("n"), exactAvg(col(value)).as("avg_value"))
 
+  /** PER-SERIES TREND (OLS) — least-squares slope and intercept of
+    * each series' hourly sums against hours-since-series-start: the
+    * drift detector that says "this sensor's baseline is creeping"
+    * with a rate, not just a flag. Buckets re-index to small integers
+    * (hours since the series' first bucket) and sums quantize to scale
+    * 2, so every OLS moment's scaled integer stays far below 2⁵³ —
+    * the DECIMAL→DOUBLE exactness bound — and the closed-form combine
+    * `slope = (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²)`,
+    * `intercept = (Σy − slope·Σt)/n` is a fixed IEEE op chain the
+    * oracle mirrors. Degenerate series (< 2 buckets or zero time
+    * variance) yield NULL.
+    *
+    * Scale shape: the hourly rollup is the only corpus pass; the
+    * per-series min and the moments are aggregates over the
+    * |series|·|buckets| table. */
+  def seriesTrend(df: DataFrame, ts: String, seriesCol: String,
+      value: String): DataFrame = {
+    val buckets = df
+      .groupBy(col(seriesCol).as("series"),
+        epochSeconds(date_trunc("hour", col(ts))).as("bucket_s"))
+      .agg(sum(col(value).cast(DecimalType(28, 6)))
+        .cast(DecimalType(38, 2)).as("y"))
+    val w0 = Window.partitionBy(col("series"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    buckets
+      .withColumn("t0_s", min(col("bucket_s")).over(w0))
+      .withColumn("t_h", expr("(bucket_s - t0_s) div 3600"))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("t_h")).as("st"),
+        sum(col("t_h") * col("t_h")).as("stt"),
+        sum(col("y")).as("sy"),
+        sum((col("t_h") * col("y")).cast(DecimalType(38, 2))).as("sty"))
+      .withColumn("den", col("n").cast(DoubleType) *
+        col("stt").cast(DoubleType) -
+        col("st").cast(DoubleType) * col("st").cast(DoubleType))
+      .withColumn("slope_per_hour", when(col("n") >= 2 && col("den") > 0.0,
+        (col("n").cast(DoubleType) * col("sty").cast(DoubleType) -
+          col("st").cast(DoubleType) * col("sy").cast(DoubleType)) /
+          col("den")))
+      .withColumn("intercept", when(col("slope_per_hour").isNotNull,
+        (col("sy").cast(DoubleType) -
+          col("slope_per_hour") * col("st").cast(DoubleType)) /
+          col("n").cast(DoubleType)))
+      .select("series", "n", "slope_per_hour", "intercept")
+  }
+
   /** TIME-WEIGHTED AVERAGE — TimescaleDB's `time_weight('LOCF', …)` →
     * `average()`: irregular samples weighted by how LONG each value
     * held, not how often it was reported (a sensor that reports 10×

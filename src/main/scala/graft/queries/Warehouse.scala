@@ -241,6 +241,61 @@ object Warehouse {
       .withColumn("dup_rate",
         col("n_excess_rows").cast(DoubleType) / col("n_rows"))
 
+  /** SNAPSHOT DIFF — reconcile two versions of a keyed table: per key,
+    * is the row added, removed, changed, or unchanged? The audit every
+    * migration/backfill/replication needs before anyone trusts the new
+    * copy. Payloads compare null-safely as a struct (`<=>`), so NULL
+    * fields diff correctly. One summary row out.
+    *
+    * Scale shape: ONE full-outer shuffle on the key (the minimum any
+    * diff can do), then a one-row conditional rollup folded map-side.
+    * At 100 TB both sides should be bucketed on the key so even that
+    * shuffle disappears ([[graft.queries.Scale]] bucketed layouts). */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keys: Seq[String], payload: Seq[String]): DataFrame = {
+    val b = before.select((keys.map(col) :+
+      struct(payload.map(col): _*).as("__pb")): _*)
+    val a = after.select((keys.map(col) :+
+      struct(payload.map(col): _*).as("__pa")): _*)
+    b.join(a, keys, "full_outer")
+      .agg(
+        sum(when(col("__pb").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__pa").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("__pb").isNotNull && col("__pa").isNotNull &&
+          !(col("__pb") <=> col("__pa")), 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("__pb") <=> col("__pa"), 1L).otherwise(0L))
+          .as("n_unchanged"))
+      .withColumn("n_total", col("n_added") + col("n_removed") +
+        col("n_changed") + col("n_unchanged"))
+      .withColumn("drift_rate",
+        (col("n_added") + col("n_removed") + col("n_changed"))
+          .cast(DoubleType) / col("n_total"))
+  }
+
+  /** K-ANONYMITY AUDIT of a pseudonymized export — after direct
+    * identifiers are dropped and quasi-identifiers generalized, how
+    * re-identifiable is the table? Rows group by their quasi-identifier
+    * tuple; a class of size 1 is a unique fingerprint. Reports the
+    * class-size floor, the class count, and the share of rows living in
+    * classes below `k` — the number a privacy review actually asks for.
+    *
+    * Scale shape: one count aggregate keyed on the quasi tuple
+    * (map-combined), then a one-row rollup over the class sizes. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      k: Int): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n")).as("n_rows"),
+        min(col("n")).as("min_class"),
+        sum(when(col("n") < k, col("n")).otherwise(0L))
+          .as("n_rows_below_k"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singletons"))
+      .withColumn("k_threshold", lit(k.toLong))
+      .withColumn("below_k_share",
+        col("n_rows_below_k").cast(DoubleType) / col("n_rows"))
+
   /** A/B CONVERSION TEST — the experimentation rollup: entities are
     * deterministically bucketed into two arms by a salted hash (the
     * salt IS the experiment id — re-salting re-randomizes, same salt

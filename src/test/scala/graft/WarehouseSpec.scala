@@ -420,6 +420,59 @@ class WarehouseSpec extends SparkSpec {
     assert(out((23L, 1L)).getAs[Long]("n") == 1L)
   }
 
+  test("snapshotDiff: hand-counted add/remove/change, NULL-safe payloads") {
+    val before = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d"))
+    ).toDF("id", "p")
+    val after = Seq(
+      (1L, Some("a")),   // unchanged
+      (2L, Some("B")),   // changed
+      (3L, None),        // unchanged (NULL == NULL, null-safely)
+      (5L, Some("e"))    // added; 4 removed
+    ).toDF("id", "p")
+    val r = Warehouse.snapshotDiff(before, after, Seq("id"), Seq("p"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_added") == 1L)
+    assert(r.getAs[Long]("n_removed") == 1L)
+    assert(r.getAs[Long]("n_changed") == 1L)
+    assert(r.getAs[Long]("n_unchanged") == 2L)
+    assert(r.getAs[Long]("n_total") == 5L)
+    assert(r.getAs[Double]("drift_rate") == 0.6)
+    // identity: diffing a table against itself drifts 0
+    val self = Warehouse.snapshotDiff(before, before, Seq("id"), Seq("p"))
+      .collect()(0)
+    assert(self.getAs[Double]("drift_rate") == 0.0)
+  }
+
+  test("kAnonymityAudit: class accounting and the k gate") {
+    val export = Seq(
+      ("x", 1L), ("x", 1L), ("x", 1L), ("x", 1L), ("x", 1L), // class of 5
+      ("y", 1L), ("y", 1L),                                   // class of 2
+      ("z", 9L)                                               // singleton
+    ).toDF("qa", "qb")
+    val r = Warehouse.kAnonymityAudit(export, Seq("qa", "qb"), k = 5)
+      .collect()(0)
+    assert(r.getAs[Long]("n_classes") == 3L && r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("min_class") == 1L)
+    assert(r.getAs[Long]("n_singletons") == 1L)
+    assert(r.getAs[Long]("n_rows_below_k") == 3L) // the 2-class + singleton
+    assert(r.getAs[Double]("below_k_share") == 0.375)
+  }
+
+  test("seriesTrend: exact slope on a synthetic line; degenerate NULL") {
+    import graft.queries.TimeSeries
+    // y = 10 + 2·t over 4 hourly buckets -> slope 2/hour, intercept 10
+    val rows = (0 until 4).map { h =>
+      ("k", ts(f"2024-01-01 $h%02d:15:00"), 10.0 + 2.0 * h)
+    } :+ (("solo", ts("2024-01-01 00:00:00"), 5.0))
+    val out = TimeSeries.seriesTrend(rows.toDF("series", "ts", "value"),
+      "ts", "series", "value")
+      .collect().map(r => r.getAs[String]("series") -> r).toMap
+    assert(math.abs(out("k").getAs[Double]("slope_per_hour") - 2.0) < 1e-12)
+    assert(math.abs(out("k").getAs[Double]("intercept") - 10.0) < 1e-12)
+    assert(out("solo").isNullAt(out("solo").fieldIndex("slope_per_hour")))
+  }
+
   test("minhashQualityEval: exact-duplicate corpus scores perfect") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
