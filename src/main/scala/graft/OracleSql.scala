@@ -357,6 +357,29 @@ object OracleSql {
        |    CAST(COUNT(*) AS BIGINT) AS n_events
        |  FROM v GROUP BY 1, 2)""".stripMargin
 
+  /** Per-document BPE token counts under the reference merges — leaves
+    * `s` (doc_id, n_bpe_tokens; docs with no words absent) in scope.
+    * Shared by q_text_bpe_encode and the fertility report. */
+  private val bpePerDocCtes: String = {
+    val start = "chr(1) || array_to_string(regexp_extract_all(w, '.'), " +
+      "chr(1) || chr(1)) || chr(1)"
+    val enc = graft.operators.TextAnalysis.referenceMerges.foldLeft(start) {
+      case (acc, (a, b)) =>
+        s"replace($acc,\n         |    chr(1) || '$a' || chr(1) || " +
+          s"chr(1) || '$b' || chr(1), chr(1) || '$a$b' || chr(1))"
+    }
+    s"""w AS (SELECT doc_id, unnest(CASE
+       |    WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |    ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
+       |  FROM documents),
+       |e AS (SELECT doc_id,
+       |    CAST(len(string_split($enc, chr(1) || chr(1))) AS BIGINT)
+       |      AS n_sub
+       |  FROM w),
+       |s AS (SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+       |  FROM e GROUP BY 1)""".stripMargin
+  }
+
   /** CCNet bigram-LM scoring CTEs (α = 1/10, reference = the lang='en'
     * slice): leaves `s` (doc_id, n, nll) in scope — shared by
     * q_lm_perplexity and q_lm_buckets. Every probability is the integer
@@ -1231,28 +1254,11 @@ object OracleSql {
     // replace-chain as the engine — chr(1)-delimited symbols, one
     // non-overlapping replace per rank — then tokens = chr(1)chr(1)
     // splits, summed per doc (empty docs keep a 0 row).
-    "q_text_bpe_encode" -> {
-      val start = "chr(1) || array_to_string(regexp_extract_all(w, '.'), " +
-        "chr(1) || chr(1)) || chr(1)"
-      val enc = graft.operators.TextAnalysis.referenceMerges.foldLeft(start) {
-        case (acc, (a, b)) =>
-          s"replace($acc,\n         |    chr(1) || '$a' || chr(1) || " +
-            s"chr(1) || '$b' || chr(1), chr(1) || '$a$b' || chr(1))"
-      }
-      s"""WITH w AS (SELECT doc_id, unnest(CASE
-         |    WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         |    ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
-         |  FROM documents),
-         |e AS (SELECT doc_id,
-         |    CAST(len(string_split($enc, chr(1) || chr(1))) AS BIGINT)
-         |      AS n_sub
-         |  FROM w),
-         |s AS (SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
-         |  FROM e GROUP BY 1)
+    "q_text_bpe_encode" ->
+      s"""WITH $bpePerDocCtes
          |SELECT d.doc_id,
          |  COALESCE(s.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
-         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
-    },
+         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
 
     // Repetition signals: duplicate word/bigram/trigram fractions via the
     // same shingle definition as the dedup family (short docs: 1 shingle,
@@ -3736,6 +3742,76 @@ object OracleSql {
         |  CASE WHEN slope_per_hour IS NOT NULL THEN
         |    (CAST(sy AS DOUBLE) - slope_per_hour * CAST(st AS DOUBLE))
         |      / CAST(n AS DOUBLE) END AS intercept
-        |FROM sl""".stripMargin
+        |FROM sl""".stripMargin,
+
+    // Cohen's kappa on the language-ID confusion: marginal cross-
+    // product exact (HUGEINT), p_o/p_e/kappa in the engine's double
+    // op order.
+    "q_text_langid_kappa" -> {
+      val markers = graft.operators.TextAnalysis.defaultMarkers
+      val langs = markers.keys.toSeq.sorted
+      val scoreCols = langs.map { l =>
+        val list = markers(l).map(w => s"'$w'").mkString(", ")
+        s"""CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+           |      x -> list_contains([$list], x))) AS BIGINT) AS score_$l""".stripMargin
+      }.mkString(",\n    ")
+      val m = langs.map(l => s"score_$l").mkString(", ")
+      val cases = langs.map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
+      s"""WITH sc AS (SELECT doc_id, lang,
+         |    $scoreCols
+         |  FROM documents),
+         |g AS (SELECT *, GREATEST($m) AS m FROM sc),
+         |p AS (SELECT lang,
+         |    CASE WHEN m = 0 THEN 'und' $cases END AS predicted_lang
+         |  FROM g),
+         |conf AS (SELECT lang, predicted_lang,
+         |    CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+         |rm AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nr
+         |  FROM conf GROUP BY 1),
+         |cm AS (SELECT predicted_lang, CAST(SUM(n) AS BIGINT) AS nc
+         |  FROM conf GROUP BY 1),
+         |cr AS (SELECT SUM(CAST(nr AS HUGEINT) * nc) AS cross_h
+         |  FROM rm JOIN cm ON rm.lang = cm.predicted_lang),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         |    CAST(SUM(CASE WHEN lang = predicted_lang THEN n ELSE 0 END)
+         |      AS BIGINT) AS n_agree
+         |  FROM conf),
+         |d AS (SELECT n_total, n_agree,
+         |    CAST(n_agree AS DOUBLE) / n_total AS p_observed,
+         |    CAST(cross_h AS DOUBLE)
+         |      / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))
+         |      AS p_expected
+         |  FROM tot, cr)
+         |SELECT n_total, n_agree, p_observed, p_expected,
+         |  CASE WHEN p_expected < 1.0 THEN
+         |    (p_observed - p_expected) / (1.0 - p_expected) END AS kappa
+         |FROM d""".stripMargin
+    },
+
+    // Tokenizer fertility per language: BPE counts from the shared
+    // per-doc CTEs; docs with no words count zero tokens/words.
+    "q_text_fertility" ->
+      s"""WITH $bpePerDocCtes,
+         |base AS (SELECT doc_id, lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(list_filter(
+         |        regexp_split_to_array(trim(text), '\\s+'),
+         |        x -> length(x) > 0)) END AS n_words,
+         |    CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents),
+         |j AS (SELECT b.lang, b.n_words, b.n_chars,
+         |    COALESCE(s.n_bpe_tokens, 0) AS n_bpe
+         |  FROM base b LEFT JOIN s USING (doc_id)),
+         |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |    CAST(SUM(n_bpe) AS BIGINT) AS n_tokens
+         |  FROM j GROUP BY 1)
+         |SELECT lang, n_docs, n_words, n_chars, n_tokens,
+         |  CASE WHEN n_words > 0 THEN
+         |    CAST(n_tokens AS DOUBLE) / n_words END AS fertility,
+         |  CASE WHEN n_tokens > 0 THEN
+         |    CAST(n_chars AS DOUBLE) / n_tokens END AS chars_per_token
+         |FROM a""".stripMargin
   )
 }

@@ -1335,6 +1335,15 @@ object SparkEntry {
   private def qSeriesTrend(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.seriesTrend(events(spark, dir), "ts", "event_type", "value")
 
+  /** Chance-corrected language-router agreement (Cohen's kappa). */
+  private def qTextLangidKappa(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageIdKappa(docs(spark, dir), "text", "lang")
+
+  /** Tokenizer fertility per language under the reference BPE merges. */
+  private def qTextFertility(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenizerFertility(docs(spark, dir), "doc_id", "text",
+      "lang", TextAnalysis.referenceMerges)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1496,7 +1505,9 @@ object SparkEntry {
     "q_seasonality" -> (qSeasonality _),
     "q_table_diff" -> (qTableDiff _),
     "q_anonymize_k" -> (qAnonymizeK _),
-    "q_series_trend" -> (qSeriesTrend _)
+    "q_series_trend" -> (qSeriesTrend _),
+    "q_text_langid_kappa" -> (qTextLangidKappa _),
+    "q_text_fertility" -> (qTextFertility _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

@@ -189,6 +189,69 @@ object TextAnalysis {
           sum(col("n")).over(Window.partitionBy(col("lang"))))
   }
 
+  /** COHEN'S KAPPA for the language router — chance-corrected agreement
+    * between [[languageId]] and the ground-truth label: raw accuracy
+    * flatters a router on an imbalanced corpus (predict the majority
+    * language, score 80%); kappa subtracts the agreement the marginals
+    * would produce by luck, `κ = (p_o − p_e)/(1 − p_e)`. One row out:
+    * totals, observed/expected agreement, kappa (NULL when p_e = 1 —
+    * a single-class degenerate table has no chance-corrected signal).
+    *
+    * Exactness: all counts and the marginal cross-product fold as exact
+    * integers (the cross-product sums as DECIMAL(38,0) — headroom past
+    * 10⁹-row corpora where n_r·n_c leaves the long range); the p_o, p_e
+    * and κ doubles are one fixed op chain mirrored by the oracle.
+    * Everything past the confusion matrix touches |langs|² cells. */
+  def languageIdKappa(df: DataFrame, textCol: String,
+      truthCol: String): DataFrame = {
+    val conf = languageId(df, textCol)
+      .groupBy(col(truthCol).as("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val rows = conf.groupBy(col("lang")).agg(sum(col("n")).as("nr"))
+    val cols = conf.groupBy(col("predicted_lang"))
+      .agg(sum(col("n")).as("nc"))
+    val cross = rows.join(cols, col("lang") === col("predicted_lang"))
+      .agg(sum((col("nr") * col("nc")).cast(DecimalType(38, 0)))
+        .as("cross_dec"))
+    conf.agg(sum(col("n")).as("n_total"),
+        sum(when(col("lang") === col("predicted_lang"), col("n"))
+          .otherwise(0L)).as("n_agree"))
+      .crossJoin(cross)
+      .withColumn("p_observed",
+        col("n_agree").cast(DoubleType) / col("n_total"))
+      .withColumn("p_expected", col("cross_dec").cast(DoubleType) /
+        (col("n_total").cast(DoubleType) * col("n_total").cast(DoubleType)))
+      .withColumn("kappa", when(col("p_expected") < 1.0,
+        (col("p_observed") - col("p_expected")) /
+          (lit(1.0) - col("p_expected"))))
+      .select("n_total", "n_agree", "p_observed", "p_expected", "kappa")
+  }
+
+  /** TOKENIZER FERTILITY — the per-language cost report for a tokenizer:
+    * BPE tokens per whitespace word (fertility) and characters per BPE
+    * token. A tokenizer trained on one language fragments the others —
+    * fertility 2–3× means those corpora cost 2–3× the context budget;
+    * THE table read before fixing a multilingual token budget. Ratios
+    * are single double divisions of exact long sums. */
+  def tokenizerFertility(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val base = df.select(col(idCol), col(langCol).as("lang"),
+      when(length(trim(col(textCol))) === 0, 0L)
+        .otherwise(size(filter(tokens(col(textCol)),
+          w => length(w) > 0)).cast(LongType)).as("n_words"),
+      length(col(textCol)).cast(LongType).as("n_chars"))
+    base.join(bpeEncode(df, idCol, textCol, merges), Seq(idCol))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bpe_tokens")).as("n_tokens"))
+      .withColumn("fertility", when(col("n_words") > 0,
+        col("n_tokens").cast(DoubleType) / col("n_words")))
+      .withColumn("chars_per_token", when(col("n_tokens") > 0,
+        col("n_chars").cast(DoubleType) / col("n_tokens")))
+  }
+
   /** Document fingerprint #1 — content hash family:
     * `md5` (engine-portable), `xxhash64` (fast 64-bit), and a winnowing-ish
     * shingle fingerprint: the minimum md5 over sliding `n`-word shingles,

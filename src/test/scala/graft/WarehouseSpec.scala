@@ -473,6 +473,50 @@ class WarehouseSpec extends SparkSpec {
     assert(out("solo").isNullAt(out("solo").fieldIndex("slope_per_hour")))
   }
 
+  test("languageIdKappa: perfect router 1.0; majority-vote accuracy beats kappa") {
+    import graft.operators.TextAnalysis
+    // texts the router classifies perfectly (marker-dense)
+    val perfect = Seq(
+      (1L, "the and is of to the and", "en"),
+      (2L, "der und die das ist der", "de"),
+      (3L, "el la los de que el la", "es")
+    ).toDF("doc_id", "text", "lang")
+    val p = TextAnalysis.languageIdKappa(perfect, "text", "lang")
+      .collect()(0)
+    assert(p.getAs[Long]("n_agree") == 3L)
+    assert(p.getAs[Double]("p_observed") == 1.0)
+    assert(p.getAs[Double]("kappa") == 1.0)
+    // imbalanced corpus where the truth is all-en: accuracy is high by
+    // luck; kappa strips the marginal agreement
+    val lucky = Seq(
+      (1L, "the and is of to", "en"),
+      (2L, "the and is of to", "en"),
+      (3L, "der und die das ist", "en") // router says de, truth en
+    ).toDF("doc_id", "text", "lang")
+    val l = TextAnalysis.languageIdKappa(lucky, "text", "lang")
+      .collect()(0)
+    assert(l.getAs[Double]("p_observed") > 0.6)
+    assert(l.getAs[Double]("kappa") < l.getAs[Double]("p_observed"))
+  }
+
+  test("tokenizerFertility: a merge that fuses lowers fertility") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "abab abab", "x"),   // 'ab' merge fuses pairs
+      (2L, "cd cd cd", "y")     // untouched by the merges
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.tokenizerFertility(docs, "doc_id", "text",
+      "lang", merges = Seq(("a", "b"), ("ab", "ab")))
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    // "abab" -> chars a,b,a,b -> ab,ab -> abab: ONE token per word
+    assert(out("x").getAs[Long]("n_tokens") == 2L)
+    assert(out("x").getAs[Double]("fertility") == 1.0)
+    // "cd" stays c|d: two tokens per word
+    assert(out("y").getAs[Long]("n_tokens") == 6L)
+    assert(out("y").getAs[Double]("fertility") == 2.0)
+    assert(out("x").getAs[Long]("n_words") == 2L)
+  }
+
   test("minhashQualityEval: exact-duplicate corpus scores perfect") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
