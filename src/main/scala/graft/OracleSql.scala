@@ -3812,6 +3812,49 @@ object OracleSql {
          |    CAST(n_tokens AS DOUBLE) / n_words END AS fertility,
          |  CASE WHEN n_tokens > 0 THEN
          |    CAST(n_chars AS DOUBLE) / n_tokens END AS chars_per_token
-         |FROM a""".stripMargin
+         |FROM a""".stripMargin,
+
+    // ANALYZE-style profile: one UNION ALL arm per column; min/max
+    // stringified (BIGINT/VARCHAR render identically; the value range
+    // here keeps double rendering in the plain-decimal regime).
+    "q_dq_profile" -> {
+      def arm(c: String) =
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value
+           |FROM events""".stripMargin
+      val arms = Seq("event_id", "user_id", "event_type", "value")
+        .map(arm).mkString("\nUNION ALL\n")
+      s"""WITH p AS ($arms)
+         |SELECT *, CAST(n_nulls AS DOUBLE) / n_rows AS null_share
+         |FROM p""".stripMargin
+    },
+
+    // Top session journeys: the sessionize CTEs + ordered list path
+    // with the 5-step cap and the truncation marker.
+    "q_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts)//1000 AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER w AS prev
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(CASE WHEN prev IS NULL
+        |      OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM l),
+        |p AS (SELECT user_id, session_id,
+        |    array_to_string(list_slice(
+        |      list(event_type ORDER BY us, event_id), 1, 5), '>')
+        |    || CASE WHEN COUNT(*) > 5 THEN '>…' ELSE '' END AS path
+        |  FROM s GROUP BY 1, 2),
+        |c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |  FROM p GROUP BY 1)
+        |SELECT path, n_sessions,
+        |  CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+        |    AS BIGINT) AS rank
+        |FROM c QUALIFY rank <= 10""".stripMargin
   )
 }

@@ -1344,6 +1344,16 @@ object SparkEntry {
     TextAnalysis.tokenizerFertility(docs(spark, dir), "doc_id", "text",
       "lang", TextAnalysis.referenceMerges)
 
+  /** ANALYZE-style column profile of the events table. */
+  private def qDqProfile(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.columnProfile(events(spark, dir),
+      Seq("event_id", "user_id", "event_type", "value"))
+
+  /** Top-10 session journeys (30-minute gap, paths capped at 5 steps). */
+  private def qSessionPaths(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.topSessionPaths(events(spark, dir), "ts", "user_id",
+      "event_id", "event_type", gapSeconds = 1800L, maxSteps = 5, k = 10)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1507,7 +1517,9 @@ object SparkEntry {
     "q_anonymize_k" -> (qAnonymizeK _),
     "q_series_trend" -> (qSeriesTrend _),
     "q_text_langid_kappa" -> (qTextLangidKappa _),
-    "q_text_fertility" -> (qTextFertility _)
+    "q_text_fertility" -> (qTextFertility _),
+    "q_dq_profile" -> (qDqProfile _),
+    "q_session_paths" -> (qSessionPaths _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

@@ -296,6 +296,69 @@ object Warehouse {
       .withColumn("below_k_share",
         col("n_rows_below_k").cast(DoubleType) / col("n_rows"))
 
+  /** ANALYZE-STYLE COLUMN PROFILE — one row per profiled column: row
+    * and null counts, distinct cardinality, min/max (stringified so
+    * heterogeneous column types share one report schema). The stats
+    * sheet an optimizer, a data contract, or a new team member reads
+    * first; a lake has no system catalog to keep it, so it is a query.
+    *
+    * Scale shape: one aggregate per column over a shared scan (Catalyst
+    * collapses the per-column plans into one pass when unioned from the
+    * same source after ReuseExchange) — each is map-side combinable;
+    * `countDistinct` is exact (swap for approx_count_distinct at the
+    * 10⁹-distinct mark, same report shape). */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    cols.map { c =>
+      df.agg(
+        lit(c).as("column"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast(StringType).as("min_value"),
+        max(col(c)).cast(StringType).as("max_value"))
+    }.reduce(_ unionByName _)
+      .withColumn("null_share",
+        col("n_nulls").cast(DoubleType) / col("n_rows"))
+  }
+
+  /** TOP SESSION PATHS — the product-analytics "top user journeys"
+    * query: sessionize, render each session's ordered event-type
+    * sequence as a path string (capped at `maxSteps` steps — an
+    * unbounded concat is a memory grenade on bot sessions), and count
+    * the most common paths. Ties in the ranking break on the path.
+    *
+    * Determinism: the per-session sequence sorts by the UNIQUE
+    * `(epoch_us, rowId)` struct inside `sort_array` — reproducible
+    * under any partitioning; truncated sessions are marked with a
+    * `…` suffix so "exactly A→B" and "A→B→(more)" never conflate.
+    *
+    * Scale shape: one session aggregate keyed on `(key, session)` with
+    * the bounded `slice` applied in the same projection, one path-count
+    * aggregate, and a TakeOrderedAndProject top-k — no global sort. */
+  def topSessionPaths(df: DataFrame, ts: String, key: String,
+      rowId: String, typeCol: String, gapSeconds: Long, maxSteps: Int,
+      k: Int): DataFrame = {
+    require(maxSteps >= 1 && k >= 1, "maxSteps and k must be >= 1")
+    val sessions = TimeSeries.sessionize(df, ts, key, rowId, gapSeconds)
+    val paths = sessions
+      .groupBy(col(key), col("session_id"))
+      .agg(sort_array(collect_list(struct(col("epoch_us"), col(rowId),
+        col(typeCol).as("t")))).as("seq"))
+      .select(concat(
+        array_join(transform(slice(col("seq"), 1, maxSteps),
+          s => s.getField("t")), ">"),
+        when(size(col("seq")) > maxSteps, lit(">…")).otherwise(lit("")))
+        .as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path")))
+        .cast(LongType))
+  }
+
   /** A/B CONVERSION TEST — the experimentation rollup: entities are
     * deterministically bucketed into two arms by a salted hash (the
     * salt IS the experiment id — re-salting re-randomizes, same salt

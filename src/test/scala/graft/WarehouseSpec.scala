@@ -517,6 +517,44 @@ class WarehouseSpec extends SparkSpec {
     assert(out("x").getAs[Long]("n_words") == 2L)
   }
 
+  test("columnProfile: per-column accounting with NULLs") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None), (Some(2L), Some("b")),
+      (None, Some("a"))
+    ).toDF("id", "s")
+    val out = Warehouse.columnProfile(df, Seq("id", "s"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(out("id").getAs[Long]("n_rows") == 4L)
+    assert(out("id").getAs[Long]("n_nulls") == 1L)
+    assert(out("id").getAs[Long]("n_distinct") == 2L)
+    assert(out("id").getAs[String]("min_value") == "1" &&
+      out("id").getAs[String]("max_value") == "2")
+    assert(out("s").getAs[Long]("n_nulls") == 1L)
+    assert(out("s").getAs[Double]("null_share") == 0.25)
+  }
+
+  test("topSessionPaths: ordered paths, gap split, truncation marker") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1, session 1: a>b ; session 2 after a 2000s gap: c
+      (1L, t(0), 1L, "a"), (1L, t(10), 2L, "b"), (1L, t(3000), 3L, "c"),
+      // user 2: same a>b journey
+      (2L, t(0), 4L, "a"), (2L, t(5), 5L, "b"),
+      // user 3: a 7-step bot session -> truncated path
+      (3L, t(0), 6L, "x"), (3L, t(1), 7L, "x"), (3L, t(2), 8L, "x"),
+      (3L, t(3), 9L, "x"), (3L, t(4), 10L, "x"), (3L, t(5), 11L, "x"),
+      (3L, t(6), 12L, "x")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Warehouse.topSessionPaths(ev, "ts", "user_id", "event_id",
+      "event_type", gapSeconds = 1800L, maxSteps = 5, k = 10)
+      .collect().map(r => r.getAs[String]("path") ->
+        r.getAs[Long]("n_sessions")).toMap
+    assert(out("a>b") == 2L)
+    assert(out("c") == 1L)
+    assert(out("x>x>x>x>x>…") == 1L) // capped + marked, never unbounded
+    assert(!out.keys.exists(_.count(_ == '>') > 5))
+  }
+
   test("minhashQualityEval: exact-duplicate corpus scores perfect") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
