@@ -380,6 +380,16 @@ object OracleSql {
        |  FROM e GROUP BY 1)""".stripMargin
   }
 
+  /** Hourly per-(series, bucket) exact scale-2 sums over events —
+    * ONE definition of the quantization discipline shared by
+    * q_series_corr and q_series_trend (mirrors
+    * TimeSeries.decimalBuckets). Leaves `b` (series, bucket_s, y). */
+  private val hourlyBucketCte: String =
+    """b AS (SELECT event_type AS series,
+      |    epoch_ns(date_trunc('hour', ts))//1000000000 AS bucket_s,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,2)) AS y
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
   /** CCNet bigram-LM scoring CTEs (α = 1/10, reference = the lang='en'
     * slice): leaves `s` (doc_id, n, nll) in scope — shared by
     * q_lm_perplexity and q_lm_buckets. Every probability is the integer
@@ -3620,13 +3630,11 @@ object OracleSql {
     // Pairwise Pearson over hourly exact-decimal sums; the combine is
     // the engine's fixed double op chain, degenerate pairs NULL.
     "q_series_corr" ->
-      """WITH b AS (SELECT event_type AS series,
-        |    epoch_ns(date_trunc('hour', ts))//1000000000 AS bucket_s,
-        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,2)) AS v
-        |  FROM events GROUP BY 1, 2),
+      s"""WITH $hourlyBucketCte,
+        |bv AS (SELECT series, bucket_s, y AS v FROM b),
         |j AS (SELECT a.series AS series_a, c.series AS series_b,
         |    a.v AS va, c.v AS vb
-        |  FROM b a JOIN b c ON a.bucket_s = c.bucket_s
+        |  FROM bv a JOIN bv c ON a.bucket_s = c.bucket_s
         |  WHERE a.series <= c.series),
         |m AS (SELECT series_a, series_b,
         |    CAST(COUNT(*) AS BIGINT) AS n,
@@ -3654,10 +3662,10 @@ object OracleSql {
       """WITH e AS (SELECT event_type AS series, value,
         |    epoch_ns(ts)//1000000000 AS s FROM events)
         |SELECT series,
-        |  (s // 3600) % 24 AS hour_of_day,
-        |  (s // 86400 + 3) % 7 + 1 AS day_of_week,
+        |  (((s // 3600) % 24) + 24) % 24 AS hour_of_day,
+        |  ((((s // 86400 + 3) % 7) + 7) % 7) + 1 AS day_of_week,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value)
         |    AS avg_value
         |FROM e GROUP BY 1, 2, 3""".stripMargin,
 
@@ -3718,10 +3726,7 @@ object OracleSql {
     // Per-series OLS over hourly sums: hours-since-start re-index +
     // scale-2 sums keep every moment's grains below 2^53.
     "q_series_trend" ->
-      """WITH b AS (SELECT event_type AS series,
-        |    epoch_ns(date_trunc('hour', ts))//1000000000 AS bucket_s,
-        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(38,2)) AS y
-        |  FROM events GROUP BY 1, 2),
+      s"""WITH $hourlyBucketCte,
         |t AS (SELECT *, MIN(bucket_s) OVER (PARTITION BY series) AS t0
         |  FROM b),
         |u AS (SELECT series, (bucket_s - t0) // 3600 AS t_h, y FROM t),

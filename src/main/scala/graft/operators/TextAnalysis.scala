@@ -211,7 +211,10 @@ object TextAnalysis {
     val cols = conf.groupBy(col("predicted_lang"))
       .agg(sum(col("n")).as("nc"))
     val cross = rows.join(cols, col("lang") === col("predicted_lang"))
-      .agg(sum((col("nr") * col("nc")).cast(DecimalType(38, 0)))
+      // cast BEFORE the multiply: a long*long product wraps past 2^63
+      // (nr, nc ~ 4e9 each) while the decimal product stays exact —
+      // and matches the oracle's HUGEINT multiply
+      .agg(sum(col("nr").cast(DecimalType(38, 0)) * col("nc"))
         .as("cross_dec"))
     conf.agg(sum(col("n")).as("n_total"),
         sum(when(col("lang") === col("predicted_lang"), col("n"))

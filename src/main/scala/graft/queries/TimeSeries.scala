@@ -892,6 +892,23 @@ object TimeSeries {
         (col("a").cast(DoubleType) / 1000000.0).as("score"))
   }
 
+  /** Shared per-(series, bucket) exact sums for the cross-series
+    * statistics ([[seriesCorrelation]], [[seriesTrend]]): quantized to
+    * scale 2 (HALF_UP, identical in DuckDB) so every downstream
+    * moment's scaled integer stays below 2⁵³ — the bound where
+    * DECIMAL→DOUBLE conversion is EXACT in any engine; wider scales
+    * put the grains past 2⁵³ where engines legally disagree by one ulp
+    * (the TWA lesson). Bound: |Σxy|·10⁴ < 9·10¹⁵ holds to ~10⁷-unit
+    * bucket sums over ~10⁴ buckets. ONE definition on each side (this
+    * helper; the oracle's shared CTE) so the quantization discipline
+    * cannot drift between the two statistics. */
+  private def decimalBuckets(df: DataFrame, ts: String, seriesCol: String,
+      value: String, bucketUnit: String): DataFrame =
+    df.groupBy(col(seriesCol).as("series"),
+        epochSeconds(date_trunc(bucketUnit, col(ts))).as("bucket_s"))
+      .agg(sum(col(value).cast(DecimalType(28, 6)))
+        .cast(DecimalType(38, 2)).as("y"))
+
   /** CROSS-SERIES CORRELATION MATRIX — pairwise Pearson correlation
     * between every two series' bucketed sums (the reference domain's
     * own question: does PM2.5 track humidity?). Series are first
@@ -912,17 +929,8 @@ object TimeSeries {
     * `series_a ≤ series_b` (the matrix is symmetric). */
   def seriesCorrelation(df: DataFrame, ts: String, seriesCol: String,
       value: String, bucketUnit: String = "hour"): DataFrame = {
-    // bucket sums quantize to scale 2 (HALF_UP, identical in DuckDB)
-    // so every moment's scaled integer stays below 2^53 — DECIMAL→
-    // DOUBLE conversion is then EXACT in any engine; wider scales put
-    // the grains past 2^53 where engines legally disagree by one ulp
-    // (the TWA lesson). Bound: |Σxy|·10⁴ < 9·10¹⁵ holds to ~10⁷-unit
-    // bucket sums over ~10⁴ buckets.
-    val buckets = df
-      .groupBy(col(seriesCol).as("series"),
-        epochSeconds(date_trunc(bucketUnit, col(ts))).as("bucket_s"))
-      .agg(sum(col(value).cast(DecimalType(28, 6)))
-        .cast(DecimalType(38, 2)).as("v"))
+    val buckets = decimalBuckets(df, ts, seriesCol, value, bucketUnit)
+      .withColumnRenamed("y", "v")
     val joined = buckets.select(col("series").as("series_a"),
         col("bucket_s"), col("v").as("va"))
       .join(buckets.select(col("series").as("series_b"),
@@ -961,8 +969,16 @@ object TimeSeries {
   def seasonalityProfile(df: DataFrame, ts: String, seriesCol: String,
       value: String): DataFrame =
     df.withColumn("__s", epochSeconds(col(ts)))
-      .withColumn("hour_of_day", expr("pmod(__s div 3600, 24)"))
-      .withColumn("day_of_week", expr("pmod(__s div 86400 + 3, 7) + 1"))
+      // FLOOR division before the pmod: `div` truncates toward zero, so
+      // a pre-1970 timestamp would land in the wrong cell (and disagree
+      // with the oracle's flooring `//`); the CASE turns trunc-div into
+      // floor-div for negative seconds, a no-op for the common case
+      .withColumn("__h", expr(
+        "__s div 3600 + (CASE WHEN __s % 3600 < 0 THEN -1 ELSE 0 END)"))
+      .withColumn("__d", expr(
+        "__s div 86400 + (CASE WHEN __s % 86400 < 0 THEN -1 ELSE 0 END)"))
+      .withColumn("hour_of_day", expr("pmod(__h, 24)"))
+      .withColumn("day_of_week", expr("pmod(__d + 3, 7) + 1"))
       .groupBy(col(seriesCol).as("series"), col("hour_of_day"),
         col("day_of_week"))
       .agg(count(lit(1)).as("n"), exactAvg(col(value)).as("avg_value"))
@@ -984,11 +1000,7 @@ object TimeSeries {
     * |series|·|buckets| table. */
   def seriesTrend(df: DataFrame, ts: String, seriesCol: String,
       value: String): DataFrame = {
-    val buckets = df
-      .groupBy(col(seriesCol).as("series"),
-        epochSeconds(date_trunc("hour", col(ts))).as("bucket_s"))
-      .agg(sum(col(value).cast(DecimalType(28, 6)))
-        .cast(DecimalType(38, 2)).as("y"))
+    val buckets = decimalBuckets(df, ts, seriesCol, value, "hour")
     val w0 = Window.partitionBy(col("series"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     buckets

@@ -302,22 +302,29 @@ object Warehouse {
     * sheet an optimizer, a data contract, or a new team member reads
     * first; a lake has no system catalog to keep it, so it is a query.
     *
-    * Scale shape: one aggregate per column over a shared scan (Catalyst
-    * collapses the per-column plans into one pass when unioned from the
-    * same source after ReuseExchange) — each is map-side combinable;
-    * `countDistinct` is exact (swap for approx_count_distinct at the
-    * 10⁹-distinct mark, same report shape). */
+    * Scale shape: ONE aggregate computes every column's stats in a
+    * single scan (Spark plans the multiple distinct aggregates through
+    * one Expand — wider shuffle rows, but the table is read once; a
+    * per-column union would scan it N times), then the one-row result
+    * explodes to the per-column report shape. `countDistinct` is exact
+    * (swap for approx_count_distinct at the 10⁹-distinct mark, same
+    * report schema). */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
-    cols.map { c =>
-      df.agg(
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast(StringType).as(s"__min_$c"),
+      max(col(c)).cast(StringType).as(s"__max_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
         lit(c).as("column"),
-        count(lit(1)).as("n_rows"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast(StringType).as("min_value"),
-        max(col(c)).cast(StringType).as("max_value"))
-    }.reduce(_ unionByName _)
+        col("__n").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))): _*)).as("p"))
+      .select(col("p.*"))
       .withColumn("null_share",
         col("n_nulls").cast(DoubleType) / col("n_rows"))
   }

@@ -57,8 +57,12 @@ object StreamingHeavyHitters {
       val bar = m.nRows / (capacity + 1L)
       return m.counts.toSeq.sortBy { case (t, n) => (-n, t) }.iterator
         .map { case (t, n) =>
+          // certification must use the LOWER bound: countMin > bar means
+          // the true count provably exceeds the threshold; testing the
+          // upper bound would certify almost every survivor (decrements
+          // <= bar always), making the flag meaningless
           Hitter(key.group, key.windowStartS, t, n, n + m.decrements,
-            m.nRows, n + m.decrements > bar)
+            m.nRows, n > bar)
         }
     }
     var m = state.getOption.getOrElse(Mg(Map.empty, 0L, 0L))

@@ -29,6 +29,22 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(m.counts.contains("a"))
   }
 
+  test("guaranteed flag certifies via the LOWER bound only") {
+    // churn stream: 12 singletons sweep the table clean, then one z —
+    // z survives with countMin 1, but its true count (1) is NOT above
+    // bar = 13/4 = 3, so it must NOT be certified
+    val churn = (1 to 12).map(i => s"x$i") :+ "z"
+    val m = churn.foldLeft(Mg(Map.empty, 0L, 0L))(
+      (st, t) => StreamingHeavyHitters.fold(st, t, capacity = 3))
+    val bar = m.nRows / 4L
+    m.counts.foreach { case (t, n) =>
+      val certified = n > bar
+      // certified implies the TRUE count exceeds bar (true count = 1
+      // for every token here, and bar = 3: nothing may be certified)
+      assert(!certified, s"$t certified with countMin $n <= true 1")
+    }
+  }
+
   test("windows seal once; hot token guaranteed; state bounded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -418,6 +418,14 @@ class WarehouseSpec extends SparkSpec {
     assert(out((7L, 4L)).getAs[Long]("n") == 2L)
     assert(out((7L, 4L)).getAs[Double]("avg_value") == 3.0)
     assert(out((23L, 1L)).getAs[Long]("n") == 1L)
+    // pre-1970: one second before the epoch is 23:59 Wednesday (3) —
+    // floor-division semantics, not trunc-toward-zero
+    val old = Seq(("k", ts("1969-12-31 23:59:59"), 1.0))
+      .toDF("series", "ts", "value")
+    val o = TimeSeries.seasonalityProfile(old, "ts", "series", "value")
+      .collect()(0)
+    assert(o.getAs[Long]("hour_of_day") == 23L, o.toString)
+    assert(o.getAs[Long]("day_of_week") == 3L, o.toString)
   }
 
   test("snapshotDiff: hand-counted add/remove/change, NULL-safe payloads") {
@@ -531,6 +539,14 @@ class WarehouseSpec extends SparkSpec {
       out("id").getAs[String]("max_value") == "2")
     assert(out("s").getAs[Long]("n_nulls") == 1L)
     assert(out("s").getAs[Double]("null_share") == 0.25)
+    // ONE scan for the whole report — a per-column union would read
+    // the table N times
+    val ev = spark.read.parquet(sf("events"))
+    val plan = Warehouse.columnProfile(ev,
+      Seq("event_id", "user_id", "event_type", "value"))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"profile must scan once:\n$plan")
   }
 
   test("topSessionPaths: ordered paths, gap split, truncation marker") {
