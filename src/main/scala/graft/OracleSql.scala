@@ -3860,6 +3860,44 @@ object OracleSql {
         |SELECT path, n_sessions,
         |  CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
         |    AS BIGINT) AS rank
-        |FROM c QUALIFY rank <= 10""".stripMargin
+        |FROM c QUALIFY rank <= 10""".stripMargin,
+
+    // Dwell per state: the SCD2 runs' closed intervals rolled up.
+    "q_state_dwell" ->
+      s"""WITH ${scd2RunsCtes("")},
+        |iv AS (SELECT user_id, version, event_type, valid_from_s,
+        |    lead(valid_from_s) OVER (PARTITION BY user_id
+        |      ORDER BY version) AS valid_to_s
+        |  FROM runs)
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN valid_to_s IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_closed,
+        |  CAST(SUM(CASE WHEN valid_to_s IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_open,
+        |  CAST(SUM(CASE WHEN valid_to_s IS NOT NULL
+        |    THEN valid_to_s - valid_from_s END) AS BIGINT) AS dwell_s,
+        |  CASE WHEN SUM(CASE WHEN valid_to_s IS NOT NULL THEN 1
+        |      ELSE 0 END) > 0 THEN
+        |    CAST(SUM(CASE WHEN valid_to_s IS NOT NULL
+        |      THEN valid_to_s - valid_from_s END) AS DOUBLE)
+        |      / SUM(CASE WHEN valid_to_s IS NOT NULL THEN 1 ELSE 0 END)
+        |    END AS mean_dwell_s
+        |FROM iv GROUP BY 1""".stripMargin,
+
+    // Burst detection: minute counts, then the peak (ties earliest).
+    "q_burst" ->
+      """WITH m AS (SELECT event_type,
+        |    epoch_ns(ts)//1000000000
+        |      - (epoch_ns(ts)//1000000000) % 60 AS minute_s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, minute_s) AS rn FROM m),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT)
+        |    AS n_active_minutes, MAX(n) AS peak_per_minute
+        |  FROM m GROUP BY 1)
+        |SELECT a.event_type, a.peak_per_minute, p.minute_s
+        |    AS peak_minute_s, a.n_active_minutes
+        |FROM a JOIN p ON p.event_type = a.event_type AND p.rn = 1""".stripMargin
   )
 }

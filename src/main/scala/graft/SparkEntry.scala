@@ -1354,6 +1354,40 @@ object SparkEntry {
     Warehouse.topSessionPaths(events(spark, dir), "ts", "user_id",
       "event_id", "event_type", gapSeconds = 1800L, maxSteps = 5, k = 10)
 
+  /** Dwell time per state: the SCD2 dimension's CLOSED intervals rolled
+    * up per event_type — total/mean seconds users spend in each state
+    * before transitioning (open runs have no duration and are counted
+    * separately). Pure composition over [[Warehouse.scd2Dimension]]. */
+  private def qStateDwell(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.scd2Dimension(events(spark, dir), "ts", "user_id",
+        "event_type", "event_id")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("valid_to_s").isNotNull, 1L).otherwise(0L))
+          .as("n_closed"),
+        sum(when(col("valid_to_s").isNull, 1L).otherwise(0L))
+          .as("n_open"),
+        sum(when(col("valid_to_s").isNotNull,
+          col("valid_to_s") - col("valid_from_s"))).as("dwell_s"))
+      .withColumn("mean_dwell_s", when(col("n_closed") > 0,
+        col("dwell_s").cast(DoubleType) / col("n_closed")))
+
+  /** Burst detection: each event type's hottest minute — max events in
+    * any tumbling 60-second bucket, with the bucket that did it (ties
+    * to the earliest minute). Two aggregates: minute counts
+    * (map-combined), then max_by over the tiny bucket table. */
+  private def qBurst(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"),
+        (epochS(col("ts")) - pmod(epochS(col("ts")), lit(60L)))
+          .as("minute_s"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("peak_per_minute"),
+        min_by(col("minute_s"), struct((-col("n")).as("neg"),
+          col("minute_s"))).as("peak_minute_s"),
+        count(lit(1)).as("n_active_minutes"))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1519,7 +1553,9 @@ object SparkEntry {
     "q_text_langid_kappa" -> (qTextLangidKappa _),
     "q_text_fertility" -> (qTextFertility _),
     "q_dq_profile" -> (qDqProfile _),
-    "q_session_paths" -> (qSessionPaths _)
+    "q_session_paths" -> (qSessionPaths _),
+    "q_state_dwell" -> (qStateDwell _),
+    "q_burst" -> (qBurst _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

@@ -571,6 +571,42 @@ class WarehouseSpec extends SparkSpec {
     assert(!out.keys.exists(_.count(_ == '>') > 5))
   }
 
+  test("state dwell and burst: hand-counted compositions") {
+    // dwell: user 7 holds 'a' 20s, 'b' 10s, then open 'a'
+    val ev = Seq(
+      (7L, ts("2024-01-01 00:00:10"), "a", 1L),
+      (7L, ts("2024-01-01 00:00:30"), "b", 2L),
+      (7L, ts("2024-01-01 00:00:40"), "a", 3L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val dim = Warehouse.scd2Dimension(ev, "ts", "user_id", "event_type",
+      "event_id")
+    val dwell = dim.groupBy(col("event_type"))
+      .agg(sum(when(col("valid_to_s").isNotNull,
+        col("valid_to_s") - col("valid_from_s"))).as("dwell_s"),
+        sum(when(col("valid_to_s").isNull, 1L).otherwise(0L)).as("n_open"))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(dwell("a").getAs[Long]("dwell_s") == 20L)
+    assert(dwell("a").getAs[Long]("n_open") == 1L) // the open run excluded
+    assert(dwell("b").getAs[Long]("dwell_s") == 10L)
+    // burst: 3 events in minute 0, 1 in minute 2 -> peak 3 at minute 0
+    val burst = Seq(
+      ("x", ts("2024-01-01 00:00:01")), ("x", ts("2024-01-01 00:00:30")),
+      ("x", ts("2024-01-01 00:00:59")), ("x", ts("2024-01-01 00:02:05"))
+    ).toDF("event_type", "ts")
+      .groupBy(col("event_type"),
+        (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(60L)))
+          .as("minute_s"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("peak"),
+        min_by(col("minute_s"), struct((-col("n")).as("neg"),
+          col("minute_s"))).as("peak_minute_s"))
+      .collect()(0)
+    assert(burst.getAs[Long]("peak") == 3L)
+    assert(burst.getAs[Long]("peak_minute_s") ==
+      ts("2024-01-01 00:00:00").getTime / 1000L)
+  }
+
   test("minhashQualityEval: exact-duplicate corpus scores perfect") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
