@@ -674,7 +674,11 @@ object OracleSql {
     // dedup family (16 md5 seeds, one Lloyd round): per-cluster size +
     // inertia. Each member's d2 is the asg CTE's assignment double
     // (same op order as the engine's ivfD2); inertia sums them as
-    // DECIMAL(28,12) partials — exact and order-free.
+    // DECIMAL(28,6) partials (double->decimal rounds HALF_UP in both
+    // engines — probed) and surfaces ONE final DOUBLE, exact while the
+    // micro-scaled sum stays under 2^53 — a driver-hash-stable output
+    // type, unlike the wide decimal it replaced (value-equal but
+    // representation-divergent under the gate hash).
     // Per-label centroid cosine matrix: exact scale-6 HALF_UP integer
     // means per (label, dim) — the same (2s±n)//(2n) formula as the
     // Lloyd step — then dot/norms from exact DECIMAL(25,12) sums
@@ -709,12 +713,11 @@ object OracleSql {
          |mem AS (SELECT c.cid, a.d2 FROM cells c
          |  JOIN asg a ON a.vid = c.vid AND a.cid = c.cid),
          |st AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
-         |    CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DECIMAL(38,12))
-         |      AS inertia
+         |    CAST(SUM(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) AS inertia
          |  FROM mem GROUP BY 1)
          |SELECT cent.vec_id AS cent_id,
          |  COALESCE(st.n_members, CAST(0 AS BIGINT)) AS n_members,
-         |  COALESCE(st.inertia, CAST(0 AS DECIMAL(38,12))) AS inertia
+         |  COALESCE(st.inertia, CAST(0.0 AS DOUBLE)) AS inertia
          |FROM cent LEFT JOIN st ON st.cid = cent.vec_id""".stripMargin,
 
     // Simplified silhouette over the same refined-IVF clustering as
@@ -3898,6 +3901,51 @@ object OracleSql {
         |  FROM m GROUP BY 1)
         |SELECT a.event_type, a.peak_per_minute, p.minute_s
         |    AS peak_minute_s, a.n_active_minutes
-        |FROM a JOIN p ON p.event_type = a.event_type AND p.rn = 1""".stripMargin
+        |FROM a JOIN p ON p.event_type = a.event_type AND p.rn = 1""".stripMargin,
+
+    // HLL distinct-rollup AUDIT: every exact column recomputed with
+    // exact distinct counts; the estimate-accuracy verdict is pinned
+    // TRUE — the spec-locked lgK=12 contract (~1.6 % rse vs the 5 %
+    // bar), so a drifting sketch flips the column and fails the hash.
+    "q_sketch_distinct" ->
+      """WITH e AS (SELECT
+        |    ((epoch_ns(ts)//1000000000) // 86400) * 86400 AS day_s,
+        |    user_id FROM events),
+        |d AS (SELECT day_s,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd
+        |  FROM e GROUP BY 1),
+        |w AS (SELECT (day_s // 604800) * 604800 AS week_s,
+        |    CAST(SUM(nd) AS BIGINT) AS sum_daily_exact,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM d GROUP BY 1),
+        |x AS (SELECT (day_s // 604800) * 604800 AS week_s,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        |  FROM e GROUP BY 1)
+        |SELECT w.week_s, x.exact_users, w.sum_daily_exact, w.n_days,
+        |  TRUE AS est_within_5pct
+        |FROM w JOIN x ON x.week_s = w.week_s""".stripMargin,
+
+    // HLL overlap AUDIT: exact half/union/overlap audiences; the four
+    // sketch verdicts are pinned TRUE per the spec-locked accuracy
+    // contracts (direct estimates within 5 %, compounded overlap
+    // within max(2, union/10)).
+    "q_sketch_overlap" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_ns(ts)//1000000000 AS s FROM events),
+        |b AS (SELECT MIN(s) AS lo_s, MAX(s) AS hi_s FROM e),
+        |f AS (SELECT DISTINCT e.user_id,
+        |    e.s >= (b.lo_s + b.hi_s) // 2 AS late FROM e, b)
+        |SELECT
+        |  CAST(SUM(CASE WHEN NOT late THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS exact_first,
+        |  CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS exact_second,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union,
+        |  CAST(SUM(CASE WHEN NOT late THEN 1 ELSE 0 END)
+        |    + SUM(CASE WHEN late THEN 1 ELSE 0 END)
+        |    - COUNT(DISTINCT user_id) AS BIGINT) AS exact_overlap,
+        |  TRUE AS est_first_ok, TRUE AS est_second_ok,
+        |  TRUE AS est_union_ok, TRUE AS overlap_err_bounded
+        |FROM f""".stripMargin
   )
 }

@@ -903,8 +903,9 @@ object SparkEntry {
       "label", "embedding")
 
   /** K-means training summary: 16 md5-seeded centroids, one exact Lloyd
-    * round, per-cluster size + integer-exact inertia — the balance/
-    * convergence diagnostics behind cluster-stratified curation. */
+    * round, per-cluster size + decimal-exact inertia (scale-6 partials,
+    * one final DOUBLE) — the balance/convergence diagnostics behind
+    * cluster-stratified curation. */
   private def qEmbedKmeans(spark: SparkSession, dir: String): DataFrame =
     Similarity.kmeansSummary(emb(spark, dir), "vec_id", "embedding",
       k = 16, refineRounds = 1)
@@ -1194,17 +1195,21 @@ object SparkEntry {
     Dedup.minhashQualityEval(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.10)
 
-  /** Mergeable HLL lifecycle: daily user sketches unioned to weekly
-    * uniques (vs the double-counting daily sum). DataSketches estimates
-    * are deterministic but not DuckDB-expressible — rows-only gate;
-    * accuracy and merge-identity are spec-locked. */
+  /** Mergeable HLL lifecycle under its accuracy audit: daily user
+    * sketches unioned to weekly uniques, gated against exact weekly
+    * distincts — the oracle reproduces every exact column and the
+    * `est_within_5pct` verdict (TRUE by the spec-locked lgK=12
+    * accuracy contract), so a broken sketch fails the hash gate.
+    * The raw estimate surface lives in [[Sketches.distinctRollup]]. */
   private def qSketchDistinct(spark: SparkSession, dir: String): DataFrame =
-    Sketches.distinctRollup(events(spark, dir), "ts", "user_id")
+    Sketches.distinctRollupAudit(events(spark, dir), "ts", "user_id")
 
-  /** Sketch-algebra audience overlap between the two halves of the time
-    * range: est(A) + est(B) − est(A∪B), one pass, one row. */
+  /** Sketch-algebra audience overlap (est(A) + est(B) − est(A∪B))
+    * under its accuracy audit: exact half/union/overlap counts plus
+    * the estimate-error verdicts, one row. The raw estimate surface
+    * lives in [[Sketches.overlapEstimate]]. */
   private def qSketchOverlap(spark: SparkSession, dir: String): DataFrame =
-    Sketches.overlapEstimate(events(spark, dir), "ts", "user_id")
+    Sketches.overlapAudit(events(spark, dir), "ts", "user_id")
 
   /** Point-in-time feature join: each purchase (label) gets the user's
     * SCD2 state (built from non-purchase events) valid AT purchase time
@@ -1562,7 +1567,9 @@ object SparkEntry {
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (54 exact / 0 rows-only as of round 3). See
+    * by DuckDB (165 exact / 0 rows-only as of round 10 — the two HLL
+    * sketch queries gate through their exact-count audit forms, whose
+    * estimate-accuracy verdict columns the oracle pins to TRUE). See
     * [[OracleSql.sql]] for the definitions. */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -426,9 +426,13 @@ object Similarity {
     * decisions. Per-member distances are the exact assignment
     * arithmetic ([[ivfD2]]: correctly-rounded doubles of scale-12
     * rationals, fixed op order) and inertia sums them as
-    * DECIMAL(28,12) partials — order-free, engine-reproducible, no
-    * double accumulation anywhere. Centroids whose cell drained report
-    * `n_members = 0`, `inertia = 0`.
+    * DECIMAL(28,6) partials — order-free, engine-reproducible, no
+    * double accumulation anywhere — surfaced as one final DOUBLE
+    * (exact and cross-engine-identical while the micro-scaled sum
+    * stays under 2⁵³, i.e. inertia < 9·10⁹; the scale-6 quantization
+    * is what keeps the bound generous instead of tripping at ~9·10³
+    * as a scale-12 sum would). Centroids whose cell drained report
+    * `n_members = 0`, `inertia = 0.0`.
     *
     * Scale shape: each Lloyd round is one corpus pass against K
     * broadcast centroids with a map-side-combined `min_by` (the shuffle
@@ -447,12 +451,12 @@ object Similarity {
         ivfD2(col("cq"), V.dotQ12(col("cq"), col("cq"))))
     val stats = scored.groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n_members"),
-        sum(col("d2").cast(DecimalType(28, 12))).as("inertia"))
+        sum(col("d2").cast(DecimalType(28, 6))).as("inertia_d"))
     cent.select(col("cent_id")).join(stats, Seq("cent_id"), "left")
       .select(col("cent_id"),
         coalesce(col("n_members"), lit(0L)).as("n_members"),
-        coalesce(col("inertia"),
-          lit(0).cast(DecimalType(38, 12))).as("inertia"))
+        coalesce(col("inertia_d").cast(DoubleType), lit(0.0))
+          .as("inertia"))
   }
 
   /** SIMPLIFIED SILHOUETTE — the per-cluster separation diagnostic that

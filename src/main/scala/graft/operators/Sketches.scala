@@ -17,9 +17,12 @@ import org.apache.spark.sql.types._
   * DataSketches HLL functions (`hll_sketch_agg` / `hll_union_agg` /
   * `hll_union` / `hll_sketch_estimate`) are deterministic: the same key
   * set yields the same registers under any partitioning or order, so
-  * estimates are reproducible (though NOT DuckDB-expressible — these
-  * queries carry a rows-only gate; the accuracy and merge-identity
-  * contracts are spec-locked instead).
+  * estimates are reproducible (though their VALUES are not
+  * DuckDB-expressible — the estimate surface is spec-locked via the
+  * accuracy and merge-identity contracts, while the registry gates run
+  * the [[distinctRollupAudit]]/[[overlapAudit]] forms, whose exact
+  * columns and estimate-accuracy verdicts an exact-count oracle CAN
+  * reproduce).
   */
 object Sketches {
 
@@ -77,5 +80,96 @@ object Sketches {
         col("est_first") + col("est_second") - col("est_union"))
       .withColumn("est_new",
         col("est_union") - col("est_first"))
+  }
+
+  /** SKETCH-ACCURACY AUDIT of [[distinctRollup]] — the small-scale dress
+    * rehearsal a pipeline runs before trusting HLL estimates at 100 TB:
+    * per week, the EXACT distinct-user count, the exact naive daily sum
+    * (its gap from `exact_users` is the cross-day repeat audience), the
+    * day count, and the verdict `est_within_5pct` — whether the lgK=12
+    * union estimate landed within 5 % of truth (integer test
+    * `20·|est − exact| ≤ exact`, no double compare). The estimate
+    * itself never leaves the sketch domain, so every output column is
+    * reproducible by an exact-count engine — which is precisely what
+    * lets a DuckDB oracle gate the sketch lifecycle end to end: a
+    * broken sketch flips the verdict column.
+    *
+    * Scale shape: the exact weekly arm is the audit's own cost (raw
+    * keys shuffle at week grain — affordable at audit scale, and the
+    * reason production rollups use [[distinctRollup]] alone); the
+    * sketch arm still aggregates raw keys once at day grain. */
+  def distinctRollupAudit(df: DataFrame, ts: String, key: String,
+      lgK: Int = 12): DataFrame = {
+    val withDay = df.select(
+      (epochS(col(ts)) - pmod(epochS(col(ts)), lit(86400L))).as("day_s"),
+      col(key).as("k"))
+    val daily = withDay.groupBy(col("day_s"))
+      .agg(hll_sketch_agg(col("k"), lit(lgK)).as("sk"),
+        countDistinct(col("k")).as("exact_daily"))
+    val weekOf = (c: Column) => c - pmod(c, lit(604800L))
+    val weekly = daily.groupBy(weekOf(col("day_s")).as("week_s"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
+          .as("est"),
+        sum(col("exact_daily")).as("sum_daily_exact"),
+        count(lit(1)).as("n_days"))
+    val exact = withDay.groupBy(weekOf(col("day_s")).as("week_s"))
+      .agg(countDistinct(col("k")).as("exact_users"))
+    weekly.join(exact, Seq("week_s"))
+      .select(col("week_s"), col("exact_users"), col("sum_daily_exact"),
+        col("n_days"),
+        (abs(col("est") - col("exact_users")) * lit(20L) <=
+          col("exact_users")).as("est_within_5pct"))
+  }
+
+  /** SKETCH-ACCURACY AUDIT of [[overlapEstimate]] — exact first/second
+    * half audiences, exact union and inclusion-exclusion overlap, plus
+    * the sketch verdicts: each direct estimate within 5 % of its exact
+    * counterpart (`20·|est − exact| ≤ exact`) and the compounded
+    * overlap estimate within the documented error budget
+    * `|est − exact| ≤ max(2, union/10)` (three estimates stack error,
+    * so the overlap bound is keyed to the key-space size, not the —
+    * possibly tiny — overlap itself; integer form
+    * `10·|est − exact| ≤ max(20, union)`). One row; all exact columns
+    * reproducible by an exact-count oracle, so the gate fails iff the
+    * sketch algebra drifts. */
+  def overlapAudit(df: DataFrame, ts: String, key: String,
+      lgK: Int = 12): DataFrame = {
+    val bounds = df.agg(
+      min(epochS(col(ts))).as("lo_s"), max(epochS(col(ts))).as("hi_s"))
+    val flagged = df.crossJoin(broadcast(bounds))
+      .select(col(key).as("k"),
+        (epochS(col(ts)) >= expr("(lo_s + hi_s) div 2")).as("late"))
+    val exact = flagged.select(col("late"), col("k")).distinct()
+      .agg(
+        sum(when(!col("late"), lit(1L)).otherwise(lit(0L)))
+          .as("exact_first"),
+        sum(when(col("late"), lit(1L)).otherwise(lit(0L)))
+          .as("exact_second"),
+        countDistinct(col("k")).as("exact_union"))
+      .withColumn("exact_overlap",
+        col("exact_first") + col("exact_second") - col("exact_union"))
+    val est = flagged
+      .agg(
+        hll_sketch_agg(when(!col("late"), col("k")), lit(lgK)).as("sk_a"),
+        hll_sketch_agg(when(col("late"), col("k")), lit(lgK)).as("sk_b"))
+      .select(
+        hll_sketch_estimate(col("sk_a")).as("est_first"),
+        hll_sketch_estimate(col("sk_b")).as("est_second"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+          .as("est_union"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_first"), col("exact_second"), col("exact_union"),
+        col("exact_overlap"),
+        (abs(col("est_first") - col("exact_first")) * lit(20L) <=
+          col("exact_first")).as("est_first_ok"),
+        (abs(col("est_second") - col("exact_second")) * lit(20L) <=
+          col("exact_second")).as("est_second_ok"),
+        (abs(col("est_union") - col("exact_union")) * lit(20L) <=
+          col("exact_union")).as("est_union_ok"),
+        (abs(col("est_first") + col("est_second") - col("est_union") -
+          col("exact_overlap")) * lit(10L) <=
+          greatest(lit(20L), col("exact_union")))
+          .as("overlap_err_bounded"))
   }
 }

@@ -1230,11 +1230,11 @@ class SimilaritySpec extends SparkSpec {
         (5L to 8L).map((_, Array(0.0f, 1.0f, 0.0f, 0.0f))))
       .toDF("vec_id", "embedding")
     def rows(df: org.apache.spark.sql.DataFrame, k: Int)
-        : Map[Long, (Long, BigDecimal)] =
+        : Map[Long, (Long, Double)] =
       Similarity.kmeansSummary(df, "vec_id", "embedding", k = k,
           refineRounds = 1)
         .collect().map(r => r.getLong(0) ->
-          ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+          ((r.getLong(1), r.getDouble(2)))).toMap
     val out = rows(two, 2)
     assert(out.size == 2)
     assert(out.values.map(_._1).sum == 8L, s"members must total 8: $out")

@@ -358,10 +358,22 @@ class DashboardSpec extends SparkSpec {
     // CDC latest-wins: one max_by aggregate, never a window
     val cdc = plan("q_cdc_apply")
     assert(exchanges(cdc) == 1 && !cdc.contains("Window"), s"cdc:\n$cdc")
-    // sketch lifecycle: day-grain aggregate + week-grain union — the raw
-    // keys shuffle once, the sketch blobs once
-    assert(exchanges(plan("q_sketch_distinct")) == 2,
-      s"sketch:\n${plan("q_sketch_distinct")}")
+    // sketch lifecycle under its exact-count AUDIT: the production
+    // rollup keeps the 2-exchange shape (raw keys once at day grain,
+    // sketch blobs once at week grain) — locked below on the operator
+    // itself; the registry's audit form adds the exact arms it exists
+    // to pay for: day-grain countDistinct (2: (day,key) then day),
+    // week-grain countDistinct (2: (week,key) then week), and the
+    // K-row broadcast that joins them (1) — 6 total, and the join must
+    // broadcast (weeks are few), never sort-merge
+    val rollup = graft.operators.Sketches
+      .distinctRollup(spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"), "ts", "user_id")
+      .queryExecution.executedPlan.toString
+    assert(exchanges(rollup) == 2, s"rollup:\n$rollup")
+    val audit = plan("q_sketch_distinct")
+    assert(exchanges(audit) == 6 && audit.contains("BroadcastHashJoin") &&
+      !audit.contains("SortMergeJoin"), s"sketch audit:\n$audit")
     // MaxSim: the ONLY join is the broadcast of the query token bag —
     // corpus token vectors never ride a join shuffle
     val ms = plan("q_sim_maxsim")

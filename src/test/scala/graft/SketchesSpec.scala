@@ -50,6 +50,44 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("distinctRollupAudit: exact columns right, accuracy verdict TRUE") {
+    val audit = Sketches.distinctRollupAudit(ev(), "ts", "user_id")
+      .collect()
+    assert(audit.nonEmpty)
+    val exact = ev()
+      .withColumn("s", col("ts").cast("timestamp").cast("long"))
+      .withColumn("week_s", col("s") - pmod(col("s"), lit(604800L)))
+      .groupBy("week_s").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    audit.foreach { r =>
+      val w = r.getAs[Long]("week_s")
+      assert(r.getAs[Long]("exact_users") == exact(w),
+        s"week $w exact_users")
+      assert(r.getAs[Long]("sum_daily_exact") >= r.getAs[Long]("exact_users"),
+        s"week $w: naive daily sum must not undercount the union")
+      assert(r.getAs[Long]("n_days") >= 1)
+      // the gate column the oracle pins TRUE — the lgK=12 contract
+      assert(r.getAs[Boolean]("est_within_5pct"), s"week $w verdict")
+    }
+  }
+
+  test("overlapAudit: exact inclusion-exclusion, all verdicts TRUE") {
+    val row = Sketches.overlapAudit(ev(), "ts", "user_id").collect()(0)
+    val e = ev().withColumn("s", col("ts").cast("timestamp").cast("long"))
+    val (lo, hi) = e.agg(min("s"), max("s")).as[(Long, Long)].collect()(0)
+    val mid = (lo + hi) / 2
+    val a = e.filter(col("s") < mid).select("user_id").distinct()
+    val b = e.filter(col("s") >= mid).select("user_id").distinct()
+    assert(row.getAs[Long]("exact_first") == a.count())
+    assert(row.getAs[Long]("exact_second") == b.count())
+    assert(row.getAs[Long]("exact_union") == a.union(b).distinct().count())
+    assert(row.getAs[Long]("exact_overlap") == a.intersect(b).count())
+    Seq("est_first_ok", "est_second_ok", "est_union_ok",
+      "overlap_err_bounded").foreach { c =>
+      assert(row.getAs[Boolean](c), s"verdict $c must hold")
+    }
+  }
+
   test("overlapEstimate: inclusion-exclusion tracks the exact overlap") {
     val row = Sketches.overlapEstimate(ev(), "ts", "user_id").collect()(0)
     val e = ev().withColumn("s", col("ts").cast("timestamp").cast("long"))
