@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   * The Spark-side shape is real and tested — schema, partitioning, batch
   * iteration (`mapPartitions` over an iterator, the Scala analogue of
   * `mapInPandas`), and output schemas. [[MediaCodec.decode]] REALLY decodes
-  * the two container formats that need no codec library (24-bit BMP and
-  * 16-bit PCM WAV — pure byte arithmetic, spec-gated against hand-built
-  * files) and falls back to a deterministic md5 stub for every other
-  * format (this container has no image/audio libraries); swap in
-  * libjpeg/ffmpeg-backed branches in production, nothing else changes.
+  * every format reachable without third-party libraries — 24-bit BMP,
+  * 16-bit PCM WAV, PNG and binary PNM by pure byte arithmetic
+  * (spec-gated against hand-built files), and JPEG through the JDK's
+  * own bundled ImageIO reader — and falls back to a deterministic md5
+  * stub for the rest (MP3/video need codec libraries this container
+  * does not ship); swap in ffmpeg-backed branches in production,
+  * nothing else changes.
   *
   * Scale notes: payloads stay opaque binary until the last possible moment
   * (no shuffle ever carries decoded frames); decode runs partition-local
@@ -38,14 +40,16 @@ object Multimodal {
     StructField("caption", StringType, nullable = true)
   ))
 
-  /** Media codec: REAL decoders for the three container formats that
-    * need no codec library — BMP (24-bit uncompressed BI_RGB), WAV
-    * (16-bit PCM), both pure byte arithmetic, and PNG (8-bit
+  /** Media codec: REAL decoders for every format reachable without a
+    * third-party library — BMP (24-bit uncompressed BI_RGB) and WAV
+    * (16-bit PCM) by pure byte arithmetic, PNG (8-bit
     * gray/RGB/palette/RGBA, non-interlaced) via the JDK's own zlib
-    * `Inflater` plus the spec's five scanline filters — and a
-    * deterministic md5 stub for every other format (JPEG/MP3/video need
-    * codec libraries this container does not ship; swap in
-    * libjpeg/ffmpeg-backed branches in production, nothing else
+    * `Inflater` plus the spec's five scanline filters, binary PNM, and
+    * JPEG (baseline + progressive JFIF/Exif) via the JDK's bundled
+    * ImageIO reader (deterministic for a fixed JDK — the decoder is
+    * pure Java, no platform codec) — and a deterministic md5 stub for
+    * the rest (MP3/video need codec libraries this container does not
+    * ship; swap in ffmpeg-backed branches in production, nothing else
     * changes). Features are n contiguous-slice means over the decoded
     * signal — pixel luminance in [0,1] for BMP/PNG, absolute amplitude
     * in [0,1] for WAV — computed in exact integer sums before one final
@@ -65,6 +69,7 @@ object Multimodal {
         else if (isWav(payload)) wavFeatures(payload, n)
         else if (isPng(payload)) pngFeatures(payload, n)
         else if (isPnm(payload)) pnmFeatures(payload, n)
+        else if (isJpeg(payload)) jpegFeatures(payload, n)
         else stubFeatures(payload, n)
       } catch { case _: IndexOutOfBoundsException |
                      _: ArithmeticException => stubFeatures(payload, n) }
@@ -90,6 +95,69 @@ object Multimodal {
       b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
         b(2) == 'N' && b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a &&
         b(6) == 0x1a && b(7) == 0x0a
+
+    /** SOI marker + the lead byte of the next segment marker — the
+      * JFIF/Exif magic every JPEG stream starts with. */
+    private[graft] def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+        (b(2) & 0xff) == 0xff
+
+    /** JPEG decode via the JDK's bundled ImageIO reader — pure Java
+      * (no platform codec), so the decoded raster is deterministic for
+      * a fixed JDK; the in-memory stream cache is disabled so executor
+      * threads never touch a temp directory. Undecodable streams
+      * (truncated entropy data, CMYK variants the reader rejects, …)
+      * return None — the caller's stub arm, a poison payload must not
+      * kill a 10⁹-row decode stage. */
+    private def jpegImage(b: Array[Byte])
+        : Option[java.awt.image.BufferedImage] =
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+          .filter(im => im.getWidth > 0 && im.getHeight > 0)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** JPEG features: per-slice mean `(r+g+b)/(3·255)` over the decoded
+      * raster in row-major order — the identical convention (and exact
+      * integer sums) as [[bmpFeatures]]/[[pngFeatures]]. */
+    private def jpegFeatures(b: Array[Byte], n: Int): Array[Double] = {
+      val img = jpegImage(b)
+      if (img.isEmpty) return stubFeatures(b, n)
+      val im = img.get
+      val w = im.getWidth; val h = im.getHeight
+      val px = im.getRGB(0, 0, w, h, null, 0, w)
+      val total = w * h
+      val out = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        val from = bound(j, total, n); val until = bound(j + 1, total, n)
+        var sum = 0L
+        var p = from
+        while (p < until) {
+          val v = px(p)
+          sum += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+          p += 1
+        }
+        out(j) = if (until == from) 0.0
+                 else sum.toDouble / (3.0 * 255.0 * (until - from))
+        j += 1
+      }
+      out
+    }
+
+    private def grayJpeg(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      jpegImage(b).map { im =>
+        val w = im.getWidth; val h = im.getHeight
+        val px = im.getRGB(0, 0, w, h, null, 0, w)
+        val g = new Array[Int](w * h)
+        var p = 0
+        while (p < g.length) {
+          val v = px(p)
+          g(p) = (((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)) / 3
+          p += 1
+        }
+        (w, h, g)
+      }
 
     private[graft] def isPnm(b: Array[Byte]): Boolean =
       b.length >= 10 && b(0) == 'P' && (b(1) == '5' || b(1) == '6') &&
@@ -634,6 +702,12 @@ object Multimodal {
           pngDecode(b).map { case (w, h, _, _, _) =>
             Sniffed("image/png", Some(w), Some(h), None)
           }
+        } else if (isJpeg(b)) {
+          // gate parity with jpegFeatures: dimensions are claimed only
+          // for streams ImageIO fully decodes
+          jpegImage(b).map(im =>
+            Sniffed("image/jpeg", Some(im.getWidth), Some(im.getHeight),
+              None))
         } else if (isPnm(b)) {
           // gate parity with pnmFeatures: strict header, maxval 255,
           // full raster present
@@ -653,7 +727,7 @@ object Multimodal {
       } catch { case _: IndexOutOfBoundsException => None }
 
     /** Decode any in-gate raster to 8-bit luma, row-major top-down:
-      * P5 `v`, P6/BMP-24/PNG-RGB `(r+g+b)/3` (integer division —
+      * P5 `v`, P6/BMP-24/PNG-RGB/JPEG `(r+g+b)/3` (integer division —
       * deterministic), PNG palette via PLTE lookup, PNG RGBA ignores
       * alpha. BMP's bottom-up row order is flipped so (0,0) is the
       * top-left in every format. Out-of-gate bytes → None. */
@@ -663,6 +737,7 @@ object Multimodal {
         if (isBmp(b)) grayBmp(b)
         else if (isPng(b)) pngDecode(b).map(grayPng)
         else if (isPnm(b)) grayPnm(b)
+        else if (isJpeg(b)) grayJpeg(b)
         else None
       } catch { case _: IndexOutOfBoundsException |
                      _: ArithmeticException => None }

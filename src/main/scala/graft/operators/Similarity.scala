@@ -1393,31 +1393,49 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       k: Int, rerank: Int, numCentroids: Int = 16, refineRounds: Int = 1,
       nprobe: Int = 2, numSubspaces: Int = 4, numCodes: Int = 16,
-      residual: Boolean = true): DataFrame = {
+      residual: Boolean = true,
+      maxBroadcastQueries: Int = RerankBroadcastLimit): DataFrame = {
     require(rerank >= k, "rerank shortlist must be at least k")
     exactRerank(
       ivfPqTopK(queries, queryId, queryVec, corpus, corpusId, corpusVec,
         k = rerank, numCentroids, refineRounds, nprobe, numSubspaces,
         numCodes, residual),
-      queries, queryId, queryVec, corpus, corpusId, corpusVec, k)
+      queries, queryId, queryVec, corpus, corpusId, corpusVec, k,
+      maxBroadcastQueries)
   }
 
+  /** Broadcasting the rerank inputs is right while the query batch is
+    * small — the common serving shape, where the `Q × rerank` id list
+    * and the query-vector table are kilobytes. Above this many queries
+    * both grow linearly in |Q| and a forced broadcast would ship an
+    * unbounded table to every executor, so the rerank falls back to
+    * shuffle joins keyed on corpus_id / query_id (AQE may still demote
+    * to a runtime broadcast if stats allow — the point is to stop
+    * FORCING one regardless of size). */
+  private[graft] val RerankBroadcastLimit = 10000
+
   /** The rerank tail shared by the one-shot and persisted-index paths:
-    * broadcast the `Q × rerank` shortlist ids into one pruned corpus
-    * scan, score the survivors with the exact dot_q12 kernel, cut to
-    * top-k. */
+    * route the `Q × rerank` shortlist ids into one pruned corpus scan,
+    * score the survivors with the exact dot_q12 kernel, cut to top-k.
+    * Join strategy per [[RerankBroadcastLimit]]: the query batch is
+    * sized with one early-exit `limit(n+1).count()` probe (bounded
+    * work even on an unbounded query table), then both rerank joins
+    * either broadcast (small batch) or shuffle on their keys. */
   private def exactRerank(shortlist: DataFrame,
       queries: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,
-      k: Int): DataFrame = {
+      k: Int, maxBroadcastQueries: Int = RerankBroadcastLimit): DataFrame = {
     val ids = shortlist.select(col("query_id"), col("corpus_id"))
     val cq = corpus.select(col(corpusId).as("corpus_id"),
       V.quantize6(col(corpusVec)).as("cv"))
     val qq = queries.select(col(queryId).as("query_id"),
       V.quantize6(col(queryVec)).as("qv"))
+    val small = queries.select(col(queryId))
+      .limit(maxBroadcastQueries + 1).count() <= maxBroadcastQueries
+    val hint = (d: DataFrame) => if (small) broadcast(d) else d
     pqTopKWindow(
-      cq.join(broadcast(ids), Seq("corpus_id"))
-        .join(broadcast(qq), Seq("query_id"))
+      cq.join(hint(ids), Seq("corpus_id"))
+        .join(hint(qq), Seq("query_id"))
         .withColumn("score", V.dotQ12(col("qv"), col("cv"))), k)
   }
 
@@ -1622,12 +1640,14 @@ object Similarity {
   def probeIvfPqRerank(index: IvfPqIndex, queries: DataFrame,
       queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,
-      k: Int, rerank: Int, nprobe: Int = 2): DataFrame = {
+      k: Int, rerank: Int, nprobe: Int = 2,
+      maxBroadcastQueries: Int = RerankBroadcastLimit): DataFrame = {
     require(rerank >= k, "rerank shortlist must be at least k")
     registered(corpus)
     exactRerank(
       probeIvfPq(index, queries, queryId, queryVec, k = rerank, nprobe),
-      queries, queryId, queryVec, corpus, corpusId, corpusVec, k)
+      queries, queryId, queryVec, corpus, corpusId, corpusVec, k,
+      maxBroadcastQueries)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`: LSH bucketing

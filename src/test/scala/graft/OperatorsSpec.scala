@@ -2214,6 +2214,73 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.decode(wav.take(20), 2).length == 2)
   }
 
+  /** Encode a raster as JPEG with the same JDK ImageIO the decoder
+    * gates on — the fixture is built by the codec's own public
+    * inverse, not by the decode path under test. */
+  private def jpegBytes(im: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpeg", out)
+    out.toByteArray
+  }
+
+  test("MediaCodec: real JPEG decode — features, sniff parity, dhash") {
+    import graft.operators.Multimodal.MediaCodec
+    // 64×32 vertical step: top half luma 32, bottom half 224 — slice 0
+    // of 2 covers exactly the top rows in row-major order
+    val step = new java.awt.image.BufferedImage(
+      64, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 64) {
+      val v = if (y < 16) 32 else 224
+      step.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val jpg = jpegBytes(step)
+    assert(MediaCodec.isJpeg(jpg))
+    val sn = MediaCodec.sniff(jpg).get
+    assert(sn.mime == "image/jpeg" && sn.width.contains(64) &&
+      sn.height.contains(32), sn)
+    val f = MediaCodec.decode(jpg, 2)
+    // JPEG is lossy: means land near the true plateaus, not bit-equal
+    assert(math.abs(f(0) - 32.0 / 255.0) < 0.03, f.toSeq)
+    assert(math.abs(f(1) - 224.0 / 255.0) < 0.03, f.toSeq)
+    assert(MediaCodec.decode(jpg, 2).toSeq == f.toSeq,
+      "same bytes must decode to the same features")
+
+    // dHash: a horizontal luma ramp encoded as JPEG and as lossless P6
+    // must fingerprint (near-)identically — the stub arm would differ
+    // on ~half of the 60 bits
+    val ramp = new java.awt.image.BufferedImage(
+      64, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 64) {
+      val v = (x * 255) / 63
+      ramp.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val pnm = ("P6 64 32 255\n".getBytes.toSeq ++
+      (0 until 32).flatMap(_ => (0 until 64).flatMap { x =>
+        val v = ((x * 255) / 63).toByte; Seq(v, v, v)
+      })).toArray
+    val hj = MediaCodec.dhash60(jpegBytes(ramp))
+    val hp = MediaCodec.dhash60(pnm)
+    assert(java.lang.Long.bitCount(hj ^ hp) <= 6,
+      f"jpeg/pnm dhash diverged: $hj%x vs $hp%x")
+
+    // truncated stream keeps the magic but cannot decode → stub arm,
+    // never a throw
+    val broken = jpg.take(50)
+    assert(MediaCodec.isJpeg(broken))
+    assert(MediaCodec.dhash60(broken) == MediaCodec.stubPhash(broken))
+    val sf = MediaCodec.decode(broken, 2)
+    (0 until 2).foreach { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(broken); md.update(j.toString.getBytes)
+      val d = md.digest()
+      var h = 0L
+      (0 until 8).foreach(i => h = (h << 8) | (d(i) & 0xffL))
+      assert(sf(j) == (h >>> 4).toDouble / (1L << 60).toDouble,
+        "undecodable JPEG must take the md5 stub features")
+    }
+    assert(MediaCodec.sniff(broken).isEmpty)
+  }
+
   private def pngBe32(v: Int): Seq[Byte] =
     Seq(v >> 24, v >> 16, v >> 8, v).map(_.toByte)
   private def pngChunk(typ: String, data: Array[Byte]): Seq[Byte] = {

@@ -20,6 +20,32 @@ class ScaleSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("exactRerank: broadcast hints drop above the query-batch limit") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    def rerank(limit: Int) = graft.operators.Similarity.ivfPqTopKRerank(
+      q, "vec_id", "embedding", emb, "vec_id", "embedding",
+      k = 3, rerank = 6, maxBroadcastQueries = limit)
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    val small = rerank(10000) // 3 queries <= limit: serving shape
+    val large = rerank(2)     // 3 queries >  limit: batch shape
+    // exactly the two rerank-side forced broadcasts (shortlist ids +
+    // query vectors) must disappear; the upstream IVF-PQ chain keeps
+    // its own bounded broadcasts (centroids, tables) in both modes
+    assert(hints(small) == hints(large) + 2,
+      s"expected 2 fewer hints above the limit: " +
+        s"${hints(small)} vs ${hints(large)}")
+    // and the fallback plan must stay result-identical
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id")))
+        .toSeq
+    assert(rows(small) == rows(large))
+  }
+
   test("bloomScreenedJoin equals the plain join; screen precedes it") {
     val large = (1 to 2000).map(i => (i.toLong % 500, s"row$i"))
       .toDF("k", "payload")
