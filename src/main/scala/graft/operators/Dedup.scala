@@ -459,7 +459,14 @@ object Dedup {
     val edges = pairs
       .select(col(idA).cast(LongType).as("a"), col(idB).cast(LongType).as("b"))
       .filter(col("a") < col("b")).distinct()
-      .localCheckpoint(true) // feeds degrees, orientation, and closure
+      // feeds degrees, orientation, and closure — a LAZY persist, not an
+      // eager localCheckpoint: merely constructing the census must not
+      // run a Spark job, and a persisted edge set stays recomputable
+      // under executor loss (a local checkpoint's blocks are
+      // unreplicated and lineage-truncated — wrong default for an
+      // operator sold as 100 TB-safe). The cache is the caller's to
+      // release (session sweep: it registers in persistentRDDs).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))

@@ -76,10 +76,15 @@ object Warehouse {
       .withColumn("recency_days",
         ((col("as_of_s") - col("last_day_s")) / 86400L).cast(LongType))
       // grid snap on exact micro-units (scale-6 decimal → long is exact
-      // for |monetary| < 9.2·10¹²; order totals are far below)
+      // for |monetary| < 9.2·10¹²; order totals are far below). The
+      // pmod form floors for NEGATIVE totals too (refund-heavy
+      // customers): plain `div` truncates toward zero and would
+      // disagree with the oracle's flooring `//` there.
       .withColumn("m_micro",
         (col("monetary_dec") * lit(1000000L)).cast(LongType))
-      .withColumn("m_grid", expr(s"m_micro div ${monetaryGrid * 1000000L}L"))
+      .withColumn("m_grid", expr(
+        s"(m_micro - pmod(m_micro, ${monetaryGrid * 1000000L}L))" +
+          s" div ${monetaryGrid * 1000000L}L"))
       .withColumn("monetary", col("monetary_dec").cast(DoubleType))
 
     // score one dimension: per-value histogram → worst-to-best running

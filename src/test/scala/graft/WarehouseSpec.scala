@@ -48,6 +48,29 @@ class WarehouseSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("recency_days") == 0L)
   }
 
+  test("rfmSegments: negative monetary totals snap by FLOOR, not trunc") {
+    // grid 1: c1 sums -1.5 and c2 -2.0 — floor puts both in cell -2
+    // (one shared m_score); trunc would split them (-1 vs -2). c3 is
+    // the positive anchor so the histogram has two distinct values.
+    val orders = Seq(
+      (1L, ts("2024-01-10 10:00:00"), -0.5),
+      (1L, ts("2024-01-09 10:00:00"), -1.0),
+      (2L, ts("2024-01-08 10:00:00"), -2.0),
+      (3L, ts("2024-01-07 10:00:00"), 5.0),
+      (4L, ts("2024-01-06 10:00:00"), 5.0)
+    ).toDF("cust", "odate", "price")
+    // monetary histogram (tiles=2, n=4): cell -2 ({c1, c2} under floor;
+    // trunc would split c1 into cell -1) cum 2 -> ceil(2*2/4) = 1;
+    // cell 5 cum 4 -> 2
+    val out = Warehouse.rfmSegments(orders, "cust", "odate", "price",
+      tiles = 2, monetaryGrid = 1L).collect()
+      .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("m_score")).toMap
+    assert(out(1L) == 1L && out(2L) == 1L,
+      s"floor must co-bucket -1.5 and -2.0 on a unit grid: $out")
+    assert(out(3L) == 2L && out(4L) == 2L,
+      s"positive anchors must outscore: $out")
+  }
+
   test("rfmSegments plan: no global window over customers, score maps broadcast") {
     val orders = spark.read.parquet(sf("orders"))
     val plan = Warehouse.rfmSegments(orders, "o_custkey", "o_orderdate",
