@@ -182,39 +182,23 @@ object DataLoggerCli {
     conformed.select("data_time_stamp", "sensor_index").distinct().count()
   }
 
-  def main(args: Array[String]): Unit = {
-    val c = parseArgs(args)
-    // spark-submit provides the master on a cluster; default for bare runs
-    val builder0 = SparkSession.builder()
-    val builder = if (sys.props.contains("spark.master")) builder0
-      else builder0.master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-    val spark = builder
-      .appName("purpleair-data-logger")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+  /** One tick of the T5 retention policy — the exact body the background
+    * timer fires hourly, exposed so the streaming e2e spec can run a
+    * tick synchronously instead of waiting an hour. Returns partitions
+    * dropped. */
+  def runRetentionOnce(spark: SparkSession, aggDir: String,
+      retainHours: Int): Int =
+    graft.streaming.ContinuousAggregate.retentionDrop(spark, aggDir,
+      new java.sql.Timestamp(System.currentTimeMillis()), retainHours)
 
-    if (confirmDrop(c)) {
-      val dir = new java.io.File(c.outDir)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      if (dir.exists()) rm(dir)
-    }
-
-    // -backfill_*: a one-shot batch job, not a streaming query (ANY
-    // backfill flag selects it — a lone -backfill_chunk_seconds must
-    // refuse inside runBackfill, not silently start the poll loop)
-    if (c.backfillStart.isDefined || c.backfillEnd.isDefined ||
-        c.backfillAverage.isDefined || c.backfillChunkSeconds > 0) {
-      val n = runBackfill(spark, c)
-      println(s"[backfill] landed $n readings under ${c.outDir}")
-      spark.stop()
-      return
-    }
-
+  /** The full reference loop shape as ONE invocation — poll source (S5)
+    * → flatten/zip → conform → 9-way fan-out (K1–K3/O3) plus, when
+    * configured, the hourly continuous aggregate (A2) with its
+    * background retention policy (T5). Returns every started query so
+    * the caller owns the lifecycle: `main` awaits any termination, the
+    * e2e spec drives `processAllAvailable` and stops them. */
+  def runStream(spark: SparkSession, c: Config)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
     val reader = spark.readStream.format(PollingSource.format)
       .option(PollingSource.Options.FetcherClass, c.fetcherClass)
       .option(PollingSource.Options.MinPollIntervalSeconds, c.pollSeconds.toString)
@@ -256,9 +240,9 @@ object DataLoggerCli {
     // over the same source maintaining the watermarked 1 h rollup —
     // TimescaleDB's materialized view + refresh policy as one append-mode
     // windowed aggregation.
-    c.hourlyAggregateDir.foreach { aggDir =>
+    val aggQuery = c.hourlyAggregateDir.map { aggDir =>
       import org.apache.spark.sql.functions.{col, to_date}
-      graft.streaming.ContinuousAggregate
+      val q = graft.streaming.ContinuousAggregate
         .hourly(conformed, "data_time_stamp", Seq("sensor_index", "name"), "pm2_5")
         .withColumn("date", to_date(col("bucket_ts")))
         .writeStream
@@ -279,16 +263,50 @@ object DataLoggerCli {
         val timer = new java.util.Timer("graft-retention", true)
         timer.scheduleAtFixedRate(new java.util.TimerTask {
           override def run(): Unit =
-            try {
-              val _ = graft.streaming.ContinuousAggregate.retentionDrop(
-                spark, aggDir,
-                new java.sql.Timestamp(System.currentTimeMillis()),
-                c.retentionHours)
-            } catch { case _: Throwable => () }
+            try { val _ = runRetentionOnce(spark, aggDir, c.retentionHours) }
+            catch { case _: Throwable => () }
         }, 3600L * 1000L, 3600L * 1000L)
       }
+      q
     }
+    Seq(query) ++ aggQuery
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parseArgs(args)
+    // spark-submit provides the master on a cluster; default for bare runs
+    val builder0 = SparkSession.builder()
+    val builder = if (sys.props.contains("spark.master")) builder0
+      else builder0.master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    val spark = builder
+      .appName("purpleair-data-logger")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+    if (confirmDrop(c)) {
+      val dir = new java.io.File(c.outDir)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (dir.exists()) rm(dir)
+    }
+
+    // -backfill_*: a one-shot batch job, not a streaming query (ANY
+    // backfill flag selects it — a lone -backfill_chunk_seconds must
+    // refuse inside runBackfill, not silently start the poll loop)
+    if (c.backfillStart.isDefined || c.backfillEnd.isDefined ||
+        c.backfillAverage.isDefined || c.backfillChunkSeconds > 0) {
+      val n = runBackfill(spark, c)
+      println(s"[backfill] landed $n readings under ${c.outDir}")
+      spark.stop()
+      return
+    }
+
+    val queries = runStream(spark, c)
     spark.streams.awaitAnyTermination()
-    val _ = query
+    val _ = queries
   }
 }

@@ -41,6 +41,74 @@ class CliSpec extends SparkSpec {
       base.copy(dropExisting = true, assumeYes = true)))
   }
 
+  test("streaming e2e: poll → conform → 9-way fan-out → hourly aggregate " +
+      "→ retention, one CLI invocation (S5/A2/T5/K3)") {
+    val outDir = tmp("cli_out")
+    val cpDir = tmp("cli_cp")
+    val aggDir = s"${tmp("cli_agg")}/agg"
+    val cfgDir = tmp("cli_cfg")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$cfgDir/req.json"),
+      """{"sensor_index": 53, "fields": "humidity,pm2.5_atm"}""")
+    // the reference loop, configured exactly as an operator would run it
+    // (65 s cadence, hourly rollup, 8 h retention) — only the transport
+    // is the replay fetcher over the reference's own hardware samples
+    val c = DataLoggerCli.parseArgs(Array(
+      "-paa_single_sensor_request_json_file", s"$cfgDir/req.json",
+      "-fetcher_class", classOf[graft.sources.FileReplayFetcher].getName,
+      "-replay_dir", "/root/reference/hardware_variant_json_samples",
+      "-out_dir", outDir, "-checkpoint_dir", s"$cpDir/cp",
+      "-sink", "parquet", "-poll_seconds", "65",
+      "-hourly_aggregate_dir", aggDir, "-retention_hours", "8"))
+    val queries = DataLoggerCli.runStream(spark, c)
+    try {
+      assert(queries.length == 2, "fan-out + continuous aggregate")
+      queries.foreach(_.processAllAvailable())
+
+      // K3/O3: all nine vertical partitions landed all three payloads
+      val sensors = Set(53, 14867, 147883)
+      FieldCatalog.Groups.all.foreach { group =>
+        val t = graft.sinks.FanOutSink.readTable(spark, outDir, group)
+        val got = t.select("sensor_index").collect().map(_.getInt(0)).toSet
+        assert(got == sensors, s"$group landed $got")
+      }
+
+      // the dashboard reads back what the reference's Grafana SQL shows:
+      // the sensor directory and the July environmental panel
+      val station = graft.sinks.FanOutSink.readTable(spark, outDir,
+        FieldCatalog.Groups.Station)
+      assert(graft.queries.Dashboard.sensorDirectory(station)
+        .count() == 3L)
+      val env = graft.sinks.FanOutSink.readTable(spark, outDir,
+        FieldCatalog.Groups.Environmental)
+      val panel = graft.queries.Dashboard.panel(env,
+        FieldCatalog.Groups.Environmental, "1 hour", 147883,
+        "2022-07-01 00:00:00", "2022-08-01 00:00:00").collect()
+      assert(panel.length == 1 &&
+        panel(0).getAs[Int]("temperature") == 77, panel.toSeq)
+
+      // A2: the two July hours are past the 2 h watermark set by the
+      // September payload and must have FINALIZED into the aggregate;
+      // the newest hour correctly stays open in state
+      val agg = spark.read.parquet(aggDir)
+      val buckets = agg.select(col("bucket_ts").cast("long")).collect()
+        .map(_.getLong(0)).toSet
+      val expect = Set(1658588700L, 1658811226L).map(t => t - t % 3600)
+      assert(buckets == expect, s"finalized hourly buckets: $buckets")
+      assert(agg.select("n", "sum_value").collect()
+        .forall(r => r.getLong(0) == 1L), "one reading per bucket")
+
+      // T5: one synchronous tick of the CLI's own retention policy body
+      // drops both long-expired date partitions — a directory delete,
+      // not a scan
+      val dropped = DataLoggerCli.runRetentionOnce(spark, aggDir, 8)
+      assert(dropped == 2, s"expected both date partitions dropped: $dropped")
+      val left = new java.io.File(aggDir).listFiles()
+        .filter(_.getName.startsWith("date=")).toSeq
+      assert(left.isEmpty, s"date partitions must be gone: $left")
+    } finally queries.foreach(_.stop())
+  }
+
   test("backfill e2e: stubbed history endpoint → conformed fan-out layout") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
