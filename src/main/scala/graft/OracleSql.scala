@@ -26,17 +26,19 @@ object OracleSql {
 
   /** Exact one-pass covariance oracle over the d=8 embedding column:
     * per-row products in DOUBLE (one exact-rounded op), sums as
-    * DECIMAL(28,12) (order-independent), final combine in the same fixed
-    * double op order as `Embeddings.covariance`. */
+    * DECIMAL(28,8) (order-independent; scale 8 keeps the global sum's
+    * DECIMAL→DOUBLE conversion under the 2^53 exactness bound to
+    * ~9e7 rows — scale 12 diverged by 1 ulp at sf0.1), final combine
+    * in the same fixed double op order as `Embeddings.covariance`. */
   private val embedCovSql: String = {
     val dim = 8
     val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
     def el(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
     val sums =
       (0 until dim).map(i =>
-        s"sum(CAST(${el(i)} AS DECIMAL(28,12))) AS s_$i") ++
+        s"sum(CAST(${el(i)} AS DECIMAL(28,8))) AS s_$i") ++
       pairs.map { case (i, j) =>
-        s"sum(CAST(${el(i)} * ${el(j)} AS DECIMAL(28,12))) AS p_${i}_$j" }
+        s"sum(CAST(${el(i)} * ${el(j)} AS DECIMAL(28,8))) AS p_${i}_$j" }
     val selects = pairs.map { case (i, j) =>
       s"SELECT $i AS i, $j AS j, CAST(p_${i}_$j AS DOUBLE) / " +
         s"CAST(n AS DOUBLE) - (CAST(s_$i AS DOUBLE) / CAST(n AS DOUBLE)) " +
@@ -724,8 +726,9 @@ object OracleSql {
     // q_embed_kmeans: per vector a2 = d2 to the nearest centroid,
     // b2 = d2 to the second-nearest (rank 2 under the identical
     // (d2, cid) tie order), s = (b2-a2)/max(a2,b2) with b2=0 -> 0;
-    // per-cluster mean via DECIMAL(28,12) partial sums, the exact
-    // Spark op order (decimal sum -> double -> / n).
+    // per-cluster mean via DECIMAL(28,8) partial sums (2^53-exact
+    // final conversion to 9e7 members), the exact Spark op order
+    // (decimal sum -> double -> / n).
     "q_embed_silhouette" ->
       s"""WITH $ivfRefinedCellCtes,
          |two AS (SELECT vid, cid, d2,
@@ -739,7 +742,7 @@ object OracleSql {
          |         ELSE (b2 - a2) / GREATEST(a2, b2) END AS sil
          |  FROM ab),
          |st AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
-         |    SUM(CAST(sil AS DECIMAL(28,12))) AS ssum
+         |    SUM(CAST(sil AS DECIMAL(28,8))) AS ssum
          |  FROM sil GROUP BY 1)
          |SELECT cent.vec_id AS cent_id,
          |  COALESCE(st.n_members, CAST(0 AS BIGINT)) AS n_members,
@@ -3391,7 +3394,8 @@ object OracleSql {
 
     // PQ distortion audit: the ADC chain's own assignment d2 kept and
     // rolled up per subspace (min over codes with (d2, r) ties shares
-    // the d2 either way); sums as exact DECIMAL(28,12).
+    // the d2 either way); sums as exact DECIMAL(28,6) — corpus-sized
+    // d2 sums breach the 2^53 final-conversion bound at scale 12.
     "q_sim_pq_distortion" ->
       s"""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
@@ -3408,8 +3412,8 @@ object OracleSql {
         |  WHERE rn = 1)
         |SELECT CAST(m AS BIGINT) AS m,
         |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
-        |  CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) AS sum_d2,
-        |  CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+        |  CAST(SUM(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) AS sum_d2,
+        |  CAST(SUM(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
         |    AS mean_d2,
         |  MAX(d2) AS max_d2
         |FROM best GROUP BY 1""".stripMargin,

@@ -22,7 +22,13 @@ import org.apache.spark.sql.types._
   * (one exact-rounded operation), then summed as fixed-scale DECIMAL —
   * exact and order-independent, so results are bit-identical across
   * partitionings and engines; the final covariance combines those exact
-  * sums in a fixed double op order the oracle mirrors.
+  * sums in a fixed double op order the oracle mirrors. The partials are
+  * scale 8 (not 12): the final DECIMAL→DOUBLE conversion is exact —
+  * hence engine-identical — only while |Σ|·10^scale < 2⁵³, and
+  * unit-bounded entries keep a scale-8 global sum exact to ~9·10⁷ rows
+  * where scale 12 already tripped at ~10⁴ (caught at sf0.1). Scale 8
+  * also out-resolves float32 inputs (~1e-8 ulp at |x| ≤ 1), so nothing
+  * real is lost.
   */
 object Embeddings {
 
@@ -37,9 +43,9 @@ object Embeddings {
     val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
     val sumCols =
       (0 until dim).map(i =>
-        sum(el(i).cast(DecimalType(28, 12))).as(s"s_$i")) ++
+        sum(el(i).cast(DecimalType(28, 8))).as(s"s_$i")) ++
       pairs.map { case (i, j) =>
-        sum((el(i) * el(j)).cast(DecimalType(28, 12))).as(s"p_${i}_$j") }
+        sum((el(i) * el(j)).cast(DecimalType(28, 8))).as(s"p_${i}_$j") }
     val agg = df.agg(count(lit(1)).as("n"), sumCols: _*)
     val n = d2(col("n"))
     val rows = pairs.map { case (i, j) =>
@@ -166,7 +172,7 @@ object Embeddings {
     // mean from the same exact sums: re-derive via a tiny second agg
     val meanRow = df.agg(count(lit(1)).as("n"),
       (0 until dim).map(i =>
-        sum(d2(element_at(col(vecCol), i + 1)).cast(DecimalType(28, 12)))
+        sum(d2(element_at(col(vecCol), i + 1)).cast(DecimalType(28, 8)))
           .as(s"s_$i")): _*).collect().head
     val n = meanRow.getLong(0).toDouble
     val mean = (0 until dim)

@@ -472,8 +472,9 @@ object Similarity {
     *
     * Exactness: a²/b² are [[ivfD2]] doubles (correctly-rounded scale-12
     * rationals, fixed op order), the per-row score is one IEEE
-    * division, and per-cluster means sum DECIMAL(28,12) partials —
-    * order-free, engine-reproducible. `b² = 0` (vector identical to two
+    * division, and per-cluster means sum DECIMAL(28,8) partials —
+    * order-free, engine-reproducible (scale 8 keeps the final
+    * DECIMAL→DOUBLE conversion 2⁵³-exact to 9·10⁷ members/cluster). `b² = 0` (vector identical to two
     * centroids) scores 0 by convention. Drained centroids report
     * `n_members = 0`, NULL silhouette.
     *
@@ -506,9 +507,12 @@ object Similarity {
       .withColumn("sil", when(col("b2") === 0.0, lit(0.0))
         .otherwise((col("b2") - col("a2")) /
           greatest(col("a2"), col("b2"))))
+    // scale-8 partials: sil ∈ [0,1] so the per-cluster sum's
+    // DECIMAL→DOUBLE conversion stays 2⁵³-exact to 9·10⁷ members —
+    // scale 12 tripped the bound past ~9·10³ members per cluster
     val stats = two.groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n_members"),
-        sum(col("sil").cast(DecimalType(28, 12))).as("ssum"))
+        sum(col("sil").cast(DecimalType(28, 8))).as("ssum"))
     cent.select(col("cent_id")).join(stats, Seq("cent_id"), "left")
       .select(col("cent_id"),
         coalesce(col("n_members"), lit(0L)).as("n_members"),
@@ -971,8 +975,12 @@ object Similarity {
       .groupBy(col("corpus_id"), col("m"))
       .agg(min(struct(col("d2"), col("r"))).getField("d2").as("best_d2"))
       .groupBy(col("m"))
+      // scale-6 partials (the kmeans-inertia rule): sum_d2 is a
+      // corpus-sized sum of d² values, so its DECIMAL→DOUBLE conversion
+      // is 2⁵³-exact only while |Σ|·10^scale < 9·10¹⁵ — scale 12 was
+      // already past the bound at sf0.1
       .agg(count(lit(1)).as("n_vectors"),
-        sum(col("best_d2").cast(DecimalType(28, 12)))
+        sum(col("best_d2").cast(DecimalType(28, 6)))
           .cast(DoubleType).as("sum_d2"),
         max(col("best_d2")).as("max_d2"))
       .withColumn("mean_d2", col("sum_d2") / col("n_vectors"))
