@@ -400,6 +400,19 @@ class DashboardSpec extends SparkSpec {
     val audit = plan("q_sketch_distinct")
     assert(exchanges(audit) == 6 && audit.contains("BroadcastHashJoin") &&
       !audit.contains("SortMergeJoin"), s"sketch audit:\n$audit")
+    // sketch overlap: the production operator reads the corpus ONCE
+    // (plus the broadcast 1-row bounds pass — 2 scans, every join a
+    // broadcast of a single row); the audit pays exactly one more
+    // corpus+bounds pass for its exact arm (4 scans), still join-free
+    def scans(p: String): Int = "Scan parquet".r.findAllIn(p).size
+    val ovl = graft.operators.Sketches.overlapEstimate(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+      "ts", "user_id").queryExecution.executedPlan.toString
+    assert(scans(ovl) == 2 && !ovl.contains("SortMergeJoin"),
+      s"overlap operator:\n$ovl")
+    val ovlAudit = plan("q_sketch_overlap")
+    assert(scans(ovlAudit) == 4 && !ovlAudit.contains("SortMergeJoin"),
+      s"overlap audit:\n$ovlAudit")
     // MaxSim: the ONLY join is the broadcast of the query token bag —
     // corpus token vectors never ride a join shuffle
     val ms = plan("q_sim_maxsim")
