@@ -106,7 +106,23 @@ class CliSpec extends SparkSpec {
       val left = new java.io.File(aggDir).listFiles()
         .filter(_.getName.startsWith("date=")).toSeq
       assert(left.isEmpty, s"date partitions must be gone: $left")
-    } finally queries.foreach(_.stop())
+
+      // F3 crash-restart: stop both queries, relaunch the SAME CLI
+      // config against the same checkpoints — the poll cursor restores
+      // from the offset log (not the static start option), so the
+      // already-committed payloads are never re-fetched and the
+      // replay-safe sink never duplicates
+      queries.foreach(_.stop())
+      val resumed = DataLoggerCli.runStream(spark, c)
+      try {
+        resumed.foreach(_.processAllAvailable())
+        FieldCatalog.Groups.all.foreach { group =>
+          val n = graft.sinks.FanOutSink.readTable(spark, outDir, group)
+            .count()
+          assert(n == 3L, s"$group must not grow across a restart: $n")
+        }
+      } finally resumed.foreach(_.stop())
+    } finally queries.foreach(q => if (q.isActive) q.stop())
   }
 
   test("backfill e2e: stubbed history endpoint → conformed fan-out layout") {
