@@ -3950,6 +3950,111 @@ object OracleSql {
         |    - COUNT(DISTINCT user_id) AS BIGINT) AS exact_overlap,
         |  TRUE AS est_first_ok, TRUE AS est_second_ok,
         |  TRUE AS est_union_ok, TRUE AS overlap_err_bounded
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // Count-min sketch, md5-portable buckets (depth 4 × width 512):
+    // the ESTIMATES are reproduced bit-for-bit — same md5_60 bucket
+    // hash, same counter sums, same row-wise MIN — so unlike the HLL
+    // audits nothing here is pinned; a drifting sketch changes
+    // cms_est/overestimate and fails the hash directly.
+    "q_sketch_cms" ->
+      """WITH g AS (SELECT UNNEST([0, 1, 2, 3]) AS i),
+        |u AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+        |cms AS (SELECT g.i,
+        |    ('0x' || substring(md5(CAST(g.i AS VARCHAR) || ':' || u.k),
+        |      1, 15))::BIGINT % 512 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM u CROSS JOIN g GROUP BY 1, 2),
+        |top AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_n
+        |  FROM u GROUP BY 1 ORDER BY exact_n DESC, k LIMIT 10),
+        |est AS (SELECT t.k, t.exact_n, MIN(c.c) AS cms_est
+        |  FROM top t CROSS JOIN g
+        |  JOIN cms c ON c.i = g.i AND c.b =
+        |    ('0x' || substring(md5(CAST(g.i AS VARCHAR) || ':' || t.k),
+        |      1, 15))::BIGINT % 512
+        |  GROUP BY 1, 2)
+        |SELECT k AS key, exact_n, cms_est,
+        |  cms_est - exact_n AS overestimate,
+        |  cms_est >= exact_n AS never_underestimates
+        |FROM est""".stripMargin,
+
+    // GK quantile-summary AUDIT: exact rank-selected p50/p90/p99 (the
+    // k-th smallest VALUE at rank ceil(q*n) — pure selection, no
+    // interpolation, so the doubles are bit-identical) with the three
+    // rank-window verdicts pinned TRUE per the accuracy=1000 contract.
+    "q_sketch_quantiles" ->
+      """WITH r AS (SELECT event_type AS g, value AS v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT g AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS exact_p50,
+        |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS exact_p90,
+        |  MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN v END)
+        |    AS exact_p99,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // Five damped PageRank steps over the bidirectional cust↔supp
+    // graph, unrolled as CTEs — all-integer ppb arithmetic (floor
+    // division on non-negative operands agrees between `div` and `//`),
+    // so every rank matches the engine bit-for-bit. DuckDB's SUM
+    // returns HUGEINT; the arithmetic stays integer-exact and the
+    // final CAST restores BIGINT.
+    "q_graph_pagerank" ->
+      """WITH p AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+        |    l.l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nd),
+        |r0 AS (SELECT node, 1000000000 // nn AS rank_ppb
+        |  FROM nd CROSS JOIN c),
+        |r1 AS (SELECT nd.node, (150000000 // c.nn)
+        |    + ((85 * COALESCE(s.inc, 0)) // 100) AS rank_ppb
+        |  FROM nd CROSS JOIN c
+        |  LEFT JOIN (SELECT e.dst AS node,
+        |      SUM(r.rank_ppb // d.outdeg) AS inc
+        |    FROM e JOIN r0 r ON r.node = e.src
+        |    JOIN deg d ON d.node = e.src GROUP BY 1) s
+        |    ON s.node = nd.node),
+        |r2 AS (SELECT nd.node, (150000000 // c.nn)
+        |    + ((85 * COALESCE(s.inc, 0)) // 100) AS rank_ppb
+        |  FROM nd CROSS JOIN c
+        |  LEFT JOIN (SELECT e.dst AS node,
+        |      SUM(r.rank_ppb // d.outdeg) AS inc
+        |    FROM e JOIN r1 r ON r.node = e.src
+        |    JOIN deg d ON d.node = e.src GROUP BY 1) s
+        |    ON s.node = nd.node),
+        |r3 AS (SELECT nd.node, (150000000 // c.nn)
+        |    + ((85 * COALESCE(s.inc, 0)) // 100) AS rank_ppb
+        |  FROM nd CROSS JOIN c
+        |  LEFT JOIN (SELECT e.dst AS node,
+        |      SUM(r.rank_ppb // d.outdeg) AS inc
+        |    FROM e JOIN r2 r ON r.node = e.src
+        |    JOIN deg d ON d.node = e.src GROUP BY 1) s
+        |    ON s.node = nd.node),
+        |r4 AS (SELECT nd.node, (150000000 // c.nn)
+        |    + ((85 * COALESCE(s.inc, 0)) // 100) AS rank_ppb
+        |  FROM nd CROSS JOIN c
+        |  LEFT JOIN (SELECT e.dst AS node,
+        |      SUM(r.rank_ppb // d.outdeg) AS inc
+        |    FROM e JOIN r3 r ON r.node = e.src
+        |    JOIN deg d ON d.node = e.src GROUP BY 1) s
+        |    ON s.node = nd.node),
+        |r5 AS (SELECT nd.node, (150000000 // c.nn)
+        |    + ((85 * COALESCE(s.inc, 0)) // 100) AS rank_ppb
+        |  FROM nd CROSS JOIN c
+        |  LEFT JOIN (SELECT e.dst AS node,
+        |      SUM(r.rank_ppb // d.outdeg) AS inc
+        |    FROM e JOIN r4 r ON r.node = e.src
+        |    JOIN deg d ON d.node = e.src GROUP BY 1) s
+        |    ON s.node = nd.node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'C' ELSE 'S' END AS node_type,
+        |  node // 2 AS node_id, CAST(rank_ppb AS BIGINT) AS rank_ppb
+        |FROM r5 ORDER BY rank_ppb DESC, node LIMIT 20""".stripMargin
   )
 }

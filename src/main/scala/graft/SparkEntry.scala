@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Multimodal, Profiling, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Dedup, Graph, Multimodal, Profiling, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.queries.{TimeSeries, Warehouse}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1211,6 +1211,43 @@ object SparkEntry {
   private def qSketchOverlap(spark: SparkSession, dir: String): DataFrame =
     Sketches.overlapAudit(events(spark, dir), "ts", "user_id")
 
+  /** Count-min sketch (depth 4 × width 512, md5-portable bucket
+    * hashes) probed at the exact top-10 users: because the hash is the
+    * engine-portable md5_60, the ESTIMATES themselves hash-match the
+    * oracle — the only sketch in the registry whose approximate values
+    * (not just verdicts) are exact-gated. */
+  private def qSketchCms(spark: SparkSession, dir: String): DataFrame =
+    Sketches.countMinAudit(events(spark, dir), "user_id")
+
+  /** Mergeable GK quantile summary (`percentile_approx`, accuracy
+    * 1000) audited per event type against exact rank-selected
+    * p50/p90/p99 — integer rank-window verdicts, value-selected exact
+    * quantiles, nothing interpolated. */
+  private def qSketchQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Sketches.quantileAudit(events(spark, dir), "event_type", "value")
+
+  /** Five damped PageRank iterations over the bidirectional
+    * customer↔supplier trade graph (distinct pairs via orders⋈lineitem;
+    * customers at node 2k, suppliers at 2k+1), all-integer
+    * parts-per-billion arithmetic — bit-exact cross-engine, the oracle
+    * unrolls the same five steps as CTEs. Top 20 by rank. */
+  private def qGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = pairs.union(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRankTop(edges, iterations = 5, topK = 20)
+      .select(
+        when(pmod(col("node"), lit(2L)) === 0, lit("C")).otherwise(lit("S"))
+          .as("node_type"),
+        expr("node div 2").as("node_id"), col("rank_ppb"))
+  }
+
   /** Point-in-time feature join: each purchase (label) gets the user's
     * SCD2 state (built from non-purchase events) valid AT purchase time
     * — the leakage-free feature-store lookup. */
@@ -1560,16 +1597,20 @@ object SparkEntry {
     "q_dq_profile" -> (qDqProfile _),
     "q_session_paths" -> (qSessionPaths _),
     "q_state_dwell" -> (qStateDwell _),
-    "q_burst" -> (qBurst _)
+    "q_burst" -> (qBurst _),
+    "q_sketch_cms" -> (qSketchCms _),
+    "q_sketch_quantiles" -> (qSketchQuantiles _),
+    "q_graph_pagerank" -> (qGraphPagerank _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (165 exact / 0 rows-only as of round 10 — the two HLL
-    * sketch queries gate through their exact-count audit forms, whose
-    * estimate-accuracy verdict columns the oracle pins to TRUE). See
-    * [[OracleSql.sql]] for the definitions. */
+    * by DuckDB (168 exact / 0 rows-only as of round 10 — the HLL and
+    * GK-quantile sketch queries gate through their exact audit forms,
+    * whose estimate-accuracy verdict columns the oracle pins to TRUE;
+    * the count-min sketch needs no pinning, its md5-portable estimates
+    * hash-match directly). See [[OracleSql.sql]] for the definitions. */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iterative graph centrality — the companion to the near-dup
+  * connected-components pass ([[Dedup.connectedComponents]]): where
+  * components tell a curation pipeline WHICH rows form a duplicate
+  * cluster, PageRank ranks nodes by structural importance (which
+  * suppliers anchor the trade graph, which documents anchor a citation
+  * graph), the standard importance prior for sampling and pruning.
+  *
+  * ALL-INTEGER ARITHMETIC: ranks are carried as parts-per-billion
+  * BIGINTs and every step is `+`, `×`, and non-negative floor division
+  * — operations every SQL engine evaluates bit-identically — so a
+  * T-iteration run is exactly reproducible cross-engine (an oracle can
+  * unroll the same T steps as CTEs). Floating-point PageRank cannot
+  * make that promise: double summation order differs per partitioning.
+  * The deliberate truncation loss (≤ 1 ppb per edge per step) only ever
+  * LOWERS mass and is identical in any engine.
+  *
+  * Scale shape (the 100 TB story): the degree-annotated edge list is
+  * hash-partitioned on `src` once and persisted, so each iteration is
+  * exactly ONE exchange — the `groupBy(dst)` map-side-combined mass
+  * sum; the rank⋈edge join replays onto the cached edge partitioning,
+  * and the groupBy's own output partitioning (`node`) feeds the next
+  * step's joins exchange-free. The only driver-side value is the node
+  * COUNT (two literal constants); no global sort until the final top-k
+  * (TakeOrderedAndProject). For T beyond a handful of iterations,
+  * `localCheckpoint` the rank every ~10 steps to truncate lineage; at
+  * T=5 the plan stays shallow enough that Catalyst handles it whole.
+  */
+object Graph {
+
+  /** `iterations` rounds of damped PageRank (d = 0.85) over a directed
+    * edge list, returning the `topK` nodes by rank. Input: `src`/`dst`
+    * BIGINT columns (callers wanting undirected semantics pass both
+    * directions). Nodes are all edge endpoints; every node is assumed
+    * to have at least one out-edge (true for bidirectional inputs —
+    * for genuinely directed graphs with dangling nodes, add self-loops
+    * upstream). Update rule, scaled to S = 10⁹:
+    *
+    *   rank'(v) = (0.15·S div N) + (85 · Σ_{u→v} (rank(u) div out(u))) div 100
+    *
+    * Ties broken by node id — fully deterministic output. */
+  def pageRankTop(edges: DataFrame, iterations: Int = 5,
+      topK: Int = 20): DataFrame = {
+    val S = 1000000000L
+    // hash-partition the edge list on `src` ONCE and pin the out-degree
+    // onto each edge — every iteration's rank⋈edge join then lands on
+    // the cached partitioning (no per-iteration edge shuffle), leaving
+    // ONE exchange per step: the groupBy(dst) mass sum. That exchange's
+    // output partitioning (node) in turn feeds the next step's
+    // rank-side join and the nodes⋈inc join exchange-free.
+    val e = edges.select(col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst"))
+      .repartition(col("src")).persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(deg, Seq("src")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    // node count: a single driver scalar (the one action outside the
+    // final top-k) — the constants S div N and 0.15·S div N fold into
+    // literals instead of re-broadcasting a one-row aggregate per step;
+    // Scala Long `/` is the same non-negative floor division
+    val nN = nodes.count()
+
+    var rank = nodes.select(col("node"), lit(S / nN).as("rank_ppb"))
+    // a zero message per node rides the SAME aggregate as the edge
+    // messages — nodes with no in-edges keep their base mass without a
+    // per-iteration left join (union adds V rows to the 2E shuffle, not
+    // a stage)
+    val zero = nodes.select(col("node").as("dst"), lit(0L).as("m"))
+    for (_ <- 1 to iterations) {
+      val msgs = eDeg
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst"), expr("rank_ppb div outdeg").as("m"))
+      rank = msgs.union(zero)
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("m")).as("inc"))
+        .select(col("node"),
+          (lit((15 * S / 100) / nN) +
+            expr("(85 * inc) div 100")).as("rank_ppb"))
+    }
+    rank.orderBy(col("rank_ppb").desc, col("node")).limit(topK)
+  }
+}

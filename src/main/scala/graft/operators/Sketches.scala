@@ -172,4 +172,119 @@ object Sketches {
           greatest(lit(20L), col("exact_union")))
           .as("overlap_err_bounded"))
   }
+
+  /** Count-min sketch with FULLY PORTABLE hashing — unlike HLL (whose
+    * register blobs are engine-internal), every number this operator
+    * emits is bit-reproducible by any engine that can compute md5:
+    * bucket `i` of key `k` is `md5_60(i ':' k) mod width`, the same
+    * engine-portable primitive the minhash family uses
+    * ([[graft.functions.MinHashImpl.md5_60]]), so the ESTIMATES
+    * themselves — not just accuracy verdicts — are exact-oracle-gated.
+    *
+    * Shape: one `groupBy (row, bucket)` pass over `depth × N` exploded
+    * rows builds the sketch — map-side combine collapses each partition
+    * to at most `depth·width` partial counters (2 048 longs at the
+    * defaults), so the shuffle is O(partitions), not O(N). The probe
+    * side takes the exact top-`topK` keys (TakeOrderedAndProject — no
+    * global sort) and joins them against the broadcast sketch; the
+    * estimate is the classic row-wise MIN of the `depth` counters.
+    * `cms_est ≥ exact_n` always (counters only ever overcount) — the
+    * deterministic half of the CMS guarantee — and `overestimate` is
+    * the realized collision mass, the quantity the probabilistic
+    * `ε = e/width` bound caps in expectation.
+    *
+    * At 100 TB the sketch is the POINT: `depth·width` longs summarize
+    * any count column, are mergeable across partitions/days by plain
+    * addition (the same algebra [[distinctRollup]] exploits for HLL),
+    * and answer point-frequency queries without re-scanning. */
+  def countMinAudit(df: DataFrame, key: String, topK: Int = 10,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    val rowIds = array((0 until depth).map(lit): _*)
+    val bucket = (i: Column, k: Column) => pmod(
+      Dedup.md5_60(concat(i.cast(StringType), lit(":"), k)),
+      lit(width.toLong))
+    val keyed = df.select(col(key).cast(StringType).as("k"))
+    val cms = keyed
+      .select(col("k"), explode(rowIds).as("i"))
+      .groupBy(col("i"), bucket(col("i"), col("k")).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = keyed.groupBy(col("k")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("k")).limit(topK)
+    top
+      .select(col("k"), col("exact_n"), explode(rowIds).as("i"))
+      .withColumn("b", bucket(col("i"), col("k")))
+      .join(broadcast(cms), Seq("i", "b"))
+      .groupBy(col("k"), col("exact_n"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("k").as("key"), col("exact_n"), col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("overestimate"),
+        (col("cms_est") >= col("exact_n")).as("never_underestimates"))
+  }
+
+  /** SKETCH-ACCURACY AUDIT of `percentile_approx` (Spark's mergeable
+    * Greenwald–Khanna quantile summary) against exact rank-selected
+    * quantiles — the quantile twin of [[distinctRollupAudit]]. Per
+    * group: `n` and the EXACT p50/p90/p99 (the k-th smallest value at
+    * integer rank `⌈q·n⌉`, pure value selection — no interpolation
+    * arithmetic, so the doubles are bit-identical across engines), plus
+    * one verdict per quantile: does the approximate value's occupied
+    * rank interval `(count(v<a), count(v≤a)]` intersect the promised
+    * window `q·n ± (ε·n + 1)` with `ε = 1/accuracy`? The checks are
+    * all-integer (scaled by `accuracy`), so the verdicts are exact; the
+    * approximate VALUES never leave the audit (GK compression is
+    * partitioning-dependent, so they are not stable — the verdict is).
+    *
+    * Shape: the sketch arm is one map-combined `groupBy` (each
+    * partition ships an O(accuracy·log n) summary, not rows); the exact
+    * arm pays a per-group sort — the audit's own cost, affordable at
+    * audit scale and the reason production pipelines run the sketch arm
+    * alone; the rank probe joins the tiny per-group approx row back by
+    * broadcast and counts in one conditional-aggregate pass. */
+  def quantileAudit(df: DataFrame, group: String, valueCol: String,
+      accuracy: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(group).as("g"),
+      col(valueCol).cast(DoubleType).as("v"))
+    val approx = base.groupBy(col("g"))
+      .agg(percentile_approx(col("v"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy)).as("ap"))
+      .select(col("g"), col("ap")(0).as("a50"), col("ap")(1).as("a90"),
+        col("ap")(2).as("a99"))
+    val ranked = base
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("g")).orderBy(col("v"))))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("g"))))
+    val exact = ranked.groupBy(col("g"), col("n")).agg(
+      max(when(col("rn") === expr("(n + 1) div 2"), col("v")))
+        .as("exact_p50"),
+      max(when(col("rn") === expr("(9 * n + 9) div 10"), col("v")))
+        .as("exact_p90"),
+      max(when(col("rn") === expr("(99 * n + 99) div 100"), col("v")))
+        .as("exact_p99"))
+    val counted = base.join(broadcast(approx), Seq("g")).groupBy(col("g"))
+      .agg(
+        sum(when(col("v") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("v") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("v") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("v") <= col("a90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("v") < col("a99"), 1L).otherwise(0L)).as("lt99"),
+        sum(when(col("v") <= col("a99"), 1L).otherwise(0L)).as("le99"))
+    // rank window `q·n ± (ε·n + 1)` multiplied through by 1000·accuracy
+    // (q carries per-mille precision, ε = 1/accuracy) — all-integer, so
+    // the verdict is exact for ANY accuracy value
+    val acc = lit(accuracy.toLong)
+    val ok = (lt: Column, le: Column, qPerMille: Long) => {
+      val target = acc * lit(qPerMille) * col("n")
+      val slack = lit(1000L) * col("n") + lit(1000L) * acc
+      (acc * lit(1000L) * lt <= target + slack) &&
+        (acc * lit(1000L) * le >= target - slack)
+    }
+    exact.join(counted, Seq("g"))
+      .select(col("g").as(group), col("n"),
+        col("exact_p50"), col("exact_p90"), col("exact_p99"),
+        ok(col("lt50"), col("le50"), 500L).as("p50_ok"),
+        ok(col("lt90"), col("le90"), 900L).as("p90_ok"),
+        ok(col("lt99"), col("le99"), 990L).as("p99_ok"))
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Integer PageRank: hand-checked first iteration on a star, bit-exact
+  * agreement with a driver-side reference loop, mass conservation, and
+  * partitioning invariance (the cross-engine determinism claim). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000L
+
+  /** Driver-side reference: the same all-integer update rule. */
+  private def refRanks(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    var rank = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to iters) {
+      val inc = edges
+        .groupBy(_._2)
+        .map { case (dst, es) =>
+          dst -> es.map { case (src, _) => rank(src) / outdeg(src) }.sum
+        }
+      rank = nodes.map(v =>
+        v -> ((15 * S / 100) / n + 85 * inc.getOrElse(v, 0L) / 100)).toMap
+    }
+    rank
+  }
+
+  private def bidir(pairs: (Long, Long)*): Seq[(Long, Long)] =
+    pairs ++ pairs.map(_.swap)
+
+  test("pageRankTop: star center dominates; first iteration hand-checked") {
+    val e = bidir(1L -> 2L, 1L -> 3L, 1L -> 4L)
+    val out = Graph.pageRankTop(e.toDF("src", "dst"), iterations = 1,
+      topK = 4).collect()
+    val ranks = out.map(r =>
+      r.getAs[Long]("node") -> r.getAs[Long]("rank_ppb")).toMap
+    // N=4, r0=250000000 each; center: 150000000/4 + 85*(3*250000000)/100
+    assert(ranks(1L) == 37500000L + 637500000L)
+    // leaf: 37500000 + 85*(250000000 div 3)/100
+    assert(ranks(2L) == 37500000L + 85L * (250000000L / 3) / 100)
+    assert(ranks(2L) == ranks(3L) && ranks(3L) == ranks(4L))
+    assert(out.head.getAs[Long]("node") == 1L, "center ranks first")
+  }
+
+  test("pageRankTop: bit-exact vs driver-side integer reference, 5 iters") {
+    // a lopsided graph: hub 1, chain 2-3-4, satellite cluster on 5
+    val e = bidir(1L -> 2L, 1L -> 3L, 1L -> 5L, 2L -> 3L, 3L -> 4L,
+      5L -> 6L, 5L -> 7L, 6L -> 7L)
+    val want = refRanks(e, 5)
+    val got = Graph.pageRankTop(e.toDF("src", "dst"), iterations = 5,
+      topK = 100).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_ppb")).toMap
+    assert(got == want)
+  }
+
+  test("pageRankTop: mass conserved up to truncation loss") {
+    val e = bidir(1L -> 2L, 1L -> 3L, 1L -> 5L, 2L -> 3L, 3L -> 4L,
+      5L -> 6L, 5L -> 7L)
+    val total = Graph.pageRankTop(e.toDF("src", "dst"), iterations = 5,
+      topK = 100).agg(sum("rank_ppb")).as[Long].collect()(0)
+    // every div truncates at most 1 ppb per node per step — the sum can
+    // only fall short of S, and only slightly
+    assert(total <= S && total > (S * 95) / 100, s"mass $total")
+  }
+
+  test("pageRankTop: partitioning-invariant (deterministic integers)") {
+    val e = bidir(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val df = e.toDF("src", "dst")
+    val a = Graph.pageRankTop(df.repartition(1), 5, 10).collect().toSeq
+    val b = Graph.pageRankTop(df.repartition(11), 5, 10).collect().toSeq
+    assert(a == b)
+  }
+}

@@ -104,4 +104,94 @@ class SketchesSpec extends SparkSpec {
     assert(row.getAs[Long]("est_union") >=
       math.max(row.getAs[Long]("est_first"), row.getAs[Long]("est_second")))
   }
+
+  test("countMinAudit: exact top-k counts, estimates never underestimate") {
+    val out = Sketches.countMinAudit(ev(), "user_id").collect()
+    assert(out.length == 10)
+    val exact = ev().groupBy(col("user_id").cast("string").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val k = r.getAs[String]("key")
+      assert(r.getAs[Long]("exact_n") == exact(k), s"exact count for $k")
+      assert(r.getAs[Boolean]("never_underestimates"))
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_n"))
+      assert(r.getAs[Long]("overestimate") ==
+        r.getAs[Long]("cms_est") - r.getAs[Long]("exact_n"))
+    }
+    // the probe set is the exact top-10 by (count desc, key)
+    val want = exact.toSeq.sortBy { case (k, n) => (-n, k) }.take(10)
+      .map(_._1).toSet
+    assert(out.map(_.getAs[String]("key")).toSet == want)
+  }
+
+  test("countMinAudit: pigeonhole collisions surface as overestimates") {
+    // depth 1 × width 2 over 3 distinct keys: two keys MUST share a
+    // bucket, and each sharer's estimate absorbs the other's count
+    val df = Seq.tabulate(30)(i => s"k${i % 3}").toDF("id")
+    val out = Sketches.countMinAudit(df, "id", topK = 3,
+      depth = 1, width = 2).collect()
+    assert(out.forall(_.getAs[Boolean]("never_underestimates")))
+    assert(out.map(_.getAs[Long]("overestimate")).max > 0,
+      "3 keys into 2 buckets must collide")
+    assert(out.forall(_.getAs[Long]("exact_n") == 10L))
+  }
+
+  test("countMinAudit: partitioning-invariant (deterministic hashes)") {
+    val a = Sketches.countMinAudit(ev().repartition(1), "user_id")
+      .orderBy("key").collect().toSeq
+    val b = Sketches.countMinAudit(ev().repartition(13), "user_id")
+      .orderBy("key").collect().toSeq
+    assert(a == b)
+  }
+
+  test("quantileAudit: hand-checked exact ranks, verdicts TRUE") {
+    val df = ((1 to 100).map(v => ("a", v.toDouble)) ++
+      Seq(("b", 1.0), ("b", 1.0), ("b", 1.0), ("b", 2.0)))
+      .toDF("g", "v")
+    val out = Sketches.quantileAudit(df, "g", "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val a = out("a")
+    // n=100: ranks ceil(q*n) = 50 / 90 / 99
+    assert(a.getAs[Long]("n") == 100L)
+    assert(a.getAs[Double]("exact_p50") == 50.0)
+    assert(a.getAs[Double]("exact_p90") == 90.0)
+    assert(a.getAs[Double]("exact_p99") == 99.0)
+    val b = out("b")
+    // tie-heavy group, n=4: ranks (n+1)//2=2, (9n+9)//10=4, (99n+99)//100=4
+    assert(b.getAs[Double]("exact_p50") == 1.0)
+    assert(b.getAs[Double]("exact_p90") == 2.0)
+    assert(b.getAs[Double]("exact_p99") == 2.0)
+    out.values.foreach { r =>
+      Seq("p50_ok", "p90_ok", "p99_ok").foreach(c =>
+        assert(r.getAs[Boolean](c), s"verdict $c for ${r.getAs[String]("g")}"))
+    }
+  }
+
+  test("quantileAudit: events corpus — verdicts hold, quantiles ordered") {
+    val out = Sketches.quantileAudit(ev(), "event_type", "value").collect()
+    assert(out.nonEmpty)
+    val n = ev().groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") == n(r.getAs[String]("event_type")))
+      assert(r.getAs[Double]("exact_p50") <= r.getAs[Double]("exact_p90"))
+      assert(r.getAs[Double]("exact_p90") <= r.getAs[Double]("exact_p99"))
+      Seq("p50_ok", "p90_ok", "p99_ok").foreach(c =>
+        assert(r.getAs[Boolean](c)))
+    }
+  }
+
+  test("quantileAudit: rank verdict falsifiable — coarse sketch still " +
+    "inside its own wider window") {
+    // accuracy=10 (eps=0.1): the bound scales with eps, so the verdict
+    // must STILL hold — the audit tracks the promised window, not a
+    // fixed tolerance
+    val out = Sketches.quantileAudit(ev(), "event_type", "value",
+      accuracy = 10).collect()
+    out.foreach { r =>
+      Seq("p50_ok", "p90_ok", "p99_ok").foreach(c =>
+        assert(r.getAs[Boolean](c)))
+    }
+  }
 }
