@@ -4055,6 +4055,92 @@ object OracleSql {
         |    ON s.node = nd.node)
         |SELECT CASE WHEN node % 2 = 0 THEN 'C' ELSE 'S' END AS node_type,
         |  node // 2 AS node_id, CAST(rank_ppb AS BIGINT) AS rank_ppb
-        |FROM r5 ORDER BY rank_ppb DESC, node LIMIT 20""".stripMargin
+        |FROM r5 ORDER BY rank_ppb DESC, node LIMIT 20""".stripMargin,
+
+    // Personalized PageRank seeded at the top-order-count customer:
+    // same integer unroll, base mass restarts only at the seed, and
+    // (mirroring the engine's sparse frontier) only rank>0 nodes send
+    // messages — an exact filter, zero messages carry zero mass.
+    "q_graph_ppr" ->
+      """WITH p AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+        |    l.l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+        |  FROM e GROUP BY 1),
+        |sb AS (SELECT node, CAST(1000000000 AS BIGINT) AS base FROM
+        |  (SELECT o_custkey * 2 AS node, COUNT(*) AS n_orders
+        |   FROM orders GROUP BY 1
+        |   ORDER BY n_orders DESC, node LIMIT 1)),
+        |r0 AS (SELECT nd.node, CAST(COALESCE(sb.base, 0) AS BIGINT)
+        |    AS rank_ppb
+        |  FROM nd LEFT JOIN sb ON sb.node = nd.node),
+        |r1 AS (SELECT a.node, ((15 * COALESCE(sb.base, 0)) // 100)
+        |    + ((85 * a.inc) // 100) AS rank_ppb
+        |  FROM (SELECT x.dst AS node, SUM(x.m) AS inc FROM (
+        |      SELECT e.dst, r.rank_ppb // d.outdeg AS m
+        |      FROM e JOIN r0 r ON r.node = e.src AND r.rank_ppb > 0
+        |      JOIN deg d ON d.node = e.src
+        |      UNION ALL SELECT node AS dst, 0 AS m FROM nd) x
+        |    GROUP BY 1) a
+        |  LEFT JOIN sb ON sb.node = a.node),
+        |r2 AS (SELECT a.node, ((15 * COALESCE(sb.base, 0)) // 100)
+        |    + ((85 * a.inc) // 100) AS rank_ppb
+        |  FROM (SELECT x.dst AS node, SUM(x.m) AS inc FROM (
+        |      SELECT e.dst, r.rank_ppb // d.outdeg AS m
+        |      FROM e JOIN r1 r ON r.node = e.src AND r.rank_ppb > 0
+        |      JOIN deg d ON d.node = e.src
+        |      UNION ALL SELECT node AS dst, 0 AS m FROM nd) x
+        |    GROUP BY 1) a
+        |  LEFT JOIN sb ON sb.node = a.node),
+        |r3 AS (SELECT a.node, ((15 * COALESCE(sb.base, 0)) // 100)
+        |    + ((85 * a.inc) // 100) AS rank_ppb
+        |  FROM (SELECT x.dst AS node, SUM(x.m) AS inc FROM (
+        |      SELECT e.dst, r.rank_ppb // d.outdeg AS m
+        |      FROM e JOIN r2 r ON r.node = e.src AND r.rank_ppb > 0
+        |      JOIN deg d ON d.node = e.src
+        |      UNION ALL SELECT node AS dst, 0 AS m FROM nd) x
+        |    GROUP BY 1) a
+        |  LEFT JOIN sb ON sb.node = a.node),
+        |r4 AS (SELECT a.node, ((15 * COALESCE(sb.base, 0)) // 100)
+        |    + ((85 * a.inc) // 100) AS rank_ppb
+        |  FROM (SELECT x.dst AS node, SUM(x.m) AS inc FROM (
+        |      SELECT e.dst, r.rank_ppb // d.outdeg AS m
+        |      FROM e JOIN r3 r ON r.node = e.src AND r.rank_ppb > 0
+        |      JOIN deg d ON d.node = e.src
+        |      UNION ALL SELECT node AS dst, 0 AS m FROM nd) x
+        |    GROUP BY 1) a
+        |  LEFT JOIN sb ON sb.node = a.node),
+        |r5 AS (SELECT a.node, ((15 * COALESCE(sb.base, 0)) // 100)
+        |    + ((85 * a.inc) // 100) AS rank_ppb
+        |  FROM (SELECT x.dst AS node, SUM(x.m) AS inc FROM (
+        |      SELECT e.dst, r.rank_ppb // d.outdeg AS m
+        |      FROM e JOIN r4 r ON r.node = e.src AND r.rank_ppb > 0
+        |      JOIN deg d ON d.node = e.src
+        |      UNION ALL SELECT node AS dst, 0 AS m FROM nd) x
+        |    GROUP BY 1) a
+        |  LEFT JOIN sb ON sb.node = a.node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'C' ELSE 'S' END AS node_type,
+        |  node // 2 AS node_id, CAST(rank_ppb AS BIGINT) AS rank_ppb
+        |FROM r5 ORDER BY rank_ppb DESC, node LIMIT 20""".stripMargin,
+
+    // Z-order locality audit: the 44-term Morton interleave is
+    // GENERATED by the same Scala loop the engine expression uses
+    // (Layout.zValueSql) — the two formulas cannot drift apart.
+    "q_layout_zorder" ->
+      s"""WITH b AS (SELECT MIN(epoch_ns(ts)//1000000000) AS lo_s
+         |  FROM events),
+         |p AS (SELECT user_id AS x,
+         |    epoch_ns(ts)//1000000000 - b.lo_s AS y
+         |  FROM events, b),
+         |z AS (SELECT x, y,
+         |    ${graft.operators.Layout.zValueSql("x", "y", 22)} >> 36
+         |      AS zb
+         |  FROM p)
+         |SELECT zb, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(x) AS x_min, MAX(x) AS x_max,
+         |  MIN(y) AS y_min, MAX(y) AS y_max
+         |FROM z GROUP BY 1""".stripMargin
   )
 }

@@ -1231,7 +1231,9 @@ object SparkEntry {
     * customers at node 2k, suppliers at 2k+1), all-integer
     * parts-per-billion arithmetic — bit-exact cross-engine, the oracle
     * unrolls the same five steps as CTEs. Top 20 by rank. */
-  private def qGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
+  /** Bidirectional customer↔supplier trade graph: distinct pairs via
+    * orders⋈lineitem, customers at node 2k, suppliers at 2k+1. */
+  private def tradeGraphEdges(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
@@ -1239,13 +1241,47 @@ object SparkEntry {
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val edges = pairs.union(
-      pairs.select(col("dst").as("src"), col("src").as("dst")))
-    Graph.pageRankTop(edges, iterations = 5, topK = 20)
-      .select(
-        when(pmod(col("node"), lit(2L)) === 0, lit("C")).otherwise(lit("S"))
-          .as("node_type"),
-        expr("node div 2").as("node_id"), col("rank_ppb"))
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private def decodeNode(df: DataFrame): DataFrame =
+    df.select(
+      when(pmod(col("node"), lit(2L)) === 0, lit("C")).otherwise(lit("S"))
+        .as("node_type"),
+      expr("node div 2").as("node_id"), col("rank_ppb"))
+
+  private def qGraphPagerank(spark: SparkSession, dir: String): DataFrame =
+    decodeNode(Graph.pageRankTop(tradeGraphEdges(spark, dir),
+      iterations = 5, topK = 20))
+
+  /** Z-order locality audit over events (x = user_id, y = seconds
+    * since corpus start, 22 interleave bits): buckets = top 8 z-bits,
+    * i.e. aligned 2¹⁸×2¹⁸ squares — each bucket's 2D bounding box in
+    * the output is what makes the layout's pruning power measurable.
+    * All-integer bit algebra; the oracle regenerates the identical
+    * interleave term-for-term via [[Layout.zValueSql]]. */
+  private def qLayoutZorder(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val lo = e.agg(min(epochS(col("ts"))).as("lo_s"))
+    val base = e.crossJoin(broadcast(lo))
+      .select(col("user_id").as("xv"),
+        (epochS(col("ts")) - col("lo_s")).as("yv"))
+    graft.operators.Layout.zOrderAudit(base, col("xv"), col("yv"),
+      zShift = 36, bits = 22)
+  }
+
+  /** Personalized PageRank seeded at the highest-order-count customer
+    * (ties → smallest custkey): "the suppliers and customers most
+    * related to our biggest account" — same integer-exact contract,
+    * sparse frontier (only rank>0 nodes message). */
+  private def qGraphPpr(spark: SparkSession, dir: String): DataFrame = {
+    val seed = t(spark, dir, "orders")
+      .groupBy((col("o_custkey") * 2).as("node"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("node")).limit(1)
+      .select(col("node"))
+    decodeNode(Graph.personalizedPageRankTop(tradeGraphEdges(spark, dir),
+      seed, iterations = 5, topK = 20))
   }
 
   /** Point-in-time feature join: each purchase (label) gets the user's
@@ -1600,14 +1636,16 @@ object SparkEntry {
     "q_burst" -> (qBurst _),
     "q_sketch_cms" -> (qSketchCms _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
-    "q_graph_pagerank" -> (qGraphPagerank _)
+    "q_graph_pagerank" -> (qGraphPagerank _),
+    "q_graph_ppr" -> (qGraphPpr _),
+    "q_layout_zorder" -> (qLayoutZorder _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (168 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (170 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

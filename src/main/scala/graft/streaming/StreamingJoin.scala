@@ -53,4 +53,34 @@ object StreamingJoin {
         (unix_timestamp(col("buy_ts")) - unix_timestamp(col("imp_ts")))
           .as("latency_s"))
   }
+
+  /** [[attributedPurchases]] with LEFT OUTER semantics: impressions
+    * that never converted inside the window are emitted too, with NULL
+    * `buy_ts`/`latency_s` — the non-converter feed a funnel analysis
+    * needs, produced by the engine itself at the exact moment the
+    * impression becomes unmatchable.
+    *
+    * This is the part plain joins cannot do on unbounded streams: "no
+    * purchase arrived" is only decidable once the purchase-side
+    * watermark has passed `imp_ts + windowS`, so the NULL row is
+    * emitted BY the state-eviction machinery, as late as the watermark
+    * and no later. On batch inputs it degrades to an ordinary left
+    * outer interval join — the parity the spec pins. */
+  def attributionWithTimeout(impressions: DataFrame, purchases: DataFrame,
+      windowS: Long, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val i = impressions
+      .select(col("user_id"), col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", watermarkDelay)
+    val p = purchases
+      .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", watermarkDelay)
+    i.join(p,
+        col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("imp_ts") &&
+          col("buy_ts") < col("imp_ts") + expr(s"INTERVAL $windowS SECOND"),
+        "left_outer")
+      .select(col("user_id"), col("imp_ts"), col("buy_ts"),
+        (unix_timestamp(col("buy_ts")) - unix_timestamp(col("imp_ts")))
+          .as("latency_s"))
+  }
 }

@@ -68,6 +68,52 @@ class GraphSpec extends SparkSpec {
     assert(total <= S && total > (S * 95) / 100, s"mass $total")
   }
 
+  /** Driver-side personalized reference: base mass restarts at seeds. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val base = nodes.map(v =>
+      v -> (if (seeds(v)) S / seeds.size else 0L)).toMap
+    var rank = base
+    for (_ <- 1 to iters) {
+      val inc = edges.filter { case (src, _) => rank(src) > 0 }
+        .groupBy(_._2)
+        .map { case (dst, es) =>
+          dst -> es.map { case (src, _) => rank(src) / outdeg(src) }.sum
+        }
+      rank = nodes.map(v =>
+        v -> (15 * base(v) / 100 + 85 * inc.getOrElse(v, 0L) / 100)).toMap
+    }
+    rank
+  }
+
+  test("personalizedPageRankTop: bit-exact vs seeded reference; mass " +
+    "concentrates near the seed") {
+    val e = bidir(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      5L -> 6L, 6L -> 7L)
+    val want = refPpr(e, Set(1L), 5)
+    val got = Graph.personalizedPageRankTop(e.toDF("src", "dst"),
+      Seq(Tuple1(1L)).toDF("node"), iterations = 5, topK = 100)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_ppb")).toMap
+    assert(got == want)
+    // walks restart at 1: its immediate neighborhood outranks the far
+    // end of the chain
+    assert(got(2L) > got(6L) && got(3L) > got(7L))
+  }
+
+  test("personalizedPageRankTop: two seeds split the base mass") {
+    val e = bidir(1L -> 2L, 3L -> 4L)
+    val got = Graph.personalizedPageRankTop(e.toDF("src", "dst"),
+      Seq(Tuple1(1L), Tuple1(3L)).toDF("node"), iterations = 2,
+      topK = 10).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_ppb")).toMap
+    assert(got == refPpr(e, Set(1L, 3L), 2))
+    // disconnected twin components with symmetric seeds → equal ranks
+    assert(got(1L) == got(3L) && got(2L) == got(4L))
+  }
+
   test("pageRankTop: partitioning-invariant (deterministic integers)") {
     val e = bidir(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
     val df = e.toDF("src", "dst")

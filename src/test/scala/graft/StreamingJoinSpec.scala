@@ -82,6 +82,57 @@ class StreamingJoinSpec extends SparkSpec {
     assert(got == Seq((7L, 1000L, 1020L, 20L)), got)
   }
 
+  test("left outer: non-converters emitted by watermark eviction, " +
+    "not before") {
+    implicit val sqlCtx = spark.sqlContext
+    val iIn = MemoryStream[(Long, Timestamp)]
+    val pIn = MemoryStream[(Long, Timestamp)]
+    val out = StreamingJoin.attributionWithTimeout(
+      iIn.toDF().toDF("user_id", "ts"), pIn.toDF().toDF("user_id", "ts"),
+      windowS = 50, watermarkDelay = "0 seconds")
+    val cp = Files.createTempDirectory("graft_sjoin_lo").toString
+    val q = out.writeStream.format("memory").queryName("sjoin_lo")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      // user 1 converts; user 2 never does
+      iIn.addData((1L, ts(100L)), (2L, ts(100L)))
+      pIn.addData((1L, ts(120L)))
+      q.processAllAvailable()
+      val early = spark.table("sjoin_lo").collect()
+      // user 2's NULL row must NOT appear yet — its window (ends 150)
+      // is still ahead of the purchase-side watermark (120)
+      assert(!early.exists(r => r.getAs[Long]("user_id") == 2L),
+        early.toSeq.toString)
+      // advance BOTH watermarks past 100+50 (the join's eviction clock
+      // is the GLOBAL watermark — the min across inputs): the engine
+      // now PROVES no match can arrive and emits the NULL row
+      iIn.addData((8L, ts(400L)))
+      pIn.addData((9L, ts(400L)))
+      q.processAllAvailable()
+      iIn.addData((8L, ts(401L))) // next batch so wm 400 takes effect
+      pIn.addData((9L, ts(401L)))
+      q.processAllAvailable()
+      val rows = spark.table("sjoin_lo").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          Option(r.getAs[Timestamp]("buy_ts")).map(_.getTime / 1000)))
+        .toSeq.sorted
+      assert(rows.contains((1L, Some(120L))), rows.toString)
+      assert(rows.contains((2L, None)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("left outer batch parity: unmatched impressions carry NULLs") {
+    val got = StreamingJoin.attributionWithTimeout(
+      Seq((1L, ts(100L)), (2L, ts(100L))).toDF("user_id", "ts"),
+      Seq((1L, ts(120L)), (2L, ts(160L))).toDF("user_id", "ts"),
+      windowS = 50)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        Option(r.getAs[Timestamp]("buy_ts")).map(_.getTime / 1000)))
+      .toSeq.sorted
+    // user 2's purchase at 160 misses the [100, 150) window
+    assert(got == Seq((1L, Some(120L)), (2L, None)), got.toString)
+  }
+
   test("stateful plan: the join is the built-in symmetric hash, with " +
     "watermark eviction on both sides") {
     implicit val sqlCtx = spark.sqlContext
