@@ -4141,6 +4141,32 @@ object OracleSql {
          |SELECT zb, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |  MIN(x) AS x_min, MAX(x) AS x_max,
          |  MIN(y) AS y_min, MAX(y) AS y_max
-         |FROM z GROUP BY 1""".stripMargin
+         |FROM z GROUP BY 1""".stripMargin,
+
+    // Poisson-bootstrap CI: the 8-threshold inverse-CDF multiplicity
+    // is GENERATED from the engine's own baked constants
+    // (Bootstrap.multiplicitySql) — decimal-exact weighted sums, one
+    // final double division per replica, rank-selected band.
+    "q_bootstrap_ci" ->
+      s"""WITH br AS (SELECT UNNEST([${(0 until 32).mkString(", ")}]) AS b),
+         |r AS (SELECT br.b,
+         |    ${graft.operators.Bootstrap.multiplicitySql(
+               "e.event_id", "br.b")} AS w,
+         |    e.value
+         |  FROM events e CROSS JOIN br),
+         |m AS (SELECT b, CASE WHEN SUM(w) > 0 THEN
+         |      CAST(SUM(CAST(value * w AS DECIMAL(28, 6))) AS DOUBLE)
+         |        / CAST(SUM(w) AS DOUBLE)
+         |    END AS m
+         |  FROM r GROUP BY 1),
+         |rk AS (SELECT m, b,
+         |    row_number() OVER (ORDER BY m, b) AS rn FROM m),
+         |band AS (SELECT MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+         |    MAX(CASE WHEN rn = 31 THEN m END) AS ci_hi,
+         |    CAST(COUNT(*) AS BIGINT) AS n_replicas FROM rk),
+         |f AS (SELECT CAST(SUM(CAST(value AS DECIMAL(28, 6))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS mean FROM events)
+         |SELECT f.mean, band.ci_lo, band.ci_hi, band.n_replicas
+         |FROM f, band""".stripMargin
   )
 }

@@ -1270,6 +1270,14 @@ object SparkEntry {
       zShift = 36, bits = 22)
   }
 
+  /** Deterministic Poisson-bootstrap 90% band for avg(value): 32
+    * hash-driven replicas in one pass, decimal-exact weighted sums,
+    * rank-selected band — reproducible across runs/engines, so the
+    * oracle regenerates the identical thresholds and replica means
+    * ([[graft.operators.Bootstrap.multiplicitySql]]). */
+  private def qBootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bootstrap.meanCi(events(spark, dir), "event_id", "value")
+
   /** Personalized PageRank seeded at the highest-order-count customer
     * (ties → smallest custkey): "the suppliers and customers most
     * related to our biggest account" — same integer-exact contract,
@@ -1638,14 +1646,15 @@ object SparkEntry {
     "q_sketch_quantiles" -> (qSketchQuantiles _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_graph_ppr" -> (qGraphPpr _),
-    "q_layout_zorder" -> (qLayoutZorder _)
+    "q_layout_zorder" -> (qLayoutZorder _),
+    "q_bootstrap_ci" -> (qBootstrapCi _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (170 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (171 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates
