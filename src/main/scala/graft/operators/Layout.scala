@@ -19,6 +19,12 @@ import org.apache.spark.sql.types._
   * `and`, `or` composed into one static expression tree — codegen'd,
   * no UDF), so it is bit-identical in any engine: the oracle recomputes
   * the same interleave term-for-term.
+  *
+  * Division of labor with [[graft.queries.Scale.zorderWrite]]: that
+  * entry point handles CONTINUOUS (double) columns by first
+  * quantile-binning them into small cells and then delegating to
+  * [[zValue]] for the interleave; this object is the exact integer
+  * kernel plus the oracle-gated audit surface.
   */
 object Layout {
 

@@ -102,11 +102,13 @@ object Scale {
         acc + when(c.cast(org.apache.spark.sql.types.DoubleType) > b, 1)
           .otherwise(0)
       }
+    // interleave via the shared Morton kernel (Layout.zValue puts its
+    // first argument on even positions; this layout's convention is
+    // colX on odd, so the cells swap argument slots)
     def interleave(cx: Column, cy: Column): Column =
-      (0 until bits).map { k =>
-        (shiftleft(shiftrightunsigned(cx, k).bitwiseAND(1), 2 * k + 1))
-          .bitwiseOR(shiftleft(shiftrightunsigned(cy, k).bitwiseAND(1), 2 * k))
-      }.reduce(_.bitwiseOR(_))
+      graft.operators.Layout.zValue(
+        cy.cast(org.apache.spark.sql.types.LongType),
+        cx.cast(org.apache.spark.sql.types.LongType), bits)
     df.withColumn("__z", interleave(cell(col(colX), bx), cell(col(colY), by)))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

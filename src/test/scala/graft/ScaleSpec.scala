@@ -423,4 +423,48 @@ class DashboardSpec extends SparkSpec {
     assert(orph.contains("BroadcastHashJoin") &&
       orph.contains("LeftAnti"), s"orphans:\n$orph")
   }
+
+  test("round-10 sketch/graph/layout/bootstrap ops: shuffle budgets hold") {
+    def plan(q: String): String = graft.SparkEntry.queries(q)(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    def shuffles(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).size +
+        "Exchange rangepartitioning".r.findAllIn(p).size
+    // CMS: sketch build is ONE hash shuffle of depth·width partials;
+    // exact top-k rides TakeOrderedAndProject (never a global sort);
+    // the probe joins the broadcast sketch — no sort-merge anywhere
+    val cms = plan("q_sketch_cms")
+    assert(shuffles(cms) <= 3 && cms.contains("TakeOrderedAndProject") &&
+      cms.contains("BroadcastHashJoin") && !cms.contains("SortMergeJoin"),
+      s"cms (${shuffles(cms)} shuffles):\n$cms")
+    // quantile audit: GK sketch arm is one map-combined groupBy; the
+    // per-group approx row joins back by BROADCAST for the rank counts
+    val qa = plan("q_sketch_quantiles")
+    assert(qa.contains("BroadcastHashJoin") && !qa.contains("SortMergeJoin"),
+      s"quantiles:\n$qa")
+    // z-order audit: the interleave is pure expression work — exactly
+    // ONE hash shuffle (the bucket groupBy) beyond the broadcast 1-row
+    // bounds pass, and the bit algebra stays codegen'd (no UDF)
+    val zo = plan("q_layout_zorder")
+    assert(shuffles(zo) == 1 && !zo.contains("SortMergeJoin") &&
+      !zo.contains("BatchEvalPython") && !zo.contains("ScalaUDF"),
+      s"zorder (${shuffles(zo)} shuffles):\n$zo")
+    // bootstrap: all B replica sums in ONE hash shuffle of B·partition
+    // partials (the explode must sit BELOW a partial HashAggregate);
+    // the 32-row band ranking may repartition to one but never a
+    // corpus-wide sort-merge join
+    val bs = plan("q_bootstrap_ci")
+    assert(shuffles(bs) <= 2 && bs.contains("HashAggregate") &&
+      !bs.contains("SortMergeJoin"),
+      s"bootstrap (${shuffles(bs)} shuffles):\n$bs")
+    // PageRank family: persisted edge/degree blocks serve every
+    // iteration (InMemoryTableScan), and the global top-k is
+    // TakeOrderedAndProject, never Sort+Limit over all ranks
+    Seq("q_graph_pagerank", "q_graph_ppr").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan") &&
+        p.contains("TakeOrderedAndProject") &&
+        !p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
 }
