@@ -4167,6 +4167,47 @@ object OracleSql {
          |f AS (SELECT CAST(SUM(CAST(value AS DECIMAL(28, 6))) AS DOUBLE)
          |    / CAST(COUNT(*) AS DOUBLE) AS mean FROM events)
          |SELECT f.mean, band.ci_lo, band.ci_hi, band.n_replicas
+         |FROM f, band""".stripMargin,
+
+    // Bootstrap uplift band (purchase vs view): paired resamples —
+    // each replica reweights BOTH arms with the same hash draws, one
+    // grouped pass of conditional decimal sums, one double
+    // subtraction per replica, rank-selected band.
+    "q_bootstrap_uplift" ->
+      s"""WITH br AS (SELECT UNNEST([${(0 until 32).mkString(", ")}]) AS b),
+         |e2 AS (SELECT event_id, value,
+         |    event_type = 'purchase' AS is_b
+         |  FROM events WHERE event_type IN ('view', 'purchase')),
+         |r AS (SELECT br.b, e2.value, e2.is_b,
+         |    ${graft.operators.Bootstrap.multiplicitySql(
+               "e2.event_id", "br.b")} AS w
+         |  FROM e2 CROSS JOIN br),
+         |m AS (SELECT b,
+         |    SUM(CASE WHEN NOT is_b THEN CAST(value * w AS DECIMAL(28, 6))
+         |      ELSE CAST(0 AS DECIMAL(28, 6)) END) AS was,
+         |    SUM(CASE WHEN NOT is_b THEN w ELSE 0 END) AS wna,
+         |    SUM(CASE WHEN is_b THEN CAST(value * w AS DECIMAL(28, 6))
+         |      ELSE CAST(0 AS DECIMAL(28, 6)) END) AS wsb,
+         |    SUM(CASE WHEN is_b THEN w ELSE 0 END) AS wnb
+         |  FROM r GROUP BY 1),
+         |d AS (SELECT b, CASE WHEN wna > 0 AND wnb > 0 THEN
+         |      CAST(wsb AS DOUBLE) / CAST(wnb AS DOUBLE)
+         |        - CAST(was AS DOUBLE) / CAST(wna AS DOUBLE)
+         |    END AS d FROM m),
+         |rk AS (SELECT d, b, row_number() OVER (ORDER BY d, b) AS rn
+         |  FROM d WHERE d IS NOT NULL),
+         |band AS (SELECT MAX(CASE WHEN rn = 2 THEN d END) AS ci_lo,
+         |    MAX(CASE WHEN rn = 31 THEN d END) AS ci_hi,
+         |    CAST(COUNT(*) AS BIGINT) AS n_replicas FROM rk),
+         |f AS (SELECT
+         |    CAST(SUM(CASE WHEN is_b THEN CAST(value AS DECIMAL(28, 6))
+         |        ELSE CAST(0 AS DECIMAL(28, 6)) END) AS DOUBLE)
+         |      / CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS DOUBLE)
+         |    - CAST(SUM(CASE WHEN NOT is_b THEN CAST(value AS DECIMAL(28, 6))
+         |        ELSE CAST(0 AS DECIMAL(28, 6)) END) AS DOUBLE)
+         |      / CAST(SUM(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS DOUBLE)
+         |    AS uplift FROM e2)
+         |SELECT f.uplift, band.ci_lo, band.ci_hi, band.n_replicas
          |FROM f, band""".stripMargin
   )
 }

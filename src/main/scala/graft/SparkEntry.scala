@@ -1278,6 +1278,14 @@ object SparkEntry {
   private def qBootstrapCi(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Bootstrap.meanCi(events(spark, dir), "event_id", "value")
 
+  /** Bootstrap uplift band: is the purchase-vs-view mean-value lift
+    * real? 32 paired hash-driven resamples, one grouped pass, exact
+    * arithmetic to one double subtraction per replica. */
+  private def qBootstrapUplift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bootstrap.upliftCi(events(spark, dir),
+      "event_id", "value", "event_type", groupA = "view",
+      groupB = "purchase")
+
   /** Personalized PageRank seeded at the highest-order-count customer
     * (ties → smallest custkey): "the suppliers and customers most
     * related to our biggest account" — same integer-exact contract,
@@ -1647,14 +1655,15 @@ object SparkEntry {
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_graph_ppr" -> (qGraphPpr _),
     "q_layout_zorder" -> (qLayoutZorder _),
-    "q_bootstrap_ci" -> (qBootstrapCi _)
+    "q_bootstrap_ci" -> (qBootstrapCi _),
+    "q_bootstrap_uplift" -> (qBootstrapUplift _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (171 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (172 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -64,4 +64,35 @@ class BootstrapSpec extends SparkSpec {
       .collect()(0)
     assert(a == b, s"partitioning changed the bootstrap: $a vs $b")
   }
+
+  test("upliftCi: a planted +5 lift is detected with 0 outside the band") {
+    // arm a: values cycle 0..6; arm b: the same cycle shifted +5 —
+    // true uplift exactly 5.0
+    val df = (0 until 2000).map { i =>
+      if (i % 2 == 0) (i.toLong, (i % 7).toDouble, "ctl")
+      else (i.toLong, (i % 7).toDouble + 5.0, "trt")
+    }.toDF("id", "v", "g")
+    val r = Bootstrap.upliftCi(df, "id", "v", "g", "ctl", "trt")
+      .collect()(0)
+    val (u, lo, hi) = (r.getAs[Double]("uplift"), r.getAs[Double]("ci_lo"),
+      r.getAs[Double]("ci_hi"))
+    assert(math.abs(u - 5.0) < 0.2, s"uplift $u")
+    assert(lo <= u && u <= hi, s"$u outside [$lo, $hi]")
+    assert(lo > 0.0, s"band [$lo, $hi] must exclude 0 for a real lift")
+    assert(r.getAs[Long]("n_replicas") == 32L)
+    // deterministic under repartitioning
+    val r2 = Bootstrap.upliftCi(df.repartition(13), "id", "v", "g",
+      "ctl", "trt").collect()(0)
+    assert(r == r2)
+  }
+
+  test("upliftCi: no lift ⇒ band straddles 0") {
+    val df = (0 until 2000).map { i =>
+      (i.toLong, (i % 11).toDouble, if (i % 2 == 0) "ctl" else "trt")
+    }.toDF("id", "v", "g")
+    val r = Bootstrap.upliftCi(df, "id", "v", "g", "ctl", "trt")
+      .collect()(0)
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo < 0.0 && hi > 0.0, s"null effect must straddle 0: [$lo, $hi]")
+  }
 }
