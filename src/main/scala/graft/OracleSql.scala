@@ -4208,6 +4208,34 @@ object OracleSql {
          |      / CAST(SUM(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS DOUBLE)
          |    AS uplift FROM e2)
          |SELECT f.uplift, band.ci_lo, band.ci_hi, band.n_replicas
-         |FROM f, band""".stripMargin
+         |FROM f, band""".stripMargin,
+
+    // Portable-Bloom membership audit: the realized filter (distinct
+    // (hash-row, bit) pairs) and the probe verdicts are bit-for-bit
+    // reproducible — same md5_60 bit recipe as the CMS oracle.
+    "q_sketch_bloom" ->
+      """WITH g AS (SELECT UNNEST([0, 1, 2, 3]) AS i),
+        |k AS (SELECT DISTINCT user_id AS k FROM events),
+        |bits AS (SELECT DISTINCT g.i,
+        |    ('0x' || substring(md5(CAST(g.i AS VARCHAR) || ':'
+        |      || CAST(k.k AS VARCHAR)), 1, 15))::BIGINT % 4096 AS b
+        |  FROM k CROSS JOIN g),
+        |nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM k),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM bits),
+        |pr AS (SELECT 1000000 + x AS p
+        |  FROM generate_series(0, 999) t(x)),
+        |hits AS (SELECT pr.p, CAST(COUNT(*) AS BIGINT) AS n_set
+        |  FROM pr CROSS JOIN g
+        |  JOIN bits ON bits.i = g.i AND bits.b =
+        |    ('0x' || substring(md5(CAST(g.i AS VARCHAR) || ':'
+        |      || CAST(pr.p AS VARCHAR)), 1, 15))::BIGINT % 4096
+        |  GROUP BY 1),
+        |fp AS (SELECT CAST(COALESCE(SUM(
+        |      CASE WHEN n_set = 4 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_false_positives FROM hits)
+        |SELECT nk.n_keys, nb.n_bits_set,
+        |  CAST(1000 AS BIGINT) AS n_probes, fp.n_false_positives,
+        |  nb.n_bits_set > 0 AND nb.n_bits_set < 4096 AS not_saturated
+        |FROM nk, nb, fp""".stripMargin
   )
 }

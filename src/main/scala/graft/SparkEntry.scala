@@ -1278,6 +1278,14 @@ object SparkEntry {
   private def qBootstrapCi(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Bootstrap.meanCi(events(spark, dir), "event_id", "value")
 
+  /** Portable-Bloom membership audit (4 hashes × 4096 bits over the
+    * distinct user set, 1000 synthetic non-member probes): realized
+    * bit load and false-positive count, bit-reproducible by the
+    * oracle — completes the mergeable-sketch family's membership
+    * corner next to HLL/CMS/GK. */
+  private def qSketchBloom(spark: SparkSession, dir: String): DataFrame =
+    Sketches.bloomAudit(events(spark, dir), "user_id")
+
   /** Bootstrap uplift band: is the purchase-vs-view mean-value lift
     * real? 32 paired hash-driven resamples, one grouped pass, exact
     * arithmetic to one double subtraction per replica. */
@@ -1656,14 +1664,15 @@ object SparkEntry {
     "q_graph_ppr" -> (qGraphPpr _),
     "q_layout_zorder" -> (qLayoutZorder _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
-    "q_bootstrap_uplift" -> (qBootstrapUplift _)
+    "q_bootstrap_uplift" -> (qBootstrapUplift _),
+    "q_sketch_bloom" -> (qSketchBloom _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (172 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (173 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

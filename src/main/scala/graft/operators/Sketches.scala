@@ -221,6 +221,59 @@ object Sketches {
         (col("cms_est") >= col("exact_n")).as("never_underestimates"))
   }
 
+  /** Portable BLOOM FILTER audit — the membership member of the
+    * mergeable-sketch family (distinct → HLL, frequency → CMS,
+    * quantiles → GK, membership → Bloom), with the same md5-portable
+    * bucket recipe as [[countMinAudit]]: bit `i` of key `k` is
+    * `md5_60(i ':' k) mod mBits`, so the realized filter — and
+    * therefore every membership answer — is bit-reproducible by an
+    * exact oracle. (The engine's `q_j4_bloom_screen` uses Spark's
+    * native bloom for the JOIN path; this audit form is the
+    * cross-engine-checkable twin that prices the configuration.)
+    *
+    * Build: the set bit positions are `distinct (i, bit)` pairs over
+    * `depth × distinct-keys` — map-combined, at most `depth·mBits`
+    * rows survive (tiny), broadcast to the probe side. Probes are
+    * `nProbes` synthetic NON-members (`key offset + p`); a probe is a
+    * false positive iff all `depth` of its bits are set. Output: one
+    * row — member recall is exact 1.0 by construction (every true
+    * key's bits are set — the deterministic half of the Bloom
+    * contract), plus the realized false-positive count/rate among the
+    * non-member probes, the quantity the `(1−e^{−dn/m})^d` formula
+    * caps in expectation. */
+  def bloomAudit(df: DataFrame, key: String, depth: Int = 4,
+      mBits: Int = 4096, nProbes: Int = 1000,
+      probeOffset: Long = 1000000L): DataFrame = {
+    val rowIds = array((0 until depth).map(lit): _*)
+    val bit = (i: Column, k: Column) => pmod(
+      Dedup.md5_60(concat(i.cast(StringType), lit(":"), k)),
+      lit(mBits.toLong))
+    val keys = df.select(col(key).cast(LongType).as("k")).distinct()
+    val bits = keys
+      .select(col("k"), explode(rowIds).as("i"))
+      .select(col("i"), bit(col("i"), col("k").cast(StringType)).as("b"))
+      .distinct()
+    val nKeys = keys.agg(count(lit(1)).as("n_keys"))
+    val probes = df.sparkSession.range(0, nProbes)
+      .select((col("id") + probeOffset).cast(LongType).as("p"))
+    val hits = probes
+      .select(col("p"), explode(rowIds).as("i"))
+      .withColumn("b", bit(col("i"), col("p").cast(StringType)))
+      .join(broadcast(bits), Seq("i", "b"), "left_semi")
+      .groupBy(col("p")).agg(count(lit(1)).as("n_set"))
+      // coalesce: zero probes matching ANY bit leaves the grouping
+      // empty and a bare sum would surface NULL instead of 0
+      .agg(coalesce(sum(when(col("n_set") === depth, 1L).otherwise(0L)),
+        lit(0L)).as("n_false_positives"))
+    val nBitsSet = bits.agg(count(lit(1)).as("n_bits_set"))
+    hits.crossJoin(broadcast(nBitsSet)).crossJoin(broadcast(nKeys))
+      .select(col("n_keys"), col("n_bits_set"),
+        lit(nProbes.toLong).as("n_probes"), col("n_false_positives"),
+        // load factor sanity: the filter is neither empty nor saturated
+        (col("n_bits_set") > 0 &&
+          col("n_bits_set") < lit(mBits.toLong)).as("not_saturated"))
+  }
+
   /** SKETCH-ACCURACY AUDIT of `percentile_approx` (Spark's mergeable
     * Greenwald–Khanna quantile summary) against exact rank-selected
     * quantiles — the quantile twin of [[distinctRollupAudit]]. Per

@@ -182,6 +182,32 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("bloomAudit: members always pass (zero false negatives), " +
+    "non-member FPR small at light load") {
+    val keys = (0L until 100L).map(Tuple1(_)).toDF("id")
+    // probe the MEMBERS themselves: every one must light all 4 bits —
+    // the deterministic half of the Bloom contract
+    val members = Sketches.bloomAudit(keys, "id", nProbes = 100,
+      probeOffset = 0L).collect()(0)
+    assert(members.getAs[Long]("n_false_positives") == 100L,
+      s"member probes must all pass: $members")
+    assert(members.getAs[Long]("n_keys") == 100L)
+    assert(members.getAs[Boolean]("not_saturated"))
+    // 100 keys × 4 hashes into 4096 bits ≈ 9% load → (0.09)^4 FPR:
+    // essentially zero among 1000 non-member probes
+    val nonMembers = Sketches.bloomAudit(keys, "id").collect()(0)
+    assert(nonMembers.getAs[Long]("n_false_positives") <= 5L,
+      s"FPR implausibly high: $nonMembers")
+    val bitsSet = nonMembers.getAs[Long]("n_bits_set")
+    assert(bitsSet > 300L && bitsSet <= 400L, s"bit load: $bitsSet")
+  }
+
+  test("bloomAudit: partitioning-invariant (deterministic bits)") {
+    val a = Sketches.bloomAudit(ev().repartition(1), "user_id").collect()
+    val b = Sketches.bloomAudit(ev().repartition(9), "user_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("quantileAudit: rank verdict falsifiable — coarse sketch still " +
     "inside its own wider window") {
     // accuracy=10 (eps=0.1): the bound scales with eps, so the verdict
