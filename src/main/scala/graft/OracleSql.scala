@@ -4236,6 +4236,84 @@ object OracleSql {
         |SELECT nk.n_keys, nb.n_bits_set,
         |  CAST(1000 AS BIGINT) AS n_probes, fp.n_false_positives,
         |  nb.n_bits_set > 0 AND nb.n_bits_set < 4096 AS not_saturated
-        |FROM nk, nb, fp""".stripMargin
+        |FROM nk, nb, fp""".stripMargin,
+
+    // MRR@10 of the LSH index vs exact-cosine gold: system list is the
+    // LSH top-11 (q_sim_lsh's chain) minus the query's own row with
+    // ranks closed up; gold is the exact self-excluded top-1; the
+    // reciprocal-rank sum folds as exact integers 2520 // r.
+    "q_eval_mrr" ->
+      s"""WITH ${lshSigCtes(tables = 4, planes = 8)},
+         |cand AS (SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS corpus_id
+         |  FROM sig qs JOIN sig cs ON qs.tbl = cs.tbl AND qs.bucket = cs.bucket
+         |  WHERE qs.vec_id < 10),
+         |s AS (SELECT query_id, corpus_id,
+         |    CAST(SUM(CAST(qe.x * ce.x AS DECIMAL(25,12))) AS DOUBLE) AS score
+         |  FROM cand
+         |  JOIN el qe ON qe.vec_id = query_id
+         |  JOIN el ce ON ce.vec_id = corpus_id AND qe.i = ce.i
+         |  GROUP BY 1, 2),
+         |sysr AS (SELECT query_id, corpus_id, score FROM s
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) <= 11),
+         |sys AS (SELECT query_id, corpus_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, corpus_id) AS BIGINT) AS sys_rank
+         |  FROM sysr WHERE query_id <> corpus_id
+         |  QUALIFY sys_rank <= 10),
+         |norms AS (SELECT vec_id,
+         |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+         |  FROM el GROUP BY 1),
+         |sall AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+         |  FROM el q JOIN el c ON q.i = c.i
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id GROUP BY 1, 2),
+         |truth AS (SELECT query_id, corpus_id FROM (
+         |    SELECT sa.query_id, sa.corpus_id,
+         |      sa.dot / (nq.nrm * nc.nrm) AS score
+         |    FROM sall sa JOIN norms nq ON nq.vec_id = sa.query_id
+         |                 JOIN norms nc ON nc.vec_id = sa.corpus_id)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, corpus_id) = 1),
+         |j AS (SELECT t.query_id, COALESCE(sys.sys_rank, 0) AS sys_rank
+         |  FROM truth t LEFT JOIN sys ON sys.query_id = t.query_id
+         |    AND sys.corpus_id = t.corpus_id)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(COALESCE(SUM(CASE WHEN sys_rank > 0 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(SUM(CASE WHEN sys_rank = 1 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_hits_at_1,
+         |  CAST(COALESCE(SUM(CASE WHEN sys_rank > 0 THEN 2520 // sys_rank
+         |    ELSE 0 END), 0) AS BIGINT) AS rr_scaled_sum,
+         |  CAST(COALESCE(SUM(CASE WHEN sys_rank > 0 THEN 2520 // sys_rank
+         |    ELSE 0 END), 0) AS DOUBLE)
+         |    / CAST(COUNT(*) * 2520 AS DOUBLE) AS mrr
+         |FROM j""".stripMargin,
+
+    // Sub-document containment pairs: same brute-force shingle chain
+    // as q_dedup_ngram_jaccard, scored |A∩B| / min(|A|,|B|); contained
+    // side = strictly smaller set, ties keep the lower id as container.
+    "q_dedup_containment" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS words
+         |  FROM documents),
+         |sh AS (SELECT doc_id AS id, unnest(${shingleExpr(3)}) AS shingle
+         |  FROM w),
+         |sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE a.id < b.id GROUP BY 1, 2)
+         |SELECT CASE WHEN sa.set_size < sb.set_size THEN id_a ELSE id_b END
+         |    AS contained_id,
+         |  CASE WHEN sa.set_size < sb.set_size THEN id_b ELSE id_a END
+         |    AS container_id,
+         |  n_common,
+         |  CAST(n_common AS DOUBLE)
+         |    / CAST(LEAST(sa.set_size, sb.set_size) AS DOUBLE) AS containment
+         |FROM inter
+         |JOIN sizes sa ON sa.id = id_a
+         |JOIN sizes sb ON sb.id = id_b
+         |WHERE CAST(n_common AS DOUBLE)
+         |    / CAST(LEAST(sa.set_size, sb.set_size) AS DOUBLE) >= 0.5""".stripMargin
   )
 }

@@ -595,6 +595,14 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, threshold = 0.10)
 
+  /** Sub-document containment pairs: the asymmetric within-corpus
+    * dedup signal Jaccard misses — a short doc quoted inside a long
+    * one scores `|A∩B|/min(|A|,|B|)` near 1.0 while its Jaccard stays
+    * tiny. Same postings chain as `q_dedup_ngram_jaccard`. */
+  private def qDedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(docs(spark, dir), "doc_id", "text",
+      shingleWords = 3, threshold = 0.5)
+
   private def qDedupWinnowPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowNearDupPairs(docs(spark, dir), "doc_id", "text",
       k = 24, w = 8, minShared = 2L, threshold = 0.5)
@@ -1286,6 +1294,26 @@ object SparkEntry {
   private def qSketchBloom(spark: SparkSession, dir: String): DataFrame =
     Sketches.bloomAudit(events(spark, dir), "user_id")
 
+  /** MRR@10 of the LSH index against exact-cosine gold: for each query
+    * the gold answer is its true (exact, self-excluded) nearest
+    * neighbor; the system list is LSH top-11 with the query's own row
+    * dropped and ranks closed up. Reciprocal ranks fold as exact
+    * integers (lcm(1..10)/r); one final double division. */
+  private def qEvalMrr(spark: SparkSession, dir: String): DataFrame = {
+    val queries = emb(spark, dir).filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(
+      queries, "vec_id", "embedding", emb(spark, dir), "vec_id", "embedding",
+      k = 1, cosine = true, excludeSelf = true)
+    // k = 11 guarantees the top-10 NON-self candidates are all visible
+    // whether or not the query's own row made the list
+    val sys0 = Similarity.lshTopK(queries, "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding", k = 11, planes = 8, tables = 4)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val sys = sys0.filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+    Similarity.mrrEval(sys, truth, k = 10)
+  }
+
   /** Bootstrap uplift band: is the purchase-vs-view mean-value lift
     * real? 32 paired hash-driven resamples, one grouped pass, exact
     * arithmetic to one double subtraction per replica. */
@@ -1665,14 +1693,16 @@ object SparkEntry {
     "q_layout_zorder" -> (qLayoutZorder _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_bootstrap_uplift" -> (qBootstrapUplift _),
-    "q_sketch_bloom" -> (qSketchBloom _)
+    "q_sketch_bloom" -> (qSketchBloom _),
+    "q_eval_mrr" -> (qEvalMrr _),
+    "q_dedup_containment" -> (qDedupContainment _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (173 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (175 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -1040,11 +1040,33 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, threshold: Double,
       maxDocFreq: Long = 10000L): DataFrame = {
+    val (pairs, sh) = ngramPairCounts(df, idCol, textCol, shingleWords,
+      maxDocFreq)
+    try {
+      pairs
+        .withColumn("jaccard",
+          col("n_common").cast(DoubleType) /
+            (col("size_a") + col("size_b") - col("n_common")).cast(DoubleType))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+        .localCheckpoint(true)
+    } finally sh.unpersist()
+  }
+
+  /** Shared postings→pair-intersection chain for the exact n-gram pair
+    * family ([[ngramJaccardPairs]], [[ngramContainmentPairs]]): one
+    * kernel pass shingles each doc, |A| rides the postings shuffle next
+    * to the id (no sizes join-back), per-shingle buckets explode to
+    * in-bucket pairs whose repeat count is |A∩B|. Returns the LAZY
+    * `(id_a, id_b, size_a, size_b, n_common)` frame (id_a < id_b)
+    * plus the persisted postings the caller must unpersist after
+    * consuming eagerly. Frequency pruning ([[dropHotBuckets]]) kills
+    * ubiquitous shingles map-side, so no aggregation buffer ever holds
+    * an over-full postings list. */
+  private def ngramPairCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, maxDocFreq: Long): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    // ONE kernel pass: shingle each doc once, compute |A| off the array,
-    // and let the 8-byte set size ride the postings shuffle next to the
-    // id — no second scan, no sizes join-back. Persisted because the
-    // hot-shingle pre-filter sizes the postings before the big shuffle.
     val sh = df
       .select(col(idCol).cast(LongType).as("id"),
         graft.functions.WordShingleFunctions
@@ -1052,28 +1074,56 @@ object Dedup {
       .select(col("id"), size(col("sh_arr")).cast(LongType).as("set_size"),
         explode(col("sh_arr")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Postings as buckets: group (id, |A|) entries per shingle, explode
-    // in-bucket pairs, count repeats = |A∩B|. One shuffle on the
-    // shingle, no aliased self-join recomputing the explosion per side.
-    // Frequency pruning ([[dropHotBuckets]]) kills ubiquitous shingles
-    // at the map side, so no aggregation buffer ever holds an over-full
-    // postings list.
+    val pairs = dropHotBuckets(sh, Seq("shingle"), maxDocFreq)
+      .groupBy(col("shingle"))
+      .agg(array_sort(collect_list(
+        struct(col("id"), col("set_size")))).as("es"))
+      .filter(size(col("es")) > 1)
+      .select(explode(graft.functions.PairFunctions
+        .pairCombinationsStruct(col("es"))).as("p"))
+      .groupBy(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        col("p.a.set_size").as("size_a"), col("p.b.set_size").as("size_b"))
+      .agg(count(lit(1)).as("n_common"))
+    (pairs, sh)
+  }
+
+  /** SUB-DOCUMENT CONTAINMENT dedup — the within-corpus asymmetric
+    * member of the exact n-gram family: Jaccard misses a short doc
+    * fully quoted inside a long one (the union term swamps it), but
+    * `containment = |A∩B| / min(|A|, |B|)` flags exactly that shape —
+    * boilerplate pages, quoted excerpts, truncated re-crawls. Same
+    * score as [[crossCorpusContamination]]'s, applied to ONE corpus's
+    * self-pairs instead of train-vs-eval.
+    *
+    * Returns `(contained_id, container_id, n_common, containment)` for
+    * pairs at or above `threshold`, where the contained side is the doc
+    * with the strictly smaller shingle set (ties — including exact
+    * duplicates at containment 1.0 — keep the LOWER id as container,
+    * matching the survivor-is-min-id convention of the dedup family).
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] — one postings
+    * shuffle keyed on the shingle, hot-shingle pruning bounds bucket
+    * fan-out, pair counts map-combine; the containment projection adds
+    * zero shuffles. */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, threshold: Double = 0.9,
+      maxDocFreq: Long = 10000L): DataFrame = {
+    val (pairs, sh) = ngramPairCounts(df, idCol, textCol, shingleWords,
+      maxDocFreq)
     try {
-      dropHotBuckets(sh, Seq("shingle"), maxDocFreq)
-        .groupBy(col("shingle"))
-        .agg(array_sort(collect_list(
-          struct(col("id"), col("set_size")))).as("es"))
-        .filter(size(col("es")) > 1)
-        .select(explode(graft.functions.PairFunctions
-          .pairCombinationsStruct(col("es"))).as("p"))
-        .groupBy(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-          col("p.a.set_size").as("size_a"), col("p.b.set_size").as("size_b"))
-        .agg(count(lit(1)).as("n_common"))
-        .withColumn("jaccard",
+      val aIsSmall = col("size_a") < col("size_b")
+      pairs
+        .withColumn("containment",
           col("n_common").cast(DoubleType) /
-            (col("size_a") + col("size_b") - col("n_common")).cast(DoubleType))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_common", "jaccard")
+            least(col("size_a"), col("size_b")).cast(DoubleType))
+        .filter(col("containment") >= threshold)
+        .select(
+          when(aIsSmall, col("id_a")).otherwise(col("id_b"))
+            .as("contained_id"),
+          when(aIsSmall, col("id_b")).otherwise(col("id_a"))
+            .as("container_id"),
+          col("n_common"), col("containment"))
         .localCheckpoint(true)
     } finally sh.unpersist()
   }

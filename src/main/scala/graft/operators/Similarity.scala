@@ -1287,6 +1287,55 @@ object Similarity {
       .withColumn("recall", col("hits").cast(DoubleType) / k)
   }
 
+  /** lcm(1..k) — the common denominator that makes every reciprocal
+    * rank 1/r (r ≤ k) an exact integer `lcm/r`. */
+  private def lcmTo(k: Int): Long = {
+    @annotation.tailrec def gcd(a: Long, b: Long): Long =
+      if (b == 0) a else gcd(b, a % b)
+    (1 to k).foldLeft(1L)((l, i) => l / gcd(l, i) * i)
+  }
+
+  /** MRR@K EVALUATION — the rank-position twin of [[recallAtK]]: where
+    * recall asks "did the index FIND the true neighbors", MRR asks
+    * "how HIGH did it place the one that matters". `truth` is any
+    * top-k frame whose rank-1 row per query is the gold answer (e.g.
+    * exact cosine top-1, excluding self); `approx` is the system's
+    * ranked list. Mean reciprocal rank is the classic retrieval-eval
+    * statistic: 1/rank of the gold answer, 0 if absent from the top k,
+    * averaged over queries.
+    *
+    * Exactness: 1/r is not a representable double for most r, so the
+    * sum folds as the INTEGER `lcm(1..k)/r` (exact — every r ≤ k
+    * divides the lcm) and only the final mean is ONE double division
+    * of two exactly-representable integers. `k ≤ 20` keeps
+    * `n_queries · lcm` under 2⁵³ up to ~3.8·10⁷ queries.
+    *
+    * Scale shape: both inputs are already bounded at Q × k rows; the
+    * gold join and the global fold are trivial at any corpus scale —
+    * cost lives in the retrieval arms being evaluated, not here. */
+  def mrrEval(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"k=$k outside [1, 20]")
+    val scale = lcmTo(k)
+    val gold = truth.filter(col("rank") === 1)
+      .select(col("query_id"), col("corpus_id"))
+    val sys = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank").as("sys_rank"))
+    gold.join(sys, Seq("query_id", "corpus_id"), "left")
+      .select(coalesce(col("sys_rank"), lit(0L)).as("sys_rank"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        coalesce(sum(when(col("sys_rank") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_hits"),
+        coalesce(sum(when(col("sys_rank") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_hits_at_1"),
+        // exact integer reciprocal ranks: lcm(1..k) div r, r | lcm
+        coalesce(sum(when(col("sys_rank") > 0,
+          expr(s"CAST($scale AS BIGINT) div sys_rank")).otherwise(0L)),
+          lit(0L)).as("rr_scaled_sum"))
+      .withColumn("mrr", col("rr_scaled_sum").cast(DoubleType) /
+        (col("n_queries") * lit(scale)).cast(DoubleType))
+  }
+
   /** IVF-PQ — the two bounds composed, the shape a production
     * 10¹⁰-vector index actually runs: the IVF coarse quantizer bounds
     * WHICH vectors are scored (`nprobe` cells per query) and PQ bounds

@@ -457,6 +457,31 @@ class DedupSpec extends SparkSpec {
     assert(g.map(_.getBoolean(2)).toSeq == Seq(true, false))
   }
 
+  test("ngramContainmentPairs: subset scores 1.0 where Jaccard misses; " +
+    "ties keep the lower id as container") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4"),           // 2 shingles — subset of doc 2
+      (2L, "w1 w2 w3 w4 w5 w6"),     // 4 shingles
+      (3L, "w1 w2 w3 w4 w5 w6"),     // exact dup of 2 (size tie)
+      (4L, "z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+      shingleWords = 3, threshold = 0.9)
+      .collect()
+      .map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id"),
+        r.getAs[Long]("n_common"), r.getAs[Double]("containment"))).toSet
+    assert(got == Set(
+      (1L, 2L, 2L, 1.0), // smaller set is the contained side
+      (1L, 3L, 2L, 1.0),
+      (3L, 2L, 4L, 1.0)), // tie: lower id survives as container
+      s"got: $got")
+    // the symmetric score misses the genuine subset pair at the same bar
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac == Set((2L, 3L)),
+      s"jaccard at 0.9 must only keep the exact dup: $jac")
+  }
+
   test("paragraphDedup: first occurrence wins, in-doc dups, empty docs") {
     val docs = Seq(
       (1L, "A\n\nB\n\nA"),   // in-doc dup: second A removed
@@ -1508,6 +1533,37 @@ class SimilaritySpec extends SparkSpec {
         .map { case (r, i) => (q, r._2, (i + 1).toLong) }
     }.toSet
     assert(got == want)
+  }
+
+  test("mrrEval: hand-ranked lists — exact reciprocal-rank fold") {
+    import spark.implicits._
+    // gold: q1→c5, q2→c7, q3→c9
+    val truth = Seq((1L, 5L, 1L), (2L, 7L, 1L), (3L, 9L, 1L))
+      .toDF("query_id", "corpus_id", "rank")
+    // system: q1 places its gold at rank 3, q2 at rank 1, q3 misses
+    val approx = Seq(
+      (1L, 8L, 1L), (1L, 6L, 2L), (1L, 5L, 3L),
+      (2L, 7L, 1L), (2L, 5L, 2L),
+      (3L, 2L, 1L)).toDF("query_id", "corpus_id", "rank")
+    val r = Similarity.mrrEval(approx, truth, k = 10).collect()(0)
+    assert(r.getAs[Long]("n_queries") == 3L)
+    assert(r.getAs[Long]("n_hits") == 2L)
+    assert(r.getAs[Long]("n_hits_at_1") == 1L)
+    // lcm(1..10)=2520: 2520/3 + 2520/1 = 840 + 2520
+    assert(r.getAs[Long]("rr_scaled_sum") == 3360L)
+    assert(r.getAs[Double]("mrr") == 3360.0 / (3 * 2520.0))
+  }
+
+  test("mrrEval: gold beyond k never counts; k bound is the cutoff") {
+    import spark.implicits._
+    val truth = Seq((1L, 5L, 1L)).toDF("query_id", "corpus_id", "rank")
+    val approx = Seq((1L, 5L, 2L)).toDF("query_id", "corpus_id", "rank")
+    val r1 = Similarity.mrrEval(approx, truth, k = 1).collect()(0)
+    assert(r1.getAs[Long]("n_hits") == 0L)
+    assert(r1.getAs[Double]("mrr") == 0.0)
+    val r2 = Similarity.mrrEval(approx, truth, k = 2).collect()(0)
+    assert(r2.getAs[Long]("n_hits") == 1L)
+    assert(r2.getAs[Double]("mrr") == 0.5) // lcm(1..2)/2 over 1·lcm
   }
 
   test("ANN recall on sf0.001: multi-probe >= single-probe; all nonzero") {
