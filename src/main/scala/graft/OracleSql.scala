@@ -4314,6 +4314,47 @@ object OracleSql {
          |JOIN sizes sa ON sa.id = id_a
          |JOIN sizes sb ON sb.id = id_b
          |WHERE CAST(n_common AS DOUBLE)
-         |    / CAST(LEAST(sa.set_size, sb.set_size) AS DOUBLE) >= 0.5""".stripMargin
+         |    / CAST(LEAST(sa.set_size, sb.set_size) AS DOUBLE) >= 0.5""".stripMargin,
+
+    // HITS on the DIRECTED customer→supplier graph: 3 unrolled rounds
+    // (auth from hubs, then hubs from the NEW auths), each L1-normalized
+    // by the integer fold x // (sum(x) // 1e9) — bit-exact cross-engine.
+    "q_graph_hits" ->
+      """WITH p AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+        |    l.l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |h0 AS (SELECT DISTINCT src AS node,
+        |    CAST(1000000000 AS BIGINT) AS s FROM p),
+        |a1r AS (SELECT p.dst AS node, SUM(h.s) AS raw
+        |  FROM p JOIN h0 h ON h.node = p.src GROUP BY 1),
+        |a1n AS (SELECT GREATEST(SUM(raw) // 1000000000, 1) AS nrm FROM a1r),
+        |a1 AS (SELECT node, raw // nrm AS s FROM a1r CROSS JOIN a1n),
+        |h1r AS (SELECT p.src AS node, SUM(a.s) AS raw
+        |  FROM p JOIN a1 a ON a.node = p.dst GROUP BY 1),
+        |h1n AS (SELECT GREATEST(SUM(raw) // 1000000000, 1) AS nrm FROM h1r),
+        |h1 AS (SELECT node, raw // nrm AS s FROM h1r CROSS JOIN h1n),
+        |a2r AS (SELECT p.dst AS node, SUM(h.s) AS raw
+        |  FROM p JOIN h1 h ON h.node = p.src GROUP BY 1),
+        |a2n AS (SELECT GREATEST(SUM(raw) // 1000000000, 1) AS nrm FROM a2r),
+        |a2 AS (SELECT node, raw // nrm AS s FROM a2r CROSS JOIN a2n),
+        |h2r AS (SELECT p.src AS node, SUM(a.s) AS raw
+        |  FROM p JOIN a2 a ON a.node = p.dst GROUP BY 1),
+        |h2n AS (SELECT GREATEST(SUM(raw) // 1000000000, 1) AS nrm FROM h2r),
+        |h2 AS (SELECT node, raw // nrm AS s FROM h2r CROSS JOIN h2n),
+        |a3r AS (SELECT p.dst AS node, SUM(h.s) AS raw
+        |  FROM p JOIN h2 h ON h.node = p.src GROUP BY 1),
+        |a3n AS (SELECT GREATEST(SUM(raw) // 1000000000, 1) AS nrm FROM a3r),
+        |a3 AS (SELECT node, raw // nrm AS s FROM a3r CROSS JOIN a3n),
+        |h3r AS (SELECT p.src AS node, SUM(a.s) AS raw
+        |  FROM p JOIN a3 a ON a.node = p.dst GROUP BY 1),
+        |h3n AS (SELECT GREATEST(SUM(raw) // 1000000000, 1) AS nrm FROM h3r),
+        |h3 AS (SELECT node, raw // nrm AS s FROM h3r CROSS JOIN h3n),
+        |ta AS (SELECT 'authority' AS side, node // 2 AS node_id,
+        |    CAST(s AS BIGINT) AS score_ppb
+        |  FROM a3 ORDER BY s DESC, node LIMIT 20),
+        |th AS (SELECT 'hub' AS side, node // 2 AS node_id,
+        |    CAST(s AS BIGINT) AS score_ppb
+        |  FROM h3 ORDER BY s DESC, node LIMIT 20)
+        |SELECT * FROM ta UNION ALL SELECT * FROM th""".stripMargin
   )
 }

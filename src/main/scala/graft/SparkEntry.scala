@@ -1241,14 +1241,22 @@ object SparkEntry {
     * unrolls the same five steps as CTEs. Top 20 by rank. */
   /** Bidirectional customer↔supplier trade graph: distinct pairs via
     * orders⋈lineitem, customers at node 2k, suppliers at 2k+1. */
-  private def tradeGraphEdges(spark: SparkSession, dir: String): DataFrame = {
+  /** Directed customer→supplier purchase edges (customers even ids,
+    * suppliers odd — the disjoint-id encoding every graph query
+    * shares). */
+  private def tradeGraphEdgesDirected(spark: SparkSession,
+      dir: String): DataFrame = {
     val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
+  }
+
+  private def tradeGraphEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = tradeGraphEdgesDirected(spark, dir)
     pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -1261,6 +1269,16 @@ object SparkEntry {
   private def qGraphPagerank(spark: SparkSession, dir: String): DataFrame =
     decodeNode(Graph.pageRankTop(tradeGraphEdges(spark, dir),
       iterations = 5, topK = 20))
+
+  /** HITS on the DIRECTED purchase graph: hub score ranks the
+    * broadest buyers, authority score the suppliers those buyers
+    * concentrate on — the asymmetric roles the bidirectional PageRank
+    * blurs. 3 integer-ppb rounds, bit-exact (oracle unrolls them). */
+  private def qGraphHits(spark: SparkSession, dir: String): DataFrame =
+    Graph.hitsTop(tradeGraphEdgesDirected(spark, dir),
+      iterations = 3, topK = 20)
+      .select(col("side"), expr("node div 2").as("node_id"),
+        col("score_ppb"))
 
   /** Z-order locality audit over events (x = user_id, y = seconds
     * since corpus start, 22 interleave bits): buckets = top 8 z-bits,
@@ -1695,14 +1713,15 @@ object SparkEntry {
     "q_bootstrap_uplift" -> (qBootstrapUplift _),
     "q_sketch_bloom" -> (qSketchBloom _),
     "q_eval_mrr" -> (qEvalMrr _),
-    "q_dedup_containment" -> (qDedupContainment _)
+    "q_dedup_containment" -> (qDedupContainment _),
+    "q_graph_hits" -> (qGraphHits _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (175 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (176 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -153,4 +153,77 @@ object Graph {
     }
     rank.orderBy(col("rank_ppb").desc, col("node")).limit(topK)
   }
+
+  /** HITS hubs & authorities over a DIRECTED edge list — the
+    * centrality for asymmetric roles PageRank's random surfer blurs:
+    * on a customer→supplier purchase graph, hub score ranks the
+    * broadest buyers and authority score the suppliers those buyers
+    * concentrate on (in a citation corpus: surveys vs landmark
+    * papers). Each of `iterations` rounds recomputes authorities from
+    * hubs (`a'(v) = Σ_{u→v} h(u)`) then hubs from the NEW authorities
+    * (`h'(u) = Σ_{u→v} a(v)`), the textbook update order.
+    *
+    * ALL-INTEGER ARITHMETIC (same contract as [[pageRankTop]]): scores
+    * are parts-per-billion BIGINTs and the per-step L1 normalization
+    * is the integer fold `x → x div (Σx div 10⁹)` — every op is `+` or
+    * non-negative floor division, so T rounds are bit-exact in any SQL
+    * engine and an oracle can unroll them as CTEs. The raw sums stay
+    * in BIGINT for up to ~9·10⁹ edges (each addend ≤ 10⁹ ppb after
+    * normalization); beyond that lift the fold to DECIMAL(38,0).
+    *
+    * Scale shape: the distinct edge list is cached TWICE, partitioned
+    * on `src` and on `dst` — the auth step joins hubs on the src copy
+    * (hub frames arrive already partitioned on src from the previous
+    * groupBy) and aggregates to dst; the hub step joins the fresh
+    * authorities on the dst copy and aggregates back to src. Each
+    * half-round is therefore exactly ONE exchange; the normalization
+    * total is a broadcast one-row aggregate, never a driver action.
+    * Output: `(side, node, score_ppb)` — `topK` authorities and `topK`
+    * hubs, ties broken by node id. */
+  def hitsTop(edges: DataFrame, iterations: Int = 3,
+      topK: Int = 20): DataFrame = {
+    val S = 1000000000L
+    // Every half-round's raw sum feeds TWO consumers (the one-row
+    // normalization total and the scores) and the next half-round, so
+    // the LOGICAL plan doubles per half-round — a persist()-only fix
+    // still hands Catalyst an exponentially-growing tree to analyze
+    // (measured: 21 s at sf0.001 AND sf0.1 — pure driver-side planning
+    // cost). localCheckpoint truncates the lineage each half-round:
+    // plan size stays constant in T, and the checkpointed raw is the
+    // shared input of both consumers.
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def mat(df: DataFrame): DataFrame = {
+      val p = df.persist(); cached += p; p
+    }
+    val e0 = mat(edges.select(col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst")).distinct())
+    val eBySrc = mat(e0.repartition(col("src")))
+    val eByDst = mat(e0.repartition(col("dst")))
+    def normalized(raw0: DataFrame): DataFrame = {
+      val raw = raw0.localCheckpoint(true)
+      val nrm = raw.agg(
+        greatest(expr(s"sum(raw) div $S"), lit(1L)).as("nrm"))
+      raw.crossJoin(broadcast(nrm))
+        .select(col("node"), expr("raw div nrm").as("score_ppb"))
+    }
+    var hub = eBySrc.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(S).as("score_ppb"))
+    var auth: DataFrame = hub.limit(0)
+    for (_ <- 1 to iterations) {
+      auth = normalized(eBySrc
+        .join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("score_ppb")).as("raw")))
+      hub = normalized(eByDst
+        .join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("score_ppb")).as("raw")))
+    }
+    def top(df: DataFrame, side: String) =
+      df.select(lit(side).as("side"), col("node"), col("score_ppb"))
+        .orderBy(col("score_ppb").desc, col("node")).limit(topK)
+    try top(auth, "authority").unionAll(top(hub, "hub"))
+      .localCheckpoint(true)
+    finally cached.foreach(_.unpersist())
+  }
 }

@@ -121,4 +121,30 @@ class GraphSpec extends SparkSpec {
     val b = Graph.pageRankTop(df.repartition(11), 5, 10).collect().toSeq
     assert(a == b)
   }
+
+  test("hitsTop: 3 rounds hand-checked on a directed 2×2 star") {
+    // hubs 2, 4 (sources) → authorities 1, 3: edges 2→1, 2→3, 4→1.
+    // Hand-unrolled integer chain (h0 = 1e9 each):
+    //   a1 = (2e9, 1e9)//3      → (666666666, 333333333)
+    //   h1 = (999999999, 666666666)//1
+    //   a2 = (1666666665, 999999999)//2 → (833333332, 499999999)
+    //   h2 = (1333333331, 833333332)//2 → (666666665, 416666666)
+    //   a3 = (1083333331, 666666665)//1
+    //   h3 = (1749999996, 1083333331)//2 → (874999998, 541666665)
+    val e = Seq((2L, 1L), (2L, 3L), (4L, 1L)).toDF("src", "dst")
+    val got = Graph.hitsTop(e, iterations = 3, topK = 5).collect()
+      .map(r => (r.getAs[String]("side"), r.getAs[Long]("node"),
+        r.getAs[Long]("score_ppb"))).toSet
+    assert(got == Set(
+      ("authority", 1L, 1083333331L), ("authority", 3L, 666666665L),
+      ("hub", 2L, 874999998L), ("hub", 4L, 541666665L)), s"got: $got")
+  }
+
+  test("hitsTop: partitioning-invariant (deterministic integers)") {
+    val e = Seq((2L, 1L), (2L, 3L), (4L, 1L), (4L, 5L), (6L, 5L),
+      (6L, 1L), (8L, 7L)).toDF("src", "dst")
+    val a = Graph.hitsTop(e.repartition(1), 3, 10).collect().toSeq
+    val b = Graph.hitsTop(e.repartition(11), 3, 10).collect().toSeq
+    assert(a == b)
+  }
 }
