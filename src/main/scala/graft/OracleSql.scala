@@ -4355,6 +4355,63 @@ object OracleSql {
         |th AS (SELECT 'hub' AS side, node // 2 AS node_id,
         |    CAST(s AS BIGINT) AS score_ppb
         |  FROM h3 ORDER BY s DESC, node LIMIT 20)
-        |SELECT * FROM ta UNION ALL SELECT * FROM th""".stripMargin
+        |SELECT * FROM ta UNION ALL SELECT * FROM th""".stripMargin,
+
+    // nDCG@10: same LSH system list and exact-cosine chain as
+    // q_eval_mrr, truth top-10 grades relevance rel = 11 - truth_rank;
+    // integer DCG via the frozen 1e9/log2(rank+1) weight table.
+    "q_eval_ndcg" ->
+      s"""WITH ${lshSigCtes(tables = 4, planes = 8)},
+         |cand AS (SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS corpus_id
+         |  FROM sig qs JOIN sig cs ON qs.tbl = cs.tbl AND qs.bucket = cs.bucket
+         |  WHERE qs.vec_id < 10),
+         |s AS (SELECT query_id, corpus_id,
+         |    CAST(SUM(CAST(qe.x * ce.x AS DECIMAL(25,12))) AS DOUBLE) AS score
+         |  FROM cand
+         |  JOIN el qe ON qe.vec_id = query_id
+         |  JOIN el ce ON ce.vec_id = corpus_id AND qe.i = ce.i
+         |  GROUP BY 1, 2),
+         |sysr AS (SELECT query_id, corpus_id, score FROM s
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, corpus_id) <= 11),
+         |sys AS (SELECT query_id, corpus_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, corpus_id) AS BIGINT) AS sys_rank
+         |  FROM sysr WHERE query_id <> corpus_id
+         |  QUALIFY sys_rank <= 10),
+         |norms AS (SELECT vec_id,
+         |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)) AS nrm
+         |  FROM el GROUP BY 1),
+         |sall AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+         |  FROM el q JOIN el c ON q.i = c.i
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id GROUP BY 1, 2),
+         |truth AS (SELECT query_id, corpus_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, corpus_id) AS BIGINT) AS truth_rank
+         |  FROM (SELECT sa.query_id, sa.corpus_id,
+         |      sa.dot / (nq.nrm * nc.nrm) AS score
+         |    FROM sall sa JOIN norms nq ON nq.vec_id = sa.query_id
+         |                 JOIN norms nc ON nc.vec_id = sa.corpus_id)
+         |  QUALIFY truth_rank <= 10),
+         |wts(i, wt) AS (VALUES (1, 1000000000), (2, 630929754),
+         |  (3, 500000000), (4, 430676558), (5, 386852807), (6, 356207187),
+         |  (7, 333333333), (8, 315464877), (9, 301029996), (10, 289064826)),
+         |idcg AS (SELECT query_id,
+         |    SUM((11 - truth_rank) * CAST(wt AS BIGINT)) AS idcg_scaled
+         |  FROM truth JOIN wts ON wts.i = truth_rank GROUP BY 1),
+         |dcg AS (SELECT sy.query_id,
+         |    SUM((11 - t.truth_rank) * CAST(wt AS BIGINT)) AS dcg_scaled
+         |  FROM sys sy
+         |  JOIN truth t ON t.query_id = sy.query_id
+         |    AND t.corpus_id = sy.corpus_id
+         |  JOIN wts ON wts.i = sy.sys_rank
+         |  GROUP BY 1)
+         |SELECT i.query_id,
+         |  CAST(COALESCE(d.dcg_scaled, 0) AS BIGINT) AS dcg_scaled,
+         |  CAST(i.idcg_scaled AS BIGINT) AS idcg_scaled,
+         |  CAST(COALESCE(d.dcg_scaled, 0) AS DOUBLE)
+         |    / CAST(i.idcg_scaled AS DOUBLE) AS ndcg
+         |FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id""".stripMargin
   )
 }

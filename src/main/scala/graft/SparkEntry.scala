@@ -1332,6 +1332,24 @@ object SparkEntry {
     Similarity.mrrEval(sys, truth, k = 10)
   }
 
+  /** nDCG@10 of the LSH index against graded exact-cosine truth: the
+    * exact top-10 (self-excluded) grades relevance linearly (true #1
+    * worth 10 … true #10 worth 1); the system list is the same
+    * LSH top-11-minus-self as [[qEvalMrr]]. All-integer DCG via the
+    * frozen 10⁹/log₂ weight table; one double division per query. */
+  private def qEvalNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val queries = emb(spark, dir).filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(
+      queries, "vec_id", "embedding", emb(spark, dir), "vec_id", "embedding",
+      k = 10, cosine = true, excludeSelf = true)
+    val sys0 = Similarity.lshTopK(queries, "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding", k = 11, planes = 8, tables = 4)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val sys = sys0.filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+    Similarity.ndcgEval(sys, truth, k = 10)
+  }
+
   /** Bootstrap uplift band: is the purchase-vs-view mean-value lift
     * real? 32 paired hash-driven resamples, one grouped pass, exact
     * arithmetic to one double subtraction per replica. */
@@ -1714,14 +1732,15 @@ object SparkEntry {
     "q_sketch_bloom" -> (qSketchBloom _),
     "q_eval_mrr" -> (qEvalMrr _),
     "q_dedup_containment" -> (qDedupContainment _),
-    "q_graph_hits" -> (qGraphHits _)
+    "q_graph_hits" -> (qGraphHits _),
+    "q_eval_ndcg" -> (qEvalNdcg _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (176 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (177 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

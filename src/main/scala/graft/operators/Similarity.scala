@@ -1336,6 +1336,62 @@ object Similarity {
         (col("n_queries") * lit(scale)).cast(DoubleType))
   }
 
+  /** Integer DCG position weights for ranks 1..10: `round(10⁹ /
+    * log₂(rank+1))`. Hardcoded (not computed) so engine and oracle
+    * share the SAME integer constants — the only irrational in nDCG
+    * is frozen into literals and everything downstream is BIGINT. */
+  private val NdcgWeightsPpb: Seq[Long] = Seq(
+    1000000000L, 630929754L, 500000000L, 430676558L, 386852807L,
+    356207187L, 333333333L, 315464877L, 301029996L, 289064826L)
+
+  /** NDCG@K EVALUATION — the graded third leg of the retrieval-eval
+    * triad ([[recallAtK]]: did it find them; [[mrrEval]]: how high is
+    * the single gold answer; nDCG: how well is the WHOLE graded list
+    * ordered). `truth` is the exact top-k frame (`query_id, corpus_id,
+    * rank`); its rank grades relevance linearly, `rel = k+1−rank`, so
+    * the true #1 neighbor is worth k and the k-th is worth 1. `approx`
+    * is the system's ranked list; each of its rows earns
+    * `rel × w(rank)` where `w` is the integer position-discount table
+    * [[NdcgWeightsPpb]] (≈10⁹/log₂(rank+1), the classic DCG discount
+    * frozen to BIGINT literals shared with the oracle).
+    *
+    * Exactness: per query, `dcg_scaled` and the ideal `idcg_scaled`
+    * (the truth list scored against itself, i.e. rel sorted descending)
+    * are pure BIGINT sums of products ≤ k·10¹⁰ — far under 2⁶³ — and
+    * `ndcg` is ONE double division of two exact longs per row. No
+    * floating log, no mean-of-doubles fold.
+    *
+    * Scale shape: both inputs are already bounded at Q × k rows; one
+    * equi-join and two k-row-per-query aggregations — cost lives in
+    * the retrieval arms being evaluated, not here. Queries the system
+    * returned nothing for still appear (dcg 0, ndcg 0). */
+  def ndcgEval(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= NdcgWeightsPpb.size,
+      s"k=$k outside [1, ${NdcgWeightsPpb.size}]")
+    val w = array(NdcgWeightsPpb.take(k).map(lit): _*)
+    val rel = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        (lit(k + 1L) - col("rank")).as("rel"),
+        col("rank").as("truth_rank"))
+    // ideal ordering = the truth list itself (rel is monotone in rank)
+    val idcg = rel.groupBy(col("query_id")).agg(
+      sum(col("rel") * element_at(w, col("truth_rank").cast(IntegerType)))
+        .as("idcg_scaled"))
+    val dcg = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        element_at(w, col("rank").cast(IntegerType)).as("wt"))
+      .join(rel.select("query_id", "corpus_id", "rel"),
+        Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel") * col("wt")).as("dcg_scaled"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_scaled"), lit(0L)).as("dcg_scaled"),
+        col("idcg_scaled"),
+        (coalesce(col("dcg_scaled"), lit(0L)).cast(DoubleType) /
+          col("idcg_scaled").cast(DoubleType)).as("ndcg"))
+  }
+
   /** IVF-PQ — the two bounds composed, the shape a production
     * 10¹⁰-vector index actually runs: the IVF coarse quantizer bounds
     * WHICH vectors are scored (`nprobe` cells per query) and PQ bounds

@@ -1566,6 +1566,36 @@ class SimilaritySpec extends SparkSpec {
     assert(r2.getAs[Double]("mrr") == 0.5) // lcm(1..2)/2 over 1·lcm
   }
 
+  test("ndcgEval: hand-scored lists — integer DCG fold, partial truth") {
+    import spark.implicits._
+    // k=3 weights: 1000000000, 630929754, 500000000
+    val truth = Seq(
+      (1L, 5L, 1L), (1L, 6L, 2L), (1L, 7L, 3L), // q1: rel 3, 2, 1
+      (2L, 1L, 1L), (2L, 2L, 2L) // q2: only 2 true neighbors
+    ).toDF("query_id", "corpus_id", "rank")
+    // q1 swaps the top two and wastes rank 3 on a miss; q2 absent
+    val approx = Seq((1L, 6L, 1L), (1L, 5L, 2L), (1L, 9L, 3L))
+      .toDF("query_id", "corpus_id", "rank")
+    val got = Similarity.ndcgEval(approx, truth, k = 3).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("dcg_scaled"), r.getAs[Long]("idcg_scaled"),
+          r.getAs[Double]("ndcg")))).toMap
+    // q1: dcg = 2·1e9 + 3·630929754, idcg = 3·1e9 + 2·630929754 + 5e8
+    assert(got(1L) == ((3892789262L, 4761859508L,
+      3892789262.0 / 4761859508.0)))
+    // q2: no system rows → dcg 0; idcg from its 2-row truth list
+    assert(got(2L) == ((0L, 4261859508L, 0.0)))
+  }
+
+  test("ndcgEval: perfect ordering scores exactly 1.0") {
+    import spark.implicits._
+    val truth = Seq((1L, 5L, 1L), (1L, 6L, 2L), (1L, 7L, 3L))
+      .toDF("query_id", "corpus_id", "rank")
+    val r = Similarity.ndcgEval(truth, truth, k = 3).collect()(0)
+    assert(r.getAs[Long]("dcg_scaled") == r.getAs[Long]("idcg_scaled"))
+    assert(r.getAs[Double]("ndcg") == 1.0)
+  }
+
   test("ANN recall on sf0.001: multi-probe >= single-probe; all nonzero") {
     // recall@5 vs the exact brute-force baseline over the real embedding
     // corpus — the quality axis of the approximate family
