@@ -4412,6 +4412,38 @@ object OracleSql {
          |  CAST(i.idcg_scaled AS BIGINT) AS idcg_scaled,
          |  CAST(COALESCE(d.dcg_scaled, 0) AS DOUBLE)
          |    / CAST(i.idcg_scaled AS DOUBLE) AS ndcg
-         |FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id""".stripMargin
+         |FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id""".stripMargin,
+
+    // 5-core after 4 synchronous peeling rounds on the bidirected
+    // trade graph, plus the final in-subgraph degree pass — pure edge
+    // counting, each round a degree filter among the prior survivors.
+    "q_graph_kcore" ->
+      """WITH p AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+        |    l.l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |a0 AS (SELECT DISTINCT src AS node FROM e),
+        |d1 AS (SELECT e.src AS node, COUNT(*) AS degree FROM e
+        |  JOIN a0 x ON x.node = e.dst JOIN a0 y ON y.node = e.src
+        |  GROUP BY 1),
+        |a1 AS (SELECT node FROM d1 WHERE degree >= 5),
+        |d2 AS (SELECT e.src AS node, COUNT(*) AS degree FROM e
+        |  JOIN a1 x ON x.node = e.dst JOIN a1 y ON y.node = e.src
+        |  GROUP BY 1),
+        |a2 AS (SELECT node FROM d2 WHERE degree >= 5),
+        |d3 AS (SELECT e.src AS node, COUNT(*) AS degree FROM e
+        |  JOIN a2 x ON x.node = e.dst JOIN a2 y ON y.node = e.src
+        |  GROUP BY 1),
+        |a3 AS (SELECT node FROM d3 WHERE degree >= 5),
+        |d4 AS (SELECT e.src AS node, COUNT(*) AS degree FROM e
+        |  JOIN a3 x ON x.node = e.dst JOIN a3 y ON y.node = e.src
+        |  GROUP BY 1),
+        |a4 AS (SELECT node FROM d4 WHERE degree >= 5),
+        |df AS (SELECT e.src AS node, COUNT(*) AS degree FROM e
+        |  JOIN a4 x ON x.node = e.dst JOIN a4 y ON y.node = e.src
+        |  GROUP BY 1)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'C' ELSE 'S' END AS node_type,
+        |  node // 2 AS node_id, CAST(degree AS BIGINT) AS degree
+        |FROM df""".stripMargin
   )
 }

@@ -1280,6 +1280,18 @@ object SparkEntry {
       .select(col("side"), expr("node div 2").as("node_id"),
         col("score_ppb"))
 
+  /** 5-core of the trade graph after 4 synchronous peeling rounds:
+    * the dense trading kernel — customers holding ≥5 surviving
+    * supplier relationships and vice versa, each with its degree
+    * inside the surviving subgraph. Pure edge counting, bit-exact;
+    * the oracle unrolls the 4 rounds plus the final degree pass. */
+  private def qGraphKcore(spark: SparkSession, dir: String): DataFrame =
+    Graph.kCoreSurvivors(tradeGraphEdges(spark, dir), k = 5, rounds = 4)
+      .select(
+        when(pmod(col("node"), lit(2L)) === 0, lit("C")).otherwise(lit("S"))
+          .as("node_type"),
+        expr("node div 2").as("node_id"), col("degree"))
+
   /** Z-order locality audit over events (x = user_id, y = seconds
     * since corpus start, 22 interleave bits): buckets = top 8 z-bits,
     * i.e. aligned 2¹⁸×2¹⁸ squares — each bucket's 2D bounding box in
@@ -1733,14 +1745,15 @@ object SparkEntry {
     "q_eval_mrr" -> (qEvalMrr _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_graph_hits" -> (qGraphHits _),
-    "q_eval_ndcg" -> (qEvalNdcg _)
+    "q_eval_ndcg" -> (qEvalNdcg _),
+    "q_graph_kcore" -> (qGraphKcore _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (177 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (178 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -226,4 +226,51 @@ object Graph {
       .localCheckpoint(true)
     finally cached.foreach(_.unpersist())
   }
+
+  /** K-CORE PEELING — the density filter of the graph family: after
+    * `rounds` SYNCHRONOUS peeling rounds at threshold `k` (each round
+    * simultaneously removes every node whose degree among the current
+    * survivors is < k), emit each survivor with its degree inside the
+    * surviving subgraph. The fixed round count is the cross-engine
+    * contract (an oracle unrolls exactly `rounds` steps); at a
+    * fixpoint extra rounds are no-ops, so a converged result is THE
+    * k-core. All arithmetic is edge counting — bit-exact anywhere.
+    *
+    * `edges` must be the BIDIRECTED distinct edge list (both
+    * directions present), so out-degree = undirected degree. A node
+    * all of whose neighbors peeled in the final round aggregates no
+    * edge and is omitted (its degree-0 row does not exist on either
+    * engine — same rule both sides).
+    *
+    * Scale shape: the edge list is cached once, partitioned on `dst`;
+    * each round semi-joins the (node-count-sized, shrinking) alive set
+    * against it on dst in place, then one exchange keys the surviving
+    * edges by src for the src-side semi-join and the degree count —
+    * the classic distributed peel, O(rounds) passes, never materializing
+    * neighborhoods. Like [[hitsTop]], the alive frame feeds the next
+    * round twice (filter + joins), so each round localCheckpoints to
+    * keep the logical plan constant-size in `rounds`. */
+  def kCoreSurvivors(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k=$k, rounds=$rounds")
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def mat(df: DataFrame): DataFrame = {
+      val p = df.persist(); cached += p; p
+    }
+    val e0 = mat(edges.select(col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst")).distinct())
+    val eByDst = mat(e0.repartition(col("dst")))
+    def degreeAmong(alive: DataFrame): DataFrame =
+      eByDst
+        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+    var alive = e0.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      alive = degreeAmong(alive).filter(col("degree") >= k)
+        .select("node").localCheckpoint(true)
+    try degreeAmong(alive).localCheckpoint(true)
+    finally cached.foreach(_.unpersist())
+  }
 }

@@ -140,6 +140,35 @@ class GraphSpec extends SparkSpec {
       ("hub", 2L, 874999998L), ("hub", 4L, 541666665L)), s"got: $got")
   }
 
+  test("kCoreSurvivors: synchronous cascade — path peels, triangle holds") {
+    // path 10-12-14-16 plus triangle 20-22-24, k=2.
+    // round 1 removes the path ENDS only (degree 1); round 2 removes
+    // the stranded middle (degree 1 among survivors) — the cascade a
+    // single degree filter would miss. Triangle keeps degree 2.
+    val und = Seq((10L, 12L), (12L, 14L), (14L, 16L),
+      (20L, 22L), (22L, 24L), (24L, 20L))
+    val e = (und ++ und.map(p => (p._2, p._1))).toDF("src", "dst")
+    val got2 = Graph.kCoreSurvivors(e, k = 2, rounds = 2).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("degree"))).toSet
+    assert(got2 == Set((20L, 2L), (22L, 2L), (24L, 2L)), s"got: $got2")
+    // after round 1 alone the path middle still lingers (degree 1)
+    val got1 = Graph.kCoreSurvivors(e, k = 2, rounds = 1).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("degree"))).toSet
+    assert(got1 == Set((12L, 1L), (14L, 1L),
+      (20L, 2L), (22L, 2L), (24L, 2L)), s"got: $got1")
+  }
+
+  test("kCoreSurvivors: partitioning-invariant") {
+    val und = Seq((10L, 12L), (12L, 14L), (14L, 16L),
+      (20L, 22L), (22L, 24L), (24L, 20L), (20L, 10L))
+    val e = (und ++ und.map(p => (p._2, p._1))).toDF("src", "dst")
+    val a = Graph.kCoreSurvivors(e.repartition(1), 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.kCoreSurvivors(e.repartition(11), 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("hitsTop: partitioning-invariant (deterministic integers)") {
     val e = Seq((2L, 1L), (2L, 3L), (4L, 1L), (4L, 5L), (6L, 5L),
       (6L, 1L), (8L, 7L)).toDF("src", "dst")
