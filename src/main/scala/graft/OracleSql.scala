@@ -4444,6 +4444,24 @@ object OracleSql {
         |  GROUP BY 1)
         |SELECT CASE WHEN node % 2 = 0 THEN 'C' ELSE 'S' END AS node_type,
         |  node // 2 AS node_id, CAST(degree AS BIGINT) AS degree
-        |FROM df""".stripMargin
+        |FROM df""".stripMargin,
+
+    // Exact phrase search "table scan": 1-based positional postings,
+    // each word re-keyed to its implied phrase start, adjacency join.
+    "q_text_phrase" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |t AS (SELECT doc_id, generate_subscripts(words, 1) AS pos,
+        |    unnest(words) AS term FROM w),
+        |p0 AS (SELECT doc_id, CAST(pos AS BIGINT) AS start_pos
+        |  FROM t WHERE term = 'table'),
+        |p1 AS (SELECT doc_id, CAST(pos AS BIGINT) - 1 AS start_pos
+        |  FROM t WHERE term = 'scan'),
+        |m AS (SELECT p0.doc_id, p0.start_pos
+        |  FROM p0 JOIN p1 USING (doc_id, start_pos))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  CAST(MIN(start_pos) AS BIGINT) AS first_pos
+        |FROM m GROUP BY 1""".stripMargin
   )
 }

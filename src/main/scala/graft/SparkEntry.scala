@@ -1280,6 +1280,14 @@ object SparkEntry {
       .select(col("side"), expr("node div 2").as("node_id"),
         col("score_ppb"))
 
+  /** Exact phrase search for "table scan" over the documents corpus:
+    * positional postings pruned to the phrase vocabulary, adjacency
+    * equi-joins on the implied start position — one row per matching
+    * doc with occurrence count and first (1-based) position. */
+  private def qTextPhrase(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.phraseSearch(docs(spark, dir), "doc_id", "text",
+      Seq("table", "scan"))
+
   /** 5-core of the trade graph after 4 synchronous peeling rounds:
     * the dense trading kernel — customers holding ≥5 surviving
     * supplier relationships and vice versa, each with its degree
@@ -1746,14 +1754,15 @@ object SparkEntry {
     "q_dedup_containment" -> (qDedupContainment _),
     "q_graph_hits" -> (qGraphHits _),
     "q_eval_ndcg" -> (qEvalNdcg _),
-    "q_graph_kcore" -> (qGraphKcore _)
+    "q_graph_kcore" -> (qGraphKcore _),
+    "q_text_phrase" -> (qTextPhrase _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (178 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (179 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -1389,4 +1389,39 @@ object TextAnalysis {
         sequence(lit(0), count - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
+
+  /** EXACT PHRASE SEARCH over positional postings — the retrieval shape
+    * the bag-of-words rankers ([[bm25Rational]], TF-IDF) cannot express:
+    * "these words, adjacent, in this order". Documents are exploded to
+    * `(doc_id, pos, term)` postings (positions 1-based, the SQL
+    * convention), IMMEDIATELY pruned to the phrase's own vocabulary —
+    * the load-bearing step at scale: only postings of the queried words
+    * ever reach a shuffle, so a w-word phrase over a 10¹² -token corpus
+    * moves `w` term-posting lists, not the corpus. The i-th word's
+    * postings are then re-keyed to the phrase start they would imply
+    * (`pos − i`) and chained through equi-joins on `(doc_id,
+    * start_pos)` — the classic positional-index adjacency merge,
+    * degenerating gracefully for repeated words (same pruned postings
+    * frame, different shift). Output: one row per matching document
+    * with `n_matches` (overlaps count) and `first_pos`.
+    *
+    * All counting is integer; no floating point anywhere. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val posting = df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos0", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("term"))
+    def shifted(word: String, i: Int): DataFrame =
+      posting.filter(col("term") === word)
+        .select(col("doc_id"), (col("pos") - i).as("start_pos"))
+    val m = phrase.zipWithIndex.tail.foldLeft(shifted(phrase.head, 0)) {
+      case (acc, (w, i)) => acc.join(shifted(w, i), Seq("doc_id", "start_pos"))
+    }
+    m.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_matches"),
+      min(col("start_pos")).as("first_pos"))
+  }
 }

@@ -436,6 +436,37 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sel == Map(1L -> 1L, 3L -> 2L, 4L -> 3L), sel)
   }
+
+  test("phraseSearch: adjacency, overlaps, repeated words, 1-based pos") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "big table scan then table scan again"), // 2 matches, first 2
+      (2L, "table then scan apart"), // words present, never adjacent
+      (3L, "a a a"), // overlapping repeated-word matches
+      (4L, "scan table"), // wrong order
+      (5L, "")).toDF("doc_id", "text")
+    val two = TextAnalysis.phraseSearch(d, "doc_id", "text",
+      Seq("table", "scan")).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_matches"),
+        r.getAs[Long]("first_pos"))).toSet
+    assert(two == Set((1L, 2L, 2L)), s"got: $two")
+    val rep = TextAnalysis.phraseSearch(d, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_matches"),
+        r.getAs[Long]("first_pos"))).toSet
+    assert(rep == Set((3L, 2L, 1L)), s"got: $rep") // positions 1-2, 2-3
+  }
+
+  test("phraseSearch: 3-word chain joins through the middle word") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "full table scan merge now"), // match at 2
+      (2L, "table scan x merge")).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(d, "doc_id", "text",
+      Seq("table", "scan", "merge")).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_matches"),
+        r.getAs[Long]("first_pos"))).toSet
+    assert(got == Set((1L, 1L, 2L)), s"got: $got")
+  }
 }
 
 class DedupSpec extends SparkSpec {
