@@ -4462,6 +4462,49 @@ object OracleSql {
         |  FROM p0 JOIN p1 USING (doc_id, start_pos))
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
         |  CAST(MIN(start_pos) AS BIGINT) AS first_pos
-        |FROM m GROUP BY 1""".stripMargin
+        |FROM m GROUP BY 1""".stripMargin,
+
+    // Holt linear trend (alpha = beta = 1/2) over daily micro-sums:
+    // init level=y1, trend=y2-y1; updates t=2..n replayed by the
+    // recursive CTE. DuckDB `//` TRUNCATES toward zero (probed:
+    // -3 // 2 = -1), so FLOOR halving is spelled (x - (x & 1)) // 2
+    // (two's-complement parity is non-negative) — matching the
+    // engine's (x - pmod(x, 2)) div 2.
+    "q_forecast_holt" ->
+      """WITH RECURSIVE d0 AS (SELECT
+        |    epoch_ns(date_trunc('day', ts))//1000000000 AS day_s,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |d AS (SELECT y,
+        |    CAST(row_number() OVER (ORDER BY day_s) AS BIGINT) AS i
+        |  FROM d0),
+        |nn AS (SELECT COUNT(*) AS n FROM d),
+        |ht AS (
+        |  SELECT CAST(2 AS BIGINT) AS t,
+        |    (SELECT y FROM d WHERE i = 1) AS level,
+        |    (SELECT y FROM d WHERE i = 2)
+        |      - (SELECT y FROM d WHERE i = 1) AS trend
+        |  UNION ALL
+        |  SELECT h.t + 1,
+        |    ((dd.y + h.level + h.trend)
+        |      - ((dd.y + h.level + h.trend) & 1)) // 2,
+        |    ((((dd.y + h.level + h.trend)
+        |        - ((dd.y + h.level + h.trend) & 1)) // 2
+        |      - h.level + h.trend)
+        |     - ((((dd.y + h.level + h.trend)
+        |        - ((dd.y + h.level + h.trend) & 1)) // 2
+        |      - h.level + h.trend) & 1)) // 2
+        |  FROM ht h JOIN d dd ON dd.i = h.t
+        |  WHERE h.t <= (SELECT n FROM nn)),
+        |fin AS (SELECT level, trend FROM ht ORDER BY t DESC LIMIT 1),
+        |hor(h) AS (VALUES (1), (2), (3), (4), (5), (6), (7))
+        |SELECT CAST(h AS BIGINT) AS horizon_days,
+        |  (SELECT n FROM nn) AS n_days,
+        |  f.level AS level_micro, f.trend AS trend_micro,
+        |  f.level + h * f.trend AS forecast_micro,
+        |  CAST(f.level + h * f.trend AS DOUBLE) / 1000000.0 AS forecast
+        |FROM hor CROSS JOIN fin f""".stripMargin
   )
 }

@@ -1280,6 +1280,13 @@ object SparkEntry {
       .select(col("side"), expr("node div 2").as("node_id"),
         col("score_ppb"))
 
+  /** Holt linear-trend forecast of daily event value, horizons 1–7
+    * days: α = β = ½ double exponential smoothing as exact BIGINT
+    * floor-halvings over the daily micro-unit sums; the oracle's
+    * recursive CTE replays the identical recursion. */
+  private def qForecastHolt(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.holtForecast(events(spark, dir), "ts", "value")
+
   /** Exact phrase search for "table scan" over the documents corpus:
     * positional postings pruned to the phrase vocabulary, adjacency
     * equi-joins on the implied start position — one row per matching
@@ -1755,14 +1762,15 @@ object SparkEntry {
     "q_graph_hits" -> (qGraphHits _),
     "q_eval_ndcg" -> (qEvalNdcg _),
     "q_graph_kcore" -> (qGraphKcore _),
-    "q_text_phrase" -> (qTextPhrase _)
+    "q_text_phrase" -> (qTextPhrase _),
+    "q_forecast_holt" -> (qForecastHolt _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (179 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (180 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

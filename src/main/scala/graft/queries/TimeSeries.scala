@@ -1105,4 +1105,61 @@ object TimeSeries {
         min_by(col("v"), struct(col("t_us"), col(rowId))).as("first_value"),
         max_by(col("v"), struct(col("t_us"), col(rowId))).as("last_value"))
   }
+
+  /** HOLT LINEAR-TREND FORECAST — double exponential smoothing over the
+    * daily value sums, the forecasting leg the trend/seasonality/
+    * change-point family reads history with. α = β = ½, so every
+    * update is an exact FLOOR-halving on BIGINT micro-units:
+    * `level_t = ⌊(y_t + level_{t−1} + trend_{t−1})/2⌋`,
+    * `trend_t = ⌊(level_t − level_{t−1} + trend_{t−1})/2⌋`, with the
+    * textbook init `level₁ = y₁, trend₁ = y₂ − y₁` and updates running
+    * t = 2…n. Floor (not truncate) division is the cross-engine
+    * contract — the trend goes NEGATIVE on declining series, where
+    * BOTH Spark's `div` and DuckDB's `//` truncate toward zero — so
+    * the engine halves via the pmod identity `(x − pmod(x, 2)) div 2`
+    * and the oracle via the equivalent parity subtract
+    * `(x − (x & 1)) // 2`. The h-step
+    * forecast is `level_n + h·trend_n`; the only double is the final
+    * micro→unit division of an exact long by the literal 10⁶.
+    *
+    * Scale shape: the ONLY corpus pass is the map-combined daily
+    * rollup; the recursion is inherently sequential but runs over the
+    * bucket count (≤ 3 650 rows for a decade of days), folded by a
+    * single-row `aggregate` higher-order expression — never a
+    * driver-side loop, no per-event work. Missing days are treated as
+    * adjacent steps (gap policy belongs to the gapfill operators). */
+  def holtForecast(df: DataFrame, ts: String, value: String,
+      horizons: Int = 7): DataFrame = {
+    require(horizons >= 1, s"horizons=$horizons")
+    val daily = df.filter(col(ts).isNotNull && col(value).isNotNull)
+      .groupBy(epochSeconds(date_trunc("day", col(ts))).as("day_s"))
+      .agg((sum(col(value).cast(DecimalType(18, 6))) * 1000000)
+        .cast(LongType).as("y"))
+    val series = daily.agg(
+        sort_array(collect_list(struct(col("day_s"), col("y")))).as("s"))
+      .withColumn("n", size(col("s")).cast(LongType))
+    val nl = "((e.y + acc.level + acc.trend)" +
+      " - pmod(e.y + acc.level + acc.trend, 2L)) div 2L"
+    val lt = series.selectExpr("n",
+      s"""aggregate(
+         |  slice(s, 2, greatest(cast(n AS INT) - 1, 0)),
+         |  named_struct(
+         |    'level', s[0].y,
+         |    'trend', coalesce(try_element_at(s, 2).y - s[0].y, 0L)),
+         |  (acc, e) -> named_struct(
+         |    'level', $nl,
+         |    'trend', (($nl - acc.level + acc.trend)
+         |      - pmod($nl - acc.level + acc.trend, 2L)) div 2L)
+         |) AS lt""".stripMargin)
+    lt.select(
+        explode(sequence(lit(1L), lit(horizons.toLong)))
+          .as("horizon_days"),
+        col("n").as("n_days"),
+        col("lt.level").as("level_micro"),
+        col("lt.trend").as("trend_micro"))
+      .withColumn("forecast_micro",
+        col("level_micro") + col("horizon_days") * col("trend_micro"))
+      .withColumn("forecast",
+        col("forecast_micro").cast(DoubleType) / lit(1000000.0))
+  }
 }

@@ -1845,6 +1845,47 @@ class TimeSeriesSpec extends SparkSpec {
   ).toDF("user_id", "epoch", "value", "event_id")
     .withColumn("ts", timestamp_seconds(col("epoch")))
 
+  test("holtForecast: hand-unrolled integer recursion, daily rollup") {
+    // days 0/1/2 sum to y = [4, 8, 6] units (day 0 from TWO events):
+    //   init  level=4e6 trend=4e6
+    //   t=2   level=(8+4+4)/2=8e6   trend=(8-4+4)/2=4e6
+    //   t=3   level=(6+8+4)/2=9e6   trend=(9-8+4)/2=2.5e6
+    val d = Seq((0L, 2.5), (0L, 1.5), (86400L, 8.0), (172800L, 6.0))
+      .toDF("epoch", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val out = TimeSeries.holtForecast(d, "ts", "value").collect()
+      .map(r => r.getAs[Long]("horizon_days") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("level_micro"),
+          r.getAs[Long]("trend_micro"), r.getAs[Long]("forecast_micro"),
+          r.getAs[Double]("forecast")))).toMap
+    assert(out.size == 7)
+    assert(out(1L) == ((3L, 9000000L, 2500000L, 11500000L, 11.5)))
+    assert(out(7L) == ((3L, 9000000L, 2500000L, 26500000L, 26.5)))
+  }
+
+  test("holtForecast: FLOOR (not truncate) halving on negative trend") {
+    // y = [3, 0, 0] micro-units: t=3 level = floor(-3/2) = -2 — a
+    // truncating division would give -1 and diverge from the oracle
+    val d = Seq((0L, 0.000003), (86400L, 0.0), (172800L, 0.0))
+      .toDF("epoch", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val r = TimeSeries.holtForecast(d, "ts", "value")
+      .filter(col("horizon_days") === 1L).collect()(0)
+    assert(r.getAs[Long]("level_micro") == -2L)
+    assert(r.getAs[Long]("trend_micro") == -3L)
+    assert(r.getAs[Long]("forecast_micro") == -5L)
+  }
+
+  test("holtForecast: single-day series forecasts flat") {
+    val d = Seq((0L, 5.0)).toDF("epoch", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val out = TimeSeries.holtForecast(d, "ts", "value").collect()
+    assert(out.length == 7)
+    assert(out.forall(r => r.getAs[Long]("n_days") == 1L &&
+      r.getAs[Long]("trend_micro") == 0L &&
+      r.getAs[Double]("forecast") == 5.0))
+  }
+
   test("historicAverage minutes=0: the raw arm returns ranged samples") {
     // average=0 is a legal reference value (PurpleAirAPI.py:261): no
     // bucketing, just the half-open range scan
