@@ -4505,6 +4505,35 @@ object OracleSql {
         |  f.level AS level_micro, f.trend AS trend_micro,
         |  f.level + h * f.trend AS forecast_micro,
         |  CAST(f.level + h * f.trend AS DOUBLE) / 1000000.0 AS forecast
-        |FROM hor CROSS JOIN fin f""".stripMargin
+        |FROM hor CROSS JOIN fin f""".stripMargin,
+
+    // Fixed-grid radius join on the first two quantized embedding
+    // dims (r = 20000 micro): 3x3 cell replication, lossless
+    // equi-join, per-point neighbor counts, top 20 by (count, id).
+    // Floor cell assignment via ((x % m) + m) % m (coords negative).
+    "q_embed_radius" ->
+      """WITH pts AS (SELECT vec_id AS id,
+        |    CAST(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS qx,
+        |    CAST(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS qy
+        |  FROM embeddings),
+        |cells AS (SELECT id, qx, qy,
+        |    (qx - ((qx % 20000) + 20000) % 20000) // 20000 AS cx,
+        |    (qy - ((qy % 20000) + 20000) % 20000) // 20000 AS cy
+        |  FROM pts),
+        |repl AS (SELECT c.id AS id_a, c.qx AS xa, c.qy AS ya,
+        |    c.cx + dd.dx AS cx, c.cy + ee.dy AS cy
+        |  FROM cells c
+        |  CROSS JOIN (VALUES (-1), (0), (1)) dd(dx)
+        |  CROSS JOIN (VALUES (-1), (0), (1)) ee(dy)),
+        |cnt AS (SELECT r.id_a AS vec_id, COUNT(*) AS n_neighbors
+        |  FROM repl r JOIN cells h ON h.cx = r.cx AND h.cy = r.cy
+        |  WHERE h.id <> r.id_a
+        |    AND (r.xa - h.qx) * (r.xa - h.qx)
+        |      + (r.ya - h.qy) * (r.ya - h.qy) <= 400000000
+        |  GROUP BY 1)
+        |SELECT vec_id, CAST(n_neighbors AS BIGINT) AS n_neighbors
+        |FROM cnt ORDER BY n_neighbors DESC, vec_id LIMIT 20""".stripMargin
   )
 }

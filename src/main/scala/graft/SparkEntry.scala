@@ -1280,6 +1280,13 @@ object SparkEntry {
       .select(col("side"), expr("node div 2").as("node_id"),
         col("score_ppb"))
 
+  /** Densest 2D neighborhoods of the embedding corpus: per-point count
+    * of neighbors within r = 0.02 on the first two quantized dims,
+    * top 20 by (count, id) — the fixed-grid radius join (3×3 cell
+    * replication, lossless equi-join) at density-probe scale. */
+  private def qEmbedRadius(spark: SparkSession, dir: String): DataFrame =
+    Similarity.radiusNeighborCounts(emb(spark, dir), "vec_id", "embedding")
+
   /** Holt linear-trend forecast of daily event value, horizons 1–7
     * days: α = β = ½ double exponential smoothing as exact BIGINT
     * floor-halvings over the daily micro-unit sums; the oracle's
@@ -1763,14 +1770,15 @@ object SparkEntry {
     "q_eval_ndcg" -> (qEvalNdcg _),
     "q_graph_kcore" -> (qGraphKcore _),
     "q_text_phrase" -> (qTextPhrase _),
-    "q_forecast_holt" -> (qForecastHolt _)
+    "q_forecast_holt" -> (qForecastHolt _),
+    "q_embed_radius" -> (qEmbedRadius _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (180 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (181 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

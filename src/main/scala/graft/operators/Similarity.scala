@@ -1392,6 +1392,57 @@ object Similarity {
           col("idcg_scaled").cast(DoubleType)).as("ndcg"))
   }
 
+  /** FIXED-RADIUS NEIGHBOR COUNTS — the range-search complement to the
+    * top-k family: instead of "the k nearest", "how many fall within
+    * r" — the density/outlier statistic (DBSCAN's core-point count,
+    * duplicate-cluster mass) a curation pipeline reads before picking
+    * thresholds. Runs on the first two quantized dimensions of the
+    * embedding (a 2D projection: cheap, index-free density probe).
+    *
+    * Scale shape — the classic FIXED-GRID radius join: every point is
+    * keyed to its ⌊coord/r⌋ cell (floor via the pmod identity — coords
+    * go negative), one side is replicated into its 3×3 cell
+    * neighborhood, and candidates meet through an EQUI-join on the
+    * cell id — any pair within r is in adjacent cells, so the join is
+    * lossless and nothing ever goes all-pairs. Cost is bounded by
+    * per-cell occupancy (9 cells scanned per point); a pathologically
+    * hot cell is an AQE-skew/salting case, not a plan change. Ordered
+    * pair (a, b) meets exactly once — via a's replica in b's home
+    * cell — so the per-point count needs no dedup. All arithmetic is
+    * BIGINT micro-units (squared distances ≤ 8·10¹² at r ≤ 10⁶);
+    * global top-k by (count desc, id) via TakeOrderedAndProject. */
+  def radiusNeighborCounts(df: DataFrame, idCol: String, vecCol: String,
+      rMicro: Long = 20000L, topK: Int = 20): DataFrame = {
+    require(rMicro >= 1L && rMicro <= 1000000L, s"rMicro=$rMicro")
+    registered(df)
+    val m = rMicro
+    val pts = df
+      .select(col(idCol).cast(LongType).as("id"),
+        V.quantize6(col(vecCol)).as("q"))
+      .select(col("id"), element_at(col("q"), 1).as("qx"),
+        element_at(col("q"), 2).as("qy"))
+      .withColumn("cx", expr(s"(qx - pmod(qx, ${m}L)) div ${m}L"))
+      .withColumn("cy", expr(s"(qy - pmod(qy, ${m}L)) div ${m}L"))
+    val deltas = array(lit(-1L), lit(0L), lit(1L))
+    val repl = pts.select(col("id").as("id_a"), col("qx").as("xa"),
+        col("qy").as("ya"), col("cx").as("cx0"), col("cy").as("cy0"))
+      .withColumn("dx", explode(deltas))
+      .withColumn("dy", explode(deltas))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("cx0") + col("dx")).as("cx"),
+        (col("cy0") + col("dy")).as("cy"))
+    val home = pts.select(col("id").as("id_b"), col("qx").as("xb"),
+      col("qy").as("yb"), col("cx"), col("cy"))
+    repl.join(home, Seq("cx", "cy"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(m * m))
+      .groupBy(col("id_a").as("vec_id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+      .orderBy(col("n_neighbors").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   /** IVF-PQ — the two bounds composed, the shape a production
     * 10¹⁰-vector index actually runs: the IVF coarse quantizer bounds
     * WHICH vectors are scored (`nprobe` cells per query) and PQ bounds

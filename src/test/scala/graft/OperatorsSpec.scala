@@ -1597,6 +1597,42 @@ class SimilaritySpec extends SparkSpec {
     assert(r2.getAs[Double]("mrr") == 0.5) // lcm(1..2)/2 over 1·lcm
   }
 
+  test("radiusNeighborCounts: boundary inclusive, cross-cell, negatives") {
+    import spark.implicits._
+    // r = 0.02 (cell = 20000 micro). A-B exactly r apart (inclusive
+    // boundary); D sits in the NEGATIVE cell across the origin from A
+    // (floor assignment + 3x3 replication must still pair them);
+    // C reaches only B; E is isolated.
+    val d = Seq(
+      (1L, Array(0.0f, 0.0f)), // A
+      (2L, Array(0.02f, 0.0f)), // B: dist(A,B) = r exactly
+      (3L, Array(0.029f, 0.0f)), // C: 0.009 from B, 0.029 from A
+      (4L, Array(-0.01f, -0.01f)), // D: 0.0141 from A, cell (-1,-1)
+      (5L, Array(0.5f, 0.5f)) // E: alone
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.radiusNeighborCounts(d, "vec_id", "embedding",
+        rMicro = 20000L, topK = 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_neighbors")))
+      .toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 1L), (4L, 1L)), s"got: $got")
+  }
+
+  test("radiusNeighborCounts: partitioning-invariant, symmetric counts") {
+    import spark.implicits._
+    val d = (0 until 40).map(i =>
+      (i.toLong, Array((i % 7) * 0.01f - 0.03f, (i % 5) * 0.01f - 0.02f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.radiusNeighborCounts(d.repartition(1),
+      "vec_id", "embedding", 15000L, 40).collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq
+    val b = Similarity.radiusNeighborCounts(d.repartition(13),
+      "vec_id", "embedding", 15000L, 40).collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+    // every counted pair is mutual: total ordered-pair count is even
+    assert(a.map(_._2).sum % 2 == 0)
+  }
+
   test("ndcgEval: hand-scored lists — integer DCG fold, partial truth") {
     import spark.implicits._
     // k=3 weights: 1000000000, 630929754, 500000000
