@@ -4534,6 +4534,71 @@ object OracleSql {
         |      + (r.ya - h.qy) * (r.ya - h.qy) <= 400000000
         |  GROUP BY 1)
         |SELECT vec_id, CAST(n_neighbors AS BIGINT) AS n_neighbors
-        |FROM cnt ORDER BY n_neighbors DESC, vec_id LIMIT 20""".stripMargin
+        |FROM cnt ORDER BY n_neighbors DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Theta/KMV sketch audit (k = 64) over customers split by the
+    // order-date midpoint: theta = 64th-smallest md5_60 hash (2^60
+    // when the side has < 64 keys), estimates (k-1)/(theta/2^60) and
+    // n_sample/(theta_ab/2^60) — every column md5-reproducible.
+    "q_sketch_theta" ->
+      """WITH e AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
+        |    epoch_ns(o_orderdate)//1000000000 AS t_s FROM orders),
+        |bb AS (SELECT MIN(t_s) AS lo_s, MAX(t_s) AS hi_s FROM e),
+        |f AS (SELECT k, t_s >= (lo_s + hi_s) // 2 AS late
+        |  FROM e CROSS JOIN bb),
+        |kh AS (SELECT
+        |    CAST(MAX(CASE WHEN NOT late THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS in_a,
+        |    CAST(MAX(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS in_b,
+        |    ('0x' || substring(md5(k), 1, 15))::BIGINT AS h
+        |  FROM f GROUP BY k),
+        |na AS (SELECT COUNT(*) AS n FROM kh WHERE in_a = 1),
+        |nb AS (SELECT COUNT(*) AS n FROM kh WHERE in_b = 1),
+        |nu AS (SELECT COUNT(*) AS n FROM kh),
+        |ta AS (SELECT CASE WHEN (SELECT n FROM na) < 64
+        |    THEN 1152921504606846976
+        |    ELSE (SELECT MAX(h) FROM (SELECT h FROM kh WHERE in_a = 1
+        |      ORDER BY h LIMIT 64)) END AS th_a),
+        |tb AS (SELECT CASE WHEN (SELECT n FROM nb) < 64
+        |    THEN 1152921504606846976
+        |    ELSE (SELECT MAX(h) FROM (SELECT h FROM kh WHERE in_b = 1
+        |      ORDER BY h LIMIT 64)) END AS th_b),
+        |tu AS (SELECT CASE WHEN (SELECT n FROM nu) < 64
+        |    THEN 1152921504606846976
+        |    ELSE (SELECT MAX(h) FROM (SELECT h FROM kh
+        |      ORDER BY h LIMIT 64)) END AS th_u),
+        |ths AS (SELECT th_a, th_b, th_u, LEAST(th_a, th_b) AS th_ab
+        |  FROM ta CROSS JOIN tb CROSS JOIN tu),
+        |s AS (SELECT
+        |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 AND h < th_ab
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 AND h < th_ab
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+        |    CAST(SUM(in_a * in_b) AS BIGINT) AS exact_overlap
+        |  FROM kh CROSS JOIN ths)
+        |SELECT (SELECT n FROM na) AS exact_first,
+        |  (SELECT n FROM nb) AS exact_second,
+        |  (SELECT n FROM nu) AS exact_union,
+        |  s.exact_overlap,
+        |  ths.th_a AS theta_first, ths.th_b AS theta_second,
+        |  ths.th_u AS theta_union,
+        |  CASE WHEN (SELECT n FROM na) < 64
+        |    THEN CAST((SELECT n FROM na) AS DOUBLE)
+        |    ELSE 63.0 / (CAST(ths.th_a AS DOUBLE)
+        |      / 1152921504606846976.0) END AS est_first,
+        |  CASE WHEN (SELECT n FROM nb) < 64
+        |    THEN CAST((SELECT n FROM nb) AS DOUBLE)
+        |    ELSE 63.0 / (CAST(ths.th_b AS DOUBLE)
+        |      / 1152921504606846976.0) END AS est_second,
+        |  CASE WHEN (SELECT n FROM nu) < 64
+        |    THEN CAST((SELECT n FROM nu) AS DOUBLE)
+        |    ELSE 63.0 / (CAST(ths.th_u AS DOUBLE)
+        |      / 1152921504606846976.0) END AS est_union,
+        |  CAST(s.n_common AS DOUBLE) / (CAST(ths.th_ab AS DOUBLE)
+        |    / 1152921504606846976.0) AS est_overlap,
+        |  CAST(s.n_diff AS DOUBLE) / (CAST(ths.th_ab AS DOUBLE)
+        |    / 1152921504606846976.0) AS est_diff_ab
+        |FROM ths CROSS JOIN s""".stripMargin
   )
 }

@@ -1280,6 +1280,15 @@ object SparkEntry {
       .select(col("side"), expr("node div 2").as("node_id"),
         col("score_ppb"))
 
+  /** Theta/KMV sketch set algebra over the customers ordering in the
+    * first vs second half of the order-date range: exact counts,
+    * thetas, and union/intersection/difference ESTIMATES — all
+    * md5-portable, so the estimates themselves hash-match the oracle
+    * (the set-op capability HLL's union-only registers lack). */
+  private def qSketchTheta(spark: SparkSession, dir: String): DataFrame =
+    Sketches.thetaAudit(t(spark, dir, "orders"), "o_orderdate",
+      "o_custkey")
+
   /** Densest 2D neighborhoods of the embedding corpus: per-point count
     * of neighbors within r = 0.02 on the first two quantized dims,
     * top 20 by (count, id) — the fixed-grid radius join (3×3 cell
@@ -1771,14 +1780,15 @@ object SparkEntry {
     "q_graph_kcore" -> (qGraphKcore _),
     "q_text_phrase" -> (qTextPhrase _),
     "q_forecast_holt" -> (qForecastHolt _),
-    "q_embed_radius" -> (qEmbedRadius _)
+    "q_embed_radius" -> (qEmbedRadius _),
+    "q_sketch_theta" -> (qSketchTheta _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (181 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (182 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

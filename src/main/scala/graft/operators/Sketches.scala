@@ -340,4 +340,85 @@ object Sketches {
         ok(col("lt90"), col("le90"), 900L).as("p90_ok"),
         ok(col("lt99"), col("le99"), 990L).as("p99_ok"))
   }
+
+  /** THETA (KMV) SKETCH set algebra with FULLY PORTABLE hashing — the
+    * member of the mergeable-sketch family the others can't replace:
+    * HLL unions but cannot INTERSECT or DIFFERENCE; the theta sketch's
+    * sample-below-threshold representation supports all three. Each
+    * distinct key hashes to a uniform 60-bit value (`md5_60`, the same
+    * engine-portable primitive as CMS/Bloom/minhash); a set's sketch is
+    * its `k` smallest hashes and `theta` = the k-th smallest (or 2⁶⁰
+    * when the set is smaller than k, where every estimate collapses to
+    * the exact count). Estimates: `|S| ≈ (k−1)/(theta/2⁶⁰)`; for set
+    * ops the two sketches agree on the window `thetaAB = min(theta_a,
+    * theta_b)` and `|A∘B| ≈ n_∘ / (thetaAB/2⁶⁰)` where `n_∘` counts
+    * sampled hashes below thetaAB in the composed set — the classic
+    * theta-sketch estimator. Because every hash is md5-reproducible,
+    * the thetas, sample counts AND double estimates are bit-exact in
+    * any engine — the estimates themselves are oracle-gated, like CMS
+    * and unlike the engine-internal HLL registers.
+    *
+    * The audit splits the key set into first/second time-range halves
+    * (same split as [[overlapAudit]]) and emits exact counts, thetas,
+    * and estimates for each side, the union, the intersection, and
+    * A∖B.
+    *
+    * Scale shape: one distinct-key pass (map-combined groupBy) carries
+    * both membership flags and the hash; each theta is an
+    * `orderBy(h).limit(k)` (TakeOrderedAndProject — k rows cross the
+    * wire, no global sort); sample counts are one filtered aggregate
+    * against the broadcast 1-row theta frame. At 100 TB the sketch IS
+    * the point: k longs per set, mergeable by keep-k-smallest, and the
+    * intersection of two corpora is estimated without ever joining
+    * them. */
+  def thetaAudit(df: DataFrame, ts: String, key: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k=$k")
+    val M = 1L << 60
+    val bounds = df.agg(
+      min(epochS(col(ts))).as("lo_s"), max(epochS(col(ts))).as("hi_s"))
+    val flagged = df.crossJoin(broadcast(bounds))
+      .select(col(key).cast(StringType).as("k"),
+        (epochS(col(ts)) >= expr("(lo_s + hi_s) div 2")).as("late"))
+    val keys = flagged.groupBy(col("k")).agg(
+        max(when(!col("late"), lit(1L)).otherwise(0L)).as("in_a"),
+        max(when(col("late"), lit(1L)).otherwise(0L)).as("in_b"))
+      .select(col("in_a"), col("in_b"), Dedup.md5_60(col("k")).as("h"))
+      .persist()
+    def nTheta(side: DataFrame, n: String, th: String): DataFrame = {
+      val cnt = side.agg(count(lit(1)).as(n))
+      val kth = side.orderBy(col("h")).limit(k).agg(max(col("h")).as("mx"))
+      cnt.crossJoin(broadcast(kth))
+        .select(col(n),
+          when(col(n) < k, lit(M)).otherwise(col("mx")).as(th))
+    }
+    val a = nTheta(keys.filter(col("in_a") === 1L), "n_a", "th_a")
+    val b = nTheta(keys.filter(col("in_b") === 1L), "n_b", "th_b")
+    val u = nTheta(keys, "n_u", "th_u")
+    val thetas = a.crossJoin(broadcast(b)).crossJoin(broadcast(u))
+      .withColumn("th_ab", least(col("th_a"), col("th_b")))
+    val samples = keys.crossJoin(broadcast(thetas))
+      .agg(
+        sum(when(col("in_a") === 1L && col("in_b") === 1L &&
+          col("h") < col("th_ab"), 1L).otherwise(0L)).as("n_common"),
+        sum(when(col("in_a") === 1L && col("in_b") === 0L &&
+          col("h") < col("th_ab"), 1L).otherwise(0L)).as("n_diff"),
+        sum(col("in_a") * col("in_b")).as("exact_overlap"))
+    val mD = M.toDouble
+    val est = (n: Column, th: Column) =>
+      when(n < k, n.cast(DoubleType))
+        .otherwise(lit((k - 1).toDouble) / (th.cast(DoubleType) / mD))
+    thetas.crossJoin(broadcast(samples)).select(
+      col("n_a").as("exact_first"), col("n_b").as("exact_second"),
+      col("n_u").as("exact_union"), col("exact_overlap"),
+      col("th_a").as("theta_first"), col("th_b").as("theta_second"),
+      col("th_u").as("theta_union"),
+      est(col("n_a"), col("th_a")).as("est_first"),
+      est(col("n_b"), col("th_b")).as("est_second"),
+      est(col("n_u"), col("th_u")).as("est_union"),
+      (col("n_common").cast(DoubleType) /
+        (col("th_ab").cast(DoubleType) / mD)).as("est_overlap"),
+      (col("n_diff").cast(DoubleType) /
+        (col("th_ab").cast(DoubleType) / mD)).as("est_diff_ab"))
+  }
 }

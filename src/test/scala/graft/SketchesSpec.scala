@@ -220,4 +220,49 @@ class SketchesSpec extends SparkSpec {
         assert(r.getAs[Boolean](c)))
     }
   }
+
+  // A={a,b,c} (t < mid), B={b,c,d}: overlap {b,c}, A\B = {a}
+  private def thetaFixture = Seq(
+    ("a", 0L), ("b", 1L), ("c", 2L),
+    ("b", 5L), ("c", 6L), ("d", 7L), ("d", 9L))
+    .toDF("k", "epoch")
+    .withColumn("ts", timestamp_seconds(col("epoch")))
+
+  test("thetaAudit: below-k sets collapse to EXACT counts everywhere") {
+    val r = Sketches.thetaAudit(thetaFixture, "ts", "k", k = 64)
+      .collect()(0)
+    assert(r.getAs[Long]("exact_first") == 3L)
+    assert(r.getAs[Long]("exact_second") == 3L)
+    assert(r.getAs[Long]("exact_union") == 4L)
+    assert(r.getAs[Long]("exact_overlap") == 2L)
+    val M = 1L << 60
+    assert(r.getAs[Long]("theta_first") == M)
+    assert(r.getAs[Long]("theta_union") == M)
+    assert(r.getAs[Double]("est_first") == 3.0)
+    assert(r.getAs[Double]("est_union") == 4.0)
+    assert(r.getAs[Double]("est_overlap") == 2.0)
+    assert(r.getAs[Double]("est_diff_ab") == 1.0)
+  }
+
+  test("thetaAudit: k=2 estimation path — theta is the 2nd-smallest " +
+    "hash; estimator formula reproduced") {
+    val r = Sketches.thetaAudit(thetaFixture, "ts", "k", k = 2)
+      .collect()(0)
+    // independent replay of the KMV definition over A = {a, b, c}
+    val hs = Seq("a", "b", "c").toDF("k")
+      .select(graft.operators.Dedup.md5_60(col("k")).as("h"))
+      .collect().map(_.getLong(0)).sorted
+    assert(r.getAs[Long]("theta_first") == hs(1))
+    val M = (1L << 60).toDouble
+    assert(r.getAs[Double]("est_first") ==
+      1.0 / (hs(1).toDouble / M))
+  }
+
+  test("thetaAudit: partitioning-invariant (deterministic hashes)") {
+    val a = Sketches.thetaAudit(thetaFixture.repartition(1), "ts", "k", 2)
+      .collect()(0).toSeq
+    val b = Sketches.thetaAudit(thetaFixture.repartition(7), "ts", "k", 2)
+      .collect()(0).toSeq
+    assert(a == b)
+  }
 }
