@@ -4599,6 +4599,61 @@ object OracleSql {
         |    / 1152921504606846976.0) AS est_overlap,
         |  CAST(s.n_diff AS DOUBLE) / (CAST(ths.th_ab AS DOUBLE)
         |    / 1152921504606846976.0) AS est_diff_ab
-        |FROM ths CROSS JOIN s""".stripMargin
+        |FROM ths CROSS JOIN s""".stripMargin,
+
+    // TextRank keywords: integer PageRank (3 unrolled rounds, d=0.85)
+    // over the window-2 token adjacency graph; nodes = md5_60(token),
+    // undirected edges canonicalized on hash order.
+    "q_text_keywords" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |t AS (SELECT doc_id, generate_subscripts(words, 1) AS pos,
+        |    unnest(words) AS term FROM w),
+        |adj AS (SELECT
+        |    ('0x' || substring(md5(a.term), 1, 15))::BIGINT AS ha,
+        |    ('0x' || substring(md5(b.term), 1, 15))::BIGINT AS hb
+        |  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |p AS (SELECT DISTINCT LEAST(ha, hb) AS src,
+        |    GREATEST(ha, hb) AS dst
+        |  FROM adj WHERE ha <> hb),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nd),
+        |r0 AS (SELECT node, 1000000000 // nn AS rank_ppb
+        |  FROM nd CROSS JOIN c),
+        |r1 AS (SELECT nd.node, (150000000 // c.nn)
+        |    + ((85 * COALESCE(s.inc, 0)) // 100) AS rank_ppb
+        |  FROM nd CROSS JOIN c
+        |  LEFT JOIN (SELECT e.dst AS node,
+        |      SUM(r.rank_ppb // d.outdeg) AS inc
+        |    FROM e JOIN r0 r ON r.node = e.src
+        |    JOIN deg d ON d.node = e.src GROUP BY 1) s
+        |    ON s.node = nd.node),
+        |r2 AS (SELECT nd.node, (150000000 // c.nn)
+        |    + ((85 * COALESCE(s.inc, 0)) // 100) AS rank_ppb
+        |  FROM nd CROSS JOIN c
+        |  LEFT JOIN (SELECT e.dst AS node,
+        |      SUM(r.rank_ppb // d.outdeg) AS inc
+        |    FROM e JOIN r1 r ON r.node = e.src
+        |    JOIN deg d ON d.node = e.src GROUP BY 1) s
+        |    ON s.node = nd.node),
+        |r3 AS (SELECT nd.node, (150000000 // c.nn)
+        |    + ((85 * COALESCE(s.inc, 0)) // 100) AS rank_ppb
+        |  FROM nd CROSS JOIN c
+        |  LEFT JOIN (SELECT e.dst AS node,
+        |      SUM(r.rank_ppb // d.outdeg) AS inc
+        |    FROM e JOIN r2 r ON r.node = e.src
+        |    JOIN deg d ON d.node = e.src GROUP BY 1) s
+        |    ON s.node = nd.node),
+        |topn AS (SELECT node, rank_ppb FROM r3
+        |  ORDER BY rank_ppb DESC, node LIMIT 20),
+        |vocab AS (SELECT DISTINCT term AS word,
+        |    ('0x' || substring(md5(term), 1, 15))::BIGINT AS node
+        |  FROM t)
+        |SELECT v.word, CAST(tp.rank_ppb AS BIGINT) AS rank_ppb
+        |FROM vocab v JOIN topn tp ON tp.node = v.node""".stripMargin
   )
 }

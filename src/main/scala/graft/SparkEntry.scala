@@ -1280,6 +1280,14 @@ object SparkEntry {
       .select(col("side"), expr("node div 2").as("node_id"),
         col("score_ppb"))
 
+  /** TextRank keywords of the document corpus: integer PageRank (3
+    * rounds) over the window-2 token co-occurrence graph, top 20 —
+    * centrality over the corpus's connective structure, not raw
+    * frequency. Node ids are md5_60(token); the oracle unrolls the
+    * same 3 steps over the identical hashed edge set. */
+  private def qTextKeywords(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textRankKeywords(docs(spark, dir), "doc_id", "text")
+
   /** Theta/KMV sketch set algebra over the customers ordering in the
     * first vs second half of the order-date range: exact counts,
     * thetas, and union/intersection/difference ESTIMATES — all
@@ -1781,14 +1789,15 @@ object SparkEntry {
     "q_text_phrase" -> (qTextPhrase _),
     "q_forecast_holt" -> (qForecastHolt _),
     "q_embed_radius" -> (qEmbedRadius _),
-    "q_sketch_theta" -> (qSketchTheta _)
+    "q_sketch_theta" -> (qSketchTheta _),
+    "q_text_keywords" -> (qTextKeywords _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (182 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (183 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -1390,6 +1390,54 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
+  /** TEXTRANK KEYWORD EXTRACTION — corpus-level keyword ranking as
+    * PageRank over the token co-occurrence graph (Mihalcea & Tarau's
+    * TextRank, the unweighted window-2 form): nodes are distinct
+    * tokens, undirected edges connect tokens that appear ADJACENT
+    * anywhere in the corpus, and [[graft.operators.Graph.pageRankTop]]
+    * ranks them — frequency alone promotes common words; centrality
+    * promotes words that co-occur with MANY DIFFERENT words, the
+    * difference between a corpus's connective tissue and its topics.
+    *
+    * Composition contract: tokens map to node ids via `md5_60` (the
+    * engine-portable primitive), adjacent pairs canonicalize on the
+    * HASH ORDER (`least/greatest` — no string-collation dependence),
+    * distinct undirected edges run both directions through the
+    * all-integer PageRank, and the `topK` node ids join back to the
+    * vocabulary for the words. Hash-identical tokens (2⁻⁶⁰ collision)
+    * would merge — the same merge in any engine.
+    *
+    * Scale shape: pair generation is PER-ROW array algebra inside the
+    * scan (no positional self-join — `transform` over the token array
+    * emits each adjacency directly), so the only shuffles are the
+    * distinct over canonical edges and PageRank's one-exchange-per-
+    * iteration loop; the final word join broadcasts `topK` rows
+    * against the vocabulary. */
+  def textRankKeywords(df: DataFrame, idCol: String, textCol: String,
+      iterations: Int = 3, topK: Int = 20): DataFrame = {
+    val toksDf = df.select(tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairs = toksDf.select(explode(expr(
+        """transform(slice(toks, 1, size(toks) - 1),
+          |  (w, i) -> struct(w AS wa, element_at(toks, i + 2) AS wb))"""
+          .stripMargin)).as("p"))
+      .select(graft.operators.Dedup.md5_60(col("p.wa")).as("ha"),
+        graft.operators.Dedup.md5_60(col("p.wb")).as("hb"))
+      .filter(col("ha") =!= col("hb"))
+      .select(least(col("ha"), col("hb")).as("src"),
+        greatest(col("ha"), col("hb")).as("dst"))
+      .distinct()
+    val edges = pairs.union(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val top = Graph.pageRankTop(edges, iterations, topK)
+    val vocab = df.select(explode(tokens(col(textCol))).as("word"))
+      .distinct()
+      .select(col("word"), graft.operators.Dedup.md5_60(col("word"))
+        .as("node"))
+    vocab.join(broadcast(top), Seq("node"))
+      .select(col("word"), col("rank_ppb"))
+  }
+
   /** EXACT PHRASE SEARCH over positional postings — the retrieval shape
     * the bag-of-words rankers ([[bm25Rational]], TF-IDF) cannot express:
     * "these words, adjacent, in this order". Documents are exploded to

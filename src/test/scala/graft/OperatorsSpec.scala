@@ -456,6 +456,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rep == Set((3L, 2L, 1L)), s"got: $rep") // positions 1-2, 2-3
   }
 
+  test("textRankKeywords: the connective word outranks its satellites") {
+    import spark.implicits._
+    // hub is adjacent to 4 distinct words; each satellite only to hub.
+    // A lone one-word doc must not break pair generation.
+    val d = Seq((1L, "hub x hub y"), (2L, "hub z hub w"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textRankKeywords(d, "doc_id", "text",
+        iterations = 3, topK = 5).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("rank_ppb")))
+    val byRank = got.sortBy(-_._2)
+    assert(byRank.head._1 == "hub", s"got: ${byRank.toSeq}")
+    // the four satellites are structurally identical → identical ranks
+    val sat = got.filter(_._1 != "hub").map(_._2).toSet
+    assert(sat.size == 1, s"satellite ranks differ: $got")
+  }
+
+  test("textRankKeywords: chain centrality — middle outranks the ends") {
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.textRankKeywords(d, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("rank_ppb"))
+      .toMap
+    assert(got("b") > got("a"), s"got: $got")
+    assert(got("a") == got("c"), s"got: $got")
+  }
+
+  test("textRankKeywords: partitioning-invariant") {
+    import spark.implicits._
+    val d = (0 until 30).map(i => (i.toLong,
+      s"w${i % 5} w${i % 7} w${i % 3} w${i % 5}")).toDF("doc_id", "text")
+    val a = TextAnalysis.textRankKeywords(d.repartition(1),
+      "doc_id", "text").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSet
+    val b = TextAnalysis.textRankKeywords(d.repartition(9),
+      "doc_id", "text").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("phraseSearch: 3-word chain joins through the middle word") {
     import spark.implicits._
     val d = Seq(
