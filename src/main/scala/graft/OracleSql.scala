@@ -4654,6 +4654,27 @@ object OracleSql {
         |    ('0x' || substring(md5(term), 1, 15))::BIGINT AS node
         |  FROM t)
         |SELECT v.word, CAST(tp.rank_ppb AS BIGINT) AS rank_ppb
-        |FROM vocab v JOIN topn tp ON tp.node = v.node""".stripMargin
+        |FROM vocab v JOIN topn tp ON tp.node = v.node""".stripMargin,
+
+    // Token-weighted LOWER median doc length per language: smallest
+    // length whose cumulative token weight reaches half the total
+    // (multiplied-through half test, ties walked by doc_id).
+    "q_weighted_median" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(length(text) AS BIGINT) AS v,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |      END AS BIGINT) AS wt
+        |  FROM documents),
+        |c AS (SELECT lang, v, wt, doc_id,
+        |    SUM(wt) OVER (PARTITION BY lang ORDER BY v, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    SUM(wt) OVER (PARTITION BY lang) AS totw,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM d)
+        |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_rows,
+        |  CAST(MAX(totw) AS BIGINT) AS total_weight,
+        |  CAST(MIN(v) AS BIGINT) AS weighted_median
+        |FROM c WHERE 2 * cumw >= totw GROUP BY 1""".stripMargin
   )
 }

@@ -1280,6 +1280,18 @@ object SparkEntry {
       .select(col("side"), expr("node div 2").as("node_id"),
         col("score_ppb"))
 
+  /** Token-weighted median document length per language: the lower
+    * weighted median — smallest length whose cumulative token mass
+    * reaches half the language total. Answers "what does the typical
+    * TOKEN sit in", which diverges from the typical ROW wherever a
+    * few huge documents carry the token mass. All-integer. */
+  private def qWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+      length(col("text")).as("n_chars"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Warehouse.weightedMedian(d, "lang", "n_chars", "n_tokens", "doc_id")
+  }
+
   /** TextRank keywords of the document corpus: integer PageRank (3
     * rounds) over the window-2 token co-occurrence graph, top 20 —
     * centrality over the corpus's connective structure, not raw
@@ -1790,14 +1802,15 @@ object SparkEntry {
     "q_forecast_holt" -> (qForecastHolt _),
     "q_embed_radius" -> (qEmbedRadius _),
     "q_sketch_theta" -> (qSketchTheta _),
-    "q_text_keywords" -> (qTextKeywords _)
+    "q_text_keywords" -> (qTextKeywords _),
+    "q_weighted_median" -> (qWeightedMedian _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (183 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (184 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -576,4 +576,41 @@ object Warehouse {
       .withColumn("psi_bits",
         col("psi_q").cast(DoubleType) / lit(4.0 * scale))
   }
+
+  /** EXACT WEIGHTED MEDIAN per group — the quantile a SIZE-aware
+    * curation budget actually needs: the unweighted median document
+    * length answers "what does the typical ROW look like", the
+    * token-weighted median answers "what does the typical TOKEN sit
+    * in" — on corpora where a few huge documents carry most of the
+    * token mass the two diverge wildly, and budget decisions keyed to
+    * the wrong one mis-size everything. Definition: the LOWER weighted
+    * median — the smallest value v whose cumulative weight reaches
+    * half the group total (`2·cumw(v) ≥ W`). All-integer: weights sum
+    * as BIGINTs, the half test is the multiplied-through inequality
+    * (never a division), ties in `v` are broken by `rowId` in the
+    * cumulative order so every engine walks the identical prefix.
+    *
+    * Scale shape: ONE window pass (cumulative weight, partitioned by
+    * group, ordered by value) + one aggregate — the same cost as any
+    * per-group ranking; no collect, no sort beyond the window's
+    * partition-local one. */
+  def weightedMedian(df: DataFrame, group: String, valueCol: String,
+      weightCol: String, rowId: String): DataFrame = {
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("v"), col("rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.select(col(group).as("g"), col(valueCol).cast(LongType).as("v"),
+        col(weightCol).cast(LongType).as("wt"),
+        col(rowId).cast(LongType).as("rid"))
+      .withColumn("cumw", sum(col("wt")).over(w))
+      .withColumn("totw", sum(col("wt")).over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(lit(2L) * col("cumw") >= col("totw"))
+      .groupBy(col("g").as(group))
+      .agg(max(col("n")).as("n_rows"),
+        max(col("totw")).as("total_weight"),
+        min(col("v")).as("weighted_median"))
+  }
 }

@@ -649,4 +649,37 @@ class WarehouseSpec extends SparkSpec {
     assert(row.getAs[Double]("precision") == 1.0)
     assert(row.getAs[Double]("recall") == 1.0)
   }
+
+  test("weightedMedian: token mass pulls the median off the row median") {
+    // g1: weights concentrate on the huge doc -> weighted median 100
+    // (the unweighted row median would be 20)
+    val d = Seq(
+      ("g1", 10L, 1L, 1L), ("g1", 20L, 1L, 2L), ("g1", 100L, 8L, 3L),
+      // g2: uniform weights reduce to the classic lower median (2)
+      ("g2", 1L, 1L, 4L), ("g2", 2L, 1L, 5L),
+      ("g2", 3L, 1L, 6L), ("g2", 4L, 1L, 7L),
+      // g3: equal values, tie walked by rowId; half reached at v=5
+      ("g3", 5L, 1L, 8L), ("g3", 5L, 1L, 9L), ("g3", 7L, 2L, 10L)
+    ).toDF("g", "v", "wt", "rid")
+    val got = graft.queries.Warehouse
+      .weightedMedian(d, "g", "v", "wt", "rid").collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_rows"),
+        r.getAs[Long]("total_weight"),
+        r.getAs[Long]("weighted_median")))).toMap
+    assert(got("g1") == ((3L, 10L, 100L)), s"got: $got")
+    assert(got("g2") == ((4L, 4L, 2L)), s"got: $got")
+    assert(got("g3") == ((3L, 4L, 5L)), s"got: $got")
+  }
+
+  test("weightedMedian: partitioning-invariant") {
+    val d = (0 until 50).map(i => ("g" + (i % 3), (i * 7 % 23).toLong,
+      (i % 4 + 1).toLong, i.toLong)).toDF("g", "v", "wt", "rid")
+    val a = graft.queries.Warehouse
+      .weightedMedian(d.repartition(1), "g", "v", "wt", "rid")
+      .collect().map(_.toSeq).toSet
+    val b = graft.queries.Warehouse
+      .weightedMedian(d.repartition(11), "g", "v", "wt", "rid")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
