@@ -4675,6 +4675,21 @@ object OracleSql {
         |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_rows,
         |  CAST(MAX(totw) AS BIGINT) AS total_weight,
         |  CAST(MIN(v) AS BIGINT) AS weighted_median
-        |FROM c WHERE 2 * cumw >= totw GROUP BY 1""".stripMargin
+        |FROM c WHERE 2 * cumw >= totw GROUP BY 1""".stripMargin,
+
+    // JSON field rollup: $.k extracted per row (TRY_CAST — missing or
+    // malformed stays NULL), integer aggregates per event type.
+    "q_json_rollup" ->
+      """WITH x AS (SELECT event_type,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(kv) AS BIGINT) AS n_with_field,
+        |  CAST(MIN(kv) AS BIGINT) AS k_min,
+        |  CAST(MAX(kv) AS BIGINT) AS k_max,
+        |  CAST(SUM(kv) AS BIGINT) AS k_sum,
+        |  CAST(COUNT(DISTINCT kv) AS BIGINT) AS k_distinct
+        |FROM x GROUP BY 1""".stripMargin
   )
 }

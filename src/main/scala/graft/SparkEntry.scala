@@ -1280,6 +1280,14 @@ object SparkEntry {
       .select(col("side"), expr("node div 2").as("node_id"),
         col("score_ppb"))
 
+  /** Semi-structured rollup of the events `props` JSON payload: the
+    * `$.k` field extracted per row inside the scan (codegen'd
+    * get_json_object + try_cast) and rolled up per event type —
+    * coverage, min/max/sum, distinct. The registry's JSON-column
+    * surface: extraction without ever re-shuffling the raw JSON. */
+  private def qJsonRollup(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.jsonFieldRollup(events(spark, dir), "event_type", "props")
+
   /** Token-weighted median document length per language: the lower
     * weighted median — smallest length whose cumulative token mass
     * reaches half the language total. Answers "what does the typical
@@ -1803,14 +1811,15 @@ object SparkEntry {
     "q_embed_radius" -> (qEmbedRadius _),
     "q_sketch_theta" -> (qSketchTheta _),
     "q_text_keywords" -> (qTextKeywords _),
-    "q_weighted_median" -> (qWeightedMedian _)
+    "q_weighted_median" -> (qWeightedMedian _),
+    "q_json_rollup" -> (qJsonRollup _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (184 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (185 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

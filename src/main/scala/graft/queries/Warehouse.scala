@@ -594,6 +594,35 @@ object Warehouse {
     * group, ordered by value) + one aggregate — the same cost as any
     * per-group ranking; no collect, no sort beyond the window's
     * partition-local one. */
+  /** SEMI-STRUCTURED FIELD ROLLUP — extraction + aggregation over a
+    * JSON string column, the universal event-pipeline shape (payload
+    * props, API responses, device metadata ride along as JSON; the
+    * reference's own source payloads are JSON objects). One numeric
+    * path is pulled per row (`get_json_object`, a codegen'd per-row
+    * Catalyst expression — the extraction runs inside the scan's
+    * whole-stage span, no UDF) through a `try_cast` (malformed or
+    * missing → NULL, never an abort), then rolled up per group:
+    * row count, extraction coverage, min/max/sum, distinct count.
+    *
+    * Exactness: extracted values are BIGINTs; every aggregate is an
+    * integer fold. Scale shape: extraction is map-side, the rollup is
+    * one map-combined groupBy — the cheapest possible pass; at 100 TB
+    * the win is precisely that the JSON never re-shuffles, only the
+    * per-group partials do. */
+  def jsonFieldRollup(df: DataFrame, group: String, jsonCol: String,
+      path: String = "$.k"): DataFrame = {
+    val kv = expr(
+      s"try_cast(get_json_object($jsonCol, '$path') AS BIGINT)")
+    df.select(col(group).as(group), kv.as("kv"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("kv")).as("n_with_field"),
+        min(col("kv")).as("k_min"),
+        max(col("kv")).as("k_max"),
+        sum(col("kv")).as("k_sum"),
+        countDistinct(col("kv")).as("k_distinct"))
+  }
+
   def weightedMedian(df: DataFrame, group: String, valueCol: String,
       weightCol: String, rowId: String): DataFrame = {
     val w = Window.partitionBy(col("g"))

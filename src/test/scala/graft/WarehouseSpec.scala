@@ -650,6 +650,23 @@ class WarehouseSpec extends SparkSpec {
     assert(row.getAs[Double]("recall") == 1.0)
   }
 
+  test("jsonFieldRollup: extraction coverage, malformed and missing " +
+    "fields stay NULL") {
+    val d = Seq(
+      ("a", """{"k": 5}"""), ("a", """{"k": 7}"""),
+      ("a", """{"other": 1}"""), // field missing -> NULL
+      ("b", """{"k": 5}"""), ("b", "not json"), // malformed -> NULL
+      ("b", """{"k": "x"}""") // non-numeric -> try_cast NULL
+    ).toDF("g", "props")
+    val got = graft.queries.Warehouse.jsonFieldRollup(d, "g", "props")
+      .collect().map(r => r.getString(0) -> ((r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_with_field"), r.getAs[Long]("k_min"),
+        r.getAs[Long]("k_max"), r.getAs[Long]("k_sum"),
+        r.getAs[Long]("k_distinct")))).toMap
+    assert(got("a") == ((3L, 2L, 5L, 7L, 12L, 2L)), s"got: $got")
+    assert(got("b") == ((3L, 1L, 5L, 5L, 5L, 1L)), s"got: $got")
+  }
+
   test("weightedMedian: token mass pulls the median off the row median") {
     // g1: weights concentrate on the huge doc -> weighted median 100
     // (the unweighted row median would be 20)
