@@ -4690,6 +4690,31 @@ object OracleSql {
         |  CAST(MAX(kv) AS BIGINT) AS k_max,
         |  CAST(SUM(kv) AS BIGINT) AS k_sum,
         |  CAST(COUNT(DISTINCT kv) AS BIGINT) AS k_distinct
-        |FROM x GROUP BY 1""".stripMargin
+        |FROM x GROUP BY 1""".stripMargin,
+
+    // Market-basket pairs (support >= 2 baskets), top 20 by support:
+    // confidence = n_pair/n_a, lift = n_pair*N/(n_a*n_b) — each ONE
+    // division of exact longs. (The engine's apriori prune only skips
+    // work; pairs at support >= 2 are identical with or without it.)
+    "q_basket_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i
+        |  FROM li GROUP BY 1),
+        |nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets
+        |  FROM li),
+        |pr AS (SELECT a.i AS item_a, bb.i AS item_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pair
+        |  FROM li a JOIN li bb ON a.b = bb.b AND a.i < bb.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT item_a, item_b, n_pair, ca.n_i AS n_a, cb.n_i AS n_b,
+        |  nb.n_baskets,
+        |  CAST(n_pair AS DOUBLE) / CAST(ca.n_i AS DOUBLE)
+        |    AS confidence_ab,
+        |  CAST(n_pair * nb.n_baskets AS DOUBLE)
+        |    / CAST(ca.n_i * cb.n_i AS DOUBLE) AS lift
+        |FROM pr JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b
+        |CROSS JOIN nb
+        |ORDER BY n_pair DESC, item_a, item_b LIMIT 20""".stripMargin
   )
 }

@@ -1280,6 +1280,15 @@ object SparkEntry {
       .select(col("side"), expr("node div 2").as("node_id"),
         col("score_ppb"))
 
+  /** Bought-together part pairs across orders: apriori-pruned pairwise
+    * association rules (support ≥ 2 baskets), top 20 by support with
+    * exact confidence and lift — all counts BIGINT, each ratio ONE
+    * division of exact longs. */
+  private def qBasketRules(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.associationRules(
+      t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey")
+
   /** Semi-structured rollup of the events `props` JSON payload: the
     * `$.k` field extracted per row inside the scan (codegen'd
     * get_json_object + try_cast) and rolled up per event type —
@@ -1812,14 +1821,15 @@ object SparkEntry {
     "q_sketch_theta" -> (qSketchTheta _),
     "q_text_keywords" -> (qTextKeywords _),
     "q_weighted_median" -> (qWeightedMedian _),
-    "q_json_rollup" -> (qJsonRollup _)
+    "q_json_rollup" -> (qJsonRollup _),
+    "q_basket_rules" -> (qBasketRules _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (185 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (186 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -594,6 +594,58 @@ object Warehouse {
     * group, ordered by value) + one aggregate — the same cost as any
     * per-group ranking; no collect, no sort beyond the window's
     * partition-local one. */
+  /** PAIRWISE ASSOCIATION RULES (market-basket mining) — the classic
+    * "bought together" statistic: for item pairs co-occurring in at
+    * least `minCount` baskets, support counts plus the two derived
+    * rule strengths — `confidence(a→b) = n_pair/n_a` (how often a
+    * basket with a also holds b) and `lift = n_pair·N/(n_a·n_b)`
+    * (co-occurrence vs independence; > 1 = genuinely associated).
+    *
+    * Scale shape — the APRIORI prune is the load-bearing step: an item
+    * in a qualifying pair must itself reach `minCount`, so the basket
+    * lists are semi-joined against the frequent-item set BEFORE any
+    * pairing, and the quadratic blow-up runs only over frequent items
+    * within each basket (bounded by basket size; a pathological
+    * mega-basket is a skew case to cap upstream). Pair counts are one
+    * map-combined groupBy; the final ranking is top-k by (count, pair)
+    * via TakeOrderedAndProject. Exactness: all counts are BIGINTs;
+    * confidence and lift are each ONE division of exact longs (keep
+    * `n_pair·N` and `n_a·n_b` under 2⁵³ — at 10⁹ baskets that means
+    * pruning to pairs with meaningful support first, which minCount
+    * does). */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long = 2L, topK: Int = 20): DataFrame = {
+    val li = df.select(col(basketCol).cast(LongType).as("b"),
+      col(itemCol).cast(LongType).as("i")).distinct().persist()
+    val itemCnt = li.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val freq = itemCnt.filter(col("n_i") >= minCount).persist()
+    val pruned = li.join(freq.select("i"), Seq("i"), "left_semi")
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.b") === col("b.b") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("item_a"), col("b.i").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val nb = li.select(col("b")).distinct().agg(count(lit(1)).as("n_baskets"))
+    val out = pairs
+      .join(freq.select(col("i").as("item_a"), col("n_i").as("n_a")),
+        Seq("item_a"))
+      .join(freq.select(col("i").as("item_b"), col("n_i").as("n_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nb))
+      .select(col("item_a"), col("item_b"), col("n_pair"),
+        col("n_a"), col("n_b"), col("n_baskets"),
+        (col("n_pair").cast(DoubleType) / col("n_a").cast(DoubleType))
+          .as("confidence_ab"),
+        ((col("n_pair") * col("n_baskets")).cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType)).as("lift"))
+      .orderBy(col("n_pair").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+    // materialize before releasing the two shared caches
+    try out.localCheckpoint(true)
+    finally { li.unpersist(); freq.unpersist() }
+  }
+
   /** SEMI-STRUCTURED FIELD ROLLUP — extraction + aggregation over a
     * JSON string column, the universal event-pipeline shape (payload
     * props, API responses, device metadata ride along as JSON; the

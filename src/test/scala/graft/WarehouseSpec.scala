@@ -650,6 +650,39 @@ class WarehouseSpec extends SparkSpec {
     assert(row.getAs[Double]("recall") == 1.0)
   }
 
+  test("associationRules: support filter, confidence and lift exact") {
+    // baskets: {1,2,3}, {1,2}, {1,2,4}, {3,4} -> only (1,2) reaches
+    // support 2 (it has 3); items 1 and 2 each appear in 3 of 4 baskets
+    val d = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (12L, 4L), (13L, 3L), (13L, 4L))
+      .toDF("basket", "item")
+    val got = graft.queries.Warehouse
+      .associationRules(d, "basket", "item", minCount = 2L, topK = 10)
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getAs[Long]("item_a"), r.getAs[Long]("item_b")) == ((1L, 2L)))
+    assert(r.getAs[Long]("n_pair") == 3L)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("n_baskets") == 4L)
+    assert(r.getAs[Double]("confidence_ab") == 1.0)
+    assert(r.getAs[Double]("lift") == 12.0 / 9.0)
+  }
+
+  test("associationRules: duplicate lines collapse; top-k tiebreak " +
+    "is (support desc, pair)") {
+    // item repeated within a basket must count once (DISTINCT basket,
+    // item); at minCount=1 ordering is deterministic
+    val d = Seq((10L, 1L), (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (11L, 3L)).toDF("basket", "item")
+    val got = graft.queries.Warehouse
+      .associationRules(d, "basket", "item", minCount = 1L, topK = 10)
+      .collect().map(r => (r.getAs[Long]("item_a"),
+        r.getAs[Long]("item_b"), r.getAs[Long]("n_pair"))).toSeq
+    assert(got == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)),
+      s"got: $got")
+  }
+
   test("jsonFieldRollup: extraction coverage, malformed and missing " +
     "fields stay NULL") {
     val d = Seq(
