@@ -4715,6 +4715,31 @@ object OracleSql {
         |    / CAST(ca.n_i * cb.n_i AS DOUBLE) AS lift
         |FROM pr JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b
         |CROSS JOIN nb
-        |ORDER BY n_pair DESC, item_a, item_b LIMIT 20""".stripMargin
+        |ORDER BY n_pair DESC, item_a, item_b LIMIT 20""".stripMargin,
+
+    // Distinct l-diversity (l = 3) over (day, value-bucket) quasi
+    // classes, sensitive attribute = event_type — the attribute-
+    // disclosure companion to q_anonymize_k's class-size audit.
+    "q_anonymize_l" ->
+      """WITH ex AS (SELECT
+        |    epoch_ns(date_trunc('day', ts))//1000000000 AS day_s,
+        |    event_type,
+        |    CAST(floor(value / 10.0) AS BIGINT) * 10 AS value_bucket
+        |  FROM events),
+        |g AS (SELECT day_s, value_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS d
+        |  FROM ex GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  MIN(d) AS min_diversity,
+        |  CAST(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_classes_below_l,
+        |  CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_below_l,
+        |  CAST(3 AS BIGINT) AS l_threshold,
+        |  CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0 END) AS DOUBLE)
+        |    / SUM(n) AS below_l_share
+        |FROM g""".stripMargin
   )
 }

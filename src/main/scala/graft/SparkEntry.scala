@@ -1577,6 +1577,20 @@ object SparkEntry {
       Seq("day_s", "event_type", "value_bucket"), k = 5)
   }
 
+  /** l-diversity audit of the same pseudonymized export as
+    * [[qAnonymizeK]]: within each (day, value-bucket) quasi class,
+    * are there at least 3 distinct event types? A big class that is
+    * all 'purchase' still discloses the attribute — the leak
+    * k-anonymity alone cannot see. */
+  private def qAnonymizeL(spark: SparkSession, dir: String): DataFrame = {
+    val export = events(spark, dir).select(
+      epochS(date_trunc("day", col("ts"))).as("day_s"),
+      col("event_type"),
+      (floor(col("value") / 10.0).cast(LongType) * 10L).as("value_bucket"))
+    Warehouse.lDiversityAudit(export, Seq("day_s", "value_bucket"),
+      "event_type", l = 3)
+  }
+
   /** Per-event-type OLS trend of hourly sums (slope per hour). */
   private def qSeriesTrend(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.seriesTrend(events(spark, dir), "ts", "event_type", "value")
@@ -1822,14 +1836,15 @@ object SparkEntry {
     "q_text_keywords" -> (qTextKeywords _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_json_rollup" -> (qJsonRollup _),
-    "q_basket_rules" -> (qBasketRules _)
+    "q_basket_rules" -> (qBasketRules _),
+    "q_anonymize_l" -> (qAnonymizeL _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (186 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (187 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -301,6 +301,34 @@ object Warehouse {
       .withColumn("below_k_share",
         col("n_rows_below_k").cast(DoubleType) / col("n_rows"))
 
+  /** L-DIVERSITY AUDIT — the attribute-disclosure companion to
+    * [[kAnonymityAudit]]: k-anonymity bounds RE-IDENTIFICATION (how
+    * small can a quasi-identifier class get), but a large class whose
+    * rows all share ONE sensitive value still leaks that value to
+    * anyone who can place a person in the class. Distinct l-diversity
+    * asks: does every quasi class contain at least `l` DISTINCT
+    * sensitive values? Reports the diversity floor, the class/row
+    * counts below `l`, and the row share — the second number on the
+    * same privacy-review sheet.
+    *
+    * Scale shape: one two-level aggregate — distinct sensitive count
+    * per quasi class (map-combined), then a one-row rollup. */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("d"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n")).as("n_rows"),
+        min(col("d")).as("min_diversity"),
+        sum(when(col("d") < l, 1L).otherwise(0L))
+          .as("n_classes_below_l"),
+        sum(when(col("d") < l, col("n")).otherwise(0L))
+          .as("n_rows_below_l"))
+      .withColumn("l_threshold", lit(l.toLong))
+      .withColumn("below_l_share",
+        col("n_rows_below_l").cast(DoubleType) / col("n_rows"))
+
   /** ANALYZE-STYLE COLUMN PROFILE — one row per profiled column: row
     * and null counts, distinct cardinality, min/max (stringified so
     * heterogeneous column types share one report schema). The stats

@@ -650,6 +650,23 @@ class WarehouseSpec extends SparkSpec {
     assert(row.getAs[Double]("recall") == 1.0)
   }
 
+  test("lDiversityAudit: a big uniform class leaks; a small diverse " +
+    "one doesn't") {
+    // class q=1: 4 rows, ALL sensitive 'x' -> diversity 1 (the leak
+    // k-anonymity at k<=4 would wave through); class q=2: 2 rows,
+    // 2 distinct values -> diversity 2
+    val d = Seq((1L, "x"), (1L, "x"), (1L, "x"), (1L, "x"),
+      (2L, "a"), (2L, "b")).toDF("q", "s")
+    val r = graft.queries.Warehouse
+      .lDiversityAudit(d, Seq("q"), "s", l = 2).collect()(0)
+    assert(r.getAs[Long]("n_classes") == 2L)
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("min_diversity") == 1L)
+    assert(r.getAs[Long]("n_classes_below_l") == 1L)
+    assert(r.getAs[Long]("n_rows_below_l") == 4L)
+    assert(r.getAs[Double]("below_l_share") == 4.0 / 6.0)
+  }
+
   test("associationRules: support filter, confidence and lift exact") {
     // baskets: {1,2,3}, {1,2}, {1,2,4}, {3,4} -> only (1,2) reaches
     // support 2 (it has 3); items 1 and 2 each appear in 3 of 4 baskets
