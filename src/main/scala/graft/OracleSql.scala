@@ -4740,6 +4740,28 @@ object OracleSql {
         |  CAST(3 AS BIGINT) AS l_threshold,
         |  CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0 END) AS DOUBLE)
         |    / SUM(n) AS below_l_share
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // Export manifest: md5_60(key) % 8 shard assignment, per-shard
+    // counts/token totals/key range and two order-independent XOR
+    // checksums (key membership; key:content integrity).
+    "q_export_manifest" ->
+      """WITH b AS (SELECT doc_id,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS hk,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+        |      || text), 1, 15))::BIGINT AS hc,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |      END AS BIGINT) AS ntok
+        |  FROM documents)
+        |SELECT hk % 8 AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(MIN(doc_id) AS BIGINT) AS key_min,
+        |  CAST(MAX(doc_id) AS BIGINT) AS key_max,
+        |  CAST(bit_xor(hk) AS BIGINT) AS key_checksum,
+        |  CAST(bit_xor(hc) AS BIGINT) AS content_checksum
+        |FROM b GROUP BY 1""".stripMargin
   )
 }

@@ -1280,6 +1280,14 @@ object SparkEntry {
       .select(col("side"), expr("node div 2").as("node_id"),
         col("score_ppb"))
 
+  /** Reproducibility manifest of the documents release, 8 shards:
+    * per-shard counts, token totals, key ranges, and two
+    * order-independent XOR checksums (membership over key hashes,
+    * integrity over key:content hashes) — re-exporting anywhere must
+    * reproduce this table bit-for-bit. */
+  private def qExportManifest(spark: SparkSession, dir: String): DataFrame =
+    Sampling.exportManifest(docs(spark, dir), "doc_id", "text")
+
   /** Bought-together part pairs across orders: apriori-pruned pairwise
     * association rules (support ≥ 2 baskets), top 20 by support with
     * exact confidence and lift — all counts BIGINT, each ratio ONE
@@ -1837,14 +1845,15 @@ object SparkEntry {
     "q_weighted_median" -> (qWeightedMedian _),
     "q_json_rollup" -> (qJsonRollup _),
     "q_basket_rules" -> (qBasketRules _),
-    "q_anonymize_l" -> (qAnonymizeL _)
+    "q_anonymize_l" -> (qAnonymizeL _),
+    "q_export_manifest" -> (qExportManifest _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (187 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (188 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -254,4 +254,41 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(0L), col("mix_n") - 1)))
       .drop("mix_group", "mix_copies", "mix_frac_threshold", "mix_n")
   }
+
+  /** EXPORT MANIFEST — the reproducibility receipt of a data release:
+    * per shard (same `md5_60 mod nShards` assignment as
+    * [[shardAssign]]), the row and token counts, the key range, and
+    * two ORDER-INDEPENDENT checksums — `bit_xor` of the key hashes
+    * (membership: any added/dropped row flips it) and `bit_xor` of the
+    * (key, content) hashes (integrity: any edited byte flips it).
+    * Re-exporting on a different cluster, partitioning, or engine must
+    * reproduce this table bit-for-bit, or the release differs — the
+    * check a training run does before trusting a dataset snapshot.
+    *
+    * XOR is the right fold at scale: commutative/associative (so
+    * map-side combinable and mergeable across shards or days like
+    * every sketch in the family), no overflow, no ordering contract.
+    * Its known blind spot — a row included TWICE cancels out — is
+    * inherited deliberately: keys are unique in a release (the PK
+    * audit is [[graft.queries.Warehouse.pkViolations]]'s job).
+    *
+    * Scale shape: one map-combined groupBy on the shard id; the
+    * content hash is computed inside the scan; nothing else moves. */
+  def exportManifest(df: DataFrame, keyCol: String, textCol: String,
+      nShards: Int = 8): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    df.select(col(keyCol).cast(LongType).as("k"),
+        pmod(hashKey(col(keyCol)), lit(nShards.toLong)).as("shard"),
+        hashKey(col(keyCol)).as("hk"),
+        Dedup.md5_60(concat(col(keyCol).cast(StringType), lit(":"),
+          col(textCol))).as("hc"),
+        TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("ntok"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        min(col("k")).as("key_min"),
+        max(col("k")).as("key_max"),
+        expr("bit_xor(hk)").as("key_checksum"),
+        expr("bit_xor(hc)").as("content_checksum"))
+  }
 }

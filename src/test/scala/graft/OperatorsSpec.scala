@@ -1909,6 +1909,43 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class ExportManifestSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  private def corpus = Seq((1L, "alpha beta"), (2L, "gamma"),
+    (3L, "delta epsilon zeta"), (4L, "eta")).toDF("doc_id", "text")
+
+  private def byShard(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[Long]("shard") -> r.toSeq).toMap
+
+  test("exportManifest: partition-order invariant (XOR is commutative)") {
+    val a = byShard(Sampling.exportManifest(corpus.repartition(1),
+      "doc_id", "text", 4))
+    val b = byShard(Sampling.exportManifest(corpus.repartition(7),
+      "doc_id", "text", 4))
+    assert(a == b)
+  }
+
+  test("exportManifest: edited content flips ONLY the content checksum") {
+    val before = byShard(Sampling.exportManifest(corpus, "doc_id", "text", 1))
+    val edited = corpus.withColumn("text",
+      when(col("doc_id") === 2L, lit("gamma EDITED")).otherwise(col("text")))
+    val after = byShard(Sampling.exportManifest(edited, "doc_id", "text", 1))
+    val (b0, a0) = (before(0L), after(0L))
+    assert(b0(5) == a0(5), "key_checksum must not move on an edit")
+    assert(b0(6) != a0(6), "content_checksum must flip on an edit")
+  }
+
+  test("exportManifest: a dropped row flips the membership checksum") {
+    val before = byShard(Sampling.exportManifest(corpus, "doc_id", "text", 1))
+    val after = byShard(Sampling.exportManifest(
+      corpus.filter(col("doc_id") =!= 3L), "doc_id", "text", 1))
+    assert(before(0L)(5) != after(0L)(5))
+    assert(before(0L)(1) == 4L && after(0L)(1) == 3L)
+  }
+}
+
 class TimeSeriesSpec extends SparkSpec {
   import spark.implicits._
 
