@@ -4762,6 +4762,40 @@ object OracleSql {
         |  CAST(MAX(doc_id) AS BIGINT) AS key_max,
         |  CAST(bit_xor(hk) AS BIGINT) AS key_checksum,
         |  CAST(bit_xor(hc) AS BIGINT) AS content_checksum
-        |FROM b GROUP BY 1""".stripMargin
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // Correlogram: Pearson of the floored daily unit series against
+    // its lag-L self (L = 1..7), exact BIGINT moments, one double
+    // combine mirrored token for token; degenerate lags NULL.
+    "q_series_acf" ->
+      """WITH d0 AS (SELECT
+        |    epoch_ns(date_trunc('day', ts))//1000000000 AS day_s,
+        |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS BIGINT)
+        |      AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |d AS (SELECT y,
+        |    CAST(row_number() OVER (ORDER BY day_s) AS BIGINT) AS i
+        |  FROM d0),
+        |lg(lag) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+        |p AS (SELECT CAST(lag AS BIGINT) AS lag, a.y AS x, b.y AS z
+        |  FROM lg CROSS JOIN d a JOIN d b ON b.i = a.i + lag),
+        |m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(z) AS BIGINT) AS sz,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(z * z) AS BIGINT) AS szz,
+        |    CAST(SUM(x * z) AS BIGINT) AS sxz
+        |  FROM p GROUP BY 1)
+        |SELECT lag, n AS n_pairs,
+        |  CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+        |      AND (n * szz - sz * sz) > 0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+        |        - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+        |  END AS acf
+        |FROM m""".stripMargin
   )
 }

@@ -1341,6 +1341,13 @@ object SparkEntry {
   private def qEmbedRadius(spark: SparkSession, dir: String): DataFrame =
     Similarity.radiusNeighborCounts(emb(spark, dir), "vec_id", "embedding")
 
+  /** Correlogram of daily event value (lags 1–7): exact-moment
+    * Pearson of the series against its lagged self — weekly rhythm
+    * shows at lag 7, trend as slow decay. The read before trusting
+    * the seasonality/forecast operators. */
+  private def qSeriesAcf(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.autocorrelation(events(spark, dir), "ts", "value")
+
   /** Holt linear-trend forecast of daily event value, horizons 1–7
     * days: α = β = ½ double exponential smoothing as exact BIGINT
     * floor-halvings over the daily micro-unit sums; the oracle's
@@ -1846,14 +1853,15 @@ object SparkEntry {
     "q_json_rollup" -> (qJsonRollup _),
     "q_basket_rules" -> (qBasketRules _),
     "q_anonymize_l" -> (qAnonymizeL _),
-    "q_export_manifest" -> (qExportManifest _)
+    "q_export_manifest" -> (qExportManifest _),
+    "q_series_acf" -> (qSeriesAcf _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (188 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (189 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -1106,6 +1106,64 @@ object TimeSeries {
         max_by(col("v"), struct(col("t_us"), col(rowId))).as("last_value"))
   }
 
+  /** AUTOCORRELATION (correlogram) of the daily value series — the
+    * diagnostic read before trusting [[seasonality]] or
+    * [[holtForecast]]: a spike at lag 7 is weekly rhythm, slow decay
+    * is trend, white noise is neither. Computed as the Pearson
+    * correlation of the series against itself shifted by each lag
+    * (1..`maxLag`), pairs aligned by day INDEX (gaps are adjacent
+    * steps, the same contract as [[holtForecast]]).
+    *
+    * Exactness (the [[seriesCorrelation]] recipe): daily sums are
+    * FLOORED to integer units (floor, not cast — the engines' native
+    * decimal→int conversions disagree on rounding), every moment is a
+    * BIGINT sum, and the Pearson combine is the one fixed double chain
+    * `(n·Σxy − Σx·Σy)/(√(n·Σxx − Σx²)·√(n·Σyy − Σy²))` the oracle
+    * mirrors token for token. Bound check: with day sums ≤ 10⁶ units
+    * and ≤ 10³ days every moment stays under 2⁵³; larger deployments
+    * rescale units first (same rule as the money-sum audit).
+    * Degenerate lags (fewer than 2 pairs or zero variance on either
+    * side) yield NULL, never NaN.
+    *
+    * Scale shape: ONE corpus pass (the map-combined daily rollup);
+    * everything after runs on the ≤ days-sized frame — the index
+    * window, the 7-way lag join, the per-lag moments are all
+    * negligible at any corpus size. */
+  def autocorrelation(df: DataFrame, ts: String, value: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag=$maxLag")
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.filter(col(ts).isNotNull && col(value).isNotNull)
+      .groupBy(epochSeconds(date_trunc("day", col(ts))).as("day_s"))
+      .agg(floor(sum(col(value).cast(DecimalType(28, 6))))
+        .cast(LongType).as("y"))
+      .withColumn("i",
+        row_number().over(Window.orderBy(col("day_s"))).cast(LongType))
+    val lags = daily.select(explode(sequence(lit(1L),
+      lit(maxLag.toLong))).as("lag")).distinct()
+    val a = daily.select(col("i"), col("y").as("x"))
+    val b = daily.select(col("i").as("ib"), col("y").as("z"))
+    val pairs = lags.crossJoin(a)
+      .join(b, col("ib") === col("i") + col("lag"))
+    val m = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("z")).as("sz"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("z") * col("z")).as("szz"),
+      sum(col("x") * col("z")).as("sxz"))
+    m.select(col("lag"), col("n").as("n_pairs"),
+        when(col("n") >= 2 &&
+          (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("n") * col("szz") - col("sz") * col("sz")) > 0,
+          (col("n").cast(DoubleType) * col("sxz").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sz").cast(DoubleType)) /
+            (sqrt(col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
+              col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+             sqrt(col("n").cast(DoubleType) * col("szz").cast(DoubleType) -
+              col("sz").cast(DoubleType) * col("sz").cast(DoubleType))))
+          .as("acf"))
+  }
+
   /** HOLT LINEAR-TREND FORECAST — double exponential smoothing over the
     * daily value sums, the forecasting leg the trend/seasonality/
     * change-point family reads history with. α = β = ½, so every

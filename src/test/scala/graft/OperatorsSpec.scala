@@ -1957,6 +1957,30 @@ class TimeSeriesSpec extends SparkSpec {
   ).toDF("user_id", "epoch", "value", "event_id")
     .withColumn("ts", timestamp_seconds(col("epoch")))
 
+  test("autocorrelation: alternating series — exact -1 at lag 1, " +
+    "+1 at lag 2; constant series degenerates to NULL") {
+    val alt = (0 until 6).map(i =>
+      (i.toLong * 86400L, if (i % 2 == 0) 1.0 else 2.0))
+      .toDF("epoch", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val got = TimeSeries.autocorrelation(alt, "ts", "value", maxLag = 3)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        ((r.getAs[Long]("n_pairs"),
+          r.getAs[Double]("acf")))).toMap
+    // lag 1's denominator is sqrt(6)·sqrt(6) — deterministic but one
+    // ulp off 6, so the anti-correlation lands within 1e-12 of -1;
+    // lag 2's sqrt(4)·sqrt(4) is exact, so +1.0 is bit-exact
+    assert(got(1L)._1 == 5L && math.abs(got(1L)._2 + 1.0) < 1e-12,
+      s"got: $got")
+    assert(got(2L) == ((4L, 1.0)), s"got: $got")
+    val const = (0 until 5).map(i => (i.toLong * 86400L, 3.0))
+      .toDF("epoch", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val g2 = TimeSeries.autocorrelation(const, "ts", "value", maxLag = 2)
+      .collect()
+    assert(g2.forall(_.isNullAt(g2(0).fieldIndex("acf"))))
+  }
+
   test("holtForecast: hand-unrolled integer recursion, daily rollup") {
     // days 0/1/2 sum to y = [4, 8, 6] units (day 0 from TWO events):
     //   init  level=4e6 trend=4e6
