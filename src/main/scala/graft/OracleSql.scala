@@ -4796,6 +4796,30 @@ object OracleSql {
         |      * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
         |        - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
         |  END AS acf
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // Vocabulary coverage curve: token-mass share of the top-K types
+    // (K = 10/100/1000), ranked (count desc, term); pure counting.
+    "q_text_coverage" ->
+      """WITH t AS (SELECT
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM t WHERE length(term) > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS total_types FROM c),
+        |top AS (SELECT term, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+        |      AS rank
+        |  FROM c QUALIFY rank <= 1000),
+        |ks(k) AS (VALUES (10), (100), (1000))
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(cnt) AS BIGINT) AS covered_tokens,
+        |  tot.total_tokens, tot.total_types,
+        |  CAST(SUM(cnt) AS DOUBLE) / CAST(tot.total_tokens AS DOUBLE)
+        |    AS coverage
+        |FROM ks CROSS JOIN top CROSS JOIN tot WHERE rank <= k
+        |GROUP BY 1, tot.total_tokens, tot.total_types""".stripMargin
   )
 }

@@ -1317,6 +1317,12 @@ object SparkEntry {
     Warehouse.weightedMedian(d, "lang", "n_chars", "n_tokens", "doc_id")
   }
 
+  /** Vocabulary coverage curve of the corpus: token-mass share of the
+    * top-10/100/1000 types — the Zipf statistic a tokenizer or vocab
+    * budget is sized against; the tail is the future `<unk>` rate. */
+  private def qTextCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabularyCoverage(docs(spark, dir), "text")
+
   /** TextRank keywords of the document corpus: integer PageRank (3
     * rounds) over the window-2 token co-occurrence graph, top 20 —
     * centrality over the corpus's connective structure, not raw
@@ -1854,14 +1860,15 @@ object SparkEntry {
     "q_basket_rules" -> (qBasketRules _),
     "q_anonymize_l" -> (qAnonymizeL _),
     "q_export_manifest" -> (qExportManifest _),
-    "q_series_acf" -> (qSeriesAcf _)
+    "q_series_acf" -> (qSeriesAcf _),
+    "q_text_coverage" -> (qTextCoverage _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (189 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (190 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -1390,6 +1390,48 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
+  /** VOCABULARY COVERAGE CURVE — the Zipf statistic a tokenizer or
+    * vocab budget is sized against: what share of the corpus's TOKEN
+    * MASS do the top-K types cover? (Heaps/Zipf corpora concentrate
+    * hard: a few hundred types usually carry most tokens, and the
+    * curve's tail is what a `<unk>` rate will be.) One row per K in
+    * `ks`: types used (≤ K), covered token count, total token count,
+    * coverage share.
+    *
+    * Exactness: pure integer counting; the share is ONE double
+    * division of exact longs per row. Scale shape: one map-combined
+    * type-count pass; the curve reads ONLY the top max(K) types via
+    * `orderBy().limit()` (TakeOrderedAndProject — never a global sort
+    * or a vocab-sized window), so a 10⁸-type vocabulary ships only
+    * max(K) rows + one total. */
+  def vocabularyCoverage(df: DataFrame, textCol: String,
+      ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks=$ks")
+    val kMax = ks.max
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total_tokens"),
+      count(lit(1)).as("total_types"))
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(kMax)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("term"))).cast(LongType))
+    val kf = df.sparkSession.createDataFrame(
+      ks.map(k => Tuple1(k.toLong))).toDF("k")
+    kf.crossJoin(top)
+      .filter(col("rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_types"), col("covered_tokens"),
+        col("total_tokens"), col("total_types"),
+        (col("covered_tokens").cast(DoubleType) /
+          col("total_tokens").cast(DoubleType)).as("coverage"))
+  }
+
   /** TEXTRANK KEYWORD EXTRACTION — corpus-level keyword ranking as
     * PageRank over the token co-occurrence graph (Mihalcea & Tarau's
     * TextRank, the unweighted window-2 form): nodes are distinct

@@ -456,6 +456,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rep == Set((3L, 2L, 1L)), s"got: $rep") // positions 1-2, 2-3
   }
 
+  test("vocabularyCoverage: Zipf head shares, ties by term, empty text") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a b b c"), (2L, ""), (3L, "b")).toDF(
+      "doc_id", "text")
+    // counts: a=3, b=3, c=1; ranks (cnt desc, term): a, b, c
+    val got = TextAnalysis.vocabularyCoverage(d, "text", Seq(1, 2, 3))
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n_types"), r.getAs[Long]("covered_tokens"),
+          r.getAs[Long]("total_tokens"), r.getAs[Long]("total_types"),
+          r.getAs[Double]("coverage")))).toMap
+    assert(got(1L) == ((1L, 3L, 7L, 3L, 3.0 / 7.0)), s"got: $got")
+    assert(got(2L) == ((2L, 6L, 7L, 3L, 6.0 / 7.0)), s"got: $got")
+    assert(got(3L) == ((3L, 7L, 7L, 3L, 1.0)), s"got: $got")
+  }
+
   test("textRankKeywords: the connective word outranks its satellites") {
     import spark.implicits._
     // hub is adjacent to 4 distinct words; each satellite only to hub.
