@@ -4820,6 +4820,57 @@ object OracleSql {
         |  CAST(SUM(cnt) AS DOUBLE) / CAST(tot.total_tokens AS DOUBLE)
         |    AS coverage
         |FROM ks CROSS JOIN top CROSS JOIN tot WHERE rank <= k
-        |GROUP BY 1, tot.total_tokens, tot.total_types""".stripMargin
+        |GROUP BY 1, tot.total_tokens, tot.total_types""".stripMargin,
+
+    // Quantized mutual information event_type vs value bucket:
+    // parts-per-1e4 floor proportions (clamped >= 1), quarter-bit
+    // integer log2 via the bitlength identity, count-weighted terms.
+    "q_mutual_info" ->
+      """WITH base AS (SELECT event_type AS x,
+        |    CAST(floor(value / 10.0) AS BIGINT) * 10 AS y FROM events),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        |cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_x
+        |  FROM base GROUP BY 1),
+        |cy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n_y
+        |  FROM base GROUP BY 1),
+        |cxy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+        |  FROM base GROUP BY 1, 2),
+        |j AS (SELECT n_xy,
+        |    GREATEST((n_xy * 10000) // n, 1) * 10000 AS num,
+        |    GREATEST((n_x * 10000) // n, 1)
+        |      * GREATEST((n_y * 10000) // n, 1) AS den
+        |  FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN tot),
+        |terms AS (SELECT n_xy, CASE WHEN num >= den THEN
+        |      length(bin((CAST(num AS HUGEINT) * num * num * num)
+        |        // (CAST(den AS HUGEINT) * den * den * den))) - 1
+        |    ELSE -(length(bin((CAST(den AS HUGEINT) * den * den * den)
+        |        // (CAST(num AS HUGEINT) * num * num * num))) - 1)
+        |    END AS qlb FROM j),
+        |mi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    CAST(SUM(n_xy * qlb) AS BIGINT) AS mi_q FROM terms),
+        |hx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_x_values,
+        |    CAST(SUM(n_x * (length(bin(
+        |      (CAST(10000 AS HUGEINT) * 10000 * 10000 * 10000)
+        |      // (CAST(px AS HUGEINT) * px * px * px))) - 1))
+        |      AS BIGINT) AS hx_q
+        |  FROM (SELECT n_x, GREATEST((n_x * 10000) // n, 1) AS px
+        |    FROM cx CROSS JOIN tot)),
+        |hy AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_y_values,
+        |    CAST(SUM(n_y * (length(bin(
+        |      (CAST(10000 AS HUGEINT) * 10000 * 10000 * 10000)
+        |      // (CAST(py AS HUGEINT) * py * py * py))) - 1))
+        |      AS BIGINT) AS hy_q
+        |  FROM (SELECT n_y, GREATEST((n_y * 10000) // n, 1) AS py
+        |    FROM cy CROSS JOIN tot))
+        |SELECT tot.n AS n_rows, mi.n_cells, hx.n_x_values,
+        |  hy.n_y_values, mi.mi_q, hx.hx_q, hy.hy_q,
+        |  CAST(mi.mi_q AS DOUBLE) / (4.0 * CAST(tot.n AS DOUBLE))
+        |    AS mi_bits,
+        |  CAST(hx.hx_q AS DOUBLE) / (4.0 * CAST(tot.n AS DOUBLE))
+        |    AS hx_bits,
+        |  CAST(mi.mi_q AS DOUBLE)
+        |    / CAST(GREATEST(LEAST(hx.hx_q, hy.hy_q), 1) AS DOUBLE)
+        |    AS nmi
+        |FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
   )
 }

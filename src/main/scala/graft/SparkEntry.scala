@@ -1317,6 +1317,17 @@ object SparkEntry {
     Warehouse.weightedMedian(d, "lang", "n_chars", "n_tokens", "doc_id")
   }
 
+  /** Mutual information between event type and value bucket: the
+    * feature-relevance / leakage read — quantized MI in bits, both
+    * entropies, and normalized MI, all from the exact quarter-bit log
+    * kernel so every integer hash-matches the oracle. */
+  private def qMutualInfo(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.mutualInformation(
+      events(spark, dir).select(col("event_type"),
+        (floor(col("value") / 10.0).cast(LongType) * 10L)
+          .as("value_bucket")),
+      "event_type", "value_bucket")
+
   /** Vocabulary coverage curve of the corpus: token-mass share of the
     * top-10/100/1000 types — the Zipf statistic a tokenizer or vocab
     * budget is sized against; the tail is the future `<unk>` rate. */
@@ -1861,14 +1872,15 @@ object SparkEntry {
     "q_anonymize_l" -> (qAnonymizeL _),
     "q_export_manifest" -> (qExportManifest _),
     "q_series_acf" -> (qSeriesAcf _),
-    "q_text_coverage" -> (qTextCoverage _)
+    "q_text_coverage" -> (qTextCoverage _),
+    "q_mutual_info" -> (qMutualInfo _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (190 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (191 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -605,6 +605,83 @@ object Warehouse {
         col("psi_q").cast(DoubleType) / lit(4.0 * scale))
   }
 
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * feature-relevance / leakage statistic: how many bits does knowing
+    * X reveal about Y? Near zero → independent; near min(H(X), H(Y))
+    * → one determines the other (a leaking feature, a redundant
+    * column, a label proxy). Reports quantized MI in bits, both
+    * marginal entropies, and the normalized MI
+    * `mi / min(H(X), H(Y))` ∈ [0, 1].
+    *
+    * Determinism (the PSI recipe, [[distributionDrift]]): proportions
+    * are FLOOR-quantized to parts-per-`scale` (clamped ≥ 1), each
+    * cell's `log2(p_xy/(p_x·p_y))` comes from the exact integer
+    * quarter-bit kernel [[graft.functions.FixedLogFunctions]] (the
+    * argument pair is `(p_x·p_y, p_xy·scale)` — with scale = 10⁴ both
+    * stay ≤ 10⁸, inside the oracle's HUGEINT b⁴ window), and terms
+    * weight by RAW counts, so `mi_q` is an exact BIGINT any engine
+    * reproduces; the only doubles are the final `/(4·N)` conversions.
+    * Quantization resolution is 10⁻⁴ of probability per cell —
+    * a diagnostic-grade MI, same contract as `psi_q`.
+    *
+    * Scale shape: three map-combined aggregates (cells + two
+    * marginals, each over the same pass shape), two broadcast joins of
+    * the cell frame against the marginal frames, one scalar rollup.
+    * Cardinality caveat at 100 TB: the cell frame is |X|·|Y| — fine
+    * for categorical columns; bucket continuous ones first (as the
+    * registry query does). */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String,
+      scale: Long = 10000L): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    import graft.functions.{FixedLogFunctions => FL}
+    val base = df.select(col(xCol).as("x"), col(yCol).as("y"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val cx = base.groupBy(col("x")).agg(count(lit(1)).as("n_x"))
+    val cy = base.groupBy(col("y")).agg(count(lit(1)).as("n_y"))
+    val cxy = base.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val j = cxy.join(cx, Seq("x")).join(cy, Seq("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pxy", greatest(lit(1L),
+        expr(s"(n_xy * ${scale}L) div n")))
+      .withColumn("px", greatest(lit(1L),
+        expr(s"(n_x * ${scale}L) div n")))
+      .withColumn("py", greatest(lit(1L),
+        expr(s"(n_y * ${scale}L) div n")))
+      .withColumn("num", col("pxy") * lit(scale))
+      .withColumn("den", col("px") * col("py"))
+      .withColumn("qlb", when(col("num") >= col("den"),
+        FL.log2QuarterBits(col("den"), col("num")))
+        .otherwise(-FL.log2QuarterBits(col("num"), col("den"))))
+      .withColumn("term", col("n_xy") * col("qlb"))
+    val mi = j.agg(count(lit(1)).as("n_cells"),
+      sum(col("term")).as("mi_q"))
+    val hx = cx.crossJoin(broadcast(tot))
+      .withColumn("px", greatest(lit(1L),
+        expr(s"(n_x * ${scale}L) div n")))
+      .agg(count(lit(1)).as("n_x_values"),
+        sum(col("n_x") * FL.log2QuarterBits(col("px"), lit(scale)))
+          .as("hx_q"))
+    val hy = cy.crossJoin(broadcast(tot))
+      .withColumn("py", greatest(lit(1L),
+        expr(s"(n_y * ${scale}L) div n")))
+      .agg(count(lit(1)).as("n_y_values"),
+        sum(col("n_y") * FL.log2QuarterBits(col("py"), lit(scale)))
+          .as("hy_q"))
+    tot.crossJoin(broadcast(mi)).crossJoin(broadcast(hx))
+      .crossJoin(broadcast(hy))
+      .select(col("n").as("n_rows"), col("n_cells"),
+        col("n_x_values"), col("n_y_values"),
+        col("mi_q"), col("hx_q"), col("hy_q"),
+        (col("mi_q").cast(DoubleType) /
+          (lit(4.0) * col("n").cast(DoubleType))).as("mi_bits"),
+        (col("hx_q").cast(DoubleType) /
+          (lit(4.0) * col("n").cast(DoubleType))).as("hx_bits"),
+        (col("mi_q").cast(DoubleType) /
+          greatest(lit(1L), least(col("hx_q"), col("hy_q")))
+            .cast(DoubleType)).as("nmi"))
+  }
+
   /** EXACT WEIGHTED MEDIAN per group — the quantile a SIZE-aware
     * curation budget actually needs: the unweighted median document
     * length answers "what does the typical ROW look like", the

@@ -650,6 +650,27 @@ class WarehouseSpec extends SparkSpec {
     assert(row.getAs[Double]("recall") == 1.0)
   }
 
+  test("mutualInformation: perfect dependence = 1 bit, nmi 1; " +
+    "independence = 0") {
+    // X determines Y exactly: two classes, two rows each
+    val dep = Seq(("p", 0L), ("p", 0L), ("q", 10L), ("q", 10L))
+      .toDF("x", "y")
+    val r = graft.queries.Warehouse.mutualInformation(dep, "x", "y")
+      .collect()(0)
+    // pxy = px = py = 5000; ratio 2 -> 4 quarter-bits x 4 rows = 16
+    assert(r.getAs[Long]("mi_q") == 16L)
+    assert(r.getAs[Double]("mi_bits") == 1.0)
+    assert(r.getAs[Long]("hx_q") == 16L && r.getAs[Long]("hy_q") == 16L)
+    assert(r.getAs[Double]("nmi") == 1.0)
+    // all four combinations equally likely: knowing X says nothing
+    val ind = Seq(("p", 0L), ("p", 10L), ("q", 0L), ("q", 10L))
+      .toDF("x", "y")
+    val r2 = graft.queries.Warehouse.mutualInformation(ind, "x", "y")
+      .collect()(0)
+    assert(r2.getAs[Long]("mi_q") == 0L)
+    assert(r2.getAs[Double]("nmi") == 0.0)
+  }
+
   test("lDiversityAudit: a big uniform class leaks; a small diverse " +
     "one doesn't") {
     // class q=1: 4 rows, ALL sensitive 'x' -> diversity 1 (the leak
