@@ -4871,6 +4871,29 @@ object OracleSql {
         |  CAST(mi.mi_q AS DOUBLE)
         |    / CAST(GREATEST(LEAST(hx.hx_q, hy.hy_q), 1) AS DOUBLE)
         |    AS nmi
-        |FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
+        |FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+
+    // Gini per event type over floored per-user unit totals:
+    // rank-weighted identity (2*S1 - (n+1)*S) / (n*S), ascending
+    // (value, user) order, one double division per group.
+    "q_value_gini" ->
+      """WITH t AS (SELECT event_type AS g, user_id AS k,
+        |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS BIGINT)
+        |      AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT g, x,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY x, k)
+        |      AS BIGINT) AS i
+        |  FROM t),
+        |m AS (SELECT g AS event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(x) AS BIGINT) AS total_units,
+        |    CAST(SUM(i * x) AS BIGINT) AS s1
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_keys, total_units,
+        |  CASE WHEN n_keys >= 2 AND total_units > 0 THEN
+        |    CAST(2 * s1 - (n_keys + 1) * total_units AS DOUBLE)
+        |    / CAST(n_keys * total_units AS DOUBLE) END AS gini
+        |FROM m""".stripMargin
   )
 }

@@ -1317,6 +1317,13 @@ object SparkEntry {
     Warehouse.weightedMedian(d, "lang", "n_chars", "n_tokens", "doc_id")
   }
 
+  /** Value concentration per event type: Gini index of per-user total
+    * value — 0 = evenly spread, →1 = a few whales carry the type.
+    * Rank-weighted exact-integer identity, one division per group. */
+  private def qValueGini(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.giniIndex(events(spark, dir), "event_type", "user_id",
+      "value")
+
   /** Mutual information between event type and value bucket: the
     * feature-relevance / leakage read — quantized MI in bits, both
     * entropies, and normalized MI, all from the exact quarter-bit log
@@ -1873,14 +1880,15 @@ object SparkEntry {
     "q_export_manifest" -> (qExportManifest _),
     "q_series_acf" -> (qSeriesAcf _),
     "q_text_coverage" -> (qTextCoverage _),
-    "q_mutual_info" -> (qMutualInfo _)
+    "q_mutual_info" -> (qMutualInfo _),
+    "q_value_gini" -> (qValueGini _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (191 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (192 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

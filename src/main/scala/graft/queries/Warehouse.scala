@@ -605,6 +605,46 @@ object Warehouse {
         col("psi_q").cast(DoubleType) / lit(4.0 * scale))
   }
 
+  /** GINI CONCENTRATION INDEX per group — the inequality statistic
+    * behind every "whales" question: how concentrated is total value
+    * across users? 0 = everyone contributes equally, →1 = one user
+    * carries everything. Computed from per-key totals with the
+    * rank-weighted identity `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)`
+    * over values sorted ascending (ties broken by key — every engine
+    * walks the same order).
+    *
+    * Exactness: per-key totals are FLOORED to integer units (native
+    * decimal→int casts disagree on rounding), the rank weights come
+    * from one cumulative-free window (`row_number`), and both the
+    * numerator and denominator of G are exact BIGINTs — ONE double
+    * division per group. Bound: `n·Σx` must stay under 2⁵³ — at 10⁶
+    * keys × 10⁶ units rescale units first (money-sum audit rule).
+    *
+    * Scale shape: one map-combined per-key rollup, one key-partitioned
+    * rank window, one grouped fold — the standard two-shuffle shape of
+    * any per-group ranking statistic. */
+  def giniIndex(df: DataFrame, group: String, keyCol: String,
+      valueCol: String): DataFrame = {
+    val totals = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(group).as("g"), col(keyCol).as("k"))
+      .agg(floor(sum(col(valueCol).cast(DecimalType(28, 6))))
+        .cast(LongType).as("x"))
+    val w = Window.partitionBy(col("g")).orderBy(col("x"), col("k"))
+    totals
+      .withColumn("i", row_number().over(w).cast(LongType))
+      .groupBy(col("g").as(group))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("x")).as("total_units"),
+        sum(col("i") * col("x")).as("s1"))
+      .withColumn("gini",
+        when(col("n_keys") >= 2 && col("total_units") > 0,
+          (lit(2L) * col("s1") -
+            (col("n_keys") + 1L) * col("total_units")).cast(DoubleType) /
+            (col("n_keys") * col("total_units")).cast(DoubleType)))
+      .drop("s1")
+  }
+
   /** MUTUAL INFORMATION between two categorical columns — the
     * feature-relevance / leakage statistic: how many bits does knowing
     * X reveal about Y? Near zero → independent; near min(H(X), H(Y))

@@ -650,6 +650,25 @@ class WarehouseSpec extends SparkSpec {
     assert(row.getAs[Double]("recall") == 1.0)
   }
 
+  test("giniIndex: equal split 0, one-whale concentration, degenerate " +
+    "NULL") {
+    val d = Seq(
+      ("even", 1L, 5.0), ("even", 2L, 5.0),
+      ("even", 3L, 5.0), ("even", 4L, 5.0), // all equal -> 0
+      ("whale", 1L, 0.0), ("whale", 2L, 0.0),
+      ("whale", 3L, 0.0), ("whale", 4L, 100.0), // -> 3/4
+      ("solo", 9L, 7.0) // single key -> NULL
+    ).toDF("g", "k", "v")
+    val got = graft.queries.Warehouse.giniIndex(d, "g", "k", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_keys"),
+          Option(r.get(r.fieldIndex("gini")))))).toMap
+    assert(got("even") == ((4L, Some(0.0))), s"got: $got")
+    // S = 100, S1 = 4*100 = 400: (800 - 500) / 400 = 0.75
+    assert(got("whale") == ((4L, Some(0.75))), s"got: $got")
+    assert(got("solo") == ((1L, None)), s"got: $got")
+  }
+
   test("mutualInformation: perfect dependence = 1 bit, nmi 1; " +
     "independence = 0") {
     // X determines Y exactly: two classes, two rows each
