@@ -4894,6 +4894,184 @@ object OracleSql {
         |  CASE WHEN n_keys >= 2 AND total_units > 0 THEN
         |    CAST(2 * s1 - (n_keys + 1) * total_units AS DOUBLE)
         |    / CAST(n_keys * total_units AS DOUBLE) END AS gini
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // Chi-squared independence via the observed-cells identity
+    // chi2 = N*(S-1), S = sum o^2/(r*c); per-cell double division
+    // quantized by a double->DECIMAL(38,8) cast (rounds identically).
+    "q_stat_chi2" ->
+      """WITH base AS (SELECT event_type AS x,
+        |    CAST(FLOOR(value / 50.0) AS BIGINT) * 50 AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        |cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_x
+        |  FROM base GROUP BY 1),
+        |cy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n_y
+        |  FROM base GROUP BY 1),
+        |cxy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+        |  FROM base GROUP BY 1, 2),
+        |cells AS (SELECT CAST(CAST(n_xy * n_xy AS DOUBLE)
+        |    / CAST(n_x * n_y AS DOUBLE) AS DECIMAL(38,8)) AS term
+        |  FROM cxy JOIN cx USING (x) JOIN cy USING (y)),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    SUM(term) AS s_q FROM cells),
+        |rx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_x_values FROM cx),
+        |ry AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_y_values FROM cy),
+        |fin AS (SELECT n, n_cells, n_x_values, n_y_values,
+        |    (n_x_values - 1) * (n_y_values - 1) AS dof,
+        |    CASE WHEN (n_x_values - 1) * (n_y_values - 1) > 0 THEN
+        |      CAST(n AS DOUBLE) * (CAST(s_q AS DOUBLE) - 1.0)
+        |    END AS chi2
+        |  FROM tot CROSS JOIN s CROSS JOIN rx CROSS JOIN ry)
+        |SELECT n AS n_rows, n_cells, n_x_values, n_y_values, dof,
+        |  chi2,
+        |  CASE WHEN dof > 0 THEN sqrt(GREATEST(chi2, 0.0)
+        |    / (CAST(n AS DOUBLE)
+        |      * CAST(LEAST(n_x_values - 1, n_y_values - 1) AS DOUBLE)))
+        |  END AS cramers_v
+        |FROM fin""".stripMargin,
+
+    // One-way ANOVA from per-group (n, sum x, sum x^2) sufficient
+    // statistics; x quantized once at DECIMAL(18,4), x^2 and the
+    // between-group mass quantized at scale 4 (2^53 window).
+    "q_stat_anova" ->
+      """WITH base AS (SELECT event_type AS g,
+        |    CAST(value AS DECIMAL(18,4)) AS xq
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b2 AS (SELECT g, xq, CAST(xq AS DOUBLE) AS xd FROM base),
+        |per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    SUM(xq) AS s_g,
+        |    SUM(CAST(xd * xd AS DECIMAL(38,4))) AS q_g
+        |  FROM b2 GROUP BY 1),
+        |per2 AS (SELECT *, CAST(CAST(s_g AS DOUBLE)
+        |    * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+        |    AS DECIMAL(38,4)) AS term FROM per),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n_rows,
+        |    SUM(s_g) AS t_sum, SUM(q_g) AS q_sum,
+        |    SUM(term) AS b_sum FROM per2),
+        |fin AS (SELECT n_rows, k,
+        |    CAST(b_sum AS DOUBLE) - CAST(t_sum AS DOUBLE)
+        |      * CAST(t_sum AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |      AS ss_between,
+        |    CAST(q_sum AS DOUBLE) - CAST(b_sum AS DOUBLE) AS ss_within
+        |  FROM agg)
+        |SELECT n_rows, k, ss_between, ss_within,
+        |  CASE WHEN k > 1 AND n_rows > k AND ss_within > 0.0 THEN
+        |    (ss_between / CAST(k - 1 AS DOUBLE))
+        |      / (ss_within / CAST(n_rows - k AS DOUBLE)) END AS f_stat,
+        |  CASE WHEN ss_between + ss_within > 0.0 THEN
+        |    ss_between / (ss_between + ss_within) END AS eta_sq
+        |FROM fin""".stripMargin,
+
+    // Spearman rho on per-user (event count, floored value units):
+    // doubled average ranks from the distinct-value frames, centered
+    // by (n+1) for exactly-zero-mean BIGINT deviations.
+    "q_stat_spearman" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS BIGINT)
+        |      AS value_units
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per),
+        |dx_ AS (SELECT n_events AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM per GROUP BY 1),
+        |rx AS (SELECT v, 2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS r2 FROM dx_),
+        |dy_ AS (SELECT value_units AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM per GROUP BY 1),
+        |ry AS (SELECT v, 2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS r2 FROM dy_),
+        |j AS (SELECT rx.r2 - (n + 1) AS dx, ry.r2 - (n + 1) AS dy
+        |  FROM per JOIN rx ON per.n_events = rx.v
+        |  JOIN ry ON per.value_units = ry.v CROSS JOIN tot)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+        |  CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+        |  CAST(SUM(dy * dy) AS BIGINT) AS syy,
+        |  CASE WHEN SUM(dx * dx) > 0 AND SUM(dy * dy) > 0 THEN
+        |    CAST(SUM(dx * dy) AS DOUBLE)
+        |      / sqrt(CAST(SUM(dx * dx) AS DOUBLE)
+        |        * CAST(SUM(dy * dy) AS DOUBLE)) END AS rho
+        |FROM j""".stripMargin,
+
+    // Mann-Whitney U purchase-vs-click: doubled tie-average rank sums
+    // from the distinct-value frame, tie-corrected normal z, and the
+    // rank-biserial effect size — all integers until the final z.
+    "q_stat_mannwhitney" ->
+      """WITH base AS (SELECT event_type AS g, value AS v FROM events
+        |  WHERE value IS NOT NULL
+        |    AND event_type IN ('purchase', 'click')),
+        |dv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(COUNT(CASE WHEN g = 'purchase' THEN 1 END) AS BIGINT)
+        |      AS cnt_a
+        |  FROM base GROUP BY 1),
+        |ranked AS (SELECT cnt, cnt_a,
+        |    2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS r2 FROM dv),
+        |agg AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+        |    CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
+        |    CAST(SUM(cnt_a * r2) AS BIGINT) AS r2_a,
+        |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubes
+        |  FROM ranked),
+        |u AS (SELECT *, r2_a - n_a * (n_a + 1) AS u2_a,
+        |    2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
+        |    n_a + n_b AS n FROM agg),
+        |v_ AS (SELECT *, CASE WHEN n > 1 THEN
+        |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+        |      * ((CAST(n AS DOUBLE) + 1.0)
+        |        - CAST(tie_cubes AS DOUBLE) / (CAST(n AS DOUBLE)
+        |          * (CAST(n AS DOUBLE) - 1.0))) END AS var_u
+        |  FROM u)
+        |SELECT n_a, n_b, u2_a, u2_b, tie_cubes,
+        |  CASE WHEN var_u > 0.0 THEN
+        |    (CAST(u2_a AS DOUBLE)
+        |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      / (2.0 * sqrt(var_u)) END AS z_stat,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(u2_a - u2_b AS DOUBLE)
+        |      / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |  END AS rank_biserial
+        |FROM v_""".stripMargin,
+
+    // Welch's t purchase-vs-click: the ANOVA decimal ladder per group,
+    // then the fixed-order (m1-m2)/sqrt(v1/n1+v2/n2) combination and
+    // Welch-Satterthwaite degrees of freedom.
+    "q_stat_welch" ->
+      """WITH base AS (SELECT event_type AS g,
+        |    CAST(value AS DECIMAL(18,4)) AS xq
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('purchase', 'click')),
+        |b2 AS (SELECT g, xq, CAST(xq AS DOUBLE) AS xd FROM base),
+        |per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    SUM(xq) AS s_g,
+        |    SUM(CAST(xd * xd AS DECIMAL(38,4))) AS q_g
+        |  FROM b2 GROUP BY 1),
+        |m AS (SELECT g, n_g,
+        |    CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS mean_g,
+        |    CASE WHEN n_g > 1 THEN (CAST(q_g AS DOUBLE)
+        |      - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+        |        / CAST(n_g AS DOUBLE))
+        |      / (CAST(n_g AS DOUBLE) - 1.0) END AS var_g
+        |  FROM per),
+        |a AS (SELECT n_g AS n_a, mean_g AS mean_a, var_g AS var_a
+        |  FROM m WHERE g = 'purchase'),
+        |b AS (SELECT n_g AS n_b, mean_g AS mean_b, var_g AS var_b
+        |  FROM m WHERE g = 'click'),
+        |j AS (SELECT *, var_a / CAST(n_a AS DOUBLE) AS se_a,
+        |    var_b / CAST(n_b AS DOUBLE) AS se_b FROM a CROSS JOIN b),
+        |j2 AS (SELECT *, se_a + se_b AS se2 FROM j)
+        |SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+        |  CASE WHEN se2 > 0.0 THEN (mean_a - mean_b) / sqrt(se2)
+        |  END AS t_stat,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0.0 THEN
+        |    (se2 * se2) / (se_a * se_a / (CAST(n_a AS DOUBLE) - 1.0)
+        |      + se_b * se_b / (CAST(n_b AS DOUBLE) - 1.0))
+        |  END AS df_welch
+        |FROM j2""".stripMargin
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Graph, Multimodal, Profiling, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Dedup, Graph, Multimodal, Profiling, Sampling, Similarity, Sketches, Stats, TextAnalysis}
 import graft.queries.{TimeSeries, Warehouse}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1335,6 +1335,47 @@ object SparkEntry {
           .as("value_bucket")),
       "event_type", "value_bucket")
 
+  /** Chi-squared independence between event type and the 50-unit value
+    * bucket — "does the event type carry information about spend", the
+    * categorical feature-relevance test next to [[qMutualInfo]]'s
+    * information-theoretic read. Observed-cells-only identity form. */
+  private def qStatChi2(spark: SparkSession, dir: String): DataFrame =
+    Stats.chiSquareIndependence(
+      events(spark, dir).filter(col("value").isNotNull)
+        .withColumn("value_bucket",
+          floor(col("value") / 50.0).cast(LongType) * 50L),
+      "event_type", "value_bucket")
+
+  /** One-way ANOVA of event value across event types — F and η² from
+    * per-group (n, Σx, Σx²) sufficient statistics, one shuffle. */
+  private def qStatAnova(spark: SparkSession, dir: String): DataFrame =
+    Stats.anovaF(events(spark, dir), "event_type", "value")
+
+  /** Spearman ρ between per-user activity (event count) and per-user
+    * total value units — the monotone "do heavier users spend more"
+    * association, tie-correct via doubled average ranks. */
+  private def qStatSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir).filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        floor(sum(col("value").cast(DecimalType(28, 6))))
+          .cast(LongType).as("value_units"))
+    Stats.spearmanCorr(perUser, "n_events", "value_units")
+  }
+
+  /** Mann-Whitney U: are purchase values stochastically larger than
+    * click values — the distribution-free cohort comparison, with
+    * tie-corrected z and rank-biserial effect size. */
+  private def qStatMannWhitney(spark: SparkSession, dir: String): DataFrame =
+    Stats.mannWhitneyU(events(spark, dir), "event_type", "value",
+      "purchase", "click")
+
+  /** Welch's t: purchase vs click mean value without the equal-variance
+    * assumption, with Welch–Satterthwaite degrees of freedom. */
+  private def qStatWelch(spark: SparkSession, dir: String): DataFrame =
+    Stats.welchT(events(spark, dir), "event_type", "value",
+      "purchase", "click")
+
   /** Vocabulary coverage curve of the corpus: token-mass share of the
     * top-10/100/1000 types — the Zipf statistic a tokenizer or vocab
     * budget is sized against; the tail is the future `<unk>` rate. */
@@ -1881,14 +1922,19 @@ object SparkEntry {
     "q_series_acf" -> (qSeriesAcf _),
     "q_text_coverage" -> (qTextCoverage _),
     "q_mutual_info" -> (qMutualInfo _),
-    "q_value_gini" -> (qValueGini _)
+    "q_value_gini" -> (qValueGini _),
+    "q_stat_chi2" -> (qStatChi2 _),
+    "q_stat_anova" -> (qStatAnova _),
+    "q_stat_spearman" -> (qStatSpearman _),
+    "q_stat_mannwhitney" -> (qStatMannWhitney _),
+    "q_stat_welch" -> (qStatWelch _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (192 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (197 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -1,0 +1,318 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Classical hypothesis-test statistics as distributed one-pass plans —
+  * the battery a data/feature-quality review runs before trusting a
+  * column: is a categorical feature independent of the label (chi²)?
+  * Do group means differ (ANOVA F, Welch t)? Do two cohorts draw from
+  * the same distribution (Mann-Whitney U)? Is a monotone association
+  * present (Spearman ρ)? The reference engine exposes raw
+  * aggregate/filter surfaces (SURVEY §2 A-family) and leaves inference
+  * to the client; at 100 TB the sufficient statistics must reduce
+  * distributively, which is exactly how every operator here is built:
+  * map-combined integer/decimal sufficient statistics first, ONE final
+  * double combination at the output boundary.
+  *
+  * Numeric determinism (registry conventions): counts and rank sums
+  * are BIGINTs; value sums go through fixed-scale decimals
+  * (double→decimal casts round HALF_UP identically in Spark and
+  * DuckDB); every decimal that later becomes a double is sized so the
+  * scaled integer stays under 2⁵³ (exact conversion); the only
+  * transcendental is `sqrt`, which IEEE 754 specifies as correctly
+  * rounded in both engines. No `ln`/`exp`/`pow` anywhere — those are
+  * libm-dependent and NOT cross-engine stable.
+  */
+object Stats {
+
+  /** CHI-SQUARED INDEPENDENCE TEST between two categorical columns —
+    * the contingency-table statistic behind "is this feature
+    * independent of that label". Uses the algebraic identity
+    * `chi² = N·(S − 1)` with `S = Σ_observed o²/(r·c)`, which needs
+    * only the OBSERVED cells (absent cells contribute their expected
+    * mass through the `−N` term), so the plan never materializes the
+    * full |X|·|Y| grid. Also reports Cramér's V (`sqrt(chi²/(N·min(r−1,
+    * c−1)))`), the [0,1] effect size.
+    *
+    * Exactness: o², r·c are exact BIGINTs (each < 2⁵³ for o, r, c up
+    * to ~9·10⁷ rows per margin — rescale/bucket above that); each
+    * cell's `o²/(r·c)` is ONE double division quantized via a
+    * double→DECIMAL(38,8) cast (rounds identically cross-engine), the
+    * decimal SUM is exact, and `S ≤ min(|X|,|Y|)` keeps the final
+    * decimal→double conversion inside the 2⁵³ window.
+    *
+    * Scale shape: three map-combined aggregates over one base pass
+    * (cells + two marginals), two joins of the cell frame against the
+    * BROADCAST marginal frames, one scalar rollup. Cell cardinality is
+    * |X|·|Y| at worst — bucket continuous columns first, as the
+    * registry query does. */
+  def chiSquareIndependence(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val tot = base.agg(count(lit(1)).as("n"))
+    val cx = base.groupBy(col("x")).agg(count(lit(1)).as("n_x"))
+    val cy = base.groupBy(col("y")).agg(count(lit(1)).as("n_y"))
+    val cxy = base.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val cells = cxy.join(broadcast(cx), Seq("x"))
+      .join(broadcast(cy), Seq("y"))
+      .withColumn("term",
+        ((col("n_xy") * col("n_xy")).cast(DoubleType) /
+          (col("n_x") * col("n_y")).cast(DoubleType))
+          .cast(DecimalType(38, 8)))
+    val s = cells.agg(count(lit(1)).as("n_cells"),
+      sum(col("term")).as("s_q"))
+    val rx = cx.agg(count(lit(1)).as("n_x_values"))
+    val ry = cy.agg(count(lit(1)).as("n_y_values"))
+    tot.crossJoin(broadcast(s)).crossJoin(broadcast(rx))
+      .crossJoin(broadcast(ry))
+      .withColumn("dof",
+        (col("n_x_values") - 1L) * (col("n_y_values") - 1L))
+      .withColumn("chi2",
+        when(col("dof") > 0L,
+          col("n").cast(DoubleType) *
+            (col("s_q").cast(DoubleType) - lit(1.0))))
+      .withColumn("cramers_v",
+        when(col("dof") > 0L,
+          sqrt(greatest(col("chi2"), lit(0.0)) /
+            (col("n").cast(DoubleType) *
+              least(col("n_x_values") - 1L, col("n_y_values") - 1L)
+                .cast(DoubleType)))))
+      .select(col("n").as("n_rows"), col("n_cells"),
+        col("n_x_values"), col("n_y_values"), col("dof"),
+        col("chi2"), col("cramers_v"))
+  }
+
+  /** ONE-WAY ANOVA — the F statistic for "do the group means of this
+    * measure differ", plus the η² effect size (share of variance the
+    * grouping explains). Built entirely from per-group sufficient
+    * statistics `(n_g, Σx, Σx²)`, so it reduces map-side like any
+    * grouped sum.
+    *
+    * Exactness ladder: `x` is quantized once via a double→DECIMAL(18,4)
+    * cast; Σx sums exactly in decimal and converts exactly to double
+    * (scaled value < 2⁵³ up to ~9·10¹¹ value-units per group); `x²` is
+    * one double multiply of the EXACT decimal→double image, quantized
+    * double→DECIMAL(38,4) so the corpus-wide Σx² stays inside the 2⁵³
+    * window at scale 4 (the r10 covariance rule); the between-group
+    * mass `Σ S_g²/n_g` quantizes each group's single double division
+    * at scale 4. Everything after the three exact decimal→double
+    * conversions is a fixed-order double expression both engines
+    * evaluate identically.
+    *
+    * Scale shape: one map-combined groupBy (k rows out), one scalar
+    * rollup over k rows. No window, no join, no shuffle beyond the
+    * grouped aggregate. */
+  def anovaF(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        col(valueCol).cast(DecimalType(18, 4)).as("xq"))
+      .withColumn("xd", col("xq").cast(DoubleType))
+      .withColumn("x2q",
+        (col("xd") * col("xd")).cast(DecimalType(38, 4)))
+    val per = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("xq")).as("s_g"),
+        sum(col("x2q")).as("q_g"))
+      .withColumn("term",
+        ((col("s_g").cast(DoubleType) * col("s_g").cast(DoubleType)) /
+          col("n_g").cast(DoubleType)).cast(DecimalType(38, 4)))
+    per.agg(count(lit(1)).as("k"),
+        sum(col("n_g")).as("n_rows"),
+        sum(col("s_g")).as("t_sum"),
+        sum(col("q_g")).as("q_sum"),
+        sum(col("term")).as("b_sum"))
+      .withColumn("ss_between",
+        col("b_sum").cast(DoubleType) -
+          (col("t_sum").cast(DoubleType) * col("t_sum").cast(DoubleType)) /
+            col("n_rows").cast(DoubleType))
+      .withColumn("ss_within",
+        col("q_sum").cast(DoubleType) - col("b_sum").cast(DoubleType))
+      .withColumn("f_stat",
+        when(col("k") > 1L && col("n_rows") > col("k") &&
+            col("ss_within") > 0.0,
+          (col("ss_between") / (col("k") - 1L).cast(DoubleType)) /
+            (col("ss_within") /
+              (col("n_rows") - col("k")).cast(DoubleType))))
+      .withColumn("eta_sq",
+        when(col("ss_between") + col("ss_within") > 0.0,
+          col("ss_between") /
+            (col("ss_between") + col("ss_within"))))
+      .select(col("n_rows"), col("k"), col("ss_between"),
+        col("ss_within"), col("f_stat"), col("eta_sq"))
+  }
+
+  /** SPEARMAN RANK CORRELATION between two integer-valued columns of a
+    * keyed frame — the monotone-association statistic robust to
+    * outliers and nonlinearity (Pearson on average ranks, the
+    * tie-correct definition). Doubled average ranks keep everything
+    * integer: for a value with competition rank r and multiplicity t,
+    * `2·avg_rank = 2·r + t − 1`, and since average ranks always sum to
+    * n(n+1)/2 the doubled centered rank `d = 2·avg_rank − (n+1)` has
+    * exactly zero mean — ρ = Σd_x·d_y / sqrt(Σd_x²·Σd_y²) needs no
+    * n-scaling, keeping every sum inside BIGINT up to n ≈ 10⁶ keys
+    * (Σd² ≤ n³; shard beyond that).
+    *
+    * Scale shape: ranks come from the DISTINCT-VALUE frame (groupBy
+    * value → multiplicity, one cumulative window over |distinct| rows,
+    * broadcast-joined back), never from a global per-row window — the
+    * single-partition step is bounded by value cardinality, not row
+    * count. Two map-combined aggregates, two broadcast joins, one
+    * scalar rollup. */
+  def spearmanCorr(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    def ranks2(c: String): DataFrame = {
+      val dv = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      dv.withColumn("cum_before",
+          coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col("v"),
+          (lit(2L) * col("cum_before") + col("cnt") + 1L).as("r2"))
+    }
+    val tot = df.agg(count(lit(1)).as("n_tot"))
+    val joined = df
+      .join(broadcast(ranks2(xCol)).withColumnRenamed("r2", "rx2"),
+        df(xCol) === col("v")).drop("v")
+      .join(broadcast(ranks2(yCol)).withColumnRenamed("r2", "ry2"),
+        df(yCol) === col("v")).drop("v")
+      .crossJoin(broadcast(tot))
+      .withColumn("dx", col("rx2") - (col("n_tot") + 1L))
+      .withColumn("dy", col("ry2") - (col("n_tot") + 1L))
+    joined.agg(count(lit(1)).as("n_rows"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .withColumn("rho",
+        when(col("sxx") > 0L && col("syy") > 0L,
+          col("sxy").cast(DoubleType) /
+            sqrt(col("sxx").cast(DoubleType) *
+              col("syy").cast(DoubleType))))
+      .select(col("n_rows"), col("sxy"), col("sxx"), col("syy"),
+        col("rho"))
+  }
+
+  /** MANN-WHITNEY U TEST — "do these two cohorts draw their values
+    * from the same distribution", the rank test that needs no
+    * normality assumption. Doubled tie-average rank sums keep the
+    * statistic integer: `2U_A = 2R_A − n_A(n_A+1)` is an exact BIGINT,
+    * as is the tie-correction mass `Σ(t³ − t)`. Reports both doubled
+    * U's, the tie-corrected normal z (exact-integer inputs, fixed-order
+    * double combination, one sqrt), and the rank-biserial effect size
+    * `(2U_A − 2U_B)/(2·n_A·n_B)`.
+    *
+    * Scale shape: the same distinct-value rank trick as
+    * [[spearmanCorr]] — per-value counts (map-combined), one
+    * cumulative window over the |distinct values| frame, one scalar
+    * rollup. Nothing per-row ever enters a window. */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull &&
+        col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val dv = base.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"),
+        count(when(col("g") === groupA, 1)).as("cnt_a"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = dv.withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("r2",
+        lit(2L) * col("cum_before") + col("cnt") + 1L)
+    val agg = ranked.agg(
+      sum(col("cnt_a")).as("n_a"),
+      sum(col("cnt") - col("cnt_a")).as("n_b"),
+      sum(col("cnt_a") * col("r2")).as("r2_a"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+        .as("tie_cubes"))
+    agg
+      .withColumn("u2_a",
+        col("r2_a") - col("n_a") * (col("n_a") + 1L))
+      .withColumn("u2_b",
+        lit(2L) * col("n_a") * col("n_b") - col("u2_a"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("var_u",
+        when(col("n") > 1L,
+          (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType) /
+            lit(12.0)) *
+            ((col("n").cast(DoubleType) + lit(1.0)) -
+              col("tie_cubes").cast(DoubleType) /
+                (col("n").cast(DoubleType) *
+                  (col("n").cast(DoubleType) - lit(1.0))))))
+      .withColumn("z_stat",
+        when(col("var_u") > 0.0,
+          (col("u2_a").cast(DoubleType) -
+            col("n_a").cast(DoubleType) *
+              col("n_b").cast(DoubleType)) /
+            (lit(2.0) * sqrt(col("var_u")))))
+      .withColumn("rank_biserial",
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          (col("u2_a") - col("u2_b")).cast(DoubleType) /
+            (lit(2.0) * col("n_a").cast(DoubleType) *
+              col("n_b").cast(DoubleType))))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("u2_b"),
+        col("tie_cubes"), col("z_stat"), col("rank_biserial"))
+  }
+
+  /** WELCH'S T-TEST — two-sample mean comparison WITHOUT the equal
+    * variance assumption (the default any metrics review should use),
+    * with the Welch–Satterthwaite degrees of freedom. Same sufficient
+    * statistics and decimal ladder as [[anovaF]] (exact decimal Σx at
+    * scale 4, quantized-double Σx² at scale 4), then one fixed-order
+    * double expression: `t = (m₁−m₂)/sqrt(v₁/n₁ + v₂/n₂)`,
+    * `df = se⁴ / (Σ (vᵢ/nᵢ)²/(nᵢ−1))`.
+    *
+    * Scale shape: one map-combined two-group aggregate, one scalar
+    * combine. */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull &&
+        col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"),
+        col(valueCol).cast(DecimalType(18, 4)).as("xq"))
+      .withColumn("xd", col("xq").cast(DoubleType))
+      .withColumn("x2q",
+        (col("xd") * col("xd")).cast(DecimalType(38, 4)))
+    val per = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("xq")).as("s_g"),
+        sum(col("x2q")).as("q_g"))
+      .withColumn("nd", col("n_g").cast(DoubleType))
+      .withColumn("sd", col("s_g").cast(DoubleType))
+      .withColumn("qd", col("q_g").cast(DoubleType))
+      .withColumn("mean_g", col("sd") / col("nd"))
+      .withColumn("var_g",
+        when(col("n_g") > 1L,
+          (col("qd") - col("sd") * col("sd") / col("nd")) /
+            (col("nd") - lit(1.0))))
+    val a = per.filter(col("g") === groupA)
+      .select(col("n_g").as("n_a"), col("mean_g").as("mean_a"),
+        col("var_g").as("var_a"))
+    val b = per.filter(col("g") === groupB)
+      .select(col("n_g").as("n_b"), col("mean_g").as("mean_b"),
+        col("var_g").as("var_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("se_a", col("var_a") / col("n_a").cast(DoubleType))
+      .withColumn("se_b", col("var_b") / col("n_b").cast(DoubleType))
+      .withColumn("se2", col("se_a") + col("se_b"))
+      .withColumn("t_stat",
+        when(col("se2") > 0.0,
+          (col("mean_a") - col("mean_b")) / sqrt(col("se2"))))
+      .withColumn("df_welch",
+        when(col("n_a") > 1L && col("n_b") > 1L && col("se2") > 0.0,
+          (col("se2") * col("se2")) /
+            (col("se_a") * col("se_a") /
+              (col("n_a").cast(DoubleType) - lit(1.0)) +
+              col("se_b") * col("se_b") /
+                (col("n_b").cast(DoubleType) - lit(1.0)))))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("var_a"), col("var_b"), col("t_stat"), col("df_welch"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Stats
+
+/** Hypothesis-test operators: hand-checked textbook fixtures (exact
+  * closed-form values), tie handling, and partitioning invariance —
+  * the determinism claim behind their oracle hash parity. */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chiSquareIndependence: 2x2 hand-checked chi2 and Cramer's V") {
+    // o = [[10,20],[20,10]]; all margins 30, e = 15 everywhere:
+    // chi2 = 4*(5^2/15) = 20/3; V = sqrt(chi2/n) = 1/3 for a 2x2.
+    val rows = Seq.fill(10)(("a", 0L)) ++ Seq.fill(20)(("a", 1L)) ++
+      Seq.fill(20)(("b", 0L)) ++ Seq.fill(10)(("b", 1L))
+    val out = Stats.chiSquareIndependence(rows.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(out.getAs[Long]("n_rows") == 60L)
+    assert(out.getAs[Long]("n_cells") == 4L)
+    assert(out.getAs[Long]("dof") == 1L)
+    assert(math.abs(out.getAs[Double]("chi2") - 20.0 / 3) < 1e-5)
+    assert(math.abs(out.getAs[Double]("cramers_v") - 1.0 / 3) < 1e-6)
+  }
+
+  test("chiSquareIndependence: single-category margin -> null stat") {
+    val out = Stats.chiSquareIndependence(
+      Seq(("a", 1L), ("a", 2L)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(out.getAs[Long]("dof") == 0L)
+    assert(out.isNullAt(out.fieldIndex("chi2")))
+  }
+
+  test("anovaF: two balanced groups, exact textbook F") {
+    // g1 = 1,2,3 (mean 2), g2 = 3,4,5 (mean 4): SSB = 6, SSW = 4,
+    // F = (6/1)/(4/4) = 6, eta^2 = 0.6 — exact at scale 4.
+    val df = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+      ("g2", 3.0), ("g2", 4.0), ("g2", 5.0)).toDF("g", "x")
+    val out = Stats.anovaF(df, "g", "x").collect().head
+    assert(out.getAs[Long]("n_rows") == 6L)
+    assert(out.getAs[Long]("k") == 2L)
+    assert(out.getAs[Double]("ss_between") == 6.0)
+    assert(out.getAs[Double]("ss_within") == 4.0)
+    assert(out.getAs[Double]("f_stat") == 6.0)
+    assert(out.getAs[Double]("eta_sq") == 0.6)
+  }
+
+  test("spearmanCorr: perfect monotone = 1, reversed = -1, ties exact") {
+    def rho(xs: Seq[(Long, Long)]): Double =
+      Stats.spearmanCorr(xs.toDF("x", "y"), "x", "y")
+        .collect().head.getAs[Double]("rho")
+    assert(rho(Seq(1L -> 10L, 2L -> 20L, 3L -> 30L)) == 1.0)
+    assert(rho(Seq(1L -> 30L, 2L -> 20L, 3L -> 10L)) == -1.0)
+    // ties: x=(1,1,2), y=(5,6,7): d2x=(-1,-1,2), d2y=(-2,0,2)
+    // rho = 6/sqrt(6*8)
+    assert(math.abs(rho(Seq(1L -> 5L, 1L -> 6L, 2L -> 7L)) -
+      6.0 / math.sqrt(48.0)) < 1e-12)
+  }
+
+  test("mannWhitneyU: separation, ties at half-units, rank-biserial") {
+    val sep = Stats.mannWhitneyU(
+      Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v"),
+      "g", "v", "A", "B").collect().head
+    assert(sep.getAs[Long]("u2_a") == 0L) // complete separation
+    assert(sep.getAs[Long]("u2_b") == 8L)
+    assert(sep.getAs[Double]("rank_biserial") == -1.0)
+    assert(math.abs(sep.getAs[Double]("z_stat") -
+      -4.0 / (2.0 * math.sqrt(5.0 / 3))) < 1e-12)
+
+    val tie = Stats.mannWhitneyU(
+      Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0)).toDF("g", "v"),
+      "g", "v", "A", "B").collect().head
+    assert(tie.getAs[Long]("u2_a") == 1L) // U_A = 0.5 from the tie
+    assert(tie.getAs[Long]("tie_cubes") == 6L)
+  }
+
+  test("welchT: equal-variance fixture recovers the pooled t and df") {
+    // A = 1,2,3; B = 5,6,7: means 2/6, vars 1/1, se2 = 2/3,
+    // t = -4/sqrt(2/3), Welch df = n1+n2-2 = 4 exactly here.
+    val out = Stats.welchT(
+      Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+        ("B", 5.0), ("B", 6.0), ("B", 7.0)).toDF("g", "v"),
+      "g", "v", "A", "B").collect().head
+    assert(out.getAs[Long]("n_a") == 3L && out.getAs[Long]("n_b") == 3L)
+    assert(out.getAs[Double]("mean_a") == 2.0)
+    assert(out.getAs[Double]("var_b") == 1.0)
+    assert(math.abs(out.getAs[Double]("t_stat") -
+      -4.0 / math.sqrt(2.0 / 3)) < 1e-12)
+    assert(math.abs(out.getAs[Double]("df_welch") - 4.0) < 1e-12)
+  }
+
+  test("stats operators are partitioning-invariant") {
+    val df = Seq.tabulate(200)(i =>
+      (if (i % 3 == 0) "p" else "c", (i % 17).toDouble))
+      .toDF("g", "v")
+    def all(d: org.apache.spark.sql.DataFrame): Seq[String] = Seq(
+      Stats.chiSquareIndependence(d, "g", "v"),
+      Stats.anovaF(d, "g", "v"),
+      Stats.mannWhitneyU(d, "g", "v", "p", "c"),
+      Stats.welchT(d, "g", "v", "p", "c"))
+      .map(_.collect().mkString("|"))
+    assert(all(df.repartition(1)) == all(df.repartition(13)))
+  }
+}
