@@ -5072,6 +5072,85 @@ object OracleSql {
         |    (se2 * se2) / (se_a * se_a / (CAST(n_a AS DOUBLE) - 1.0)
         |      + se_b * se_b / (CAST(n_b AS DOUBLE) - 1.0))
         |  END AS df_welch
-        |FROM j2""".stripMargin
+        |FROM j2""".stripMargin,
+
+    // HHI per nation over customer revenue shares: floored BIGINT
+    // units, floor-ppb shares, exact-integer sum of squares.
+    "q_hhi" ->
+      """WITH j AS (SELECT n.n_name, o.o_custkey, o.o_totalprice
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |t AS (SELECT n_name AS g, o_custkey AS k,
+        |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(28,6))))
+        |      AS BIGINT) AS x
+        |  FROM j WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT g, x,
+        |    CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT) AS v_tot
+        |  FROM t),
+        |s AS (SELECT g, v_tot, (x * 1000000000) // v_tot AS s_ppb
+        |  FROM w WHERE v_tot > 0),
+        |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(MAX(v_tot) AS BIGINT) AS total_units,
+        |    CAST(SUM(s_ppb * s_ppb) // 1000000000 AS BIGINT)
+        |      AS hhi_ppb,
+        |    CAST(MAX(s_ppb) AS BIGINT) AS top_share_ppb
+        |  FROM s GROUP BY 1)
+        |SELECT g AS n_name, n_keys, total_units, hhi_ppb,
+        |  top_share_ppb,
+        |  CASE WHEN hhi_ppb > 0 THEN
+        |    1.0e9 / CAST(hhi_ppb AS DOUBLE) END AS effective_n
+        |FROM a""".stripMargin,
+
+    // Per-type user value deciles: deterministic ntile over the fully
+    // tie-broken (x, k) order, floor-ppb decile and cumulative shares.
+    "q_value_deciles" ->
+      """WITH t AS (SELECT event_type AS g, user_id AS k,
+        |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS BIGINT)
+        |      AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT g, CAST(ntile(10) OVER (PARTITION BY g
+        |      ORDER BY x, k) AS BIGINT) AS decile, x FROM t),
+        |a AS (SELECT g, decile, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(x) AS BIGINT) AS units FROM b GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(SUM(units) OVER (PARTITION BY g) AS BIGINT) AS v_tot,
+        |    CAST(SUM(units) OVER (PARTITION BY g ORDER BY decile)
+        |      AS BIGINT) AS cum_units
+        |  FROM a)
+        |SELECT g AS event_type, decile, n_keys, units,
+        |  CAST((units * 1000000000) // v_tot AS BIGINT) AS share_ppb,
+        |  CAST((cum_units * 1000000000) // v_tot AS BIGINT)
+        |    AS cum_share_ppb
+        |FROM w WHERE v_tot > 0""".stripMargin,
+
+    // Benford first-digit audit: digit via exact BIGINT formatting of
+    // floor(value*1e6) (never log10), frozen expected-ppb table.
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(FLOOR(
+        |      o_totalprice * 1.0e6) AS BIGINT) AS VARCHAR), 1, 1)
+        |      AS INTEGER) AS digit
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0.0
+        |    AND CAST(FLOOR(o_totalprice * 1.0e6) AS BIGINT) > 0),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_d
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n_values FROM c),
+        |spine AS (SELECT * FROM (VALUES (1, 301029996),
+        |  (2, 176091259), (3, 124938737), (4, 96910013),
+        |  (5, 79181246), (6, 66946790), (7, 57991947),
+        |  (8, 51152522), (9, 45757491)) AS v(digit, expected_ppb)),
+        |f AS (SELECT CAST(spine.digit AS BIGINT) AS digit, n_values,
+        |    COALESCE(n_d, CAST(0 AS BIGINT)) AS n_d,
+        |    CASE WHEN n_values > 0 THEN
+        |      (COALESCE(n_d, CAST(0 AS BIGINT)) * 1000000000)
+        |        // n_values
+        |    ELSE 0 END AS share_ppb,
+        |    CAST(expected_ppb AS BIGINT) AS expected_ppb
+        |  FROM spine LEFT JOIN c ON spine.digit = c.digit
+        |  CROSS JOIN tot)
+        |SELECT digit, n_values, n_d, CAST(share_ppb AS BIGINT)
+        |    AS share_ppb, expected_ppb,
+        |  CAST(share_ppb - expected_ppb AS BIGINT) AS delta_ppb
+        |FROM f ORDER BY digit""".stripMargin
   )
 }

@@ -1335,6 +1335,38 @@ object SparkEntry {
           .as("value_bucket")),
       "event_type", "value_bucket")
 
+  /** Revenue concentration per nation: HHI over each customer's share
+    * of the nation's order revenue — [[qValueGini]]'s inequality read
+    * restated as the market-concentration scalar plus the effective
+    * customer count; both dims broadcast into the fact scan. */
+  private def qHhi(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val joined = o
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    Warehouse.herfindahlIndex(joined, "n_name", "o_custkey",
+      "o_totalprice")
+  }
+
+  /** Decile contribution table: per event type, users ranked into
+    * value deciles with per-decile and cumulative shares — the Lorenz
+    * curve behind [[qValueGini]]'s scalar, at the granularity a
+    * whale-risk or curation decision actually reads. */
+  private def qValueDeciles(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.decileShares(events(spark, dir), "event_type", "user_id",
+      "value")
+
+  /** Benford first-digit audit of order totals — the synthetic-data /
+    * fraud smell test; digits from exact BIGINT formatting, expected
+    * mass from the frozen ppb table, all-integer output. */
+  private def qBenford(spark: SparkSession, dir: String): DataFrame =
+    Profiling.benfordAudit(t(spark, dir, "orders"), "o_totalprice")
+
   /** Chi-squared independence between event type and the 50-unit value
     * bucket — "does the event type carry information about spend", the
     * categorical feature-relevance test next to [[qMutualInfo]]'s
@@ -1927,14 +1959,17 @@ object SparkEntry {
     "q_stat_anova" -> (qStatAnova _),
     "q_stat_spearman" -> (qStatSpearman _),
     "q_stat_mannwhitney" -> (qStatMannWhitney _),
-    "q_stat_welch" -> (qStatWelch _)
+    "q_stat_welch" -> (qStatWelch _),
+    "q_hhi" -> (qHhi _),
+    "q_value_deciles" -> (qValueDeciles _),
+    "q_benford" -> (qBenford _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (197 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (200 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -86,4 +86,56 @@ object Profiling {
       .withColumn("is_outlier", col("dev") > lit(k) * col("mad"))
       .drop("dev")
   }
+
+  /** Benford expected first-digit mass, FROZEN at parts-per-billion —
+    * `round(log10(1 + 1/d)·10⁹)` baked as literals (the registry's
+    * frozen-log-table rule: no runtime transcendentals, so engine and
+    * oracle cannot drift by a libm ulp). */
+  val BenfordPpb: Seq[(Int, Long)] = Seq(
+    1 -> 301029996L, 2 -> 176091259L, 3 -> 124938737L,
+    4 -> 96910013L, 5 -> 79181246L, 6 -> 66946790L,
+    7 -> 57991947L, 8 -> 51152522L, 9 -> 45757491L)
+
+  /** BENFORD FIRST-DIGIT AUDIT — the fraud/synthetic-data smell test:
+    * naturally occurring multiplicative quantities (prices, counts,
+    * populations) put ~30.1% of first significant digits at 1; flat or
+    * fabricated data does not. Reports, per digit 1–9, the observed
+    * count, observed and expected shares (floor parts-per-billion),
+    * and the signed deviation.
+    *
+    * Exactness: the first significant digit comes from
+    * `floor(value·10⁶)` (one double multiply, identical cross-engine)
+    * formatted as a BIGINT string — integer formatting is exact in
+    * every engine, unlike float formatting — and never from `log10`.
+    * Values below 10⁻⁶ or null drop out (reported via `n_values`).
+    * Expected mass is the frozen [[BenfordPpb]] table. All-integer
+    * output.
+    *
+    * Scale shape: one map-combined 9-row groupBy, broadcast-joined to
+    * the 9-row spine — scan-bound, zero wide shuffles. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val digits = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0.0)
+      .withColumn("m", floor(col(valueCol) * lit(1.0e6)).cast(LongType))
+      .filter(col("m") > 0L)
+      .withColumn("digit",
+        substring(col("m").cast(StringType), 1, 1).cast(IntegerType))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+    val spine = BenfordPpb.toDF("digit", "expected_ppb")
+    val tot = digits.agg(sum(col("n_d")).as("n_values"))
+    broadcast(spine)
+      .join(digits, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
+      .withColumn("share_ppb",
+        when(col("n_values") > 0L,
+          expr("(n_d * 1000000000L) div n_values")).otherwise(lit(0L)))
+      .select(col("digit").cast(LongType).as("digit"),
+        col("n_values"), col("n_d"), col("share_ppb"),
+        col("expected_ppb"),
+        (col("share_ppb") - col("expected_ppb")).as("delta_ppb"))
+      .orderBy(col("digit"))
+  }
 }

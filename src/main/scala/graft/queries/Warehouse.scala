@@ -839,4 +839,83 @@ object Warehouse {
         max(col("totw")).as("total_weight"),
         min(col("v")).as("weighted_median"))
   }
+
+  /** HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX per group — the market-
+    * concentration read next to [[giniIndex]]'s inequality read: HHI =
+    * Σ share², ranging from 1/n (even split) to 1 (monopoly). Also the
+    * top single share and the "effective number of players" 1/HHI (the
+    * count of equal-sized keys that would produce the same
+    * concentration).
+    *
+    * Exactness: per-key value totals floor to BIGINT units (the gini
+    * recipe), shares quantize to FLOOR parts-per-billion (`x·10⁹ div
+    * V` — keep `x·10⁹` under 2⁶³, i.e. per-key totals under ~9·10⁹
+    * units; rescale units above that), and `hhi_ppb = (Σ s_ppb²) div
+    * 10⁹` stays an exact BIGINT (`Σ s² ≤ 10¹⁸`). The only double is
+    * the final effective-n division.
+    *
+    * Scale shape: one map-combined per-key rollup, one grouped fold —
+    * no window, unlike gini's rank pass. */
+  def herfindahlIndex(df: DataFrame, group: String, keyCol: String,
+      valueCol: String): DataFrame = {
+    val totals = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(group).as("g"), col(keyCol).as("k"))
+      .agg(floor(sum(col(valueCol).cast(DecimalType(28, 6))))
+        .cast(LongType).as("x"))
+    val withV = totals
+      .withColumn("v_tot",
+        sum(col("x")).over(Window.partitionBy(col("g"))))
+      .filter(col("v_tot") > 0L)
+      .withColumn("s_ppb", expr("(x * 1000000000L) div v_tot"))
+    withV.groupBy(col("g").as(group))
+      .agg(count(lit(1)).as("n_keys"),
+        max(col("v_tot")).as("total_units"),
+        expr("sum(s_ppb * s_ppb) div 1000000000L").as("hhi_ppb"),
+        max(col("s_ppb")).as("top_share_ppb"))
+      .withColumn("effective_n",
+        when(col("hhi_ppb") > 0L,
+          lit(1.0e9) / col("hhi_ppb").cast(DoubleType)))
+  }
+
+  /** DECILE CONTRIBUTION TABLE per group — the Lorenz curve at decile
+    * granularity: keys ranked by value into ntile(10) buckets, each
+    * decile's key count, unit total, share, and cumulative share (in
+    * FLOOR parts-per-billion). The "top 10% of users carry X% of
+    * value" statement [[giniIndex]] compresses into one number,
+    * delivered as the curve a curation or capacity decision actually
+    * reads.
+    *
+    * Exactness: ntile is the SQL-standard deterministic fill (first
+    * `n mod 10` buckets take the extra row) over the fully-ordered
+    * `(value, key)` ranking, so bucket membership is engine-identical;
+    * everything else is BIGINT sums and floor-div shares.
+    *
+    * Scale shape: per-key rollup, one rank window, one grouped fold —
+    * the gini shape with a bucketed output. */
+  def decileShares(df: DataFrame, group: String, keyCol: String,
+      valueCol: String): DataFrame = {
+    val totals = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(group).as("g"), col(keyCol).as("k"))
+      .agg(floor(sum(col(valueCol).cast(DecimalType(28, 6))))
+        .cast(LongType).as("x"))
+    val w = Window.partitionBy(col("g")).orderBy(col("x"), col("k"))
+    val bucketed = totals
+      .withColumn("decile", ntile(10).over(w).cast(LongType))
+      .groupBy(col("g"), col("decile"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("x")).as("units"))
+      .withColumn("v_tot",
+        sum(col("units")).over(Window.partitionBy(col("g"))))
+      .filter(col("v_tot") > 0L)
+    bucketed
+      .withColumn("cum_units",
+        sum(col("units")).over(Window.partitionBy(col("g"))
+          .orderBy(col("decile"))))
+      .select(col("g").as(group), col("decile"), col("n_keys"),
+        col("units"),
+        expr("(units * 1000000000L) div v_tot").as("share_ppb"),
+        expr("(cum_units * 1000000000L) div v_tot")
+          .as("cum_share_ppb"))
+  }
 }

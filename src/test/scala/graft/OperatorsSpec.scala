@@ -1079,6 +1079,24 @@ class CurationSpec extends SparkSpec {
 class ProfilingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("benfordAudit: digits from BIGINT formatting, full 9-row spine") {
+    import graft.operators.Profiling
+    // 1.0→1, 2.0→2, 19.0→1, 0.5→5; 1e-7 floors to m=0 and drops
+    val df = Seq(1.0, 2.0, 19.0, 0.5, 0.0000001).toDF("v")
+    val rows = Profiling.benfordAudit(df, "v").collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val byD = rows.map(r => r.getAs[Long]("digit") ->
+      ((r.getAs[Long]("n_d"), r.getAs[Long]("share_ppb"),
+        r.getAs[Long]("delta_ppb")))).toMap
+    assert(rows.head.getAs[Long]("n_values") == 4L)
+    assert(byD(1L) == ((2L, 500000000L, 500000000L - 301029996L)))
+    assert(byD(2L)._1 == 1L && byD(5L)._1 == 1L)
+    assert(byD(9L) == ((0L, 0L, -45757491L))) // empty digit kept
+    // frozen table sanity: masses sum to 1e9 within rounding
+    assert(math.abs(Profiling.BenfordPpb.map(_._2).sum -
+      1000000000L) <= 2L)
+  }
+
   test("robustOutliers: median/MAD scoring, degenerate-scale contract") {
     import graft.operators.Profiling
     // group a: [1,2,3,4,100] → med 3, devs [2,1,0,1,97], mad 1 →

@@ -789,4 +789,35 @@ class WarehouseSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("herfindahlIndex: monopoly 1e9, even split 1/n, effective n") {
+    val d = Seq(
+      ("mono", 1L, 10.0), ("mono", 2L, 0.0),
+      ("even", 1L, 5.0), ("even", 2L, 5.0),
+      ("even", 3L, 5.0), ("even", 4L, 5.0)
+    ).toDF("g", "k", "v")
+    val got = graft.queries.Warehouse.herfindahlIndex(d, "g", "k", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("hhi_ppb"), r.getAs[Long]("top_share_ppb"),
+          r.getAs[Double]("effective_n")))).toMap
+    assert(got("mono") == ((1000000000L, 1000000000L, 1.0)), s"$got")
+    assert(got("even") == ((250000000L, 250000000L, 4.0)), s"$got")
+  }
+
+  test("decileShares: 20-key ladder fills known deciles, cum hits 1e9") {
+    val d = (1 to 20).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("g", "k", "v")
+    val rows = graft.queries.Warehouse.decileShares(d, "g", "k", "v")
+      .collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.length == 10)
+    // decile d holds keys (2d-1, 2d): units 4d-1 of 210 total
+    rows.foreach { r =>
+      val dec = r.getAs[Long]("decile")
+      assert(r.getAs[Long]("n_keys") == 2L)
+      assert(r.getAs[Long]("units") == 4 * dec - 1)
+      assert(r.getAs[Long]("share_ppb") ==
+        (4 * dec - 1) * 1000000000L / 210L)
+    }
+    assert(rows.last.getAs[Long]("cum_share_ppb") == 1000000000L)
+  }
 }
