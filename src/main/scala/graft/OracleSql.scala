@@ -5151,6 +5151,91 @@ object OracleSql {
         |SELECT digit, n_values, n_d, CAST(share_ppb AS BIGINT)
         |    AS share_ppb, expected_ppb,
         |  CAST(share_ppb - expected_ppb AS BIGINT) AS delta_ppb
-        |FROM f ORDER BY digit""".stripMargin
+        |FROM f ORDER BY digit""".stripMargin,
+
+    // Sweep-line peak concurrency per start day: +1/-1 deltas
+    // collapsed per (day, second), running sum, earliest argmax by
+    // (running desc, t) rank.
+    "q_concurrency" ->
+      """WITH b2 AS (SELECT start_s,
+        |    (start_s // 86400) * 86400 AS day_s
+        |  FROM (SELECT epoch_ns(ts) // 1000000000 AS start_s
+        |    FROM events)),
+        |d AS (SELECT day_s, t, CAST(SUM(delta) AS BIGINT) AS delta
+        |  FROM (SELECT day_s, start_s AS t, 1 AS delta FROM b2
+        |    UNION ALL
+        |    SELECT day_s, start_s + 1800, -1 FROM b2)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT day_s, t, CAST(SUM(delta) OVER (
+        |    PARTITION BY day_s ORDER BY t) AS BIGINT) AS running
+        |  FROM d),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY day_s
+        |    ORDER BY running DESC, t) AS rn FROM r),
+        |s AS (SELECT day_s, CAST(COUNT(*) AS BIGINT) AS n_intervals
+        |  FROM b2 GROUP BY 1)
+        |SELECT p.day_s, s.n_intervals, p.running AS max_concurrent,
+        |  p.t AS peak_at_s
+        |FROM p JOIN s USING (day_s) WHERE rn = 1""".stripMargin,
+
+    // Item-item co-occurrence kNN: apriori-pruned within-basket pairs,
+    // mirrored, cosine n_pair/sqrt(n_a*n_b), per-item top-5 by
+    // (cosine desc, neighbor).
+    "q_recsys_itemknn" ->
+      """WITH li AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+        |    CAST(l_partkey AS BIGINT) AS i FROM lineitem),
+        |freq AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i
+        |  FROM li GROUP BY 1 HAVING COUNT(*) >= 2),
+        |pruned AS (SELECT li.b, li.i FROM li
+        |  JOIN freq ON li.i = freq.i),
+        |pairs AS (SELECT a.i AS ia, b.i AS ib,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pair
+        |  FROM pruned a JOIN pruned b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |mir AS (SELECT ia AS item, ib AS neighbor, n_pair FROM pairs
+        |  UNION ALL
+        |  SELECT ib AS item, ia AS neighbor, n_pair FROM pairs),
+        |scored AS (SELECT m.item, m.neighbor, m.n_pair,
+        |    fa.n_i AS n_item, fb.n_i AS n_neighbor,
+        |    CAST(m.n_pair AS DOUBLE)
+        |      / sqrt(CAST(fa.n_i AS DOUBLE) * CAST(fb.n_i AS DOUBLE))
+        |      AS cosine
+        |  FROM mir m JOIN freq fa ON m.item = fa.i
+        |  JOIN freq fb ON m.neighbor = fb.i),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item
+        |    ORDER BY cosine DESC, neighbor) AS BIGINT) AS sim_rank
+        |  FROM scored)
+        |SELECT item, neighbor, n_pair, n_item, n_neighbor, cosine,
+        |  sim_rank
+        |FROM r WHERE sim_rank <= 5""".stripMargin,
+
+    // Corpus-level Flesch readability per language: whitespace words,
+    // [.!?]+ sentence runs, [aeiouy]+ vowel runs — BIGINT masses, one
+    // fixed-order double formula (e0 literals force DOUBLE parsing).
+    "q_text_readability" ->
+      """WITH base AS (SELECT lang AS g,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |      END AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |      AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS y
+        |  FROM documents),
+        |a AS (SELECT g AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(w) AS BIGINT) AS n_words,
+        |    CAST(SUM(s) AS BIGINT) AS n_sentences,
+        |    CAST(SUM(y) AS BIGINT) AS n_syllables
+        |  FROM base GROUP BY 1)
+        |SELECT lang, n_docs, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_sentences > 0 THEN CAST(n_words AS DOUBLE)
+        |    / CAST(n_sentences AS DOUBLE) END AS words_per_sentence,
+        |  CASE WHEN n_words > 0 THEN CAST(n_syllables AS DOUBLE)
+        |    / CAST(n_words AS DOUBLE) END AS syllables_per_word,
+        |  CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+        |    206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE)
+        |        / CAST(n_sentences AS DOUBLE))
+        |      - 84.6e0 * (CAST(n_syllables AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE)) END AS flesch
+        |FROM a""".stripMargin
   )
 }

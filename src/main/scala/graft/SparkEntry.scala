@@ -1335,6 +1335,26 @@ object SparkEntry {
           .as("value_bucket")),
       "event_type", "value_bucket")
 
+  /** Peak concurrent activity per day: each event opens a 30-min
+    * activity interval, the +1/−1 sweep line reports the day's maximum
+    * simultaneous count and the earliest second it is hit — the
+    * capacity statistic behind "how many sessions at once". */
+  private def qConcurrency(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.intervalConcurrency(events(spark, dir), "ts", 1800L)
+
+  /** Item-to-item kNN over order baskets: top-5 co-purchase neighbors
+    * per part by co-occurrence cosine — the "also bought" serving
+    * table; apriori-pruned pairing, per-item ranked window. */
+  private def qRecsysItemknn(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.itemSimilarityTopK(t(spark, dir, "lineitem"),
+      "l_orderkey", "l_partkey", minCount = 2L, topK = 5)
+
+  /** Per-language readability: corpus-level Flesch reading ease from
+    * exact word/sentence-run/vowel-run masses — the prose-complexity
+    * axis of the curation quality battery. */
+  private def qTextReadability(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(docs(spark, dir), "lang", "text")
+
   /** Revenue concentration per nation: HHI over each customer's share
     * of the nation's order revenue — [[qValueGini]]'s inequality read
     * restated as the market-concentration scalar plus the effective
@@ -1962,14 +1982,17 @@ object SparkEntry {
     "q_stat_welch" -> (qStatWelch _),
     "q_hhi" -> (qHhi _),
     "q_value_deciles" -> (qValueDeciles _),
-    "q_benford" -> (qBenford _)
+    "q_benford" -> (qBenford _),
+    "q_concurrency" -> (qConcurrency _),
+    "q_recsys_itemknn" -> (qRecsysItemknn _),
+    "q_text_readability" -> (qTextReadability _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (200 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (203 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

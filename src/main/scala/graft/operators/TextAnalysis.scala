@@ -1514,4 +1514,49 @@ object TextAnalysis {
       count(lit(1)).as("n_matches"),
       min(col("start_pos")).as("first_pos"))
   }
+
+  /** READABILITY PROFILE per group — Flesch reading ease from corpus-
+    * level word/sentence/syllable masses: the curation signal that
+    * separates technical prose, simple web text, and degenerate
+    * boilerplate at a glance. Sentences count as runs of `[.!?]`;
+    * syllables use the standard vowel-group proxy (`[aeiouy]+` runs of
+    * the lowercased text) — both are single-character-class-run
+    * regexes, so greedy (Java) and leftmost-longest (RE2) matching
+    * agree and the counts are engine-exact.
+    *
+    * Exactness: the three masses are BIGINT sums; the Flesch formula
+    * `206.835 − 1.015·(W/S) − 84.6·(Y/W)` is ONE fixed-order double
+    * expression over their exact conversions (corpus-level, i.e.
+    * token-weighted — not the mean of per-doc scores).
+    *
+    * Scale shape: per-row regex counts inside the scan projection,
+    * one map-combined groupBy — scan-bound. */
+  def readability(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+      tokenCount(col(textCol)).cast(LongType).as("w"),
+      regexp_count(col(textCol), lit("[.!?]+")).cast(LongType).as("s"),
+      regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+        .cast(LongType).as("y"))
+    base.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_sentences"),
+        sum(col("y")).as("n_syllables"))
+      .withColumn("words_per_sentence",
+        when(col("n_sentences") > 0L,
+          col("n_words").cast(DoubleType) /
+            col("n_sentences").cast(DoubleType)))
+      .withColumn("syllables_per_word",
+        when(col("n_words") > 0L,
+          col("n_syllables").cast(DoubleType) /
+            col("n_words").cast(DoubleType)))
+      .withColumn("flesch",
+        when(col("n_sentences") > 0L && col("n_words") > 0L,
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast(DoubleType) /
+              col("n_sentences").cast(DoubleType)) -
+            lit(84.6) * (col("n_syllables").cast(DoubleType) /
+              col("n_words").cast(DoubleType))))
+  }
 }

@@ -1220,4 +1220,50 @@ object TimeSeries {
       .withColumn("forecast",
         col("forecast_micro").cast(DoubleType) / lit(1000000.0))
   }
+
+  /** INTERVAL CONCURRENCY (sweep line) — peak simultaneous activity
+    * per day: every event opens a half-open activity interval
+    * `[ts, ts+duration)`, and the classic +1/−1 sweep reports each
+    * day's maximum concurrent interval count and the EARLIEST second
+    * it is reached — the capacity-planning statistic (peak simultaneous
+    * sessions) that a grouped count can't produce. Intervals belong to
+    * their START day; a tail crossing midnight keeps counting in the
+    * start-day curve (documented, matches "sessions started that day").
+    *
+    * Exactness: all epoch-second integers; half-open semantics fall
+    * out of summing +1/−1 deltas at the SAME second before the running
+    * sum (an end tying a start cancels — no overlap). The earliest
+    * argmax uses a rank over `(running desc, t asc)`, never min_by on
+    * a struct (oracle rule).
+    *
+    * Scale shape: the ±1 deltas collapse map-side to one row per
+    * `(day, second)` — the running-sum window is partitioned by day
+    * and bounded by 86 400 rows whatever the event volume; the final
+    * per-day pick is a rank over the same partition. */
+  def intervalConcurrency(df: DataFrame, ts: String,
+      durationSec: Long): DataFrame = {
+    val base = df
+      .withColumn("start_s", epochSeconds(col(ts)))
+      .withColumn("day_s", expr("(start_s div 86400L) * 86400L"))
+    val deltas = base
+      .select(col("day_s"), col("start_s").as("t"),
+        lit(1L).as("delta"))
+      .unionAll(base.select(col("day_s"),
+        (col("start_s") + lit(durationSec)).as("t"),
+        lit(-1L).as("delta")))
+      .groupBy(col("day_s"), col("t"))
+      .agg(sum(col("delta")).as("delta"))
+    val wRun = Window.partitionBy(col("day_s")).orderBy(col("t"))
+    val wPick = Window.partitionBy(col("day_s"))
+      .orderBy(col("running").desc, col("t"))
+    val starts = base.groupBy(col("day_s"))
+      .agg(count(lit(1)).as("n_intervals"))
+    deltas
+      .withColumn("running", sum(col("delta")).over(wRun))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .join(starts, Seq("day_s"))
+      .select(col("day_s"), col("n_intervals"),
+        col("running").as("max_concurrent"), col("t").as("peak_at_s"))
+  }
 }

@@ -878,6 +878,62 @@ object Warehouse {
           lit(1.0e9) / col("hhi_ppb").cast(DoubleType)))
   }
 
+  /** ITEM-TO-ITEM SIMILARITY (co-occurrence kNN) — the "customers who
+    * bought this also bought" table: for every frequent item, its topK
+    * most-similar neighbors by basket-co-occurrence cosine
+    * `n_pair / sqrt(n_a·n_b)` — the classic item-based collaborative
+    * filter ([[associationRules]] ranks GLOBAL rules; this ranks
+    * neighbors PER ITEM, which is what a recommender serves).
+    *
+    * Scale shape: the same apriori discipline as associationRules —
+    * distinct (basket, item), frequent-item semi-join BEFORE the
+    * quadratic within-basket self-join, map-combined pair counts,
+    * `minCount` support floor. The pair set then mirrors (a↔b) and
+    * ranks per item with a window over each item's neighbor list —
+    * partition width = that item's qualifying-neighbor count, already
+    * support-floored. Exactness: counts are BIGINTs; cosine is one
+    * double division over exact integers (sqrt is IEEE-exact), and the
+    * rank order `(cosine desc, neighbor)` is fully tie-broken. */
+  def itemSimilarityTopK(df: DataFrame, basketCol: String,
+      itemCol: String, minCount: Long = 2L, topK: Int = 5): DataFrame = {
+    val li = df.select(col(basketCol).cast(LongType).as("b"),
+      col(itemCol).cast(LongType).as("i")).distinct().persist()
+    val freq = li.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+      .filter(col("n_i") >= minCount).persist()
+    val pruned = li.join(freq.select("i"), Seq("i"), "left_semi")
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.b") === col("b.b") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("ia"), col("b.i").as("ib"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val mirrored = pairs
+      .select(col("ia").as("item"), col("ib").as("neighbor"),
+        col("n_pair"))
+      .unionAll(pairs.select(col("ib").as("item"),
+        col("ia").as("neighbor"), col("n_pair")))
+    val scored = mirrored
+      .join(freq.select(col("i").as("item"), col("n_i").as("n_item")),
+        Seq("item"))
+      .join(freq.select(col("i").as("neighbor"),
+        col("n_i").as("n_neighbor")), Seq("neighbor"))
+      .withColumn("cosine",
+        col("n_pair").cast(DoubleType) /
+          sqrt(col("n_item").cast(DoubleType) *
+            col("n_neighbor").cast(DoubleType)))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    val out = scored
+      .withColumn("sim_rank", row_number().over(w).cast(LongType))
+      .filter(col("sim_rank") <= topK)
+      .select(col("item"), col("neighbor"), col("n_pair"),
+        col("n_item"), col("n_neighbor"), col("cosine"),
+        col("sim_rank"))
+    // materialize before releasing the two shared caches
+    try out.localCheckpoint(true)
+    finally { li.unpersist(); freq.unpersist() }
+  }
+
   /** DECILE CONTRIBUTION TABLE per group — the Lorenz curve at decile
     * granularity: keys ranked by value into ntile(10) buckets, each
     * decile's key count, unit total, share, and cumulative share (in

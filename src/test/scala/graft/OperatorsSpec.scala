@@ -8,6 +8,27 @@ import graft.queries.TimeSeries
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("readability: hand-counted masses and exact Flesch formula") {
+    // "The cat. The cat ran!": 5 words, 2 sentence-ender runs,
+    // 5 vowel runs → wps 2.5, spw 1.0,
+    // flesch = 206.835 - 1.015*2.5 - 84.6*1.0
+    val d = Seq(("en", "The cat. The cat ran!"), ("xx", "no enders"))
+      .toDF("lang", "text")
+    val got = TextAnalysis.readability(d, "lang", "text").collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val en = got("en")
+    assert(en.getAs[Long]("n_words") == 5L)
+    assert(en.getAs[Long]("n_sentences") == 2L)
+    assert(en.getAs[Long]("n_syllables") == 5L)
+    assert(en.getAs[Double]("words_per_sentence") == 2.5)
+    assert(en.getAs[Double]("flesch") ==
+      206.835 - 1.015 * 2.5 - 84.6 * 1.0)
+    // zero sentence runs → NULL flesch, masses still reported
+    val xx = got("xx")
+    assert(xx.getAs[Long]("n_sentences") == 0L)
+    assert(xx.isNullAt(xx.fieldIndex("flesch")))
+  }
+
   test("tokenCount: whitespace runs, empty-safe") {
     val df = Seq("a b  c", "  ", "", "one").toDF("text")
       .select(TextAnalysis.tokenCount(col("text")).as("n"))
@@ -1989,6 +2010,22 @@ class TimeSeriesSpec extends SparkSpec {
     (2L, 0L, 5.0, 103L), (2L, 7200L, 6.0, 104L)
   ).toDF("user_id", "epoch", "value", "event_id")
     .withColumn("ts", timestamp_seconds(col("epoch")))
+
+  test("intervalConcurrency: sweep-line peak, half-open ends, " +
+    "earliest argmax, start-day attribution") {
+    // day 0: starts 100, 200, 1900 with 1800-s spans — [100,1900)
+    // ends exactly as [1900,...) opens (net 0: no triple overlap);
+    // peak 2 is reached at 200 first (1900 ties, later). day 1: solo.
+    val d = Seq(100L, 200L, 1900L, 86410L).toDF("epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val got = TimeSeries.intervalConcurrency(d, "ts", 1800L)
+      .collect().map(r => r.getAs[Long]("day_s") ->
+        ((r.getAs[Long]("n_intervals"),
+          r.getAs[Long]("max_concurrent"),
+          r.getAs[Long]("peak_at_s")))).toMap
+    assert(got(0L) == ((3L, 2L, 200L)), s"got: $got")
+    assert(got(86400L) == ((1L, 1L, 86410L)), s"got: $got")
+  }
 
   test("autocorrelation: alternating series — exact -1 at lag 1, " +
     "+1 at lag 2; constant series degenerates to NULL") {

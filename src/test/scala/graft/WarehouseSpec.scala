@@ -790,6 +790,22 @@ class WarehouseSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("itemSimilarityTopK: cosine hand-check, apriori prune, mirror") {
+    // baskets: b1{1,2,3}, b2{1,2}, b3{1,2,4} → only items 1,2 are
+    // frequent (n=3 each); pair (1,2) co-occurs 3× → cosine
+    // 3/sqrt(3·3) = 1.0, mirrored both directions; 3 and 4 pruned.
+    val d = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L), (30L, 4L)).toDF("b", "i")
+    val rows = graft.queries.Warehouse.itemSimilarityTopK(d, "b", "i",
+      minCount = 2L, topK = 5).collect()
+    assert(rows.length == 2)
+    val byItem = rows.map(r => r.getAs[Long]("item") ->
+      ((r.getAs[Long]("neighbor"), r.getAs[Long]("n_pair"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("sim_rank")))).toMap
+    assert(byItem(1L) == ((2L, 3L, 1.0, 1L)))
+    assert(byItem(2L) == ((1L, 3L, 1.0, 1L)))
+  }
+
   test("herfindahlIndex: monopoly 1e9, even split 1/n, effective n") {
     val d = Seq(
       ("mono", 1L, 10.0), ("mono", 2L, 0.0),
