@@ -5236,6 +5236,83 @@ object OracleSql {
         |        / CAST(n_sentences AS DOUBLE))
         |      - 84.6e0 * (CAST(n_syllables AS DOUBLE)
         |        / CAST(n_words AS DOUBLE)) END AS flesch
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // Kendall tau-b on the daily (count, value-units) series: full
+    // ordered cross product so every mass halves exactly; tie-pair
+    // corrections from the equality masses; one sqrt at the end.
+    "q_stat_kendall" ->
+      """WITH daily AS (SELECT
+        |    (epoch_ns(ts) // 1000000000 // 86400) * 86400 AS day_s,
+        |    CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS BIGINT)
+        |      AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+        |s AS (SELECT
+        |    CAST(COUNT(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |      OR (a.x > b.x AND a.y > b.y) THEN 1 END) AS BIGINT)
+        |      AS conc2,
+        |    CAST(COUNT(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |      OR (a.x > b.x AND a.y < b.y) THEN 1 END) AS BIGINT)
+        |      AS disc2,
+        |    CAST(COUNT(CASE WHEN a.x = b.x THEN 1 END) AS BIGINT)
+        |      AS tx_sq,
+        |    CAST(COUNT(CASE WHEN a.y = b.y THEN 1 END) AS BIGINT)
+        |      AS ty_sq
+        |  FROM daily a CROSS JOIN daily b),
+        |f AS (SELECT n, n * (n - 1) // 2 AS n0, conc2 // 2 AS c_pairs,
+        |    disc2 // 2 AS d_pairs, (tx_sq - n) // 2 AS n1,
+        |    (ty_sq - n) // 2 AS n2
+        |  FROM s CROSS JOIN tot)
+        |SELECT n AS n_rows, CAST(n0 AS BIGINT) AS n_pairs,
+        |  CAST(c_pairs AS BIGINT) AS c_pairs,
+        |  CAST(d_pairs AS BIGINT) AS d_pairs,
+        |  CAST(n1 AS BIGINT) AS tie_x_pairs,
+        |  CAST(n2 AS BIGINT) AS tie_y_pairs,
+        |  CASE WHEN n0 > n1 AND n0 > n2 THEN
+        |    CAST(c_pairs - d_pairs AS DOUBLE)
+        |      / sqrt(CAST(n0 - n1 AS DOUBLE)
+        |        * CAST(n0 - n2 AS DOUBLE)) END AS tau_b
+        |FROM f""".stripMargin,
+
+    // Price-size skyline: per-price maxima, then the running max over
+    // strictly-cheaper prices — dominance without a self-join.
+    "q_skyline" ->
+      """WITH base AS (SELECT p_retailprice AS x, p_size AS y
+        |  FROM part
+        |  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+        |perx AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM (SELECT x, y, MAX(y) OVER (PARTITION BY x) AS ymax
+        |    FROM base)
+        |  WHERE y = ymax GROUP BY 1, 2),
+        |w AS (SELECT *, MAX(y) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS mprev FROM perx)
+        |SELECT x AS p_retailprice, y AS p_size, n_rows
+        |FROM w WHERE mprev IS NULL OR y > mprev""".stripMargin,
+
+    // Heavy-change users: per-key two-period CASE counts, floor-ppb
+    // shares of each period's total, top-20 by (|delta| desc, key).
+    "q_heavy_change" ->
+      """WITH per AS (SELECT user_id AS k,
+        |    CAST(COUNT(CASE WHEN NOT (epoch_ns(ts) // 1000000000
+        |      >= 1705363200) THEN 1 END) AS BIGINT) AS n_first,
+        |    CAST(COUNT(CASE WHEN epoch_ns(ts) // 1000000000
+        |      >= 1705363200 THEN 1 END) AS BIGINT) AS n_second
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_first) AS BIGINT) AS t1,
+        |    CAST(SUM(n_second) AS BIGINT) AS t2 FROM per),
+        |s AS (SELECT k, n_first, n_second,
+        |    (n_first * 1000000000) // t1 AS share_first_ppb,
+        |    (n_second * 1000000000) // t2 AS share_second_ppb
+        |  FROM per CROSS JOIN tot WHERE t1 > 0 AND t2 > 0)
+        |SELECT k AS user_id, n_first, n_second,
+        |  CAST(share_first_ppb AS BIGINT) AS share_first_ppb,
+        |  CAST(share_second_ppb AS BIGINT) AS share_second_ppb,
+        |  CAST(abs(share_second_ppb - share_first_ppb) AS BIGINT)
+        |    AS delta_ppb
+        |FROM s ORDER BY delta_ppb DESC, user_id
+        |LIMIT 20""".stripMargin
   )
 }

@@ -1335,6 +1335,37 @@ object SparkEntry {
           .as("value_bucket")),
       "event_type", "value_bucket")
 
+  /** Kendall τ-b between daily event count and daily floored value
+    * units — the pairwise-concordance cross-check on
+    * [[qStatSpearman]]; the O(T²) pair pass runs on the ~30-row
+    * aggregated day series, never the raw events. */
+  private def qStatKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir).filter(col("value").isNotNull)
+      .withColumn("epoch_s", epochS(col("ts")))
+      .withColumn("day_s", expr("(epoch_s div 86400L) * 86400L"))
+      .groupBy(col("day_s"))
+      .agg(count(lit(1)).as("n_events"),
+        floor(sum(col("value").cast(DecimalType(28, 6))))
+          .cast(LongType).as("value_units"))
+    Stats.kendallTauB(daily, "n_events", "value_units")
+  }
+
+  /** Price–size skyline of the parts catalog: the undominated
+    * frontier under (minimize retail price, maximize size) — "the
+    * largest size at every price", co-optimal duplicates counted. */
+  private def qSkyline(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.paretoFrontier(t(spark, dir, "part"), "p_retailprice",
+      "p_size")
+
+  /** Heavy-change users: the top-20 users whose share of events moved
+    * most between the first and second half of the month — the
+    * per-key "what changed" ranking PSI/KS compress away. */
+  private def qHeavyChange(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.shareShiftTopK(
+      events(spark, dir).withColumn("is_late",
+        epochS(col("ts")) >= lit(1705363200L)),
+      "user_id", "is_late")
+
   /** Peak concurrent activity per day: each event opens a 30-min
     * activity interval, the +1/−1 sweep line reports the day's maximum
     * simultaneous count and the earliest second it is hit — the
@@ -1985,14 +2016,17 @@ object SparkEntry {
     "q_benford" -> (qBenford _),
     "q_concurrency" -> (qConcurrency _),
     "q_recsys_itemknn" -> (qRecsysItemknn _),
-    "q_text_readability" -> (qTextReadability _)
+    "q_text_readability" -> (qTextReadability _),
+    "q_stat_kendall" -> (qStatKendall _),
+    "q_skyline" -> (qSkyline _),
+    "q_heavy_change" -> (qHeavyChange _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (203 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (206 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

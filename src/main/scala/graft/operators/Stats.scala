@@ -261,6 +261,53 @@ object Stats {
         col("tie_cubes"), col("z_stat"), col("rank_biserial"))
   }
 
+  /** KENDALL'S TAU-B — the pairwise-concordance rank correlation, the
+    * third monotone-association read beside [[spearmanCorr]] (tau has
+    * better small-sample behavior and a direct probabilistic meaning:
+    * P(concordant) − P(discordant)). Tie-corrected tau-b:
+    * `(C − D) / sqrt((n₀−n₁)(n₀−n₂))` with n₀ = n(n−1)/2 and n₁/n₂
+    * the x/y tie-pair masses. All pair counts are exact BIGINTs from
+    * ONE self-join; the only doubles are the final products (exact
+    * int64→double conversions, IEEE multiply) under the sqrt.
+    *
+    * Scale shape: the self-join is O(n²) over the INPUT FRAME — this
+    * operator is for pre-aggregated bounded series (a daily rollup, a
+    * per-cohort summary), not raw rows; the registry query feeds the
+    * ~30-row daily series. For unbounded keyed data use
+    * [[spearmanCorr]], whose rank trick stays linear. */
+  def kendallTauB(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(xCol).as("x"), col(yCol).as("y"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    // full ordered cross product: every unordered pair appears twice
+    // and every row pairs itself once, so each mass halves exactly
+    val stats = base.as("a").crossJoin(base.as("b"))
+      .agg(count(when(
+          (col("a.x") < col("b.x") && col("a.y") < col("b.y")) ||
+            (col("a.x") > col("b.x") && col("a.y") > col("b.y")),
+          1)).as("conc2"),
+        count(when(
+          (col("a.x") < col("b.x") && col("a.y") > col("b.y")) ||
+            (col("a.x") > col("b.x") && col("a.y") < col("b.y")),
+          1)).as("disc2"),
+        count(when(col("a.x") === col("b.x"), 1)).as("tx_sq"),
+        count(when(col("a.y") === col("b.y"), 1)).as("ty_sq"))
+    stats.crossJoin(broadcast(tot))
+      .withColumn("n0", expr("n * (n - 1L) div 2L"))
+      .withColumn("c_pairs", expr("conc2 div 2L"))
+      .withColumn("d_pairs", expr("disc2 div 2L"))
+      .withColumn("n1", expr("(tx_sq - n) div 2L"))
+      .withColumn("n2", expr("(ty_sq - n) div 2L"))
+      .withColumn("tau_b",
+        when(col("n0") > col("n1") && col("n0") > col("n2"),
+          (col("c_pairs") - col("d_pairs")).cast(DoubleType) /
+            sqrt((col("n0") - col("n1")).cast(DoubleType) *
+              (col("n0") - col("n2")).cast(DoubleType))))
+      .select(col("n").as("n_rows"), col("n0").as("n_pairs"),
+        col("c_pairs"), col("d_pairs"), col("n1").as("tie_x_pairs"),
+        col("n2").as("tie_y_pairs"), col("tau_b"))
+  }
+
   /** WELCH'S T-TEST — two-sample mean comparison WITHOUT the equal
     * variance assumption (the default any metrics review should use),
     * with the Welch–Satterthwaite degrees of freedom. Same sufficient

@@ -934,6 +934,77 @@ object Warehouse {
     finally { li.unpersist(); freq.unpersist() }
   }
 
+  /** 2D PARETO FRONTIER (skyline) — the points no other row strictly
+    * dominates under (minimize x, maximize y): "the largest size at
+    * every price", "the best quality at every latency". A row is
+    * dominated iff some row has `x ≤` and `y ≥` with one strict; the
+    * frontier is therefore exactly the per-x maxima whose y exceeds
+    * the running maximum over all strictly-smaller x. Output is one
+    * row per frontier POINT `(x, y)` with the count of rows sitting on
+    * it (duplicates of a frontier point are co-optimal, not
+    * dominated).
+    *
+    * Scale shape: per-x maxima via an x-partitioned window on the raw
+    * frame (map-side combinable groupBy shape), then ONE cumulative-
+    * max window over the per-x LEVEL frame — single-partition but
+    * bounded by |distinct x|, the same distinct-value discipline as
+    * the rank tests ([[graft.operators.Stats]]); quantize x upstream
+    * if its cardinality is unbounded. No self-join — the O(n²)
+    * dominance test collapses into two windows. */
+  def paretoFrontier(df: DataFrame, minimizeCol: String,
+      maximizeCol: String): DataFrame = {
+    val base = df
+      .filter(col(minimizeCol).isNotNull && col(maximizeCol).isNotNull)
+      .select(col(minimizeCol).as("x"), col(maximizeCol).as("y"))
+    val perX = base
+      .withColumn("ymax",
+        max(col("y")).over(Window.partitionBy(col("x"))))
+      .filter(col("y") === col("ymax"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wPrev = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perX
+      .withColumn("mprev", max(col("y")).over(wPrev))
+      .filter(col("mprev").isNull || col("y") > col("mprev"))
+      .select(col("x").as(minimizeCol), col("y").as(maximizeCol),
+        col("n_rows"))
+  }
+
+  /** HEAVY-CHANGE DETECTION — the keys whose SHARE of activity moved
+    * most between two periods: the "what changed" ranking that
+    * aggregate drift scores (PSI, KS — [[distributionDrift]],
+    * [[distributionDriftKs]]) deliberately compress away. Shares are
+    * FLOOR parts-per-billion of each period's total, the shift is the
+    * absolute ppb delta, and the output is the top-k by
+    * `(delta desc, key)` — fully tie-broken, all-integer.
+    *
+    * Scale shape: one map-combined per-key two-period rollup (CASE-
+    * counted arms, no join between periods), broadcast totals, global
+    * top-k via orderBy+limit (TakeOrderedAndProject — never a global
+    * row_number window). */
+  def shareShiftTopK(df: DataFrame, keyCol: String, lateFlag: String,
+      topK: Int = 20): DataFrame = {
+    val per = df.groupBy(col(keyCol).as("k"))
+      .agg(count(when(!col(lateFlag), 1)).as("n_first"),
+        count(when(col(lateFlag), 1)).as("n_second"))
+    val tot = per.agg(sum(col("n_first")).as("t1"),
+      sum(col("n_second")).as("t2"))
+    per.crossJoin(broadcast(tot))
+      .filter(col("t1") > 0L && col("t2") > 0L)
+      .withColumn("share_first_ppb",
+        expr("(n_first * 1000000000L) div t1"))
+      .withColumn("share_second_ppb",
+        expr("(n_second * 1000000000L) div t2"))
+      .withColumn("delta_ppb",
+        abs(col("share_second_ppb") - col("share_first_ppb")))
+      .select(col("k").as(keyCol), col("n_first"), col("n_second"),
+        col("share_first_ppb"), col("share_second_ppb"),
+        col("delta_ppb"))
+      .orderBy(col("delta_ppb").desc, col(keyCol))
+      .limit(topK)
+  }
+
   /** DECILE CONTRIBUTION TABLE per group — the Lorenz curve at decile
     * granularity: keys ranked by value into ntile(10) buckets, each
     * decile's key count, unit total, share, and cumulative share (in

@@ -74,6 +74,24 @@ class StatsSpec extends SparkSpec {
     assert(tie.getAs[Long]("tie_cubes") == 6L)
   }
 
+  test("kendallTauB: perfect concordance, reversal, tie correction") {
+    def tau(xs: Seq[(Long, Long)]) =
+      Stats.kendallTauB(xs.toDF("x", "y"), "x", "y").collect().head
+    val up = tau(Seq(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(up.getAs[Long]("c_pairs") == 3L)
+    assert(up.getAs[Long]("d_pairs") == 0L)
+    assert(up.getAs[Double]("tau_b") == 1.0)
+    assert(tau(Seq(1L -> 3L, 2L -> 2L, 3L -> 1L))
+      .getAs[Double]("tau_b") == -1.0)
+    // x = (1,1,2), y = (1,2,3): one x-tie pair, C = 2, D = 0 →
+    // tau_b = 2/sqrt((3-1)*(3-0))
+    val tied = tau(Seq(1L -> 1L, 1L -> 2L, 2L -> 3L))
+    assert(tied.getAs[Long]("tie_x_pairs") == 1L)
+    assert(tied.getAs[Long]("tie_y_pairs") == 0L)
+    assert(math.abs(tied.getAs[Double]("tau_b") -
+      2.0 / math.sqrt(6.0)) < 1e-12)
+  }
+
   test("welchT: equal-variance fixture recovers the pooled t and df") {
     // A = 1,2,3; B = 5,6,7: means 2/6, vars 1/1, se2 = 2/3,
     // t = -4/sqrt(2/3), Welch df = n1+n2-2 = 4 exactly here.

@@ -806,6 +806,29 @@ class WarehouseSpec extends SparkSpec {
     assert(byItem(2L) == ((1L, 3L, 1.0, 1L)))
   }
 
+  test("paretoFrontier: strict dominance, same-x ties, co-optimal " +
+    "duplicates counted") {
+    val d = Seq((1.0, 5), (1.0, 5), (1.0, 3), (2.0, 7), (2.0, 5),
+      (3.0, 6), (3.0, 7)).toDF("price", "size")
+    val got = graft.queries.Warehouse
+      .paretoFrontier(d, "price", "size").collect()
+      .map(r => (r.getAs[Double]("price"), r.getAs[Int]("size"),
+        r.getAs[Long]("n_rows"))).sortBy(_._1)
+    // (3.0, 7) is dominated by (2.0, 7): cheaper, same size
+    assert(got.toSeq == Seq((1.0, 5, 2L), (2.0, 7, 1L)), s"$got")
+  }
+
+  test("shareShiftTopK: ppb share deltas, tie-broken top-k order") {
+    val d = (Seq.fill(10)(("A", false)) ++ Seq.fill(10)(("B", true)) ++
+      Seq.fill(10)(("C", false)) ++ Seq.fill(10)(("C", true)))
+      .toDF("k", "late")
+    val rows = graft.queries.Warehouse
+      .shareShiftTopK(d, "k", "late", topK = 3).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("delta_ppb")))
+    assert(rows.toSeq ==
+      Seq(("A", 500000000L), ("B", 500000000L), ("C", 0L)), s"$rows")
+  }
+
   test("herfindahlIndex: monopoly 1e9, even split 1/n, effective n") {
     val d = Seq(
       ("mono", 1L, 10.0), ("mono", 2L, 0.0),
