@@ -5313,6 +5313,85 @@ object OracleSql {
         |  CAST(abs(share_second_ppb - share_first_ppb) AS BIGINT)
         |    AS delta_ppb
         |FROM s ORDER BY delta_ppb DESC, user_id
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // Lexical diversity per language: (lang, token) rollup, hapax /
+    // Simpson masses, quarter-bit Shannon entropy via the HUGEINT
+    // b^4 bitlength kernel (the MI/PSI recipe).
+    "q_text_diversity" ->
+      """WITH toks AS (SELECT g, tok FROM (SELECT lang AS g,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents) WHERE length(tok) > 0),
+        |tf AS (SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS n_t
+        |  FROM toks GROUP BY 1, 2),
+        |per AS (SELECT g, CAST(SUM(n_t) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(COUNT(CASE WHEN n_t = 1 THEN 1 END) AS BIGINT)
+        |      AS hapax_types,
+        |    CAST(SUM(n_t * (n_t - 1)) AS BIGINT) AS simpson_num
+        |  FROM tf GROUP BY 1),
+        |ent AS (SELECT tf.g, CAST(SUM(n_t * (length(bin(
+        |      (CAST(n_tokens AS HUGEINT) * n_tokens * n_tokens
+        |        * n_tokens)
+        |      // (CAST(n_t AS HUGEINT) * n_t * n_t * n_t))) - 1))
+        |      AS BIGINT) AS entropy_q
+        |  FROM tf JOIN per ON tf.g = per.g GROUP BY 1)
+        |SELECT per.g AS lang, n_tokens, n_types,
+        |  CAST((n_types * 1000000000) // n_tokens AS BIGINT)
+        |    AS ttr_ppb,
+        |  hapax_types,
+        |  CASE WHEN n_tokens > 1 THEN CAST(simpson_num AS DOUBLE)
+        |    / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+        |  END AS simpson_d,
+        |  entropy_q,
+        |  CAST(entropy_q AS DOUBLE)
+        |    / (4.0 * CAST(n_tokens AS DOUBLE)) AS entropy_bits
+        |FROM per JOIN ent ON per.g = ent.g""".stripMargin,
+
+    // Degree distribution of the symmetric trade graph: node→degree,
+    // degree→count, cumulative over the degree frame.
+    "q_graph_degree_dist" ->
+      """WITH p AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+        |    l.l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        |  FROM e GROUP BY 1),
+        |hist AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |  FROM deg GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n_total
+        |  FROM hist)
+        |SELECT degree, n_nodes, n_total,
+        |  CAST((n_nodes * 1000000000) // n_total AS BIGINT)
+        |    AS node_share_ppb,
+        |  CAST(SUM(n_nodes) OVER (ORDER BY degree) AS BIGINT)
+        |    AS cum_nodes
+        |FROM hist CROSS JOIN tot""".stripMargin,
+
+    // Degree assortativity over the symmetric edge list: exact BIGINT
+    // (M, Σjk, Σj, Σj²), one fixed-order double combination.
+    "q_graph_assortativity" ->
+      """WITH p AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+        |    l.l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM e GROUP BY 1),
+        |ann AS (SELECT dj.d AS dj, dk.d AS dk FROM e
+        |  JOIN deg dj ON e.src = dj.node
+        |  JOIN deg dk ON e.dst = dk.node),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+        |    CAST(SUM(dj * dk) AS BIGINT) AS s_jk,
+        |    CAST(SUM(dj) AS BIGINT) AS s_j,
+        |    CAST(SUM(dj * dj) AS BIGINT) AS s_jj FROM ann)
+        |SELECT m_edges, s_jk, s_j, s_jj,
+        |  CASE WHEN CAST(m_edges AS DOUBLE) * CAST(s_jj AS DOUBLE)
+        |      - CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE) <> 0.0 THEN
+        |    (CAST(m_edges AS DOUBLE) * CAST(s_jk AS DOUBLE)
+        |      - CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE))
+        |    / (CAST(m_edges AS DOUBLE) * CAST(s_jj AS DOUBLE)
+        |      - CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE))
+        |  END AS assortativity
+        |FROM s""".stripMargin
   )
 }

@@ -1335,6 +1335,24 @@ object SparkEntry {
           .as("value_bucket")),
       "event_type", "value_bucket")
 
+  /** Lexical diversity per language: TTR, hapax mass, Simpson repeat
+    * probability, and exact quarter-bit Shannon entropy of the unigram
+    * distribution — the vocabulary-richness battery. */
+  private def qTextDiversity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalDiversity(docs(spark, dir), "lang", "text")
+
+  /** Degree distribution of the undirected trade graph — the CCDF
+    * histogram a hub/power-law analysis reads; all-integer. */
+  private def qGraphDegreeDist(spark: SparkSession, dir: String): DataFrame =
+    Graph.degreeDistribution(tradeGraphEdges(spark, dir))
+
+  /** Degree assortativity of the trade graph: do broad buyers
+    * concentrate on broad suppliers? Exact BIGINT sufficient
+    * statistics, one fixed-order double combination. */
+  private def qGraphAssortativity(spark: SparkSession,
+      dir: String): DataFrame =
+    Graph.degreeAssortativity(tradeGraphEdges(spark, dir))
+
   /** Kendall τ-b between daily event count and daily floored value
     * units — the pairwise-concordance cross-check on
     * [[qStatSpearman]]; the O(T²) pair pass runs on the ~30-row
@@ -2019,14 +2037,17 @@ object SparkEntry {
     "q_text_readability" -> (qTextReadability _),
     "q_stat_kendall" -> (qStatKendall _),
     "q_skyline" -> (qSkyline _),
-    "q_heavy_change" -> (qHeavyChange _)
+    "q_heavy_change" -> (qHeavyChange _),
+    "q_text_diversity" -> (qTextDiversity _),
+    "q_graph_degree_dist" -> (qGraphDegreeDist _),
+    "q_graph_assortativity" -> (qGraphAssortativity _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (206 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (209 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

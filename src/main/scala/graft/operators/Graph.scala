@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -272,5 +273,72 @@ object Graph {
         .select("node").localCheckpoint(true)
     try degreeAmong(alive).localCheckpoint(true)
     finally cached.foreach(_.unpersist())
+  }
+
+  /** DEGREE DISTRIBUTION — the first thing anyone asks of a graph:
+    * how many nodes have degree k, as a histogram with node-share ppb
+    * and a cumulative count (the CCDF any power-law / hub analysis
+    * reads). Input: a DISTINCT directed edge list (pass both
+    * directions for undirected degree, as the trade-graph builders
+    * do); degree = out-degree over that list.
+    *
+    * Scale shape: two map-combined groupBys (node → degree, degree →
+    * count) and one cumulative window over the DEGREE frame — single-
+    * partition but bounded by |distinct degrees|, which is ≤ the max
+    * degree, not the node count. All-integer. */
+  def degreeDistribution(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum(col("n_nodes")).as("n_total"))
+    val wCum = Window.orderBy(col("degree"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("node_share_ppb",
+        expr("(n_nodes * 1000000000L) div n_total"))
+      .withColumn("cum_nodes", sum(col("n_nodes")).over(wCum))
+      .select(col("degree"), col("n_nodes"), col("n_total"),
+        col("node_share_ppb"), col("cum_nodes"))
+  }
+
+  /** DEGREE ASSORTATIVITY — the Pearson correlation of endpoint
+    * degrees across edges: do hubs attach to hubs (r > 0, social
+    * graphs) or to leaves (r < 0, bipartite/tech graphs)? Computed on
+    * a symmetric directed edge list, where the textbook formula
+    * collapses to `r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²)` with j, k
+    * the src/dst degrees (symmetry makes the j- and k-marginals
+    * equal).
+    *
+    * Exactness: degrees and the three sums are exact BIGINTs (bounds:
+    * Σj² ≤ M·degmax² — rescale/sample above 2⁶³); the final
+    * combination runs in doubles from exact int64→double conversions,
+    * fixed op order. Scale shape: one degree rollup, two hash joins of
+    * the compact degree frame onto the edge list (partitioned on the
+    * join key each time), one scalar fold. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    val annotated = edges
+      .join(deg.select(col("node").as("src"), col("d").as("dj")),
+        Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("d").as("dk")),
+        Seq("dst"))
+    annotated.agg(count(lit(1)).as("m_edges"),
+        sum(col("dj") * col("dk")).as("s_jk"),
+        sum(col("dj")).as("s_j"),
+        sum(col("dj") * col("dj")).as("s_jj"))
+      .withColumn("assortativity",
+        when(col("m_edges").cast(DoubleType) *
+            col("s_jj").cast(DoubleType) -
+            col("s_j").cast(DoubleType) * col("s_j").cast(DoubleType)
+            =!= 0.0,
+          (col("m_edges").cast(DoubleType) *
+            col("s_jk").cast(DoubleType) -
+            col("s_j").cast(DoubleType) *
+              col("s_j").cast(DoubleType)) /
+            (col("m_edges").cast(DoubleType) *
+              col("s_jj").cast(DoubleType) -
+              col("s_j").cast(DoubleType) *
+                col("s_j").cast(DoubleType))))
   }
 }

@@ -1515,6 +1515,58 @@ object TextAnalysis {
       min(col("start_pos")).as("first_pos"))
   }
 
+  /** LEXICAL DIVERSITY per group — the vocabulary-richness battery a
+    * corpus mix is tuned against: type-token ratio (template/boiler-
+    * plate detector), hapax count (productive-vocabulary signal),
+    * Simpson's repeat-probability D (P two random tokens are the same
+    * type), and Shannon entropy of the unigram distribution in exact
+    * quarter-bits (the [[graft.functions.FixedLogFunctions]] integer
+    * kernel — no runtime `ln`, so engine and oracle agree bit-for-bit;
+    * token masses must stay ≤ ~10⁹ per group for the oracle's HUGEINT
+    * b⁴ window — shard or subsample above).
+    *
+    * Exactness: all masses BIGINT; `ttr_ppb` is a floor-div;
+    * `simpson_d = Σ n(n−1) / (N(N−1))` is ONE double division of
+    * exact longs (keep N(N−1) under 2⁵³ — N ≤ 9·10⁷); entropy is an
+    * exact integer quarter-bit sum with one final `/(4N)` double.
+    *
+    * Scale shape: one map-combined (group, token) rollup — the same
+    * pass every vocab operator here pays — then a per-group fold and
+    * one broadcast join of the compact per-group totals back onto the
+    * type frame for the entropy terms. */
+  def lexicalDiversity(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    import graft.functions.{FixedLogFunctions => FL}
+    val toks = df.select(col(groupCol).as("g"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).as("n_t"))
+    val per = tf.groupBy(col("g"))
+      .agg(sum(col("n_t")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("n_t") === 1L, 1)).as("hapax_types"),
+        sum(col("n_t") * (col("n_t") - 1L)).as("simpson_num"))
+    val ent = tf
+      .join(broadcast(per.select(col("g"), col("n_tokens"))), Seq("g"))
+      .withColumn("qlb", FL.log2QuarterBits(col("n_t"), col("n_tokens")))
+      .groupBy(col("g"))
+      .agg(sum(col("n_t") * col("qlb")).as("entropy_q"))
+    per.join(broadcast(ent), Seq("g"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("n_types"),
+        expr("(n_types * 1000000000L) div n_tokens").as("ttr_ppb"),
+        col("hapax_types"),
+        when(col("n_tokens") > 1L,
+          col("simpson_num").cast(DoubleType) /
+            (col("n_tokens") * (col("n_tokens") - 1L))
+              .cast(DoubleType)).as("simpson_d"),
+        col("entropy_q"),
+        (col("entropy_q").cast(DoubleType) /
+          (lit(4.0) * col("n_tokens").cast(DoubleType)))
+          .as("entropy_bits"))
+  }
+
   /** READABILITY PROFILE per group — Flesch reading ease from corpus-
     * level word/sentence/syllable masses: the curation signal that
     * separates technical prose, simple web text, and degenerate

@@ -33,6 +33,29 @@ class GraphSpec extends SparkSpec {
   private def bidir(pairs: (Long, Long)*): Seq[(Long, Long)] =
     pairs ++ pairs.map(_.swap)
 
+  test("degreeDistribution: star histogram, shares, cumulative") {
+    val e = bidir(1L -> 2L, 1L -> 3L, 1L -> 4L).toDF("src", "dst")
+    val got = Graph.degreeDistribution(e).collect()
+      .map(r => r.getAs[Long]("degree") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("node_share_ppb"),
+          r.getAs[Long]("cum_nodes")))).toMap
+    assert(got(1L) == ((3L, 750000000L, 3L)), s"$got")
+    assert(got(3L) == ((1L, 250000000L, 4L)), s"$got")
+  }
+
+  test("degreeAssortativity: star is perfectly disassortative (-1)") {
+    val e = bidir(1L -> 2L, 1L -> 3L, 1L -> 4L).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(e).collect().head
+    assert(r.getAs[Long]("m_edges") == 6L)
+    assert(r.getAs[Long]("s_jk") == 18L)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+    // 4-cycle: all degrees equal → zero variance → NULL (undefined)
+    val cyc = bidir(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+      .toDF("src", "dst")
+    val rc = Graph.degreeAssortativity(cyc).collect().head
+    assert(rc.isNullAt(rc.fieldIndex("assortativity")))
+  }
+
   test("pageRankTop: star center dominates; first iteration hand-checked") {
     val e = bidir(1L -> 2L, 1L -> 3L, 1L -> 4L)
     val out = Graph.pageRankTop(e.toDF("src", "dst"), iterations = 1,

@@ -8,6 +8,22 @@ import graft.queries.TimeSeries
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("lexicalDiversity: hand-counted TTR/hapax/Simpson and exact " +
+    "quarter-bit entropy") {
+    // "x x y": N=3, V=2, hapax=1, simpson 2/6;
+    // entropy_q = 2*qlog2(3/2) + 1*qlog2(3/1) = 2*2 + 6 = 10
+    val d = Seq(("a", "x x y")).toDF("lang", "text")
+    val r = TextAnalysis.lexicalDiversity(d, "lang", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("n_types") == 2L)
+    assert(r.getAs[Long]("ttr_ppb") == 666666666L)
+    assert(r.getAs[Long]("hapax_types") == 1L)
+    assert(r.getAs[Double]("simpson_d") == 2.0 / 6.0)
+    assert(r.getAs[Long]("entropy_q") == 10L)
+    assert(r.getAs[Double]("entropy_bits") == 10.0 / 12.0)
+  }
+
   test("readability: hand-counted masses and exact Flesch formula") {
     // "The cat. The cat ran!": 5 words, 2 sentence-ender runs,
     // 5 vowel runs → wps 2.5, spw 1.0,
