@@ -5392,6 +5392,94 @@ object OracleSql {
         |    / (CAST(m_edges AS DOUBLE) * CAST(s_jj AS DOUBLE)
         |      - CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE))
         |  END AS assortativity
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // Zipf slope over the top-1000 types: quarter-bit integer log
+    // axes via the HUGEINT b^4 bitlength kernel, BIGINT OLS sums,
+    // fixed-order double slope/intercept/r^2.
+    "q_text_zipf" ->
+      """WITH toks AS (SELECT tok FROM (SELECT
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents) WHERE length(tok) > 0),
+        |tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM toks GROUP BY 1 ORDER BY freq DESC, tok LIMIT 1000),
+        |ranked AS (SELECT freq, CAST(row_number() OVER (
+        |    ORDER BY freq DESC, tok) AS BIGINT) AS rank FROM tf),
+        |pts AS (SELECT
+        |    CAST(length(bin(CAST(rank AS HUGEINT) * rank * rank
+        |      * rank)) - 1 AS BIGINT) AS x,
+        |    CAST(length(bin(CAST(freq AS HUGEINT) * freq * freq
+        |      * freq)) - 1 AS BIGINT) AS y
+        |  FROM ranked),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy FROM pts),
+        |f AS (SELECT *,
+        |    CAST(n_points * sxx - sx * sx AS DOUBLE) AS den,
+        |    CASE WHEN CAST(n_points * sxx - sx * sx AS DOUBLE)
+        |        <> 0.0 THEN
+        |      CAST(n_points * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n_points * sxx - sx * sx AS DOUBLE)
+        |    END AS slope FROM s)
+        |SELECT n_points, sx, sy, sxx, syy, sxy, slope,
+        |  CASE WHEN den <> 0.0 THEN (CAST(sy AS DOUBLE)
+        |    - slope * CAST(sx AS DOUBLE))
+        |    / CAST(n_points AS DOUBLE) END AS intercept_qb,
+        |  CASE WHEN den <> 0.0
+        |      AND n_points * syy - sy * sy > 0 THEN
+        |    (CAST(n_points * sxy - sx * sy AS DOUBLE)
+        |      * CAST(n_points * sxy - sx * sy AS DOUBLE))
+        |    / (den * CAST(n_points * syy - sy * sy AS DOUBLE))
+        |  END AS r2
+        |FROM f""".stripMargin,
+
+    // Hour x weekday heatmap from pure integer epoch arithmetic
+    // (dow: epoch day + 3 mod 7, Monday = 0).
+    "q_activity_matrix" ->
+      """WITH base AS (SELECT epoch_ns(ts) // 1000000000 AS epoch_s
+        |  FROM events),
+        |b2 AS (SELECT ((epoch_s // 86400) + 3) % 7 AS dow,
+        |    (epoch_s % 86400) // 3600 AS hour FROM base),
+        |cells AS (SELECT dow, hour, CAST(COUNT(*) AS BIGINT)
+        |    AS n_events FROM b2 GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total
+        |  FROM cells)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT)
+        |    AS hour, n_events,
+        |  CAST((n_events * 1000000000) // n_total AS BIGINT)
+        |    AS share_ppb
+        |FROM cells CROSS JOIN tot""".stripMargin,
+
+    // Order->ship latency per priority: exact rank-selected quantiles
+    // over the (priority, days) distinct-value frame.
+    "q_ship_latency" ->
+      """WITH j AS (SELECT o.o_orderpriority AS g,
+        |    (epoch_ns(l.l_shipdate) // 1000000000
+        |      - epoch_ns(o.o_orderdate) // 1000000000) // 86400
+        |      AS lat_days
+        |  FROM lineitem l JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |c AS (SELECT g, lat_days, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM j GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(SUM(cnt) OVER (PARTITION BY g
+        |      ORDER BY lat_days) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM c)
+        |SELECT g AS o_orderpriority,
+        |  CAST(MAX(n) AS BIGINT) AS n_rows,
+        |  CAST(MIN(lat_days) AS BIGINT) AS min_days,
+        |  CAST(MAX(lat_days) AS BIGINT) AS max_days,
+        |  CAST(SUM(lat_days * cnt) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+        |    AS mean_days,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN lat_days END)
+        |    AS BIGINT) AS p50_days,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN lat_days END)
+        |    AS BIGINT) AS p90_days,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN lat_days END)
+        |    AS BIGINT) AS p99_days
+        |FROM w GROUP BY 1""".stripMargin
   )
 }

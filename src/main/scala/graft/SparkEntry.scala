@@ -1335,6 +1335,33 @@ object SparkEntry {
           .as("value_bucket")),
       "event_type", "value_bucket")
 
+  /** Zipf rank-frequency slope over the top-1000 token types — the
+    * power-law diagnostic (natural text ≈ −1): integer quarter-bit
+    * log axes, BIGINT OLS sufficient statistics, diagnostic-grade
+    * quantization like the PSI/MI family. */
+  private def qTextZipf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfSlope(docs(spark, dir), "text", topN = 1000)
+
+  /** Hour-of-day × day-of-week activity heatmap with ppb shares —
+    * weekday/hour from pure integer epoch arithmetic, never engine
+    * date-part functions. */
+  private def qActivityMatrix(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.activityMatrix(events(spark, dir), "ts")
+
+  /** Order→ship latency profile per order priority: exact
+    * rank-selected p50/p90/p99 in integer days over the compact
+    * (priority, days) distinct-value frame — the SLA read. */
+  private def qShipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    Warehouse.latencyQuantiles(
+      l.join(o, col("l_orderkey") === col("o_orderkey")),
+      "o_orderpriority", "o_orderdate", "l_shipdate")
+  }
+
   /** Lexical diversity per language: TTR, hapax mass, Simpson repeat
     * probability, and exact quarter-bit Shannon entropy of the unigram
     * distribution — the vocabulary-richness battery. */
@@ -2040,14 +2067,17 @@ object SparkEntry {
     "q_heavy_change" -> (qHeavyChange _),
     "q_text_diversity" -> (qTextDiversity _),
     "q_graph_degree_dist" -> (qGraphDegreeDist _),
-    "q_graph_assortativity" -> (qGraphAssortativity _)
+    "q_graph_assortativity" -> (qGraphAssortativity _),
+    "q_text_zipf" -> (qTextZipf _),
+    "q_activity_matrix" -> (qActivityMatrix _),
+    "q_ship_latency" -> (qShipLatency _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (209 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (212 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

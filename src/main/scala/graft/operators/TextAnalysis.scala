@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1565,6 +1566,69 @@ object TextAnalysis {
         (col("entropy_q").cast(DoubleType) /
           (lit(4.0) * col("n_tokens").cast(DoubleType)))
           .as("entropy_bits"))
+  }
+
+  /** ZIPF SLOPE — the log-log rank-frequency regression over the top-N
+    * token types: natural text sits near slope −1 (Zipf's law);
+    * template-heavy or synthetic corpora flatten, and the fit quality
+    * (r²) says how law-like the curve is at all. The power-law
+    * diagnostic beside [[vocabularyCoverage]]'s cumulative view.
+    *
+    * Exactness: both axes are EXACT INTEGER quarter-bit logs
+    * (`floor(4·log2(v))` via the fixed-log kernel — rank and frequency
+    * are integers, so no runtime `ln` anywhere); the OLS sufficient
+    * statistics are BIGINT sums over ≤ N points, and slope /
+    * intercept / r² are fixed-order double combinations. Quarter-bit
+    * quantization bounds the slope resolution at ~0.25/log-decade —
+    * a diagnostic-grade fit, same contract as the PSI/MI family.
+    *
+    * Scale shape: one (token) rollup, global top-N via
+    * TakeOrderedAndProject (never a global row_number over the full
+    * vocabulary), then a single-partition rank window over N rows. */
+  def zipfSlope(df: DataFrame, textCol: String,
+      topN: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    import graft.functions.{FixedLogFunctions => FL}
+    val tf = df.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(topN)
+    val ranked = tf.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("tok")))
+        .cast(LongType))
+    val pts = ranked
+      .withColumn("x", FL.log2QuarterBits(lit(1L), col("rank")))
+      .withColumn("y", FL.log2QuarterBits(lit(1L), col("freq")))
+    pts.agg(count(lit(1)).as("n_points"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("den",
+        (col("n_points") * col("sxx") - col("sx") * col("sx"))
+          .cast(DoubleType))
+      .withColumn("slope",
+        when(col("den") =!= 0.0,
+          (col("n_points") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType) / col("den")))
+      .withColumn("intercept_qb",
+        when(col("den") =!= 0.0,
+          (col("sy").cast(DoubleType) -
+            col("slope") * col("sx").cast(DoubleType)) /
+            col("n_points").cast(DoubleType)))
+      .withColumn("r2",
+        when(col("den") =!= 0.0 &&
+            (col("n_points") * col("syy") - col("sy") * col("sy")) > 0L,
+          ((col("n_points") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType) *
+            (col("n_points") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType)) /
+            (col("den") *
+              (col("n_points") * col("syy") - col("sy") * col("sy"))
+                .cast(DoubleType))))
+      .select(col("n_points"), col("sx"), col("sy"), col("sxx"),
+        col("syy"), col("sxy"), col("slope"), col("intercept_qb"),
+        col("r2"))
   }
 
   /** READABILITY PROFILE per group — Flesch reading ease from corpus-

@@ -1221,6 +1221,31 @@ object TimeSeries {
         col("forecast_micro").cast(DoubleType) / lit(1000000.0))
   }
 
+  /** ACTIVITY MATRIX — the hour-of-day × day-of-week load heatmap
+    * every ops review opens with: event counts and ppb shares per
+    * (weekday, hour) cell. Weekday and hour come from PURE INTEGER
+    * epoch arithmetic (`dow = (epoch_day + 3) % 7`, Monday = 0 —
+    * epoch day 0 was a Thursday; `hour = (epoch_s % 86400) div
+    * 3600`), never from engine date-part functions whose week/TZ
+    * conventions differ.
+    *
+    * Scale shape: one map-combined groupBy onto ≤ 168 cells +
+    * broadcast total — scan-bound. All-integer. */
+  def activityMatrix(df: DataFrame, ts: String): DataFrame = {
+    val base = df
+      .withColumn("epoch_s", epochSeconds(col(ts)))
+      .withColumn("dow", expr("((epoch_s div 86400L) + 3L) % 7L"))
+      .withColumn("hour", expr("(epoch_s % 86400L) div 3600L"))
+    val cells = base.groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = cells.agg(sum(col("n_events")).as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("share_ppb",
+        expr("(n_events * 1000000000L) div n_total"))
+      .select(col("dow"), col("hour"), col("n_events"),
+        col("share_ppb"))
+  }
+
   /** INTERVAL CONCURRENCY (sweep line) — peak simultaneous activity
     * per day: every event opens a half-open activity interval
     * `[ts, ts+duration)`, and the classic +1/−1 sweep reports each

@@ -934,6 +934,55 @@ object Warehouse {
     finally { li.unpersist(); freq.unpersist() }
   }
 
+  /** LATENCY QUANTILE PROFILE per group — the SLA read on any
+    * start→end timestamp pair (order→ship, request→response): per
+    * group, count, min/max/mean and EXACT rank-selected p50/p90/p99 in
+    * integer days. Quantile convention: the value at rank
+    * `⌈q·n/100⌉` — the smallest value whose cumulative count clears
+    * the multiplied-through inequality `100·cum ≥ q·n` (no
+    * interpolation, engine-reproducible — the
+    * [[graft.operators.Sketches]] quantile-audit convention).
+    *
+    * Scale shape: the latency column collapses map-side to one row
+    * per `(group, latency_days)` — the cumulative window runs over
+    * that compact distinct-value frame (the
+    * [[graft.operators.Profiling]] exact-median discipline), then one
+    * grouped fold picks all three quantiles with conditional minima.
+    * Exactness: all-integer ranks; `mean_days` is ONE double division
+    * of exact longs. */
+  def latencyQuantiles(df: DataFrame, groupCol: String,
+      startTs: String, endTs: String): DataFrame = {
+    val lat = df
+      .withColumn("lat_days",
+        expr(s"(${epochExpr(endTs)} - ${epochExpr(startTs)}) " +
+          "div 86400L"))
+      .groupBy(col(groupCol).as("g"), col("lat_days"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("lat_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+    lat
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n")).as("n_rows"),
+        min(col("lat_days")).as("min_days"),
+        max(col("lat_days")).as("max_days"),
+        (sum(col("lat_days") * col("cnt")).cast(DoubleType) /
+          max(col("n")).cast(DoubleType)).as("mean_days"),
+        min(when(col("cum") * 100L >= col("n") * 50L,
+          col("lat_days"))).as("p50_days"),
+        min(when(col("cum") * 100L >= col("n") * 90L,
+          col("lat_days"))).as("p90_days"),
+        min(when(col("cum") * 100L >= col("n") * 99L,
+          col("lat_days"))).as("p99_days"))
+  }
+
+  /** The NTZ-safe epoch-seconds SQL fragment for [[latencyQuantiles]]
+    * (expression-string form of [[TimeSeries.epochSeconds]]). */
+  private def epochExpr(c: String): String =
+    s"cast(cast($c as timestamp) as long)"
+
   /** 2D PARETO FRONTIER (skyline) — the points no other row strictly
     * dominates under (minimize x, maximize y): "the largest size at
     * every price", "the best quality at every latency". A row is

@@ -8,6 +8,21 @@ import graft.queries.TimeSeries
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("zipfSlope: quarter-bit OLS on an engineered power law") {
+    // freqs 16/4/1 at ranks 1/2/3 → points (0,16),(4,8),(6,0):
+    // slope = -144/56, r2 = 20736/21504 — all exact integer sums
+    val text = (Seq.fill(16)("a") ++ Seq.fill(4)("b") ++ Seq("c"))
+      .mkString(" ")
+    val r = TextAnalysis.zipfSlope(Seq(text).toDF("text"), "text")
+      .collect().head
+    assert(r.getAs[Long]("n_points") == 3L)
+    assert((r.getAs[Long]("sx"), r.getAs[Long]("sy"),
+      r.getAs[Long]("sxx"), r.getAs[Long]("sxy")) ==
+      ((10L, 24L, 52L, 32L)))
+    assert(r.getAs[Double]("slope") == -144.0 / 56.0)
+    assert(r.getAs[Double]("r2") == 20736.0 / 21504.0)
+  }
+
   test("lexicalDiversity: hand-counted TTR/hapax/Simpson and exact " +
     "quarter-bit entropy") {
     // "x x y": N=3, V=2, hapax=1, simpson 2/6;
@@ -2026,6 +2041,19 @@ class TimeSeriesSpec extends SparkSpec {
     (2L, 0L, 5.0, 103L), (2L, 7200L, 6.0, 104L)
   ).toDF("user_id", "epoch", "value", "event_id")
     .withColumn("ts", timestamp_seconds(col("epoch")))
+
+  test("activityMatrix: integer dow/hour (epoch day 0 = Thursday), " +
+    "ppb shares") {
+    val d = Seq(0L, 5L * 3600L, 4L * 86400L).toDF("epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val got = TimeSeries.activityMatrix(d, "ts").collect()
+      .map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hour")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("share_ppb"))))
+      .toMap
+    assert(got((3L, 0L)) == ((1L, 333333333L)), s"$got") // Thu 00h
+    assert(got((3L, 5L)) == ((1L, 333333333L)), s"$got") // Thu 05h
+    assert(got((0L, 0L)) == ((1L, 333333333L)), s"$got") // Mon 00h
+  }
 
   test("intervalConcurrency: sweep-line peak, half-open ends, " +
     "earliest argmax, start-day attribution") {

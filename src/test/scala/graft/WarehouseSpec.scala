@@ -806,6 +806,24 @@ class WarehouseSpec extends SparkSpec {
     assert(byItem(2L) == ((1L, 3L, 1.0, 1L)))
   }
 
+  test("latencyQuantiles: exact rank-selected p50/p90/p99 on a " +
+    "1..10-day ladder") {
+    val d = (1 to 10).map(i => ("g", 0L, i.toLong * 86400L))
+      .toDF("g", "start_epoch", "end_epoch")
+      .withColumn("t0", timestamp_seconds(col("start_epoch")))
+      .withColumn("t1", timestamp_seconds(col("end_epoch")))
+    val r = graft.queries.Warehouse
+      .latencyQuantiles(d, "g", "t0", "t1").collect().head
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("min_days") == 1L)
+    assert(r.getAs[Long]("max_days") == 10L)
+    assert(r.getAs[Double]("mean_days") == 5.5)
+    // rank ceil(q*n/100): p50 → rank 5, p90 → rank 9, p99 → rank 10
+    assert(r.getAs[Long]("p50_days") == 5L)
+    assert(r.getAs[Long]("p90_days") == 9L)
+    assert(r.getAs[Long]("p99_days") == 10L)
+  }
+
   test("paretoFrontier: strict dominance, same-x ties, co-optimal " +
     "duplicates counted") {
     val d = Seq((1.0, 5), (1.0, 5), (1.0, 3), (2.0, 7), (2.0, 5),
