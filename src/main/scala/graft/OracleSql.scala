@@ -5480,6 +5480,81 @@ object OracleSql {
         |    AS BIGINT) AS p90_days,
         |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN lat_days END)
         |    AS BIGINT) AS p99_days
-        |FROM w GROUP BY 1""".stripMargin
+        |FROM w GROUP BY 1""".stripMargin,
+
+    // Freshness audit: per-type newest record vs the global
+    // watermark, all-integer lag and last-day volume.
+    "q_dq_freshness" ->
+      """WITH base AS (SELECT event_type AS g,
+        |    epoch_ns(ts) // 1000000000 AS epoch_s FROM events),
+        |wm AS (SELECT CAST(MAX(epoch_s) AS BIGINT) AS watermark_s
+        |  FROM base),
+        |per AS (SELECT g, watermark_s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(MAX(epoch_s) AS BIGINT) AS last_epoch_s,
+        |    CAST(COUNT(CASE WHEN epoch_s >= watermark_s - 86400
+        |      THEN 1 END) AS BIGINT) AS n_last_day
+        |  FROM base CROSS JOIN wm GROUP BY 1, 2)
+        |SELECT g AS event_type, n_rows, last_epoch_s, watermark_s,
+        |  CAST(watermark_s - last_epoch_s AS BIGINT) AS lag_s,
+        |  n_last_day,
+        |  (watermark_s - last_epoch_s) > 3600 AS is_stale
+        |FROM per""".stripMargin,
+
+    // Fano-factor burstiness of the top-20 terms: (term, doc) counts
+    // only over the pruned top vocabulary; zero-docs enter through
+    // the sufficient-statistic variance form.
+    "q_text_burstiness" ->
+      """WITH toks AS (SELECT doc, tok FROM (SELECT doc_id AS doc,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents) WHERE length(tok) > 0),
+        |top AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tft
+        |  FROM toks GROUP BY 1 ORDER BY tft DESC, tok LIMIT 20),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents),
+        |perdoc AS (SELECT t.tok, t.doc, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks t JOIN top ON t.tok = top.tok GROUP BY 1, 2),
+        |agg AS (SELECT tok AS term, CAST(COUNT(*) AS BIGINT)
+        |      AS df_docs,
+        |    CAST(SUM(c) AS BIGINT) AS tf_total,
+        |    CAST(SUM(c * c) AS BIGINT) AS sum_sq
+        |  FROM perdoc GROUP BY 1),
+        |f AS (SELECT term, n_docs, df_docs, tf_total, sum_sq,
+        |    CAST(tf_total AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |      AS mean_per_doc
+        |  FROM agg CROSS JOIN nd)
+        |SELECT term, n_docs, df_docs, tf_total, sum_sq, mean_per_doc,
+        |  CASE WHEN tf_total > 0 AND n_docs > 0 THEN
+        |    (CAST(sum_sq AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |      - mean_per_doc * mean_per_doc) / mean_per_doc
+        |  END AS fano
+        |FROM f""".stripMargin,
+
+    // Wilson 95% interval per type for P(value >= 100): exact (n, k)
+    // rollup, one fixed-order double interval (e0 literals, z*z
+    // computed, sqrt IEEE-exact).
+    "q_wilson_ci" ->
+      """WITH per AS (SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_trials,
+        |    CAST(COUNT(CASE WHEN value >= 100.0 THEN 1 END)
+        |      AS BIGINT) AS n_success
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT *, CAST(n_trials AS DOUBLE) AS nd,
+        |    CASE WHEN n_trials > 0 THEN CAST(n_success AS DOUBLE)
+        |      / CAST(n_trials AS DOUBLE) END AS p_hat FROM per),
+        |g AS (SELECT *, 1.0e0 + 1.96e0 * 1.96e0 / nd AS denom
+        |  FROM f),
+        |h AS (SELECT *,
+        |    CASE WHEN n_trials > 0 THEN
+        |      (p_hat + 1.96e0 * 1.96e0 / (2.0e0 * nd)) / denom
+        |    END AS center,
+        |    CASE WHEN n_trials > 0 THEN
+        |      1.96e0 * sqrt(p_hat * (1.0e0 - p_hat) / nd
+        |        + 1.96e0 * 1.96e0 / (4.0e0 * nd * nd)) / denom
+        |    END AS half
+        |  FROM g)
+        |SELECT event_type, n_trials, n_success, p_hat,
+        |  center - half AS wilson_low, center + half AS wilson_high
+        |FROM h""".stripMargin
   )
 }

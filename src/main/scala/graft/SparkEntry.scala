@@ -1335,6 +1335,27 @@ object SparkEntry {
           .as("value_bucket")),
       "event_type", "value_bucket")
 
+  /** Freshness audit per event type: newest record vs the global
+    * watermark, lag seconds, last-day volume, stale verdict at 1 h —
+    * the F3 cursor semantics restated as monitoring. */
+  private def qDqFreshness(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.freshnessAudit(events(spark, dir), "event_type", "ts",
+      3600L)
+
+  /** Fano-factor burstiness of the top-20 corpus terms: function
+    * words sit near 1, topical words clump ≫ 1 — zero-occurrence
+    * documents counted via the sufficient-statistic form. */
+  private def qTextBurstiness(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.termBurstiness(docs(spark, dir), "doc_id", "text",
+      topN = 20)
+
+  /** Wilson 95% interval per event type for P(value ≥ 100) — the
+    * closed-form binomial CI beside the bootstrap band. */
+  private def qWilsonCi(spark: SparkSession, dir: String): DataFrame =
+    Stats.wilsonInterval(
+      events(spark, dir).withColumn("is_big", col("value") >= 100.0),
+      "event_type", "is_big")
+
   /** Zipf rank-frequency slope over the top-1000 token types — the
     * power-law diagnostic (natural text ≈ −1): integer quarter-bit
     * log axes, BIGINT OLS sufficient statistics, diagnostic-grade
@@ -2070,14 +2091,17 @@ object SparkEntry {
     "q_graph_assortativity" -> (qGraphAssortativity _),
     "q_text_zipf" -> (qTextZipf _),
     "q_activity_matrix" -> (qActivityMatrix _),
-    "q_ship_latency" -> (qShipLatency _)
+    "q_ship_latency" -> (qShipLatency _),
+    "q_dq_freshness" -> (qDqFreshness _),
+    "q_text_burstiness" -> (qTextBurstiness _),
+    "q_wilson_ci" -> (qWilsonCi _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (212 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (215 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

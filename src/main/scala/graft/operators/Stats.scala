@@ -261,6 +261,46 @@ object Stats {
         col("tie_cubes"), col("z_stat"), col("rank_biserial"))
   }
 
+  /** WILSON SCORE INTERVAL per group — the binomial proportion CI
+    * that stays sane at small n and extreme p̂ (unlike the normal
+    * approximation): center `(p̂ + z²/2n)/(1 + z²/n)`, half-width
+    * `z·sqrt(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n)`, z = 1.96 (95%). The
+    * closed-form complement to the Poisson-bootstrap band
+    * ([[graft.operators.Bootstrap]]): exact, instant, but
+    * binomial-only.
+    *
+    * Exactness: n and k are BIGINTs from one map-combined rollup; the
+    * interval is ONE fixed-order double expression over their exact
+    * conversions (z·z computed, never a rounded 3.8416 literal, so
+    * both engines run the identical multiply; sqrt is IEEE-exact). */
+  def wilsonInterval(df: DataFrame, groupCol: String,
+      successCol: String): DataFrame = {
+    val z = lit(1.96)
+    val per = df.groupBy(col(groupCol).as(groupCol))
+      .agg(count(lit(1)).as("n_trials"),
+        count(when(col(successCol), 1)).as("n_success"))
+      .withColumn("nd", col("n_trials").cast(DoubleType))
+      .withColumn("p_hat",
+        when(col("n_trials") > 0L,
+          col("n_success").cast(DoubleType) / col("nd")))
+    per
+      .withColumn("denom", lit(1.0) + z * z / col("nd"))
+      .withColumn("center",
+        when(col("n_trials") > 0L,
+          (col("p_hat") + z * z / (lit(2.0) * col("nd"))) /
+            col("denom")))
+      .withColumn("half",
+        when(col("n_trials") > 0L,
+          z * sqrt(col("p_hat") * (lit(1.0) - col("p_hat")) /
+            col("nd") +
+            z * z / (lit(4.0) * col("nd") * col("nd"))) /
+            col("denom")))
+      .select(col(groupCol), col("n_trials"), col("n_success"),
+        col("p_hat"),
+        (col("center") - col("half")).as("wilson_low"),
+        (col("center") + col("half")).as("wilson_high"))
+  }
+
   /** KENDALL'S TAU-B — the pairwise-concordance rank correlation, the
     * third monotone-association read beside [[spearmanCorr]] (tau has
     * better small-sample behavior and a direct probabilistic meaning:

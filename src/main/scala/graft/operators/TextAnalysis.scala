@@ -1631,6 +1631,51 @@ object TextAnalysis {
         col("r2"))
   }
 
+  /** TERM BURSTINESS (Fano factor) for the top-N corpus terms — does
+    * a term spread evenly across documents (function words, Fano ≈ 1,
+    * Poisson-like) or clump into a few (content/topical words,
+    * Fano ≫ 1)? The content-word detector TF-IDF only implies;
+    * zero-occurrence documents COUNT (the variance is over the full
+    * corpus), which the sufficient-statistic form gets for free:
+    * `mean = tf/D`, `var = Σc²/D − mean²`, `fano = var/mean`.
+    *
+    * Exactness: D, tf, Σc², df are exact BIGINTs; fano is one
+    * fixed-order double expression (keep Σc² under 2⁵³). Scale shape:
+    * the (term, doc) count rollup runs ONLY over the top-N vocabulary
+    * (TakeOrdered top-N, then a broadcast semi-join prunes the token
+    * stream before the per-doc grouping) — the full corpus never
+    * pays the per-doc-per-term pass. */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 20): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val top = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf_total"))
+      .orderBy(col("tf_total").desc, col("tok")).limit(topN)
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val perDoc = toks.join(broadcast(top.select("tok")), Seq("tok"),
+        "left_semi")
+      .groupBy(col("tok"), col("doc")).agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("tok").as("term"))
+      .agg(count(lit(1)).as("df_docs"),
+        sum(col("c")).as("tf_total"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("mean_per_doc",
+        col("tf_total").cast(DoubleType) /
+          col("n_docs").cast(DoubleType))
+      .withColumn("fano",
+        when(col("tf_total") > 0L && col("n_docs") > 0L,
+          (col("sum_sq").cast(DoubleType) /
+            col("n_docs").cast(DoubleType) -
+            col("mean_per_doc") * col("mean_per_doc")) /
+            col("mean_per_doc")))
+      .select(col("term"), col("n_docs"), col("df_docs"),
+        col("tf_total"), col("sum_sq"), col("mean_per_doc"),
+        col("fano"))
+  }
+
   /** READABILITY PROFILE per group — Flesch reading ease from corpus-
     * level word/sentence/syllable masses: the curation signal that
     * separates technical prose, simple web text, and degenerate

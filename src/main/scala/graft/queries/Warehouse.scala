@@ -983,6 +983,33 @@ object Warehouse {
   private def epochExpr(c: String): String =
     s"cast(cast($c as timestamp) as long)"
 
+  /** FRESHNESS AUDIT per group — the staleness read a pipeline SLA
+    * dashboard needs: each partition/source/type's newest record
+    * versus the dataset's global watermark, its lag in seconds, the
+    * volume inside the final 24 h window, and a stale verdict against
+    * a threshold. The reference's `modified_since` cursor semantics
+    * (SURVEY §2 F3) restated as a monitoring query.
+    *
+    * All-integer (epoch seconds, counts, boolean verdict); one
+    * map-combined per-group rollup + a broadcast global max. */
+  def freshnessAudit(df: DataFrame, groupCol: String, tsCol: String,
+      staleThresholdSec: Long): DataFrame = {
+    val base = df.withColumn("epoch_s",
+      TimeSeries.epochSeconds(col(tsCol)))
+    val glob = base.agg(max(col("epoch_s")).as("watermark_s"))
+    base.crossJoin(broadcast(glob))
+      .groupBy(col(groupCol).as(groupCol), col("watermark_s"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("epoch_s")).as("last_epoch_s"),
+        count(when(col("epoch_s") >= col("watermark_s") - 86400L, 1))
+          .as("n_last_day"))
+      .withColumn("lag_s", col("watermark_s") - col("last_epoch_s"))
+      .withColumn("is_stale", col("lag_s") > staleThresholdSec)
+      .select(col(groupCol), col("n_rows"), col("last_epoch_s"),
+        col("watermark_s"), col("lag_s"), col("n_last_day"),
+        col("is_stale"))
+  }
+
   /** 2D PARETO FRONTIER (skyline) — the points no other row strictly
     * dominates under (minimize x, maximize y): "the largest size at
     * every price", "the best quality at every latency". A row is

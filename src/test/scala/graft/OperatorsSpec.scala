@@ -8,6 +8,24 @@ import graft.queries.TimeSeries
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("termBurstiness: Fano with zero-docs counted via sufficient " +
+    "statistics") {
+    val d = Seq((1L, "w w w w"), (2L, "w x"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.termBurstiness(d, "doc_id", "text", topN = 2)
+      .collect().map(r => r.getAs[String]("term") -> r).toMap
+    val w = got("w")
+    assert(w.getAs[Long]("df_docs") == 2L)
+    assert(w.getAs[Long]("tf_total") == 5L)
+    assert(w.getAs[Long]("sum_sq") == 17L)
+    // clumped: fano = (17/3 - (5/3)^2)/(5/3) ≈ 1.73 > 1
+    assert(w.getAs[Double]("fano") ==
+      (17.0 / 3.0 - (5.0 / 3.0) * (5.0 / 3.0)) / (5.0 / 3.0))
+    // spread-out x: fano = (2/3 - (2/3)^2)/(2/3) = 1/3 < 1
+    assert(got("x").getAs[Double]("fano") ==
+      (2.0 / 3.0 - (2.0 / 3.0) * (2.0 / 3.0)) / (2.0 / 3.0))
+  }
+
   test("zipfSlope: quarter-bit OLS on an engineered power law") {
     // freqs 16/4/1 at ranks 1/2/3 → points (0,16),(4,8),(6,0):
     // slope = -144/56, r2 = 20736/21504 — all exact integer sums

@@ -74,6 +74,27 @@ class StatsSpec extends SparkSpec {
     assert(tie.getAs[Long]("tie_cubes") == 6L)
   }
 
+  test("wilsonInterval: closed-form fixture, zero-success floor") {
+    val d = (Seq.fill(1)(("g", true)) ++ Seq.fill(3)(("g", false)) ++
+      Seq.fill(4)(("z", false))).toDF("grp", "ok")
+    val got = Stats.wilsonInterval(d, "grp", "ok").collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    val g = got("g")
+    assert(g.getAs[Long]("n_trials") == 4L)
+    assert(g.getAs[Double]("p_hat") == 0.25)
+    val z = 1.96; val nd = 4.0; val p = 0.25
+    val denom = 1.0 + z * z / nd
+    val center = (p + z * z / (2.0 * nd)) / denom
+    val half = z * math.sqrt(p * (1.0 - p) / nd +
+      z * z / (4.0 * nd * nd)) / denom
+    assert(g.getAs[Double]("wilson_low") == center - half)
+    assert(g.getAs[Double]("wilson_high") == center + half)
+    // p_hat = 0: the Wilson lower bound collapses to ~0, never < 0
+    val zr = got("z")
+    assert(math.abs(zr.getAs[Double]("wilson_low")) < 1e-15)
+    assert(zr.getAs[Double]("wilson_high") > 0.0)
+  }
+
   test("kendallTauB: perfect concordance, reversal, tie correction") {
     def tau(xs: Seq[(Long, Long)]) =
       Stats.kendallTauB(xs.toDF("x", "y"), "x", "y").collect().head

@@ -806,6 +806,21 @@ class WarehouseSpec extends SparkSpec {
     assert(byItem(2L) == ((1L, 3L, 1.0, 1L)))
   }
 
+  test("freshnessAudit: lag vs global watermark, last-day window, " +
+    "stale verdict") {
+    val d = Seq(("a", 100L), ("a", 5000L), ("b", 100000L))
+      .toDF("g", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val got = graft.queries.Warehouse
+      .freshnessAudit(d, "g", "ts", 3600L).collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("last_epoch_s"), r.getAs[Long]("lag_s"),
+          r.getAs[Long]("n_last_day"),
+          r.getAs[Boolean]("is_stale")))).toMap
+    assert(got("a") == ((5000L, 95000L, 0L, true)), s"$got")
+    assert(got("b") == ((100000L, 0L, 1L, false)), s"$got")
+  }
+
   test("latencyQuantiles: exact rank-selected p50/p90/p99 on a " +
     "1..10-day ladder") {
     val d = (1 to 10).map(i => ("g", 0L, i.toLong * 86400L))
