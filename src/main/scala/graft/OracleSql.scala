@@ -5555,6 +5555,108 @@ object OracleSql {
         |  FROM g)
         |SELECT event_type, n_trials, n_success, p_hat,
         |  center - half AS wilson_low, center + half AS wilson_high
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    // Markov memorylessness: observed 2-step ppb vs the chained
+    // 1-step prediction (exact ppb*ppb sums, one floor-div).
+    "q_markov_2step" ->
+      """WITH seq AS (SELECT event_type AS s0,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000, event_id) AS s1,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000, event_id) AS s2
+        |  FROM events),
+        |c1 AS (SELECT s0 AS a, s1 AS b, CAST(COUNT(*) AS BIGINT)
+        |    AS c1 FROM seq WHERE s1 IS NOT NULL GROUP BY 1, 2),
+        |r1 AS (SELECT a, CAST(SUM(c1) AS BIGINT) AS t1 FROM c1
+        |  GROUP BY 1),
+        |p1 AS (SELECT a, b, (c1 * 1000000000) // t1 AS p_ppb
+        |  FROM c1 JOIN r1 USING (a)),
+        |c2 AS (SELECT s0 AS a, s2 AS c, CAST(COUNT(*) AS BIGINT)
+        |    AS c2 FROM seq WHERE s2 IS NOT NULL GROUP BY 1, 2),
+        |r2 AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS t2 FROM c2
+        |  GROUP BY 1),
+        |obs AS (SELECT a, c, c2 AS n_two_step,
+        |    (c2 * 1000000000) // t2 AS obs_ppb
+        |  FROM c2 JOIN r2 USING (a)),
+        |pred AS (SELECT x.a AS a, y.b AS c,
+        |    CAST(SUM(x.p_ppb * y.p_ppb) // 1000000000 AS BIGINT)
+        |      AS pred_ppb
+        |  FROM p1 x JOIN p1 y ON x.b = y.a GROUP BY 1, 2)
+        |SELECT COALESCE(obs.a, pred.a) AS from_state,
+        |  COALESCE(obs.c, pred.c) AS to_state,
+        |  CAST(COALESCE(n_two_step, 0) AS BIGINT) AS n_two_step,
+        |  CAST(COALESCE(obs_ppb, 0) AS BIGINT) AS obs_ppb,
+        |  CAST(COALESCE(pred_ppb, 0) AS BIGINT) AS pred_ppb,
+        |  CAST(COALESCE(obs_ppb, 0) - COALESCE(pred_ppb, 0)
+        |    AS BIGINT) AS gap_ppb
+        |FROM obs FULL OUTER JOIN pred
+        |  ON obs.a = pred.a AND obs.c = pred.c""".stripMargin,
+
+    // ABC classification: pre-key cumulative boundary tests
+    // (multiplied through), floor-PPM shares (ppb would overflow at
+    // corpus revenue scale).
+    "q_abc_analysis" ->
+      """WITH per AS (SELECT l_partkey AS k,
+        |    CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(28,6))))
+        |      AS BIGINT) AS x
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (SELECT k, x,
+        |    CAST(SUM(x) OVER (ORDER BY x DESC, k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(x) OVER () AS BIGINT) AS t FROM per),
+        |cls AS (SELECT *,
+        |    CASE WHEN (cum - x) * 5 < t * 4 THEN 'A'
+        |      WHEN (cum - x) * 20 < t * 19 THEN 'B'
+        |      ELSE 'C' END AS abc_class
+        |  FROM w),
+        |agg AS (SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(x) AS BIGINT) AS units,
+        |    CAST(MAX(t) AS BIGINT) AS total_units
+        |  FROM cls GROUP BY 1)
+        |SELECT abc_class, n_keys, units,
+        |  CASE WHEN total_units > 0 THEN
+        |    CAST((units * 1000000) // total_units AS BIGINT)
+        |  ELSE 0 END AS share_ppm
+        |FROM agg""".stripMargin,
+
+    // BFS layers from node 2 (customer #1): 4 unrolled frontier
+    // expansions with anti-join visited sets.
+    "q_graph_bfs" ->
+      """WITH p AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+        |    l.l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |v0 AS (SELECT CAST(2 AS BIGINT) AS node),
+        |f1 AS (SELECT DISTINCT dst AS node FROM e
+        |  JOIN v0 ON e.src = v0.node
+        |  WHERE dst NOT IN (SELECT node FROM v0)),
+        |f2 AS (SELECT DISTINCT dst AS node FROM e
+        |  JOIN f1 ON e.src = f1.node
+        |  WHERE dst NOT IN (SELECT node FROM v0
+        |    UNION ALL SELECT node FROM f1)),
+        |f3 AS (SELECT DISTINCT dst AS node FROM e
+        |  JOIN f2 ON e.src = f2.node
+        |  WHERE dst NOT IN (SELECT node FROM v0
+        |    UNION ALL SELECT node FROM f1
+        |    UNION ALL SELECT node FROM f2)),
+        |f4 AS (SELECT DISTINCT dst AS node FROM e
+        |  JOIN f3 ON e.src = f3.node
+        |  WHERE dst NOT IN (SELECT node FROM v0
+        |    UNION ALL SELECT node FROM f1
+        |    UNION ALL SELECT node FROM f2
+        |    UNION ALL SELECT node FROM f3)),
+        |u AS (SELECT 0 AS hop, node FROM v0
+        |  UNION ALL SELECT 1, node FROM f1
+        |  UNION ALL SELECT 2, node FROM f2
+        |  UNION ALL SELECT 3, node FROM f3
+        |  UNION ALL SELECT 4, node FROM f4)
+        |SELECT CAST(hop AS BIGINT) AS hop,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(MIN(node) AS BIGINT) AS min_node,
+        |  CAST(MAX(node) AS BIGINT) AS max_node
+        |FROM u GROUP BY 1""".stripMargin
   )
 }

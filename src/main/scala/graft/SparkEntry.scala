@@ -1335,6 +1335,27 @@ object SparkEntry {
           .as("value_bucket")),
       "event_type", "value_bucket")
 
+  /** Markov memorylessness audit of the event stream: observed
+    * two-step transitions vs the chained one-step prediction, per
+    * (from, to) pair in signed ppb — is one step of memory enough? */
+  private def qMarkov2step(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.markovTwoStepAudit(events(spark, dir), "ts", "user_id",
+      "event_id", "event_type")
+
+  /** ABC inventory classification of parts by revenue: the 80/15/5
+    * head/body/tail split with exact integer boundary tests and ppm
+    * shares. */
+  private def qAbcAnalysis(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.abcAnalysis(t(spark, dir, "lineitem"), "l_partkey",
+      "l_extendedprice")
+
+  /** BFS layers from customer #1 over the trade graph: per-hop node
+    * counts and id ranges — the reach/diameter probe; hop parity
+    * separates the bipartite sides. */
+  private def qGraphBfs(spark: SparkSession, dir: String): DataFrame =
+    Graph.bfsLayers(tradeGraphEdges(spark, dir), seed = 2L,
+      maxHops = 4)
+
   /** Freshness audit per event type: newest record vs the global
     * watermark, lag seconds, last-day volume, stale verdict at 1 h —
     * the F3 cursor semantics restated as monitoring. */
@@ -2094,14 +2115,17 @@ object SparkEntry {
     "q_ship_latency" -> (qShipLatency _),
     "q_dq_freshness" -> (qDqFreshness _),
     "q_text_burstiness" -> (qTextBurstiness _),
-    "q_wilson_ci" -> (qWilsonCi _)
+    "q_wilson_ci" -> (qWilsonCi _),
+    "q_markov_2step" -> (qMarkov2step _),
+    "q_abc_analysis" -> (qAbcAnalysis _),
+    "q_graph_bfs" -> (qGraphBfs _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (215 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (218 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -275,6 +275,42 @@ object Graph {
     finally cached.foreach(_.unpersist())
   }
 
+  /** BFS LAYER PROFILE — how far does the graph reach from a seed?
+    * Breadth-first frontier expansion for `maxHops` rounds, reporting
+    * each hop's node count and id range — the connectivity/diameter
+    * probe (and on a bipartite graph, hop parity separates the two
+    * sides). Deterministic and all-integer.
+    *
+    * Scale shape: each round is one equi-join of the edge list against
+    * the CURRENT frontier plus one anti-join against the visited set —
+    * the standard distributed BFS; rounds are bounded by `maxHops`, so
+    * the plan is a fixed-depth chain (no lineage blow-up to
+    * checkpoint at this depth). Frontiers and visited sets stay
+    * distinct-node-sized. */
+  def bfsLayers(edges: DataFrame, seed: Long,
+      maxHops: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // no explicit persist: the tiny frontier broadcasts against the
+    // edge scan each round and Spark reuses the edge exchange —
+    // measured FASTER than repartition+persist at sf0.1 (5 s vs 10 s)
+    var visited = Seq((seed, 0L)).toDF("node", "hop")
+    var frontier = visited.select(col("node"))
+    for (k <- 1 to maxHops) {
+      val next = edges
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+      visited = visited
+        .unionAll(next.withColumn("hop", lit(k.toLong)))
+      frontier = next
+    }
+    visited.groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+  }
+
   /** DEGREE DISTRIBUTION — the first thing anyone asks of a graph:
     * how many nodes have degree k, as a histogram with node-share ppb
     * and a cumulative count (the CCDF any power-law / hub analysis

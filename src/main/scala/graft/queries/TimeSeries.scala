@@ -1221,6 +1221,60 @@ object TimeSeries {
         col("forecast_micro").cast(DoubleType) / lit(1000000.0))
   }
 
+  /** MARKOV MEMORYLESSNESS AUDIT — is the event stream first-order
+    * Markov? Compares the OBSERVED two-step transition distribution
+    * against the CHAINED one-step prediction `P²(a,c) = Σ_b
+    * P(a,b)·P(b,c)`: a big gap means the process carries more than
+    * one step of memory, and sequence features (sessions, paths)
+    * carry signal a bigram model misses. Output per (from, to) pair:
+    * observed-2-step and predicted ppb with the signed gap.
+    *
+    * Exactness: transition counts from two `lead` windows (user-
+    * partitioned, fully tie-broken order); one-step probabilities are
+    * FLOOR ppb; the chain rule sums EXACT ppb·ppb products before ONE
+    * floor-div — all BIGINT (Σ p·p ≤ |states|·10¹⁸ — keep state
+    * cardinality ≤ ~9, or drop to ppm scale above).
+    *
+    * Scale shape: the lead windows are per-user (bounded width); both
+    * count rollups are map-combined onto |states|² cells; the matrix
+    * product joins two |states|²-row frames — broadcast-trivial. */
+  def markovTwoStepAudit(df: DataFrame, ts: String, key: String,
+      rowId: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("epoch_us"), col(rowId))
+    val seq = df
+      .withColumn("epoch_us", epochMicros(col(ts)))
+      .withColumn("s0", col(stateCol))
+      .withColumn("s1", lead(col(stateCol), 1).over(w))
+      .withColumn("s2", lead(col(stateCol), 2).over(w))
+    val c1 = seq.filter(col("s1").isNotNull)
+      .groupBy(col("s0").as("a"), col("s1").as("b"))
+      .agg(count(lit(1)).as("c1"))
+    val rows1 = c1.groupBy(col("a")).agg(sum(col("c1")).as("t1"))
+    val p1 = c1.join(broadcast(rows1), Seq("a"))
+      .withColumn("p_ppb", expr("(c1 * 1000000000L) div t1"))
+    val c2 = seq.filter(col("s2").isNotNull)
+      .groupBy(col("s0").as("a"), col("s2").as("c"))
+      .agg(count(lit(1)).as("c2"))
+    val rows2 = c2.groupBy(col("a")).agg(sum(col("c2")).as("t2"))
+    val obs = c2.join(broadcast(rows2), Seq("a"))
+      .withColumn("obs_ppb", expr("(c2 * 1000000000L) div t2"))
+      .select(col("a"), col("c"), col("c2").as("n_two_step"),
+        col("obs_ppb"))
+    val pred = p1.select(col("a"), col("b"), col("p_ppb").as("p_ab"))
+      .join(p1.select(col("a").as("b"), col("b").as("c"),
+        col("p_ppb").as("p_bc")), Seq("b"))
+      .groupBy(col("a"), col("c"))
+      .agg(expr("sum(p_ab * p_bc) div 1000000000L").as("pred_ppb"))
+    obs.join(pred, Seq("a", "c"), "full_outer")
+      .select(col("a").as("from_state"), col("c").as("to_state"),
+        coalesce(col("n_two_step"), lit(0L)).as("n_two_step"),
+        coalesce(col("obs_ppb"), lit(0L)).as("obs_ppb"),
+        coalesce(col("pred_ppb"), lit(0L)).as("pred_ppb"),
+        (coalesce(col("obs_ppb"), lit(0L)) -
+          coalesce(col("pred_ppb"), lit(0L))).as("gap_ppb"))
+  }
+
   /** ACTIVITY MATRIX — the hour-of-day × day-of-week load heatmap
     * every ops review opens with: event counts and ppb shares per
     * (weekday, hour) cell. Weekday and hour come from PURE INTEGER

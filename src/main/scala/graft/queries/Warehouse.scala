@@ -983,6 +983,53 @@ object Warehouse {
   private def epochExpr(c: String): String =
     s"cast(cast($c as timestamp) as long)"
 
+  /** ABC ANALYSIS — the 80/15/5 inventory classification: keys ranked
+    * by value, class A = the head carrying the first 80% of total
+    * value, B the next 15%, C the tail. Class membership uses the
+    * PRE-key cumulative (`cum − x`), so the key that CROSSES a
+    * boundary belongs to the class it started in — the standard
+    * convention, and an exact multiplied-through integer test (5·prev
+    * < 4·T for A; 20·prev < 19·T for B). Output: per-class key count,
+    * value units, and floor-PPM share (ppm, not ppb: class unit masses
+    * approach the grand total, so `units·10⁶` holds to ~9·10¹² units
+    * where `·10⁹` would overflow BIGINT at ~9·10⁹ — the money-sum
+    * headroom audit rule applied to shares).
+    *
+    * Scale shape: per-key rollup (map-combined), ONE global cumulative
+    * window over the per-key frame, 3-row fold. The global window is
+    * the honest cost of a global ranking — at 10⁸⁺ keys replace it
+    * with a two-phase range-partitioned prefix sum; at catalog-sized
+    * key counts (parts, SKUs) it is a single in-memory partition. */
+  def abcAnalysis(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val per = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("k"))
+      .agg(floor(sum(col(valueCol).cast(DecimalType(28, 6))))
+        .cast(LongType).as("x"))
+    val wCum = Window.orderBy(col("x").desc, col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    per
+      .withColumn("cum", sum(col("x")).over(wCum))
+      .withColumn("t", sum(col("x")).over(wAll))
+      .withColumn("prev", col("cum") - col("x"))
+      .withColumn("abc_class",
+        when(col("prev") * 5L < col("t") * 4L, lit("A"))
+          .otherwise(when(col("prev") * 20L < col("t") * 19L,
+            lit("B")).otherwise(lit("C"))))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("x")).as("units"),
+        max(col("t")).as("total_units"))
+      .withColumn("share_ppm",
+        when(col("total_units") > 0L,
+          expr("(units * 1000000L) div total_units"))
+          .otherwise(lit(0L)))
+      .select(col("abc_class"), col("n_keys"), col("units"),
+        col("share_ppm"))
+  }
+
   /** FRESHNESS AUDIT per group — the staleness read a pipeline SLA
     * dashboard needs: each partition/source/type's newest record
     * versus the dataset's global watermark, its lag in seconds, the

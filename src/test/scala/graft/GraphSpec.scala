@@ -33,6 +33,17 @@ class GraphSpec extends SparkSpec {
   private def bidir(pairs: (Long, Long)*): Seq[(Long, Long)] =
     pairs ++ pairs.map(_.swap)
 
+  test("bfsLayers: path graph hop counts, empty frontiers omitted") {
+    val e = bidir(1L -> 2L, 2L -> 3L, 3L -> 4L).toDF("src", "dst")
+    val got = Graph.bfsLayers(e, seed = 1L, maxHops = 4).collect()
+      .map(r => r.getAs[Long]("hop") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("min_node"),
+          r.getAs[Long]("max_node")))).toMap
+    assert(got == Map(
+      0L -> ((1L, 1L, 1L)), 1L -> ((1L, 2L, 2L)),
+      2L -> ((1L, 3L, 3L)), 3L -> ((1L, 4L, 4L))), s"$got")
+  }
+
   test("degreeDistribution: star histogram, shares, cumulative") {
     val e = bidir(1L -> 2L, 1L -> 3L, 1L -> 4L).toDF("src", "dst")
     val got = Graph.degreeDistribution(e).collect()

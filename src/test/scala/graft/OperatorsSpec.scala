@@ -2060,6 +2060,27 @@ class TimeSeriesSpec extends SparkSpec {
   ).toDF("user_id", "epoch", "value", "event_id")
     .withColumn("ts", timestamp_seconds(col("epoch")))
 
+  test("markovTwoStepAudit: perfect alternating chain has zero gap") {
+    // A,B,A,B,A: P(A→B)=P(B→A)=1e9; two-step is deterministic too,
+    // so chained prediction matches observation exactly.
+    val d = Seq((1L, 1L, "A", 10L), (1L, 2L, "B", 11L),
+      (1L, 3L, "A", 12L), (1L, 4L, "B", 13L), (1L, 5L, "A", 14L))
+      .toDF("user_id", "epoch", "state", "event_id")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val got = TimeSeries
+      .markovTwoStepAudit(d, "ts", "user_id", "event_id", "state")
+      .collect().map(r => (r.getAs[String]("from_state"),
+        r.getAs[String]("to_state")) ->
+        ((r.getAs[Long]("n_two_step"), r.getAs[Long]("obs_ppb"),
+          r.getAs[Long]("pred_ppb"), r.getAs[Long]("gap_ppb"))))
+      .toMap
+    assert(got.keySet == Set(("A", "A"), ("B", "B")), s"$got")
+    assert(got(("A", "A")) ==
+      ((2L, 1000000000L, 1000000000L, 0L)), s"$got")
+    assert(got(("B", "B")) ==
+      ((1L, 1000000000L, 1000000000L, 0L)), s"$got")
+  }
+
   test("activityMatrix: integer dow/hour (epoch day 0 = Thursday), " +
     "ppb shares") {
     val d = Seq(0L, 5L * 3600L, 4L * 86400L).toDF("epoch")

@@ -806,6 +806,19 @@ class WarehouseSpec extends SparkSpec {
     assert(byItem(2L) == ((1L, 3L, 1.0, 1L)))
   }
 
+  test("abcAnalysis: exact 80/15/5 boundaries, crossing key stays in " +
+    "its starting class") {
+    // values 80/15/5: prev-cumulative tests put them in A/B/C exactly
+    val d = Seq((1L, 80.0), (2L, 15.0), (3L, 5.0)).toDF("k", "v")
+    val got = graft.queries.Warehouse.abcAnalysis(d, "k", "v")
+      .collect().map(r => r.getAs[String]("abc_class") ->
+        ((r.getAs[Long]("n_keys"), r.getAs[Long]("units"),
+          r.getAs[Long]("share_ppm")))).toMap
+    assert(got("A") == ((1L, 80L, 800000L)), s"$got")
+    assert(got("B") == ((1L, 15L, 150000L)), s"$got")
+    assert(got("C") == ((1L, 5L, 50000L)), s"$got")
+  }
+
   test("freshnessAudit: lag vs global watermark, last-day window, " +
     "stale verdict") {
     val d = Seq(("a", 100L), ("a", 5000L), ("b", 100000L))
