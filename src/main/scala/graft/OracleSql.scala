@@ -5657,6 +5657,83 @@ object OracleSql {
         |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |  CAST(MIN(node) AS BIGINT) AS min_node,
         |  CAST(MAX(node) AS BIGINT) AS max_node
-        |FROM u GROUP BY 1""".stripMargin
+        |FROM u GROUP BY 1""".stripMargin,
+
+    // Longest-inactivity-gap histogram: distinct active days, per-key
+    // lag gaps, single-day keys report 0.
+    "q_user_gaps" ->
+      """WITH active AS (SELECT DISTINCT user_id AS k,
+        |    (epoch_ns(ts) // 1000000000) // 86400 AS day
+        |  FROM events),
+        |g AS (SELECT k, day - lag(day) OVER (PARTITION BY k
+        |    ORDER BY day) AS gap FROM active),
+        |longest AS (SELECT k, CAST(COALESCE(MAX(gap), 0) AS BIGINT)
+        |    AS longest_gap_days FROM g GROUP BY 1),
+        |hist AS (SELECT longest_gap_days,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users FROM longest
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_total
+        |  FROM hist)
+        |SELECT longest_gap_days, n_users,
+        |  CAST((n_users * 1000000000) // n_total AS BIGINT)
+        |    AS user_share_ppb
+        |FROM hist CROSS JOIN tot""".stripMargin,
+
+    // Cohort LTV triangle: min-week cohorts, (cohort, age) value
+    // cells, per-cohort cumulative, micro-units per cohort user.
+    "q_cohort_ltv" ->
+      """WITH base AS (SELECT user_id AS k,
+        |    ((epoch_ns(ts) // 1000000000) // 86400) // 7 AS week,
+        |    CAST(value AS DECIMAL(28,6)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |cohorts AS (SELECT k, CAST(MIN(week) AS BIGINT)
+        |    AS cohort_week FROM base GROUP BY 1),
+        |sized AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT)
+        |    AS cohort_users FROM cohorts GROUP BY 1),
+        |cells AS (SELECT cohort_week,
+        |    CAST(week - cohort_week AS BIGINT) AS age_week,
+        |    CAST(COUNT(DISTINCT k) AS BIGINT) AS n_active,
+        |    CAST(FLOOR(SUM(v)) AS BIGINT) AS units
+        |  FROM base JOIN cohorts USING (k) GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(SUM(units) OVER (
+        |    PARTITION BY cohort_week ORDER BY age_week) AS BIGINT)
+        |    AS cum_units FROM cells)
+        |SELECT w.cohort_week, age_week, cohort_users, n_active,
+        |  units, cum_units,
+        |  CAST((cum_units * 1000000) // cohort_users AS BIGINT)
+        |    AS cum_units_per_user_ppm
+        |FROM w JOIN sized ON w.cohort_week = sized.cohort_week"""
+        .stripMargin,
+
+    // Inter-purchase gaps: per-user lag, then the ship-latency exact
+    // rank-quantile CTEs over the (type, days) distinct-value frame.
+    "q_repurchase_gap" ->
+      """WITH p AS (SELECT event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT event_type AS g,
+        |    (epoch_ns(ts) // 1000000000
+        |      - epoch_ns(prev_ts) // 1000000000) // 86400 AS lat_days
+        |  FROM p WHERE prev_ts IS NOT NULL),
+        |c AS (SELECT g, lat_days, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM j GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(SUM(cnt) OVER (PARTITION BY g
+        |      ORDER BY lat_days) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM c)
+        |SELECT g AS event_type,
+        |  CAST(MAX(n) AS BIGINT) AS n_rows,
+        |  CAST(MIN(lat_days) AS BIGINT) AS min_days,
+        |  CAST(MAX(lat_days) AS BIGINT) AS max_days,
+        |  CAST(SUM(lat_days * cnt) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+        |    AS mean_days,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN lat_days END)
+        |    AS BIGINT) AS p50_days,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN lat_days END)
+        |    AS BIGINT) AS p90_days,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN lat_days END)
+        |    AS BIGINT) AS p99_days
+        |FROM w GROUP BY 1""".stripMargin
   )
 }

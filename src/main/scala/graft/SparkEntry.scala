@@ -1335,6 +1335,32 @@ object SparkEntry {
           .as("value_bucket")),
       "event_type", "value_bucket")
 
+  /** Longest-inactivity-gap histogram over users: daily-habit vs
+    * lapse-and-return cohorts, with ppb user shares — engagement
+    * regularity a mean-activity metric hides. */
+  private def qUserGaps(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.userGapHistogram(events(spark, dir), "ts", "user_id")
+
+  /** Cohort LTV triangle: (acquisition week × age week) active users,
+    * value units, cumulative units, and per-user cumulative value at
+    * micro-unit resolution — retention priced, not just counted. */
+  private def qCohortLtv(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.cohortLtv(events(spark, dir), "ts", "user_id", "value")
+
+  /** Inter-purchase gap SLA: days between consecutive purchases per
+    * user, profiled with exact rank-selected p50/p90/p99 — the
+    * repeat-behavior clock (lag window ∘ latency quantiles). */
+  private def qRepurchaseGap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_us_o"), col("event_id"))
+    val withPrev = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("epoch_us_o", TimeSeries.epochMicros(col("ts")))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+    Warehouse.latencyQuantiles(withPrev, "event_type", "prev_ts", "ts")
+  }
+
   /** Markov memorylessness audit of the event stream: observed
     * two-step transitions vs the chained one-step prediction, per
     * (from, to) pair in signed ppb — is one step of memory enough? */
@@ -2118,14 +2144,17 @@ object SparkEntry {
     "q_wilson_ci" -> (qWilsonCi _),
     "q_markov_2step" -> (qMarkov2step _),
     "q_abc_analysis" -> (qAbcAnalysis _),
-    "q_graph_bfs" -> (qGraphBfs _)
+    "q_graph_bfs" -> (qGraphBfs _),
+    "q_user_gaps" -> (qUserGaps _),
+    "q_cohort_ltv" -> (qCohortLtv _),
+    "q_repurchase_gap" -> (qRepurchaseGap _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (218 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (221 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

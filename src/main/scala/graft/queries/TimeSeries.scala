@@ -1221,6 +1221,34 @@ object TimeSeries {
         col("forecast_micro").cast(DoubleType) / lit(1000000.0))
   }
 
+  /** USER GAP HISTOGRAM — engagement regularity at a glance: each
+    * key's LONGEST inactivity gap (in whole days between consecutive
+    * active days), histogrammed with ppb user shares. Separates the
+    * daily-habit cohort (gap ≤ 1) from lapsing-and-returning users a
+    * mean-activity metric hides. Single-active-day keys report gap 0.
+    *
+    * All-integer. Scale shape: distinct (key, day) collapses
+    * map-side; the lag window is per-key over that key's ACTIVE-DAY
+    * list (≤ span days wide); the histogram is a ≤ span-row rollup. */
+  def userGapHistogram(df: DataFrame, ts: String,
+      key: String): DataFrame = {
+    val active = df
+      .withColumn("epoch_s", epochSeconds(col(ts)))
+      .select(col(key).as("k"), expr("epoch_s div 86400L").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    val longest = active
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+      .groupBy(col("k"))
+      .agg(coalesce(max(col("gap")), lit(0L)).as("longest_gap_days"))
+    val hist = longest.groupBy(col("longest_gap_days"))
+      .agg(count(lit(1)).as("n_users"))
+    val tot = hist.agg(sum(col("n_users")).as("n_total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("longest_gap_days"), col("n_users"),
+        expr("(n_users * 1000000000L) div n_total").as("user_share_ppb"))
+  }
+
   /** MARKOV MEMORYLESSNESS AUDIT — is the event stream first-order
     * Markov? Compares the OBSERVED two-step transition distribution
     * against the CHAINED one-step prediction `P²(a,c) = Σ_b

@@ -983,6 +983,49 @@ object Warehouse {
   private def epochExpr(c: String): String =
     s"cast(cast($c as timestamp) as long)"
 
+  /** COHORT LTV TRIANGLE — cumulative value by acquisition cohort and
+    * age: rows are (cohort week, weeks since cohort) with the active-
+    * user count, the week's value units, the cohort's cumulative
+    * units, and cumulative units per COHORT user at micro-unit
+    * resolution (`cum·10⁶ div users`) — the lifetime-value curve
+    * behind every retention decision; the registry's cohort-retention
+    * query counts who came back, this one prices what they were
+    * worth.
+    *
+    * All-integer (floored value units, calendar weeks as epoch-day div
+    * 7). Scale shape: one per-key min-week rollup, one broadcast-scale
+    * join back (the cohort frame is |keys| rows — shuffle join keyed
+    * on the id), one (cohort, age) rollup, one per-cohort cumulative
+    * window over ≤ span-weeks rows. */
+  def cohortLtv(df: DataFrame, ts: String, key: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull)
+      .withColumn("epoch_s", TimeSeries.epochSeconds(col(ts)))
+      .withColumn("week", expr("(epoch_s div 86400L) div 7L"))
+      .select(col(key).as("k"), col("week"),
+        col(valueCol).cast(DecimalType(28, 6)).as("v"))
+    val cohorts = base.groupBy(col("k"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sized = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = base.join(cohorts, Seq("k"))
+      .withColumn("age_week", col("week") - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("age_week"))
+      .agg(countDistinct(col("k")).as("n_active"),
+        floor(sum(col("v"))).cast(LongType).as("units"))
+    val wCum = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("age_week"))
+    cells
+      .withColumn("cum_units", sum(col("units")).over(wCum))
+      .join(broadcast(sized), Seq("cohort_week"))
+      .select(col("cohort_week"), col("age_week"),
+        col("cohort_users"), col("n_active"), col("units"),
+        col("cum_units"),
+        expr("(cum_units * 1000000L) div cohort_users")
+          .as("cum_units_per_user_ppm"))
+  }
+
   /** ABC ANALYSIS — the 80/15/5 inventory classification: keys ranked
     * by value, class A = the head carrying the first 80% of total
     * value, B the next 15%, C the tail. Class membership uses the

@@ -2060,6 +2060,20 @@ class TimeSeriesSpec extends SparkSpec {
   ).toDF("user_id", "epoch", "value", "event_id")
     .withColumn("ts", timestamp_seconds(col("epoch")))
 
+  test("userGapHistogram: longest gap per key, single-day keys at 0") {
+    // user 1 active days {0,1,5}: gaps 1,4 → longest 4; user 2: one
+    // day → 0
+    val d = Seq((1L, 0L), (1L, 86400L), (1L, 5L * 86400L),
+      (1L, 5L * 86400L + 60L), (2L, 86400L)).toDF("user_id", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val got = TimeSeries.userGapHistogram(d, "ts", "user_id")
+      .collect().map(r => r.getAs[Long]("longest_gap_days") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("user_share_ppb"))))
+      .toMap
+    assert(got == Map(4L -> ((1L, 500000000L)),
+      0L -> ((1L, 500000000L))), s"$got")
+  }
+
   test("markovTwoStepAudit: perfect alternating chain has zero gap") {
     // A,B,A,B,A: P(A→B)=P(B→A)=1e9; two-step is deterministic too,
     // so chained prediction matches observation exactly.

@@ -806,6 +806,23 @@ class WarehouseSpec extends SparkSpec {
     assert(byItem(2L) == ((1L, 3L, 1.0, 1L)))
   }
 
+  test("cohortLtv: triangle cells, cumulative, micro-units per " +
+    "cohort user") {
+    // users A,B both cohort week 0; A returns in week 1
+    val wk = 7L * 86400L
+    val d = Seq(("A", 0L, 10.0), ("A", wk, 5.0), ("B", 60L, 2.0))
+      .toDF("k", "epoch", "v")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val got = graft.queries.Warehouse.cohortLtv(d, "ts", "k", "v")
+      .collect().map(r => (r.getAs[Long]("cohort_week"),
+        r.getAs[Long]("age_week")) ->
+        ((r.getAs[Long]("cohort_users"), r.getAs[Long]("n_active"),
+          r.getAs[Long]("units"), r.getAs[Long]("cum_units"),
+          r.getAs[Long]("cum_units_per_user_ppm")))).toMap
+    assert(got((0L, 0L)) == ((2L, 2L, 12L, 12L, 6000000L)), s"$got")
+    assert(got((0L, 1L)) == ((2L, 1L, 5L, 17L, 8500000L)), s"$got")
+  }
+
   test("abcAnalysis: exact 80/15/5 boundaries, crossing key stays in " +
     "its starting class") {
     // values 80/15/5: prev-cumulative tests put them in A/B/C exactly
