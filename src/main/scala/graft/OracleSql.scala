@@ -5734,6 +5734,84 @@ object OracleSql {
         |    AS BIGINT) AS p90_days,
         |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN lat_days END)
         |    AS BIGINT) AS p99_days
-        |FROM w GROUP BY 1""".stripMargin
+        |FROM w GROUP BY 1""".stripMargin,
+
+    // Farthest-from-own-centroid label-noise shortlist: quantize6
+    // micro-units, round-half-away integer means, exact BIGINT
+    // squared deviations, per-label top-3.
+    "q_embed_mislabel" ->
+      """WITH el AS (SELECT vec_id AS vid, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(CAST(unnest(embedding) AS DOUBLE)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+        |  FROM embeddings),
+        |cm AS (SELECT label, i, CAST(SUM(x) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM el GROUP BY 1, 2),
+        |ct AS (SELECT label, i,
+        |    (2 * s + CASE WHEN s < 0 THEN -n ELSE n END) // (2 * n)
+        |      AS m FROM cm),
+        |d2 AS (SELECT el.label, vid,
+        |    CAST(SUM((x - m) * (x - m)) AS BIGINT) AS d2_micro2
+        |  FROM el JOIN ct ON el.label = ct.label AND el.i = ct.i
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY label
+        |    ORDER BY d2_micro2 DESC, vid) AS BIGINT) AS mis_rank
+        |  FROM d2)
+        |SELECT label, vid, d2_micro2, mis_rank,
+        |  sqrt(CAST(d2_micro2 AS DOUBLE)) / 1.0e6 AS dist
+        |FROM r WHERE mis_rank <= 3""".stripMargin,
+
+    // Duplicate-cluster size histogram over the same recursive
+    // reachability as q_dedup_components.
+    "q_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
+         |sh AS (SELECT doc_id AS id, unnest(${shingleExpr(3)}) AS shingle FROM w),
+         |sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE a.id < b.id GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.id = id_a
+         |  JOIN sizes sb ON sb.id = id_b
+         |  WHERE CAST(n_common AS DOUBLE)
+         |      / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.10),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         |labels AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY 1),
+         |cl AS (SELECT component, CAST(COUNT(*) AS BIGINT)
+         |    AS cluster_size FROM labels GROUP BY 1)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM cl GROUP BY 1""".stripMargin,
+
+    // Short/medium/long census per source: fixed char-count bands,
+    // integer masses, ppb doc shares of each group.
+    "q_text_length_bands" ->
+      """WITH base AS (SELECT source AS g,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |      END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b2 AS (SELECT g, n_chars, n_tokens,
+        |    CASE WHEN n_chars < 500 THEN 'short'
+        |      WHEN n_chars < 2000 THEN 'medium'
+        |      ELSE 'long' END AS band FROM base),
+        |cells AS (SELECT g, band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tokens
+        |  FROM b2 GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(SUM(n_docs) AS BIGINT) AS g_total
+        |  FROM cells GROUP BY 1)
+        |SELECT cells.g AS source, band, n_docs, chars, tokens,
+        |  CAST((n_docs * 1000000000) // g_total AS BIGINT)
+        |    AS doc_share_ppb
+        |FROM cells JOIN tot ON cells.g = tot.g""".stripMargin
   )
 }

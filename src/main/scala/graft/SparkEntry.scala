@@ -1335,6 +1335,35 @@ object SparkEntry {
           .as("value_bucket")),
       "event_type", "value_bucket")
 
+  /** Label-noise shortlist: the 3 points farthest from their own
+    * label centroid per label — exact micro-unit distances via the
+    * quantize6 ladder and the round-half-away integer mean. */
+  private def qEmbedMislabel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Embeddings.mislabelCandidates(emb(spark, dir),
+      "vec_id", "label", "embedding", topK = 3)
+
+  /** Duplicate-cluster size histogram: the connected-component dedup
+    * decision summarized as (cluster size → clusters, docs) — the
+    * dedup yield curve. */
+  private def qDedupClusterSizes(spark: SparkSession,
+      dir: String): DataFrame = {
+    val comp = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
+        shingleWords = 3, threshold = 0.10))
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+  }
+
+  /** Short/medium/long length census per source with token mass and
+    * ppb doc shares — the context-budget/chunking read. */
+  private def qTextLengthBands(spark: SparkSession,
+      dir: String): DataFrame =
+    TextAnalysis.lengthBands(docs(spark, dir), "source", "text")
+
   /** Longest-inactivity-gap histogram over users: daily-habit vs
     * lapse-and-return cohorts, with ppb user shares — engagement
     * regularity a mean-activity metric hides. */
@@ -2147,14 +2176,17 @@ object SparkEntry {
     "q_graph_bfs" -> (qGraphBfs _),
     "q_user_gaps" -> (qUserGaps _),
     "q_cohort_ltv" -> (qCohortLtv _),
-    "q_repurchase_gap" -> (qRepurchaseGap _)
+    "q_repurchase_gap" -> (qRepurchaseGap _),
+    "q_embed_mislabel" -> (qEmbedMislabel _),
+    "q_dedup_cluster_sizes" -> (qDedupClusterSizes _),
+    "q_text_length_bands" -> (qTextLengthBands _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (221 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (224 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

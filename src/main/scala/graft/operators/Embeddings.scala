@@ -233,4 +233,46 @@ object Embeddings {
           .otherwise(0L)).as("n_correct"))
       .withColumn("accuracy", col("n_correct").cast(DoubleType) / col("n"))
   }
+
+  /** MISLABEL CANDIDATES — the points farthest from their OWN label
+    * centroid: the label-noise shortlist an annotation audit reviews
+    * first (a correctly-labeled point sits near its class mean; a
+    * mislabeled one is pulled toward another cluster). Top-k per
+    * label by squared micro-unit distance, fully tie-broken.
+    *
+    * Exactness: vectors quantize once via the spec-locked `quantize6`
+    * kernel (micro-units, the oracle's float→DOUBLE→DECIMAL(18,6)
+    * ladder); centroids use the round-half-away integer mean
+    * (`(2s ± n) div 2n`, the [[labelCentroidSimilarity]] formula), so
+    * every squared deviation is an exact BIGINT (bounds: |x| ≤ 10⁶
+    * micro-units and dim ≤ 10⁴ keep Σ(x−m)² under 2⁶³).
+    *
+    * Scale shape: one posexplode pass, a (label × dim)-row centroid
+    * rollup broadcast back onto the element stream, one per-vector
+    * fold, one per-label rank window (width = label population). */
+  def mislabelCandidates(df: DataFrame, idCol: String,
+      labelCol: String, vecCol: String, topK: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val V = graft.functions.VectorFunctions
+    val el = df.select(col(idCol).as("vid"), col(labelCol).as("label"),
+      posexplode(V.quantize6(col(vecCol))).as(Seq("i", "x")))
+    val cm = el.groupBy(col("label"), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr(
+        "(2 * s + CASE WHEN s < 0 THEN -n ELSE n END) div (2 * n)"))
+      .select(col("label"), col("i"), col("m"))
+    val d2 = el.join(broadcast(cm), Seq("label", "i"))
+      .withColumn("dd", (col("x") - col("m")) * (col("x") - col("m")))
+      .groupBy(col("label"), col("vid"))
+      .agg(sum(col("dd")).as("d2_micro2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("d2_micro2").desc, col("vid"))
+    d2.withColumn("mis_rank", row_number().over(w).cast(LongType))
+      .filter(col("mis_rank") <= topK)
+      .withColumn("dist",
+        sqrt(col("d2_micro2").cast(DoubleType)) / lit(1.0e6))
+      .select(col("label"), col("vid"), col("d2_micro2"),
+        col("mis_rank"), col("dist"))
+  }
 }

@@ -1676,6 +1676,33 @@ object TextAnalysis {
         col("fano"))
   }
 
+  /** LENGTH-BAND PROFILE per group — the short/medium/long census a
+    * context-budget or chunking decision reads: per (group, band),
+    * document count, character and token mass, and ppb doc share of
+    * the group. Bands by character count (< 500 short, < 2000 medium,
+    * else long) — fixed thresholds so the bands mean the same thing
+    * across runs and corpora. All-integer, one map-combined rollup. */
+  def lengthBands(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+        length(col(textCol)).cast(LongType).as("n_chars"),
+        tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+      .withColumn("band",
+        when(col("n_chars") < 500L, lit("short"))
+          .otherwise(when(col("n_chars") < 2000L, lit("medium"))
+            .otherwise(lit("long"))))
+    val cells = base.groupBy(col("g"), col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("n_tokens")).as("tokens"))
+    cells
+      .withColumn("g_total",
+        sum(col("n_docs")).over(Window.partitionBy(col("g"))))
+      .select(col("g").as(groupCol), col("band"), col("n_docs"),
+        col("chars"), col("tokens"),
+        expr("(n_docs * 1000000000L) div g_total").as("doc_share_ppb"))
+  }
+
   /** READABILITY PROFILE per group — Flesch reading ease from corpus-
     * level word/sentence/syllable masses: the curation signal that
     * separates technical prose, simple web text, and degenerate

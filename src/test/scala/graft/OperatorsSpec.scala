@@ -8,6 +8,19 @@ import graft.queries.TimeSeries
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("lengthBands: fixed char thresholds, per-group ppb doc shares") {
+    val d = Seq(("s", "hi there"), ("s", "a" * 600), ("s", "b" * 2500))
+      .toDF("source", "text")
+    val got = TextAnalysis.lengthBands(d, "source", "text").collect()
+      .map(r => r.getAs[String]("band") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("chars"),
+          r.getAs[Long]("tokens"), r.getAs[Long]("doc_share_ppb"))))
+      .toMap
+    assert(got("short") == ((1L, 8L, 2L, 333333333L)), s"$got")
+    assert(got("medium") == ((1L, 600L, 1L, 333333333L)), s"$got")
+    assert(got("long") == ((1L, 2500L, 1L, 333333333L)), s"$got")
+  }
+
   test("termBurstiness: Fano with zero-docs counted via sufficient " +
     "statistics") {
     val d = Seq((1L, "w w w w"), (2L, "w x"), (3L, "x"))
@@ -3090,6 +3103,24 @@ class EmbeddingsSpec extends SparkSpec {
     (2L, Array(3.0f, 0.0f, 0.0f)),
     (3L, Array(5.0f, 4.0f, 0.0f)),
     (4L, Array(7.0f, 2.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("mislabelCandidates: farthest-from-centroid ranking, exact " +
+    "integer micro-distances") {
+    // 1-D label 0 at micros {0, 100000, 1000000}: s=1100000, n=3 →
+    // rounded mean m = 2200003 div 6 = 366667
+    val df = Seq((10L, 0, Array(0.0f)), (11L, 0, Array(0.1f)),
+      (12L, 0, Array(1.0f))).toDF("vec_id", "label", "embedding")
+    val rows = Embeddings
+      .mislabelCandidates(df, "vec_id", "label", "embedding", topK = 3)
+      .collect().sortBy(_.getAs[Long]("mis_rank"))
+    val m = 366667L
+    def sq(x: Long) = (x - m) * (x - m)
+    assert(rows.map(r => (r.getAs[Long]("vid"),
+      r.getAs[Long]("d2_micro2"))).toSeq ==
+      Seq((12L, sq(1000000L)), (10L, sq(0L)), (11L, sq(100000L))))
+    assert(rows.head.getAs[Double]("dist") ==
+      math.sqrt(sq(1000000L).toDouble) / 1.0e6)
+  }
 
   test("labelCentroidSimilarity: exact centroids, hand cosines, " +
       "zero-norm NULL") {
