@@ -5812,6 +5812,86 @@ object OracleSql {
         |SELECT cells.g AS source, band, n_docs, chars, tokens,
         |  CAST((n_docs * 1000000000) // g_total AS BIGINT)
         |    AS doc_share_ppb
-        |FROM cells JOIN tot ON cells.g = tot.g""".stripMargin
+        |FROM cells JOIN tot ON cells.g = tot.g""".stripMargin,
+
+    // Linear multi-touch attribution: conversion-delimited segments,
+    // per-touch floor credit 1e9 div segment size.
+    "q_attribution_linear" ->
+      """WITH seq AS (SELECT user_id AS k, event_type AS t,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS seg
+        |  FROM events),
+        |touches AS (SELECT k, t, seg FROM seq WHERE t <> 'purchase'),
+        |closed AS (SELECT DISTINCT k, seg FROM seq
+        |  WHERE t = 'purchase'),
+        |credited AS (SELECT touches.k, touches.t, touches.seg
+        |  FROM touches JOIN closed USING (k, seg)),
+        |segsize AS (SELECT k, seg, CAST(COUNT(*) AS BIGINT) AS n_seg
+        |  FROM credited GROUP BY 1, 2)
+        |SELECT t AS touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(1000000000 // n_seg) AS BIGINT) AS credit_ppb
+        |FROM credited JOIN segsize USING (k, seg)
+        |GROUP BY 1""".stripMargin,
+
+    // Runs test on the daily value series: exact lower median,
+    // above/below signs (median ties drop), lag-window run starts.
+    "q_stat_runs" ->
+      """WITH daily AS (SELECT
+        |    (epoch_ns(ts) // 1000000000 // 86400) * 86400 AS o,
+        |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS BIGINT)
+        |      AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |dv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM daily
+        |  GROUP BY 1),
+        |med AS (SELECT CAST(MIN(v) AS BIGINT) AS median_v FROM (
+        |    SELECT v, SUM(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum, SUM(cnt) OVER () AS n FROM dv)
+        |  WHERE cum * 2 >= n),
+        |signed AS (SELECT o, CASE WHEN v > median_v THEN 1 ELSE 0 END
+        |    AS s FROM daily CROSS JOIN med WHERE v <> median_v),
+        |seqd AS (SELECT s, lag(s) OVER (ORDER BY o) AS prev_s
+        |  FROM signed),
+        |runs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    CAST(SUM(s) AS BIGINT) AS n_above,
+        |    CAST(COUNT(*) - SUM(s) AS BIGINT) AS n_below,
+        |    CAST(SUM(CASE WHEN prev_s IS NULL OR prev_s <> s THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_runs FROM seqd),
+        |f AS (SELECT median_v, n_kept, n_above, n_below, n_runs,
+        |    CASE WHEN n_kept > 0 THEN
+        |      2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |        / CAST(n_kept AS DOUBLE) + 1.0 END AS mu,
+        |    CASE WHEN n_kept > 1 THEN
+        |      (2.0 * CAST(n_above AS DOUBLE)
+        |        * CAST(n_below AS DOUBLE)
+        |        * (2.0 * CAST(n_above AS DOUBLE)
+        |          * CAST(n_below AS DOUBLE)
+        |          - CAST(n_kept AS DOUBLE)))
+        |      / (CAST(n_kept AS DOUBLE) * CAST(n_kept AS DOUBLE)
+        |        * (CAST(n_kept AS DOUBLE) - 1.0)) END AS var_r
+        |  FROM runs CROSS JOIN med)
+        |SELECT median_v, n_kept, n_above, n_below, n_runs,
+        |  CASE WHEN var_r > 0.0 THEN
+        |    (CAST(n_runs AS DOUBLE) - mu) / sqrt(var_r)
+        |  END AS z_stat
+        |FROM f""".stripMargin,
+
+    // Rate-breach audit: (key, minute) counts, per-key peak +
+    // earliest peak minute, top-20 by (peak desc, key).
+    "q_rate_breaches" ->
+      """WITH pm AS (SELECT user_id AS k,
+        |    (epoch_ns(ts) // 1000000000) // 60 AS minute,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |pk AS (SELECT k, CAST(MAX(cnt) AS BIGINT) AS peak_per_minute,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_events FROM pm GROUP BY 1)
+        |SELECT pm.k AS user_id, peak_per_minute,
+        |  CAST(MIN(minute) AS BIGINT) AS peak_minute, n_events
+        |FROM pm JOIN pk ON pm.k = pk.k AND pm.cnt = pk.peak_per_minute
+        |GROUP BY 1, 2, 4
+        |ORDER BY peak_per_minute DESC, user_id
+        |LIMIT 20""".stripMargin
   )
 }

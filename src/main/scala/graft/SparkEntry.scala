@@ -1335,6 +1335,33 @@ object SparkEntry {
           .as("value_bucket")),
       "event_type", "value_bucket")
 
+  /** Linear multi-touch attribution: touches between conversions
+    * share the closing purchase's credit equally (floor ppb) — the
+    * fairness counterweight to first-touch. */
+  private def qAttributionLinear(spark: SparkSession,
+      dir: String): DataFrame =
+    TimeSeries.linearAttribution(events(spark, dir), "ts", "user_id",
+      "event_type", "event_id", "purchase")
+
+  /** Wald–Wolfowitz runs test on the daily value series: too few
+    * runs = trending, too many = oscillating — the randomness audit
+    * behind every forecast assumption. */
+  private def qStatRuns(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir).filter(col("value").isNotNull)
+      .withColumn("epoch_s", epochS(col("ts")))
+      .withColumn("day_s", expr("(epoch_s div 86400L) * 86400L"))
+      .groupBy(col("day_s"))
+      .agg(floor(sum(col("value").cast(DecimalType(28, 6))))
+        .cast(LongType).as("value_units"))
+    Stats.runsTest(daily, "day_s", "value_units")
+  }
+
+  /** Rate-breach audit: top-20 users by peak events-per-minute, with
+    * the earliest peak minute — the bot / rate-limit census. */
+  private def qRateBreaches(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.rateBreaches(events(spark, dir), "ts", "user_id",
+      topK = 20)
+
   /** Label-noise shortlist: the 3 points farthest from their own
     * label centroid per label — exact micro-unit distances via the
     * quantize6 ladder and the round-half-away integer mean. */
@@ -2179,14 +2206,17 @@ object SparkEntry {
     "q_repurchase_gap" -> (qRepurchaseGap _),
     "q_embed_mislabel" -> (qEmbedMislabel _),
     "q_dedup_cluster_sizes" -> (qDedupClusterSizes _),
-    "q_text_length_bands" -> (qTextLengthBands _)
+    "q_text_length_bands" -> (qTextLengthBands _),
+    "q_attribution_linear" -> (qAttributionLinear _),
+    "q_stat_runs" -> (qStatRuns _),
+    "q_rate_breaches" -> (qRateBreaches _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (224 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (227 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -261,6 +261,72 @@ object Stats {
         col("tie_cubes"), col("z_stat"), col("rank_biserial"))
   }
 
+  /** WALD–WOLFOWITZ RUNS TEST — is a sequence random, or does it
+    * trend/oscillate? Signs are above/below the series' lower median
+    * (ties at the median drop, the standard treatment); R = number of
+    * sign runs; z compares R to its null mean `2·n₁·n₂/n + 1` with
+    * the exact null variance. Too few runs → trending/clustered; too
+    * many → oscillating. The randomness audit for any ordered series
+    * (the registry feeds the daily value sums).
+    *
+    * Exactness: the median is the exact rank-selected lower median of
+    * integer units; run boundaries come from one lag window; all
+    * counts are BIGINTs and z is one fixed-order double expression.
+    *
+    * Scale shape: input is a PRE-AGGREGATED ordered series (days,
+    * buckets) — the lag/cumulative windows run single-partition over
+    * that bounded frame, same contract as [[kendallTauB]]. */
+  def runsTest(df: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(orderCol).as("o"),
+      col(valueCol).cast(LongType).as("v"))
+    val dv = base.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = dv
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("cum") * 2L >= col("n"))
+      .agg(min(col("v")).as("median_v"))
+    val signed = base.crossJoin(broadcast(med))
+      .filter(col("v") =!= col("median_v"))
+      .withColumn("s", when(col("v") > col("median_v"), 1L)
+        .otherwise(0L))
+    val wSeq = Window.orderBy(col("o"))
+    val runs = signed
+      .withColumn("prev_s", lag(col("s"), 1).over(wSeq))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("s")).as("n_above"),
+        (count(lit(1)) - sum(col("s"))).as("n_below"),
+        (sum(when(col("prev_s").isNull ||
+          col("prev_s") =!= col("s"), 1L).otherwise(0L)))
+          .as("n_runs"))
+    runs.crossJoin(broadcast(med))
+      .withColumn("mu",
+        when(col("n_kept") > 0L,
+          lit(2.0) * col("n_above").cast(DoubleType) *
+            col("n_below").cast(DoubleType) /
+            col("n_kept").cast(DoubleType) + lit(1.0)))
+      .withColumn("var_r",
+        when(col("n_kept") > 1L,
+          (lit(2.0) * col("n_above").cast(DoubleType) *
+            col("n_below").cast(DoubleType) *
+            (lit(2.0) * col("n_above").cast(DoubleType) *
+              col("n_below").cast(DoubleType) -
+              col("n_kept").cast(DoubleType))) /
+            (col("n_kept").cast(DoubleType) *
+              col("n_kept").cast(DoubleType) *
+              (col("n_kept").cast(DoubleType) - lit(1.0)))))
+      .withColumn("z_stat",
+        when(col("var_r") > 0.0,
+          (col("n_runs").cast(DoubleType) - col("mu")) /
+            sqrt(col("var_r"))))
+      .select(col("median_v"), col("n_kept"), col("n_above"),
+        col("n_below"), col("n_runs"), col("z_stat"))
+  }
+
   /** WILSON SCORE INTERVAL per group — the binomial proportion CI
     * that stays sane at small n and extreme p̂ (unlike the normal
     * approximation): center `(p̂ + z²/2n)/(1 + z²/n)`, half-width

@@ -1249,6 +1249,76 @@ object TimeSeries {
         expr("(n_users * 1000000000L) div n_total").as("user_share_ppb"))
   }
 
+  /** RATE-BREACH AUDIT — each key's peak per-minute event rate, top-k
+    * offenders: the rate-limit/bot-detection read (the reference's own
+    * polling floor — SURVEY §2 S5 — is exactly such a budget,
+    * enforced client-side; this is the server-side census). Reports
+    * the peak rate, the EARLIEST minute it was hit, and the key's
+    * total volume, ranked by (peak desc, key).
+    *
+    * All-integer. Scale shape: (key, minute) counts collapse
+    * map-side; the per-key peak is a second map-combined rollup
+    * (min_by via conditional-min against the max — no window); global
+    * top-k via orderBy+limit (TakeOrderedAndProject). */
+  def rateBreaches(df: DataFrame, ts: String, key: String,
+      topK: Int = 20): DataFrame = {
+    val perMin = df
+      .withColumn("epoch_s", epochSeconds(col(ts)))
+      .groupBy(col(key).as("k"), expr("epoch_s div 60L").as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+    val peaks = perMin.groupBy(col("k"))
+      .agg(max(col("cnt")).as("peak_per_minute"),
+        sum(col("cnt")).as("n_events"))
+    perMin.join(peaks, Seq("k"))
+      .filter(col("cnt") === col("peak_per_minute"))
+      .groupBy(col("k").as(key), col("peak_per_minute"),
+        col("n_events"))
+      .agg(min(col("minute")).as("peak_minute"))
+      .select(col(key), col("peak_per_minute"), col("peak_minute"),
+        col("n_events"))
+      .orderBy(col("peak_per_minute").desc, col(key))
+      .limit(topK)
+  }
+
+  /** LINEAR MULTI-TOUCH ATTRIBUTION — every touch between two
+    * conversions shares the closing conversion's credit equally (the
+    * fairness counterweight to [[firstTouchAttribution]]'s
+    * winner-takes-all): per touch type, the credited-touch count and
+    * total credit in ppb. Segments are conversion-delimited: a touch
+    * belongs to segment s = number of conversions strictly before it,
+    * and is credited iff a conversion CLOSES segment s; per-touch
+    * credit is `10⁹ div n_touches_in_segment` (floor — type totals
+    * are exact multiples, engine-identical).
+    *
+    * Scale shape: one per-key running-count window (bounded by each
+    * key's history), one (key, segment) rollup joined back (the
+    * segment frame is conversions-sized), one type rollup. */
+  def linearAttribution(df: DataFrame, ts: String, key: String,
+      typeCol: String, rowId: String,
+      conversionType: String): DataFrame = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("epoch_us"), col("rid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seq = df.select(col(key).as("k"),
+        epochMicros(col(ts)).as("epoch_us"),
+        col(rowId).as("rid"), col(typeCol).as("t"))
+      .withColumn("seg",
+        coalesce(sum(when(col("t") === conversionType, 1L)
+          .otherwise(0L)).over(w), lit(0L)))
+    val touches = seq.filter(col("t") =!= conversionType)
+    val closed = seq.filter(col("t") === conversionType)
+      .select(col("k"), col("seg")).distinct()
+    val credited = touches
+      .join(closed, Seq("k", "seg"), "left_semi")
+    val segSizes = credited.groupBy(col("k"), col("seg"))
+      .agg(count(lit(1)).as("n_seg"))
+    credited.join(segSizes, Seq("k", "seg"))
+      .withColumn("credit", expr("1000000000L div n_seg"))
+      .groupBy(col("t").as("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).as("credit_ppb"))
+  }
+
   /** MARKOV MEMORYLESSNESS AUDIT — is the event stream first-order
     * Markov? Compares the OBSERVED two-step transition distribution
     * against the CHAINED one-step prediction `P²(a,c) = Σ_b

@@ -2087,6 +2087,36 @@ class TimeSeriesSpec extends SparkSpec {
       0L -> ((1L, 500000000L))), s"$got")
   }
 
+  test("linearAttribution: equal split inside the closed segment, " +
+    "open-tail touches uncredited") {
+    // view,click,purchase,view: the trailing view's segment never
+    // closes → only the first two touches share the credit 50/50
+    val d = Seq((1L, 1L, "view", 10L), (1L, 2L, "click", 11L),
+      (1L, 3L, "purchase", 12L), (1L, 4L, "view", 13L),
+      (2L, 1L, "view", 20L)) // user 2 never converts
+      .toDF("user_id", "epoch", "t", "event_id")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val got = TimeSeries.linearAttribution(d, "ts", "user_id", "t",
+      "event_id", "purchase").collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Long]("credit_ppb"))))
+      .toMap
+    assert(got == Map("view" -> ((1L, 500000000L)),
+      "click" -> ((1L, 500000000L))), s"$got")
+  }
+
+  test("rateBreaches: per-minute peak, earliest peak minute, order") {
+    val d = Seq((1L, 0L), (1L, 10L), (1L, 20L), (1L, 130L), (2L, 70L))
+      .toDF("user_id", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val rows = TimeSeries.rateBreaches(d, "ts", "user_id")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("peak_per_minute"), r.getAs[Long]("peak_minute"),
+        r.getAs[Long]("n_events")))
+    assert(rows.toSeq == Seq((1L, 3L, 0L, 4L), (2L, 1L, 1L, 1L)),
+      s"${rows.toSeq}")
+  }
+
   test("markovTwoStepAudit: perfect alternating chain has zero gap") {
     // A,B,A,B,A: P(A→B)=P(B→A)=1e9; two-step is deterministic too,
     // so chained prediction matches observation exactly.

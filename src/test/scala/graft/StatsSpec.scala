@@ -74,6 +74,22 @@ class StatsSpec extends SparkSpec {
     assert(tie.getAs[Long]("tie_cubes") == 6L)
   }
 
+  test("runsTest: lower median, dropped ties, hand-counted runs") {
+    // series (by order) 1,4,2,5: lower median 2 (dropped), kept signs
+    // 0,1,1 → 2 runs; n_above=2, n_below=1
+    val d = Seq((1L, 1L), (2L, 4L), (3L, 2L), (4L, 5L)).toDF("o", "v")
+    val r = Stats.runsTest(d, "o", "v").collect().head
+    assert(r.getAs[Long]("median_v") == 2L)
+    assert(r.getAs[Long]("n_kept") == 3L)
+    assert(r.getAs[Long]("n_above") == 2L)
+    assert(r.getAs[Long]("n_below") == 1L)
+    assert(r.getAs[Long]("n_runs") == 2L)
+    val mu = 2.0 * 2.0 * 1.0 / 3.0 + 1.0
+    val vr = (2.0 * 2.0 * 1.0 * (2.0 * 2.0 * 1.0 - 3.0)) /
+      (3.0 * 3.0 * (3.0 - 1.0))
+    assert(r.getAs[Double]("z_stat") == (2.0 - mu) / math.sqrt(vr))
+  }
+
   test("wilsonInterval: closed-form fixture, zero-success floor") {
     val d = (Seq.fill(1)(("g", true)) ++ Seq.fill(3)(("g", false)) ++
       Seq.fill(4)(("z", false))).toDF("grp", "ok")
