@@ -5892,6 +5892,91 @@ object OracleSql {
         |FROM pm JOIN pk ON pm.k = pk.k AND pm.cnt = pk.peak_per_minute
         |GROUP BY 1, 2, 4
         |ORDER BY peak_per_minute DESC, user_id
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // Mutual top-5 cosine pairs: the q_sim_topk_cosine CTEs over the
+    // full corpus with self-pairs excluded BEFORE ranking, then the
+    // swapped-key self-join keeps only reciprocal pairs.
+    "q_sim_mutual" ->
+      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1)
+        |      AS i,
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6))
+        |      AS x FROM embeddings),
+        |norms AS (SELECT vec_id,
+        |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE))
+        |      AS nrm
+        |  FROM el GROUP BY 1),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE)
+        |      AS dot
+        |  FROM el q JOIN el c ON q.i = c.i
+        |  WHERE q.vec_id <> c.vec_id GROUP BY 1, 2),
+        |sc AS (SELECT query_id, corpus_id,
+        |    dot / (nq.nrm * nc.nrm) AS score
+        |  FROM s JOIN norms nq ON nq.vec_id = query_id
+        |         JOIN norms nc ON nc.vec_id = corpus_id),
+        |tk AS (SELECT query_id, corpus_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, corpus_id) AS BIGINT) AS rank
+        |  FROM sc QUALIFY rank <= 5)
+        |SELECT a.query_id AS u, a.corpus_id AS v, a.rank AS rank_uv,
+        |  b.rank AS rank_vu, a.score AS score
+        |FROM tk a JOIN tk b ON a.query_id = b.corpus_id
+        |  AND a.corpus_id = b.query_id
+        |WHERE a.query_id < a.corpus_id""".stripMargin,
+
+    // Memorization census over per-doc-distinct 8-word shingles:
+    // type and mass shares sitting in repeated shingles.
+    "q_text_memorization" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS words
+         |  FROM documents),
+         |sh AS (SELECT doc_id AS id, unnest(${shingleExpr(8)})
+         |    AS shingle FROM w),
+         |ps AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df_docs
+         |  FROM sh GROUP BY 1),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |    CAST(COUNT(CASE WHEN df_docs >= 2 THEN 1 END) AS BIGINT)
+         |      AS n_dup_shingles,
+         |    CAST(SUM(df_docs) AS BIGINT) AS occ_total,
+         |    CAST(SUM(CASE WHEN df_docs >= 2 THEN df_docs ELSE 0 END)
+         |      AS BIGINT) AS occ_in_dup,
+         |    CAST(MAX(df_docs) AS BIGINT) AS max_df FROM ps)
+         |SELECT n_shingles, n_dup_shingles, occ_total, occ_in_dup,
+         |  max_df,
+         |  CAST((n_dup_shingles * 1000000000) // n_shingles AS BIGINT)
+         |    AS dup_type_share_ppb,
+         |  CAST((occ_in_dup * 1000000000) // occ_total AS BIGINT)
+         |    AS dup_mass_share_ppb
+         |FROM a""".stripMargin,
+
+    // Heaps growth curve: doc-id deciles, first-occurrence doc per
+    // type, cumulative type/token masses.
+    "q_vocab_growth" ->
+      """WITH dd AS (SELECT doc_id AS doc,
+        |    CAST(ntile(10) OVER (ORDER BY doc_id) AS BIGINT)
+        |      AS decile FROM documents),
+        |toks AS (SELECT doc, tok FROM (SELECT doc_id AS doc,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents) WHERE length(tok) > 0),
+        |tpd AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |  FROM toks JOIN dd USING (doc) GROUP BY 1),
+        |nd AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM dd GROUP BY 1),
+        |fd AS (SELECT tok, MIN(doc) AS first_doc FROM toks
+        |  GROUP BY 1),
+        |nt AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_types
+        |  FROM fd JOIN dd ON fd.first_doc = dd.doc GROUP BY 1),
+        |j AS (SELECT nd.decile, n_docs,
+        |    CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(new_types, 0) AS BIGINT) AS new_types
+        |  FROM nd LEFT JOIN tpd ON nd.decile = tpd.decile
+        |  LEFT JOIN nt ON nd.decile = nt.decile)
+        |SELECT decile, n_docs, n_tokens, new_types,
+        |  CAST(SUM(new_types) OVER (ORDER BY decile) AS BIGINT)
+        |    AS cum_types,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY decile) AS BIGINT)
+        |    AS cum_tokens
+        |FROM j""".stripMargin
   )
 }

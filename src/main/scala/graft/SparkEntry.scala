@@ -1335,6 +1335,26 @@ object SparkEntry {
           .as("value_bucket")),
       "event_type", "value_bucket")
 
+  /** Mutual top-5 cosine pairs over the embedding corpus: both sides
+    * rank each other — the hubness-robust near-dup candidate filter;
+    * exact quantized dots, deterministic ranks. */
+  private def qSimMutual(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mutualTopK(emb(spark, dir), "vec_id", "embedding",
+      k = 5)
+
+  /** Memorization-risk census: the share of 8-word shingle types and
+    * mass repeated across documents — the verbatim-regurgitation
+    * scalar behind the pairwise dedup family. */
+  private def qTextMemorization(spark: SparkSession,
+      dir: String): DataFrame =
+    Dedup.memorizationRisk(docs(spark, dir), "doc_id", "text",
+      shingleWords = 8)
+
+  /** Heaps vocabulary-growth curve: new and cumulative types per
+    * doc-id decile — flattening = saturating vocabulary. */
+  private def qVocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowth(docs(spark, dir), "doc_id", "text")
+
   /** Linear multi-touch attribution: touches between conversions
     * share the closing purchase's credit equally (floor ppb) — the
     * fairness counterweight to first-touch. */
@@ -2209,14 +2229,17 @@ object SparkEntry {
     "q_text_length_bands" -> (qTextLengthBands _),
     "q_attribution_linear" -> (qAttributionLinear _),
     "q_stat_runs" -> (qStatRuns _),
-    "q_rate_breaches" -> (qRateBreaches _)
+    "q_rate_breaches" -> (qRateBreaches _),
+    "q_sim_mutual" -> (qSimMutual _),
+    "q_text_memorization" -> (qTextMemorization _),
+    "q_vocab_growth" -> (qVocabGrowth _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (227 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (230 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

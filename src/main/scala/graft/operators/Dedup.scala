@@ -1195,4 +1195,36 @@ object Dedup {
         col("n_common").cast(DoubleType) / col("probe_size").cast(DoubleType))
       .select("train_id", "probe_id", "n_common", "containment")
   }
+
+  /** MEMORIZATION-RISK CENSUS — what share of the corpus's n-gram
+    * inventory (and mass) repeats across documents? Long repeated
+    * n-grams are exactly what a model regurgitates verbatim; this is
+    * the corpus-level scalar behind the pairwise dedup family: the
+    * distinct-shingle type count, how many types appear in ≥ 2 docs,
+    * the occurrence mass sitting in those repeated types (floor ppb
+    * shares of both), and the most-repeated shingle's doc frequency.
+    * Shingles are per-doc-distinct (the [[ngramJaccardPairs]]
+    * contract), so "occurrence" = document frequency.
+    *
+    * All-integer, one (shingle → df) map-combined rollup + a scalar
+    * fold — the cheapest possible pass over the shingle stream; no
+    * pair generation anywhere. */
+  def memorizationRisk(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sh = df.select(col(idCol).as("id"),
+      explode(graft.functions.WordShingleFunctions
+        .wordShingles(col(textCol), shingleWords)).as("shingle"))
+    sh.groupBy(col("shingle")).agg(count(lit(1)).as("df_docs"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df_docs") >= 2L, 1)).as("n_dup_shingles"),
+        sum(col("df_docs")).as("occ_total"),
+        sum(when(col("df_docs") >= 2L, col("df_docs"))
+          .otherwise(0L)).as("occ_in_dup"),
+        max(col("df_docs")).as("max_df"))
+      .withColumn("dup_type_share_ppb",
+        expr("(n_dup_shingles * 1000000000L) div n_shingles"))
+      .withColumn("dup_mass_share_ppb",
+        expr("(occ_in_dup * 1000000000L) div occ_total"))
+  }
 }

@@ -71,6 +71,35 @@ object Similarity {
     * precomputed per side (not per pair); ties broken by corpus id — fully
     * deterministic. Returns (query_id, corpus_id, score, rank).
     */
+  /** MUTUAL top-k pairs — `(u, v)` where each sits in the OTHER's
+    * top-k: the rank-symmetric agreement criterion that cuts hubness
+    * false-positives a one-directional kNN list carries (a hub lands
+    * in everyone's top-k without reciprocating), the standard
+    * candidate filter for near-dup mining and cross-encoder pair
+    * selection. Emits both ranks and the (symmetric) cosine.
+    *
+    * Exactness and scale ride [[bruteForceTopK]] unchanged (quantized
+    * long dot products, deterministic rank ties); the mutual step is
+    * one self-join of the two k·n-row top-k lists on the swapped key
+    * pair. Brute-force baseline semantics — swap in the IVF/LSH top-k
+    * upstream for the 100 TB path, the mutual join is index-agnostic. */
+  def mutualTopK(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5): DataFrame = {
+    // lazy on purpose: AQE reuses the ranked exchange across both
+    // sides of the mutual join (probed — an eager localCheckpoint
+    // bought nothing at sf0.1), so the brute-force pass runs once
+    val topk = bruteForceTopK(df, idCol, vecCol, df, idCol, vecCol,
+      k, cosine = true, excludeSelf = true)
+    val a = topk.select(col("query_id").as("u"),
+      col("corpus_id").as("v"), col("rank").as("rank_uv"),
+      col("score").as("score"))
+    val b = topk.select(col("query_id").as("v"),
+      col("corpus_id").as("u"), col("rank").as("rank_vu"))
+    a.join(b, Seq("u", "v")).filter(col("u") < col("v"))
+      .select(col("u"), col("v"), col("rank_uv"), col("rank_vu"),
+        col("score"))
+  }
+
   def bruteForceTopK(
       queries: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,

@@ -1676,6 +1676,44 @@ object TextAnalysis {
         col("fano"))
   }
 
+  /** VOCABULARY GROWTH CURVE (Heaps' law) — how fast does the type
+    * inventory grow as the corpus grows? Documents split into id-order
+    * deciles; each decile reports its doc/token mass, the NEW types it
+    * introduces (types whose first-occurrence doc lands there), and
+    * the cumulative type/token curve — the empirical Heaps curve a
+    * vocab budget extrapolates from (flattening = saturating
+    * vocabulary; linear = open-ended, e.g. ids/noise).
+    *
+    * All-integer. Scale shape: the (token → first doc) rollup is the
+    * only vocabulary-sized state (map-combined min); deciles come from
+    * one ntile window over the DOC-ID frame (document-count bounded —
+    * at 10⁸⁺ docs switch to range-partitioned quantile boundaries);
+    * everything else is ≤10-row arithmetic. */
+  def vocabGrowth(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val dd = df.select(col(idCol).as("doc")).distinct()
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("doc"))).cast(LongType))
+    val toks = df.select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tpd = toks.join(dd, Seq("doc"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_tokens"))
+    val nd = dd.groupBy(col("decile")).agg(count(lit(1)).as("n_docs"))
+    val fd = toks.groupBy(col("tok")).agg(min(col("doc")).as("first_doc"))
+    val nt = fd
+      .join(dd.withColumnRenamed("doc", "first_doc"), Seq("first_doc"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+    val wc = Window.orderBy(col("decile"))
+    nd.join(tpd, Seq("decile"), "left").join(nt, Seq("decile"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum(col("new_types")).over(wc))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wc))
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        col("new_types"), col("cum_types"), col("cum_tokens"))
+  }
+
   /** LENGTH-BAND PROFILE per group — the short/medium/long census a
     * context-budget or chunking decision reads: per (group, band),
     * document count, character and token mass, and ppb doc share of

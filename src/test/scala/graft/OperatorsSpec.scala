@@ -8,6 +8,20 @@ import graft.queries.TimeSeries
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("vocabGrowth: first-occurrence deciles, cumulative curve") {
+    // docs 1-5 all say "x"; docs 6-10 introduce one new type each
+    val d = ((1 to 5).map(i => (i.toLong, "x")) ++
+      Seq((6L, "a"), (7L, "b"), (8L, "c"), (9L, "d"), (10L, "e")))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.vocabGrowth(d, "doc_id", "text")
+      .collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("new_types")).toSeq ==
+      Seq(1L, 0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L, 1L))
+    assert(rows.last.getAs[Long]("cum_types") == 6L)
+    assert(rows.last.getAs[Long]("cum_tokens") == 10L)
+    assert(rows.forall(_.getAs[Long]("n_docs") == 1L))
+  }
+
   test("lengthBands: fixed char thresholds, per-group ppb doc shares") {
     val d = Seq(("s", "hi there"), ("s", "a" * 600), ("s", "b" * 2500))
       .toDF("source", "text")
@@ -608,6 +622,21 @@ class TextAnalysisSpec extends SparkSpec {
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
+
+  test("memorizationRisk: repeated-shingle type and mass shares") {
+    import graft.operators.Dedup
+    // 3-shingles: {"a b c": df 2, "b c d": 1, "b c e": 1}
+    val d = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val r = Dedup.memorizationRisk(d, "doc_id", "text",
+      shingleWords = 3).collect().head
+    assert(r.getAs[Long]("n_shingles") == 3L)
+    assert(r.getAs[Long]("n_dup_shingles") == 1L)
+    assert(r.getAs[Long]("occ_total") == 4L)
+    assert(r.getAs[Long]("occ_in_dup") == 2L)
+    assert(r.getAs[Long]("max_df") == 2L)
+    assert(r.getAs[Long]("dup_type_share_ppb") == 333333333L)
+    assert(r.getAs[Long]("dup_mass_share_ppb") == 500000000L)
+  }
 
   private def corpus = Seq(
     (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
@@ -1434,6 +1463,19 @@ class SimilaritySpec extends SparkSpec {
     (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
     (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
   ).toDF("vec_id", "embedding")
+
+  test("mutualTopK: only reciprocal pairs survive, hub edge dropped") {
+    import graft.operators.Similarity
+    // a↔b mutual at k=1; c's top-1 is b but b's top-1 is a → dropped
+    val d = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.1f)),
+      (3L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val rows = Similarity.mutualTopK(d, "vec_id", "embedding", k = 1)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getAs[Long]("u"), r.getAs[Long]("v")) == ((1L, 2L)))
+    assert(r.getAs[Long]("rank_uv") == 1L && r.getAs[Long]("rank_vu") == 1L)
+  }
 
   test("kmeansSummary: exact sizes/inertia, drained clusters report zero") {
     // two tight value classes over 8 vectors
