@@ -5977,6 +5977,85 @@ object OracleSql {
         |    AS cum_types,
         |  CAST(SUM(n_tokens) OVER (ORDER BY decile) AS BIGINT)
         |    AS cum_tokens
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+
+    // Class-distinctive terms: floor-ppb shares, floor-permille lift
+    // ratio, support floor, per-group top-10.
+    "q_text_distinctive" ->
+      """WITH toks AS (SELECT g, tok FROM (SELECT lang AS g,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents) WHERE length(tok) > 0),
+        |tfg AS (SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS tf_g
+        |  FROM toks GROUP BY 1, 2),
+        |ng AS (SELECT g, CAST(SUM(tf_g) AS BIGINT) AS n_g FROM tfg
+        |  GROUP BY 1),
+        |tfa AS (SELECT tok, CAST(SUM(tf_g) AS BIGINT) AS tf_all
+        |  FROM tfg GROUP BY 1),
+        |na AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_all FROM ng),
+        |scored AS (SELECT g, tok, tf_g,
+        |    (tf_g * 1000000000) // n_g AS share_g_ppb,
+        |    (tf_all * 1000000000) // n_all AS share_all_ppb
+        |  FROM tfg JOIN ng USING (g) JOIN tfa USING (tok)
+        |  CROSS JOIN na WHERE tf_g >= 5),
+        |l AS (SELECT *, (share_g_ppb * 1000)
+        |    // GREATEST(share_all_ppb, 1) AS lift_permille
+        |  FROM scored),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY g
+        |    ORDER BY lift_permille DESC, tok) AS BIGINT) AS term_rank
+        |  FROM l)
+        |SELECT g AS lang, tok AS term, tf_g,
+        |  CAST(share_g_ppb AS BIGINT) AS share_g_ppb,
+        |  CAST(share_all_ppb AS BIGINT) AS share_all_ppb,
+        |  CAST(lift_permille AS BIGINT) AS lift_permille, term_rank
+        |FROM r WHERE term_rank <= 10""".stripMargin,
+
+    // Token case/format hygiene: anchored character-class regexes
+    // (Java and RE2 agree), floor-ppb shares.
+    "q_text_case_profile" ->
+      """WITH toks AS (SELECT g, tok FROM (SELECT source AS g,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents) WHERE length(tok) > 0),
+        |a AS (SELECT g AS source, CAST(COUNT(*) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(COUNT(CASE WHEN regexp_matches(tok, '^[A-Z]{2,}$')
+        |      THEN 1 END) AS BIGINT) AS n_allcaps,
+        |    CAST(COUNT(CASE WHEN regexp_matches(tok, '^[A-Z][a-z]+$')
+        |      THEN 1 END) AS BIGINT) AS n_titlecase,
+        |    CAST(COUNT(CASE WHEN regexp_matches(tok, '^[0-9]+$')
+        |      THEN 1 END) AS BIGINT) AS n_digits
+        |  FROM toks GROUP BY 1)
+        |SELECT source, n_tokens, n_allcaps, n_titlecase, n_digits,
+        |  CAST((n_allcaps * 1000000000) // n_tokens AS BIGINT)
+        |    AS allcaps_ppb,
+        |  CAST((n_titlecase * 1000000000) // n_tokens AS BIGINT)
+        |    AS titlecase_ppb,
+        |  CAST((n_digits * 1000000000) // n_tokens AS BIGINT)
+        |    AS digits_ppb
+        |FROM a""".stripMargin,
+
+    // Per-label norm profile: exact q12 squared norms, rank-picked
+    // median, one fixed-order RMS double.
+    "q_embed_norms" ->
+      """WITH el AS (SELECT vec_id, label,
+        |    CAST(CAST(CAST(unnest(embedding) AS DOUBLE)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+        |  FROM embeddings),
+        |n2t AS (SELECT label, vec_id, CAST(SUM(x * x) AS BIGINT)
+        |    AS n2 FROM el GROUP BY 1, 2),
+        |dv AS (SELECT label, n2, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM n2t GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(SUM(cnt) OVER (PARTITION BY label
+        |      ORDER BY n2) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY label) AS BIGINT) AS n
+        |  FROM dv)
+        |SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+        |  CAST(MIN(n2) AS BIGINT) AS min_norm2_q12,
+        |  CAST(MAX(n2) AS BIGINT) AS max_norm2_q12,
+        |  CAST(SUM(n2 * cnt) AS BIGINT) AS sum_norm2_q12,
+        |  CAST(MIN(CASE WHEN cum * 2 >= n THEN n2 END) AS BIGINT)
+        |    AS p50_norm2_q12,
+        |  sqrt((CAST(SUM(n2 * cnt) AS DOUBLE) / CAST(MAX(n) AS DOUBLE))
+        |    / 1.0e12) AS rms_norm
+        |FROM w GROUP BY 1""".stripMargin
   )
 }

@@ -1335,6 +1335,26 @@ object SparkEntry {
           .as("value_bucket")),
       "event_type", "value_bucket")
 
+  /** Distinctive terms per language: top-10 by integer permille lift
+    * of in-group vs overall token share — the corpus-card "what is in
+    * this slice" table (class-based, not per-doc TF-IDF). */
+  private def qTextDistinctive(spark: SparkSession,
+      dir: String): DataFrame =
+    TextAnalysis.distinctiveTerms(docs(spark, dir), "lang", "text",
+      minCount = 5L, topK = 10)
+
+  /** Token case/format hygiene per source: ALL-CAPS / Title-Case /
+    * digits-only shares — the boilerplate and OCR-debris audit. */
+  private def qTextCaseProfile(spark: SparkSession,
+      dir: String): DataFrame =
+    TextAnalysis.caseProfile(docs(spark, dir), "source", "text")
+
+  /** Per-label embedding norm profile: exact q12 squared-norm
+    * extremes, rank-picked median, RMS — the norm-collapse detector. */
+  private def qEmbedNorms(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Embeddings.normProfile(emb(spark, dir), "vec_id",
+      "label", "embedding")
+
   /** Mutual top-5 cosine pairs over the embedding corpus: both sides
     * rank each other — the hubness-robust near-dup candidate filter;
     * exact quantized dots, deterministic ranks. */
@@ -2232,14 +2252,17 @@ object SparkEntry {
     "q_rate_breaches" -> (qRateBreaches _),
     "q_sim_mutual" -> (qSimMutual _),
     "q_text_memorization" -> (qTextMemorization _),
-    "q_vocab_growth" -> (qVocabGrowth _)
+    "q_vocab_growth" -> (qVocabGrowth _),
+    "q_text_distinctive" -> (qTextDistinctive _),
+    "q_text_case_profile" -> (qTextCaseProfile _),
+    "q_embed_norms" -> (qEmbedNorms _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (230 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (233 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -234,6 +234,53 @@ object Embeddings {
       .withColumn("accuracy", col("n_correct").cast(DoubleType) / col("n"))
   }
 
+  /** NORM PROFILE per label — the embedding-health dashboard row:
+    * squared-norm extremes, the exact rank-selected median, and the
+    * RMS norm per label. Norm collapse (all tiny), norm explosion, or
+    * a label whose norm band separates from the rest all flag encoder
+    * or preprocessing bugs before any similarity metric would.
+    *
+    * Exactness: squared norms are exact q12 BIGINTs (`dotExact(v,v)` —
+    * micro-unit quantization squared); the median is rank-picked from
+    * the per-label distinct-value frame; the only double is the final
+    * RMS (`sqrt((Σn²/n)/10¹²)`, fixed order). Scale shape: one
+    * quantized scan, a (label, norm²) map-combined rollup, one bounded
+    * cumulative window, one fold. */
+  def normProfile(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val V = graft.functions.VectorFunctions
+    // Σx² over the micro-unit elements directly: dotQ12 reports the
+    // VALUE-scale double (sum/10¹²) — fine for scores, lossy for the
+    // exact q12 integer this profile keys on
+    val base = df.select(col(idCol).as("vid"),
+        col(labelCol).as("label"),
+        posexplode(V.quantize6(col(vecCol))).as(Seq("i", "x")))
+      .groupBy(col("label"), col("vid"))
+      .agg(sum(col("x") * col("x")).as("n2"))
+    val dv = base.groupBy(col("label"), col("n2"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("n2"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+    dv.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        min(col("n2")).as("min_norm2_q12"),
+        max(col("n2")).as("max_norm2_q12"),
+        sum(col("n2") * col("cnt")).as("sum_norm2_q12"),
+        min(when(col("cum") * 2L >= col("n"), col("n2")))
+          .as("p50_norm2_q12"))
+      .withColumn("rms_norm",
+        sqrt((col("sum_norm2_q12").cast(DoubleType) /
+          col("n_vecs").cast(DoubleType)) / lit(1.0e12)))
+  }
+
   /** MISLABEL CANDIDATES — the points farthest from their OWN label
     * centroid: the label-noise shortlist an annotation audit reviews
     * first (a correctly-labeled point sits near its class mean; a

@@ -1714,6 +1714,80 @@ object TextAnalysis {
         col("new_types"), col("cum_types"), col("cum_tokens"))
   }
 
+  /** DISTINCTIVE TERMS per group (class-based lift) — the terms that
+    * characterize a language/source/slice versus the whole corpus:
+    * `lift = share_in_group / share_overall`, top-k per group. The
+    * per-CLASS complement to per-document TF-IDF — this is what a
+    * corpus card's "what is in this slice" table is made of.
+    *
+    * Exactness: both shares are floor-ppb integers and the lift is the
+    * floor permille ratio of those ppbs (`share_g·10³ div
+    * max(share_all, 1)`) — a DEFINED integer statistic, engine-exact
+    * at every scale (all intermediates ≤ 10¹²). A `minCount` support
+    * floor keeps one-off typos out of the ranking.
+    *
+    * Scale shape: one (group, token) rollup + one (token) rollup over
+    * the same pass shape, broadcast group totals, per-group ranked
+    * window over support-floored candidates. */
+  def distinctiveTerms(df: DataFrame, groupCol: String,
+      textCol: String, minCount: Long = 5L,
+      topK: Int = 10): DataFrame = {
+    val toks = df.select(col(groupCol).as("g"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tfg = toks.groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).as("tf_g"))
+    val ng = tfg.groupBy(col("g")).agg(sum(col("tf_g")).as("n_g"))
+    val tfa = tfg.groupBy(col("tok"))
+      .agg(sum(col("tf_g")).as("tf_all"))
+    val nAll = ng.agg(sum(col("n_g")).as("n_all"))
+    val scored = tfg.filter(col("tf_g") >= minCount)
+      .join(broadcast(ng), Seq("g"))
+      .join(tfa, Seq("tok"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("share_g_ppb", expr("(tf_g * 1000000000L) div n_g"))
+      .withColumn("share_all_ppb",
+        expr("(tf_all * 1000000000L) div n_all"))
+      .withColumn("lift_permille",
+        expr("(share_g_ppb * 1000L) div greatest(share_all_ppb, 1L)"))
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("lift_permille").desc, col("tok"))
+    scored.withColumn("term_rank", row_number().over(w).cast(LongType))
+      .filter(col("term_rank") <= topK)
+      .select(col("g").as(groupCol), col("tok").as("term"),
+        col("tf_g"), col("share_g_ppb"), col("share_all_ppb"),
+        col("lift_permille"), col("term_rank"))
+  }
+
+  /** CASE/FORMAT HYGIENE PROFILE per group — what shape are the
+    * tokens in? Shares of ALL-CAPS, Title-Case, digits-only, and
+    * other tokens: the formatting-noise audit that catches shouting
+    * boilerplate, serial-number dumps, and OCR debris before they
+    * skew a tokenizer. Single-anchor character-class regexes, so Java
+    * and RE2 agree.
+    *
+    * All-integer (counts + floor-ppb shares), one map-combined
+    * rollup over the token stream. */
+  def caseProfile(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("g"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    toks.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("tok").rlike("^[A-Z]{2,}$"), 1))
+          .as("n_allcaps"),
+        count(when(col("tok").rlike("^[A-Z][a-z]+$"), 1))
+          .as("n_titlecase"),
+        count(when(col("tok").rlike("^[0-9]+$"), 1)).as("n_digits"))
+      .withColumn("allcaps_ppb",
+        expr("(n_allcaps * 1000000000L) div n_tokens"))
+      .withColumn("titlecase_ppb",
+        expr("(n_titlecase * 1000000000L) div n_tokens"))
+      .withColumn("digits_ppb",
+        expr("(n_digits * 1000000000L) div n_tokens"))
+  }
+
   /** LENGTH-BAND PROFILE per group — the short/medium/long census a
     * context-budget or chunking decision reads: per (group, band),
     * document count, character and token mass, and ppb doc share of

@@ -8,6 +8,31 @@ import graft.queries.TimeSeries
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("distinctiveTerms: permille lift ranks group-specific terms " +
+    "above shared ones") {
+    // x appears in both groups (lift 1000), y only in a (lift 2000)
+    val d = Seq(("a", "x x x x x y y y y y"),
+      ("b", "x x x x x z z z z z")).toDF("lang", "text")
+    val got = TextAnalysis.distinctiveTerms(d, "lang", "text",
+      minCount = 5L, topK = 2).collect()
+      .filter(_.getAs[String]("lang") == "a")
+      .sortBy(_.getAs[Long]("term_rank"))
+      .map(r => (r.getAs[String]("term"),
+        r.getAs[Long]("lift_permille")))
+    assert(got.toSeq == Seq(("y", 2000L), ("x", 1000L)), s"$got")
+  }
+
+  test("caseProfile: anchored token classes, ppb shares") {
+    val d = Seq(("s", "HELLO World foo 123 A")).toDF("source", "text")
+    val r = TextAnalysis.caseProfile(d, "source", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_tokens") == 5L)
+    assert(r.getAs[Long]("n_allcaps") == 1L)   // HELLO; single 'A' no
+    assert(r.getAs[Long]("n_titlecase") == 1L) // World
+    assert(r.getAs[Long]("n_digits") == 1L)    // 123
+    assert(r.getAs[Long]("allcaps_ppb") == 200000000L)
+  }
+
   test("vocabGrowth: first-occurrence deciles, cumulative curve") {
     // docs 1-5 all say "x"; docs 6-10 introduce one new type each
     val d = ((1 to 5).map(i => (i.toLong, "x")) ++
@@ -3175,6 +3200,20 @@ class EmbeddingsSpec extends SparkSpec {
     (2L, Array(3.0f, 0.0f, 0.0f)),
     (3L, Array(5.0f, 4.0f, 0.0f)),
     (4L, Array(7.0f, 2.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("normProfile: exact q12 squared norms, rank-picked median, " +
+    "fixed-order RMS") {
+    val df = Seq((1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.5f, 0.5f))).toDF("vec_id", "label", "embedding")
+    val r = Embeddings.normProfile(df, "vec_id", "label", "embedding")
+      .collect().head
+    assert(r.getAs[Long]("n_vecs") == 2L)
+    assert(r.getAs[Long]("min_norm2_q12") == 500000000000L)
+    assert(r.getAs[Long]("max_norm2_q12") == 1000000000000L)
+    assert(r.getAs[Long]("p50_norm2_q12") == 500000000000L)
+    assert(r.getAs[Double]("rms_norm") ==
+      math.sqrt((1500000000000.0 / 2.0) / 1.0e12))
+  }
 
   test("mislabelCandidates: farthest-from-centroid ranking, exact " +
     "integer micro-distances") {
