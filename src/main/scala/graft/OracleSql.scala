@@ -6056,6 +6056,64 @@ object OracleSql {
         |    AS p50_norm2_q12,
         |  sqrt((CAST(SUM(n2 * cnt) AS DOUBLE) / CAST(MAX(n) AS DOUBLE))
         |    / 1.0e12) AS rms_norm
-        |FROM w GROUP BY 1""".stripMargin
+        |FROM w GROUP BY 1""".stripMargin,
+
+    // Nearest-centroid confusion matrix: micro-unit quantization,
+    // round-half-away integer means, exact BIGINT distances, ties by
+    // centroid label, row-ppb shares.
+    "q_embed_confusion" ->
+      """WITH el AS (SELECT vec_id AS vid, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(CAST(unnest(embedding) AS DOUBLE)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+        |  FROM embeddings),
+        |cm AS (SELECT label AS clabel, i,
+        |    (2 * CAST(SUM(x) AS BIGINT) + CASE WHEN SUM(x) < 0
+        |      THEN -CAST(COUNT(*) AS BIGINT)
+        |      ELSE CAST(COUNT(*) AS BIGINT) END)
+        |      // (2 * CAST(COUNT(*) AS BIGINT)) AS m
+        |  FROM el GROUP BY 1, 2),
+        |d2 AS (SELECT vid, label, clabel,
+        |    CAST(SUM((x - m) * (x - m)) AS BIGINT) AS d2
+        |  FROM el JOIN cm ON el.i = cm.i GROUP BY 1, 2, 3),
+        |asgn AS (SELECT vid, label, clabel,
+        |    row_number() OVER (PARTITION BY vid ORDER BY d2, clabel)
+        |      AS rn FROM d2),
+        |cells AS (SELECT label AS true_label, clabel AS pred_label,
+        |    CAST(COUNT(*) AS BIGINT) AS n_points
+        |  FROM asgn WHERE rn = 1 GROUP BY 1, 2),
+        |rt AS (SELECT *, CAST(SUM(n_points) OVER (
+        |    PARTITION BY true_label) AS BIGINT) AS row_total
+        |  FROM cells)
+        |SELECT true_label, pred_label, n_points,
+        |  CAST((n_points * 1000000000) // row_total AS BIGINT)
+        |    AS row_share_ppb
+        |FROM rt""".stripMargin,
+
+    // Loyalty census: order-count bands, floored revenue units, ppm
+    // shares (abc headroom rule).
+    "q_repeat_bands" ->
+      """WITH per AS (SELECT o_custkey AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(28,6))))
+        |      AS BIGINT) AS units
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT *, CASE WHEN n_orders = 1 THEN 'one_time'
+        |    WHEN n_orders <= 4 THEN 'repeat_2_4'
+        |    WHEN n_orders <= 9 THEN 'loyal_5_9'
+        |    ELSE 'power_10_plus' END AS band FROM per),
+        |cells AS (SELECT band, CAST(COUNT(*) AS BIGINT)
+        |      AS n_customers,
+        |    CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+        |    CAST(SUM(units) AS BIGINT) AS units FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS t_cust,
+        |    CAST(SUM(units) AS BIGINT) AS t_units FROM cells)
+        |SELECT band, n_customers, n_orders, units,
+        |  CAST((n_customers * 1000000) // t_cust AS BIGINT)
+        |    AS customer_share_ppm,
+        |  CASE WHEN t_units > 0 THEN
+        |    CAST((units * 1000000) // t_units AS BIGINT)
+        |  ELSE 0 END AS revenue_share_ppm
+        |FROM cells CROSS JOIN tot""".stripMargin
   )
 }

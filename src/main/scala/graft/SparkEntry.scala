@@ -1335,6 +1335,20 @@ object SparkEntry {
           .as("value_bucket")),
       "event_type", "value_bucket")
 
+  /** Nearest-centroid confusion matrix over the labeled embeddings:
+    * which label pairs are systematically confusable — the label-
+    * quality instrument behind [[qEmbedMislabel]]'s shortlist. */
+  private def qEmbedConfusion(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Embeddings.centroidConfusion(emb(spark, dir),
+      "vec_id", "label", "embedding")
+
+  /** Loyalty census: customers banded by lifetime order count with
+    * customer/revenue ppm shares — "how much of the business is
+    * repeat", with the distribution behind it. */
+  private def qRepeatBands(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.repeatBands(t(spark, dir, "orders"), "o_custkey",
+      "o_totalprice")
+
   /** Distinctive terms per language: top-10 by integer permille lift
     * of in-group vs overall token share — the corpus-card "what is in
     * this slice" table (class-based, not per-doc TF-IDF). */
@@ -2255,14 +2269,16 @@ object SparkEntry {
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_text_distinctive" -> (qTextDistinctive _),
     "q_text_case_profile" -> (qTextCaseProfile _),
-    "q_embed_norms" -> (qEmbedNorms _)
+    "q_embed_norms" -> (qEmbedNorms _),
+    "q_embed_confusion" -> (qEmbedConfusion _),
+    "q_repeat_bands" -> (qRepeatBands _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (233 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (235 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

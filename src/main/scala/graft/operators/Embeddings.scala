@@ -281,6 +281,52 @@ object Embeddings {
           col("n_vecs").cast(DoubleType)) / lit(1.0e12)))
   }
 
+  /** CENTROID CONFUSION MATRIX — assign every point to its NEAREST
+    * label centroid and cross-tabulate against the true label: the
+    * nearest-centroid classifier's confusion matrix, read as a
+    * label-quality instrument (an off-diagonal band between two labels
+    * = systematically confusable classes; a label with low diagonal
+    * share = incoherent or mislabeled cluster). Per (true, predicted)
+    * cell: point count and floor-ppb share of the true label's row.
+    *
+    * Exactness: the [[mislabelCandidates]] ladder (quantize6 micro
+    * units, round-half-away integer centroid means, exact BIGINT
+    * squared distances); nearest-centroid ties break by centroid
+    * label. Scale shape: the distance pass is el ⋈ centroids on the
+    * dimension index — n·d·L rows for L labels (bound L upstream);
+    * one per-point rank window (width = L), one matrix rollup. */
+  def centroidConfusion(df: DataFrame, idCol: String,
+      labelCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val V = graft.functions.VectorFunctions
+    val el = df.select(col(idCol).as("vid"), col(labelCol).as("label"),
+      posexplode(V.quantize6(col(vecCol))).as(Seq("i", "x")))
+    val cm = el.groupBy(col("label").as("clabel"), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr(
+        "(2 * s + CASE WHEN s < 0 THEN -n ELSE n END) div (2 * n)"))
+      .select(col("clabel"), col("i"), col("m"))
+    val d2 = el.join(broadcast(cm), Seq("i"))
+      .withColumn("dd", (col("x") - col("m")) * (col("x") - col("m")))
+      .groupBy(col("vid"), col("label"), col("clabel"))
+      .agg(sum(col("dd")).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("d2"), col("clabel"))
+    val assigned = d2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val cells = assigned
+      .groupBy(col("label").as("true_label"),
+        col("clabel").as("pred_label"))
+      .agg(count(lit(1)).as("n_points"))
+    cells
+      .withColumn("row_total",
+        sum(col("n_points")).over(org.apache.spark.sql.expressions
+          .Window.partitionBy(col("true_label"))))
+      .select(col("true_label"), col("pred_label"), col("n_points"),
+        expr("(n_points * 1000000000L) div row_total")
+          .as("row_share_ppb"))
+  }
+
   /** MISLABEL CANDIDATES — the points farthest from their OWN label
     * centroid: the label-noise shortlist an annotation audit reviews
     * first (a correctly-labeled point sits near its class mean; a

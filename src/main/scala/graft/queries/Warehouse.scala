@@ -1026,6 +1026,44 @@ object Warehouse {
           .as("cum_units_per_user_ppm"))
   }
 
+  /** REPEAT-PURCHASE BANDS — the loyalty census: customers banded by
+    * lifetime order count (one-time / repeat 2–4 / loyal 5–9 / power
+    * 10+), each band's customer count, order volume, floored revenue
+    * units, and floor-PPM shares of customers and revenue. The
+    * one-number answer to "how much of the business is repeat" with
+    * the distribution behind it.
+    *
+    * All-integer (revenue shares in ppm per the [[abcAnalysis]]
+    * headroom rule — band masses approach the grand total). Scale
+    * shape: one per-customer rollup, a ≤4-band fold, broadcast
+    * totals. */
+  def repeatBands(df: DataFrame, custCol: String,
+      valueCol: String): DataFrame = {
+    val per = df.groupBy(col(custCol).as("k"))
+      .agg(count(lit(1)).as("n_orders"),
+        floor(sum(col(valueCol).cast(DecimalType(28, 6))))
+          .cast(LongType).as("units"))
+      .withColumn("band",
+        when(col("n_orders") === 1L, lit("one_time"))
+          .otherwise(when(col("n_orders") <= 4L, lit("repeat_2_4"))
+            .otherwise(when(col("n_orders") <= 9L, lit("loyal_5_9"))
+              .otherwise(lit("power_10_plus")))))
+    val cells = per.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("units")).as("units"))
+    val tot = cells.agg(sum(col("n_customers")).as("t_cust"),
+      sum(col("units")).as("t_units"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("band"), col("n_customers"), col("n_orders"),
+        col("units"),
+        expr("(n_customers * 1000000L) div t_cust")
+          .as("customer_share_ppm"),
+        when(col("t_units") > 0L,
+          expr("(units * 1000000L) div t_units")).otherwise(lit(0L))
+          .as("revenue_share_ppm"))
+  }
+
   /** ABC ANALYSIS — the 80/15/5 inventory classification: keys ranked
     * by value, class A = the head carrying the first 80% of total
     * value, B the next 15%, C the tail. Class membership uses the

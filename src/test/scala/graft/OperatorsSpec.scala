@@ -3201,6 +3201,24 @@ class EmbeddingsSpec extends SparkSpec {
     (3L, Array(5.0f, 4.0f, 0.0f)),
     (4L, Array(7.0f, 2.0f, 0.0f))).toDF("vec_id", "embedding")
 
+  test("centroidConfusion: planted mislabel lands off-diagonal") {
+    // label 0 = {0, 0.1, 1.0(mislabeled)}, label 1 = {1.0, 1.0}:
+    // the 1.0@label0 point sits on label 1's centroid → pred 1
+    val df = Seq((1L, 0, Array(0.0f)), (2L, 0, Array(0.1f)),
+      (3L, 0, Array(1.0f)), (4L, 1, Array(1.0f)), (5L, 1, Array(1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Embeddings
+      .centroidConfusion(df, "vec_id", "label", "embedding")
+      .collect().map(r => (r.getAs[Int]("true_label"),
+        r.getAs[Int]("pred_label")) ->
+        ((r.getAs[Long]("n_points"), r.getAs[Long]("row_share_ppb"))))
+      .toMap
+    assert(got((0, 0)) == ((2L, 666666666L)), s"$got")
+    assert(got((0, 1)) == ((1L, 333333333L)), s"$got")
+    assert(got((1, 1)) == ((2L, 1000000000L)), s"$got")
+    assert(!got.contains((1, 0)))
+  }
+
   test("normProfile: exact q12 squared norms, rank-picked median, " +
     "fixed-order RMS") {
     val df = Seq((1L, 0, Array(1.0f, 0.0f)),

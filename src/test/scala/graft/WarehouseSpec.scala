@@ -806,6 +806,23 @@ class WarehouseSpec extends SparkSpec {
     assert(byItem(2L) == ((1L, 3L, 1.0, 1L)))
   }
 
+  test("repeatBands: order-count bands, ppm customer/revenue shares") {
+    val d = (Seq(("A", 10.0)) ++ Seq.fill(3)(("B", 10.0)) ++
+      Seq.fill(10)(("C", 10.0))).toDF("k", "v")
+    val got = graft.queries.Warehouse.repeatBands(d, "k", "v")
+      .collect().map(r => r.getAs[String]("band") ->
+        ((r.getAs[Long]("n_customers"), r.getAs[Long]("n_orders"),
+          r.getAs[Long]("units"),
+          r.getAs[Long]("customer_share_ppm"),
+          r.getAs[Long]("revenue_share_ppm")))).toMap
+    assert(got("one_time") == ((1L, 1L, 10L, 333333L, 71428L)),
+      s"$got")
+    assert(got("repeat_2_4") == ((1L, 3L, 30L, 333333L, 214285L)),
+      s"$got")
+    assert(got("power_10_plus") == ((1L, 10L, 100L, 333333L, 714285L)),
+      s"$got")
+  }
+
   test("cohortLtv: triangle cells, cumulative, micro-units per " +
     "cohort user") {
     // users A,B both cohort week 0; A returns in week 1
