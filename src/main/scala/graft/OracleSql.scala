@@ -6114,6 +6114,110 @@ object OracleSql {
         |  CASE WHEN t_units > 0 THEN
         |    CAST((units * 1000000) // t_units AS BIGINT)
         |  ELSE 0 END AS revenue_share_ppm
-        |FROM cells CROSS JOIN tot""".stripMargin
+        |FROM cells CROSS JOIN tot""".stripMargin,
+
+    // Brown-Forsythe: exact per-group lower medians, |x - med| one
+    // double subtraction, then the anova decimal ladder.
+    "q_stat_levene" ->
+      """WITH base AS (SELECT event_type AS g, value AS v FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |dvm AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM base GROUP BY 1, 2),
+        |medw AS (SELECT g, v, SUM(cnt) OVER (PARTITION BY g
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY g) AS n FROM dvm),
+        |med AS (SELECT g, MIN(v) AS med_g FROM medw
+        |  WHERE cum * 2 >= n GROUP BY 1),
+        |zb AS (SELECT base.g,
+        |    CAST(ABS(v - med_g) AS DECIMAL(18,4)) AS xq
+        |  FROM base JOIN med ON base.g = med.g),
+        |b2 AS (SELECT g, xq, CAST(xq AS DOUBLE) AS xd FROM zb),
+        |per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    SUM(xq) AS s_g,
+        |    SUM(CAST(xd * xd AS DECIMAL(38,4))) AS q_g
+        |  FROM b2 GROUP BY 1),
+        |per2 AS (SELECT *, CAST(CAST(s_g AS DOUBLE)
+        |    * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+        |    AS DECIMAL(38,4)) AS term FROM per),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n_rows,
+        |    SUM(s_g) AS t_sum, SUM(q_g) AS q_sum,
+        |    SUM(term) AS b_sum FROM per2),
+        |fin AS (SELECT n_rows, k,
+        |    CAST(b_sum AS DOUBLE) - CAST(t_sum AS DOUBLE)
+        |      * CAST(t_sum AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |      AS ss_between,
+        |    CAST(q_sum AS DOUBLE) - CAST(b_sum AS DOUBLE) AS ss_within
+        |  FROM agg)
+        |SELECT n_rows, k, ss_between, ss_within,
+        |  CASE WHEN k > 1 AND n_rows > k AND ss_within > 0.0 THEN
+        |    (ss_between / CAST(k - 1 AS DOUBLE))
+        |      / (ss_within / CAST(n_rows - k AS DOUBLE)) END AS f_stat,
+        |  CASE WHEN ss_between + ss_within > 0.0 THEN
+        |    ss_between / (ss_between + ss_within) END AS eta_sq
+        |FROM fin""".stripMargin,
+
+    // Theil-Sen: median of pairwise slopes over the daily series,
+    // exact lower rank pick on the fully tie-broken order.
+    "q_series_theilsen" ->
+      """WITH daily AS (SELECT
+        |    (epoch_ns(ts) // 1000000000) // 86400 AS x,
+        |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(28,6)))) AS BIGINT)
+        |      AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |pairs AS (SELECT a.x AS x1, b.x AS x2,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+        |      AS slope
+        |  FROM daily a CROSS JOIN daily b WHERE a.x < b.x),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM pairs),
+        |r AS (SELECT slope, CAST(row_number() OVER (ORDER BY slope,
+        |    x1, x2) AS BIGINT) AS rn FROM pairs)
+        |SELECT n_pairs, slope AS median_slope
+        |FROM r CROSS JOIN tot
+        |WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+
+    // TwoNN intrinsic dimension: exact q12 pairwise d^2, per-point
+    // 1st/2nd NN, shifted quarter-bit log ratios, frozen ln2.
+    "q_embed_intrinsic_dim" ->
+      """WITH el AS (SELECT vec_id AS vid,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(CAST(unnest(embedding) AS DOUBLE)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+        |  FROM embeddings),
+        |n2 AS (SELECT vid, CAST(SUM(x * x) AS BIGINT) AS nn
+        |  FROM el GROUP BY 1),
+        |dots AS (SELECT a.vid AS vid, b.vid AS ovid,
+        |    CAST(SUM(a.x * b.x) AS BIGINT) AS dotl
+        |  FROM el a JOIN el b ON a.i = b.i AND a.vid <> b.vid
+        |  GROUP BY 1, 2),
+        |d2 AS (SELECT dots.vid, ovid,
+        |    CAST(na.nn + nb.nn - 2 * dotl AS BIGINT) AS d2q
+        |  FROM dots JOIN n2 na ON na.vid = dots.vid
+        |  JOIN n2 nb ON nb.vid = dots.ovid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vid
+        |    ORDER BY d2q, ovid) AS rn FROM d2),
+        |nn2 AS (SELECT vid,
+        |    CAST(MIN(CASE WHEN rn = 1 THEN d2q END) AS BIGINT) AS d1,
+        |    CAST(MIN(CASE WHEN rn = 2 THEN d2q END) AS BIGINT) AS d2
+        |  FROM r WHERE rn <= 2 GROUP BY 1),
+        |f AS (SELECT vid, d1, d2,
+        |    GREATEST(0, length(bin(d2)) - 15) AS s FROM nn2
+        |  WHERE d1 > 0 AND d2 IS NOT NULL),
+        |g AS (SELECT vid, (d2 >> s) AS bq,
+        |    GREATEST(d1 >> s, 1) AS aq FROM f),
+        |q AS (SELECT CAST(length(bin(
+        |    (CAST(bq AS BIGINT) * bq * bq * bq)
+        |    // (CAST(aq AS BIGINT) * aq * aq * aq))) - 1 AS BIGINT)
+        |    AS qlb FROM g),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+        |    CAST(SUM(qlb) AS BIGINT) AS sum_qlb FROM q)
+        |SELECT n_points, sum_qlb,
+        |  CASE WHEN sum_qlb > 0 THEN 8.0e0
+        |    * CAST(n_points AS DOUBLE)
+        |    / (0.6931471805599453e0 * CAST(sum_qlb AS DOUBLE))
+        |  END AS id_estimate
+        |FROM a""".stripMargin
   )
 }

@@ -1335,6 +1335,32 @@ object SparkEntry {
           .as("value_bucket")),
       "event_type", "value_bucket")
 
+  /** Brown–Forsythe (median-centered Levene): do event-type value
+    * variances differ — the heteroscedasticity alarm that gates any
+    * pooled-variance assumption. */
+  private def qStatLevene(spark: SparkSession, dir: String): DataFrame =
+    Stats.brownForsythe(events(spark, dir), "event_type", "value")
+
+  /** Theil–Sen robust slope of the daily value series: the median of
+    * all pairwise slopes — the outlier-proof trend beside the OLS
+    * q_series_trend. */
+  private def qSeriesTheilsen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir).filter(col("value").isNotNull)
+      .withColumn("epoch_s", epochS(col("ts")))
+      .groupBy(expr("epoch_s div 86400L").as("x"))
+      .agg(floor(sum(col("value").cast(DecimalType(28, 6))))
+        .cast(LongType).as("y"))
+    Stats.theilSenSlope(daily, "x", "y")
+  }
+
+  /** TwoNN intrinsic dimension of the embedding corpus: exact q12
+    * neighbor-distance ratios through the shifted quarter-bit log —
+    * how many dimensions the data actually occupies. */
+  private def qEmbedIntrinsicDim(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.operators.Embeddings.intrinsicDimension(emb(spark, dir),
+      "vec_id", "embedding")
+
   /** Nearest-centroid confusion matrix over the labeled embeddings:
     * which label pairs are systematically confusable — the label-
     * quality instrument behind [[qEmbedMislabel]]'s shortlist. */
@@ -2271,14 +2297,17 @@ object SparkEntry {
     "q_text_case_profile" -> (qTextCaseProfile _),
     "q_embed_norms" -> (qEmbedNorms _),
     "q_embed_confusion" -> (qEmbedConfusion _),
-    "q_repeat_bands" -> (qRepeatBands _)
+    "q_repeat_bands" -> (qRepeatBands _),
+    "q_stat_levene" -> (qStatLevene _),
+    "q_series_theilsen" -> (qSeriesTheilsen _),
+    "q_embed_intrinsic_dim" -> (qEmbedIntrinsicDim _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (235 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (238 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

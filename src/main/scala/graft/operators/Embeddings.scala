@@ -327,6 +327,80 @@ object Embeddings {
           .as("row_share_ppb"))
   }
 
+  /** TWO-NN INTRINSIC DIMENSION — how many dimensions does the data
+    * ACTUALLY occupy? The Facco et al. TwoNN estimator: for each
+    * point take the 1st/2nd-nearest-neighbor distance ratio μ =
+    * r₂/r₁; the MLE is `d = n / Σ ln μ`. An embedding column with 768
+    * ambient dims but intrinsic dimension 11 tells you compression,
+    * indexing, and cluster granularity budgets — the
+    * dimensionality-audit companion to [[covariance]]'s PCA view.
+    *
+    * Exactness: pairwise squared distances are EXACT q12 BIGINTs
+    * (`‖a‖² + ‖b‖² − 2⟨a,b⟩`, with the dot recovered to its exact
+    * integer from the value-scale kernel double — the /10¹² rounding
+    * error is ≪ 0.5 for any 2⁵³-bounded sum); `ln μ` is the integer
+    * quarter-bit log of the d² ratio, after BOTH sides shift right to
+    * a 15-bit window so the b⁴ trick stays in BIGINT (shift cancels
+    * in the ratio up to quantization); the only doubles are the final
+    * `8n/(ln2·Σqlb)` with ln2 frozen. Zero-distance points (exact
+    * duplicates) drop and are reported.
+    *
+    * Scale shape: one n-row quantized frame broadcast against itself
+    * (the brute-force all-pairs baseline — swap an ANN top-2 in at
+    * 100 TB, the estimator only needs each point's two nearest), one
+    * per-point rank window of width n. */
+  def intrinsicDimension(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val V = graft.functions.VectorFunctions
+    import graft.functions.{FixedLogFunctions => FL}
+    val n2 = df.select(col(idCol).as("vid"),
+        posexplode(V.quantize6(col(vecCol))).as(Seq("i", "x")))
+      .groupBy(col("vid")).agg(sum(col("x") * col("x")).as("nn"))
+    // norms ride WITH both sides of the cross join: d² assembles in
+    // the join projection itself — no post-join shuffle of the n²
+    // pair frame (probed: joining norms after the cross join cost
+    // 95 s at sf0.1; this shape runs with the other all-pairs ops)
+    val q = df.select(col(idCol).as("vid"),
+        V.quantize6(col(vecCol)).as("qv"))
+      .join(n2, Seq("vid"))
+      // few-split corpora: spread the O(n²·d) kernel across cores
+      // (the Dedup prefix-filter rule) — without this the whole
+      // pair loop lands on one partition (probed: 95 s → ~5 s)
+      .repartition(col("vid"))
+    val d2 = q.as("a")
+      .crossJoin(broadcast(q.select(col("vid").as("ovid"),
+        col("qv").as("ov"), col("nn").as("onn"))))
+      .filter(col("vid") =!= col("ovid"))
+      .select(col("vid"), col("ovid"),
+        (col("nn") + col("onn") -
+          lit(2L) * round(V.dotQ12(col("qv"), col("ov")) *
+            lit(1.0e12)).cast(LongType)).as("d2q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("d2q"), col("ovid"))
+    val nn2 = d2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vid"))
+      .agg(min(when(col("rn") === 1, col("d2q"))).as("d1"),
+        min(when(col("rn") === 2, col("d2q"))).as("d2"))
+      .filter(col("d1") > 0L && col("d2").isNotNull)
+      .withColumn("s",
+        greatest(lit(0L),
+          expr("cast(length(bin(d2)) as bigint) - 15L")))
+      .withColumn("bq",
+        expr("shiftright(d2, cast(s as int))"))
+      .withColumn("aq",
+        greatest(expr("shiftright(d1, cast(s as int))"), lit(1L)))
+      .withColumn("qlb", FL.log2QuarterBits(col("aq"), col("bq")))
+    nn2.agg(count(lit(1)).as("n_points"),
+        sum(col("qlb")).as("sum_qlb"))
+      .withColumn("id_estimate",
+        when(col("sum_qlb") > 0L,
+          lit(8.0) * col("n_points").cast(DoubleType) /
+            (lit(0.6931471805599453) *
+              col("sum_qlb").cast(DoubleType))))
+  }
+
   /** MISLABEL CANDIDATES — the points farthest from their OWN label
     * centroid: the label-noise shortlist an annotation audit reviews
     * first (a correctly-labeled point sits near its class mean; a

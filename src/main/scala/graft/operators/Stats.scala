@@ -327,6 +327,38 @@ object Stats {
         col("n_below"), col("n_runs"), col("z_stat"))
   }
 
+  /** BROWN–FORSYTHE TEST (median-centered Levene) — do the groups
+    * have equal VARIANCE? The robust spread-equality check that must
+    * pass before a pooled-variance test is trusted (and a useful
+    * heteroscedasticity alarm by itself). Transforms each value to
+    * its absolute deviation from the GROUP MEDIAN (the
+    * outlier-robust Brown–Forsythe choice), then runs the one-way
+    * [[anovaF]] machinery on the deviations.
+    *
+    * Exactness: group medians are exact rank-selected lower medians
+    * over the per-group distinct-value frames; `|x − med|` is one
+    * double subtraction both engines evaluate identically, and the
+    * rest is the anovaF decimal ladder. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val dv = base.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+    val med = dv
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .filter(col("cum") * 2L >= col("n"))
+      .groupBy(col("g")).agg(min(col("v")).as("med_g"))
+    val z = base.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("v") - col("med_g")).as("z"))
+    anovaF(z, "g", "z")
+  }
+
   /** WILSON SCORE INTERVAL per group — the binomial proportion CI
     * that stays sane at small n and extreme p̂ (unlike the normal
     * approximation): center `(p̂ + z²/2n)/(1 + z²/n)`, half-width
@@ -365,6 +397,34 @@ object Stats {
         col("p_hat"),
         (col("center") - col("half")).as("wilson_low"),
         (col("center") + col("half")).as("wilson_high"))
+  }
+
+  /** THEIL–SEN ROBUST SLOPE — the median of all pairwise slopes: the
+    * trend estimate a 30%-outlier-contaminated series can't corrupt
+    * (OLS breaks at one bad point; [[graft.queries.TimeSeries]]'s
+    * linear trend is the OLS twin). Median = exact lower rank pick
+    * over the fully tie-broken `(slope, x₁, x₂)` order.
+    *
+    * Exactness: each slope is ONE double division of exact integers
+    * (`(y₂−y₁)/(x₂−x₁)`); double comparisons and the rank pick are
+    * engine-identical. Scale contract: O(T²) pairs over a
+    * PRE-AGGREGATED bounded series, same as [[kendallTauB]]. */
+  def theilSenSlope(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast(LongType).as("x"),
+      col(yCol).cast(LongType).as("y"))
+    val pairs = base.as("a").crossJoin(base.as("b"))
+      .filter(col("a.x") < col("b.x"))
+      .select(col("a.x").as("x1"), col("b.x").as("x2"),
+        ((col("b.y") - col("a.y")).cast(DoubleType) /
+          (col("b.x") - col("a.x")).cast(DoubleType)).as("slope"))
+    val w = Window.orderBy(col("slope"), col("x1"), col("x2"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(w).cast(LongType))
+    val tot = pairs.agg(count(lit(1)).as("n_pairs"))
+    ranked.crossJoin(broadcast(tot))
+      .filter(col("rn") === expr("(n_pairs + 1L) div 2L"))
+      .select(col("n_pairs"), col("slope").as("median_slope"))
   }
 
   /** KENDALL'S TAU-B — the pairwise-concordance rank correlation, the

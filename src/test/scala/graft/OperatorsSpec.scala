@@ -3201,6 +3201,31 @@ class EmbeddingsSpec extends SparkSpec {
     (3L, Array(5.0f, 4.0f, 0.0f)),
     (4L, Array(7.0f, 2.0f, 0.0f))).toDF("vec_id", "embedding")
 
+  test("intrinsicDimension: exact shifted quarter-bit ratios on a " +
+    "1-D fixture") {
+    // 1-D points 0, 1, 3 → squared micro distances 1e12/4e12/9e12;
+    // replicate the shifted quarter-bit kernel driver-side
+    def qlb(d1: Long, d2: Long): Long = {
+      val s = math.max(0, java.lang.Long.toBinaryString(d2).length - 15)
+      val b = d2 >> s
+      val a = math.max(d1 >> s, 1L)
+      java.math.BigInteger.valueOf(b).pow(4)
+        .divide(java.math.BigInteger.valueOf(a).pow(4))
+        .bitLength - 1L
+    }
+    val want = qlb(1000000000000L, 9000000000000L) +
+      qlb(1000000000000L, 4000000000000L) +
+      qlb(4000000000000L, 9000000000000L)
+    val df = Seq((1L, Array(0.0f)), (2L, Array(1.0f)),
+      (3L, Array(3.0f))).toDF("vec_id", "embedding")
+    val r = Embeddings.intrinsicDimension(df, "vec_id", "embedding")
+      .collect().head
+    assert(r.getAs[Long]("n_points") == 3L)
+    assert(r.getAs[Long]("sum_qlb") == want, s"sum_qlb: $r want $want")
+    assert(r.getAs[Double]("id_estimate") ==
+      8.0 * 3.0 / (0.6931471805599453 * want.toDouble))
+  }
+
   test("centroidConfusion: planted mislabel lands off-diagonal") {
     // label 0 = {0, 0.1, 1.0(mislabeled)}, label 1 = {1.0, 1.0}:
     // the 1.0@label0 point sits on label 1's centroid → pred 1

@@ -74,6 +74,27 @@ class StatsSpec extends SparkSpec {
     assert(tie.getAs[Long]("tie_cubes") == 6L)
   }
 
+  test("brownForsythe: spread difference flagged, exact textbook F") {
+    // medians 1 and 2 (lower-median convention), |x-med| = {0,2} vs
+    // {0,6}: SSB = 4, SSW = 20, F = (4/1)/(20/2) = 0.4
+    val d = Seq(("g1", 1.0), ("g1", 3.0), ("g2", 2.0), ("g2", 8.0))
+      .toDF("g", "v")
+    val r = Stats.brownForsythe(d, "g", "v").collect().head
+    assert(r.getAs[Long]("n_rows") == 4L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("ss_between") == 4.0)
+    assert(r.getAs[Double]("ss_within") == 20.0)
+    assert(r.getAs[Double]("f_stat") == 0.4)
+  }
+
+  test("theilSenSlope: outlier-proof median of pairwise slopes") {
+    // three clean slope-10 points plus a wild outlier: median 10
+    val d = Seq((0L, 0L), (1L, 10L), (2L, 20L), (3L, 1000L))
+      .toDF("x", "y")
+    val r = Stats.theilSenSlope(d, "x", "y").collect().head
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Double]("median_slope") == 10.0)
+  }
+
   test("runsTest: lower median, dropped ties, hand-counted runs") {
     // series (by order) 1,4,2,5: lower median 2 (dropped), kept signs
     // 0,1,1 → 2 runs; n_above=2, n_below=1
