@@ -6218,6 +6218,22 @@ object OracleSql {
         |    * CAST(n_points AS DOUBLE)
         |    / (0.6931471805599453e0 * CAST(sum_qlb AS DOUBLE))
         |  END AS id_estimate
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // Lines-per-order histogram with ppb shares and CCDF cumulative.
+    "q_basket_sizes" ->
+      """WITH per AS (SELECT l_orderkey AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem
+        |  GROUP BY 1),
+        |hist AS (SELECT n_lines, CAST(COUNT(*) AS BIGINT)
+        |    AS n_baskets FROM per GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_baskets) AS BIGINT) AS n_total
+        |  FROM hist)
+        |SELECT n_lines, n_baskets,
+        |  CAST((n_baskets * 1000000000) // n_total AS BIGINT)
+        |    AS basket_share_ppb,
+        |  CAST(SUM(n_baskets) OVER (ORDER BY n_lines) AS BIGINT)
+        |    AS cum_baskets
+        |FROM hist CROSS JOIN tot""".stripMargin
   )
 }

@@ -1368,6 +1368,12 @@ object SparkEntry {
     graft.operators.Embeddings.centroidConfusion(emb(spark, dir),
       "vec_id", "label", "embedding")
 
+  /** Lines-per-order histogram with CCDF — the order-shape census
+    * that also prices the basket-pairing quadratic tail. */
+  private def qBasketSizes(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.basketSizeHistogram(t(spark, dir, "lineitem"),
+      "l_orderkey")
+
   /** Loyalty census: customers banded by lifetime order count with
     * customer/revenue ppm shares — "how much of the business is
     * repeat", with the distribution behind it. */
@@ -2300,14 +2306,15 @@ object SparkEntry {
     "q_repeat_bands" -> (qRepeatBands _),
     "q_stat_levene" -> (qStatLevene _),
     "q_series_theilsen" -> (qSeriesTheilsen _),
-    "q_embed_intrinsic_dim" -> (qEmbedIntrinsicDim _)
+    "q_embed_intrinsic_dim" -> (qEmbedIntrinsicDim _),
+    "q_basket_sizes" -> (qBasketSizes _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (238 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (239 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

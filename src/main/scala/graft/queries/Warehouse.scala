@@ -1026,6 +1026,28 @@ object Warehouse {
           .as("cum_units_per_user_ppm"))
   }
 
+  /** BASKET-SIZE HISTOGRAM — lines-per-order distribution with ppb
+    * shares and a CCDF cumulative: the order-shape census behind
+    * picking/packing capacity and any basket-analysis support floor
+    * ([[associationRules]]' quadratic pairing cost is exactly this
+    * histogram's tail). All-integer, two map-combined rollups + one
+    * cumulative window over the ≤ max-size histogram frame. */
+  def basketSizeHistogram(df: DataFrame,
+      basketCol: String): DataFrame = {
+    val per = df.groupBy(col(basketCol).as("b"))
+      .agg(count(lit(1)).as("n_lines"))
+    val hist = per.groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_baskets"))
+    val tot = hist.agg(sum(col("n_baskets")).as("n_total"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("basket_share_ppb",
+        expr("(n_baskets * 1000000000L) div n_total"))
+      .withColumn("cum_baskets",
+        sum(col("n_baskets")).over(Window.orderBy(col("n_lines"))))
+      .select(col("n_lines"), col("n_baskets"),
+        col("basket_share_ppb"), col("cum_baskets"))
+  }
+
   /** REPEAT-PURCHASE BANDS — the loyalty census: customers banded by
     * lifetime order count (one-time / repeat 2–4 / loyal 5–9 / power
     * 10+), each band's customer count, order volume, floored revenue

@@ -806,6 +806,19 @@ class WarehouseSpec extends SparkSpec {
     assert(byItem(2L) == ((1L, 3L, 1.0, 1L)))
   }
 
+  test("basketSizeHistogram: shares and CCDF cumulative") {
+    val d = Seq(1L, 1L, 1L, 2L, 2L, 3L, 4L).toDF("b")
+    val got = graft.queries.Warehouse.basketSizeHistogram(d, "b")
+      .collect().map(r => r.getAs[Long]("n_lines") ->
+        ((r.getAs[Long]("n_baskets"),
+          r.getAs[Long]("basket_share_ppb"),
+          r.getAs[Long]("cum_baskets")))).toMap
+    // sizes: {3:1, 2:1, 1:2} over 4 baskets
+    assert(got(1L) == ((2L, 500000000L, 2L)), s"$got")
+    assert(got(2L) == ((1L, 250000000L, 3L)), s"$got")
+    assert(got(3L) == ((1L, 250000000L, 4L)), s"$got")
+  }
+
   test("repeatBands: order-count bands, ppm customer/revenue shares") {
     val d = (Seq(("A", 10.0)) ++ Seq.fill(3)(("B", 10.0)) ++
       Seq.fill(10)(("C", 10.0))).toDF("k", "v")
