@@ -6234,6 +6234,38 @@ object OracleSql {
         |    AS basket_share_ppb,
         |  CAST(SUM(n_baskets) OVER (ORDER BY n_lines) AS BIGINT)
         |    AS cum_baskets
-        |FROM hist CROSS JOIN tot""".stripMargin
+        |FROM hist CROSS JOIN tot""".stripMargin,
+
+    // kNN-graph hubness: the full-corpus top-5 CTEs, in-degree
+    // rollup, antihubs kept at 0, top-20 by (in_degree desc, vid).
+    "q_sim_hubness" ->
+      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1)
+        |      AS i,
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6))
+        |      AS x FROM embeddings),
+        |norms AS (SELECT vec_id,
+        |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE))
+        |      AS nrm
+        |  FROM el GROUP BY 1),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE)
+        |      AS dot
+        |  FROM el q JOIN el c ON q.i = c.i
+        |  WHERE q.vec_id <> c.vec_id GROUP BY 1, 2),
+        |sc AS (SELECT query_id, corpus_id,
+        |    dot / (nq.nrm * nc.nrm) AS score
+        |  FROM s JOIN norms nq ON nq.vec_id = query_id
+        |         JOIN norms nc ON nc.vec_id = corpus_id),
+        |tk AS (SELECT query_id, corpus_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, corpus_id) AS BIGINT) AS rank
+        |  FROM sc QUALIFY rank <= 5),
+        |indeg AS (SELECT corpus_id AS vid,
+        |    CAST(COUNT(*) AS BIGINT) AS in_degree FROM tk GROUP BY 1)
+        |SELECT e.vec_id AS vid,
+        |  CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree
+        |FROM embeddings e LEFT JOIN indeg ON e.vec_id = indeg.vid
+        |ORDER BY in_degree DESC, vid
+        |LIMIT 20""".stripMargin
   )
 }

@@ -1401,6 +1401,13 @@ object SparkEntry {
     graft.operators.Embeddings.normProfile(emb(spark, dir), "vec_id",
       "label", "embedding")
 
+  /** kNN-graph hubness census: top-20 in-degree vectors over the
+    * top-5 cosine lists — the hub/antihub distortion [[qSimMutual]]'s
+    * reciprocity filter removes, quantified. */
+  private def qSimHubness(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hubnessCensus(emb(spark, dir), "vec_id", "embedding",
+      k = 5, topHubs = 20)
+
   /** Mutual top-5 cosine pairs over the embedding corpus: both sides
     * rank each other — the hubness-robust near-dup candidate filter;
     * exact quantized dots, deterministic ranks. */
@@ -2307,14 +2314,15 @@ object SparkEntry {
     "q_stat_levene" -> (qStatLevene _),
     "q_series_theilsen" -> (qSeriesTheilsen _),
     "q_embed_intrinsic_dim" -> (qEmbedIntrinsicDim _),
-    "q_basket_sizes" -> (qBasketSizes _)
+    "q_basket_sizes" -> (qBasketSizes _),
+    "q_sim_hubness" -> (qSimHubness _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an
     * exact oracle, including the approximate/hash-family operators: all
     * signatures build on the engine-portable md5_60 primitive, so minhash,
     * simhash, LSH, IVF, and the stubbed codec are reproduced bit-for-bit
-    * by DuckDB (239 exact / 0 rows-only as of round 10 — the HLL and
+    * by DuckDB (240 exact / 0 rows-only as of round 10 — the HLL and
     * GK-quantile sketch queries gate through their exact audit forms,
     * whose estimate-accuracy verdict columns the oracle pins to TRUE;
     * the count-min sketch needs no pinning, its md5-portable estimates

@@ -100,6 +100,31 @@ object Similarity {
         col("score"))
   }
 
+  /** HUBNESS CENSUS — the kNN-graph in-degree table: how many other
+    * points list each vector in THEIR top-k? High-dimensional spaces
+    * grow hubs (points in everyone's neighbor list) and antihubs
+    * (in-degree 0, invisible to kNN retrieval); a skewed in-degree
+    * table quantifies exactly the distortion [[mutualTopK]]'s
+    * reciprocity filter removes. Output: the `topHubs` highest
+    * in-degree points (ties by id), zero-in-degree points included in
+    * the ranking universe.
+    *
+    * Exactness and scale ride [[bruteForceTopK]]; the census is one
+    * map-combined in-degree rollup over the k·n list, a left join
+    * back to the id frame (antihubs surface as 0), and a TakeOrdered
+    * top-k — index-agnostic like the mutual join. */
+  def hubnessCensus(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, topHubs: Int = 20): DataFrame = {
+    val topk = bruteForceTopK(df, idCol, vecCol, df, idCol, vecCol,
+      k, cosine = true, excludeSelf = true)
+    val indeg = topk.groupBy(col("corpus_id").as("vid"))
+      .agg(count(lit(1)).as("in_degree"))
+    df.select(col(idCol).as("vid")).join(indeg, Seq("vid"), "left")
+      .withColumn("in_degree", coalesce(col("in_degree"), lit(0L)))
+      .orderBy(col("in_degree").desc, col("vid"))
+      .limit(topHubs)
+  }
+
   def bruteForceTopK(
       queries: DataFrame, queryId: String, queryVec: String,
       corpus: DataFrame, corpusId: String, corpusVec: String,

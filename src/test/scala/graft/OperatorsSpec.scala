@@ -1489,6 +1489,23 @@ class SimilaritySpec extends SparkSpec {
     (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("hubnessCensus: hub in-degree counted, antihubs kept at zero") {
+    import graft.operators.Similarity
+    // a and b are each other's (and everyone's) neighborhood core;
+    // d points away and collects nothing
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.1f)),
+      (3L, Array(0.98f, -0.1f)), (4L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hubnessCensus(vecs, "vec_id", "embedding",
+      k = 1, topHubs = 10).collect()
+      .map(r => r.getAs[Long]("vid") -> r.getAs[Long]("in_degree"))
+      .toMap
+    assert(got.size == 4)
+    assert(got(1L) == 2L, s"$got") // top-1 of 2 and 3
+    assert(got(2L) == 2L, s"$got") // top-1 of 1 and 4
+    assert(got(3L) == 0L && got(4L) == 0L, s"$got") // antihubs kept
+  }
+
   test("mutualTopK: only reciprocal pairs survive, hub edge dropped") {
     import graft.operators.Similarity
     // a↔b mutual at k=1; c's top-1 is b but b's top-1 is a → dropped
