@@ -4827,7 +4827,8 @@ object OracleSql {
     // integer log2 via the bitlength identity, count-weighted terms.
     "q_mutual_info" ->
       """WITH base AS (SELECT event_type AS x,
-        |    CAST(floor(value / 10.0) AS BIGINT) * 10 AS y FROM events),
+        |    CAST(floor(value / 10.0) AS BIGINT) * 10 AS y FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
         |cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_x
         |  FROM base GROUP BY 1),
@@ -4902,7 +4903,8 @@ object OracleSql {
     "q_stat_chi2" ->
       """WITH base AS (SELECT event_type AS x,
         |    CAST(FLOOR(value / 50.0) AS BIGINT) * 50 AS y
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
         |cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_x
         |  FROM base GROUP BY 1),

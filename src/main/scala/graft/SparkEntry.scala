@@ -1234,13 +1234,6 @@ object SparkEntry {
   private def qSketchQuantiles(spark: SparkSession, dir: String): DataFrame =
     Sketches.quantileAudit(events(spark, dir), "event_type", "value")
 
-  /** Five damped PageRank iterations over the bidirectional
-    * customer↔supplier trade graph (distinct pairs via orders⋈lineitem;
-    * customers at node 2k, suppliers at 2k+1), all-integer
-    * parts-per-billion arithmetic — bit-exact cross-engine, the oracle
-    * unrolls the same five steps as CTEs. Top 20 by rank. */
-  /** Bidirectional customer↔supplier trade graph: distinct pairs via
-    * orders⋈lineitem, customers at node 2k, suppliers at 2k+1. */
   /** Directed customer→supplier purchase edges (customers even ids,
     * suppliers odd — the disjoint-id encoding every graph query
     * shares). */
@@ -1255,6 +1248,8 @@ object SparkEntry {
       .distinct()
   }
 
+  /** Bidirectional customer↔supplier trade graph: distinct pairs via
+    * orders⋈lineitem, customers at node 2k, suppliers at 2k+1. */
   private def tradeGraphEdges(spark: SparkSession, dir: String): DataFrame = {
     val pairs = tradeGraphEdgesDirected(spark, dir)
     pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
@@ -1266,6 +1261,10 @@ object SparkEntry {
         .as("node_type"),
       expr("node div 2").as("node_id"), col("rank_ppb"))
 
+  /** Five damped PageRank iterations over the bidirectional
+    * customer↔supplier trade graph, all-integer parts-per-billion
+    * arithmetic — bit-exact cross-engine, the oracle unrolls the same
+    * five steps as CTEs. Top 20 by rank. */
   private def qGraphPagerank(spark: SparkSession, dir: String): DataFrame =
     decodeNode(Graph.pageRankTop(tradeGraphEdges(spark, dir),
       iterations = 5, topK = 20))

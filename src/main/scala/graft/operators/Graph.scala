@@ -48,24 +48,31 @@ object Graph {
   def pageRankTop(edges: DataFrame, iterations: Int = 5,
       topK: Int = 20): DataFrame = {
     val S = 1000000000L
+    // caches release after the eager final top-k (the hitsTop
+    // pattern) — repeated calls in a long session must not leak blocks
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def mat(df: DataFrame): DataFrame = {
+      val p = df.persist(); cached += p; p
+    }
     // hash-partition the edge list on `src` ONCE and pin the out-degree
     // onto each edge — every iteration's rank⋈edge join then lands on
     // the cached partitioning (no per-iteration edge shuffle), leaving
     // ONE exchange per step: the groupBy(dst) mass sum. That exchange's
     // output partitioning (node) in turn feeds the next step's
     // rank-side join and the nodes⋈inc join exchange-free.
-    val e = edges.select(col("src").cast(LongType).as("src"),
+    val e = mat(edges.select(col("src").cast(LongType).as("src"),
       col("dst").cast(LongType).as("dst"))
-      .repartition(col("src")).persist()
+      .repartition(col("src")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(deg, Seq("src")).persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val eDeg = mat(e.join(deg, Seq("src")))
+    val nodes = mat(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     // node count: a single driver scalar (the one action outside the
     // final top-k) — the constants S div N and 0.15·S div N fold into
     // literals instead of re-broadcasting a one-row aggregate per step;
     // Scala Long `/` is the same non-negative floor division
     val nN = nodes.count()
+    require(nN > 0, "pageRankTop: empty edge list")
 
     var rank = nodes.select(col("node"), lit(S / nN).as("rank_ppb"))
     // a zero message per node rides the SAME aggregate as the edge
@@ -84,7 +91,9 @@ object Graph {
           (lit((15 * S / 100) / nN) +
             expr("(85 * inc) div 100")).as("rank_ppb"))
     }
-    rank.orderBy(col("rank_ppb").desc, col("node")).limit(topK)
+    try rank.orderBy(col("rank_ppb").desc, col("node")).limit(topK)
+      .localCheckpoint(true)
+    finally cached.foreach(_.unpersist())
   }
 
   /** PERSONALIZED PageRank: random walks restart at `seeds` instead of
@@ -109,15 +118,19 @@ object Graph {
   def personalizedPageRankTop(edges: DataFrame, seeds: DataFrame,
       iterations: Int = 5, topK: Int = 20): DataFrame = {
     val S = 1000000000L
-    val e = edges.select(col("src").cast(LongType).as("src"),
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def mat(df: DataFrame): DataFrame = {
+      val p = df.persist(); cached += p; p
+    }
+    val e = mat(edges.select(col("src").cast(LongType).as("src"),
       col("dst").cast(LongType).as("dst"))
-      .repartition(col("src")).persist()
+      .repartition(col("src")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(deg, Seq("src")).persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val seedBase = seeds.select(col("node").cast(LongType).as("node"))
-      .distinct().persist()
+    val eDeg = mat(e.join(deg, Seq("src")))
+    val nodes = mat(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val seedBase = mat(seeds.select(col("node").cast(LongType).as("node"))
+      .distinct())
     val nSeeds = seedBase.count()
     require(nSeeds > 0, "personalizedPageRankTop: empty seed set")
     // seed sets are small by construction (they're the personalization);
@@ -152,7 +165,9 @@ object Graph {
           (expr("(15 * base) div 100") +
             expr("(85 * inc) div 100")).as("rank_ppb"))
     }
-    rank.orderBy(col("rank_ppb").desc, col("node")).limit(topK)
+    try rank.orderBy(col("rank_ppb").desc, col("node")).limit(topK)
+      .localCheckpoint(true)
+    finally cached.foreach(_.unpersist())
   }
 
   /** HITS hubs & authorities over a DIRECTED edge list — the

@@ -165,8 +165,13 @@ object Stats {
     * single-partition step is bounded by value cardinality, not row
     * count. Two map-combined aggregates, two broadcast joins, one
     * scalar rollup. */
-  def spearmanCorr(df: DataFrame, xCol: String,
+  def spearmanCorr(df0: DataFrame, xCol: String,
       yCol: String): DataFrame = {
+    // pairwise-complete rows only (the sibling tests' convention):
+    // a null x or y would inflate n_tot and shift the distinct-value
+    // cumulative ranks while being dropped by the rank joins, silently
+    // biasing rho — filter once, before counts AND ranks.
+    val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     def ranks2(c: String): DataFrame = {
       val dv = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
       val w = Window.orderBy(col("v"))

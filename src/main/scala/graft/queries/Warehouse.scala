@@ -674,7 +674,11 @@ object Warehouse {
       scale: Long = 10000L): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     import graft.functions.{FixedLogFunctions => FL}
+    // complete rows only (the chi-square convention): a null x or y
+    // would count in the denominator n yet drop out of the marginal
+    // joins, biasing every quantized cell/marginal probability.
     val base = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
     val tot = base.agg(count(lit(1)).as("n"))
     val cx = base.groupBy(col("x")).agg(count(lit(1)).as("n_x"))
     val cy = base.groupBy(col("y")).agg(count(lit(1)).as("n_y"))
@@ -722,23 +726,6 @@ object Warehouse {
             .cast(DoubleType)).as("nmi"))
   }
 
-  /** EXACT WEIGHTED MEDIAN per group — the quantile a SIZE-aware
-    * curation budget actually needs: the unweighted median document
-    * length answers "what does the typical ROW look like", the
-    * token-weighted median answers "what does the typical TOKEN sit
-    * in" — on corpora where a few huge documents carry most of the
-    * token mass the two diverge wildly, and budget decisions keyed to
-    * the wrong one mis-size everything. Definition: the LOWER weighted
-    * median — the smallest value v whose cumulative weight reaches
-    * half the group total (`2·cumw(v) ≥ W`). All-integer: weights sum
-    * as BIGINTs, the half test is the multiplied-through inequality
-    * (never a division), ties in `v` are broken by `rowId` in the
-    * cumulative order so every engine walks the identical prefix.
-    *
-    * Scale shape: ONE window pass (cumulative weight, partitioned by
-    * group, ordered by value) + one aggregate — the same cost as any
-    * per-group ranking; no collect, no sort beyond the window's
-    * partition-local one. */
   /** PAIRWISE ASSOCIATION RULES (market-basket mining) — the classic
     * "bought together" statistic: for item pairs co-occurring in at
     * least `minCount` baskets, support counts plus the two derived
@@ -820,6 +807,23 @@ object Warehouse {
         countDistinct(col("kv")).as("k_distinct"))
   }
 
+  /** EXACT WEIGHTED MEDIAN per group — the quantile a SIZE-aware
+    * curation budget actually needs: the unweighted median document
+    * length answers "what does the typical ROW look like", the
+    * token-weighted median answers "what does the typical TOKEN sit
+    * in" — on corpora where a few huge documents carry most of the
+    * token mass the two diverge wildly, and budget decisions keyed to
+    * the wrong one mis-size everything. Definition: the LOWER weighted
+    * median — the smallest value v whose cumulative weight reaches
+    * half the group total (`2·cumw(v) ≥ W`). All-integer: weights sum
+    * as BIGINTs, the half test is the multiplied-through inequality
+    * (never a division), ties in `v` are broken by `rowId` in the
+    * cumulative order so every engine walks the identical prefix.
+    *
+    * Scale shape: ONE window pass (cumulative weight, partitioned by
+    * group, ordered by value) + one aggregate — the same cost as any
+    * per-group ranking; no collect, no sort beyond the window's
+    * partition-local one. */
   def weightedMedian(df: DataFrame, group: String, valueCol: String,
       weightCol: String, rowId: String): DataFrame = {
     val w = Window.partitionBy(col("g"))

@@ -4,8 +4,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.operators.{Curation, Multimodal, Similarity}
 
-/** Regression locks for the four round-7/8 advisory findings, each fixed
-  * in `df52734` — these specs pin the fixes so they can't regress:
+/** Regression locks for advisory findings (four from round 7/8, fixed in
+  * `df52734`; three more from round 10 at the bottom) — these specs pin
+  * the fixes so they can't regress:
   *
   *  1. `pqRescale` must survive lookup-sums beyond DECIMAL(18,0)'s 18
   *     digits (a unit-scale embedding never gets near it, but a raw
@@ -138,5 +139,56 @@ class AdviceRegressionSpec extends SparkSpec {
       assert(MediaCodec.sniff(bad).isEmpty,
         "sniff must not claim metadata the decoder refuses")
     }
+  }
+
+  // ---- round-10 advisories -------------------------------------------
+
+  test("spearmanCorr: null x/y rows are pairwise-deleted, not counted") {
+    val clean = Seq((1L, 10L), (2L, 20L), (3L, 15L), (4L, 40L))
+      .toDF("x", "y")
+    val dirty = clean.unionAll(Seq(
+        (Option.empty[Long], Option(99L)),
+        (Option(99L), Option.empty[Long]),
+        (Option.empty[Long], Option.empty[Long]))
+      .toDF("x", "y"))
+    val a = graft.operators.Stats.spearmanCorr(clean, "x", "y").collect()(0)
+    val b = graft.operators.Stats.spearmanCorr(dirty, "x", "y").collect()(0)
+    // identical n, sums, AND rho — a null row must not inflate n_tot or
+    // shift the distinct-value ranks
+    assert(a == b, s"null rows changed the statistic: $a vs $b")
+    assert(a.getAs[Long]("n_rows") == 4L)
+  }
+
+  test("mutualInformation: null x/y rows are dropped before n") {
+    val clean = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L))
+      .toDF("x", "y")
+    val dirty = clean.unionAll(Seq(
+        (Option.empty[String], Option(1L)),
+        (Option("a"), Option.empty[Long]))
+      .toDF("x", "y"))
+    val a = queries.Warehouse.mutualInformation(clean, "x", "y").collect()(0)
+    val b = queries.Warehouse.mutualInformation(dirty, "x", "y").collect()(0)
+    assert(a == b, s"null rows changed MI: $a vs $b")
+    assert(a.getAs[Long]("n_rows") == 4L)
+  }
+
+  test("pageRankTop/personalizedPageRankTop release their caches and " +
+      "refuse empty edge lists") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(Graph.pageRankTop(edges, iterations = 2, topK = 3).count() == 3L)
+    assert(Graph.personalizedPageRankTop(edges,
+      Seq(1L).toDF("node"), iterations = 2, topK = 3).count() == 3L)
+    // each call eagerly localCheckpoints its RESULT (alive as long as
+    // the returned frame is — not a leak); the 7 intermediate caches
+    // (edges, degree-joined edges, nodes, seeds) must all be released
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2, s"persisted RDDs leaked: $leaked")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRankTop(edges.limit(0), iterations = 1, topK = 1)
+    }
+    assert(ex.getMessage.contains("empty edge list"), ex.getMessage)
   }
 }
