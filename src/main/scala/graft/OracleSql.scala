@@ -2266,6 +2266,127 @@ object OracleSql {
         |    AS rank
         |FROM s QUALIFY rank <= 5""".stripMargin,
 
+    // Mutual top-5 through the IVF index: q_sim_ivf's refined cell
+    // chain with a corpus-wide probe set (every vid probes its 2
+    // nearest cells, own row excluded), cosine scoring as in
+    // q_sim_mutual, then the same reciprocal self-join.
+    "q_sim_mutual_ivf" ->
+      s"""WITH $ivfRefinedCellCtes,
+        |norms AS (SELECT vec_id,
+        |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE))
+        |      AS nrm
+        |  FROM el GROUP BY 1),
+        |probes AS (SELECT vid AS query_id, cid FROM asg
+        |  QUALIFY row_number() OVER (PARTITION BY vid
+        |    ORDER BY d2, cid) <= 2),
+        |cand AS (SELECT probes.query_id, cells.vid AS corpus_id
+        |  FROM probes JOIN cells ON cells.cid = probes.cid
+        |  WHERE cells.vid <> probes.query_id),
+        |s AS (SELECT query_id, corpus_id,
+        |    CAST(SUM(CAST(qe.x * ce.x AS DECIMAL(25,12))) AS DOUBLE)
+        |      AS dot
+        |  FROM cand
+        |  JOIN el qe ON qe.vec_id = query_id
+        |  JOIN el ce ON ce.vec_id = corpus_id AND qe.i = ce.i
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT query_id, corpus_id,
+        |    dot / (nq.nrm * nc.nrm) AS score
+        |  FROM s JOIN norms nq ON nq.vec_id = query_id
+        |         JOIN norms nc ON nc.vec_id = corpus_id),
+        |tk AS (SELECT query_id, corpus_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, corpus_id) AS BIGINT) AS rank
+        |  FROM sc QUALIFY rank <= 5)
+        |SELECT a.query_id AS u, a.corpus_id AS v, a.rank AS rank_uv,
+        |  b.rank AS rank_vu, a.score AS score
+        |FROM tk a JOIN tk b ON a.query_id = b.corpus_id
+        |  AND a.corpus_id = b.query_id
+        |WHERE a.query_id < a.corpus_id""".stripMargin,
+
+    // Hubness census through the IVF index: in-degree over the same
+    // corpus-wide probed top-5 lists, antihubs kept via the left join,
+    // top 20 by (in_degree desc, vid).
+    "q_sim_hubness_ivf" ->
+      s"""WITH $ivfRefinedCellCtes,
+        |norms AS (SELECT vec_id,
+        |    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE))
+        |      AS nrm
+        |  FROM el GROUP BY 1),
+        |probes AS (SELECT vid AS query_id, cid FROM asg
+        |  QUALIFY row_number() OVER (PARTITION BY vid
+        |    ORDER BY d2, cid) <= 2),
+        |cand AS (SELECT probes.query_id, cells.vid AS corpus_id
+        |  FROM probes JOIN cells ON cells.cid = probes.cid
+        |  WHERE cells.vid <> probes.query_id),
+        |s AS (SELECT query_id, corpus_id,
+        |    CAST(SUM(CAST(qe.x * ce.x AS DECIMAL(25,12))) AS DOUBLE)
+        |      AS dot
+        |  FROM cand
+        |  JOIN el qe ON qe.vec_id = query_id
+        |  JOIN el ce ON ce.vec_id = corpus_id AND qe.i = ce.i
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT query_id, corpus_id,
+        |    dot / (nq.nrm * nc.nrm) AS score
+        |  FROM s JOIN norms nq ON nq.vec_id = query_id
+        |         JOIN norms nc ON nc.vec_id = corpus_id),
+        |tk AS (SELECT query_id, corpus_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, corpus_id) <= 5),
+        |indeg AS (SELECT corpus_id AS vid,
+        |    CAST(COUNT(*) AS BIGINT) AS in_degree FROM tk GROUP BY 1)
+        |SELECT e.vec_id AS vid,
+        |  COALESCE(indeg.in_degree, 0) AS in_degree
+        |FROM embeddings e LEFT JOIN indeg ON indeg.vid = e.vec_id
+        |ORDER BY in_degree DESC, vid LIMIT 20""".stripMargin,
+
+    // TwoNN intrinsic dimension through the IVF index: candidates from
+    // each vid's 2 probed cells, then the brute form's exact-BIGINT d2
+    // and shifted quarter-bit ratio fold verbatim.
+    "q_embed_intrinsic_dim_ann" ->
+      s"""WITH $ivfRefinedCellCtes,
+        |eli AS (SELECT vec_id AS vid, i,
+        |    CAST(x * 1000000 AS BIGINT) AS xi FROM el),
+        |n2 AS (SELECT vid, CAST(SUM(xi * xi) AS BIGINT) AS nn
+        |  FROM eli GROUP BY 1),
+        |probes AS (SELECT vid, cid FROM asg
+        |  QUALIFY row_number() OVER (PARTITION BY vid
+        |    ORDER BY d2, cid) <= 2),
+        |cand AS (SELECT probes.vid, cells.vid AS ovid
+        |  FROM probes JOIN cells ON cells.cid = probes.cid
+        |  WHERE cells.vid <> probes.vid),
+        |dots AS (SELECT cand.vid, cand.ovid,
+        |    CAST(SUM(a.xi * b.xi) AS BIGINT) AS dotl
+        |  FROM cand JOIN eli a ON a.vid = cand.vid
+        |  JOIN eli b ON b.vid = cand.ovid AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |dd2 AS (SELECT dots.vid, ovid,
+        |    CAST(na.nn + nb.nn - 2 * dotl AS BIGINT) AS d2q
+        |  FROM dots JOIN n2 na ON na.vid = dots.vid
+        |  JOIN n2 nb ON nb.vid = dots.ovid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vid
+        |    ORDER BY d2q, ovid) AS rn FROM dd2),
+        |nn2 AS (SELECT vid,
+        |    CAST(MIN(CASE WHEN rn = 1 THEN d2q END) AS BIGINT) AS d1,
+        |    CAST(MIN(CASE WHEN rn = 2 THEN d2q END) AS BIGINT) AS d2
+        |  FROM r WHERE rn <= 2 GROUP BY 1),
+        |f AS (SELECT vid, d1, d2,
+        |    GREATEST(0, length(bin(d2)) - 15) AS s FROM nn2
+        |  WHERE d1 > 0 AND d2 IS NOT NULL),
+        |g AS (SELECT vid, (d2 >> s) AS bq,
+        |    GREATEST(d1 >> s, 1) AS aq FROM f),
+        |q AS (SELECT CAST(length(bin(
+        |    (CAST(bq AS BIGINT) * bq * bq * bq)
+        |    // (CAST(aq AS BIGINT) * aq * aq * aq))) - 1 AS BIGINT)
+        |    AS qlb FROM g),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+        |    CAST(SUM(qlb) AS BIGINT) AS sum_qlb FROM q)
+        |SELECT n_points, sum_qlb,
+        |  CASE WHEN sum_qlb > 0 THEN 8.0e0
+        |    * CAST(n_points AS DOUBLE)
+        |    / (0.6931471805599453e0 * CAST(sum_qlb AS DOUBLE))
+        |  END AS id_estimate
+        |FROM a""".stripMargin,
+
     // Prototype-distance pruning: every vector's exact d2 to its OWN
     // refined centroid (the (vid, cid) row of asg selected by cells),
     // hardest-first rank per cell, 20 kept.

@@ -1409,10 +1409,32 @@ object SparkEntry {
 
   /** Mutual top-5 cosine pairs over the embedding corpus: both sides
     * rank each other — the hubness-robust near-dup candidate filter;
-    * exact quantized dots, deterministic ranks. */
+    * exact quantized dots, deterministic ranks. Brute-force exact
+    * baseline — [[qSimMutualIvf]] is the scale form. */
   private def qSimMutual(spark: SparkSession, dir: String): DataFrame =
     Similarity.mutualTopK(emb(spark, dir), "vec_id", "embedding",
       k = 5)
+
+  /** [[qSimMutual]] through the refined IVF index — the 100 TB form:
+    * kNN lists from a corpus-wide nprobe=2 self-probe (candidates
+    * bounded by cell membership, never n²), the mutual join unchanged. */
+  private def qSimMutualIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mutualTopKIvf(emb(spark, dir), "vec_id", "embedding",
+      k = 5)
+
+  /** [[qSimHubness]] through the refined IVF index — the 100 TB form:
+    * in-degrees censused over the kNN-graph the index actually serves. */
+  private def qSimHubnessIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hubnessCensusIvf(emb(spark, dir), "vec_id", "embedding",
+      k = 5, topHubs = 20)
+
+  /** [[qEmbedIntrinsicDim]] through the refined IVF index — the 100 TB
+    * form: each point's two nearest drawn from its nprobe=2 probed
+    * cells, identical exact-q12 ratio fold. */
+  private def qEmbedIntrinsicDimAnn(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.operators.Embeddings.intrinsicDimensionIvf(emb(spark, dir),
+      "vec_id", "embedding")
 
   /** Memorization-risk census: the share of 8-word shingle types and
     * mass repeated across documents — the verbatim-regurgitation
@@ -2314,7 +2336,10 @@ object SparkEntry {
     "q_series_theilsen" -> (qSeriesTheilsen _),
     "q_embed_intrinsic_dim" -> (qEmbedIntrinsicDim _),
     "q_basket_sizes" -> (qBasketSizes _),
-    "q_sim_hubness" -> (qSimHubness _)
+    "q_sim_hubness" -> (qSimHubness _),
+    "q_sim_mutual_ivf" -> (qSimMutualIvf _),
+    "q_sim_hubness_ivf" -> (qSimHubnessIvf _),
+    "q_embed_intrinsic_dim_ann" -> (qEmbedIntrinsicDimAnn _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

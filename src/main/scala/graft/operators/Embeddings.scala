@@ -376,6 +376,64 @@ object Embeddings {
         (col("nn") + col("onn") -
           lit(2L) * round(V.dotQ12(col("qv"), col("ov")) *
             lit(1.0e12)).cast(LongType)).as("d2q"))
+    twoNNEstimate(d2)
+  }
+
+  /** [[intrinsicDimension]] riding the IVF index instead of the
+    * all-pairs cartesian — the 100 TB registered form. The TwoNN
+    * estimator only needs each point's two nearest, so each vector's
+    * candidate neighbors are the members of its `nprobe` nearest
+    * refined IVF cells ([[Similarity]]'s q_sim_ivf chain, corpus-wide
+    * probe side, shuffled on `cent_id` — never broadcast, never n²);
+    * the d² arithmetic, zero-distance drop, and quarter-bit ratio fold
+    * are byte-identical to the brute form. A point whose true 1st/2nd
+    * neighbors fall outside its probed cells contributes a slightly
+    * inflated ratio — the standard IVF recall trade, bounded by the
+    * same nprobe/recall frontier the registry's recall audits pin. */
+  def intrinsicDimensionIvf(df: DataFrame, idCol: String,
+      vecCol: String, numCentroids: Int = 16, refineRounds: Int = 1,
+      nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val V = graft.functions.VectorFunctions
+    val S = graft.operators.Similarity
+    val idx = S.buildIvfIndex(df, idCol, vecCol, numCentroids,
+      refineRounds)
+    // both sides reuse the cell table's quantized vectors; norms ride
+    // WITH each side (the intrinsicDimension cross-join rule), exact
+    // q12 integers recovered from the value-scale kernel double
+    def withNorm(idc: String, vc: String)(side: DataFrame): DataFrame =
+      side.select(col("corpus_id").as(idc), col("cq").as(vc),
+        round(V.dotQ12(col("cq"), col("cq")) * lit(1.0e12))
+          .cast(LongType).as(s"${idc}_nn"), col("cent_id"))
+    val probes = idx.cells
+      .select(col("corpus_id"), col("cq"),
+        V.dotQ12(col("cq"), col("cq")).as("q_s2"))
+      .crossJoin(broadcast(idx.centroids))
+      .withColumn("d2c", col("q_s2") + col("cent_s2") -
+        lit(2.0) * V.dotQ12(col("cq"), col("centq")))
+      .withColumn("prank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("corpus_id"))
+          .orderBy(col("d2c"), col("cent_id"))))
+      .filter(col("prank") <= nprobe)
+    val qSide = withNorm("vid", "qv")(probes)
+    val cSide = withNorm("ovid", "ov")(idx.cells)
+    val d2 = cSide.join(qSide, Seq("cent_id"))
+      .filter(col("vid") =!= col("ovid"))
+      .select(col("vid"), col("ovid"),
+        (col("vid_nn") + col("ovid_nn") -
+          lit(2L) * round(V.dotQ12(col("qv"), col("ov")) *
+            lit(1.0e12)).cast(LongType)).as("d2q"))
+    twoNNEstimate(d2)
+  }
+
+  /** The candidate-agnostic TwoNN fold: rank each point's candidate
+    * distances, keep the two nearest, drop exact duplicates (d1 = 0)
+    * and points with fewer than two candidates, and fold the shifted
+    * quarter-bit log ratios into the MLE — exactly the arithmetic
+    * documented on [[intrinsicDimension]]. */
+  private def twoNNEstimate(d2: DataFrame): DataFrame = {
+    import graft.functions.{FixedLogFunctions => FL}
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vid")).orderBy(col("d2q"), col("ovid"))
     val nn2 = d2.withColumn("rn", row_number().over(w))

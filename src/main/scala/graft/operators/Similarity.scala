@@ -84,12 +84,18 @@ object Similarity {
     * pair. Brute-force baseline semantics — swap in the IVF/LSH top-k
     * upstream for the 100 TB path, the mutual join is index-agnostic. */
   def mutualTopK(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5): DataFrame =
     // lazy on purpose: AQE reuses the ranked exchange across both
     // sides of the mutual join (probed — an eager localCheckpoint
     // bought nothing at sf0.1), so the brute-force pass runs once
-    val topk = bruteForceTopK(df, idCol, vecCol, df, idCol, vecCol,
-      k, cosine = true, excludeSelf = true)
+    mutualPairsFrom(bruteForceTopK(df, idCol, vecCol, df, idCol, vecCol,
+      k, cosine = true, excludeSelf = true))
+
+  /** The index-agnostic half of [[mutualTopK]]: one self-join of a
+    * `(query_id, corpus_id, score, rank)` kNN list on the swapped key
+    * pair — feed it any top-k frame (brute, IVF, LSH) and get the
+    * reciprocal pairs with both ranks. */
+  def mutualPairsFrom(topk: DataFrame): DataFrame = {
     val a = topk.select(col("query_id").as("u"),
       col("corpus_id").as("v"), col("rank").as("rank_uv"),
       col("score").as("score"))
@@ -99,6 +105,20 @@ object Similarity {
       .select(col("u"), col("v"), col("rank_uv"), col("rank_vu"),
         col("score"))
   }
+
+  /** [[mutualTopK]] riding the IVF index instead of the all-pairs
+    * cartesian — the 100 TB registered form: kNN lists come from
+    * [[ivfSelfTopK]] (every vector scores only its `nprobe` nearest
+    * cells' members), the mutual join is [[mutualPairsFrom]] unchanged.
+    * Same cosine scoring, rank ties, and output shape as the brute
+    * form; pairs whose true neighbors fall outside the probed cells are
+    * the standard IVF recall trade (audited in the registry's recall
+    * queries). */
+  def mutualTopKIvf(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, numCentroids: Int = 16, refineRounds: Int = 1,
+      nprobe: Int = 2): DataFrame =
+    mutualPairsFrom(ivfSelfTopK(df, idCol, vecCol, k,
+      numCentroids, refineRounds, nprobe))
 
   /** HUBNESS CENSUS — the kNN-graph in-degree table: how many other
     * points list each vector in THEIR top-k? High-dimensional spaces
@@ -114,15 +134,88 @@ object Similarity {
     * back to the id frame (antihubs surface as 0), and a TakeOrdered
     * top-k — index-agnostic like the mutual join. */
   def hubnessCensus(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 5, topHubs: Int = 20): DataFrame = {
-    val topk = bruteForceTopK(df, idCol, vecCol, df, idCol, vecCol,
-      k, cosine = true, excludeSelf = true)
+      k: Int = 5, topHubs: Int = 20): DataFrame =
+    hubnessFrom(df.select(col(idCol).as("vid")),
+      bruteForceTopK(df, idCol, vecCol, df, idCol, vecCol,
+        k, cosine = true, excludeSelf = true), topHubs)
+
+  /** The index-agnostic half of [[hubnessCensus]]: a map-combined
+    * in-degree rollup over any `(query_id, corpus_id, …)` kNN list,
+    * left-joined back onto the `(vid)` id universe so antihubs surface
+    * as 0, top-`topHubs` by in-degree (ties by id). */
+  def hubnessFrom(ids: DataFrame, topk: DataFrame,
+      topHubs: Int): DataFrame = {
     val indeg = topk.groupBy(col("corpus_id").as("vid"))
       .agg(count(lit(1)).as("in_degree"))
-    df.select(col(idCol).as("vid")).join(indeg, Seq("vid"), "left")
+    ids.join(indeg, Seq("vid"), "left")
       .withColumn("in_degree", coalesce(col("in_degree"), lit(0L)))
       .orderBy(col("in_degree").desc, col("vid"))
       .limit(topHubs)
+  }
+
+  /** [[hubnessCensus]] over the IVF kNN-graph — the 100 TB registered
+    * form: in-degrees are censused over [[ivfSelfTopK]]'s lists instead
+    * of the brute cartesian's. An IVF census measures the hubness of
+    * the graph the INDEX actually serves, which is the one retrieval
+    * sees — hubs that only exist across unprobed cell boundaries never
+    * distort IVF-served retrieval in the first place. */
+  def hubnessCensusIvf(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, topHubs: Int = 20, numCentroids: Int = 16,
+      refineRounds: Int = 1, nprobe: Int = 2): DataFrame =
+    hubnessFrom(df.select(col(idCol).as("vid")),
+      ivfSelfTopK(df, idCol, vecCol, k, numCentroids, refineRounds,
+        nprobe), topHubs)
+
+  /** SELF-kNN THROUGH THE IVF INDEX — the whole-corpus kNN-graph
+    * builder that replaces the brute n² cartesian: build the refined
+    * IVF index once, rank the broadcast centroid table per corpus
+    * vector (reusing the quantized vectors the cell table already
+    * carries — no second quantization pass), keep the `nprobe` nearest
+    * cells, and score each vector exactly against ONLY those cells'
+    * members. Own-row matches are excluded before ranking (a vector's
+    * own cell is its rank-1 probe by construction, so self would
+    * otherwise pin rank 1 everywhere).
+    *
+    * Scale shape — the deliberate difference from [[probeIvf]]: the
+    * probe side here is CORPUS-sized, so it is NOT broadcast; the
+    * probes⋈cells join shuffles both sides on `cent_id` (at production
+    * scale K grows ~√n, so the key space is wide; with per-cell sizes
+    * audited by the registry's balance query, no key carries more than
+    * a cell's membership). Per-pair work is n·nprobe·(n/K) exact
+    * quantized dots instead of n² — the candidate bound every IVF probe
+    * enjoys. Cosine scoring carries each side's norm WITH the frame
+    * (never joined onto the pair stream); ranks tie-break by corpus id.
+    * Deterministic end-to-end → full DuckDB oracle (the q_sim_ivf cell
+    * chain plus an all-vids probe). */
+  def ivfSelfTopK(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, numCentroids: Int = 16, refineRounds: Int = 1,
+      nprobe: Int = 2, cosine: Boolean = true): DataFrame = {
+    registered(df)
+    val idx = buildIvfIndex(df, idCol, vecCol, numCentroids, refineRounds)
+    val probes = idx.cells
+      .select(col("corpus_id").as("query_id"), col("cq").as("qq"))
+      .withColumn("q_s2", V.dotQ12(col("qq"), col("qq")))
+      .crossJoin(broadcast(idx.centroids))
+      .withColumn("d2", ivfD2(col("qq"), col("q_s2")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("cent_id"))))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qq"), col("cent_id"))
+    val (qSide, cSide, score) =
+      if (cosine) (
+        probes.withColumn("qnorm", V.normQ12(col("qq"))),
+        idx.cells.withColumn("cnorm", V.normQ12(col("cq"))),
+        V.dotQ12(col("qq"), col("cq")) / (col("qnorm") * col("cnorm")))
+      else (probes, idx.cells, V.dotQ12(col("qq"), col("cq")))
+    val scored = cSide.join(qSide, Seq("cent_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("score", score)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "score", "rank")
   }
 
   def bruteForceTopK(

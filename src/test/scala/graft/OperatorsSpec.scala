@@ -1519,6 +1519,45 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("rank_uv") == 1L && r.getAs[Long]("rank_vu") == 1L)
   }
 
+  test("IVF kNN-graph forms: single-cell index reproduces the brute " +
+      "forms exactly; multi-cell probe never returns self") {
+    import graft.operators.{Embeddings, Similarity}
+    // 12 vectors, 3 loose directions — enough rows that top-5 lists,
+    // mutual pairs, and TwoNN ratios are all non-trivial
+    val vecs = (0L until 12L).map { i =>
+      val a = (i % 3).toDouble; val b = (i / 3).toDouble
+      (i, Array((1.0 + a).toFloat, (0.3 * b).toFloat,
+        (0.1 * i).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    // numCentroids = 1 ⇒ every vector shares the one cell ⇒ the IVF
+    // candidate set IS the all-pairs set: byte-identical results
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(sorted(Similarity.mutualTopKIvf(vecs, "vec_id", "embedding",
+        k = 3, numCentroids = 1, nprobe = 1)) ==
+      sorted(Similarity.mutualTopK(vecs, "vec_id", "embedding", k = 3)))
+    assert(sorted(Similarity.hubnessCensusIvf(vecs, "vec_id", "embedding",
+        k = 3, topHubs = 12, numCentroids = 1, nprobe = 1)) ==
+      sorted(Similarity.hubnessCensus(vecs, "vec_id", "embedding",
+        k = 3, topHubs = 12)))
+    assert(Embeddings.intrinsicDimensionIvf(vecs, "vec_id", "embedding",
+        numCentroids = 1, nprobe = 1).collect().toSeq ==
+      Embeddings.intrinsicDimension(vecs, "vec_id", "embedding")
+        .collect().toSeq)
+    // multi-cell: self never appears, ranks stay contiguous from 1
+    val topk = Similarity.ivfSelfTopK(vecs, "vec_id", "embedding",
+      k = 3, numCentroids = 4, refineRounds = 1, nprobe = 2).collect()
+    assert(topk.nonEmpty)
+    assert(topk.forall(r =>
+      r.getAs[Long]("query_id") != r.getAs[Long]("corpus_id")))
+    topk.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq,
+        s"ranks not contiguous for query $q: $ranks")
+      assert(ranks.length <= 3)
+    }
+  }
+
   test("kmeansSummary: exact sizes/inertia, drained clusters report zero") {
     // two tight value classes over 8 vectors
     val two = ((1L to 4L).map((_, Array(1.0f, 0.0f, 0.0f, 0.0f))) ++
