@@ -2387,6 +2387,49 @@ object OracleSql {
         |  END AS id_estimate
         |FROM a""".stripMargin,
 
+    // IVF nprobe recall/cost sweep: exact dot-product ground truth for
+    // the 10 probe queries, then per nprobe ∈ {1,2,4,8} the candidate
+    // count and integer-ppm recall@5 — the pinned recall frontier.
+    "q_sim_ivf_sweep" ->
+      s"""WITH $ivfRefinedCellCtes,
+        |exact AS (SELECT query_id, corpus_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |      CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE)
+        |        AS score
+        |    FROM el q JOIN el c ON q.i = c.i
+        |    WHERE q.vec_id < 10 GROUP BY 1, 2)
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, corpus_id) <= 5),
+        |pall AS (SELECT vid AS query_id, cid,
+        |    row_number() OVER (PARTITION BY vid ORDER BY d2, cid)
+        |      AS prank
+        |  FROM asg WHERE vid < 10),
+        |np AS (SELECT np FROM (VALUES (1), (2), (4), (8)) t(np)),
+        |cand AS (SELECT np.np, p.query_id, cells.vid AS corpus_id
+        |  FROM np JOIN pall p ON p.prank <= np.np
+        |  JOIN cells ON cells.cid = p.cid),
+        |cc AS (SELECT np,
+        |    CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+        |    CAST(COUNT(*) AS BIGINT) AS n_candidates
+        |  FROM cand GROUP BY 1),
+        |s AS (SELECT cand.np, cand.query_id, cand.corpus_id,
+        |    CAST(SUM(CAST(qe.x * ce.x AS DECIMAL(25,12))) AS DOUBLE)
+        |      AS score
+        |  FROM cand JOIN el qe ON qe.vec_id = cand.query_id
+        |  JOIN el ce ON ce.vec_id = cand.corpus_id AND qe.i = ce.i
+        |  GROUP BY 1, 2, 3),
+        |tk AS (SELECT np, query_id, corpus_id FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY np, query_id
+        |    ORDER BY score DESC, corpus_id) <= 5),
+        |h AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS n_hits FROM tk
+        |  JOIN exact USING (query_id, corpus_id) GROUP BY 1)
+        |SELECT CAST(cc.np AS BIGINT) AS nprobe, cc.n_queries,
+        |  cc.n_candidates,
+        |  COALESCE(h.n_hits, 0) AS n_hits,
+        |  (COALESCE(h.n_hits, 0) * 1000000) // (5 * cc.n_queries)
+        |    AS recall_ppm
+        |FROM cc LEFT JOIN h ON h.np = cc.np ORDER BY 1""".stripMargin,
+
     // Prototype-distance pruning: every vector's exact d2 to its OWN
     // refined centroid (the (vid, cid) row of asg selected by cells),
     // hardest-first rank per cell, 20 kept.

@@ -969,6 +969,15 @@ object SparkEntry {
         emb(spark, dir), "vec_id", "embedding", k = 5, cosine = true),
       k = 5)
 
+  /** IVF nprobe recall/cost sweep: for nprobe ∈ {1,2,4,8}, the exact
+    * candidate count paid and recall@5 bought vs brute ground truth —
+    * the pinned recall-vs-cost frontier of the registry's index. */
+  private def qSimIvfSweep(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfRecallSweep(
+      emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb(spark, dir), "vec_id", "embedding", k = 5,
+      numCentroids = 16, refineRounds = 1)
+
   private def qSimTopkDot(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -2339,7 +2348,8 @@ object SparkEntry {
     "q_sim_hubness" -> (qSimHubness _),
     "q_sim_mutual_ivf" -> (qSimMutualIvf _),
     "q_sim_hubness_ivf" -> (qSimHubnessIvf _),
-    "q_embed_intrinsic_dim_ann" -> (qEmbedIntrinsicDimAnn _)
+    "q_embed_intrinsic_dim_ann" -> (qEmbedIntrinsicDimAnn _),
+    "q_sim_ivf_sweep" -> (qSimIvfSweep _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

@@ -1422,6 +1422,86 @@ object Similarity {
     * the intersection semi-join and the per-query count are trivial at
     * any corpus scale — the cost lives in the two retrieval arms being
     * evaluated, not here. */
+  /** NPROBE RECALL/COST SWEEP — the audit that pins the IVF
+    * recall-vs-candidates frontier: for each `nprobe` in the sweep,
+    * one row with the exact candidate count the probe pays and the
+    * exact recall@k it buys against brute-force ground truth. The
+    * operating question every deployed IVF index answers empirically —
+    * "how many cells must I probe for the recall I need" — becomes a
+    * pinned, oracle-checkable table instead of a prose claim.
+    *
+    * Exactness: ground truth and candidate scoring are the exact
+    * quantized dot ladder; `recall_ppm` is the integer
+    * `(hits·10⁶) div (k·queries)` — every column BIGINT-exact.
+    *
+    * Scale shape: the index builds once and the centroid ranking runs
+    * once per query (the sweep points FILTER the ranked probe list
+    * deeper, never re-rank); each sweep point scores only its probed
+    * cells' members (broadcast probe set — the query side is an
+    * audit-sized sample, not the corpus). The brute ground-truth pass
+    * is the audit's point (recall needs truth) and is bounded by the
+    * same sample. */
+  def ivfRecallSweep(queries: DataFrame, queryId: String,
+      queryVec: String, corpus: DataFrame, corpusId: String,
+      corpusVec: String, k: Int, numCentroids: Int = 16,
+      refineRounds: Int = 1,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(nprobes.nonEmpty, "ivfRecallSweep: empty sweep")
+    registered(queries)
+    // the sweep's branches share the cell table, the ground truth, and
+    // the ranked probe list — cache each once, release after the
+    // (tiny, one row per sweep point) result materializes eagerly
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def mat(df: DataFrame): DataFrame = {
+      val p = df.persist(); cached += p; p
+    }
+    val idx0 = buildIvfIndex(corpus, corpusId, corpusVec, numCentroids,
+      refineRounds)
+    val idx = IvfIndex(idx0.centroids, mat(idx0.cells))
+    val exact = mat(bruteForceTopK(queries, queryId, queryVec,
+        corpus, corpusId, corpusVec, k)
+      .select(col("query_id"), col("corpus_id")))
+    val pAll = mat(queries.select(col(queryId).as("query_id"),
+        V.quantize6(col(queryVec)).as("qq"))
+      .withColumn("q_s2", V.dotQ12(col("qq"), col("qq")))
+      .crossJoin(broadcast(idx.centroids))
+      .withColumn("d2", ivfD2(col("qq"), col("q_s2")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("cent_id"))))
+      .select(col("query_id"), col("qq"), col("cent_id"), col("prank")))
+    // ONE pass for the whole sweep: the candidate sets are nested in
+    // nprobe, so each scored candidate explodes to exactly the sweep
+    // points that admit its probe rank, and a single (np, query)
+    // window ranks every sweep point at once — 4 union branches would
+    // cost 4× the stages for the same arithmetic
+    val maxNp = nprobes.max
+    val cand = mat(idx.cells
+      .join(broadcast(pAll.filter(col("prank") <= maxNp)), Seq("cent_id"))
+      .withColumn("np", explode(filter(
+        array(nprobes.sorted.map(n => lit(n.toLong)): _*),
+        n => n >= col("prank"))))
+      .withColumn("score", V.dotQ12(col("qq"), col("cq"))))
+    val w = Window.partitionBy(col("np"), col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id"))
+    val hits = cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(exact, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy(col("np")).agg(count(lit(1)).as("n_hits"))
+    val costs = cand.groupBy(col("np"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_candidates"))
+    try costs.join(hits, Seq("np"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .select(col("np").as("nprobe"), col("n_queries"),
+        col("n_candidates"), col("n_hits"),
+        expr(s"(n_hits * 1000000L) div (${k}L * n_queries)")
+          .as("recall_ppm"))
+      .orderBy(col("nprobe"))
+      .localCheckpoint(true)
+    finally cached.foreach(_.unpersist())
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     val a = approx.select(col("query_id"), col("corpus_id"))
     val hits = a

@@ -1558,6 +1558,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfRecallSweep: monotone frontier, full probe reaches exact " +
+      "recall") {
+    import graft.operators.Similarity
+    val vecs = (0L until 24L).map { i =>
+      (i, Array((i % 4).toFloat, (i % 7).toFloat,
+        (0.5f * i), 1.0f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 4)
+    val rows = Similarity.ivfRecallSweep(q, "vec_id", "embedding",
+        vecs, "vec_id", "embedding", k = 3, numCentroids = 4,
+        refineRounds = 1, nprobes = Seq(1, 2, 4))
+      .collect().sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    assert(rows.forall(_.getAs[Long]("n_queries") == 4L))
+    // candidates and recall both monotone non-decreasing in nprobe
+    val cands = rows.map(_.getAs[Long]("n_candidates")).toSeq
+    val recs = rows.map(_.getAs[Long]("recall_ppm")).toSeq
+    assert(cands == cands.sorted, s"candidates not monotone: $cands")
+    assert(recs == recs.sorted, s"recall not monotone: $recs")
+    // probing every cell IS exact search: recall_ppm = 10^6 and the
+    // candidate set is the whole corpus per query
+    assert(recs.last == 1000000L, s"full probe must be exact: $recs")
+    assert(cands.last == 24L * 4L, s"full probe scores all pairs: $cands")
+  }
+
   test("kmeansSummary: exact sizes/inertia, drained clusters report zero") {
     // two tight value classes over 8 vectors
     val two = ((1L to 4L).map((_, Array(1.0f, 0.0f, 0.0f, 0.0f))) ++
