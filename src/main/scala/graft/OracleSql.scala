@@ -92,11 +92,14 @@ object OracleSql {
     * component mins, 16 bands of 4, md5_60 band hash of the canonical
     * "m0,m1,m2,m3|band" string) — shared by q_dedup_minhash and the
     * recall-eval composition. */
-  private def minhashPairsSql(threshold: Double): String = {
+  /** Shared CTE prefix for the minhash family: per-doc 3-word shingles,
+    * md5_60 double hashes, and the k = 64 KM-family component mins
+    * (`mins(id, i, m)`). */
+  private def minhashMinsCtes: String = {
     val km = """(b1 + ((r.i * (b2 & 18014398509481983)) & 1152921504606846975)
                |       + (((r.i * (b2 >> 54)) & 63) << 54)) & 1152921504606846975"""
       .stripMargin
-    s"""WITH w AS (SELECT doc_id,
+    s"""w AS (SELECT doc_id,
        |    regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
        |sh AS (SELECT doc_id AS id, unnest(${shingleExpr(3)}) AS s FROM w),
        |hb AS (SELECT id, s,
@@ -104,7 +107,11 @@ object OracleSql {
        |    ('0x' || substring(md5(s || '#'), 1, 15))::BIGINT AS b2
        |  FROM sh),
        |mins AS (SELECT id, r.i, MIN($km) AS m
-       |  FROM hb, range(0, 64) r(i) GROUP BY 1, 2),
+       |  FROM hb, range(0, 64) r(i) GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def minhashPairsSql(threshold: Double): String = {
+    s"""WITH $minhashMinsCtes,
        |bnd AS (SELECT id, i // 4 AS band,
        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
        |  FROM mins GROUP BY 1, 2),
@@ -2429,6 +2436,153 @@ object OracleSql {
         |  (COALESCE(h.n_hits, 0) * 1000000) // (5 * cc.n_queries)
         |    AS recall_ppm
         |FROM cc LEFT JOIN h ON h.np = cc.np ORDER BY 1""".stripMargin,
+
+    // MinHash-LSH band sweep: the shared k=64 signature banded per
+    // config {8,16,32}; candidate pairs per config (hot buckets > 2000
+    // dropped, the production guard), signature-estimate pairs at the
+    // 0.10 threshold, hits vs the exact 3-gram Jaccard truth.
+    "q_dedup_lsh_sweep" ->
+      s"""WITH $minhashMinsCtes,
+        |cfg(bands, rpb) AS (VALUES (8, 8), (16, 4), (32, 2)),
+        |bnd AS (SELECT m.id, c.bands, m.i // c.rpb AS band,
+        |    string_agg(CAST(m.m AS VARCHAR), ',' ORDER BY m.i) AS key
+        |  FROM mins m, cfg c GROUP BY 1, 2, 3),
+        |banded AS (SELECT id, bands, band,
+        |    ('0x' || substring(md5(key || '|' || CAST(band AS VARCHAR)),
+        |      1, 15))::BIGINT AS band_hash
+        |  FROM bnd),
+        |bsz AS (SELECT bands, band, band_hash, COUNT(*) AS n
+        |  FROM banded GROUP BY 1, 2, 3),
+        |pairs AS (SELECT DISTINCT a.bands, a.id AS id_a, b.id AS id_b
+        |  FROM banded a
+        |  JOIN banded b ON a.bands = b.bands AND a.band = b.band
+        |    AND a.band_hash = b.band_hash
+        |  JOIN bsz ON bsz.bands = a.bands AND bsz.band = a.band
+        |    AND bsz.band_hash = a.band_hash
+        |  WHERE a.id < b.id AND bsz.n BETWEEN 2 AND 2000),
+        |sim AS (SELECT p.bands, p.id_a, p.id_b,
+        |    CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / 64.0 AS ss
+        |  FROM pairs p
+        |  JOIN mins ma ON ma.id = p.id_a
+        |  JOIN mins mb ON mb.id = p.id_b AND ma.i = mb.i
+        |  GROUP BY 1, 2, 3),
+        |truth AS (SELECT id_a, id_b FROM (${ngramJaccardSql(0.10)})),
+        |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+        |cand AS (SELECT bands, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        |  FROM pairs GROUP BY 1),
+        |pred AS (SELECT bands, id_a, id_b FROM sim WHERE ss >= 0.10),
+        |pc AS (SELECT bands, CAST(COUNT(*) AS BIGINT) AS n_pred
+        |  FROM pred GROUP BY 1),
+        |hc AS (SELECT p.bands, CAST(COUNT(*) AS BIGINT) AS n_hit
+        |  FROM pred p JOIN truth t
+        |    ON t.id_a = p.id_a AND t.id_b = p.id_b GROUP BY 1)
+        |SELECT CAST(c.bands AS BIGINT) AS bands,
+        |  CAST(64 // c.bands AS BIGINT) AS rows_per_band,
+        |  COALESCE(cand.n_candidates, 0) AS n_candidates, tc.n_truth,
+        |  COALESCE(pc.n_pred, 0) AS n_pred,
+        |  COALESCE(hc.n_hit, 0) AS n_hit,
+        |  CASE WHEN COALESCE(pc.n_pred, 0) > 0 THEN
+        |    CAST(COALESCE(hc.n_hit, 0) AS DOUBLE) / pc.n_pred
+        |    END AS "precision",
+        |  CASE WHEN tc.n_truth > 0 THEN
+        |    CAST(COALESCE(hc.n_hit, 0) AS DOUBLE) / tc.n_truth
+        |    END AS recall
+        |FROM cfg c
+        |LEFT JOIN cand ON cand.bands = c.bands
+        |LEFT JOIN pc ON pc.bands = c.bands
+        |LEFT JOIN hc ON hc.bands = c.bands, tc
+        |ORDER BY 1""".stripMargin,
+
+    // Label propagation: 3 unrolled synchronous rounds over the part
+    // co-purchase graph (parts sharing >= 2 orders; argmax = count
+    // desc, label asc), then the community census top 20 with totals.
+    "q_graph_labelprop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS b,
+        |    CAST(l_partkey AS BIGINT) AS i FROM lineitem),
+        |p AS (SELECT a.i AS src, c.i AS dst
+        |  FROM li a JOIN li c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+        |c1 AS (SELECT e.dst AS node, l.lab, COUNT(*) AS c
+        |  FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+        |l1 AS (SELECT node, lab FROM (SELECT node, lab,
+        |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab)
+        |      AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.dst AS node, l.lab, COUNT(*) AS c
+        |  FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+        |l2 AS (SELECT node, lab FROM (SELECT node, lab,
+        |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab)
+        |      AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT e.dst AS node, l.lab, COUNT(*) AS c
+        |  FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+        |l3 AS (SELECT node, lab FROM (SELECT node, lab,
+        |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab)
+        |      AS rn FROM c3) WHERE rn = 1),
+        |cs AS (SELECT CAST(lab AS BIGINT) AS community,
+        |    CAST(COUNT(*) AS BIGINT) AS n_nodes FROM l3 GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities FROM cs),
+        |top AS (SELECT community, n_nodes FROM cs
+        |  ORDER BY n_nodes DESC, community LIMIT 20)
+        |SELECT community, n_nodes, t.n_communities
+        |FROM top, t""".stripMargin,
+
+    // Sliding-window chunk census (32-token windows, stride 24):
+    // chunks(n) = 1 + ceil(max(0, n-32)/24); overlap re-emits 8
+    // tokens per extra chunk. All-integer per-row arithmetic.
+    "q_text_chunks" ->
+      """WITH d AS (SELECT CAST(len(regexp_split_to_array(trim(text),
+        |      '\s+')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT n_tokens,
+        |    1 + (GREATEST(n_tokens - 32, 0) + 23) // 24 AS n_chunks
+        |  FROM d)
+        |SELECT CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+        |  CAST(SUM(n_tokens + (n_chunks - 1) * 8) AS BIGINT)
+        |    AS emitted_total,
+        |  CASE WHEN SUM(n_tokens) > 0 THEN
+        |    CAST(SUM(n_tokens + (n_chunks - 1) * 8) AS DOUBLE)
+        |      / CAST(SUM(n_tokens) AS DOUBLE) END AS dup_ratio
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Linear-kernel MMD² drift between even/odd vec_id cohorts: q6
+    // element sums per (cohort, dim), integer mean-shift
+    // (s_a·n_b − s_b·n_a) // (n_a·n_b), q12 squared sum → ONE final
+    // double; top dim by squared shift (ties → smallest dim, 0-based
+    // to match posexplode).
+    "q_embed_drift" ->
+      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id % 2 AS grp, i,
+        |    CAST(x * 1000000 AS BIGINT) AS qx FROM el),
+        |n AS (SELECT
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM embeddings),
+        |s AS (SELECT i, SUM(CASE WHEN grp = 0 THEN qx ELSE 0 END) AS s_a,
+        |    SUM(CASE WHEN grp = 1 THEN qx ELSE 0 END) AS s_b
+        |  FROM qv GROUP BY 1),
+        |d AS (SELECT i,
+        |    (s.s_a * n.n_b - s.s_b * n.n_a) // (n.n_a * n.n_b) AS shift
+        |  FROM s, n),
+        |rk AS (SELECT i, shift * shift AS sq,
+        |    row_number() OVER (ORDER BY shift * shift DESC, i) AS rn
+        |  FROM d),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+        |    CAST(SUM(sq) AS BIGINT) AS m12 FROM rk),
+        |top AS (SELECT CAST(i - 1 AS BIGINT) AS top_dim, sq AS top_sq
+        |  FROM rk WHERE rn = 1)
+        |SELECT n.n_a, n.n_b, agg.n_dims,
+        |  CAST(agg.m12 AS DOUBLE) / 1e12 AS mmd2, top.top_dim,
+        |  CASE WHEN agg.m12 > 0 THEN
+        |    CAST((top.top_sq * 1000000) // agg.m12 AS BIGINT)
+        |    END AS top_share_ppm
+        |FROM n, agg, top""".stripMargin,
 
     // Prototype-distance pruning: every vector's exact d2 to its OWN
     // refined centroid (the (vid, cid) row of asg selected by cells),

@@ -1212,6 +1212,52 @@ object SparkEntry {
     Dedup.minhashQualityEval(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.10)
 
+  /** MinHash-LSH band sweep over the same k = 64 signature: candidate
+    * cost and precision/recall per band count {8, 16, 32} vs the exact
+    * 3-gram Jaccard truth — the dedup counterpart of the IVF nprobe
+    * frontier (`q_sim_ivf_sweep`). */
+  private def qDedupLshSweep(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashBandSweep(docs(spark, dir), "doc_id", "text",
+      shingleWords = 3, k = 64, bandsSweep = Seq(8, 16, 32),
+      threshold = 0.10)
+
+  /** Three synchronous label-propagation rounds over the part
+    * CO-PURCHASE graph (parts sharing ≥ 2 orders — the non-bipartite
+    * projection; the customer↔supplier graph is bipartite, where
+    * synchronous LPA oscillates by construction), then the community
+    * census: top 20 product families by size with the total count. */
+  private def qGraphLabelprop(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("b"),
+        col("l_partkey").cast(LongType).as("i")).distinct()
+    val pairs = li.as("a")
+      .join(li.as("c"), col("a.b") === col("c.b") && col("a.i") < col("c.i"))
+      .groupBy(col("a.i").as("src"), col("c.i").as("dst"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 2)
+      .select(col("src"), col("dst"))
+    val edges = pairs.union(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.labelPropagationCommunities(edges, iterations = 3, topK = 20)
+  }
+
+  /** Sliding-window chunk census of the documents corpus (32-token
+    * windows, stride 24 — sized to the corpus's 10-100-token docs so
+    * the census spans real bands): per chunk-count band, document and
+    * token totals, tokens emitted after overlap re-emission, and the
+    * exact duplication multiplier the overlap costs. */
+  private def qTextChunks(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkCensus(docs(spark, dir), "text",
+      window = 32, stride = 24)
+
+  /** Linear-kernel MMD² drift between the even- and odd-id embedding
+    * cohorts: quantized mean-shift per dimension, the top-shifted
+    * dimension and its ppm share — the snapshot-pair drift tripwire. */
+  private def qEmbedDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Embeddings.meanShiftDrift(
+      emb(spark, dir).withColumn("grp", pmod(col("vec_id"), lit(2L))),
+      "vec_id", "embedding", "grp")
+
   /** Mergeable HLL lifecycle under its accuracy audit: daily user
     * sketches unioned to weekly uniques, gated against exact weekly
     * distincts — the oracle reproduces every exact column and the
@@ -2349,7 +2395,11 @@ object SparkEntry {
     "q_sim_mutual_ivf" -> (qSimMutualIvf _),
     "q_sim_hubness_ivf" -> (qSimHubnessIvf _),
     "q_embed_intrinsic_dim_ann" -> (qEmbedIntrinsicDimAnn _),
-    "q_sim_ivf_sweep" -> (qSimIvfSweep _)
+    "q_sim_ivf_sweep" -> (qSimIvfSweep _),
+    "q_dedup_lsh_sweep" -> (qDedupLshSweep _),
+    "q_graph_labelprop" -> (qGraphLabelprop _),
+    "q_text_chunks" -> (qTextChunks _),
+    "q_embed_drift" -> (qEmbedDrift _)
   )
 
   /** DuckDB-equivalent SQL per query — EVERY query in [[queries]] has an

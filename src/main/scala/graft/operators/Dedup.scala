@@ -428,6 +428,128 @@ object Dedup {
         col("n_hit").cast(DoubleType) / col("n_truth")))
   }
 
+  /** Distinct candidate pairs like [[pairsFromBuckets]], but retaining
+    * one GROUPING column (`keyCol`, itself part of `bucketCols`) on the
+    * output — the sweep form: several banding configurations share ONE
+    * bucket shuffle, and each config's pair set stays separable. Output
+    * `(keyCol, id_a, id_b)`, distinct per key, eagerly checkpointed
+    * (the bucket projection's cache is released before returning). */
+  private[operators] def pairsFromBucketsKeyed(
+      banded: DataFrame, idCol: String, keyCol: String,
+      bucketCols: Seq[String], maxBucket: Int = 2000): DataFrame = {
+    graft.functions.GraftFunctions.register(banded.sparkSession)
+    require(bucketCols.contains(keyCol),
+      s"keyCol '$keyCol' must be one of the bucket columns")
+    val idType = banded.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"pairsFromBucketsKeyed requires a numeric id column; " +
+        s"'$idCol' is ${idType.simpleString}")
+    val rows = banded.select((bucketCols :+ idCol).map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ids = array_sort(collect_list(col(idCol).cast(LongType)))
+      dropHotBuckets(rows, bucketCols, maxBucket.toLong)
+        .groupBy(bucketCols.map(col): _*)
+        .agg(ids.as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(col(keyCol), explode(
+          graft.functions.PairFunctions.pairCombinations(col("ids"))).as("p"))
+        .select(col(keyCol), col("p.id_a"), col("p.id_b"))
+        .distinct()
+        .localCheckpoint(true)
+    } finally rows.unpersist()
+  }
+
+  /** MINHASH-LSH BAND SWEEP — the knob-pricing frontier for the dedup
+    * index, the exact counterpart of [[Similarity.ivfRecallSweep]] for
+    * the ANN family: for each band count `b` in `bandsSweep` (rows per
+    * band `k / b`), one row with the candidate pairs that banding
+    * generates, the pairs the signature estimate keeps at `threshold`,
+    * and their precision/recall against the EXACT n-gram Jaccard ground
+    * truth. The LSH S-curve steepens as rows-per-band grows (fewer,
+    * stricter bands → fewer candidates, lower recall); this pins the
+    * whole trade-off as an oracle-checkable table instead of a
+    * per-config one-off ([[minhashQualityEval]]).
+    *
+    * ONE bucket shuffle for the whole sweep: every configuration's
+    * banded rows go into a single `(bands, band, band_hash)`-keyed
+    * frame, pair generation groups once ([[pairsFromBucketsKeyed]]),
+    * and the signature table (computed once, k components) verifies all
+    * configs' candidates in one join. Ground truth is computed once and
+    * shared. Counts are exact longs; precision/recall are single
+    * double divisions of those longs. Hot buckets are dropped
+    * per-config by the same `maxBucket` guard as the production path —
+    * the sweep prices the candidate cost a config would actually pay. */
+  def minhashBandSweep(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, k: Int = 64,
+      bandsSweep: Seq[Int] = Seq(8, 16, 32), threshold: Double = 0.10,
+      maxBucket: Int = 2000): DataFrame = {
+    require(bandsSweep.nonEmpty, "minhashBandSweep: empty sweep")
+    bandsSweep.foreach(b => require(b > 0 && k % b == 0,
+      s"minhashBandSweep: k=$k not divisible by bands=$b"))
+    val spark = df.sparkSession
+    val sigs = minhashSignatures(df, idCol, textCol, shingleWords, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val truth = ngramJaccardPairs(df, idCol, textCol, shingleWords,
+        threshold).select(col("id_a"), col("id_b"))
+      // all configs in one banded frame; hashes computed AFTER the
+      // explode (same CollapseProject guard as bandedSignatures)
+      val cfgArr = array(bandsSweep.sorted.map(b =>
+        struct(lit(b.toLong).as("bands"), lit((k / b).toLong).as("rpb"))): _*)
+      val banded = sigs
+        .select(col(idCol), col("sig"), explode(cfgArr).as("cfg"))
+        .select(col(idCol), col("sig"), col("cfg.bands").as("bands"),
+          col("cfg.rpb").as("rpb"))
+        .select(col(idCol), col("sig"), col("bands"), col("rpb"),
+          explode(sequence(lit(0L), col("bands") - 1)).as("band"))
+        .withColumn("band_hash", md5_60(concat(
+          concat_ws(",", transform(
+            slice(col("sig"), (col("band") * col("rpb") + 1)
+              .cast(IntegerType), col("rpb").cast(IntegerType)),
+            _.cast(StringType))),
+          lit("|"), col("band").cast(StringType))))
+      val pairs = pairsFromBucketsKeyed(banded, idCol, "bands",
+        Seq("bands", "band", "band_hash"), maxBucket)
+      val simed = pairs
+        .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")),
+          Seq("id_a"))
+        .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")),
+          Seq("id_b"))
+        .select(col("bands"), col("id_a"), col("id_b"),
+          (graft.functions.MinHashFunctions
+            .sigAgreement(col("sig_a"), col("sig_b")).cast(DoubleType) /
+            lit(k.toDouble)).as("sig_similarity"))
+      val pred = simed.filter(col("sig_similarity") >= threshold)
+        .localCheckpoint(true)
+      val cand = pairs.groupBy(col("bands"))
+        .agg(count(lit(1)).as("n_candidates"))
+      val predC = pred.groupBy(col("bands")).agg(count(lit(1)).as("n_pred"))
+      val hitC = pred.join(truth, Seq("id_a", "id_b"), "left_semi")
+        .groupBy(col("bands")).agg(count(lit(1)).as("n_hit"))
+      val truthC = truth.agg(count(lit(1)).as("n_truth"))
+      import spark.implicits._
+      val cfgDf = bandsSweep.sorted.map(b => (b.toLong, (k / b).toLong))
+        .toDF("bands", "rows_per_band")
+      val result = cfgDf
+        .join(cand, Seq("bands"), "left")
+        .join(predC, Seq("bands"), "left")
+        .join(hitC, Seq("bands"), "left")
+        .crossJoin(truthC)
+        .select(col("bands"), col("rows_per_band"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("n_truth"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("precision", when(col("n_pred") > 0,
+          col("n_hit").cast(DoubleType) / col("n_pred")))
+        .withColumn("recall", when(col("n_truth") > 0,
+          col("n_hit").cast(DoubleType) / col("n_truth")))
+        .orderBy(col("bands"))
+      Lifetime.seal(result, pairs, truth, pred)
+    } finally sigs.unpersist()
+  }
+
   /** TRIANGLE CENSUS of a pair graph — the structural audit of a
     * near-dup edge set: transitivity (`3·triangles / wedges`) says
     * whether the pairs form tight cliques (template families, boiler-

@@ -500,4 +500,63 @@ object Embeddings {
       .select(col("label"), col("vid"), col("d2_micro2"),
         col("mis_rank"), col("dist"))
   }
+
+  /** MEAN-SHIFT DRIFT (linear-kernel MMD²) between two embedding
+    * cohorts — the distribution-shift tripwire for embedding spaces:
+    * with a linear kernel, MMD²(A, B) collapses to ‖μ_A − μ_B‖², so
+    * per-dimension centroid deltas are the WHOLE statistic. One row:
+    * cohort sizes, the (quantized) MMD², the dimension carrying the
+    * largest squared shift (ties → smallest dim), and that dimension's
+    * share of the total in ppm — "the spaces drifted, and dim 17 is
+    * where" as one exact, pinnable record per corpus snapshot pair.
+    *
+    * Exactness ladder: elements quantize once to q6 micro-units; the
+    * per-dim mean delta is the integer `(s_A·n_B − s_B·n_A) div
+    * (n_A·n_B)` (truncation toward zero, identical in Spark `div` and
+    * DuckDB `//`), its square stays in value-scale q12 where a d-dim
+    * sum is far under the 2⁵³ double bound; ONE final double division
+    * by 10¹² produces the reported MMD². The ≤1-micro-unit truncation
+    * per dim is part of the metric's definition, mirrored exactly by
+    * the oracle.
+    *
+    * Scale shape: one posexplode pass, a (group × dim)-sized
+    * map-combined aggregate, then a d-row fold — no pairwise work at
+    * any corpus size (the linear kernel is WHY: the quadratic-kernel
+    * MMD estimator costs O(n²) pair evaluations for a small power
+    * gain). `groupCol` must take exactly the values 0 and 1 with at
+    * least one vector each — validated up front (two-row collect). */
+  def meanShiftDrift(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val V = graft.functions.VectorFunctions
+    val base = df.select(col(groupCol).cast(LongType).as("grp"),
+      col(idCol), col(vecCol))
+    val counts = base.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(counts.keySet == Set(0L, 1L) && counts.values.forall(_ > 0),
+      s"meanShiftDrift: groupCol '$groupCol' must cover exactly " +
+        s"{0, 1} with >=1 vector each; got ${counts.keySet.toSeq.sorted}")
+    val (nA, nB) = (counts(0L), counts(1L))
+    val dims = base
+      .select(col("grp"), posexplode(V.quantize6(col(vecCol)))
+        .as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(when(col("grp") === 0L, col("x"))).as("s_a"),
+        sum(when(col("grp") === 1L, col("x"))).as("s_b"))
+      .select(col("i"), expr(
+        s"(coalesce(s_a, 0L) * ${nB}L - coalesce(s_b, 0L) * ${nA}L)" +
+          s" div (${nA}L * ${nB}L)").as("shift_q6"))
+      .withColumn("sq", col("shift_q6") * col("shift_q6"))
+    dims.agg(
+        lit(nA).as("n_a"), lit(nB).as("n_b"),
+        count(lit(1)).as("n_dims"),
+        sum(col("sq")).as("mmd2_q12"),
+        expr("min_by(i, struct(-sq, i))").cast(LongType).as("top_dim"),
+        max(col("sq")).as("top_sq"))
+      .select(col("n_a"), col("n_b"), col("n_dims"),
+        (col("mmd2_q12").cast(DoubleType) / lit(1.0e12)).as("mmd2"),
+        col("top_dim"),
+        when(col("mmd2_q12") > 0,
+          expr("(top_sq * 1000000L) div mmd2_q12")).as("top_share_ppm"))
+  }
 }

@@ -392,4 +392,63 @@ object Graph {
               col("s_j").cast(DoubleType) *
                 col("s_j").cast(DoubleType))))
   }
+
+  /** LABEL PROPAGATION COMMUNITIES — `iterations` SYNCHRONOUS rounds of
+    * Raghavan-style label propagation over a BIDIRECTED distinct edge
+    * list, then the community-size census: top `topK` communities by
+    * size with the total community count alongside. Each node starts
+    * labeled with its own id; every round, simultaneously, each node
+    * adopts the most frequent label among its neighbors, ties broken by
+    * the SMALLEST label — fully deterministic, all arithmetic is label
+    * counting on integer node ids, so an oracle unrolls the same rounds
+    * bit-exactly (the async/random-order variants in the literature
+    * trade that determinism for faster convergence; a fixed synchronous
+    * round count is the cross-engine contract, like [[kCoreSurvivors]]).
+    *
+    * Scale shape: each round is one edge⋈label join replaying onto the
+    * cached src-partitioned edge list, one map-combined `(node, label)`
+    * count, and one per-node argmax — O(|E|) work, two exchanges, no
+    * driver-side state. Labels localCheckpoint each round so the plan
+    * stays constant-size in `iterations` (the [[hitsTop]] lesson).
+    * Every node of a bidirected edge list has ≥ 1 neighbor, so the
+    * per-round argmax covers every node — no stranded-label coalesce. */
+  def labelPropagationCommunities(edges: DataFrame, iterations: Int = 3,
+      topK: Int = 20): DataFrame = {
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def mat(df: DataFrame): DataFrame = {
+      val p = df.persist(); cached += p; p
+    }
+    val e = mat(edges.select(col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst")).distinct()
+      .repartition(col("src")))
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to iterations) {
+      val counted = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      // per-node argmax: highest count, then smallest label — the
+      // window (not max_by-over-struct) keeps the tie rule explicit and
+      // mirrors the oracle's row_number exactly
+      labels = counted
+        .withColumn("rn", row_number().over(Window.partitionBy(col("node"))
+          .orderBy(col("c").desc, col("lab"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lab"))
+        .localCheckpoint(true)
+    }
+    // the census feeds the top-k AND the one-row total — checkpoint it
+    // rather than single-partitioning a (potentially node-sized) frame
+    // under a global window
+    val census = labels.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .localCheckpoint(true)
+    val total = census.agg(count(lit(1)).as("n_communities"))
+    val result = census.crossJoin(broadcast(total))
+      .orderBy(col("n_nodes").desc, col("community")).limit(topK)
+      .select(col("community"), col("n_nodes"), col("n_communities"))
+    try Lifetime.seal(result, census)
+    finally cached.foreach(_.unpersist())
+  }
 }

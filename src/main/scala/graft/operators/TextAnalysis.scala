@@ -1859,4 +1859,41 @@ object TextAnalysis {
             lit(84.6) * (col("n_syllables").cast(DoubleType) /
               col("n_words").cast(DoubleType))))
   }
+
+  /** SLIDING-WINDOW CHUNK CENSUS — the cost sheet of the chunking pass
+    * every context-bounded consumer (RAG retrieval, fixed-window
+    * pretraining packing) runs over a corpus: windows of `window`
+    * tokens advancing by `stride` (overlap = `window - stride`). Per
+    * resulting chunk count, one row with how many documents land there,
+    * their token total, the tokens the chunker actually EMITS
+    * (overlap re-emits `window - stride` tokens per extra chunk:
+    * emitted = n_tokens + (n_chunks-1)·(window-stride), last chunk
+    * short), and the duplication ratio — the exact storage/compute
+    * multiplier the overlap costs at corpus scale, pinned per band
+    * instead of estimated.
+    *
+    * chunks(n) = 1 + ceil(max(0, n - window) / stride) — pure integer
+    * arithmetic per row, then one map-combined rollup; ratios are
+    * single double divisions of exact longs. */
+  def chunkCensus(df: DataFrame, textCol: String,
+      window: Int = 256, stride: Int = 192): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkCensus: need 0 < stride <= window, got window=$window stride=$stride")
+    df.select(size(tokens(col(textCol))).cast(LongType).as("n_tokens"))
+      .withColumn("overflow",
+        greatest(col("n_tokens") - window, lit(0L)))
+      .withColumn("n_chunks",
+        expr(s"1L + (overflow + ${stride - 1}) div $stride"))
+      .withColumn("emitted",
+        col("n_tokens") +
+          (col("n_chunks") - 1) * lit((window - stride).toLong))
+      .groupBy(col("n_chunks"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_total"),
+        sum(col("emitted")).as("emitted_total"))
+      .withColumn("dup_ratio", when(col("n_tokens_total") > 0,
+        col("emitted_total").cast(DoubleType) /
+          col("n_tokens_total").cast(DoubleType)))
+      .orderBy(col("n_chunks"))
+  }
 }

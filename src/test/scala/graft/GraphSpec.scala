@@ -210,4 +210,37 @@ class GraphSpec extends SparkSpec {
     val b = Graph.hitsTop(e.repartition(11), 3, 10).collect().toSeq
     assert(a == b)
   }
+
+  test("labelPropagationCommunities: two disjoint triangles converge " +
+      "to two communities, deterministic tie-breaks") {
+    // triangle {1,2,3}: round 1 sends node 1 → min-tie label 2, the
+    // others → 1; round 2 all → 1 (hand-checked) — so by round 3 each
+    // triangle is one community labeled by its minimum node id
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val e = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val rows = Graph.labelPropagationCommunities(e, iterations = 3,
+      topK = 10).collect()
+    val got = rows.map(r => (r.getAs[Long]("community"),
+      r.getAs[Long]("n_nodes"))).toSet
+    assert(got == Set((1L, 3L), (10L, 3L)), s"got: $got")
+    assert(rows.forall(_.getAs[Long]("n_communities") == 2L))
+  }
+
+  test("labelPropagationCommunities: partitioning-invariant and topK " +
+      "boundary ties break by smallest community label") {
+    // 4 disjoint triangles (odd cycles — synchronous LPA converges;
+    // bipartite components would oscillate): all size 3, topK=2 must
+    // keep the two smallest labels
+    val tri = Seq(0L, 10L, 20L, 30L).flatMap(b =>
+      Seq((b + 1, b + 2), (b + 2, b + 3), (b + 1, b + 3)))
+    val e = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val a = Graph.labelPropagationCommunities(e.repartition(1), 3, 2)
+      .collect().toSeq
+    val b = Graph.labelPropagationCommunities(e.repartition(7), 3, 2)
+      .collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getAs[Long]("community")) == Seq(1L, 11L))
+    assert(a.forall(_.getAs[Long]("n_communities") == 4L))
+  }
 }

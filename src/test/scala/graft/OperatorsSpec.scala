@@ -643,6 +643,28 @@ class TextAnalysisSpec extends SparkSpec {
         r.getAs[Long]("first_pos"))).toSet
     assert(got == Set((1L, 1L, 2L)), s"got: $got")
   }
+
+  test("chunkCensus: exact chunk counts at the window/stride " +
+      "boundaries and overlap re-emission accounting") {
+    // window 4, stride 3 (overlap 1): n=4 → 1 chunk; n=5 → 2 chunks
+    // (emitted 5+1); n=7 → 2 (over=3, ceil(3/3)=1); n=8 → 3 (over=4)
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, words(4)), (2L, words(5)), (3L, words(7)),
+      (4L, words(8)), (5L, words(2))).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkCensus(d, "text", window = 4, stride = 3)
+      .collect().map(r => r.getAs[Long]("n_chunks") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens_total"),
+          r.getAs[Long]("emitted_total")))).toMap
+    // 1 chunk: docs n=4 and n=2 → tokens 6, emitted 6 (no overlap)
+    assert(rows(1L) == ((2L, 6L, 6L)), s"got ${rows(1L)}")
+    // 2 chunks: n=5 and n=7 → tokens 12, emitted 12 + 2·1 overlap
+    assert(rows(2L) == ((2L, 12L, 14L)), s"got ${rows(2L)}")
+    // 3 chunks: n=8 → emitted 8 + 2·1
+    assert(rows(3L) == ((1L, 8L, 10L)), s"got ${rows(3L)}")
+    val r2 = TextAnalysis.chunkCensus(d, "text", window = 4, stride = 3)
+      .collect().find(_.getAs[Long]("n_chunks") == 2L).get
+    assert(math.abs(r2.getAs[Double]("dup_ratio") - 14.0 / 12.0) < 1e-15)
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -1095,6 +1117,46 @@ class DedupSpec extends SparkSpec {
     val cold = key(Dedup.ngramJaccardPairsPrefix(docs, "id", "text", 3, t,
       maxDocFreq = 100000L))
     assert(cold == exact)
+  }
+
+  test("minhashBandSweep: nested candidates, monotone frontier, and " +
+      "agreement with the single-config quality eval") {
+    import graft.operators.Dedup
+    // near-dup pairs at several margins plus singletons
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "one two three four five six seven eight nine"),
+      (5L, "one two three four five six seven eight ten"),
+      (6L, "completely different text with no overlap at all here"),
+      (7L, "another unrelated document body entirely its own words")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.minhashBandSweep(docs, "doc_id", "text",
+        shingleWords = 3, k = 64, bandsSweep = Seq(8, 16, 32),
+        threshold = 0.10)
+      .collect().sortBy(_.getAs[Long]("bands"))
+    assert(rows.map(_.getAs[Long]("bands")).toSeq == Seq(8L, 16L, 32L))
+    assert(rows.map(_.getAs[Long]("rows_per_band")).toSeq ==
+      Seq(8L, 4L, 2L))
+    // a full-band agreement implies both half-band agreements, so the
+    // candidate sets are NESTED in the band count: counts, kept pairs,
+    // and hits are all monotone non-decreasing
+    for (c <- Seq("n_candidates", "n_pred", "n_hit")) {
+      val v = rows.map(_.getAs[Long](c)).toSeq
+      assert(v == v.sorted, s"$c not monotone: $v")
+    }
+    // the 16-band row must reproduce the standalone quality eval
+    val eval = Dedup.minhashQualityEval(docs, "doc_id", "text",
+      shingleWords = 3, bands = 16, rowsPerBand = 4, threshold = 0.10)
+      .collect().head
+    val b16 = rows(1)
+    for (c <- Seq("n_truth", "n_pred", "n_hit"))
+      assert(b16.getAs[Long](c) == eval.getAs[Long](c),
+        s"$c: sweep=${b16.getAs[Long](c)} eval=${eval.getAs[Long](c)}")
+    // exact duplicates (1,3) always share every band → candidate and
+    // predicted at every config
+    assert(rows.head.getAs[Long]("n_pred") >= 1L)
   }
 }
 
@@ -3413,5 +3475,39 @@ class EmbeddingsSpec extends SparkSpec {
     assert(math.abs(cov(0, 1)) < 1e-9, s"cross=${cov(0, 1)}")
     assert(math.abs(cov(2, 2)) < 1e-9, s"dead=${cov(2, 2)}")
     assert(out.forall(v => v.forall(x => !x.isNaN && !x.isInfinite)))
+  }
+
+  test("meanShiftDrift: hand-computed axes shift, tie goes to the " +
+      "smallest dim, and the group contract is enforced") {
+    import graft.operators.Embeddings
+    // cohort 0 mean (1,0), cohort 1 mean (0,1): shift ±1e6 micro on
+    // each axis → sq 1e12 each, mmd2 = 2.0, top_dim tie → 0, share 50%
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("grp", pmod($"vec_id", lit(2L)))
+    val r = Embeddings.meanShiftDrift(d, "vec_id", "embedding", "grp")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("n_dims") == 2L)
+    assert(math.abs(r.getAs[Double]("mmd2") - 2.0) < 1e-15)
+    assert(r.getAs[Long]("top_dim") == 0L)
+    assert(r.getAs[Long]("top_share_ppm") == 500000L)
+    // identical cohorts → zero shift, null share (0/0 guarded)
+    val same = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("grp", pmod($"vec_id", lit(2L)))
+    val z = Embeddings.meanShiftDrift(same, "vec_id", "embedding", "grp")
+      .collect().head
+    assert(z.getAs[Double]("mmd2") == 0.0)
+    assert(z.isNullAt(z.fieldIndex("top_share_ppm")))
+    // a single-cohort input must fail loudly, not silently emit zeros
+    val one = Seq((0L, Array(1.0f))).toDF("vec_id", "embedding")
+      .withColumn("grp", lit(0L))
+    val ex = intercept[IllegalArgumentException] {
+      Embeddings.meanShiftDrift(one, "vec_id", "embedding", "grp")
+    }
+    assert(ex.getMessage.contains("must cover exactly"))
   }
 }
