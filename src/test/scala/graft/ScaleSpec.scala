@@ -457,14 +457,17 @@ class DashboardSpec extends SparkSpec {
     assert(shuffles(bs) <= 2 && bs.contains("HashAggregate") &&
       !bs.contains("SortMergeJoin"),
       s"bootstrap (${shuffles(bs)} shuffles):\n$bs")
-    // PageRank family: persisted edge/degree blocks serve every
-    // iteration (InMemoryTableScan), and the global top-k is
-    // TakeOrderedAndProject, never Sort+Limit over all ranks
+    // PageRank family: since the advice-round cache-release fix, the
+    // registered result is an eagerly-materialized local checkpoint
+    // (caches freed after the top-k) — the final plan is a bare
+    // checkpoint scan with the decode projection, nothing iterative,
+    // no cartesian. The persisted-edge iteration shape is asserted by
+    // GraphSpec on the operator itself.
     Seq("q_graph_pagerank", "q_graph_ppr").foreach { q =>
       val p = plan(q)
-      assert(p.contains("InMemoryTableScan") &&
-        p.contains("TakeOrderedAndProject") &&
-        !p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("Scan ExistingRDD") &&
+        !p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin"), s"$q:\n$p")
     }
   }
 }
