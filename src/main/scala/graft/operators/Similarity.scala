@@ -120,6 +120,13 @@ object Similarity {
     mutualPairsFrom(ivfSelfTopK(df, idCol, vecCol, k,
       numCentroids, refineRounds, nprobe))
 
+  /** [[mutualTopKIvf]] over an already-built (persisted) index — the
+    * streaming-maintained index's reciprocal-pair audit; see
+    * [[ivfSelfTopKFromIndex]]. */
+  def mutualTopKFromIndex(idx: IvfIndex, k: Int = 5,
+      nprobe: Int = 2): DataFrame =
+    mutualPairsFrom(ivfSelfTopKFromIndex(idx, k, nprobe))
+
   /** HUBNESS CENSUS — the kNN-graph in-degree table: how many other
     * points list each vector in THEIR top-k? High-dimensional spaces
     * grow hubs (points in everyone's neighbor list) and antihubs
@@ -166,6 +173,16 @@ object Similarity {
       ivfSelfTopK(df, idCol, vecCol, k, numCentroids, refineRounds,
         nprobe), topHubs)
 
+  /** [[hubnessCensusIvf]] over an already-built (persisted) index: the
+    * id universe and the kNN lists both come from the index's cell
+    * table, so the census never touches the source corpus — the form
+    * [[graft.streaming.IndexMaintenance.maintainIvfWithHubness]]
+    * recomputes per micro-batch as vectors stream in. */
+  def hubnessCensusFromIndex(idx: IvfIndex, k: Int = 5,
+      topHubs: Int = 20, nprobe: Int = 2): DataFrame =
+    hubnessFrom(idx.cells.select(col("corpus_id").as("vid")),
+      ivfSelfTopKFromIndex(idx, k, nprobe), topHubs)
+
   /** SELF-kNN THROUGH THE IVF INDEX — the whole-corpus kNN-graph
     * builder that replaces the brute n² cartesian: build the refined
     * IVF index once, rank the broadcast centroid table per corpus
@@ -191,7 +208,21 @@ object Similarity {
       k: Int, numCentroids: Int = 16, refineRounds: Int = 1,
       nprobe: Int = 2, cosine: Boolean = true): DataFrame = {
     registered(df)
-    val idx = buildIvfIndex(df, idCol, vecCol, numCentroids, refineRounds)
+    ivfSelfTopKFromIndex(
+      buildIvfIndex(df, idCol, vecCol, numCentroids, refineRounds),
+      k, nprobe, cosine)
+  }
+
+  /** [[ivfSelfTopK]] over an ALREADY-BUILT index (lazy or persisted via
+    * [[readIvfIndex]]) — the probe side is the index's own cell table,
+    * so a [[writeIvfIndex]]/[[appendToIvfIndex]] index serves its
+    * whole-corpus kNN-graph without rescanning the source corpus. Same
+    * plan shape as the one-shot form: centroid table broadcast for
+    * probe ranking, probes⋈cells shuffled on `cent_id` (both sides are
+    * corpus-sized), exact quantized scoring, id tie-breaks. */
+  def ivfSelfTopKFromIndex(idx: IvfIndex, k: Int, nprobe: Int = 2,
+      cosine: Boolean = true): DataFrame = {
+    registered(idx.cells)
     val probes = idx.cells
       .select(col("corpus_id").as("query_id"), col("cq").as("qq"))
       .withColumn("q_s2", V.dotQ12(col("qq"), col("qq")))

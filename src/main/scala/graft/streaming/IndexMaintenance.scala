@@ -128,4 +128,44 @@ object IndexMaintenance {
         appendIvfBatch(batch, batchId, dir, checkpointDir, idCol, vecCol)
       }
       .start()
+
+  /** [[maintainIvf]] plus a per-micro-batch kNN-graph audit: after each
+    * append, the hubness census
+    * ([[Similarity.hubnessCensusFromIndex]]) and the mutual-kNN
+    * reciprocal pairs ([[Similarity.mutualTopKFromIndex]]) are
+    * recomputed over the PERSISTED index — never the source corpus —
+    * and rewritten under `auditDir/hubness` / `auditDir/mutual` with
+    * the producing `batch_id` stamped on every row. The audit runs
+    * through [[Similarity.ivfSelfTopKFromIndex]], so per-batch cost is
+    * the index's own n·nprobe·(n/K) candidate bound, not n².
+    *
+    * The audit rewrite sits OUTSIDE the replay marker on purpose: a
+    * replayed batch skips the (non-idempotent) index append but still
+    * refreshes the (idempotent, mode-Overwrite) census, so a crash
+    * between append and audit self-repairs on the retry. Batch parity —
+    * the final audit equals the batch [[Similarity.hubnessCensusIvf]] /
+    * [[Similarity.mutualTopKIvf]] over the full corpus under the
+    * frozen-quantizer conditions [[Similarity.appendToIvfIndex]]
+    * documents — is spec-proven. */
+  def maintainIvfWithHubness(vectors: DataFrame, idCol: String,
+      vecCol: String, dir: String, checkpointDir: String,
+      auditDir: String, k: Int = 5, topHubs: Int = 20, nprobe: Int = 2,
+      trigger: Trigger = Trigger.ProcessingTime("65 seconds")): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendIvfBatch(batch, batchId, dir, checkpointDir, idCol, vecCol)
+        val spark = batch.sparkSession
+        val idx = Similarity.readIvfIndex(spark, dir)
+        Similarity.hubnessCensusFromIndex(idx, k, topHubs, nprobe)
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$auditDir/hubness")
+        Similarity.mutualTopKFromIndex(idx, k, nprobe)
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$auditDir/mutual")
+      }
+      .start()
 }

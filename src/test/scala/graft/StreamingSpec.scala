@@ -824,6 +824,47 @@ class IndexMaintenanceStreamSpec extends SparkSpec {
     assert(sameRows(pqIdx.codes, pqFull.codes), "PQ codes differ")
   }
 
+  test("streaming hubness/mutual-kNN audit matches the batch census") {
+    implicit val sqlCtx = spark.sqlContext
+    val initial = allVecs.filter(col("vec_id").isin(0L, 1L, 4L))
+    val base = Files.createTempDirectory("graft_idx_hub").toString
+    // frozen-quantizer conditions (seeds {4, 1} inside the initial
+    // corpus, refineRounds = 0): append == rebuild exactly, so the
+    // final streamed index serves the same kNN-graph as a full build
+    Similarity.writeIvfIndex(initial, "vec_id", "embedding",
+      s"$base/ivf", numCentroids = 2, refineRounds = 0)
+    val input = MemoryStream[(Long, Array[Float])]
+    val vectors = input.toDF().toDF("vec_id", "embedding")
+    val q = IndexMaintenance.maintainIvfWithHubness(vectors,
+      "vec_id", "embedding", s"$base/ivf", s"$base/cp",
+      s"$base/audit", k = 2, topHubs = 6, nprobe = 2,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      input.addData((2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+        (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      q.processAllAvailable()
+      // the batch-0 audit must already exist and census only ids 0..4
+      val mid = spark.read.parquet(s"$base/audit/hubness")
+      assert(mid.select("batch_id").distinct().as[Long].collect()
+        .toSeq == Seq(0L), "batch-0 audit missing")
+      assert(mid.count() == 5, "batch-0 census universe wrong")
+      input.addData((5L, Array(0.0f, 0.5f, 0.5f, 0.0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val gotHub = spark.read.parquet(s"$base/audit/hubness")
+      .drop("batch_id")
+    val gotMut = spark.read.parquet(s"$base/audit/mutual")
+      .drop("batch_id")
+    val wantHub = Similarity.hubnessCensusIvf(allVecs, "vec_id",
+      "embedding", k = 2, topHubs = 6, numCentroids = 2,
+      refineRounds = 0, nprobe = 2)
+    val wantMut = Similarity.mutualTopKIvf(allVecs, "vec_id",
+      "embedding", k = 2, numCentroids = 2, refineRounds = 0,
+      nprobe = 2)
+    assert(sameRows(gotHub, wantHub), "hubness audit != batch census")
+    assert(sameRows(gotMut, wantMut), "mutual audit != batch pairs")
+  }
+
   test("replayed index micro-batch is skipped by the committed marker") {
     val initial = allVecs.filter(col("vec_id") < 3)
     val batch = allVecs.filter(col("vec_id") >= 3)
