@@ -69,10 +69,10 @@ object OracleSql {
   /** Declarative all-pairs n-gram Jaccard at `threshold` (3-word
     * shingles) — the oracle for both the postings-join operator and the
     * output-equivalent prefix-filtered one. */
-  private def ngramJaccardSql(threshold: Double): String =
+  private def ngramJaccardSql(threshold: Double, width: Int = 3): String =
     s"""WITH w AS (SELECT doc_id,
        |    regexp_split_to_array(trim(text), '\\s+') AS words FROM documents),
-       |sh AS (SELECT doc_id AS id, unnest(${shingleExpr(3)}) AS shingle FROM w),
+       |sh AS (SELECT doc_id AS id, unnest(${shingleExpr(width)}) AS shingle FROM w),
        |sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY 1),
        |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
@@ -1894,6 +1894,13 @@ object OracleSql {
     // salted-path variant: maxDocFreq only partitions work, never changes
     // results — the oracle is the SAME exact-Jaccard SQL
     "q_dedup_prefix_salted" -> ngramJaccardSql(0.5),
+
+    // Same lossless prefix-filter operator at 5-word shingles — the
+    // width a saturated/tiny-vocab corpus needs so the shingle universe
+    // stays sparse relative to the corpus (the sf1 rehearsal pathology;
+    // see SCALE.md). Oracle = the brute Jaccard truth, as for all
+    // prefix forms (the filter is lossless).
+    "q_dedup_prefix_w5" -> ngramJaccardSql(0.5, width = 5),
 
     // Winnowing near-dup pairs at (k=24, w=8): winnowed fingerprint
     // selection (min of each 8-window over char-24-gram md5_60 hashes,
@@ -5357,6 +5364,169 @@ object OracleSql {
         |      / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
         |  END AS rank_biserial
         |FROM v_""".stripMargin,
+
+    // ROC-AUC via the rank-statistic identity: r2 = twice the midrank
+    // over the distinct-score rollup (the Mann-Whitney machinery), so
+    // auc2_num is an exact BIGINT and auc/gini are one double division
+    // each. Score = n_chars, label = (lang = 'en').
+    "q_eval_auc" ->
+      """WITH base AS (SELECT n_chars AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |dv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(y) AS BIGINT) AS cnt_pos FROM base GROUP BY 1),
+        |ranked AS (SELECT cnt, cnt_pos,
+        |    2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS r2 FROM dv),
+        |agg AS (SELECT CAST(SUM(cnt_pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(cnt - cnt_pos) AS BIGINT) AS n_neg,
+        |    CAST(SUM(cnt_pos * r2) AS BIGINT) AS r2_pos FROM ranked),
+        |a2 AS (SELECT n_pos, n_neg,
+        |    r2_pos - n_pos * (n_pos + 1) AS auc2_num FROM agg),
+        |a3 AS (SELECT *, CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(auc2_num AS DOUBLE)
+        |      / (2.0e0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |  END AS auc FROM a2)
+        |SELECT n_pos, n_neg, CAST(auc2_num AS BIGINT) AS auc2_num, auc,
+        |  CASE WHEN auc IS NOT NULL THEN 2.0e0 * auc - 1.0e0 END AS gini
+        |FROM a3""".stripMargin,
+
+    // Split-conformal per event type: calibration = even event_ids,
+    // center = exact lower median (rank-selected), q_hat = the
+    // ceil((n+1)*0.9)-th absolute residual clamped to n, coverage
+    // audited on the odd half. Medians/q_hat are rank-SELECTED values
+    // and residuals single IEEE subtractions, so both engines agree
+    // bit-for-bit; coverage is one double division.
+    "q_conformal" ->
+      """WITH base AS (SELECT event_type AS g, value AS v,
+        |    (event_id % 2 = 0) AS is_cal
+        |  FROM events WHERE value IS NOT NULL),
+        |cal AS (SELECT g, v FROM base WHERE is_cal),
+        |medr AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n_cal FROM cal),
+        |med AS (SELECT g, v AS center, CAST(n_cal AS BIGINT) AS n_cal
+        |  FROM medr WHERE rn = (n_cal + 1) // 2),
+        |resid AS (SELECT c.g, m.center, m.n_cal,
+        |    abs(c.v - m.center) AS resid
+        |  FROM cal c JOIN med m ON c.g = m.g),
+        |rr AS (SELECT g, center, n_cal, resid,
+        |    row_number() OVER (PARTITION BY g ORDER BY resid) AS rn
+        |  FROM resid),
+        |qh AS (SELECT g, center, n_cal, resid AS q_hat FROM rr
+        |  WHERE rn = least(n_cal,
+        |    ((n_cal + 1) * 900000 + 999999) // 1000000))
+        |SELECT t.g AS event_type, CAST(MAX(q.n_cal) AS BIGINT) AS n_cal,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  MAX(q.center) AS center, MAX(q.q_hat) AS q_hat,
+        |  CAST(SUM(CASE WHEN abs(t.v - q.center) <= q.q_hat
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  CAST(SUM(CASE WHEN abs(t.v - q.center) <= q.q_hat
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS coverage
+        |FROM (SELECT g, v FROM base WHERE NOT is_cal) t
+        |JOIN qh q ON t.g = q.g GROUP BY 1""".stripMargin,
+
+    // Pairwise JSD between language unigram distributions: shares
+    // floor-quantized to ppb BIGINTs, every x*log2(1/x) term through
+    // the quarter-bit identity floor(4*log2(b/a)) = bitlen(b^4//a^4)-1
+    // in HUGEINT (the log2_quarter_bits kernel), so jsd2_u is an exact
+    // BIGINT and jsd_bits one double division.
+    "q_text_jsd" ->
+      """WITH toks AS (SELECT g, tok FROM (SELECT lang AS g,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents) WHERE len(tok) > 0),
+        |tfg AS (SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |ng AS (SELECT g, CAST(SUM(tf) AS BIGINT) AS n_g
+        |  FROM tfg GROUP BY 1),
+        |ppb AS (SELECT t.g, t.tok, (t.tf * 1000000000) // n.n_g AS p
+        |  FROM tfg t JOIN ng n ON t.g = n.g),
+        |gs AS (SELECT DISTINCT g FROM ppb),
+        |pairs AS (SELECT a.g AS lang_a, b.g AS lang_b
+        |  FROM gs a, gs b WHERE a.g < b.g),
+        |words AS (SELECT DISTINCT tok FROM ppb),
+        |grid AS (SELECT lang_a, lang_b, tok FROM pairs, words),
+        |j AS (SELECT lang_a, lang_b, COALESCE(pa.p, 0) AS pa,
+        |    COALESCE(pb.p, 0) AS pb
+        |  FROM grid
+        |  LEFT JOIN ppb pa ON pa.g = lang_a AND pa.tok = grid.tok
+        |  LEFT JOIN ppb pb ON pb.g = lang_b AND pb.tok = grid.tok
+        |  WHERE COALESCE(pa.p, 0) + COALESCE(pb.p, 0) > 0),
+        |term AS (SELECT lang_a, lang_b,
+        |    (pa + pb) * (length(bin(
+        |      (CAST(2000000000 AS HUGEINT) * 2000000000 * 2000000000
+        |        * 2000000000)
+        |      // (CAST(pa + pb AS HUGEINT) * (pa + pb) * (pa + pb)
+        |        * (pa + pb)))) - 1)
+        |    - CASE WHEN pa > 0 THEN pa * (length(bin(
+        |        (CAST(1000000000 AS HUGEINT) * 1000000000 * 1000000000
+        |          * 1000000000)
+        |        // (CAST(pa AS HUGEINT) * pa * pa * pa))) - 1)
+        |      ELSE 0 END
+        |    - CASE WHEN pb > 0 THEN pb * (length(bin(
+        |        (CAST(1000000000 AS HUGEINT) * 1000000000 * 1000000000
+        |          * 1000000000)
+        |        // (CAST(pb AS HUGEINT) * pb * pb * pb))) - 1)
+        |      ELSE 0 END AS term
+        |  FROM j)
+        |SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(term) AS BIGINT) AS jsd2_u,
+        |  CAST(SUM(term) AS DOUBLE) / 8.0e9 AS jsd_bits
+        |FROM term GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Adamic-Adar link prediction over the bidirectional trade graph:
+    // middleman weight = 4e9 // floor(4*log2(deg)) (quarter-bit
+    // identity, deg in [2, 128] -- hubs structurally dropped before
+    // the pair expansion), exact BIGINT scores, top-20 non-adjacent
+    // pairs.
+    "q_graph_linkpred" ->
+      """WITH p AS (SELECT DISTINCT o_custkey * 2 AS src,
+        |    l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM p
+        |  UNION ALL SELECT dst, src FROM p),
+        |deg AS (SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM e GROUP BY 1),
+        |mids AS (SELECT z, 4000000000 // (length(bin(
+        |    CAST(deg AS HUGEINT) * deg * deg * deg)) - 1) AS w_ppb
+        |  FROM deg WHERE deg BETWEEN 2 AND 128),
+        |ze AS (SELECT e.src AS z, e.dst, m.w_ppb
+        |  FROM e JOIN mids m ON e.src = m.z),
+        |pairs AS (SELECT l.dst AS u, r.dst AS v, l.w_ppb
+        |  FROM ze l JOIN ze r ON l.z = r.z AND l.dst < r.dst),
+        |scored AS (SELECT u, v, CAST(SUM(w_ppb) AS BIGINT) AS aa_ppb,
+        |    CAST(COUNT(*) AS BIGINT) AS common_neighbors
+        |  FROM pairs GROUP BY 1, 2),
+        |nonadj AS (SELECT s.* FROM scored s
+        |  LEFT JOIN e ON e.src = s.u AND e.dst = s.v
+        |  WHERE e.src IS NULL)
+        |SELECT u, v, aa_ppb, common_neighbors FROM nonadj
+        |ORDER BY aa_ppb DESC, u, v LIMIT 20""".stripMargin,
+
+    // Blocked entity resolution on customer names: blocks over
+    // (nation, segment) capped at 1024 rows (over-broad blocks
+    // dropped), in-block pairs kept at integer Levenshtein <= 2.
+    "q_er_blocked" ->
+      """WITH rows0 AS (SELECT c_nationkey, c_mktsegment,
+        |    c_custkey AS id, c_name AS name
+        |  FROM customer WHERE c_name IS NOT NULL),
+        |bl AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(COUNT(*) AS BIGINT) AS bn FROM rows0 GROUP BY 1, 2),
+        |kept AS (SELECT r.* FROM rows0 r JOIN bl b
+        |  ON r.c_nationkey = b.c_nationkey
+        |    AND r.c_mktsegment = b.c_mktsegment
+        |  WHERE b.bn <= 1024),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    a.name AS name_a, b.name AS name_b,
+        |    CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance
+        |  FROM kept a JOIN kept b
+        |    ON a.c_nationkey = b.c_nationkey
+        |      AND a.c_mktsegment = b.c_mktsegment AND a.id < b.id)
+        |SELECT id_a, id_b, name_a, name_b, distance FROM pr
+        |WHERE distance <= 2
+        |ORDER BY distance, id_a, id_b""".stripMargin,
 
     // Welch's t purchase-vs-click: the ANOVA decimal ladder per group,
     // then the fixed-order (m1-m2)/sqrt(v1/n1+v2/n2) combination and

@@ -620,6 +620,16 @@ object SparkEntry {
     Dedup.ngramJaccardPairsPrefix(docs(spark, dir), "doc_id", "text",
       shingleWords = 3, threshold = 0.5, maxDocFreq = 8L)
 
+  /** The prefix filter parameterized for a SATURATED shingle space:
+    * 5-word shingles keep the universe ≫ corpus, so prefix buckets
+    * stay discriminative (at 3 words a tiny-vocab corpus degenerates
+    * toward all-pairs candidates — the sf1 rehearsal pathology in
+    * SCALE.md). The width contract IS the scale guard for this
+    * operator family. */
+  private def qDedupPrefixW5(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsPrefix(docs(spark, dir), "doc_id", "text",
+      shingleWords = 5, threshold = 0.5, maxDocFreq = 8L)
+
   /** Near-dup pairs collapsed into clusters: connected components over
     * the Jaccard pair graph — the dedup DECISION (one survivor per
     * component). */
@@ -2149,6 +2159,52 @@ object SparkEntry {
           col("minute_s"))).as("peak_minute_s"),
         count(lit(1)).as("n_active_minutes"))
 
+  /** ROC-AUC of document length as an is-English detector — the
+    * eval-harness demo for [[Stats.rocAuc]]: any score column a
+    * curation pipeline keeps (quality, langid confidence,
+    * contamination logit) grades the same way. Heavy score ties
+    * (integer n_chars) exercise the midrank handling. */
+  private def qEvalAuc(spark: SparkSession, dir: String): DataFrame =
+    Stats.rocAuc(
+      docs(spark, dir).withColumn("is_en",
+        (col("lang") === "en").cast("int")),
+      "n_chars", "is_en")
+
+  /** Split-conformal intervals per event type: even event_ids
+    * calibrate (center = exact lower median, q̂ = the ⌈(n+1)·0.9⌉-th
+    * absolute residual), odd event_ids audit empirical coverage of
+    * the 90% interval. */
+  private def qConformal(spark: SparkSession, dir: String): DataFrame =
+    Stats.conformalInterval(
+      events(spark, dir).withColumn("is_cal",
+        pmod(col("event_id"), lit(2L)) === 0L),
+      "event_type", "value", "is_cal", alphaPpm = 100000L)
+
+  /** Pairwise Jensen–Shannon divergence between the language slices'
+    * unigram distributions — the lexical distance matrix a mixture
+    * designer reads before blending corpora. */
+  private def qTextJsd(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.jsdPairs(docs(spark, dir), "lang", "text")
+
+  /** Adamic–Adar link prediction over the bidirectional trade graph:
+    * top-20 predicted (non-adjacent) links, scored through shared
+    * neighborhoods with hub middlemen (deg > 128 — the supplier side)
+    * structurally dropped; surviving middlemen are customers, so the
+    * predictions are supplier co-purchase affinities. */
+  private def qGraphLinkpred(spark: SparkSession, dir: String): DataFrame =
+    Graph.adamicAdarTopK(tradeGraphEdges(spark, dir),
+      maxDeg = 128L, topK = 20)
+
+  /** Blocked entity resolution over customer names: block on
+    * (nation, market segment), match in-block pairs whose names sit
+    * within Levenshtein distance 2 — the record-linkage primitive for
+    * structured entities, with over-broad blocks structurally
+    * dropped. */
+  private def qErBlocked(spark: SparkSession, dir: String): DataFrame =
+    Dedup.blockedEntityPairs(t(spark, dir, "customer"),
+      "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+      maxDistance = 2, maxBlock = 1024L)
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2249,6 +2305,7 @@ object SparkEntry {
     "q_dedup_winnow_apply" -> (qDedupWinnowApply _),
     "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
     "q_dedup_prefix_salted" -> (qDedupPrefixSalted _),
+    "q_dedup_prefix_w5" -> (qDedupPrefixW5 _),
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -2349,6 +2406,11 @@ object SparkEntry {
     "q_stat_spearman" -> (qStatSpearman _),
     "q_stat_mannwhitney" -> (qStatMannWhitney _),
     "q_stat_welch" -> (qStatWelch _),
+    "q_eval_auc" -> (qEvalAuc _),
+    "q_conformal" -> (qConformal _),
+    "q_text_jsd" -> (qTextJsd _),
+    "q_graph_linkpred" -> (qGraphLinkpred _),
+    "q_er_blocked" -> (qErBlocked _),
     "q_hhi" -> (qHhi _),
     "q_value_deciles" -> (qValueDeciles _),
     "q_benford" -> (qBenford _),

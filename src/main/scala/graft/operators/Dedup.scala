@@ -1349,4 +1349,46 @@ object Dedup {
       .withColumn("dup_mass_share_ppb",
         expr("(occ_in_dup * 1000000000L) div occ_total"))
   }
+
+  /** BLOCKED ENTITY RESOLUTION — the record-linkage primitive for
+    * structured rows (names, addresses, product titles) where the
+    * text-dedup family's shingles are too coarse: candidate pairs are
+    * generated ONLY within a blocking key (the classic blocking
+    * strategy), then kept when the names' Levenshtein edit distance is
+    * ≤ `maxDistance`. Output: one row per matched pair
+    * (`id_a < id_b`, both names, the exact distance), ordered by
+    * (distance, id_a, id_b).
+    *
+    * Exactness: `levenshtein` is an integer both engines define
+    * identically; no floats anywhere.
+    *
+    * Scale shape: the in-block self-join is quadratic per block, so
+    * blocks above `maxBlock` rows are dropped structurally BEFORE the
+    * pair expansion ([[dropHotBuckets]] — the dedup family's hot-key
+    * move; an over-broad block is a blocking-key design smell, not a
+    * workload). Work is then bounded by |blocks|·maxBlock²; the block
+    * join shuffles both sides on the block key only. */
+  def blockedEntityPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], maxDistance: Int = 2,
+      maxBlock: Long = 1024L): DataFrame = {
+    val rows = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id") :+
+        col(nameCol).as("name")): _*)
+      .filter(col("name").isNotNull)
+    val kept = dropHotBuckets(rows, blockCols, maxBlock)
+    val l = kept.select(
+      (blockCols.map(col) :+ col("id").as("id_a") :+
+        col("name").as("name_a")): _*)
+    val r = kept.select(
+      (blockCols.map(col) :+ col("id").as("id_b") :+
+        col("name").as("name_b")): _*)
+    l.join(r, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("distance",
+        levenshtein(col("name_a"), col("name_b")).cast(LongType))
+      .filter(col("distance") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("distance"))
+      .orderBy(col("distance"), col("id_a"), col("id_b"))
+  }
 }

@@ -412,6 +412,54 @@ object Graph {
     * stays constant-size in `iterations` (the [[hitsTop]] lesson).
     * Every node of a bidirected edge list has ≥ 1 neighbor, so the
     * per-round argmax covers every node — no stranded-label coalesce. */
+  /** ADAMIC–ADAR LINK PREDICTION — score non-adjacent node pairs by
+    * their shared neighborhoods, down-weighting promiscuous middlemen:
+    * `AA(u,v) = Σ_{z ∈ Γ(u)∩Γ(v)} 1/log₂(deg z)` (the classic uses ln;
+    * log₂ is the same ranking up to the quarter-bit floor, and keeps
+    * the house integer-log convention). Top-`topK` predicted links by
+    * score, ties by (u, v). Input: a directed edge list; pass both
+    * directions for undirected semantics (as the trade-graph queries
+    * do).
+    *
+    * Exactness: each middleman's weight is the BIGINT
+    * `(4·10⁹) div qb(deg z)` with `qb = log2_quarter_bits(1, deg)` —
+    * so scores are exact integer ppb sums, reproducible cross-engine.
+    *
+    * Scale shape (the skew story): common-neighbor enumeration is the
+    * self-join of the edge list on the middleman z, which explodes as
+    * Σ deg(z)² — a hub z is quadratic. `maxDeg` is the STRUCTURAL
+    * hub guard (the [[Dedup]] `dropHotBuckets` move): middlemen above
+    * it are dropped BEFORE the pair expansion (map-side, against the
+    * broadcast degree table), bounding the blowup at nodes·maxDeg² —
+    * principled for AA specifically, because a hub's per-pair weight
+    * `1/log(deg)` is the information-free tail the estimator already
+    * discounts. Existing edges leave via one left-anti join; the
+    * global top-k is TakeOrderedAndProject, never a full sort. */
+  def adamicAdarTopK(edges: DataFrame, maxDeg: Long = 128L,
+      topK: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(edges.sparkSession)
+    import graft.functions.FixedLogFunctions.log2QuarterBits
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("z"))
+      .agg(count(lit(1)).as("deg"))
+    val mids = deg.filter(col("deg") >= 2L && col("deg") <= maxDeg)
+      .withColumn("qb", log2QuarterBits(lit(1L), col("deg")))
+      .withColumn("w_ppb", expr("4000000000L div qb"))
+    val ze = e.join(broadcast(mids.select(col("z"), col("w_ppb"))),
+      col("src") === col("z")).select(col("z"), col("dst"), col("w_ppb"))
+    val pairs = ze.as("l").join(ze.as("r"),
+        col("l.z") === col("r.z") && col("l.dst") < col("r.dst"))
+      .select(col("l.dst").as("u"), col("r.dst").as("v"),
+        col("l.w_ppb").as("w_ppb"))
+    val scored = pairs.groupBy(col("u"), col("v"))
+      .agg(sum(col("w_ppb")).as("aa_ppb"),
+        count(lit(1)).as("common_neighbors"))
+      .join(e.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+    scored.orderBy(col("aa_ppb").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+
   def labelPropagationCommunities(edges: DataFrame, iterations: Int = 3,
       topK: Int = 20): DataFrame = {
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

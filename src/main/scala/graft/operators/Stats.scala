@@ -533,4 +533,103 @@ object Stats {
       .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
         col("var_a"), col("var_b"), col("t_stat"), col("df_welch"))
   }
+
+  /** ROC-AUC of a score against a binary label via the rank-statistic
+    * identity `AUC = (R₁ − n₁(n₁+1)/2)/(n₁·n₀)` with R₁ the positive
+    * class's midrank sum — the probability a random positive outscores
+    * a random negative, ties worth ½. The classifier-eval companion to
+    * [[mannWhitneyU]] (AUC is U/(n₁·n₀) with the same tie handling),
+    * for grading any model-score column a curation pipeline keeps:
+    * quality scores, langid confidence, contamination logits.
+    *
+    * Exactness: ranks come from the distinct-score rollup (`r2` = twice
+    * the midrank, a BIGINT), so `auc2_num = 2·R₁ − n₁(n₁+1)` is an
+    * exact BIGINT and AUC/Gini are ONE double division each. Scale
+    * shape: one map-combined distinct-score aggregate, one cumulative
+    * window over distinct scores (|scores| rows, not |df|), one scalar
+    * rollup — the [[mannWhitneyU]] plan. */
+  def rocAuc(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).as("v"),
+        col(labelCol).cast(LongType).as("y"))
+    val dv = base.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("cnt_pos"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = dv.withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cum_before") + col("cnt") + 1L)
+    ranked.agg(
+        sum(col("cnt_pos")).as("n_pos"),
+        sum(col("cnt") - col("cnt_pos")).as("n_neg"),
+        sum(col("cnt_pos") * col("r2")).as("r2_pos"))
+      .withColumn("auc2_num",
+        col("r2_pos") - col("n_pos") * (col("n_pos") + 1L))
+      .withColumn("auc",
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          col("auc2_num").cast(DoubleType) /
+            (lit(2.0) * col("n_pos").cast(DoubleType) *
+              col("n_neg").cast(DoubleType))))
+      .withColumn("gini", when(col("auc").isNotNull,
+        lit(2.0) * col("auc") - lit(1.0)))
+      .select(col("n_pos"), col("n_neg"), col("auc2_num"),
+        col("auc"), col("gini"))
+  }
+
+  /** SPLIT-CONFORMAL PREDICTION INTERVAL per group: calibration rows
+    * (`splitCol` true) center each group at their exact lower median
+    * and rank their absolute residuals; `q̂` is the ⌈(n+1)(1−α)⌉-th
+    * smallest calibration residual (the finite-sample-valid conformal
+    * quantile, clamped to n), and the held-out rows report empirical
+    * coverage of `center ± q̂` — the distribution-free guarantee audit
+    * run before trusting a filter threshold at scale.
+    *
+    * Exactness: medians and q̂ are rank-SELECTED values (never
+    * interpolated), residuals are single IEEE subtractions (exactly
+    * rounded, engine-identical), `k = ⌈(n+1)·(10⁶−αppm)/10⁶⌉` is pure
+    * BIGINT arithmetic, and coverage is one final double division.
+    * Scale shape: two rank windows partitioned BY GROUP (each group
+    * sorts its own calibration rows — no global sort), one broadcast
+    * of the per-group (center, q̂) table back onto the held-out side,
+    * one map-combined coverage rollup. */
+  def conformalInterval(df: DataFrame, groupCol: String,
+      valueCol: String, splitCol: String,
+      alphaPpm: Long = 100000L): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"),
+        col(splitCol).cast(BooleanType).as("is_cal"))
+    val cal = base.filter(col("is_cal"))
+    val wv = Window.partitionBy(col("g")).orderBy(col("v"))
+    val med = cal
+      .withColumn("rn", row_number().over(wv).cast(LongType))
+      .withColumn("n_cal", count(lit(1)).over(
+        Window.partitionBy(col("g"))))
+      .filter(col("rn") === expr("(n_cal + 1) div 2"))
+      .select(col("g"), col("v").as("center"), col("n_cal"))
+    val wr = Window.partitionBy(col("g")).orderBy(col("resid"))
+    val qhat = cal.join(broadcast(med), Seq("g"))
+      .withColumn("resid", abs(col("v") - col("center")))
+      .withColumn("rn", row_number().over(wr).cast(LongType))
+      .withColumn("k", least(col("n_cal"),
+        expr(s"((n_cal + 1) * ${1000000L - alphaPpm} + 999999) " +
+          "div 1000000")))
+      .filter(col("rn") === col("k"))
+      .select(col("g"), col("center"), col("n_cal"),
+        col("resid").as("q_hat"))
+    base.filter(!col("is_cal"))
+      .join(broadcast(qhat), Seq("g"))
+      .groupBy(col("g").as(groupCol))
+      .agg(
+        max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        max(col("center")).as("center"),
+        max(col("q_hat")).as("q_hat"),
+        sum(when(abs(col("v") - col("center")) <= col("q_hat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .withColumn("coverage",
+        col("n_covered").cast(DoubleType) /
+          col("n_test").cast(DoubleType))
+  }
 }

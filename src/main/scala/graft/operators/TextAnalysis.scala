@@ -1896,4 +1896,65 @@ object TextAnalysis {
           col("n_tokens_total").cast(DoubleType)))
       .orderBy(col("n_chunks"))
   }
+
+  /** JENSEN–SHANNON DIVERGENCE between every pair of groups' unigram
+    * distributions — the symmetric, bounded [0,1]-bit distance a
+    * mixture designer reads before blending corpora: how far apart are
+    * the language/source slices lexically? `JSD = H(M) − (H(P)+H(Q))/2`
+    * with `M` the even mixture.
+    *
+    * Exactness (house convention — no libm logs): each group's token
+    * shares quantize to floor-ppb BIGINTs, every `x·log2(1/x)` term
+    * uses the quarter-bit kernel (`log2_quarter_bits`, BigInteger-
+    * exact, oracle identity `bitlen(⌊b⁴/a⁴⌋)−1`), so
+    * `jsd2_u = Σ_w [(P+Q)·qb(P+Q, 2·10⁹) − P·qb(P, 10⁹) − Q·qb(Q, 10⁹)]`
+    * is an exact BIGINT and `jsd_bits = jsd2_u / 8·10⁹` is ONE double
+    * division. The ppb/quarter-bit floors are the stated estimator.
+    *
+    * Scale shape: one map-combined (group, token) count, then
+    * everything runs on the |groups|²·|vocab| grid — group pairs and
+    * the per-group share table broadcast; the only corpus-sized work
+    * is the initial token rollup. */
+  def jsdPairs(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    import graft.functions.FixedLogFunctions.log2QuarterBits
+    val toks = df.select(col(groupCol).as("g"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tfg = toks.groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).as("tf_g"))
+    val ng = tfg.groupBy(col("g")).agg(sum(col("tf_g")).as("n_g"))
+    val ppb = tfg.join(broadcast(ng), Seq("g"))
+      .withColumn("p", expr("(tf_g * 1000000000L) div n_g"))
+      .select(col("g"), col("tok"), col("p"))
+    val groups = ppb.select(col("g")).distinct()
+    val pairGrid = groups.select(col("g").as("lang_a"))
+      .crossJoin(groups.select(col("g").as("lang_b")))
+      .filter(col("lang_a") < col("lang_b"))
+    val grid = pairGrid
+      .crossJoin(ppb.select(col("tok")).distinct())
+    val joined = grid
+      .join(ppb.select(col("g").as("lang_a"), col("tok"),
+        col("p").as("pa")), Seq("lang_a", "tok"), "left")
+      .join(ppb.select(col("g").as("lang_b"), col("tok"),
+        col("p").as("pb")), Seq("lang_b", "tok"), "left")
+      .withColumn("pa", coalesce(col("pa"), lit(0L)))
+      .withColumn("pb", coalesce(col("pb"), lit(0L)))
+      .filter(col("pa") + col("pb") > 0L)
+    val b1 = lit(1000000000L)
+    joined
+      .withColumn("term",
+        (col("pa") + col("pb")) *
+          log2QuarterBits(col("pa") + col("pb"), lit(2000000000L)) -
+        when(col("pa") > 0L,
+          col("pa") * log2QuarterBits(col("pa"), b1)).otherwise(0L) -
+        when(col("pb") > 0L,
+          col("pb") * log2QuarterBits(col("pb"), b1)).otherwise(0L))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term")).as("jsd2_u"))
+      .withColumn("jsd_bits",
+        col("jsd2_u").cast(DoubleType) / lit(8.0e9))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
 }

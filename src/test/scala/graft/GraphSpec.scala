@@ -243,4 +243,44 @@ class GraphSpec extends SparkSpec {
     assert(a.map(_.getAs[Long]("community")) == Seq(1L, 11L))
     assert(a.forall(_.getAs[Long]("n_communities") == 4L))
   }
+
+  test("adamicAdarTopK: hand-checked weights, self-pairs and edges out") {
+    // undirected: 3-1, 3-2, 4-1, 4-2, 1-5. deg: 1->3, 2->2, 3->2,
+    // 4->2, 5->1. w(deg 2) = 4e9 div 4 = 1e9; w(deg 3) = 4e9 div
+    // floor(4*log2 3) = 4e9 div 6 = 666,666,666; deg-1 middlemen drop.
+    val pairs = Seq((3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L), (1L, 5L))
+    val e = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val out = Graph.adamicAdarTopK(e, maxDeg = 128L, topK = 10)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("aa_ppb"), r.getAs[Long]("common_neighbors")))
+    assert(out == Seq(
+      (1L, 2L, 2000000000L, 2L),
+      (3L, 4L, 1666666666L, 2L),
+      (3L, 5L, 666666666L, 1L),
+      (4L, 5L, 666666666L, 1L)), s"got $out")
+  }
+
+  test("adamicAdarTopK: hub middlemen above maxDeg are dropped") {
+    val pairs = Seq((3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L), (1L, 5L))
+    val e = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    // maxDeg = 2 drops node 1 (deg 3): only z=2 and z=3/z=4 survive
+    val out = Graph.adamicAdarTopK(e, maxDeg = 2L, topK = 10)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("aa_ppb")))
+    assert(out == Seq((1L, 2L, 2000000000L), (3L, 4L, 1000000000L)),
+      s"got $out")
+  }
+
+  test("adamicAdarTopK: partitioning-invariant") {
+    val pairs = Seq.tabulate(120)(i =>
+      (i.toLong % 17, 17L + i.toLong % 23))
+    val e = (pairs ++ pairs.map(_.swap)).distinct.toDF("src", "dst")
+    val a = Graph.adamicAdarTopK(e.repartition(1), 128L, 15)
+      .collect().toSeq
+    val b = Graph.adamicAdarTopK(e.repartition(11), 128L, 15)
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

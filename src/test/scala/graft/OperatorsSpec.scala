@@ -665,6 +665,39 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().find(_.getAs[Long]("n_chunks") == 2L).get
     assert(math.abs(r2.getAs[Double]("dup_ratio") - 14.0 / 12.0) < 1e-15)
   }
+
+  test("jsdPairs: identical slices at 0, disjoint slices at exactly " +
+    "1 bit") {
+    val d = Seq(
+      ("a", "x y x y"), ("b", "x y x y"), // identical distributions
+      ("c", "zz zz zz")                   // disjoint from both
+    ).toDF("g", "text")
+    val out = TextAnalysis.jsdPairs(d, "g", "text").collect()
+      .map(r => ((r.getAs[String]("lang_a"), r.getAs[String]("lang_b")),
+        (r.getAs[Long]("jsd2_u"), r.getAs[Double]("jsd_bits")))).toMap
+    // same shares -> every term cancels exactly (qb(2p, 2e9) = qb(p, 1e9))
+    assert(out(("a", "b")) == ((0L, 0.0)))
+    // disjoint vocab -> each side's full ppb mass pays the flat 1-bit
+    // mixing cost: jsd2_u = 2 * 1e9 * 4 quarter-bits = 8e9 -> 1.0 bit
+    assert(out(("a", "c")) == ((8000000000L, 1.0)))
+    assert(out(("b", "c")) == ((8000000000L, 1.0)))
+  }
+
+  test("jsdPairs: asymmetric overlap is between 0 and 1 and " +
+    "partitioning-invariant") {
+    val d = Seq.tabulate(40)(i =>
+      ("g" + (i % 3), s"w${i % 7} w${i % 5} w${i % 3}"))
+      .toDF("g", "text")
+    val a = TextAnalysis.jsdPairs(d.repartition(1), "g", "text")
+      .collect().toSeq
+    val b = TextAnalysis.jsdPairs(d.repartition(9), "g", "text")
+      .collect().toSeq
+    assert(a == b && a.size == 3)
+    // true JSD is in [0, 1] bits; the quarter-bit floors undershoot
+    // each log by < 1/4 bit, giving the estimator +/- 0.25-bit slack
+    assert(a.forall { r =>
+      val j = r.getAs[Double]("jsd_bits"); j > -0.26 && j < 1.26 })
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -1157,6 +1190,39 @@ class DedupSpec extends SparkSpec {
     // exact duplicates (1,3) always share every band → candidate and
     // predicted at every config
     assert(rows.head.getAs[Long]("n_pred") >= 1L)
+  }
+
+  test("blockedEntityPairs: in-block Levenshtein matches, cross-block " +
+    "and far names excluded") {
+    val d = Seq(
+      (1L, "Acme Corp", "US"), (2L, "Acme Corp.", "US"), // lev 1
+      (3L, "Acme Group", "US"),                          // lev 5 from #1
+      (4L, "Acme Corp", "DE"),                           // other block
+      (5L, "Acmi Corp", "US")                            // lev 1 from #1
+    ).toDF("id", "name", "country")
+    val out = Dedup.blockedEntityPairs(d, "id", "name",
+      Seq("country"), maxDistance = 2, maxBlock = 1024L)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("distance")))
+    // (1,2) lev 1, (1,5) lev 1, (2,5) lev 2 — (4,*) blocked away,
+    // (3,*) beyond the distance cap; ordered by (distance, id_a, id_b)
+    assert(out == Seq((1L, 2L, 1L), (1L, 5L, 1L), (2L, 5L, 2L)),
+      s"got $out")
+  }
+
+  test("blockedEntityPairs: over-broad blocks are dropped, not " +
+    "exploded") {
+    val big = Seq.tabulate(40)(i => (i.toLong, s"Name$i", "hot"))
+    val small = Seq((100L, "Zed Inc", "cold"), (101L, "Zed Inc", "cold"))
+    val d = (big ++ small).toDF("id", "name", "block")
+    val out = Dedup.blockedEntityPairs(d, "id", "name", Seq("block"),
+      maxDistance = 2, maxBlock = 16L)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    // the 40-row block exceeds maxBlock -> contributes nothing;
+    // the cold block's exact-dup pair survives
+    assert(out == Seq((100L, 101L)), s"got $out")
   }
 }
 

@@ -177,4 +177,60 @@ class StatsSpec extends SparkSpec {
       .map(_.collect().mkString("|"))
     assert(all(df.repartition(1)) == all(df.repartition(13)))
   }
+
+  test("rocAuc: perfect, random, and tied scorers hit exact AUC") {
+    // perfect separation: every positive outscores every negative
+    val perfect = (Seq.tabulate(5)(i => (10.0 + i, 1)) ++
+      Seq.tabulate(5)(i => (i.toDouble, 0))).toDF("s", "y")
+    val p = Stats.rocAuc(perfect, "s", "y").collect().head
+    assert(p.getAs[Long]("n_pos") == 5L && p.getAs[Long]("n_neg") == 5L)
+    assert(p.getAs[Double]("auc") == 1.0 && p.getAs[Double]("gini") == 1.0)
+    // all scores tied: every comparison is a half-win -> AUC 1/2
+    val tied = (Seq.fill(4)((7.0, 1)) ++ Seq.fill(6)((7.0, 0)))
+      .toDF("s", "y")
+    val t = Stats.rocAuc(tied, "s", "y").collect().head
+    assert(t.getAs[Double]("auc") == 0.5 && t.getAs[Double]("gini") == 0.0)
+    // hand-checked mix: pos {3, 1}, neg {2, 0}:
+    // pairs (3>2, 3>0, 1>0 win; 1<2 loss) -> AUC = 3/4
+    val mix = Seq((3.0, 1), (1.0, 1), (2.0, 0), (0.0, 0)).toDF("s", "y")
+    val m = Stats.rocAuc(mix, "s", "y").collect().head
+    assert(m.getAs[Long]("auc2_num") == 6L)
+    assert(m.getAs[Double]("auc") == 0.75)
+  }
+
+  test("rocAuc: degenerate single-class input -> null AUC") {
+    val out = Stats.rocAuc(Seq((1.0, 1), (2.0, 1)).toDF("s", "y"),
+      "s", "y").collect().head
+    assert(out.getAs[Long]("n_neg") == 0L)
+    assert(out.isNullAt(out.fieldIndex("auc")))
+  }
+
+  test("conformalInterval: hand-checked median, q_hat rank, coverage") {
+    // one group; calibration values 1..9 (center = 5, residuals
+    // 0,1,1,2,2,3,3,4,4 sorted), alpha=0.1 -> k = ceil(10*0.9) = 9
+    // -> q_hat = 4; test values 0..10: |v-5| <= 4 covers 1..9 = 9/11.
+    val cal = (1 to 9).map(v => ("g", v.toDouble, true))
+    val test = (0 to 10).map(v => ("g", v.toDouble, false))
+    val out = Stats.conformalInterval((cal ++ test).toDF("g", "v", "c"),
+      "g", "v", "c").collect().head
+    assert(out.getAs[Long]("n_cal") == 9L)
+    assert(out.getAs[Long]("n_test") == 11L)
+    assert(out.getAs[Double]("center") == 5.0)
+    assert(out.getAs[Double]("q_hat") == 4.0)
+    assert(out.getAs[Long]("n_covered") == 9L)
+    assert(math.abs(out.getAs[Double]("coverage") - 9.0 / 11) < 1e-15)
+  }
+
+  test("rocAuc/conformalInterval: partitioning-invariant") {
+    val df = Seq.tabulate(300)(i =>
+      ("g" + (i % 3), (i % 23).toDouble, i % 2 == 0))
+      .toDF("g", "v", "c")
+      .withColumn("y", (col("v") > 11.0).cast("int"))
+    def all(d: org.apache.spark.sql.DataFrame): Seq[String] = Seq(
+      Stats.rocAuc(d, "v", "y"),
+      Stats.conformalInterval(d, "g", "v", "c")
+        .orderBy("g").drop("c"))
+      .map(_.collect().mkString("|"))
+    assert(all(df.repartition(1)) == all(df.repartition(13)))
+  }
 }
