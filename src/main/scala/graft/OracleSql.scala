@@ -49,6 +49,65 @@ object OracleSql {
       selects.mkString("\nUNION ALL ")
   }
 
+  /** Integer power-iteration PCA oracle: the embedCovSql sufficient
+    * statistics (bit-identical doubles, proven by q_embed_covariance),
+    * quantized to scale-9 BIGINT units, then the 8 power steps unrolled
+    * as CTEs (the pagerank-oracle pattern) — truncating `//` matches
+    * Spark `div`/JVM `/` toward zero, so DuckDB walks the engine's
+    * exact integer orbit. */
+  private val pcaPowerSql: String = {
+    val dim = 8; val iters = 8
+    val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+    def el(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+    val sums =
+      (0 until dim).map(i =>
+        s"sum(CAST(${el(i)} AS DECIMAL(28,8))) AS s_$i") ++
+      pairs.map { case (i, j) =>
+        s"sum(CAST(${el(i)} * ${el(j)} AS DECIMAL(28,8))) AS p_${i}_$j" }
+    val covSel = pairs.map { case (i, j) =>
+      s"SELECT $i AS i, $j AS j, CAST(p_${i}_$j AS DOUBLE) / " +
+        s"CAST(n AS DOUBLE) - (CAST(s_$i AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        s"* (CAST(s_$j AS DOUBLE) / CAST(n AS DOUBLE)) AS cov FROM s"
+    }.mkString("\n  UNION ALL ")
+    // every step CTE is MATERIALIZED: w_t is referenced twice (m_t and
+    // v_t), so default CTE inlining would expand the chain 2^T-fold
+    // (and re-open the parquet per expansion — FD exhaustion, probed)
+    val steps = (1 to iters).map { t =>
+      val pv = s"v${t - 1}"
+      s"""w$t AS MATERIALIZED (SELECT cf.i, SUM(cf.c * $pv.v) AS w
+         |  FROM cf JOIN $pv ON cf.j = $pv.i GROUP BY 1),
+         |m$t AS MATERIALIZED (SELECT GREATEST(MAX(ABS(w)), 1) AS m
+         |  FROM w$t),
+         |v$t AS MATERIALIZED (SELECT i, CAST(CASE WHEN m >= 1000000000
+         |    THEN w // (m // 1000000000)
+         |    ELSE (w * 1000000000) // m END AS BIGINT) AS v
+         |  FROM w$t, m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  ${sums.mkString(",\n  ")}
+       |FROM embeddings),
+       |cu AS MATERIALIZED (${covSel}),
+       |cf AS MATERIALIZED (SELECT i, j,
+       |    CAST(CAST(cov AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS c
+       |  FROM cu
+       |  UNION ALL SELECT j, i,
+       |    CAST(CAST(cov AS DECIMAL(18,9)) * 1000000000 AS BIGINT)
+       |  FROM cu WHERE i <> j),
+       |v0 AS (SELECT CAST(t.i AS INTEGER) AS i,
+       |    CAST(1000000000 AS BIGINT) AS v FROM range($dim) t(i)),
+       |$steps,
+       |vsc AS MATERIALIZED (SELECT i, v, v // 100000 AS vs
+       |  FROM v$iters),
+       |nd AS (SELECT SUM(cf.c * a.vs * b.vs) AS num
+       |  FROM cf JOIN vsc a ON cf.i = a.i JOIN vsc b ON cf.j = b.i),
+       |dd AS (SELECT SUM(vs * vs) AS den FROM vsc),
+       |lam AS (SELECT CASE WHEN den > 0 THEN CAST(num // den AS BIGINT)
+       |    ELSE 0 END AS lq FROM nd, dd)
+       |SELECT CAST(vsc.i AS BIGINT) AS i, CAST(vsc.v AS BIGINT) AS v_ppb,
+       |  lq AS lambda_q, CAST(lq AS DOUBLE) / 1.0e9 AS lambda
+       |FROM vsc, lam ORDER BY i""".stripMargin
+  }
+
   private val decSum = (x: String, as: String) =>
     s"CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE) AS $as"
   private val decAvg = (x: String, as: String) =>
@@ -678,6 +737,7 @@ object OracleSql {
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_embed_covariance" -> embedCovSql,
+    "q_embed_pca" -> pcaPowerSql,
 
     // K-means summary over the same refined-IVF chain as the semantic
     // dedup family (16 md5 seeds, one Lloyd round): per-cluster size +
@@ -5364,6 +5424,68 @@ object OracleSql {
         |      / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
         |  END AS rank_biserial
         |FROM v_""".stripMargin,
+
+    // Robust per-group profile: rank-selected lower median and MAD,
+    // >3*MAD outlier count/share. Medians are data values, residuals
+    // single IEEE subtractions, threshold one double multiply.
+    "q_stat_mad" ->
+      """WITH base AS (SELECT event_type AS g, value AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |medr AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n FROM base),
+        |med AS (SELECT g, v AS center, CAST(n AS BIGINT) AS n
+        |  FROM medr WHERE rn = (n + 1) // 2),
+        |resid AS (SELECT b.g, m.center, m.n,
+        |    abs(b.v - m.center) AS resid
+        |  FROM base b JOIN med m ON b.g = m.g),
+        |madr AS (SELECT g, center, n, resid,
+        |    row_number() OVER (PARTITION BY g ORDER BY resid) AS rn
+        |  FROM resid),
+        |mad AS (SELECT g, center, n, resid AS mad FROM madr
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT r.g AS event_type, MAX(m.n) AS n,
+        |  MAX(m.center) AS center, MAX(m.mad) AS mad,
+        |  CAST(SUM(CASE WHEN r.resid > 3.0e0 * m.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN r.resid > 3.0e0 * m.mad THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(MAX(m.n) AS DOUBLE) AS outlier_share
+        |FROM resid r JOIN mad m ON r.g = m.g GROUP BY 1""".stripMargin,
+
+    // Local clustering coefficient decile census of the part
+    // co-purchase graph: apexes with 2 <= deg <= 128 (hub guard before
+    // the wedge self-join), closure via a join on the (u, w) pair,
+    // integer ppb lcc floored into bands.
+    "q_graph_clustering" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS b,
+        |    CAST(l_partkey AS BIGINT) AS i FROM lineitem),
+        |p AS (SELECT a.i AS src, c.i AS dst
+        |  FROM li a JOIN li c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS MATERIALIZED (SELECT src, dst FROM p
+        |  UNION ALL SELECT dst, src FROM p),
+        |deg AS (SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM e GROUP BY 1),
+        |kept AS MATERIALIZED (SELECT z, deg FROM deg
+        |  WHERE deg BETWEEN 2 AND 128),
+        |ze AS MATERIALIZED (SELECT e.src AS z, e.dst, k.deg
+        |  FROM e JOIN kept k ON e.src = k.z),
+        |wedges AS (SELECT l.z, l.deg, l.dst AS u, r.dst AS w
+        |  FROM ze l JOIN ze r ON l.z = r.z AND l.dst < r.dst),
+        |closed AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS n_closed
+        |  FROM wedges WHERE EXISTS (SELECT 1 FROM e
+        |    WHERE e.src = wedges.u AND e.dst = wedges.w)
+        |  GROUP BY 1),
+        |pn AS (SELECT k.z, k.deg,
+        |    COALESCE(c.n_closed, 0) AS n_closed,
+        |    k.deg * (k.deg - 1) // 2 AS n_wedges
+        |  FROM kept k LEFT JOIN closed c ON k.z = c.z)
+        |SELECT (n_closed * 1000000000) // n_wedges // 100000000
+        |    AS lcc_band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(n_closed) AS BIGINT) AS closed_total,
+        |  CAST(SUM(n_wedges) AS BIGINT) AS wedge_total
+        |FROM pn GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ROC-AUC via the rank-statistic identity: r2 = twice the midrank
     // over the distinct-score rollup (the Mann-Whitney machinery), so

@@ -914,6 +914,14 @@ object SparkEntry {
   private def qEmbedCovariance(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Embeddings.covariance(emb(spark, dir), "embedding", 8)
 
+  /** Top principal component of the (first-8-dims) embedding
+    * covariance by 8 integer power steps — the hash-exact registered
+    * PCA (the full-width double-Jacobi whitening stays spec-gated);
+    * v in exact ppb units, λ in exact 10⁻⁹ covariance units. */
+  private def qEmbedPca(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Embeddings.pcaPowerTop(emb(spark, dir), "embedding",
+      dim = 8, iterations = 8)
+
   /** Per-label centroid cosine matrix: class-geometry audit over the
     * labeled embedding table (45 pairs over the 10 labels). */
   private def qEmbedLabelSim(spark: SparkSession, dir: String): DataFrame =
@@ -1236,7 +1244,11 @@ object SparkEntry {
     * projection; the customer↔supplier graph is bipartite, where
     * synchronous LPA oscillates by construction), then the community
     * census: top 20 product families by size with the total count. */
-  private def qGraphLabelprop(spark: SparkSession, dir: String): DataFrame = {
+  /** Bidirectional part co-purchase graph: parts sharing ≥ 2 orders
+    * (the n_pair floor keeps it sparse and NON-bipartite — unlike the
+    * customer↔supplier trade graph, triangles exist here). */
+  private def partCoPurchaseEdges(spark: SparkSession,
+      dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
       .select(col("l_orderkey").as("b"),
         col("l_partkey").cast(LongType).as("i")).distinct()
@@ -1246,10 +1258,25 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= 2)
       .select(col("src"), col("dst"))
-    val edges = pairs.union(
+    pairs.union(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
-    Graph.labelPropagationCommunities(edges, iterations = 3, topK = 20)
   }
+
+  private def qGraphLabelprop(spark: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagationCommunities(partCoPurchaseEdges(spark, dir),
+      iterations = 3, topK = 20)
+
+  /** Local clustering coefficient decile census of the co-purchase
+    * graph — the cliquishness fingerprint (the bipartite trade graph
+    * would be all-zeros by construction; this graph has triangles). */
+  private def qGraphClustering(spark: SparkSession, dir: String): DataFrame =
+    Graph.clusteringCoefficientBands(partCoPurchaseEdges(spark, dir),
+      maxDeg = 128L)
+
+  /** Robust per-event-type location/spread: exact medians, MAD, and
+    * the >3·MAD outlier share — the z-score profile's robust twin. */
+  private def qStatMad(spark: SparkSession, dir: String): DataFrame =
+    Stats.madProfile(events(spark, dir), "event_type", "value", k = 3.0)
 
   /** Sliding-window chunk census of the documents corpus (32-token
     * windows, stride 24 — sized to the corpus's 10-100-token docs so
@@ -2243,6 +2270,7 @@ object SparkEntry {
     "q_change_point" -> (qChangePoint _),
     "q_funnel" -> (qFunnel _),
     "q_embed_covariance" -> (qEmbedCovariance _),
+    "q_embed_pca" -> (qEmbedPca _),
     "q_embed_label_sim" -> (qEmbedLabelSim _),
     "q_embed_kmeans" -> (qEmbedKmeans _),
     "q_embed_silhouette" -> (qEmbedSilhouette _),
@@ -2460,6 +2488,8 @@ object SparkEntry {
     "q_sim_ivf_sweep" -> (qSimIvfSweep _),
     "q_dedup_lsh_sweep" -> (qDedupLshSweep _),
     "q_graph_labelprop" -> (qGraphLabelprop _),
+    "q_graph_clustering" -> (qGraphClustering _),
+    "q_stat_mad" -> (qStatMad _),
     "q_text_chunks" -> (qTextChunks _),
     "q_embed_drift" -> (qEmbedDrift _)
   )

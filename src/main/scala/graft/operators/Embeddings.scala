@@ -56,10 +56,66 @@ object Embeddings {
     agg.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
-  /** Driver-side symmetric eigen decomposition by cyclic Jacobi —
-    * deterministic, dependency-free, fine for the d×d matrices this
-    * stage sees (d up to a few thousand). Returns (eigenvalues,
-    * eigenvectors as rows), sorted by eigenvalue descending. */
+  /** TOP PRINCIPAL COMPONENT BY INTEGER POWER ITERATION — the
+    * hash-exact registered companion to the (spec-gated, double-Jacobi)
+    * [[whiten]] path: the corpus reduces distributively to the d×d
+    * covariance (ONE map-combined pass — the only corpus-sized work),
+    * the covariance quantizes to scale-9 BIGINT units (double→decimal
+    * rounds HALF_UP identically cross-engine), and `iterations` power
+    * steps from the all-ones ppb vector run in PURE INTEGER arithmetic:
+    *
+    *   w = C·v   (exact BIGINT mat-vec, |w| ≤ d·|C|·|v|)
+    *   v' = w ÷ (max|w| ÷ 10⁹)  [or (w·10⁹) ÷ max|w| when max < 10⁹]
+    *
+    * — truncating division agrees in Spark `div`, DuckDB `//`, and JVM
+    * `/` (all toward zero), so every engine walks the identical orbit
+    * and the fixed-step output is the stated estimator (convergence is
+    * the usual power-method rate; the DEFINITION is T steps, exact).
+    * The Rayleigh quotient λ comes from the 10⁻⁵-downscaled vector so
+    * its integer numerator stays under 2⁶³ at any covariance of
+    * [-0.5, 0.5]-ranged inputs; `lambda_q` is exact BIGINT in 10⁻⁹
+    * covariance units, `lambda` one BIGINT→DOUBLE division.
+    *
+    * The d² covariance collect is the documented bounded driver-side
+    * site this family already uses ([[covariance]] stats, the Jacobi
+    * solve) — d is a model constant, never data-scaled. */
+  def pcaPowerTop(df: DataFrame, vecCol: String, dim: Int = 8,
+      iterations: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = Array.ofDim[Long](dim, dim)
+    covariance(df, vecCol, dim).collect().foreach { r =>
+      val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
+      val cu = (BigDecimal(r.getAs[Double]("cov"))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(1000000000L)).toLongExact
+      c(i)(j) = cu; c(j)(i) = cu
+    }
+    var v = Array.fill(dim)(1000000000L)
+    for (_ <- 1 to iterations) {
+      val w = Array.tabulate(dim) { i =>
+        (0 until dim).foldLeft(0L)((a, j) =>
+          Math.addExact(a, Math.multiplyExact(c(i)(j), v(j))))
+      }
+      val m = math.max(w.map(math.abs).max, 1L)
+      v =
+        if (m >= 1000000000L) w.map(_ / (m / 1000000000L))
+        else w.map(x => x * 1000000000L / m)
+    }
+    val vs = v.map(_ / 100000L)
+    val num = (for { i <- 0 until dim; j <- 0 until dim } yield (i, j))
+      .foldLeft(0L) { case (a, (i, j)) =>
+        Math.addExact(a,
+          Math.multiplyExact(Math.multiplyExact(c(i)(j), vs(i)), vs(j)))
+      }
+    val den = vs.foldLeft(0L)((a, x) => Math.addExact(a, x * x))
+    val lambdaQ = if (den > 0L) num / den else 0L
+    (0 until dim)
+      .map(i => (i.toLong, v(i), lambdaQ, lambdaQ.toDouble / 1.0e9))
+      .toDF("i", "v_ppb", "lambda_q", "lambda")
+      .orderBy(col("i"))
+  }
+
   /** PER-LABEL CENTROID COSINE MATRIX — the class-geometry audit for a
     * labeled embedding table: exact per-label centroids (the same
     * scale-6 HALF_UP integer means the IVF Lloyd step uses), then the
@@ -107,6 +163,10 @@ object Embeddings {
         .otherwise(V.dotQ12(col("ca"), col("cb")) / denom).as("cosine"))
   }
 
+  /** Driver-side symmetric eigen decomposition by cyclic Jacobi —
+    * deterministic, dependency-free, fine for the d×d matrices this
+    * stage sees (d up to a few thousand). Returns (eigenvalues,
+    * eigenvectors as rows), sorted by eigenvalue descending. */
   private[graft] def jacobiEigen(m: Array[Array[Double]],
       sweeps: Int = 32): (Array[Double], Array[Array[Double]]) = {
     val d = m.length

@@ -578,6 +578,49 @@ object Stats {
         col("auc"), col("gini"))
   }
 
+  /** ROBUST LOCATION/SPREAD PROFILE per group — exact lower median,
+    * MAD (the lower median of absolute deviations), and the share of
+    * rows beyond `k`·MAD: the outlier instrument that, unlike the
+    * z-score profile, a single wild value cannot corrupt (breakdown
+    * point ½ vs 0). MAD = 0 (majority-constant groups) flags every
+    * deviating row — the honest degenerate answer, documented rather
+    * than patched.
+    *
+    * Exactness: both medians are rank-SELECTED data values, residuals
+    * single IEEE subtractions, the `k`·MAD threshold ONE double
+    * multiply — cross-engine identical; counts are BIGINTs and the
+    * share one final division. Scale shape: two per-group rank
+    * windows (no global sort), the (center, mad) table broadcast back,
+    * one map-combined rollup — the [[conformalInterval]] plan. */
+  def madProfile(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val wv = Window.partitionBy(col("g")).orderBy(col("v"))
+    val med = base
+      .withColumn("rn", row_number().over(wv).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("g"), col("v").as("center"), col("n"))
+    val resid = base.join(broadcast(med), Seq("g"))
+      .withColumn("resid", abs(col("v") - col("center")))
+    val wr = Window.partitionBy(col("g")).orderBy(col("resid"))
+    val mad = resid
+      .withColumn("rn", row_number().over(wr).cast(LongType))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("g"), col("center"), col("n"), col("resid").as("mad"))
+    resid.select(col("g"), col("resid"))
+      .join(broadcast(mad), Seq("g"))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n")).as("n"),
+        max(col("center")).as("center"),
+        max(col("mad")).as("mad"),
+        sum(when(col("resid") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_share",
+        col("n_outliers").cast(DoubleType) / col("n").cast(DoubleType))
+  }
+
   /** SPLIT-CONFORMAL PREDICTION INTERVAL per group: calibration rows
     * (`splitCol` true) center each group at their exact lower median
     * and rank their absolute residuals; `q̂` is the ⌈(n+1)(1−α)⌉-th

@@ -273,6 +273,21 @@ class GraphSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("clusteringCoefficientBands: triangle at 1, open wedge at 0, " +
+    "deg-1 and hub nodes out") {
+    // triangle 1-2-3 plus path 4-5-6: lcc(1..3) = 1 (band 10), node 5
+    // has one open wedge (band 0), nodes 4/6 have deg 1 (excluded)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L))
+    val e = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val out = Graph.clusteringCoefficientBands(e, maxDeg = 128L)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("lcc_band"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("closed_total"), r.getAs[Long]("wedge_total")))
+    assert(out == Seq((0L, 1L, 0L, 1L), (10L, 3L, 3L, 3L)), s"got $out")
+    // hub guard: maxDeg = 1 drops every apex -> empty census
+    assert(Graph.clusteringCoefficientBands(e, maxDeg = 1L).isEmpty)
+  }
+
   test("adamicAdarTopK: partitioning-invariant") {
     val pairs = Seq.tabulate(120)(i =>
       (i.toLong % 17, 17L + i.toLong % 23))

@@ -3516,6 +3516,27 @@ class EmbeddingsSpec extends SparkSpec {
     assert(again == got) // decimal sums: bit-equal across partitionings
   }
 
+  test("pcaPowerTop: recovers a planted dominant direction, exact " +
+    "integer orbit is partitioning-invariant") {
+    // rank-1-ish data along (1, 0.1): cov = [[2.5, 0.25], [0.25,
+    // 0.025]] = 2.5*vv' -> top eigenvalue 2.525, eigenvector (1, 0.1)
+    val planted = Seq(1.0f, -1.0f, 2.0f, -2.0f)
+      .map(t => Tuple1(Array(t, 0.1f * t))).toDF("embedding")
+    val rows = Embeddings.pcaPowerTop(planted, "embedding", dim = 2,
+      iterations = 8).collect()
+    val v = rows.map(r => r.getAs[Long]("i") -> r.getAs[Long]("v_ppb"))
+      .toMap
+    // dominant component saturates the ppb scale; the other sits at
+    // the planted 1:10 ratio (integer truncation only)
+    assert(math.abs(v(0L)) >= 999999999L, s"v0 = ${v(0L)}")
+    assert(math.abs(v(1L) * 10 - v(0L)) <= 20L, s"ratio off: $v")
+    val lambda = rows.head.getAs[Double]("lambda")
+    assert(math.abs(lambda - 2.525) < 1e-3, s"lambda = $lambda")
+    val again = Embeddings.pcaPowerTop(planted.repartition(3),
+      "embedding", dim = 2, iterations = 8).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("jacobiEigen: recovers a known symmetric spectrum") {
     // [[2,1],[1,2]] has eigenvalues 3 and 1
     val (eig, basis) = Embeddings.jacobiEigen(

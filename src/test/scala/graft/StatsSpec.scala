@@ -221,6 +221,24 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("coverage") - 9.0 / 11) < 1e-15)
   }
 
+  test("madProfile: hand-checked median/MAD, wild value contained") {
+    // clean 1..9: center 5, sorted residuals 0,1,1,2,2,3,3,4,4 ->
+    // MAD (rank 5) = 2; nothing beyond 3*MAD = 6
+    val clean = (1 to 9).map(v => ("a", v.toDouble))
+    val c = Stats.madProfile(clean.toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(c.getAs[Double]("center") == 5.0 && c.getAs[Double]("mad") == 2.0)
+    assert(c.getAs[Long]("n_outliers") == 0L)
+    // one wild 100: lower median still 5 (rank 5 of 10), MAD still 2,
+    // exactly the wild row flagged — the breakdown-point claim
+    val dirty = clean :+ ("a", 100.0)
+    val d = Stats.madProfile(dirty.toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(d.getAs[Double]("center") == 5.0 && d.getAs[Double]("mad") == 2.0)
+    assert(d.getAs[Long]("n_outliers") == 1L)
+    assert(math.abs(d.getAs[Double]("outlier_share") - 0.1) < 1e-15)
+  }
+
   test("rocAuc/conformalInterval: partitioning-invariant") {
     val df = Seq.tabulate(300)(i =>
       ("g" + (i % 3), (i % 23).toDouble, i % 2 == 0))
