@@ -108,6 +108,94 @@ object OracleSql {
        |FROM vsc, lam ORDER BY i""".stripMargin
   }
 
+  /** Markov removal-effect attribution oracle: journeys →
+    * transition-count matrix in SQL, then (channels+1) bounded-horizon
+    * value iterations unrolled as MATERIALIZED CTEs (the pcaPowerSql
+    * pattern) — all-BIGINT, truncating `//` = the engine's JVM `/`. */
+  private val markovAttribSql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val horizon = 16
+    def chain(tag: String, removed: Option[String]): String = {
+      val remCase = removed
+        .map(c => s"WHEN tc.to_s = '$c' THEN 0 ").getOrElse("")
+      val valueCase =
+        s"""CASE WHEN tc.to_s = 'conv' THEN 1000000000
+           |      WHEN tc.to_s = 'null' THEN 0 $remCase
+           |      ELSE COALESCE(pp.p, 0) END""".stripMargin
+      val seed = s"""p${tag}0 AS (SELECT DISTINCT from_s AS s,
+         |  CAST(0 AS BIGINT) AS p FROM tc WHERE from_s <> 'start')"""
+        .stripMargin
+      val steps = (1 to horizon).map { t =>
+        s"""p$tag$t AS MATERIALIZED (SELECT tc.from_s AS s,
+           |    CAST(SUM(tc.cnt * $valueCase) // MAX(tc.outn) AS BIGINT)
+           |      AS p
+           |  FROM tc LEFT JOIN p$tag${t - 1} pp ON pp.s = tc.to_s
+           |  WHERE tc.from_s <> 'start' GROUP BY 1)""".stripMargin
+      }
+      val fin = s"""ps$tag AS MATERIALIZED (SELECT
+         |  CAST(COALESCE(SUM(tc.cnt * $valueCase) // MAX(tc.outn), 0)
+         |    AS BIGINT) AS p
+         |  FROM tc LEFT JOIN p$tag$horizon pp ON pp.s = tc.to_s
+         |  WHERE tc.from_s = 'start')""".stripMargin
+      (Seq(seed) ++ steps :+ fin).mkString(",\n")
+    }
+    val chains = (chain("base", None) +: channels.zipWithIndex.map {
+      case (c, i) => chain(s"c$i", Some(c)) }).mkString(",\n")
+    val effRows = channels.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS touch_type, (SELECT p FROM psc$i) AS removed"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH seq AS (SELECT user_id AS k, event_id AS rid,
+       |    event_type AS t,
+       |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+       |      ELSE 0 END) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ns(ts) // 1000, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS seg,
+       |    epoch_ns(ts) // 1000 AS eu
+       |  FROM events WHERE event_type IN
+       |    ('purchase', ${channels.map(c => s"'$c'").mkString(", ")})),
+       |touches AS (SELECT k, seg, t,
+       |    COALESCE(LAG(t) OVER (PARTITION BY k, seg ORDER BY eu, rid),
+       |      'start') AS from_s,
+       |    row_number() OVER (PARTITION BY k, seg ORDER BY eu, rid)
+       |      AS rn,
+       |    COUNT(*) OVER (PARTITION BY k, seg) AS n_j
+       |  FROM seq WHERE t <> 'purchase'),
+       |closed AS (SELECT DISTINCT k, seg FROM seq
+       |  WHERE t = 'purchase'),
+       |tr AS (SELECT from_s, t AS to_s FROM touches
+       |  UNION ALL
+       |  SELECT tt.t, CASE WHEN c.k IS NOT NULL THEN 'conv'
+       |      ELSE 'null' END
+       |    FROM touches tt LEFT JOIN closed c
+       |      ON c.k = tt.k AND c.seg = tt.seg
+       |    WHERE tt.rn = tt.n_j
+       |  UNION ALL
+       |  SELECT 'start', 'conv' FROM closed c
+       |    WHERE NOT EXISTS (SELECT 1 FROM touches tt
+       |      WHERE tt.k = c.k AND tt.seg = c.seg)),
+       |cn AS (SELECT from_s, to_s, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM tr GROUP BY 1, 2),
+       |tc AS MATERIALIZED (SELECT cn.from_s, cn.to_s, cn.cnt, o.outn
+       |  FROM cn JOIN (SELECT from_s, CAST(SUM(cnt) AS BIGINT) AS outn
+       |    FROM cn GROUP BY 1) o USING (from_s)),
+       |$chains,
+       |eff AS ($effRows),
+       |tot AS (SELECT SUM((SELECT p FROM psbase) - removed) AS total
+       |  FROM eff)
+       |SELECT e.touch_type,
+       |  (SELECT p FROM psbase) AS p_conv_base_ppb,
+       |  e.removed AS p_conv_removed_ppb,
+       |  (SELECT p FROM psbase) - e.removed AS removal_effect_ppb,
+       |  CAST(CASE WHEN t.total > 0 THEN
+       |    (((SELECT p FROM psbase) - e.removed) * 1000000000) // t.total
+       |    ELSE 0 END AS BIGINT) AS attribution_ppb,
+       |  CAST(CASE WHEN t.total > 0 THEN
+       |    (((SELECT p FROM psbase) - e.removed) * 1000000000) // t.total
+       |    ELSE 0 END AS DOUBLE) / 1.0e9 AS attribution
+       |FROM eff e, tot t ORDER BY 1""".stripMargin
+  }
+
   private val decSum = (x: String, as: String) =>
     s"CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE) AS $as"
   private val decAvg = (x: String, as: String) =>
@@ -6428,6 +6516,51 @@ object OracleSql {
 
     // Linear multi-touch attribution: conversion-delimited segments,
     // per-touch floor credit 1e9 div segment size.
+    "q_attribution_markov" -> markovAttribSql,
+
+    // Join-key skew telemetry: per key family, distinct keys, rows,
+    // floor-ppb mass of the heaviest key / heaviest-10 multiset.
+    "q_dq_skew" ->
+      """WITH c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey),
+        |c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY l_suppkey),
+        |c3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+        |c4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+        |SELECT 'lineitem.l_partkey' AS key_family,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST((MAX(cnt) * 1000000000) // SUM(cnt) AS BIGINT)
+        |    AS top1_ppb,
+        |  CAST(((SELECT SUM(cnt) FROM (SELECT cnt FROM c1
+        |      ORDER BY cnt DESC LIMIT 10)) * 1000000000) // SUM(cnt)
+        |    AS BIGINT) AS top10_ppb
+        |FROM c1
+        |UNION ALL SELECT 'lineitem.l_suppkey',
+        |  CAST(SUM(cnt) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST((MAX(cnt) * 1000000000) // SUM(cnt) AS BIGINT),
+        |  CAST(((SELECT SUM(cnt) FROM (SELECT cnt FROM c2
+        |      ORDER BY cnt DESC LIMIT 10)) * 1000000000) // SUM(cnt)
+        |    AS BIGINT)
+        |FROM c2
+        |UNION ALL SELECT 'orders.o_custkey',
+        |  CAST(SUM(cnt) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST((MAX(cnt) * 1000000000) // SUM(cnt) AS BIGINT),
+        |  CAST(((SELECT SUM(cnt) FROM (SELECT cnt FROM c3
+        |      ORDER BY cnt DESC LIMIT 10)) * 1000000000) // SUM(cnt)
+        |    AS BIGINT)
+        |FROM c3
+        |UNION ALL SELECT 'events.user_id',
+        |  CAST(SUM(cnt) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST((MAX(cnt) * 1000000000) // SUM(cnt) AS BIGINT),
+        |  CAST(((SELECT SUM(cnt) FROM (SELECT cnt FROM c4
+        |      ORDER BY cnt DESC LIMIT 10)) * 1000000000) // SUM(cnt)
+        |    AS BIGINT)
+        |FROM c4
+        |ORDER BY key_family""".stripMargin,
+
     "q_attribution_linear" ->
       """WITH seq AS (SELECT user_id AS k, event_type AS t,
         |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1

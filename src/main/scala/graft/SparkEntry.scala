@@ -1549,6 +1549,15 @@ object SparkEntry {
     TimeSeries.linearAttribution(events(spark, dir), "ts", "user_id",
       "event_type", "event_id", "purchase")
 
+  /** Markov removal-effect attribution over the purchase journeys —
+    * the data-driven model the first-touch/linear heuristics
+    * approximate; channels are the explicit non-conversion types. */
+  private def qAttributionMarkov(spark: SparkSession,
+      dir: String): DataFrame =
+    TimeSeries.markovAttribution(events(spark, dir), "ts", "user_id",
+      "event_type", "event_id", "purchase",
+      channels = Seq("click", "error", "signup", "view"), horizon = 16)
+
   /** Wald–Wolfowitz runs test on the daily value series: too few
     * runs = trending, too many = oscillating — the randomness audit
     * behind every forecast assumption. */
@@ -2147,6 +2156,19 @@ object SparkEntry {
     Warehouse.columnProfile(events(spark, dir),
       Seq("event_id", "user_id", "event_type", "value"))
 
+  /** Join-key skew telemetry over the engine's four main shuffle
+    * keys — the pre-flight read that prices salting/AQE-skew needs. */
+  private def qDqSkew(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.keySkew(t(spark, dir, "lineitem"), "l_partkey",
+        "lineitem.l_partkey")
+      .unionAll(Warehouse.keySkew(t(spark, dir, "lineitem"),
+        "l_suppkey", "lineitem.l_suppkey"))
+      .unionAll(Warehouse.keySkew(t(spark, dir, "orders"),
+        "o_custkey", "orders.o_custkey"))
+      .unionAll(Warehouse.keySkew(events(spark, dir),
+        "user_id", "events.user_id"))
+      .orderBy(col("key_family"))
+
   /** Top-10 session journeys (30-minute gap, paths capped at 5 steps). */
   private def qSessionPaths(spark: SparkSession, dir: String): DataFrame =
     Warehouse.topSessionPaths(events(spark, dir), "ts", "user_id",
@@ -2399,6 +2421,7 @@ object SparkEntry {
     "q_text_langid_kappa" -> (qTextLangidKappa _),
     "q_text_fertility" -> (qTextFertility _),
     "q_dq_profile" -> (qDqProfile _),
+    "q_dq_skew" -> (qDqSkew _),
     "q_session_paths" -> (qSessionPaths _),
     "q_state_dwell" -> (qStateDwell _),
     "q_burst" -> (qBurst _),
@@ -2467,6 +2490,7 @@ object SparkEntry {
     "q_dedup_cluster_sizes" -> (qDedupClusterSizes _),
     "q_text_length_bands" -> (qTextLengthBands _),
     "q_attribution_linear" -> (qAttributionLinear _),
+    "q_attribution_markov" -> (qAttributionMarkov _),
     "q_stat_runs" -> (qStatRuns _),
     "q_rate_breaches" -> (qRateBreaches _),
     "q_sim_mutual" -> (qSimMutual _),

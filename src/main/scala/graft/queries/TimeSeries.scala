@@ -1443,4 +1443,112 @@ object TimeSeries {
       .select(col("day_s"), col("n_intervals"),
         col("running").as("max_concurrent"), col("t").as("peak_at_s"))
   }
+
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION — the data-driven multi-touch
+    * model that first-touch and linear attribution approximate: fit a
+    * first-order chain over the observed journeys (same segment
+    * convention as [[linearAttribution]]: each conversion closes its
+    * preceding touches; `start → first touch → … → conv/null`), then
+    * credit each channel by how much the chain's conversion
+    * probability DROPS when entering that channel becomes journey
+    * death (the standard removal effect). Output per channel: base
+    * and channel-removed bounded-horizon conversion probabilities
+    * (exact ppb BIGINTs), the removal effect, and the normalized
+    * attribution share.
+    *
+    * Conversion probability is `horizon`-step integer value iteration
+    * (`p'(s) = Σ_to cnt(s,to)·p(to) div out(s)`, p(conv) = 10⁹,
+    * p(null) = 0) — the bounded-horizon estimator is the stated
+    * definition (journeys here are a handful of steps; the horizon
+    * caps cyclic mass exactly the way every production attribution
+    * run truncates journeys). Pure BIGINT arithmetic end to end —
+    * truncating division agrees across Spark/DuckDB/JVM — so the
+    * oracle replays the identical orbit as unrolled CTEs. Removal can
+    * only LOWER conversion (the removed channel's continuation value
+    * is floored to zero), so effects are non-negative.
+    *
+    * Scale shape: journeys reduce to the |states|² transition-count
+    * matrix in one pass of per-user windows (bounded width) + a
+    * map-combined rollup; the matrix collect is the documented
+    * bounded driver-side site (≤ (channels+1)·(channels+2) cells — a
+    * model constant), and the (channels+1) value iterations run on
+    * the driver in microseconds. `channels` is an explicit contract
+    * (it parameterizes the removal chains and the oracle). */
+  def markovAttribution(df: DataFrame, ts: String, key: String,
+      typeCol: String, rowId: String, conversionType: String,
+      channels: Seq[String], horizon: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("epoch_us"), col("rid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seq = df.select(col(key).as("k"),
+        epochMicros(col(ts)).as("epoch_us"),
+        col(rowId).as("rid"), col(typeCol).as("t"))
+      .filter(col("t").isin(conversionType +: channels: _*))
+      .withColumn("seg",
+        coalesce(sum(when(col("t") === conversionType, 1L)
+          .otherwise(0L)).over(w), lit(0L)))
+    val converting = seq.filter(col("t") === conversionType)
+      .select(col("k"), col("seg")).distinct()
+      .withColumn("conv", lit(true))
+    val wj = Window.partitionBy(col("k"), col("seg"))
+      .orderBy(col("epoch_us"), col("rid"))
+    val touches = seq.filter(col("t") =!= conversionType)
+      .withColumn("from_s", coalesce(lag(col("t"), 1).over(wj),
+        lit("start")))
+      .withColumn("rn", row_number().over(wj))
+      .withColumn("n_j", count(lit(1)).over(
+        Window.partitionBy(col("k"), col("seg"))))
+      .join(converting, Seq("k", "seg"), "left")
+      .withColumn("conv", coalesce(col("conv"), lit(false)))
+    // interior transitions + the terminal exit of each journey; a
+    // converting journey with zero touches is a direct start→conv
+    val interior = touches
+      .select(col("from_s"), col("t").as("to_s"))
+    val terminal = touches.filter(col("rn") === col("n_j"))
+      .select(col("t").as("from_s"),
+        when(col("conv"), lit("conv")).otherwise(lit("null")).as("to_s"))
+    val bare = converting
+      .join(seq.filter(col("t") =!= conversionType)
+        .select(col("k"), col("seg")).distinct(),
+        Seq("k", "seg"), "left_anti")
+      .select(lit("start").as("from_s"), lit("conv").as("to_s"))
+    val counts = interior.unionAll(terminal).unionAll(bare)
+      .groupBy(col("from_s"), col("to_s"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getAs[String]("from_s"), r.getAs[String]("to_s")) ->
+        r.getAs[Long]("cnt")).toMap
+    val out = counts.groupBy(_._1._1).map { case (s, m) =>
+      s -> m.values.sum }
+    def pConvFrom(removed: Option[String]): Long = {
+      def value(p: Map[String, Long], to: String): Long = to match {
+        case "conv" => 1000000000L
+        case "null" => 0L
+        case c if removed.contains(c) => 0L
+        case c => p.getOrElse(c, 0L)
+      }
+      def step(p: Map[String, Long], s: String): Long =
+        counts.collect { case ((`s`, to), cnt) =>
+          Math.multiplyExact(cnt, value(p, to)) }
+          .foldLeft(0L)(Math.addExact) / out(s)
+      val fixed = (1 to horizon).foldLeft(
+        channels.map(_ -> 0L).toMap) { (p, _) =>
+          channels.map(c =>
+            c -> (if (out.contains(c)) step(p, c) else 0L)).toMap
+      }
+      if (out.contains("start")) step(fixed, "start") else 0L
+    }
+    val base = pConvFrom(None)
+    val removed = channels.map(c => c -> pConvFrom(Some(c)))
+    val effects = removed.map { case (c, r) => c -> (base - r) }
+    val total = effects.map(_._2).sum
+    effects.zip(removed).map { case ((c, eff), (_, rem)) =>
+      val attr = if (total > 0L) eff * 1000000000L / total else 0L
+      (c, base, rem, eff, attr, attr.toDouble / 1.0e9)
+    }.toDF("touch_type", "p_conv_base_ppb", "p_conv_removed_ppb",
+      "removal_effect_ppb", "attribution_ppb", "attribution")
+      .orderBy(col("touch_type"))
+  }
 }

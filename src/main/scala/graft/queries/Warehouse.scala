@@ -1275,4 +1275,30 @@ object Warehouse {
         expr("(cum_units * 1000000000L) div v_tot")
           .as("cum_share_ppb"))
   }
+
+  /** JOIN-KEY SKEW TELEMETRY — the pre-flight read that decides
+    * whether a join/groupBy on this key needs salting or AQE skew
+    * handling at scale: distinct keys, row total, and the ppb row
+    * mass of the heaviest key and heaviest 10 keys. `top10_ppb` near
+    * 10⁹ means a handful of keys own the shuffle; `top1_ppb` over the
+    * per-task budget is the straggler predictor.
+    *
+    * All-integer (counts + floor-ppb shares — the top-10 mass is a
+    * unique multiset, so boundary ties cannot change the sum); one
+    * map-combined key rollup, a 3-way scalar aggregate, and a
+    * TakeOrdered top-10 — never a global sort. */
+  def keySkew(df: DataFrame, keyCol: String,
+      family: String): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"), max(col("cnt")).as("top1"))
+    val top10 = counts.orderBy(col("cnt").desc).limit(10)
+      .agg(sum(col("cnt")).as("top10"))
+    totals.crossJoin(top10)
+      .select(lit(family).as("key_family"), col("n_rows"),
+        col("n_keys"),
+        expr("(top1 * 1000000000L) div n_rows").as("top1_ppb"),
+        expr("(top10 * 1000000000L) div n_rows").as("top10_ppb"))
+  }
 }

@@ -2381,6 +2381,57 @@ class TimeSeriesSpec extends SparkSpec {
       "click" -> ((1L, 500000000L))), s"$got")
   }
 
+  test("markovAttribution: hand-solved chain, removal effects exact") {
+    // u1: click→purchase; u2: click (never converts); u3:
+    // view→purchase; u4: purchase with no touches. Counts:
+    // start→{click:2, view:1, conv:1}; click→{conv:1, null:1};
+    // view→{conv:1}. p(click)=1/2, p(view)=1 → base p(start)=3/4;
+    // removing click → 1/2; removing view → 1/2. Effects 1/4 each →
+    // attribution 50/50.
+    val d = Seq(
+      (1L, 1L, "click", 10L), (1L, 2L, "purchase", 11L),
+      (2L, 1L, "click", 20L),
+      (3L, 1L, "view", 30L), (3L, 2L, "purchase", 31L),
+      (4L, 1L, "purchase", 40L))
+      .toDF("user_id", "event_id", "t", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val got = TimeSeries.markovAttribution(d, "ts", "user_id", "t",
+      "event_id", "purchase", channels = Seq("click", "view"),
+      horizon = 16).collect()
+      .map(r => (r.getAs[String]("touch_type"),
+        r.getAs[Long]("p_conv_base_ppb"),
+        r.getAs[Long]("p_conv_removed_ppb"),
+        r.getAs[Long]("removal_effect_ppb"),
+        r.getAs[Long]("attribution_ppb")))
+    assert(got.toSeq == Seq(
+      ("click", 750000000L, 500000000L, 250000000L, 500000000L),
+      ("view", 750000000L, 500000000L, 250000000L, 500000000L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("markovAttribution: cyclic journeys stay bounded and " +
+    "partitioning-invariant") {
+    // a view↔click loop before conversion — the horizon caps the
+    // cyclic mass; determinism across partitionings is the contract
+    val rows = (0 until 30).flatMap { u =>
+      val path = Seq("view", "click", "view", "click") ++
+        (if (u % 3 == 0) Seq("purchase") else Nil)
+      path.zipWithIndex.map { case (t, i) =>
+        (u.toLong, i.toLong + 1L, t, u * 100L + i) }
+    }
+    val d = rows.toDF("user_id", "event_id", "t", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val a = TimeSeries.markovAttribution(d.repartition(1), "ts",
+      "user_id", "t", "event_id", "purchase",
+      Seq("click", "view")).collect().toSeq
+    val b = TimeSeries.markovAttribution(d.repartition(7), "ts",
+      "user_id", "t", "event_id", "purchase",
+      Seq("click", "view")).collect().toSeq
+    assert(a.map(_.toString) == b.map(_.toString) && a.size == 2)
+    val base = a.head.getAs[Long]("p_conv_base_ppb")
+    assert(base > 0L && base <= 1000000000L)
+  }
+
   test("rateBreaches: per-minute peak, earliest peak minute, order") {
     val d = Seq((1L, 0L), (1L, 10L), (1L, 20L), (1L, 130L), (2L, 70L))
       .toDF("user_id", "epoch")

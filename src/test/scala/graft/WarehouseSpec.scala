@@ -952,4 +952,16 @@ class WarehouseSpec extends SparkSpec {
     }
     assert(rows.last.getAs[Long]("cum_share_ppb") == 1000000000L)
   }
+
+  test("keySkew: hand-checked masses, nulls excluded, top10 covers " +
+    "small key sets") {
+    import spark.implicits._
+    val d = (Seq.fill(5)(Some("a")) ++ Seq.fill(3)(Some("b")) ++
+      Seq(Some("c"), None)).toDF("k")
+    val r = Warehouse.keySkew(d, "k", "fam").collect().head
+    assert(r.getAs[String]("key_family") == "fam")
+    assert(r.getAs[Long]("n_rows") == 9L && r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("top1_ppb") == 5L * 1000000000L / 9L)
+    assert(r.getAs[Long]("top10_ppb") == 1000000000L)
+  }
 }
