@@ -6518,6 +6518,46 @@ object OracleSql {
     // per-touch floor credit 1e9 div segment size.
     "q_attribution_markov" -> markovAttribSql,
 
+    // Boilerplate census: per-doc distinct strided char-16-grams,
+    // document-frequency rollup, floor-ppb share, top-20 with
+    // binary-collation gram ties.
+    "q_text_boilerplate" ->
+      """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    substring(text, CAST(p AS INTEGER), 16) AS g
+        |  FROM documents, unnest(range(1, length(text) - 15 + 1, 8))
+        |    AS t(p)
+        |  WHERE length(text) >= 16),
+        |cnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df_docs
+        |  FROM g GROUP BY 1)
+        |SELECT g AS gram, df_docs,
+        |  CAST((df_docs * 1000000000) // n_docs AS BIGINT) AS df_ppb
+        |FROM cnt, nn WHERE df_docs >= 2
+        |ORDER BY df_docs DESC, gram LIMIT 20""".stripMargin,
+
+    // Per-source vs global quantile alignment: rank-selected values
+    // at ceil(n*p/100) on both frames, BIGINT gap.
+    "q_stat_qq" ->
+      """WITH base AS (SELECT source AS g, n_chars AS v FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |pg AS (SELECT * FROM (VALUES (10), (25), (50), (75), (90))
+        |  t(p)),
+        |gr AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n FROM base),
+        |grq AS (SELECT g, p, CAST(n AS BIGINT) AS n_group,
+        |    v AS group_value
+        |  FROM gr, pg WHERE rn = (n * p + 99) // 100),
+        |gl AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |    COUNT(*) OVER () AS n FROM base),
+        |glq AS (SELECT p, v AS global_value FROM gl, pg
+        |  WHERE rn = (n * p + 99) // 100)
+        |SELECT g AS source, grq.p, n_group, group_value, global_value,
+        |  group_value - global_value AS gap
+        |FROM grq JOIN glq ON grq.p = glq.p
+        |ORDER BY 1, 2""".stripMargin,
+
     // Join-key skew telemetry: per key family, distinct keys, rows,
     // floor-ppb mass of the heaviest key / heaviest-10 multiset.
     "q_dq_skew" ->

@@ -1549,6 +1549,18 @@ object SparkEntry {
     TimeSeries.linearAttribution(events(spark, dir), "ts", "user_id",
       "event_type", "event_id", "purchase")
 
+  /** Top boilerplate char-16-grams by document frequency (stride 8 —
+    * any shared run of ≥ 23 chars is witnessed): the strip-list scan
+    * that runs before pairwise dedup pays for template debris. */
+  private def qTextBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.boilerplateGrams(docs(spark, dir), "doc_id", "text",
+      gram = 16, stride = 8, topK = 20)
+
+  /** Per-source vs global n_chars quantile alignment — the
+    * comparability audit before pooling per-source scores. */
+  private def qStatQq(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.quantileAlignment(docs(spark, dir), "source", "n_chars")
+
   /** Markov removal-effect attribution over the purchase journeys —
     * the data-driven model the first-touch/linear heuristics
     * approximate; channels are the explicit non-conversion types. */
@@ -2491,6 +2503,8 @@ object SparkEntry {
     "q_text_length_bands" -> (qTextLengthBands _),
     "q_attribution_linear" -> (qAttributionLinear _),
     "q_attribution_markov" -> (qAttributionMarkov _),
+    "q_text_boilerplate" -> (qTextBoilerplate _),
+    "q_stat_qq" -> (qStatQq _),
     "q_stat_runs" -> (qStatRuns _),
     "q_rate_breaches" -> (qRateBreaches _),
     "q_sim_mutual" -> (qSimMutual _),

@@ -1897,6 +1897,37 @@ object TextAnalysis {
       .orderBy(col("n_chunks"))
   }
 
+  /** BOILERPLATE SUBSTRING CENSUS — the top repeated character
+    * `gram`-grams by DOCUMENT frequency: headers, footers, license
+    * blocks, and template debris surface as high-df grams long before
+    * pairwise dedup would pay for them (the census is the cheap scan
+    * that tells a pipeline WHICH boilerplate to strip; the winnowing
+    * family then finds who shares it). Grams are sampled every
+    * `stride` characters — a substring of length ≥ gram+stride−1 is
+    * always witnessed — and counted once per document.
+    *
+    * All-integer + strings: per-doc distinct grams, a map-combined df
+    * rollup, floor-ppb share against the corpus, TakeOrdered top-k
+    * (ties on the gram string — binary collation in both engines). */
+  def boilerplateGrams(df: DataFrame, idCol: String, textCol: String,
+      gram: Int = 16, stride: Int = 8, topK: Int = 20): DataFrame = {
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val grams = df
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(length(col("t")) >= gram)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, length(t) - ${gram - 1}, $stride), " +
+          s"p -> substring(t, p, $gram))")).as("g"))
+      .distinct()
+    grams.groupBy(col("g")).agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= 2L)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("df_ppb", expr("(df_docs * 1000000000L) div n_docs"))
+      .select(col("g").as("gram"), col("df_docs"), col("df_ppb"))
+      .orderBy(col("df_docs").desc, col("gram"))
+      .limit(topK)
+  }
+
   /** JENSEN–SHANNON DIVERGENCE between every pair of groups' unigram
     * distributions — the symmetric, bounded [0,1]-bit distance a
     * mixture designer reads before blending corpora: how far apart are

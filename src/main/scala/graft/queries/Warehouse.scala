@@ -1276,6 +1276,50 @@ object Warehouse {
           .as("cum_share_ppb"))
   }
 
+  /** PER-GROUP QUANTILE ALIGNMENT (Q-Q table) — each group's exact
+    * rank-selected quantiles beside the global ones, with the signed
+    * gap: the comparability audit run before pooling per-source
+    * scores (a source whose p50 sits at the global p75 needs
+    * rank-normalization before any cross-source threshold makes
+    * sense). Quantile ranks use ceil(n·p/100) over each frame's own
+    * ordered values — rank-SELECTED data values, never interpolated,
+    * so the output is cross-engine exact; the gap is one IEEE
+    * subtraction.
+    *
+    * Scale shape: one rank window per group (no global sort except
+    * the |global| frame's own window — replace with rank-select via
+    * count+filter at true scale), percentile grid broadcast, output
+    * |groups|·|grid| rows. */
+  def quantileAlignment(df: DataFrame, groupCol: String,
+      valueCol: String,
+      pcts: Seq[Int] = Seq(10, 25, 50, 75, 90)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = broadcast(pcts.toDF("p"))
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    def ranked(d: DataFrame, part: Seq[String]): DataFrame = {
+      val w = if (part.isEmpty) Window.orderBy(col("v"))
+        else Window.partitionBy(part.map(col): _*).orderBy(col("v"))
+      val wp = if (part.isEmpty) Window.partitionBy()
+        else Window.partitionBy(part.map(col): _*)
+      d.withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(wp))
+    }
+    val grp = ranked(base, Seq("g")).crossJoin(grid)
+      .filter(col("rn") === expr("(n * p + 99) div 100"))
+      .select(col("g"), col("p"), col("n").as("n_group"),
+        col("v").as("group_value"))
+    val glob = ranked(base.select(col("v")), Nil).crossJoin(grid)
+      .filter(col("rn") === expr("(n * p + 99) div 100"))
+      .select(col("p"), col("v").as("global_value"))
+    grp.join(broadcast(glob), Seq("p"))
+      .withColumn("gap", col("group_value") - col("global_value"))
+      .select(col("g").as(groupCol), col("p"), col("n_group"),
+        col("group_value"), col("global_value"), col("gap"))
+      .orderBy(col(groupCol), col("p"))
+  }
+
   /** JOIN-KEY SKEW TELEMETRY — the pre-flight read that decides
     * whether a join/groupBy on this key needs salting or AQE skew
     * handling at scale: distinct keys, row total, and the ppb row

@@ -666,6 +666,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("dup_ratio") - 14.0 / 12.0) < 1e-15)
   }
 
+  test("boilerplateGrams: shared header surfaces, singletons and " +
+    "short docs excluded") {
+    val header = "LICENSE-HEADER-V2.0 " // 20 shared chars
+    val d = Seq(
+      (1L, header + "alpha body text that differs per doc"),
+      (2L, header + "beta entirely different tail content"),
+      (3L, header + "gamma third variant of the body here"),
+      (4L, "short")) // < 16 chars: no grams
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.boilerplateGrams(d, "doc_id", "text",
+      gram = 16, stride = 8, topK = 20).collect()
+    // only the position-1 header gram is shared by all three long
+    // docs; every other strided gram spans doc-specific bytes
+    assert(rows.length == 1, s"got ${rows.toSeq}")
+    assert(rows.head.getAs[String]("gram") == header.substring(0, 16))
+    assert(rows.head.getAs[Long]("df_docs") == 3L)
+    // share is over ALL docs (4), floor ppb
+    assert(rows.head.getAs[Long]("df_ppb") == 750000000L)
+  }
+
   test("jsdPairs: identical slices at 0, disjoint slices at exactly " +
     "1 bit") {
     val d = Seq(

@@ -13,7 +13,7 @@ class RegistrySmokeSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("registry is non-trivial") {
-    assert(SparkEntry.queries.size >= 259,
+    assert(SparkEntry.queries.size >= 261,
       s"registry shrank to ${SparkEntry.queries.size} queries")
   }
 

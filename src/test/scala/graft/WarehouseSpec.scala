@@ -953,6 +953,22 @@ class WarehouseSpec extends SparkSpec {
     assert(rows.last.getAs[Long]("cum_share_ppb") == 1000000000L)
   }
 
+  test("quantileAlignment: rank-selected quantiles and signed gaps") {
+    import spark.implicits._
+    val d = ((1L to 10L).map(("a", _)) ++ (11L to 20L).map(("b", _)))
+      .toDF("g", "v")
+    val got = Warehouse.quantileAlignment(d, "g", "v",
+      pcts = Seq(50, 90)).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Int]("p")) ->
+        ((r.getAs[Long]("group_value"), r.getAs[Long]("global_value"),
+          r.getAs[Long]("gap")))).toMap
+    // group ranks ceil(10*p/100), global ceil(20*p/100)
+    assert(got(("a", 50)) == ((5L, 10L, -5L)))
+    assert(got(("b", 50)) == ((15L, 10L, 5L)))
+    assert(got(("a", 90)) == ((9L, 18L, -9L)))
+    assert(got(("b", 90)) == ((19L, 18L, 1L)))
+  }
+
   test("keySkew: hand-checked masses, nulls excluded, top10 covers " +
     "small key sets") {
     import spark.implicits._
