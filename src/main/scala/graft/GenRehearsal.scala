@@ -14,7 +14,14 @@ import org.apache.spark.sql.SparkSession
   * functions of the row id — no RNG state, no driver-side loops, and
   * regeneration is bit-identical.
   *
-  * `runMain graft.GenRehearsal <outDir> [docRows=50000] [vecRows=20000]`
+  * Also writes an sf1-shaped `events` table (10× sf0.1: 1 M rows,
+  * 15 k users, the same 5-type mix, ~3.5 s inter-arrival from the
+  * same 2024-01-01 epoch, `{"k": n}` props) so the behavioral family
+  * (sessionize, funnels, attribution, concurrency) rehearses at 10×
+  * too.
+  *
+  * `runMain graft.GenRehearsal <outDir> [docRows=50000] [vecRows=20000]
+  *   [eventRows=1000000]`
   */
 object GenRehearsal {
   private val Vocab = Array(
@@ -79,7 +86,29 @@ object GenRehearsal {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    println(s"[gen] wrote $docRows documents, $vecRows embeddings -> $outDir")
+    val eventRows = if (args.length > 3) args(3).toLong else 1000000L
+    val types = Array("view", "click", "purchase", "signup", "error")
+    spark.range(eventRows).map { boxed =>
+        val id: Long = boxed
+        // ~3.5 s mean inter-arrival, deterministic jitter
+        val ts = 1704067200000000L + id * 3500000L +
+          (mix(id * 13L + 7L) & 0xfffff) // + up to ~1.05 s
+        val user = (mix(id * 29L + 11L) >>> 8) % 15000L
+        val tpe = types(pick(id * 37L + 13L, types.length))
+        val value = ((mix(id * 41L + 17L) >>> 8) % 56021L).toDouble / 100.0
+        val props = s"""{"k": ${pick(id * 43L + 19L, 100)}}"""
+        (id, ts, user, tpe, value, props)
+      }
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("ts_us")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    println(s"[gen] wrote $docRows documents, $vecRows embeddings, " +
+      s"$eventRows events -> $outDir")
     spark.stop()
   }
 }
