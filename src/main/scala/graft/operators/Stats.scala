@@ -643,7 +643,22 @@ object Stats {
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("g"), col(valueCol).as("v"),
         col(splitCol).cast(BooleanType).as("is_cal"))
-    val cal = base.filter(col("is_cal"))
+    conformalAudit(
+      base.filter(!col("is_cal")), "g", "v",
+      conformalCalibrate(base.filter(col("is_cal")), "g", "v",
+        alphaPpm))
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** The calibration half of [[conformalInterval]]: per-group exact
+    * lower median and the ⌈(n+1)(1−α)⌉-th absolute residual from the
+    * calibration rows — the frozen `(g, center, n_cal, q_hat)`
+    * interval table a held-out audit (batch or streaming) is judged
+    * against. */
+  def conformalCalibrate(cal0: DataFrame, groupCol: String,
+      valueCol: String, alphaPpm: Long = 100000L): DataFrame = {
+    val cal = cal0.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
     val wv = Window.partitionBy(col("g")).orderBy(col("v"))
     val med = cal
       .withColumn("rn", row_number().over(wv).cast(LongType))
@@ -652,7 +667,7 @@ object Stats {
       .filter(col("rn") === expr("(n_cal + 1) div 2"))
       .select(col("g"), col("v").as("center"), col("n_cal"))
     val wr = Window.partitionBy(col("g")).orderBy(col("resid"))
-    val qhat = cal.join(broadcast(med), Seq("g"))
+    cal.join(broadcast(med), Seq("g"))
       .withColumn("resid", abs(col("v") - col("center")))
       .withColumn("rn", row_number().over(wr).cast(LongType))
       .withColumn("k", least(col("n_cal"),
@@ -661,9 +676,20 @@ object Stats {
       .filter(col("rn") === col("k"))
       .select(col("g"), col("center"), col("n_cal"),
         col("resid").as("q_hat"))
-    base.filter(!col("is_cal"))
-      .join(broadcast(qhat), Seq("g"))
-      .groupBy(col("g").as(groupCol))
+  }
+
+  /** The audit half of [[conformalInterval]]: held-out rows judged
+    * against an ALREADY-CALIBRATED (frozen) interval table — the
+    * index-agnostic shape the streaming twin recomputes per
+    * micro-batch. Broadcast join-back, map-combined rollup. */
+  def conformalAudit(test: DataFrame, groupCol: String,
+      valueCol: String, intervals: DataFrame): DataFrame =
+    test.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .join(broadcast(intervals
+        .select(col("g"), col("center"), col("n_cal"), col("q_hat"))),
+        Seq("g"))
+      .groupBy(col("g"))
       .agg(
         max(col("n_cal")).as("n_cal"),
         count(lit(1)).as("n_test"),
@@ -674,5 +700,4 @@ object Stats {
       .withColumn("coverage",
         col("n_covered").cast(DoubleType) /
           col("n_test").cast(DoubleType))
-  }
 }

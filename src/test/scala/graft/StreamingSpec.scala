@@ -885,6 +885,57 @@ class IndexMaintenanceStreamSpec extends SparkSpec {
   }
 }
 
+class StreamingConformalSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Stats
+  import graft.streaming.StreamingConformal
+
+  test("per-batch coverage audits match the batch audit on the union; " +
+    "replay rewrites bit-identically") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_conformal").toString
+    // frozen yardstick: cal 1..9 -> center 5, q_hat 4 at alpha = 0.1
+    val intervals = Stats.conformalCalibrate(
+      (1 to 9).map(v => ("a", v.toDouble)).toDF("g", "v"), "g", "v")
+    val input = MemoryStream[(String, Double)]
+    val stream = input.toDF().toDF("g", "v")
+    val q = StreamingConformal.stream(stream, "g", "v", intervals,
+      base, s"$base/cp", trigger = Trigger.ProcessingTime(0L))
+    try {
+      // batch 0: values 0..5 (covered: 1..5 -> 5 of 6)
+      input.addData((0 to 5).map(v => ("a", v.toDouble)): _*)
+      q.processAllAvailable()
+      // batch 1: values 6..10 (covered: 6..9 -> 4 of 5)
+      input.addData((6 to 10).map(v => ("a", v.toDouble)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.option("basePath", s"$base/coverage")
+      .parquet(s"$base/coverage")
+    val byBatch = landed.collect()
+      .map(r => r.getAs[Int]("batch") ->
+        ((r.getAs[Long]("n_test"), r.getAs[Long]("n_covered")))).toMap
+    assert(byBatch == Map(0 -> ((6L, 5L)), 1 -> ((5L, 4L))),
+      s"got $byBatch")
+    // aggregated stream == one batch audit over the union
+    val agg = landed.agg(sum("n_test"), sum("n_covered")).collect().head
+    val whole = Stats.conformalAudit(
+      (0 to 10).map(v => ("a", v.toDouble)).toDF("g", "v"),
+      "g", "v", intervals).collect().head
+    assert(agg.getLong(0) == whole.getAs[Long]("n_test"))
+    assert(agg.getLong(1) == whole.getAs[Long]("n_covered"))
+    // at-least-once replay: same batch id rewrites the same rows
+    StreamingConformal.auditBatch(
+      (0 to 5).map(v => ("a", v.toDouble)).toDF("g", "v"), 0L, base,
+      "g", "v", intervals)
+    val again = spark.read.option("basePath", s"$base/coverage")
+      .parquet(s"$base/coverage")
+      .filter(col("batch") === 0)
+      .collect().head
+    assert(again.getAs[Long]("n_covered") == 5L &&
+      again.getAs[Long]("n_test") == 6L)
+  }
+}
+
 class StreamingDecontaminateSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Curation
