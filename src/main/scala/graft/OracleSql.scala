@@ -51,7 +51,7 @@ object OracleSql {
 
   /** Integer power-iteration PCA oracle: the embedCovSql sufficient
     * statistics (bit-identical doubles, proven by q_embed_covariance),
-    * quantized to scale-9 BIGINT units, then the 8 power steps unrolled
+    * quantized to scale-8 BIGINT units (the proven-safe bound for arbitrary-double casts), then the 8 power steps unrolled
     * as CTEs (the pagerank-oracle pattern) — truncating `//` matches
     * Spark `div`/JVM `/` toward zero, so DuckDB walks the engine's
     * exact integer orbit. */
@@ -88,10 +88,10 @@ object OracleSql {
        |FROM embeddings),
        |cu AS MATERIALIZED (${covSel}),
        |cf AS MATERIALIZED (SELECT i, j,
-       |    CAST(CAST(cov AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS c
+       |    CAST(CAST(cov AS DECIMAL(18,8)) * 100000000 AS BIGINT) AS c
        |  FROM cu
        |  UNION ALL SELECT j, i,
-       |    CAST(CAST(cov AS DECIMAL(18,9)) * 1000000000 AS BIGINT)
+       |    CAST(CAST(cov AS DECIMAL(18,8)) * 100000000 AS BIGINT)
        |  FROM cu WHERE i <> j),
        |v0 AS (SELECT CAST(t.i AS INTEGER) AS i,
        |    CAST(1000000000 AS BIGINT) AS v FROM range($dim) t(i)),
@@ -104,7 +104,7 @@ object OracleSql {
        |lam AS (SELECT CASE WHEN den > 0 THEN CAST(num // den AS BIGINT)
        |    ELSE 0 END AS lq FROM nd, dd)
        |SELECT CAST(vsc.i AS BIGINT) AS i, CAST(vsc.v AS BIGINT) AS v_ppb,
-       |  lq AS lambda_q, CAST(lq AS DOUBLE) / 1.0e9 AS lambda
+       |  lq AS lambda_q, CAST(lq AS DOUBLE) / 1.0e8 AS lambda
        |FROM vsc, lam ORDER BY i""".stripMargin
   }
 

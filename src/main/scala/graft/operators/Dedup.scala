@@ -1371,24 +1371,31 @@ object Dedup {
   def blockedEntityPairs(df: DataFrame, idCol: String, nameCol: String,
       blockCols: Seq[String], maxDistance: Int = 2,
       maxBlock: Long = 1024L): DataFrame = {
+    // cached across dropHotBuckets' eager count, its anti-join branch,
+    // and BOTH self-join sides (the dropHotBuckets caller contract —
+    // the pairsFromBuckets pattern); released after the checkpoint
     val rows = df.select(
       (blockCols.map(col) :+ col(idCol).as("id") :+
         col(nameCol).as("name")): _*)
       .filter(col("name").isNotNull)
-    val kept = dropHotBuckets(rows, blockCols, maxBlock)
-    val l = kept.select(
-      (blockCols.map(col) :+ col("id").as("id_a") :+
-        col("name").as("name_a")): _*)
-    val r = kept.select(
-      (blockCols.map(col) :+ col("id").as("id_b") :+
-        col("name").as("name_b")): _*)
-    l.join(r, blockCols)
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("distance",
-        levenshtein(col("name_a"), col("name_b")).cast(LongType))
-      .filter(col("distance") <= maxDistance)
-      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
-        col("distance"))
-      .orderBy(col("distance"), col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val kept = dropHotBuckets(rows, blockCols, maxBlock)
+      val l = kept.select(
+        (blockCols.map(col) :+ col("id").as("id_a") :+
+          col("name").as("name_a")): _*)
+      val r = kept.select(
+        (blockCols.map(col) :+ col("id").as("id_b") :+
+          col("name").as("name_b")): _*)
+      l.join(r, blockCols)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("distance",
+          levenshtein(col("name_a"), col("name_b")).cast(LongType))
+        .filter(col("distance") <= maxDistance)
+        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+          col("distance"))
+        .orderBy(col("distance"), col("id_a"), col("id_b"))
+        .localCheckpoint(true)
+    } finally rows.unpersist()
   }
 }

@@ -60,9 +60,12 @@ object Embeddings {
     * hash-exact registered companion to the (spec-gated, double-Jacobi)
     * [[whiten]] path: the corpus reduces distributively to the d×d
     * covariance (ONE map-combined pass — the only corpus-sized work),
-    * the covariance quantizes to scale-9 BIGINT units (double→decimal
-    * rounds HALF_UP identically cross-engine), and `iterations` power
-    * steps from the all-ones ppb vector run in PURE INTEGER arithmetic:
+    * the covariance quantizes to scale-8 BIGINT units (double→decimal
+    * rounds HALF_UP identically cross-engine — scale ≤ 8 is the
+    * repo's PROVEN bound for arbitrary-double casts; scale 12 diverged
+    * by 1 ulp at sf0.1 in the covariance family), and `iterations`
+    * power steps from the all-ones ppb vector run in PURE INTEGER
+    * arithmetic:
     *
     *   w = C·v   (exact BIGINT mat-vec, |w| ≤ d·|C|·|v|)
     *   v' = w ÷ (max|w| ÷ 10⁹)  [or (w·10⁹) ÷ max|w| when max < 10⁹]
@@ -73,7 +76,7 @@ object Embeddings {
     * the usual power-method rate; the DEFINITION is T steps, exact).
     * The Rayleigh quotient λ comes from the 10⁻⁵-downscaled vector so
     * its integer numerator stays under 2⁶³ at any covariance of
-    * [-0.5, 0.5]-ranged inputs; `lambda_q` is exact BIGINT in 10⁻⁹
+    * [-0.5, 0.5]-ranged inputs; `lambda_q` is exact BIGINT in 10⁻⁸
     * covariance units, `lambda` one BIGINT→DOUBLE division.
     *
     * The d² covariance collect is the documented bounded driver-side
@@ -87,8 +90,8 @@ object Embeddings {
     covariance(df, vecCol, dim).collect().foreach { r =>
       val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
       val cu = (BigDecimal(r.getAs[Double]("cov"))
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
-        * BigDecimal(1000000000L)).toLongExact
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(100000000L)).toLongExact
       c(i)(j) = cu; c(j)(i) = cu
     }
     var v = Array.fill(dim)(1000000000L)
@@ -111,7 +114,7 @@ object Embeddings {
     val den = vs.foldLeft(0L)((a, x) => Math.addExact(a, x * x))
     val lambdaQ = if (den > 0L) num / den else 0L
     (0 until dim)
-      .map(i => (i.toLong, v(i), lambdaQ, lambdaQ.toDouble / 1.0e9))
+      .map(i => (i.toLong, v(i), lambdaQ, lambdaQ.toDouble / 1.0e8))
       .toDF("i", "v_ppb", "lambda_q", "lambda")
       .orderBy(col("i"))
   }

@@ -155,17 +155,26 @@ object IndexMaintenance {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col, lit}
         appendIvfBatch(batch, batchId, dir, checkpointDir, idCol, vecCol)
         val spark = batch.sparkSession
         val idx = Similarity.readIvfIndex(spark, dir)
-        Similarity.hubnessCensusFromIndex(idx, k, topHubs, nprobe)
-          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$auditDir/hubness")
-        Similarity.mutualTopKFromIndex(idx, k, nprobe)
-          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$auditDir/mutual")
+        // ONE kNN-graph pass feeds both audits (the probe-join-and-
+        // rank is the dominant n·nprobe·(n/K) cost — don't pay it
+        // twice); persisted only across the two consumers below
+        val topk = Similarity.ivfSelfTopKFromIndex(idx, k, nprobe)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          Similarity.hubnessFrom(
+              idx.cells.select(col("corpus_id").as("vid")), topk, topHubs)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$auditDir/hubness")
+          Similarity.mutualPairsFrom(topk)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$auditDir/mutual")
+        } finally { val _ = topk.unpersist() }
       }
       .start()
 }
