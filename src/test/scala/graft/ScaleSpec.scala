@@ -470,4 +470,43 @@ class DashboardSpec extends SparkSpec {
         !p.contains("SortMergeJoin"), s"$q:\n$p")
     }
   }
+
+  test("round-11 ops: plan shapes hold") {
+    def plan(q: String): String = graft.SparkEntry.queries(q)(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // AUC rides the Mann-Whitney machinery: aggregates + one window
+    // over DISTINCT scores — no join of any kind in the plan
+    val auc = plan("q_eval_auc")
+    assert(auc.contains("HashAggregate") && !auc.contains("Join"),
+      s"auc:\n$auc")
+    // conformal + MAD: the per-group (center, q) tables broadcast back
+    // onto the row side — never a corpus-sized sort-merge join
+    Seq("q_conformal", "q_stat_mad").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") &&
+        !p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+    // link prediction: degree/weight tables broadcast, the top-k is
+    // TakeOrderedAndProject, and nothing degenerates to a cartesian
+    val lp = plan("q_graph_linkpred")
+    assert(lp.contains("BroadcastHashJoin") &&
+      lp.contains("TakeOrderedAndProject") &&
+      !lp.contains("CartesianProduct"), s"linkpred:\n$lp")
+    // blocked ER seals via localCheckpoint (caches released) — the
+    // registered plan is a bare checkpoint scan; the in-block join
+    // shape is asserted by DedupSpec on the operator itself
+    val er = plan("q_er_blocked")
+    assert(er.contains("Scan ExistingRDD") &&
+      !er.contains("CartesianProduct"), s"er:\n$er")
+    // boilerplate census: map-combined df rollup + TakeOrdered top-k,
+    // never a global sort of the gram table
+    val bp = plan("q_text_boilerplate")
+    assert(bp.contains("TakeOrderedAndProject") &&
+      !bp.contains("SortMergeJoin"), s"boilerplate:\n$bp")
+    // key-skew telemetry: per family one map-combined rollup and a
+    // TakeOrdered top-10 — no global sort beyond the 4-row output
+    val sk = plan("q_dq_skew")
+    assert(sk.contains("TakeOrderedAndProject") &&
+      !sk.contains("SortMergeJoin"), s"skew:\n$sk")
+  }
 }
