@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
   * mix, 20 uniform sources; embeddings are d=64 unclustered noise in
   * [-0.5, 0.5) with 10 uniform labels. All values are splitmix64
   * functions of the row id — no RNG state, no driver-side loops, and
-  * regeneration is bit-identical.
+  * regeneration is bit-identical INCLUDING file layout: every table
+  * repartitions on a key expression (`id % 32`), so partition
+  * contents do not depend on `SPARK_GRAFT_CPUS` / upstream split
+  * count the way round-robin `repartition(32)` does.
   *
   * Also writes an sf1-shaped `events` table (10× sf0.1: 1 M rows,
   * 15 k users, the same 5-type mix, ~3.5 s inter-arrival from the
@@ -71,7 +74,9 @@ object GenRehearsal {
         (id, text, lang, source, text.length.toLong)
       }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .repartition(32)
+      .repartition(32, org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(32L)))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     spark.range(vecRows).map { boxed =>
@@ -83,7 +88,9 @@ object GenRehearsal {
         (id, emb, pick(id * 17L + 5L, 10))
       }
       .toDF("vec_id", "embedding", "label")
-      .repartition(32)
+      .repartition(32, org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(32L)))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     val eventRows = if (args.length > 3) args(3).toLong else 1000000L
@@ -104,7 +111,9 @@ object GenRehearsal {
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.col("ts_us")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .repartition(32)
+      .repartition(32, org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.lit(32L)))
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
     println(s"[gen] wrote $docRows documents, $vecRows embeddings, " +

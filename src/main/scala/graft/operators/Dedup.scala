@@ -491,8 +491,13 @@ object Dedup {
     val sigs = minhashSignatures(df, idCol, textCol, shingleWords, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // persisted: the exact all-pairs truth is the sweep's most
+      // expensive subplan and BOTH truthC and hitC consume it —
+      // without the persist the brute pass can execute twice unless
+      // exchange reuse happens to fire (released via Lifetime.seal)
       val truth = ngramJaccardPairs(df, idCol, textCol, shingleWords,
         threshold).select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // all configs in one banded frame; hashes computed AFTER the
       // explode (same CollapseProject guard as bandedSignatures)
       val cfgArr = array(bandsSweep.sorted.map(b =>
@@ -546,7 +551,12 @@ object Dedup {
         .withColumn("recall", when(col("n_truth") > 0,
           col("n_hit").cast(DoubleType) / col("n_truth")))
         .orderBy(col("bands"))
-      Lifetime.seal(result, pairs, truth, pred)
+      // seal materializes the (tiny) sweep table eagerly, after which
+      // the persisted truth cache is dead — Lifetime.free only releases
+      // checkpoint blocks, so the .persist() needs its own unpersist
+      val sealed_ = Lifetime.seal(result, pairs, pred)
+      truth.unpersist(blocking = false)
+      sealed_
     } finally sigs.unpersist()
   }
 

@@ -436,16 +436,23 @@ object Graph {
     * discounts. Existing edges leave via one left-anti join; the
     * global top-k is TakeOrderedAndProject, never a full sort. */
   def adamicAdarTopK(edges: DataFrame, maxDeg: Long = 128L,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20, maxBroadcastMids: Long = 1000000L): DataFrame = {
     graft.functions.GraftFunctions.register(edges.sparkSession)
     import graft.functions.FixedLogFunctions.log2QuarterBits
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src").as("z"))
       .agg(count(lit(1)).as("deg"))
-    val mids = deg.filter(col("deg") >= 2L && col("deg") <= maxDeg)
+    val mids0 = deg.filter(col("deg") >= 2L && col("deg") <= maxDeg)
       .withColumn("qb", log2QuarterBits(lit(1L), col("deg")))
       .withColumn("w_ppb", expr("4000000000L div qb"))
-    val ze = e.join(broadcast(mids.select(col("z"), col("w_ppb"))),
+    // the middleman table is O(|V|): broadcast only under a row bound
+    // (the dropHotBuckets maxBroadcastHot rule) — at production node
+    // cardinality the hint would exceed broadcast/driver limits, so
+    // past the bound the join shuffles on z and AQE picks the strategy
+    val mids = if (mids0.count() <= maxBroadcastMids)
+      broadcast(mids0.select(col("z"), col("w_ppb")))
+    else mids0.select(col("z"), col("w_ppb"))
+    val ze = e.join(mids,
       col("src") === col("z")).select(col("z"), col("dst"), col("w_ppb"))
     val pairs = ze.as("l").join(ze.as("r"),
         col("l.z") === col("r.z") && col("l.dst") < col("r.dst"))
@@ -479,12 +486,16 @@ object Graph {
     * ~0 by construction). Closure check is one join against the edge
     * list on the (u, w) pair key; band rollup is map-combined. */
   def clusteringCoefficientBands(edges: DataFrame,
-      maxDeg: Long = 128L): DataFrame = {
+      maxDeg: Long = 128L, maxBroadcastMids: Long = 1000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src").as("z"))
       .agg(count(lit(1)).as("deg"))
-    val kept = deg.filter(col("deg") >= 2L && col("deg") <= maxDeg)
-    val ze = e.join(broadcast(kept), col("src") === col("z"))
+    val kept0 = deg.filter(col("deg") >= 2L && col("deg") <= maxDeg)
+    // same O(|V|) broadcast bound as [[adamicAdarTopK]]: hint only
+    // under the row cap, shuffle + AQE past it
+    val kept = if (kept0.count() <= maxBroadcastMids) broadcast(kept0)
+    else kept0
+    val ze = e.join(kept, col("src") === col("z"))
       .select(col("z"), col("dst"), col("deg"))
     val wedges = ze.as("l").join(ze.as("r"),
         col("l.z") === col("r.z") && col("l.dst") < col("r.dst"))

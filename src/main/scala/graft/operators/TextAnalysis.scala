@@ -220,7 +220,8 @@ object TextAnalysis {
     conf.agg(sum(col("n")).as("n_total"),
         sum(when(col("lang") === col("predicted_lang"), col("n"))
           .otherwise(0L)).as("n_agree"))
-      .crossJoin(cross)
+      .crossJoin(broadcast(cross)) // 1-row scalar frame: keep the
+      // no-unbroadcast-cartesian invariant uniform across the family
       .withColumn("p_observed",
         col("n_agree").cast(DoubleType) / col("n_total"))
       .withColumn("p_expected", col("cross_dec").cast(DoubleType) /
