@@ -2463,7 +2463,9 @@ object OracleSql {
         |  b.rank AS rank_vu, a.score AS score
         |FROM tk a JOIN tk b ON a.query_id = b.corpus_id
         |  AND a.corpus_id = b.query_id
-        |WHERE a.query_id < a.corpus_id""".stripMargin,
+        |WHERE a.query_id < a.corpus_id
+        |  AND (a.query_id IN (SELECT vec_id FROM anch)
+        |    OR a.corpus_id IN (SELECT vec_id FROM anch))""".stripMargin,
 
     // Hubness census through the IVF index: in-degree over the same
     // corpus-wide probed top-5 lists, antihubs kept via the left join,
@@ -6682,8 +6684,12 @@ object OracleSql {
     // Mutual top-5 cosine pairs: the q_sim_topk_cosine CTEs over the
     // full corpus with self-pairs excluded BEFORE ranking, then the
     // swapped-key self-join keeps only reciprocal pairs.
-    "q_sim_mutual" ->
-      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1)
+    "q_sim_mutual_anchored" ->
+      """WITH anch AS (SELECT vec_id FROM embeddings
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 4294967296,
+        |    vec_id
+        |  LIMIT 256),
+        |el AS (SELECT vec_id, generate_subscripts(embedding, 1)
         |      AS i,
         |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6))
         |      AS x FROM embeddings),
@@ -6708,7 +6714,9 @@ object OracleSql {
         |  b.rank AS rank_vu, a.score AS score
         |FROM tk a JOIN tk b ON a.query_id = b.corpus_id
         |  AND a.corpus_id = b.query_id
-        |WHERE a.query_id < a.corpus_id""".stripMargin,
+        |WHERE a.query_id < a.corpus_id
+        |  AND (a.query_id IN (SELECT vec_id FROM anch)
+        |    OR a.corpus_id IN (SELECT vec_id FROM anch))""".stripMargin,
 
     // Memorization census over per-doc-distinct 8-word shingles:
     // type and mass shares sitting in repeated shingles.
@@ -6965,8 +6973,12 @@ object OracleSql {
 
     // TwoNN intrinsic dimension: exact q12 pairwise d^2, per-point
     // 1st/2nd NN, shifted quarter-bit log ratios, frozen ln2.
-    "q_embed_intrinsic_dim" ->
-      """WITH el AS (SELECT vec_id AS vid,
+    "q_embed_intrinsic_dim_anchored" ->
+      """WITH anch AS (SELECT vec_id FROM embeddings
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 4294967296,
+        |    vec_id
+        |  LIMIT 256),
+        |el AS (SELECT vec_id AS vid,
         |    generate_subscripts(embedding, 1) AS i,
         |    CAST(CAST(CAST(unnest(embedding) AS DOUBLE)
         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
@@ -6976,6 +6988,7 @@ object OracleSql {
         |dots AS (SELECT a.vid AS vid, b.vid AS ovid,
         |    CAST(SUM(a.x * b.x) AS BIGINT) AS dotl
         |  FROM el a JOIN el b ON a.i = b.i AND a.vid <> b.vid
+        |  WHERE a.vid IN (SELECT vec_id FROM anch)
         |  GROUP BY 1, 2),
         |d2 AS (SELECT dots.vid, ovid,
         |    CAST(na.nn + nb.nn - 2 * dotl AS BIGINT) AS d2q
@@ -7023,8 +7036,12 @@ object OracleSql {
 
     // kNN-graph hubness: the full-corpus top-5 CTEs, in-degree
     // rollup, antihubs kept at 0, top-20 by (in_degree desc, vid).
-    "q_sim_hubness" ->
-      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1)
+    "q_sim_hubness_anchored" ->
+      """WITH anch AS (SELECT vec_id FROM embeddings
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 4294967296,
+        |    vec_id
+        |  LIMIT 256),
+        |el AS (SELECT vec_id, generate_subscripts(embedding, 1)
         |      AS i,
         |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,6))
         |      AS x FROM embeddings),
@@ -7036,7 +7053,8 @@ object OracleSql {
         |    CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE)
         |      AS dot
         |  FROM el q JOIN el c ON q.i = c.i
-        |  WHERE q.vec_id <> c.vec_id GROUP BY 1, 2),
+        |  WHERE q.vec_id <> c.vec_id
+        |    AND q.vec_id IN (SELECT vec_id FROM anch) GROUP BY 1, 2),
         |sc AS (SELECT query_id, corpus_id,
         |    dot / (nq.nrm * nc.nrm) AS score
         |  FROM s JOIN norms nq ON nq.vec_id = query_id

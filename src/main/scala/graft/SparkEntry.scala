@@ -1444,13 +1444,18 @@ object SparkEntry {
     Stats.theilSenSlope(daily, "x", "y")
   }
 
-  /** TwoNN intrinsic dimension of the embedding corpus: exact q12
-    * neighbor-distance ratios through the shifted quarter-bit log —
-    * how many dimensions the data actually occupies. */
-  private def qEmbedIntrinsicDim(spark: SparkSession,
+  /** TwoNN intrinsic dimension over a FIXED 256-anchor exact sample:
+    * each anchor's exact q12 1st/2nd-neighbor distance ratio against
+    * the FULL corpus, folded through the shifted quarter-bit log —
+    * how many dimensions the data actually occupies. Exact ground-
+    * truth arm with a 100×-safe O(budget·n) plan (the unregistered
+    * [[graft.operators.Embeddings.intrinsicDimension]] is the
+    * unbounded all-pairs baseline); [[qEmbedIntrinsicDimAnn]] is the
+    * index-served form. */
+  private def qEmbedIntrinsicDimAnchored(spark: SparkSession,
       dir: String): DataFrame =
-    graft.operators.Embeddings.intrinsicDimension(emb(spark, dir),
-      "vec_id", "embedding")
+    graft.operators.Embeddings.intrinsicDimensionAnchored(
+      emb(spark, dir), "vec_id", "embedding", anchorBudget = 256)
 
   /** Nearest-centroid confusion matrix over the labeled embeddings:
     * which label pairs are systematically confusable — the label-
@@ -1492,20 +1497,29 @@ object SparkEntry {
     graft.operators.Embeddings.normProfile(emb(spark, dir), "vec_id",
       "label", "embedding")
 
-  /** kNN-graph hubness census: top-20 in-degree vectors over the
-    * top-5 cosine lists — the hub/antihub distortion [[qSimMutual]]'s
-    * reciprocity filter removes, quantified. */
-  private def qSimHubness(spark: SparkSession, dir: String): DataFrame =
-    Similarity.hubnessCensus(emb(spark, dir), "vec_id", "embedding",
-      k = 5, topHubs = 20)
+  /** kNN-graph hubness census over a FIXED 256-anchor exact sample:
+    * top-20 sampled in-degree vectors over the anchors' exact
+    * full-corpus top-5 cosine lists — the hub/antihub distortion
+    * [[qSimMutualAnchored]]'s reciprocity filter removes, quantified.
+    * Exact ground-truth arm with a 100×-safe O(budget·n) plan (the
+    * unregistered [[Similarity.hubnessCensus]] is the unbounded
+    * all-pairs baseline it samples); [[qSimHubnessIvf]] is the
+    * index-served form. */
+  private def qSimHubnessAnchored(spark: SparkSession,
+      dir: String): DataFrame =
+    Similarity.hubnessCensusAnchored(emb(spark, dir), "vec_id",
+      "embedding", k = 5, topHubs = 20, anchorBudget = 256)
 
-  /** Mutual top-5 cosine pairs over the embedding corpus: both sides
-    * rank each other — the hubness-robust near-dup candidate filter;
-    * exact quantized dots, deterministic ranks. Brute-force exact
-    * baseline — [[qSimMutualIvf]] is the scale form. */
-  private def qSimMutual(spark: SparkSession, dir: String): DataFrame =
-    Similarity.mutualTopK(emb(spark, dir), "vec_id", "embedding",
-      k = 5)
+  /** Mutual top-5 cosine pairs with at least one endpoint in a FIXED
+    * 256-anchor sample: both ranks come from exact full-corpus lists
+    * (per-pair semantics identical to the brute mutual), the anchor
+    * set only bounds which pairs are audited — the exact ground-truth
+    * arm with a 100×-safe O(budget·k·n) plan. [[qSimMutualIvf]] is the
+    * index-served form. */
+  private def qSimMutualAnchored(spark: SparkSession,
+      dir: String): DataFrame =
+    Similarity.mutualTopKAnchored(emb(spark, dir), "vec_id",
+      "embedding", k = 5, anchorBudget = 256)
 
   /** [[qSimMutual]] through the refined IVF index — the 100 TB form:
     * kNN lists from a corpus-wide nprobe=2 self-probe (candidates
@@ -2507,7 +2521,7 @@ object SparkEntry {
     "q_stat_qq" -> (qStatQq _),
     "q_stat_runs" -> (qStatRuns _),
     "q_rate_breaches" -> (qRateBreaches _),
-    "q_sim_mutual" -> (qSimMutual _),
+    "q_sim_mutual_anchored" -> (qSimMutualAnchored _),
     "q_text_memorization" -> (qTextMemorization _),
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_text_distinctive" -> (qTextDistinctive _),
@@ -2517,9 +2531,9 @@ object SparkEntry {
     "q_repeat_bands" -> (qRepeatBands _),
     "q_stat_levene" -> (qStatLevene _),
     "q_series_theilsen" -> (qSeriesTheilsen _),
-    "q_embed_intrinsic_dim" -> (qEmbedIntrinsicDim _),
+    "q_embed_intrinsic_dim_anchored" -> (qEmbedIntrinsicDimAnchored _),
     "q_basket_sizes" -> (qBasketSizes _),
-    "q_sim_hubness" -> (qSimHubness _),
+    "q_sim_hubness_anchored" -> (qSimHubnessAnchored _),
     "q_sim_mutual_ivf" -> (qSimMutualIvf _),
     "q_sim_hubness_ivf" -> (qSimHubnessIvf _),
     "q_embed_intrinsic_dim_ann" -> (qEmbedIntrinsicDimAnn _),

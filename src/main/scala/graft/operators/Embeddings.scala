@@ -442,6 +442,46 @@ object Embeddings {
     twoNNEstimate(d2)
   }
 
+  /** [[intrinsicDimension]] under a FIXED ANCHOR BUDGET — the exact
+    * arm whose plan survives 100×: the TwoNN MLE folds the 1st/2nd-
+    * neighbor ratio of [[graft.operators.Similarity.anchorSample]]'s
+    * `anchorBudget` deterministic anchors, each scored EXACTLY against
+    * the FULL corpus (the anchors are the broadcast side — bounded —
+    * and the corpus streams once; O(budget·n), never n²). Per-anchor
+    * arithmetic (exact q12 squared distances, zero-distance drop,
+    * shifted quarter-bit log ratio) is byte-identical to the brute
+    * form; the estimator simply averages over a fixed-size exact
+    * sample of points instead of all of them — the standard
+    * sample-bounded ground-truth shape for kNN-graph audits. */
+  def intrinsicDimensionAnchored(df: DataFrame, idCol: String,
+      vecCol: String, anchorBudget: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val V = graft.functions.VectorFunctions
+    val n2 = df.select(col(idCol).as("vid"),
+        posexplode(V.quantize6(col(vecCol))).as(Seq("i", "x")))
+      .groupBy(col("vid")).agg(sum(col("x") * col("x")).as("nn"))
+    val q = df.select(col(idCol).as("vid"),
+        V.quantize6(col(vecCol)).as("qv"))
+      .join(n2, Seq("vid"))
+    // anchors (bounded) broadcast; the CORPUS side streams — the
+    // reverse of the brute form's corpus broadcast, which is the point
+    val anchors = graft.operators.Similarity
+      .anchorSample(q, "vid", anchorBudget)
+      .localCheckpoint(true)
+    val corpus = q.select(col("vid").as("ovid"), col("qv").as("ov"),
+        col("nn").as("onn"))
+      // few-split corpora: spread the O(budget·n·d) kernel across
+      // cores (the intrinsicDimension rule)
+      .repartition(col("ovid"))
+    val d2 = corpus.crossJoin(broadcast(anchors))
+      .filter(col("vid") =!= col("ovid"))
+      .select(col("vid"), col("ovid"),
+        (col("nn") + col("onn") -
+          lit(2L) * round(V.dotQ12(col("qv"), col("ov")) *
+            lit(1.0e12)).cast(LongType)).as("d2q"))
+    twoNNEstimate(d2)
+  }
+
   /** [[intrinsicDimension]] riding the IVF index instead of the
     * all-pairs cartesian — the 100 TB registered form. The TwoNN
     * estimator only needs each point's two nearest, so each vector's

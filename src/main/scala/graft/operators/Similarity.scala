@@ -183,6 +183,97 @@ object Similarity {
     hubnessFrom(idx.cells.select(col("corpus_id").as("vid")),
       ivfSelfTopKFromIndex(idx, k, nprobe), topHubs)
 
+  /** Deterministic FIXED-BUDGET anchor sample: the `budget` rows whose
+    * id hashes smallest under the Knuth multiplicative mix
+    * `((id mod 2³¹−1) · 2654435761) mod 2³²` (ties by id). The pick is
+    * a pure function of the id column — engine-reproducible by any SQL
+    * oracle, stable across partitionings, and O(n) with a size-`budget`
+    * heap (`TakeOrderedAndProject`), never a global sort. All operands
+    * stay under 2⁶³ for any BIGINT id (ANSI-safe), and `pmod` keeps
+    * negative ids lawful.
+    *
+    * This is the standard anchor bound for exact kNN-graph ground
+    * truths at scale: score a FIXED number of anchor queries against
+    * the FULL corpus — O(budget·n) with an exact answer per anchor —
+    * instead of the O(n²) all-pairs cartesian that dies at 100×. */
+  def anchorSample(df: DataFrame, idCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"anchorSample: budget must be positive ($budget)")
+    df.withColumn("anchor_h",
+        pmod(pmod(col(idCol).cast(LongType), lit(2147483647L)) *
+          lit(2654435761L), lit(4294967296L)))
+      .orderBy(col("anchor_h"), col(idCol))
+      .limit(budget)
+      .drop("anchor_h")
+  }
+
+  /** [[mutualTopK]] under a FIXED ANCHOR BUDGET — the exact-arm form
+    * whose plan survives 100×: each [[anchorSample]] anchor's top-k is
+    * scored exactly against the FULL corpus (bounded broadcast of
+    * `budget` queries, one corpus scan), then the reciprocity check
+    * needs the anchors' neighbors' own exact lists — at most
+    * `budget·k` further bounded queries, a second O(budget·k·n) pass.
+    * Emitted pairs are EXACTLY the brute [[mutualTopK]] pairs with at
+    * least one anchored endpoint: per-pair semantics are untouched
+    * (both ranks come from full-corpus lists); the anchor set only
+    * bounds WHICH pairs are audited — the standard sampled ground
+    * truth that keeps recall audits exact at any corpus size. */
+  def mutualTopKAnchored(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, anchorBudget: Int = 256): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol))
+    // tiny (budget rows / budget·k rows); both feed two consumers —
+    // checkpoint so the corpus-sized passes run once each
+    val anchors = anchorSample(base, idCol, anchorBudget)
+      .localCheckpoint(true)
+    val tkA = bruteForceTopK(anchors, idCol, vecCol, df, idCol, vecCol,
+      k, cosine = true, excludeSelf = true).localCheckpoint(true)
+    val nbrIds = tkA.select(col("corpus_id").as(idCol)).distinct()
+      .join(anchors.select(col(idCol)), Seq(idCol), "left_anti")
+    val nbrs = base.join(nbrIds, Seq(idCol), "left_semi")
+    val tkN = bruteForceTopK(nbrs, idCol, vecCol, df, idCol, vecCol,
+      k, cosine = true, excludeSelf = true)
+    // anchor lists ∪ neighbor lists (disjoint query sets by the
+    // anti-join) = an exact full-corpus top-k list for every id that
+    // can appear in an anchored mutual pair
+    val lists = tkA.unionByName(tkN)
+    val a = tkA.select(col("query_id").as("u"),
+      col("corpus_id").as("v"), col("rank").as("rank_uv"),
+      col("score").as("score"))
+    val b = lists.select(col("query_id").as("v"),
+      col("corpus_id").as("u"), col("rank").as("rank_vu"))
+    val m = a.join(b, Seq("u", "v"))
+    // canonicalize to u < v; a both-anchored pair arrives once from
+    // each direction with identical columns (the quantized cosine is
+    // exactly symmetric) — dropDuplicates keeps one
+    m.select(
+        least(col("u"), col("v")).as("cu"),
+        greatest(col("u"), col("v")).as("cv"),
+        when(col("u") < col("v"), col("rank_uv"))
+          .otherwise(col("rank_vu")).as("rank_uv"),
+        when(col("u") < col("v"), col("rank_vu"))
+          .otherwise(col("rank_uv")).as("rank_vu"),
+        col("score"))
+      .withColumnsRenamed(Map("cu" -> "u", "cv" -> "v"))
+      .dropDuplicates("u", "v")
+  }
+
+  /** [[hubnessCensus]] under a FIXED ANCHOR BUDGET: the in-degree
+    * table of the SAMPLED kNN graph — each anchor's exact full-corpus
+    * top-k contributes k in-degree votes, so `in_degree` is the exact
+    * count of ANCHORS listing each vector (the standard fixed-probe
+    * estimator of hub mass; the full census is `n/budget`-scaled in
+    * expectation). The id universe stays the whole corpus, so antihubs
+    * surface as 0 exactly as in the brute form; plan cost is one
+    * bounded broadcast, one corpus scan, one rollup — O(budget·n). */
+  def hubnessCensusAnchored(df: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, topHubs: Int = 20,
+      anchorBudget: Int = 256): DataFrame = {
+    val anchors = anchorSample(df.select(col(idCol), col(vecCol)),
+      idCol, anchorBudget)
+    hubnessFrom(df.select(col(idCol).as("vid")),
+      bruteForceTopK(anchors, idCol, vecCol, df, idCol, vecCol,
+        k, cosine = true, excludeSelf = true), topHubs)
+  }
+
   /** SELF-kNN THROUGH THE IVF INDEX — the whole-corpus kNN-graph
     * builder that replaces the brute n² cartesian: build the refined
     * IVF index once, rank the broadcast centroid table per corpus

@@ -1667,6 +1667,62 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("rank_uv") == 1L && r.getAs[Long]("rank_vu") == 1L)
   }
 
+  test("anchored exact arms: budget >= n reproduces the brute forms; " +
+      "small budgets are exact per-pair subsets; pick is deterministic") {
+    import graft.operators.{Embeddings, Similarity}
+    val vecs = (0L until 12L).map { i =>
+      val a = (i % 3).toDouble; val b = (i / 3).toDouble
+      (i, Array((1.0 + a).toFloat, (0.3 * b).toFloat,
+        (0.1 * i).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // budget >= n: the anchor set IS the corpus — byte-identical to brute
+    assert(sorted(Similarity.mutualTopKAnchored(vecs, "vec_id",
+        "embedding", k = 3, anchorBudget = 100)) ==
+      sorted(Similarity.mutualTopK(vecs, "vec_id", "embedding", k = 3)))
+    assert(sorted(Similarity.hubnessCensusAnchored(vecs, "vec_id",
+        "embedding", k = 3, topHubs = 12, anchorBudget = 100)) ==
+      sorted(Similarity.hubnessCensus(vecs, "vec_id", "embedding",
+        k = 3, topHubs = 12)))
+    assert(Embeddings.intrinsicDimensionAnchored(vecs, "vec_id",
+        "embedding", anchorBudget = 100).collect().toSeq ==
+      Embeddings.intrinsicDimension(vecs, "vec_id", "embedding")
+        .collect().toSeq)
+    // the pick: exact budget, deterministic across invocations
+    val anchors = Similarity.anchorSample(vecs, "vec_id", 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(anchors.size == 4)
+    assert(Similarity.anchorSample(vecs, "vec_id", 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet == anchors)
+    // small budget: anchored mutual = brute mutual pairs with at least
+    // one anchored endpoint (per-pair semantics untouched)
+    val expect = Similarity.mutualTopK(vecs, "vec_id", "embedding",
+        k = 3).collect()
+      .filter(r => anchors(r.getAs[Long]("u")) || anchors(r.getAs[Long]("v")))
+      .map(_.toString).sorted.toSeq
+    assert(sorted(Similarity.mutualTopKAnchored(vecs, "vec_id",
+      "embedding", k = 3, anchorBudget = 4)) == expect)
+    // small budget: anchored hubness = in-degrees of the brute kNN
+    // graph restricted to anchor queries, universe intact
+    val tk = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        vecs, "vec_id", "embedding", k = 3, cosine = true,
+        excludeSelf = true).collect()
+      .filter(r => anchors(r.getAs[Long]("query_id")))
+    val indeg = tk.groupBy(_.getAs[Long]("corpus_id"))
+      .view.mapValues(_.length.toLong).toMap
+    val got = Similarity.hubnessCensusAnchored(vecs, "vec_id",
+        "embedding", k = 3, topHubs = 12, anchorBudget = 4).collect()
+      .map(r => r.getAs[Long]("vid") -> r.getAs[Long]("in_degree"))
+      .toMap
+    assert(got.size == 12) // full universe, antihubs at 0
+    assert(got.forall { case (vid, d) => d == indeg.getOrElse(vid, 0L) })
+    // anchored TwoNN folds exactly budget ratios (vectors all distinct)
+    assert(Embeddings.intrinsicDimensionAnchored(vecs, "vec_id",
+        "embedding", anchorBudget = 4)
+      .collect().head.getAs[Long]("n_points") == 4L)
+  }
+
   test("IVF kNN-graph forms: single-cell index reproduces the brute " +
       "forms exactly; multi-cell probe never returns self") {
     import graft.operators.{Embeddings, Similarity}

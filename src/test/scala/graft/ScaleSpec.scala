@@ -509,4 +509,41 @@ class DashboardSpec extends SparkSpec {
     assert(sk.contains("TakeOrderedAndProject") &&
       !sk.contains("SortMergeJoin"), s"skew:\n$sk")
   }
+
+  test("round-12 ops: anchored exact arms carry no unbounded cartesian") {
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan,
+      TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.GlobalLimitExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, BroadcastHashJoinExec,
+      SortMergeJoinExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    // a broadcast side is BOUNDED when its subtree pins a fixed-budget
+    // pick (TakeOrdered / limit), scans an already-bounded checkpoint,
+    // or semi-joins the corpus against such a bounded id set
+    def bounded(p: SparkPlan): Boolean = p.collectFirst {
+      case _: TakeOrderedAndProjectExec => ()
+      case _: GlobalLimitExec => ()
+      case _: RDDScanExec => ()
+      case j: BroadcastHashJoinExec if j.joinType == LeftSemi => ()
+      case j: SortMergeJoinExec if j.joinType == LeftSemi => ()
+    }.isDefined
+    Seq("q_sim_mutual_anchored", "q_sim_hubness_anchored",
+        "q_embed_intrinsic_dim_anchored").foreach { q =>
+      val plan = graft.SparkEntry.queries(q)(spark,
+        "/root/testdata/sf0.001").queryExecution.executedPlan
+      assert(!plan.toString.contains("CartesianProduct"), s"$q:\n$plan")
+      val bnljs = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnljs.nonEmpty,
+        s"$q: expected broadcast-bounded scoring joins\n$plan")
+      bnljs.foreach { j =>
+        val build = j.buildSide match {
+          case BuildRight => j.right
+          case BuildLeft => j.left
+        }
+        assert(bounded(build), s"$q: UNBOUNDED broadcast side:\n$build")
+      }
+    }
+  }
 }
