@@ -301,7 +301,10 @@ object OracleSql {
        |  FROM acc GROUP BY 1, 2)""".stripMargin
 
   /** Shared CTE chain for the Lloyd-refined IVF coarse quantizer: seed
-    * centroids (16 smallest md5_60(vec_id)), exact quantized-L2 seed
+    * centroids (the K smallest md5_60(vec_id), K = GREATEST(16,
+    * floor(sqrt(n))) when dynamic — mirroring the engine's
+    * resolveCentroids auto-sizing — or the fixed 16 for k-means-as-
+    * model queries), exact quantized-L2 seed
     * assignment (`cells0`), one k-means step (per-cell scale-6 integer
     * mean, HALF_UP via truncating integer division; empty cells keep
     * their seed), and the final assignment against the refined centroids
@@ -346,14 +349,29 @@ object OracleSql {
     * subset — the shape [[q_dedup_semantic_exact]] needs, where exact
     * dedup collapses duplicate classes to representatives before
     * clustering. `src = "embeddings"` degenerates to the whole corpus. */
-  private def ivfRefinedCellCtesOver(src: String): String =
+  private def ivfRefinedCellCtesOver(src: String,
+      dynamicK: Boolean = true): String = {
+    // the coarse-quantizer size: AUTO (GREATEST(16, floor(sqrt(n))) over
+    // the SAME restricted corpus the engine counts) for the ANN index
+    // queries, or the caller's fixed K for k-means-as-model queries
+    val centSql =
+      if (dynamicK)
+        s"""nk AS MATERIALIZED (SELECT GREATEST(16, CAST(floor(sqrt(
+      |      CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS k FROM $src),
+      |cent AS MATERIALIZED (SELECT vec_id FROM (SELECT r.vec_id,
+      |    row_number() OVER (ORDER BY
+      |      ('0x' || substring(md5(CAST(r.vec_id AS VARCHAR)), 1, 15))
+      |        ::BIGINT, r.vec_id) AS crn
+      |  FROM $src r) CROSS JOIN nk WHERE crn <= nk.k),"""
+      else
+        s"""cent AS (SELECT r.vec_id FROM $src r
+      |  ORDER BY ('0x' || substring(md5(CAST(r.vec_id AS VARCHAR)), 1, 15))
+      |    ::BIGINT, r.vec_id
+      |  LIMIT 16),"""
     s"""el AS (SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS i,
       |    CAST(CAST(unnest(e.embedding) AS DOUBLE) AS DECIMAL(18,6)) AS x
       |  FROM embeddings e JOIN $src r ON e.vec_id = r.vec_id),
-      |cent AS (SELECT r.vec_id FROM $src r
-      |  ORDER BY ('0x' || substring(md5(CAST(r.vec_id AS VARCHAR)), 1, 15))
-      |    ::BIGINT, r.vec_id
-      |  LIMIT 16),
+      |$centSql
       |sq AS (SELECT vec_id,
       |    CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS s2
       |  FROM el GROUP BY 1),
@@ -390,8 +408,15 @@ object OracleSql {
       |cells AS (SELECT vid, cid FROM asg
       |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cid) = 1)"""
       .stripMargin
+  }
 
   private val ivfRefinedCellCtes: String = ivfRefinedCellCtesOver("embeddings")
+
+  /** The fixed-K (16) variant — for the k-means-as-MODEL queries
+    * (q_embed_kmeans / q_embed_silhouette), where K is the caller's
+    * clustering choice, not an index size to scale with n. */
+  private val ivfRefinedCellCtesK16: String =
+    ivfRefinedCellCtesOver("embeddings", dynamicK = false)
 
   /** The hierarchical one-split chain + in-leaf cosine verification of
     * q_dedup_semantic_split (maxCell = 120, splitFanout = 4,
@@ -866,7 +891,7 @@ object OracleSql {
         |JOIN norms nb ON nb.label = d.label_b""".stripMargin,
 
     "q_embed_kmeans" ->
-      s"""WITH $ivfRefinedCellCtes,
+      s"""WITH $ivfRefinedCellCtesK16,
          |mem AS (SELECT c.cid, a.d2 FROM cells c
          |  JOIN asg a ON a.vid = c.vid AND a.cid = c.cid),
          |st AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
@@ -885,7 +910,7 @@ object OracleSql {
     // final conversion to 9e7 members), the exact Spark op order
     // (decimal sum -> double -> / n).
     "q_embed_silhouette" ->
-      s"""WITH $ivfRefinedCellCtes,
+      s"""WITH $ivfRefinedCellCtesK16,
          |two AS (SELECT vid, cid, d2,
          |    row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
          |  FROM asg),
@@ -2402,7 +2427,7 @@ object OracleSql {
         |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
         |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 14""".stripMargin,
 
-    // IVF with one Lloyd refinement round: 16 seed centroids (smallest
+    // IVF with one Lloyd refinement round: auto-K seed centroids (smallest
     // md5_60(vec_id)), exact quantized-L2 seed assignment, then each
     // centroid moves to its cell's per-dimension mean — the sum of
     // scale-6 unscaled values, divided HALF_UP by pure integer
@@ -2463,9 +2488,7 @@ object OracleSql {
         |  b.rank AS rank_vu, a.score AS score
         |FROM tk a JOIN tk b ON a.query_id = b.corpus_id
         |  AND a.corpus_id = b.query_id
-        |WHERE a.query_id < a.corpus_id
-        |  AND (a.query_id IN (SELECT vec_id FROM anch)
-        |    OR a.corpus_id IN (SELECT vec_id FROM anch))""".stripMargin,
+        |WHERE a.query_id < a.corpus_id""".stripMargin,
 
     // Hubness census through the IVF index: in-degree over the same
     // corpus-wide probed top-5 lists, antihubs kept via the left join,
@@ -2561,7 +2584,7 @@ object OracleSql {
         |      CAST(SUM(CAST(q.x * c.x AS DECIMAL(25,12))) AS DOUBLE)
         |        AS score
         |    FROM el q JOIN el c ON q.i = c.i
-        |    WHERE q.vec_id < 10 GROUP BY 1, 2)
+        |    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id GROUP BY 1, 2)
         |  QUALIFY row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, corpus_id) <= 5),
         |pall AS (SELECT vid AS query_id, cid,
@@ -2571,7 +2594,8 @@ object OracleSql {
         |np AS (SELECT np FROM (VALUES (1), (2), (4), (8)) t(np)),
         |cand AS (SELECT np.np, p.query_id, cells.vid AS corpus_id
         |  FROM np JOIN pall p ON p.prank <= np.np
-        |  JOIN cells ON cells.cid = p.cid),
+        |  JOIN cells ON cells.cid = p.cid
+        |  WHERE cells.vid <> p.query_id),
         |cc AS (SELECT np,
         |    CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
         |    CAST(COUNT(*) AS BIGINT) AS n_candidates
@@ -3965,7 +3989,7 @@ object OracleSql {
          |  CASE WHEN se > 0.0 THEN (rate_a - rate_b) / se END AS z
          |FROM s""".stripMargin,
 
-    // IVF cell balance over the refined (K=16, 1 Lloyd round) cells —
+    // IVF cell balance over the refined (auto-K, 1 Lloyd round) cells —
     // the same `cells` CTE as q_sim_ivf; imbalance = max / mean in the
     // engine's division order.
     "q_sim_ivf_balance" ->
@@ -3976,11 +4000,11 @@ object OracleSql {
         |    CAST(SUM(n) AS BIGINT) AS n_vectors,
         |    MIN(n) AS min_cell, MAX(n) AS max_cell
         |  FROM sz)
-        |SELECT n_cells, 16 - n_cells AS n_empty, n_vectors, min_cell,
+        |SELECT n_cells, nk.k - n_cells AS n_empty, n_vectors, min_cell,
         |  max_cell, CAST(n_vectors AS DOUBLE) / n_cells AS mean_cell,
         |  CAST(max_cell AS DOUBLE)
         |    / (CAST(n_vectors AS DOUBLE) / n_cells) AS imbalance
-        |FROM agg""".stripMargin,
+        |FROM agg CROSS JOIN nk""".stripMargin,
 
     // Time-weighted average (TimescaleDB time_weight LOCF): value·Δµs
     // as exact decimal sums; ONE double division at the end; ties by

@@ -994,7 +994,7 @@ object SparkEntry {
     Similarity.ivfRecallSweep(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
       emb(spark, dir), "vec_id", "embedding", k = 5,
-      numCentroids = 16, refineRounds = 1)
+      numCentroids = 0, refineRounds = 1)
 
   private def qSimTopkDot(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(
@@ -1023,7 +1023,7 @@ object SparkEntry {
 
   private def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
     val idx = Similarity.writeIvfIndex(emb(spark, dir), "vec_id", "embedding",
-      indexDir("ivf", dir), numCentroids = 16, refineRounds = 1)
+      indexDir("ivf", dir), numCentroids = 0, refineRounds = 1)
     Similarity.probeIvf(idx,
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, nprobe = 2)
@@ -1034,7 +1034,7 @@ object SparkEntry {
     * selection. */
   private def qPrunePrototypes(spark: SparkSession, dir: String): DataFrame =
     Similarity.prunePrototypes(emb(spark, dir), "vec_id", "embedding",
-      numCentroids = 16, refineRounds = 1, keepPerCell = 20)
+      numCentroids = 0, refineRounds = 1, keepPerCell = 20)
 
   /** Contrastive hard-negative mining: for the first 10 anchors, the 5
     * most-similar vectors with a different label, candidates drawn from
@@ -1042,7 +1042,7 @@ object SparkEntry {
   private def qSimHardneg(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding",
-      numCentroids = 16, refineRounds = 1)
+      numCentroids = 0, refineRounds = 1)
     Similarity.hardNegativesIvf(idx, e, "vec_id", "label",
       e.filter(col("vec_id") < 10), "vec_id", "embedding", "label",
       k = 5, nprobe = 2)
@@ -1068,7 +1068,7 @@ object SparkEntry {
     Similarity.ivfPqTopK(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
       emb(spark, dir), "vec_id", "embedding", k = 5,
-      numCentroids = 16, refineRounds = 1, nprobe = 2,
+      numCentroids = 0, refineRounds = 1, nprobe = 2,
       numSubspaces = 4, numCodes = 16)
 
   /** Full IVFADC: codes quantize cell RESIDUALS, scores decompose as
@@ -1077,7 +1077,7 @@ object SparkEntry {
     Similarity.ivfPqTopK(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
       emb(spark, dir), "vec_id", "embedding", k = 5,
-      numCentroids = 16, refineRounds = 1, nprobe = 2,
+      numCentroids = 0, refineRounds = 1, nprobe = 2,
       numSubspaces = 4, numCodes = 16, residual = true)
 
   /** IVFADC+R: the same residual chain as [[qSimIvfPqRes]], but the
@@ -1088,7 +1088,7 @@ object SparkEntry {
     Similarity.ivfPqTopKRerank(
       emb(spark, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
       emb(spark, dir), "vec_id", "embedding", k = 5, rerank = 10,
-      numCentroids = 16, refineRounds = 1, nprobe = 2,
+      numCentroids = 0, refineRounds = 1, nprobe = 2,
       numSubspaces = 4, numCodes = 16, residual = true)
 
   private def qSimIvf2(spark: SparkSession, dir: String): DataFrame =
@@ -1103,7 +1103,7 @@ object SparkEntry {
 
   private def qDedupSemantic(spark: SparkSession, dir: String): DataFrame =
     Similarity.semanticNearDupPairs(emb(spark, dir), "vec_id", "embedding",
-      threshold = 0.25, numCentroids = 16, refineRounds = 1)
+      threshold = 0.25, numCentroids = 0, refineRounds = 1)
 
   /** [[qDedupSemantic]] with `maxCell` forced BELOW the mean cell size,
     * so the hierarchical split path (over-full cells re-clustered among
@@ -1115,7 +1115,7 @@ object SparkEntry {
     * like hot buckets. */
   private def qDedupSemanticSplit(spark: SparkSession, dir: String): DataFrame =
     Similarity.semanticNearDupPairs(emb(spark, dir), "vec_id", "embedding",
-      threshold = 0.25, numCentroids = 16, refineRounds = 1,
+      threshold = 0.25, numCentroids = 0, refineRounds = 1,
       maxCell = 120, splitFanout = 4, maxDepth = 1)
 
   /** [[qDedupSemanticSplit]] with exact (identical-vector) dedup
@@ -1127,7 +1127,7 @@ object SparkEntry {
   private def qDedupSemanticExact(spark: SparkSession, dir: String): DataFrame =
     Similarity.semanticNearDupPairsWithExact(
       emb(spark, dir), "vec_id", "embedding",
-      threshold = 0.25, numCentroids = 16, refineRounds = 1,
+      threshold = 0.25, numCentroids = 0, refineRounds = 1,
       maxCell = 120, splitFanout = 4, maxDepth = 1)
 
   // ---------------------------------------------------------- multimodal
@@ -1526,13 +1526,13 @@ object SparkEntry {
     * bounded by cell membership, never n²), the mutual join unchanged. */
   private def qSimMutualIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.mutualTopKIvf(emb(spark, dir), "vec_id", "embedding",
-      k = 5)
+      k = 5, numCentroids = 0)
 
   /** [[qSimHubness]] through the refined IVF index — the 100 TB form:
     * in-degrees censused over the kNN-graph the index actually serves. */
   private def qSimHubnessIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.hubnessCensusIvf(emb(spark, dir), "vec_id", "embedding",
-      k = 5, topHubs = 20)
+      k = 5, topHubs = 20, numCentroids = 0)
 
   /** [[qEmbedIntrinsicDim]] through the refined IVF index — the 100 TB
     * form: each point's two nearest drawn from its nprobe=2 probed
@@ -1540,7 +1540,7 @@ object SparkEntry {
   private def qEmbedIntrinsicDimAnn(spark: SparkSession,
       dir: String): DataFrame =
     graft.operators.Embeddings.intrinsicDimensionIvf(emb(spark, dir),
-      "vec_id", "embedding")
+      "vec_id", "embedding", numCentroids = 0)
 
   /** Memorization-risk census: the share of 8-word shingle types and
     * mass repeated across documents — the verbatim-regurgitation
@@ -2068,11 +2068,11 @@ object SparkEntry {
     Warehouse.abTestConversion(events(spark, dir), "user_id",
       "event_type", conversionType = "purchase", salt = "exp1")
 
-  /** IVF cell-balance audit of the registry's refined (K=16, 1 Lloyd
-    * round) index config. */
+  /** IVF cell-balance audit of the registry's refined index config
+    * (auto-sized K = max(16, ⌊√n⌋), 1 Lloyd round). */
   private def qSimIvfBalance(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfCellBalance(t(spark, dir, "embeddings"), "vec_id",
-      "embedding", numCentroids = 16, refineRounds = 1)
+      "embedding", numCentroids = 0, refineRounds = 1)
 
   /** Time-weighted average of events.value per event type (LOCF
     * weighting — TimescaleDB `time_weight`/`average` semantics). */

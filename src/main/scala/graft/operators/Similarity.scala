@@ -789,14 +789,33 @@ object Similarity {
           col("n_members").cast(DoubleType)).as("silhouette"))
   }
 
+  /** Resolve the coarse-quantizer size: a positive `numCentroids` is
+    * taken verbatim; the `0` sentinel AUTO-SIZES to `max(16, ⌊√n⌋)` —
+    * the standard IVF rule that keeps BOTH the centroid ranking
+    * (O(n·K)) and the per-cell candidate mass (O(n²·nprobe/K)) at
+    * O(n^1.5), instead of the fixed-K shape whose candidate lists grow
+    * linearly in n (the 10× rehearsal measured exactly that:
+    * `q_sim_mutual_ivf` 6.1× at 10× rows under K=16). One cheap
+    * count() at index build; `floor(sqrt(n))` of an exact BIGINT is
+    * IEEE-identical cross-engine, so the oracle mirrors the sizing. */
+  def resolveCentroids(corpus: DataFrame, numCentroids: Int): Int = {
+    require(numCentroids >= 0,
+      s"numCentroids must be >= 0 (0 = auto ~ sqrt(n)), got $numCentroids")
+    if (numCentroids > 0) numCentroids
+    else math.max(16,
+      math.floor(math.sqrt(corpus.count().toDouble)).toInt)
+  }
+
   /** In-memory (lazy) IVF index — the one-shot [[ivfTopK]] path.
     * `refineRounds` Lloyd rounds ([[ivfRefine]]) between seeding and the
     * final assignment; each round is one corpus pass, so the default for
-    * ad-hoc probes is 0 and index builders opt in. */
+    * ad-hoc probes is 0 and index builders opt in. `numCentroids = 0`
+    * auto-sizes K ≈ √n ([[resolveCentroids]]). */
   def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
       numCentroids: Int = 16, refineRounds: Int = 0): IvfIndex = {
     registered(corpus)
-    val seed = ivfCentroids(corpus, corpusId, corpusVec, numCentroids)
+    val seed = ivfCentroids(corpus, corpusId, corpusVec,
+      resolveCentroids(corpus, numCentroids))
     val cent = (1 to refineRounds).foldLeft(seed) { (c, _) =>
       ivfRefine(corpus, corpusId, corpusVec, c)
     }
@@ -813,7 +832,8 @@ object Similarity {
       dir: String, numCentroids: Int = 16, refineRounds: Int = 0): IvfIndex = {
     registered(corpus)
     val spark = corpus.sparkSession
-    val seed = ivfCentroids(corpus, corpusId, corpusVec, numCentroids)
+    val seed = ivfCentroids(corpus, corpusId, corpusVec,
+      resolveCentroids(corpus, numCentroids))
     (1 to refineRounds).foldLeft(seed) { (c, _) =>
         ivfRefine(corpus, corpusId, corpusVec, c)
       }
@@ -1195,14 +1215,15 @@ object Similarity {
   def ivfCellBalance(corpus: DataFrame, corpusId: String,
       corpusVec: String, numCentroids: Int = 16,
       refineRounds: Int = 0): DataFrame = {
-    val idx = buildIvfIndex(corpus, corpusId, corpusVec, numCentroids,
+    val k = resolveCentroids(corpus, numCentroids)
+    val idx = buildIvfIndex(corpus, corpusId, corpusVec, k,
       refineRounds)
     idx.cells.groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_cells"),
         sum(col("n")).as("n_vectors"),
         min(col("n")).as("min_cell"),
         max(col("n")).as("max_cell"))
-      .withColumn("n_empty", lit(numCentroids.toLong) - col("n_cells"))
+      .withColumn("n_empty", lit(k.toLong) - col("n_cells"))
       .withColumn("mean_cell",
         col("n_vectors").cast(DoubleType) / col("n_cells"))
       .withColumn("imbalance",
@@ -1580,8 +1601,12 @@ object Similarity {
     val idx0 = buildIvfIndex(corpus, corpusId, corpusVec, numCentroids,
       refineRounds)
     val idx = IvfIndex(idx0.centroids, mat(idx0.cells))
+    // leave-one-out on BOTH arms: for corpus-member queries a self
+    // match would occupy a guaranteed slot in truth and candidates,
+    // inflating recall@k by up to 1/k (the sibling self-kNN audits
+    // exclude self; the sweep now matches their convention)
     val exact = mat(bruteForceTopK(queries, queryId, queryVec,
-        corpus, corpusId, corpusVec, k)
+        corpus, corpusId, corpusVec, k, excludeSelf = true)
       .select(col("query_id"), col("corpus_id")))
     val pAll = mat(queries.select(col(queryId).as("query_id"),
         V.quantize6(col(queryVec)).as("qq"))
@@ -1600,6 +1625,7 @@ object Similarity {
     val maxNp = nprobes.max
     val cand = mat(idx.cells
       .join(broadcast(pAll.filter(col("prank") <= maxNp)), Seq("cent_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("np", explode(filter(
         array(nprobes.sorted.map(n => lit(n.toLong)): _*),
         n => n >= col("prank"))))

@@ -191,4 +191,54 @@ class AdviceRegressionSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("empty edge list"), ex.getMessage)
   }
+
+  // ---- round-11 advice fixes ----
+
+  test("ivfRecallSweep: leave-one-out on both arms — a corpus-member " +
+      "query's own row never pads truth or candidates") {
+    // 8 corpus vectors, queries = the corpus: with self-inclusion the
+    // old sweep counted 8·8 candidates at full probe and every query's
+    // rank-1 "hit" was itself; leave-one-out counts 8·7 and recall is
+    // still exactly 10^6 (truth excludes self too)
+    val vecs = (0L until 8L).map(i =>
+        (i, Array((i % 3).toFloat, (i % 5).toFloat, 1.0f, 0.1f * i)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.ivfRecallSweep(vecs, "vec_id", "embedding",
+        vecs, "vec_id", "embedding", k = 2, numCentroids = 2,
+        refineRounds = 1, nprobes = Seq(2))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_candidates") == 8L * 7L,
+      s"self rows leaked into candidates: ${rows.head}")
+    assert(rows.head.getAs[Long]("recall_ppm") == 1000000L, rows.head)
+  }
+
+  test("adamicAdarTopK/clusteringCoefficientBands: the O(|V|) middleman " +
+      "broadcast is bounded — identical results past the row cap") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L),
+        (3L, 2L), (3L, 4L), (4L, 3L), (4L, 1L), (1L, 4L))
+      .toDF("src", "dst")
+    def strs(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    // cap 0 forces the shuffle path; results must be byte-identical
+    assert(strs(Graph.adamicAdarTopK(edges, maxBroadcastMids = 0L)) ==
+      strs(Graph.adamicAdarTopK(edges)))
+    assert(strs(Graph.clusteringCoefficientBands(edges,
+        maxBroadcastMids = 0L)) ==
+      strs(Graph.clusteringCoefficientBands(edges)))
+  }
+
+  test("buildIvfIndex: numCentroids = 0 auto-sizes K to max(16, floor " +
+      "sqrt n) — the fixed-K candidate blowup guard") {
+    val vecs = (0L until 500L).map(i =>
+        (i, Array((i % 7).toFloat, (i % 11).toFloat, 1.0f, 0.01f * i)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.resolveCentroids(vecs, 0) == 22) // floor(sqrt(500))
+    assert(Similarity.resolveCentroids(vecs, 5) == 5)  // explicit wins
+    assert(Similarity.resolveCentroids(vecs.limit(10), 0) == 16) // floor
+    val idx = Similarity.buildIvfIndex(vecs, "vec_id", "embedding",
+      numCentroids = 0, refineRounds = 1)
+    assert(idx.centroids.count() == 22L)
+    assert(idx.cells.count() == 500L)
+  }
 }

@@ -1782,9 +1782,12 @@ class SimilaritySpec extends SparkSpec {
     assert(cands == cands.sorted, s"candidates not monotone: $cands")
     assert(recs == recs.sorted, s"recall not monotone: $recs")
     // probing every cell IS exact search: recall_ppm = 10^6 and the
-    // candidate set is the whole corpus per query
+    // candidate set is the whole corpus per query MINUS the query's
+    // own row — the sweep is leave-one-out on both arms (the advice-
+    // round fix: a self match inflated recall@k by up to 1/k)
     assert(recs.last == 1000000L, s"full probe must be exact: $recs")
-    assert(cands.last == 24L * 4L, s"full probe scores all pairs: $cands")
+    assert(cands.last == 23L * 4L,
+      s"full probe scores all non-self pairs: $cands")
   }
 
   test("kmeansSummary: exact sizes/inertia, drained clusters report zero") {
