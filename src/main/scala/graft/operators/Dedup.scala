@@ -942,7 +942,8 @@ object Dedup {
   def ngramJaccardPairsPrefix(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, threshold: Double,
-      maxDocFreq: Long = 10000L): DataFrame = {
+      maxDocFreq: Long = 10000L,
+      minUniverseRatio: Double = 2.0): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // Prefix filtering is lossless under ANY global total order of the
     // shingle universe. Ordering by the shingle's md5_60 (instead of the
@@ -958,6 +959,32 @@ object Dedup {
           .wordShingles(col(textCol), shingleWords).as("sh_arr"))
       .withColumn("set_size", size(col("sh_arr")).cast(LongType))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // WIDTH CONTRACT — enforced, not just documented: prefix filtering
+    // is only sub-quadratic when the shingle UNIVERSE is much larger
+    // than the corpus; on a saturated space (universe ≲ corpus) every
+    // prefix bucket is corpus-hot and the lossless candidate set
+    // degenerates toward all-pairs (the sf1 rehearsal measured a heap
+    // OOM at shingleWords = 3 over a 31-word vocabulary, SCALE.md).
+    // Both counts are one cheap pass over the persisted base (the
+    // distinct count is an HLL sketch, map-combined); the guard REFUSES
+    // with the fix in the message instead of dying mid-shuffle.
+    // `minUniverseRatio <= 0` opts out for corpora known to be safe.
+    if (minUniverseRatio > 0) {
+      val nDocs = base.count()
+      val universe = base.select(explode(col("sh_arr")).as("sh"))
+        .agg(approx_count_distinct(col("sh"), 0.02).as("n_shingles"))
+        .head().getLong(0)
+      if (universe < minUniverseRatio * nDocs) {
+        base.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          "ngramJaccardPairsPrefix: saturated shingle space — ~" +
+            s"$universe distinct $shingleWords-word shingles over " +
+            s"$nDocs docs (ratio < $minUniverseRatio): prefix buckets " +
+            "degenerate toward all-pairs candidates at this width. " +
+            "Widen shingleWords so the universe >> corpus, or pass " +
+            "minUniverseRatio <= 0 to override.")
+      }
+    }
     // Threshold as an EXACT decimal (the double's shortest repr): all
     // prefix-length and filter arithmetic below is decimal×long — a
     // double ceil(t·|A|) can round an exact integer product upward and

@@ -1172,6 +1172,31 @@ class DedupSpec extends SparkSpec {
     assert(cold == exact)
   }
 
+  test("prefix filter REFUSES a saturated shingle space (width " +
+      "contract enforced, not just documented)") {
+    import spark.implicits._
+    // 120 docs over a 4-word vocabulary at shingleWords = 1: the
+    // universe (4) is nowhere near the corpus — exactly the sf1
+    // rehearsal pathology that heap-OOMed the w=3 form mid-shuffle.
+    // The guard must refuse BEFORE the pair expansion, name the
+    // counts, and point at the fix.
+    val sat = (0 until 120).map { i =>
+      (i.toLong, Seq("big", "data", "dup", "row")
+        .map(w => Seq(w, w, w)((i + w.length) % 3)).mkString(" "))
+    }.toDF("id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairsPrefix(sat, "id", "text",
+        shingleWords = 1, threshold = 0.5).count()
+    }
+    assert(ex.getMessage.contains("saturated shingle space"),
+      ex.getMessage)
+    assert(ex.getMessage.contains("Widen shingleWords"), ex.getMessage)
+    // the documented override runs the same corpus to completion
+    assert(Dedup.ngramJaccardPairsPrefix(sat, "id", "text",
+      shingleWords = 1, threshold = 0.5,
+      minUniverseRatio = 0.0).count() >= 0L)
+  }
+
   test("minhashBandSweep: nested candidates, monotone frontier, and " +
       "agreement with the single-config quality eval") {
     import graft.operators.Dedup
