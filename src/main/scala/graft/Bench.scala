@@ -128,7 +128,25 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED (excluded " +
         s"from total): ${failed.keys.mkString(", ")}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fq,"sf":"$sfDir","warmup":"full pass at $warmDir","passes":$passes,"aggregation":"per-query median"}""")
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fq,"sf":"$sfDir","warmup":"full pass at $warmDir","passes":$passes,"aggregation":"per-query median"}"""
+    // The full per-query table is ~6 KB at 261 queries — larger than the
+    // driver's stdout tail capture, which truncated BENCH_r11 to the
+    // last ~77 queries. So: (1) the COMPLETE JSON goes to a file the
+    // driver/judge can read directly, (2) stdout still prints the full
+    // line for humans, and (3) the LAST line is a compact summary that
+    // fits any tail capture whole (total, counts, slowest five, and the
+    // path to the full table).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
+    println(fullJson)
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"slowest":$slowest,"sf":"$sfDir","passes":$passes,"aggregation":"per-query median","detail":"$outPath"}""")
     spark.stop()
   }
 }
