@@ -519,22 +519,35 @@ class DashboardSpec extends SparkSpec {
       SortMergeJoinExec}
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     import org.apache.spark.sql.catalyst.plans.LeftSemi
+    // AQE (session-shared, order-dependent across suites) wraps the
+    // plan in AdaptiveSparkPlanExec, a LEAF node — collect() can't see
+    // inside it. Flatten through the wrapper explicitly.
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case o => o
+      }
+      inner +: inner.children.flatMap(flatten)
+    }
     // a broadcast side is BOUNDED when its subtree pins a fixed-budget
     // pick (TakeOrdered / limit), scans an already-bounded checkpoint,
     // or semi-joins the corpus against such a bounded id set
-    def bounded(p: SparkPlan): Boolean = p.collectFirst {
-      case _: TakeOrderedAndProjectExec => ()
-      case _: GlobalLimitExec => ()
-      case _: RDDScanExec => ()
-      case j: BroadcastHashJoinExec if j.joinType == LeftSemi => ()
-      case j: SortMergeJoinExec if j.joinType == LeftSemi => ()
-    }.isDefined
+    def bounded(p: SparkPlan): Boolean = flatten(p).exists {
+      case _: TakeOrderedAndProjectExec => true
+      case _: GlobalLimitExec => true
+      case _: RDDScanExec => true
+      case j: BroadcastHashJoinExec if j.joinType == LeftSemi => true
+      case j: SortMergeJoinExec if j.joinType == LeftSemi => true
+      case _ => false
+    }
     Seq("q_sim_mutual_anchored", "q_sim_hubness_anchored",
         "q_embed_intrinsic_dim_anchored").foreach { q =>
       val plan = graft.SparkEntry.queries(q)(spark,
         "/root/testdata/sf0.001").queryExecution.executedPlan
       assert(!plan.toString.contains("CartesianProduct"), s"$q:\n$plan")
-      val bnljs = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      val bnljs = flatten(plan)
+        .collect { case j: BroadcastNestedLoopJoinExec => j }
       assert(bnljs.nonEmpty,
         s"$q: expected broadcast-bounded scoring joins\n$plan")
       bnljs.foreach { j =>
