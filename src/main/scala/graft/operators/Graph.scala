@@ -442,16 +442,21 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src").as("z"))
       .agg(count(lit(1)).as("deg"))
+    // the middleman table is O(|V|): checkpoint it eagerly (ONE edges
+    // pass — the count below reads the materialized blocks, never
+    // re-deriving the edge list), then broadcast only under a row
+    // bound (the dropHotBuckets maxBroadcastHot rule) — at production
+    // node cardinality the hint would exceed broadcast/driver limits,
+    // so past the bound the join shuffles on z and AQE picks the
+    // strategy. The checkpoint stays alive inside the returned frame
+    // (the result depends on it — the mutualTopKAnchored convention).
     val mids0 = deg.filter(col("deg") >= 2L && col("deg") <= maxDeg)
       .withColumn("qb", log2QuarterBits(lit(1L), col("deg")))
       .withColumn("w_ppb", expr("4000000000L div qb"))
-    // the middleman table is O(|V|): broadcast only under a row bound
-    // (the dropHotBuckets maxBroadcastHot rule) — at production node
-    // cardinality the hint would exceed broadcast/driver limits, so
-    // past the bound the join shuffles on z and AQE picks the strategy
-    val mids = if (mids0.count() <= maxBroadcastMids)
-      broadcast(mids0.select(col("z"), col("w_ppb")))
-    else mids0.select(col("z"), col("w_ppb"))
+      .select(col("z"), col("w_ppb"))
+      .localCheckpoint(true)
+    val mids = if (mids0.count() <= maxBroadcastMids) broadcast(mids0)
+    else mids0
     val ze = e.join(mids,
       col("src") === col("z")).select(col("z"), col("dst"), col("w_ppb"))
     val pairs = ze.as("l").join(ze.as("r"),
@@ -490,9 +495,11 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src").as("z"))
       .agg(count(lit(1)).as("deg"))
+    // same O(|V|) broadcast bound as [[adamicAdarTopK]]: the apex
+    // table checkpoints eagerly (one edges pass; the count reads the
+    // blocks), hint only under the row cap, shuffle + AQE past it
     val kept0 = deg.filter(col("deg") >= 2L && col("deg") <= maxDeg)
-    // same O(|V|) broadcast bound as [[adamicAdarTopK]]: hint only
-    // under the row cap, shuffle + AQE past it
+      .localCheckpoint(true)
     val kept = if (kept0.count() <= maxBroadcastMids) broadcast(kept0)
     else kept0
     val ze = e.join(kept, col("src") === col("z"))
