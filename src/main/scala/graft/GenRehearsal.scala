@@ -12,10 +12,13 @@ import org.apache.spark.sql.SparkSession
   * mix, 20 uniform sources; embeddings are d=64 unclustered noise in
   * [-0.5, 0.5) with 10 uniform labels. All values are splitmix64
   * functions of the row id — no RNG state, no driver-side loops, and
-  * regeneration is bit-identical INCLUDING file layout: every table
-  * repartitions on a key expression (`id % 32`), so partition
-  * contents do not depend on `SPARK_GRAFT_CPUS` / upstream split
-  * count the way round-robin `repartition(32)` does.
+  * regeneration reproduces every table's ROWS bit-identically, and
+  * partition MEMBERSHIP is config-independent too (each table
+  * repartitions on a key expression, `id % 32`, where round-robin
+  * `repartition(32)` would follow the upstream split count). Row
+  * ORDER within a partition still follows map-task order, so file
+  * bytes can differ across `SPARK_GRAFT_CPUS` settings — compare by
+  * row multiset, not file hash.
   *
   * Also writes an sf1-shaped `events` table (10× sf0.1: 1 M rows,
   * 15 k users, the same 5-type mix, ~3.5 s inter-arrival from the

@@ -20,10 +20,13 @@ import org.apache.spark.sql.SparkSession
   * and read back so the Bench-style sweep between kernels cannot
   * invalidate them.
   *
-  * `runMain graft.GraphRehearsal <scale> [reps=3] [outDir]` — prints
+  * `runMain graft.GraphRehearsal <scale> [reps=4] [outDir]` — prints
   * one JSON line per kernel: `{"kernel":…,"scale":…,"edges":…,
-  * "sec":…}` (median of `reps`, first rep discarded as JIT warmup
-  * when reps > 1 — mirrors `graft.Probe`'s read-from-rep-2 rule).
+  * "sec":…}` — the MEDIAN of the post-warmup reps (rep 1 discarded
+  * as JIT warmup when reps > 1, mirroring `graft.Probe`'s
+  * read-from-rep-2 rule; the default leaves 3 measured reps so the
+  * median is a true middle element, and even measured counts take
+  * the lower middle — never the max).
   */
 object GraphRehearsal {
   private def mix(z0: Long): Long = {
@@ -35,7 +38,7 @@ object GraphRehearsal {
 
   def main(args: Array[String]): Unit = {
     val scale = if (args.length > 0) args(0).toInt else 1
-    val reps = if (args.length > 1) args(1).toInt else 3
+    val reps = if (args.length > 1) args(1).toInt else 4
     val outDir = if (args.length > 2) args(2)
       else s"${System.getProperty("java.io.tmpdir")}/graft_graph_rehearsal"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -93,7 +96,9 @@ object GraphRehearsal {
         s
       }
       val measured = if (reps > 1) times.tail else times
-      val med = measured.sorted.apply(measured.length / 2)
+      // lower-middle for even counts — a 2-element "median" must not
+      // silently become the max
+      val med = measured.sorted.apply((measured.length - 1) / 2)
       println(f"""{"kernel":"$name","scale":$scale,"edges":$nEdges,"sec":$med%.3f}""")
     }
     import graft.operators.Graph

@@ -491,13 +491,12 @@ object Dedup {
     val sigs = minhashSignatures(df, idCol, textCol, shingleWords, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // persisted: the exact all-pairs truth is the sweep's most
-      // expensive subplan and BOTH truthC and hitC consume it —
-      // without the persist the brute pass can execute twice unless
-      // exchange reuse happens to fire (released via Lifetime.seal)
+      // no persist needed: ngramJaccardPairs RETURNS an eagerly
+      // localCheckpointed frame, so the brute all-pairs pass runs
+      // exactly once however many consumers (truthC, hitC) read it —
+      // its blocks are released via the Lifetime.seal below
       val truth = ngramJaccardPairs(df, idCol, textCol, shingleWords,
         threshold).select(col("id_a"), col("id_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // all configs in one banded frame; hashes computed AFTER the
       // explode (same CollapseProject guard as bandedSignatures)
       val cfgArr = array(bandsSweep.sorted.map(b =>
@@ -551,12 +550,7 @@ object Dedup {
         .withColumn("recall", when(col("n_truth") > 0,
           col("n_hit").cast(DoubleType) / col("n_truth")))
         .orderBy(col("bands"))
-      // seal materializes the (tiny) sweep table eagerly, after which
-      // the persisted truth cache is dead — Lifetime.free only releases
-      // checkpoint blocks, so the .persist() needs its own unpersist
-      val sealed_ = Lifetime.seal(result, pairs, pred)
-      truth.unpersist(blocking = false)
-      sealed_
+      Lifetime.seal(result, pairs, truth, pred)
     } finally sigs.unpersist()
   }
 
@@ -969,6 +963,13 @@ object Dedup {
     // distinct count is an HLL sketch, map-combined); the guard REFUSES
     // with the fix in the message instead of dying mid-shuffle.
     // `minUniverseRatio <= 0` opts out for corpora known to be safe.
+    // Note the distinct count is an HLL estimate (rsd 0.02) —
+    // deterministic for a given corpus, but corpora sitting exactly at
+    // the ratio boundary should pick a width with margin. A corpus
+    // that trips the guard because it is DUPLICATE-heavy (many exact
+    // copies shrink the universe) should compose exact dedup first —
+    // the q_dedup_semantic_exact pattern — rather than override: the
+    // quadratic blowup inside identical-text groups is real.
     if (minUniverseRatio > 0) {
       val nDocs = base.count()
       val universe = base.select(explode(col("sh_arr")).as("sh"))

@@ -630,12 +630,17 @@ object Similarity {
     * per-element decimal conversion over the whole corpus just to
     * discard all but K rows. */
   private def ivfCentroids(corpus: DataFrame, corpusId: String,
-      corpusVec: String, numCentroids: Int): DataFrame =
+      corpusVec: String, numCentroids: Int): DataFrame = {
+    // every public caller resolves the 0 sentinel first; a raw 0
+    // reaching the limit would silently build an EMPTY quantizer
+    require(numCentroids > 0,
+      s"ivfCentroids: unresolved centroid count $numCentroids")
     corpus.select(col(corpusId).as("cent_id"), col(corpusVec).as("cvec"))
       .orderBy(Dedup.md5_60(col("cent_id").cast(StringType)), col("cent_id"))
       .limit(numCentroids)
       .select(col("cent_id"), V.quantize6(col("cvec")).as("centq"))
       .withColumn("cent_s2", V.dotQ12(col("centq"), col("centq")))
+  }
 
   /** One deterministic Lloyd refinement round: assign every corpus
     * vector to its nearest current centroid, then move each centroid to
@@ -1028,10 +1033,12 @@ object Similarity {
     registered(corpus)
     registered(queries) // sessions can differ (e.g. foreachBatch clones)
     // Raw order/limit first (sort key is md5_60(id) only), quantize the
-    // K survivors — see the same note in [[ivfTopK]].
+    // K survivors — see the same note in [[ivfTopK]]. The 0 sentinel
+    // auto-sizes here too ([[resolveCentroids]]) so the engine-wide
+    // convention holds on every entry point.
     val pool = corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cvec"))
       .orderBy(Dedup.md5_60(col("cid").cast(StringType)), col("cid"))
-      .limit(numCentroids)
+      .limit(resolveCentroids(corpus, numCentroids))
       .select(col("cid"), V.quantize6(col("cvec")).as("cq"))
       .withColumn("c_s2", V.dotQ12(col("cq"), col("cq")))
       .localCheckpoint(true) // tiny; one compute for all consumers below
@@ -2074,7 +2081,8 @@ object Similarity {
       numSubspaces: Int = 4, numCodes: Int = 16): IvfPqIndex = {
     registered(corpus)
     val spark = corpus.sparkSession
-    val seed = ivfCentroids(corpus, corpusId, corpusVec, numCentroids)
+    val seed = ivfCentroids(corpus, corpusId, corpusVec,
+      resolveCentroids(corpus, numCentroids))
     (1 to refineRounds).foldLeft(seed) { (c, _) =>
         ivfRefine(corpus, corpusId, corpusVec, c)
       }

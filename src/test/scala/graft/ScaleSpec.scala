@@ -531,12 +531,17 @@ class DashboardSpec extends SparkSpec {
       inner +: inner.children.flatMap(flatten)
     }
     // a broadcast side is BOUNDED when its subtree pins a fixed-budget
-    // pick (TakeOrdered / limit), scans an already-bounded checkpoint,
-    // or semi-joins the corpus against such a bounded id set
+    // pick (TakeOrdered / limit), semi-joins the corpus against a
+    // bounded id set, or scans a checkpoint whose MATERIALIZED row
+    // count is within the budget — counting the RDD (cheap: blocks
+    // already exist) closes the hole where any localCheckpointed
+    // frame, including a checkpointed full corpus, would have passed
+    // on node type alone
+    val maxBudgetRows = 256L * 6L // anchors + their <= budget*k neighbors
     def bounded(p: SparkPlan): Boolean = flatten(p).exists {
       case _: TakeOrderedAndProjectExec => true
       case _: GlobalLimitExec => true
-      case _: RDDScanExec => true
+      case r: RDDScanExec => r.rdd.count() <= maxBudgetRows
       case j: BroadcastHashJoinExec if j.joinType == LeftSemi => true
       case j: SortMergeJoinExec if j.joinType == LeftSemi => true
       case _ => false
