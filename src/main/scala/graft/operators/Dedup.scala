@@ -959,23 +959,33 @@ object Dedup {
     // prefix bucket is corpus-hot and the lossless candidate set
     // degenerates toward all-pairs (the sf1 rehearsal measured a heap
     // OOM at shingleWords = 3 over a 31-word vocabulary, SCALE.md).
-    // Both counts are one cheap pass over the persisted base (the
-    // distinct count is an HLL sketch, map-combined); the guard REFUSES
-    // with the fix in the message instead of dying mid-shuffle.
+    // The guard runs TWO EAGER JOBS at call time (a row count and a
+    // distinct-shingle pass over the persisted base — note for callers
+    // migrating from the pre-guard lazy builder) and REFUSES with the
+    // fix in the message instead of dying mid-shuffle.
     // `minUniverseRatio <= 0` opts out for corpora known to be safe.
-    // Note the distinct count is an HLL estimate (rsd 0.02) —
-    // deterministic for a given corpus, but corpora sitting exactly at
-    // the ratio boundary should pick a width with margin. A corpus
-    // that trips the guard because it is DUPLICATE-heavy (many exact
-    // copies shrink the universe) should compose exact dedup first —
-    // the q_dedup_semantic_exact pattern — rather than override: the
-    // quadratic blowup inside identical-text groups is real.
+    // The distinct pass is an HLL sketch (rsd 0.02, map-combined) used
+    // only as a SCREEN: when the estimate lands within ±10% (5σ) of the
+    // ratio boundary, an exact count_distinct adjudicates, so the
+    // refusal contract is exact — never estimator-dependent — while the
+    // exact shuffle only ever runs for corpora sitting at the boundary.
+    // A corpus that trips the guard because it is DUPLICATE-heavy (many
+    // exact copies shrink the universe) should compose exact dedup
+    // first — the q_dedup_semantic_exact pattern — rather than
+    // override: the quadratic blowup inside identical-text groups is
+    // real.
     if (minUniverseRatio > 0) {
       val nDocs = base.count()
-      val universe = base.select(explode(col("sh_arr")).as("sh"))
+      val shingles = base.select(explode(col("sh_arr")).as("sh"))
+      val bound = minUniverseRatio * nDocs
+      val est = shingles
         .agg(approx_count_distinct(col("sh"), 0.02).as("n_shingles"))
         .head().getLong(0)
-      if (universe < minUniverseRatio * nDocs) {
+      val universe =
+        if (est >= bound * 1.1 || est <= bound * 0.9) est
+        else shingles.agg(count_distinct(col("sh")).as("n_shingles"))
+          .head().getLong(0)
+      if (universe < bound) {
         base.unpersist(blocking = false)
         throw new IllegalArgumentException(
           "ngramJaccardPairsPrefix: saturated shingle space — ~" +
@@ -1425,11 +1435,28 @@ object Dedup {
       val r = kept.select(
         (blockCols.map(col) :+ col("id").as("id_b") :+
           col("name").as("name_b")): _*)
+      // Two sound pre-prunes before the full DP: the THRESHOLDED
+      // levenshtein runs the banded O(min(m,n)·d) DP (returns -1 past
+      // the threshold — measured 1.7× the full-table form on the
+      // customer workload), and |len(a)−len(b)| ≤ d — a lower bound on
+      // edit distance — short-circuits even that as the `when` guard of
+      // the SAME projection. The guard must stay fused in the
+      // projection: expressed as a separate `.filter` it is pushed into
+      // the sort-merge join CONDITION, where it is re-evaluated per
+      // key-matched candidate (pre id-ordering) and measured 3×
+      // SLOWER than the DP it was saving. Both prunes are exact —
+      // survivors and distances are identical to the full-DP form
+      // (locked by the unchanged DuckDB oracle, which still
+      // brute-forces the full distance).
       l.join(r, blockCols)
         .filter(col("id_a") < col("id_b"))
         .withColumn("distance",
-          levenshtein(col("name_a"), col("name_b")).cast(LongType))
-        .filter(col("distance") <= maxDistance)
+          when(abs(length(col("name_a")) - length(col("name_b")))
+              <= maxDistance,
+            levenshtein(col("name_a"), col("name_b"), maxDistance))
+            .otherwise(lit(-1))
+            .cast(LongType))
+        .filter(col("distance") >= 0)
         .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
           col("distance"))
         .orderBy(col("distance"), col("id_a"), col("id_b"))

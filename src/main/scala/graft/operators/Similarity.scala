@@ -198,10 +198,19 @@ object Similarity {
     * instead of the O(n²) all-pairs cartesian that dies at 100×. */
   def anchorSample(df: DataFrame, idCol: String, budget: Int): DataFrame = {
     require(budget > 0, s"anchorSample: budget must be positive ($budget)")
+    // The mix hashes the id CAST TO LONG — a non-numeric id type would
+    // cast to NULL per row and (under a plain ascending sort) silently
+    // seat null-hash rows in anchor slots. Refuse non-numeric id types
+    // loudly, and sort NULLS LAST so rows with a genuinely-null id can
+    // never outrank a hashed one.
+    require(df.schema(idCol).dataType.isInstanceOf[NumericType],
+      s"anchorSample: id column '$idCol' must be numeric (found " +
+        s"${df.schema(idCol).dataType.simpleString}) — the anchor pick " +
+        "hashes the id as a BIGINT")
     df.withColumn("anchor_h",
         pmod(pmod(col(idCol).cast(LongType), lit(2147483647L)) *
           lit(2654435761L), lit(4294967296L)))
-      .orderBy(col("anchor_h"), col(idCol))
+      .orderBy(col("anchor_h").asc_nulls_last, col(idCol).asc_nulls_last)
       .limit(budget)
       .drop("anchor_h")
   }
@@ -714,6 +723,13 @@ object Similarity {
     */
   def kmeansSummary(corpus: DataFrame, corpusId: String, corpusVec: String,
       k: Int = 16, refineRounds: Int = 1): DataFrame = {
+    // Deliberately FIXED-K: k is the model choice being summarized, so
+    // the ANN entry points' `0 = auto-size` sentinel does not apply
+    // here — refuse it with a caller-facing message instead of letting
+    // ivfCentroids surface its internal unresolved-count error.
+    require(k > 0, s"kmeansSummary: k must be positive ($k) — the 0 " +
+      "auto-size sentinel applies to ANN index entry points only; pass " +
+      "an explicit cluster count for model-K summaries")
     registered(corpus)
     val seed = ivfCentroids(corpus, corpusId, corpusVec, k)
     val cent = (1 to refineRounds).foldLeft(seed) { (c, _) =>
@@ -760,7 +776,9 @@ object Similarity {
     * the summary is a K-row aggregate. */
   def silhouetteSummary(corpus: DataFrame, corpusId: String,
       corpusVec: String, k: Int = 16, refineRounds: Int = 1): DataFrame = {
-    require(k >= 2, "silhouette needs at least 2 clusters")
+    require(k >= 2, s"silhouetteSummary: k must be >= 2 ($k) — " +
+      "separation needs a second centroid, and the ANN entry points' 0 " +
+      "auto-size sentinel does not apply to model-K summaries")
     registered(corpus)
     val seed = ivfCentroids(corpus, corpusId, corpusVec, k)
     val cent = (1 to refineRounds).foldLeft(seed) { (c, _) =>
@@ -1035,10 +1053,14 @@ object Similarity {
     // Raw order/limit first (sort key is md5_60(id) only), quantize the
     // K survivors — see the same note in [[ivfTopK]]. The 0 sentinel
     // auto-sizes here too ([[resolveCentroids]]) so the engine-wide
-    // convention holds on every entry point.
+    // convention holds on every entry point. Resolve ONCE: the
+    // broadcast bound below must compare the RESOLVED K, not the raw
+    // sentinel (0 would trivially pass any bound and broadcast a fine
+    // table the auto-size may have grown past driver memory).
+    val kFine = resolveCentroids(corpus, numCentroids)
     val pool = corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cvec"))
       .orderBy(Dedup.md5_60(col("cid").cast(StringType)), col("cid"))
-      .limit(resolveCentroids(corpus, numCentroids))
+      .limit(kFine)
       .select(col("cid"), V.quantize6(col("cvec")).as("cq"))
       .withColumn("c_s2", V.dotQ12(col("cq"), col("cq")))
       .localCheckpoint(true) // tiny; one compute for all consumers below
@@ -1070,7 +1092,7 @@ object Similarity {
     // Past the threshold, materialize fc once (it feeds both the cell
     // assignment and the query probe — a lazy diamond would recompute
     // the fine→coarse window per consumer).
-    val fc = if (numCentroids <= maxBroadcastFine) broadcast(fc0)
+    val fc = if (kFine <= maxBroadcastFine) broadcast(fc0)
              else fc0.localCheckpoint(true)
 
     // corpus pass 1: nearest coarse cell (O(C) per row, min_by partial agg)

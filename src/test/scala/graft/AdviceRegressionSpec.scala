@@ -241,4 +241,115 @@ class AdviceRegressionSpec extends SparkSpec {
     assert(idx.centroids.count() == 22L)
     assert(idx.cells.count() == 500L)
   }
+
+  // ---- round-12 advice fixes ----
+
+  test("ivfTopK2: the fine-table broadcast bound compares the RESOLVED " +
+      "K, so the 0 sentinel cannot bypass it") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val vecs = (0L until 500L).map(i =>
+        (i, Array((i % 7).toFloat, (i % 11).toFloat, 1.0f, 0.01f * i)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 3)
+    // sentinel resolves to K = 22 (> 10): with the old raw-numCentroids
+    // bound, 0 <= 10 always broadcast the fine table regardless of the
+    // resolved size; fixed, the hint must drop exactly like an explicit
+    // K = 22 over the same bound
+    def topk2(maxFine: Int) = Similarity.ivfTopK2(q, "vec_id",
+      "embedding", vecs, "vec_id", "embedding", k = 3,
+      numCentroids = 0, maxBroadcastFine = maxFine)
+    def hints(df: DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    val over = topk2(10)       // resolved 22 > 10: shuffle path
+    val under = topk2(1 << 16) // resolved 22 <= 2^16: broadcast path
+    assert(hints(under) > hints(over),
+      s"fine-table broadcast hint must drop past the bound: " +
+        s"under=${hints(under)} over=${hints(over)}")
+    // and the shuffle fallback stays result-identical
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows(over) == rows(under))
+  }
+
+  test("anchorSample: non-numeric ids refused loudly; null ids can " +
+      "never occupy anchor slots") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.anchorSample(
+        Seq(("a", 1), ("b", 2)).toDF("doc_id", "x"), "doc_id", 1)
+    }
+    assert(ex.getMessage.contains("must be numeric"), ex.getMessage)
+    // nullable ids: the hash of a NULL id is NULL — nulls-last ordering
+    // keeps every budget slot for hashed rows
+    val withNulls = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq[(java.lang.Long, Int)](
+        (1L, 0), (null, 0), (2L, 0), (null, 0), (3L, 0), (4L, 0))
+        .map { case (id, x) => org.apache.spark.sql.Row(id, x) }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    val anchors = Similarity.anchorSample(withNulls, "id", 4)
+      .collect().map(_.get(0))
+    assert(anchors.length == 4 && anchors.forall(_ != null),
+      s"null ids seated in anchor slots: ${anchors.toSeq}")
+  }
+
+  test("kmeansSummary/silhouetteSummary: the ANN 0 sentinel is refused " +
+      "with a caller-facing message, not an internal error") {
+    val vecs = (0L until 20L).map(i =>
+        (i, Array((i % 3).toFloat, 1.0f))).toDF("vec_id", "embedding")
+    val exK = intercept[IllegalArgumentException] {
+      Similarity.kmeansSummary(vecs, "vec_id", "embedding", k = 0)
+    }
+    assert(exK.getMessage.contains("auto-size sentinel"), exK.getMessage)
+    val exS = intercept[IllegalArgumentException] {
+      Similarity.silhouetteSummary(vecs, "vec_id", "embedding", k = 0)
+    }
+    assert(exS.getMessage.contains("auto-size sentinel"), exS.getMessage)
+  }
+
+  test("prefix-filter saturation guard: decisions at the ratio boundary " +
+      "are exact, not HLL-estimate-dependent") {
+    import graft.operators.Dedup
+    // 40 docs, each one distinct 1-word shingle + one shared filler →
+    // universe = 41 distinct over 40 docs. At minUniverseRatio = 1.0 the
+    // bound is 40: 41 >= 40 must pass; at 1.05 the bound is 42: 41 < 42
+    // must refuse. Both bounds sit inside the ±10% HLL band (rsd 0.02
+    // at n=41), so both decisions exercise the exact adjudication path.
+    val docs = (0 until 40).map(i => (i.toLong, s"w$i shared"))
+      .toDF("id", "text")
+    assert(Dedup.ngramJaccardPairsPrefix(docs, "id", "text",
+      shingleWords = 1, threshold = 0.9,
+      minUniverseRatio = 1.0).count() >= 0L)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairsPrefix(docs, "id", "text",
+        shingleWords = 1, threshold = 0.9,
+        minUniverseRatio = 1.05).count()
+    }
+    assert(ex.getMessage.contains("saturated shingle space"),
+      ex.getMessage)
+  }
+
+  test("blockedEntityPairs: thresholded DP + length pre-filter keep " +
+      "exact distances — length-far and over-threshold pairs drop") {
+    import graft.operators.Dedup
+    val d = Seq(
+      (1L, "Acme", "US"),          // base
+      (2L, "Acme Co", "US"),       // length diff 3 > 2: pre-filter kills
+      (3L, "Acmes", "US"),         // lev 1, length diff 1
+      (4L, "Acne", "US"),          // lev 1, length diff 0
+      (5L, "Axxe", "US")           // lev 2 from Acme
+    ).toDF("id", "name", "country")
+    val out = Dedup.blockedEntityPairs(d, "id", "name", Seq("country"),
+        maxDistance = 2, maxBlock = 1024L)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("distance")))
+    assert(out.forall(_._3 >= 0L), s"thresholded -1 leaked: $out")
+    assert(out.contains((1L, 3L, 1L)) && out.contains((1L, 4L, 1L)) &&
+      out.contains((1L, 5L, 2L)), s"got $out")
+    assert(!out.exists(p => p._1 == 2L || p._2 == 2L),
+      s"length-incompatible pair survived: $out")
+  }
 }
