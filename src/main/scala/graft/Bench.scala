@@ -14,7 +14,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = EngineDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -57,7 +57,15 @@ object Bench {
     // engine throughput, which is what matters at the 100 TB target
     // (one-time driver-side warmup is amortized to zero there).
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Dev-side subset runs (comma-separated names): the driver never sets
+    // this, so its full-inventory protocol is untouched. A subset keeps
+    // the bench's JVM context (one session, sweep + pass-boundary GC)
+    // while iterating on a few queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    selected.sortBy(_._1).foreach { case (name, fn) =>
       try { fn(spark, warmDir).count() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
@@ -74,7 +82,7 @@ object Bench {
     // over ALL queries, then repeat) keeps a query's reps far apart in
     // time instead of measuring the same load spike thrice.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = selected.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     // A failed query must NOT contribute its (near-zero) failure latency
@@ -98,6 +106,10 @@ object Bench {
           val sec = (System.nanoTime() - t0) / 1e9
           times(name) = sec :: times(name)
           passTotal += sec
+          // stderr per-query line (stdout keeps the one-JSON-line
+          // contract): lets a human correlate in-context excursions
+          // with GC/load telemetry instead of adjudicating blind.
+          System.err.println(f"[bench] $name pass $p: $sec%.3f s")
         }
         sweep() // outside the timed region: pass 3 starts like pass 1
       }

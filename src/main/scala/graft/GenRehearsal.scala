@@ -52,7 +52,7 @@ object GenRehearsal {
     val docRows = if (args.length > 1) args(1).toLong else 50000L
     val vecRows = if (args.length > 2) args(2).toLong else 20000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = EngineDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .appName("graft-gen-rehearsal")
       .config("spark.sql.shuffle.partitions", cpus)

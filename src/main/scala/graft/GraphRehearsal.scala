@@ -42,7 +42,7 @@ object GraphRehearsal {
     val outDir = if (args.length > 2) args(2)
       else s"${System.getProperty("java.io.tmpdir")}/graft_graph_rehearsal"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = EngineDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .appName("graft-graph-rehearsal")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -14,7 +14,7 @@ object Probe {
     val reps = if (args.length > 2) args(2).toInt else 3
     val explain = args.contains("explain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = EngineDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .appName("graft-probe")
       .config("spark.sql.shuffle.partitions", cpus)
