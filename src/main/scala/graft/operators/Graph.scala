@@ -63,10 +63,17 @@ object Graph {
     val e = mat(edges.select(col("src").cast(LongType).as("src"),
       col("dst").cast(LongType).as("dst"))
       .repartition(col("src")))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val deg = mat(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val eDeg = mat(e.join(deg, Seq("src")))
-    val nodes = mat(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
+    // Node universe = src endpoints. The operator contract ("every node
+    // is assumed to have at least one out-edge", trivially true for
+    // bidirectional inputs) makes dst ⊆ src, so the old
+    // union-both-endpoints + distinct was an extra exchange over 2E
+    // rows for a set the out-degree rollup already materializes
+    // exchange-free on the cached src partitioning (r13: −1 exchange,
+    // −1 edge-list scan; the oracle's node CTE is likewise
+    // SELECT DISTINCT src).
+    val nodes = deg.select(col("src").as("node"))
     // node count: a single driver scalar (the one action outside the
     // final top-k) — the constants S div N and 0.15·S div N fold into
     // literals instead of re-broadcasting a one-row aggregate per step;
@@ -78,8 +85,11 @@ object Graph {
     // a zero message per node rides the SAME aggregate as the edge
     // messages — nodes with no in-edges keep their base mass without a
     // per-iteration left join (union adds V rows to the 2E shuffle, not
-    // a stage)
+    // a stage). coalesce(1): V rows are one map task's work — without
+    // it every iteration schedules 32 tasks over the cached degree
+    // partitions just to emit constant zeros (r13).
     val zero = nodes.select(col("node").as("dst"), lit(0L).as("m"))
+      .coalesce(1)
     for (_ <- 1 to iterations) {
       val msgs = eDeg
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
@@ -125,10 +135,13 @@ object Graph {
     val e = mat(edges.select(col("src").cast(LongType).as("src"),
       col("dst").cast(LongType).as("dst"))
       .repartition(col("src")))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val deg = mat(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val eDeg = mat(e.join(deg, Seq("src")))
-    val nodes = mat(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
+    // node universe = src endpoints (dst ⊆ src for bidirectional
+    // inputs, same contract and same oracle node CTE as
+    // [[pageRankTop]]) — the out-degree rollup already materializes it
+    // exchange-free (r13: −1 exchange, −1 edge-list scan)
+    val nodes = deg.select(col("src").as("node"))
     val seedBase = mat(seeds.select(col("node").cast(LongType).as("node"))
       .distinct())
     val nSeeds = seedBase.count()
@@ -151,7 +164,10 @@ object Graph {
 
     var rank = baseOf(nodes)
       .select(col("node"), col("base").as("rank_ppb"))
+    // coalesce(1): V constant-zero rows are one map task's work, not 32
+    // tasks per iteration (the [[pageRankTop]] r13 note)
     val zero = nodes.select(col("node").as("dst"), lit(0L).as("m"))
+      .coalesce(1)
     for (_ <- 1 to iterations) {
       val msgs = eDeg
         .join(rank.filter(col("rank_ppb") > 0)
