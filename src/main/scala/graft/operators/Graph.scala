@@ -322,24 +322,37 @@ object Graph {
       maxHops: Int = 4): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // no explicit persist: the tiny frontier broadcasts against the
-    // edge scan each round and Spark reuses the edge exchange —
-    // measured FASTER than repartition+persist at sf0.1 (5 s vs 10 s)
-    var visited = Seq((seed, 0L)).toDF("node", "hop")
-    var frontier = visited.select(col("node"))
-    for (k <- 1 to maxHops) {
-      val next = edges
-        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-      visited = visited
-        .unionAll(next.withColumn("hop", lit(k.toLong)))
-      frontier = next
-    }
-    visited.groupBy(col("hop"))
-      .agg(count(lit(1)).as("n_nodes"),
-        min(col("node")).as("min_node"),
-        max(col("node")).as("max_node"))
+    // Materialize the edge list ONCE: callers hand us a derived frame
+    // (scan⋈scan + distinct + bidirect), and without a persist every
+    // hop's frontier join replays that whole upstream lineage — at
+    // sf0.1 the stage table showed the edge derivation running 7×
+    // per execution. (The pre-r13 "no persist measured faster" note
+    // predated the codegen-cache fix that was masking task-side cost.)
+    // Each hop's frontier is node-sized and feeds THREE consumers
+    // (the union chain, the next join, every later anti-join), so it
+    // localCheckpoints — the [[hitsTop]] constant-plan lesson; the
+    // final 1-row-per-hop aggregate is eager so the persist can be
+    // dropped before returning.
+    val e = edges.select(col("src"), col("dst")).persist()
+    try {
+      var visited = Seq((seed, 0L)).toDF("node", "hop")
+      var frontier = visited.select(col("node"))
+      for (k <- 1 to maxHops) {
+        val next = e
+          .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        visited = visited
+          .unionAll(next.withColumn("hop", lit(k.toLong)))
+        frontier = next
+      }
+      visited.groupBy(col("hop"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+        .localCheckpoint(true)
+    } finally e.unpersist()
   }
 
   /** DEGREE DISTRIBUTION — the first thing anyone asks of a graph:
