@@ -468,7 +468,14 @@ object Graph {
       topK: Int = 20, maxBroadcastMids: Long = 1000000L): DataFrame = {
     graft.functions.GraftFunctions.register(edges.sparkSession)
     import graft.functions.FixedLogFunctions.log2QuarterBits
-    val e = edges.select(col("src"), col("dst"))
+    // The edge frame has FOUR consumers (degree rollup, both sides of
+    // the wedge self-join, the existing-edge anti-join) — without a
+    // persist each replays the caller's full derivation lineage
+    // (r13 stage table: 2× 3-task derivation scans + 3 duplicate
+    // distinct exchanges per execution). Persist once, seal the final
+    // top-k eagerly, release everything before returning.
+    val e = edges.select(col("src"), col("dst")).persist()
+    try {
     val deg = e.groupBy(col("src").as("z"))
       .agg(count(lit(1)).as("deg"))
     // the middleman table is O(|V|): checkpoint it eagerly (ONE edges
@@ -497,8 +504,11 @@ object Graph {
         count(lit(1)).as("common_neighbors"))
       .join(e.select(col("src").as("u"), col("dst").as("v")),
         Seq("u", "v"), "left_anti")
-    scored.orderBy(col("aa_ppb").desc, col("u"), col("v"))
-      .limit(topK)
+    Lifetime.seal(
+      scored.orderBy(col("aa_ppb").desc, col("u"), col("v"))
+        .limit(topK),
+      mids0)
+    } finally e.unpersist()
   }
 
   /** LOCAL CLUSTERING COEFFICIENT CENSUS — how cliquish is each node's
@@ -521,7 +531,12 @@ object Graph {
     * list on the (u, w) pair key; band rollup is map-combined. */
   def clusteringCoefficientBands(edges: DataFrame,
       maxDeg: Long = 128L, maxBroadcastMids: Long = 1000000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // same four-consumer shape as [[adamicAdarTopK]] — and the
+    // co-purchase caller's derivation is a lineitem SELF-JOIN, the
+    // single most expensive edge lineage in the registry: persist once,
+    // seal eagerly (r13)
+    val e = edges.select(col("src"), col("dst")).persist()
+    try {
     val deg = e.groupBy(col("src").as("z"))
       .agg(count(lit(1)).as("deg"))
     // same O(|V|) broadcast bound as [[adamicAdarTopK]]: the apex
@@ -546,12 +561,15 @@ object Graph {
       .withColumn("n_wedges", expr("deg * (deg - 1) div 2"))
       .withColumn("lcc_ppb",
         expr("(n_closed * 1000000000L) div n_wedges"))
-    perNode
-      .groupBy(expr("lcc_ppb div 100000000").as("lcc_band"))
-      .agg(count(lit(1)).as("n_nodes"),
-        sum(col("n_closed")).as("closed_total"),
-        sum(col("n_wedges")).as("wedge_total"))
-      .orderBy(col("lcc_band"))
+    Lifetime.seal(
+      perNode
+        .groupBy(expr("lcc_ppb div 100000000").as("lcc_band"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("n_closed")).as("closed_total"),
+          sum(col("n_wedges")).as("wedge_total"))
+        .orderBy(col("lcc_band")),
+      kept0)
+    } finally e.unpersist()
   }
 
   def labelPropagationCommunities(edges: DataFrame, iterations: Int = 3,
