@@ -21,24 +21,27 @@ import org.apache.spark.sql.SparkSession
   *    261-query inventory with margin; compiled-class footprint is
   *    metaspace-bounded (~tens of KB per unit).
   *
-  *  - `spark.sql.adaptive.coalescePartitions.minPartitionSize` (default
-  *    1 MB): AQE coalescing is byte-driven, but the engine's pair/bucket
-  *    kernels have compute-dense, byte-sparse reduce stages (a 2.7 MB
-  *    map output feeding a quadratic in-bucket pair explode) which the
-  *    1 MB floor coalesces to 2-3 tasks on 32 cores — a straggler by
-  *    construction. A 64 KB floor restores core-count parallelism for
-  *    those stages and is inert at production scale, where reduce
-  *    partitions sit far above either floor (advisory size governs).
-  *    Measured: 57-query pass 56 s → 46 s on top of the codegen fix,
-  *    no query slower by more than +0.06 s.
-  *
-  * Both are env-overridable so the production values can be pinned
-  * per deployment without a rebuild.
+  * Round-14 change: round 13 ALSO floored
+  * `spark.sql.adaptive.coalescePartitions.minPartitionSize` at 64 KB to
+  * stop AQE from coalescing compute-dense, byte-sparse reduce stages to
+  * 2-3 tasks. That global knob widened EVERY byte-sparse exchange —
+  * including the memory-heavy dedup hash aggregates — and is the prime
+  * suspect in the round-13 32-core driver-bench DNF (pathological pass-2
+  * excursions concentrated on exactly those queries under the fixed 8 GB
+  * heap). Round 14 removes the floor (back to Spark's 1 MB default) and
+  * instead pins the width STRUCTURALLY at the stages where compute
+  * density is known — see [[graft.operators.Par]] — so every other
+  * exchange keeps the byte-driven coalescing that bounds concurrent
+  * memory. The env override remains for per-deployment tuning.
   */
 object EngineDefaults {
-  def apply(b: SparkSession.Builder): SparkSession.Builder = b
-    .config("spark.sql.codegen.cache.maxEntries",
+  def apply(b: SparkSession.Builder): SparkSession.Builder = {
+    val b1 = b.config("spark.sql.codegen.cache.maxEntries",
       sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
-    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-      sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "65536"))
+    sys.env.get("SPARK_GRAFT_MIN_PARTITION_SIZE") match {
+      case Some(v) => b1.config(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", v)
+      case None => b1
+    }
+  }
 }

@@ -8,15 +8,17 @@ import org.apache.spark.sql.SparkSession
   * the stage-level attribution the Spark UI would give, for a headless
   * box. NOT part of the driver contract.
   *
-  * `runMain graft.Stages <queryName> [sfDir] [reps]`
+  * `runMain graft.Stages <queryName>[,<queryName2>,…] [sfDir] [reps]`
   *
   * Reps > 1 re-run the query in the same session (rep 1 carries JIT +
   * first-scan warmup); stages are printed per rep so steady-state cost
-  * is separable.
+  * is separable. Several comma-separated queries share one JVM (r14:
+  * attribution sweeps over the top-N queries without N session
+  * startups).
   */
 object Stages {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names0 = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -53,6 +55,7 @@ object Stages {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    names0.foreach { name =>
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       stages.clear()
@@ -76,6 +79,7 @@ object Stages {
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       System.gc(); Thread.sleep(500)
+    }
     }
     spark.stop()
   }

@@ -266,7 +266,9 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val ids = array_sort(collect_list(col(idCol).cast(LongType)))
+      // pinned width for the in-bucket pair explode (the [[Par]] rule)
       dropHotBuckets(rows, bucketCols, maxBucket.toLong)
+        .transform(Par.byKey(_, bucketCols.map(col): _*))
         .groupBy(bucketCols.map(col): _*)
         .agg(ids.as("ids"))
         .filter(size(col("ids")) > 1)
@@ -305,7 +307,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol),
+    // r14: spread the signature kernel (shingle + k× KM-hash fold per
+    // row — the CPU-dense pass of the whole MinHash family) at a pinned
+    // width; the corpus parquet is a single split at bench scale, so
+    // without this the kernel runs one-task (guide §2.6).
+    Par.byKey(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
       graft.functions.MinHashFunctions.minhashSignature(
         graft.functions.WordShingleFunctions
           .wordShingles(col(textCol), shingleWords), k).as("sig"))
@@ -448,7 +455,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val ids = array_sort(collect_list(col(idCol).cast(LongType)))
+      // pinned width for the in-bucket pair explode (byte-sparse,
+      // compute-dense — the [[Par]] rule; collect_list has no map-side
+      // reduction so the moved exchange is byte-neutral)
       dropHotBuckets(rows, bucketCols, maxBucket.toLong)
+        .transform(Par.byKey(_, bucketCols.map(col): _*))
         .groupBy(bucketCols.map(col): _*)
         .agg(ids.as("ids"))
         .filter(size(col("ids")) > 1)
@@ -946,8 +957,10 @@ object Dedup {
     // computed PER ROW by sorting the hash array and slicing. Rarity
     // ordering would produce somewhat fewer candidates; exact
     // verification makes both orders return identical results.
-    val base = df
-      .repartition(col(idCol)) // few-split corpora: parallelize the kernel
+    val base = Par.byKey(df, col(idCol)) // few-split corpora: spread the
+      // shingling kernel across cores at a PINNED width (AQE-coalesce-
+      // exempt — the r14 replacement for the global minPartitionSize
+      // floor, see [[Par]])
       .select(col(idCol).cast(LongType).as("id"),
         graft.functions.WordShingleFunctions
           .wordShingles(col(textCol), shingleWords).as("sh_arr"))
@@ -1045,7 +1058,15 @@ object Dedup {
     val hot = postings.groupBy(col("h"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxDocFreq)
-    def coldPairs(rows: DataFrame): DataFrame = rows
+    // The in-bucket pair explode is the compute-dense, byte-sparse stage
+    // the round-13 global AQE floor was aimed at: a few MB of postings
+    // feeding quadratic per-bucket work. Pin its width structurally
+    // (repartition by the bucket key; the groupBy then lands on that
+    // partitioning exchange-free) so the stage runs ≥ core-count tasks
+    // with the global floor REMOVED. collect_list has no map-side
+    // reduction, so moving the exchange below the partial aggregate is
+    // byte-neutral.
+    def coldPairs(rows: DataFrame): DataFrame = Par.byKey(rows, col("h"))
       .groupBy(col("h"))
       .agg(array_sort(collect_list(
         struct(col("id"), col("set_size"), col("pos")))).as("es"))
@@ -1072,8 +1093,13 @@ object Dedup {
               .cast(IntegerType))
           .select(col("h"), col("id"), col("set_size"), col("pos"),
             col("blk"), explode(sequence(lit(0), col("s") - 1)).as("j"))
-          .groupBy(col("h"), least(col("blk"), col("j")).as("lo"),
-            greatest(col("blk"), col("j")).as("hi"))
+          .withColumn("lo", least(col("blk"), col("j")))
+          .withColumn("hi", greatest(col("blk"), col("j")))
+          // same pinned width as coldPairs: the block-pair groups are
+          // the quadratic stage salting exists to spread — they must
+          // not be re-collapsed by byte-driven coalescing
+          .transform(Par.byKey(_, col("h"), col("lo"), col("hi")))
+          .groupBy(col("h"), col("lo"), col("hi"))
           .agg(array_sort(collect_list(struct(
             col("id"), col("set_size"), col("pos"), col("blk")))).as("es"))
           .filter(size(col("es")) > 1)
@@ -1166,7 +1192,8 @@ object Dedup {
     // once, not re-inlined into size() by CollapseProject.
     val postings = TextAnalysis
       .winnowedFingerprintSets(
-        df.repartition(col(idCol)), // few-split corpora: parallelize the kernel
+        Par.byKey(df, col(idCol)), // few-split corpora: spread the
+        // fingerprint kernel at a pinned, AQE-coalesce-exempt width
         idCol, textCol, k, w)
       .select(col(idCol).cast(LongType).as("id"), col("fps"))
       .select(col("id"), col("fps"), explode(col("fps")).as("fp"))
@@ -1237,10 +1264,16 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, maxDocFreq: Long): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val sh = df
-      .select(col(idCol).cast(LongType).as("id"),
+    // r14: spread the shingling kernel + explode at a pinned width (the
+    // corpus parquet is one split at bench scale — one-task otherwise).
+    // ONLY the kernel/persist stage is pinned: the downstream postings
+    // group-bys keep AQE's byte-driven widths, which is the memory
+    // governor that keeps the 32-way dedup aggregates safe (r13 DNF).
+    val sh = Par.byKey(df.select(col(idCol).cast(LongType).as("id"),
+          col(textCol).as("__txt")), col("id"))
+      .select(col("id"),
         graft.functions.WordShingleFunctions
-          .wordShingles(col(textCol), shingleWords).as("sh_arr"))
+          .wordShingles(col("__txt"), shingleWords).as("sh_arr"))
       .select(col("id"), size(col("sh_arr")).cast(LongType).as("set_size"),
         explode(col("sh_arr")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

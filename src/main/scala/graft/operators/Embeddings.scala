@@ -428,9 +428,9 @@ object Embeddings {
         V.quantize6(col(vecCol)).as("qv"))
       .join(n2, Seq("vid"))
       // few-split corpora: spread the O(n²·d) kernel across cores
-      // (the Dedup prefix-filter rule) — without this the whole
+      // at a PINNED width (the [[Par]] rule) — without this the whole
       // pair loop lands on one partition (probed: 95 s → ~5 s)
-      .repartition(col("vid"))
+      .transform(Par.byKey(_, col("vid")))
     val d2 = q.as("a")
       .crossJoin(broadcast(q.select(col("vid").as("ovid"),
         col("qv").as("ov"), col("nn").as("onn"))))
@@ -471,8 +471,8 @@ object Embeddings {
     val corpus = q.select(col("vid").as("ovid"), col("qv").as("ov"),
         col("nn").as("onn"))
       // few-split corpora: spread the O(budget·n·d) kernel across
-      // cores (the intrinsicDimension rule)
-      .repartition(col("ovid"))
+      // cores at a pinned width (the [[Par]] rule)
+      .transform(Par.byKey(_, col("ovid")))
     val d2 = corpus.crossJoin(broadcast(anchors))
       .filter(col("vid") =!= col("ovid"))
       .select(col("vid"), col("ovid"),

@@ -60,9 +60,9 @@ object Graph {
     // ONE exchange per step: the groupBy(dst) mass sum. That exchange's
     // output partitioning (node) in turn feeds the next step's
     // rank-side join and the nodes⋈inc join exchange-free.
-    val e = mat(edges.select(col("src").cast(LongType).as("src"),
-      col("dst").cast(LongType).as("dst"))
-      .repartition(col("src")))
+    val e = mat(Par.byKey(edges.select(
+      col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst")), col("src")))
     val deg = mat(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val eDeg = mat(e.join(deg, Seq("src")))
     // Node universe = src endpoints. The operator contract ("every node
@@ -85,11 +85,16 @@ object Graph {
     // a zero message per node rides the SAME aggregate as the edge
     // messages — nodes with no in-edges keep their base mass without a
     // per-iteration left join (union adds V rows to the 2E shuffle, not
-    // a stage). coalesce(1): V rows are one map task's work — without
-    // it every iteration schedules 32 tasks over the cached degree
-    // partitions just to emit constant zeros (r13).
+    // a stage). Width tied to V, not a constant (guide §2.6): a
+    // thousand-node graph emits its zeros from one task instead of 32
+    // per iteration, a billion-node graph spreads them across the
+    // session width instead of funneling V rows through a single
+    // straggler feeding every iteration's shuffle (the r13 coalesce(1)
+    // wart).
+    val zeroParts = math.max(1L, math.min(
+      Par.width(nodes).toLong, nN / 2000000L + 1L)).toInt
     val zero = nodes.select(col("node").as("dst"), lit(0L).as("m"))
-      .coalesce(1)
+      .coalesce(zeroParts)
     for (_ <- 1 to iterations) {
       val msgs = eDeg
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
@@ -132,9 +137,9 @@ object Graph {
     def mat(df: DataFrame): DataFrame = {
       val p = df.persist(); cached += p; p
     }
-    val e = mat(edges.select(col("src").cast(LongType).as("src"),
-      col("dst").cast(LongType).as("dst"))
-      .repartition(col("src")))
+    val e = mat(Par.byKey(edges.select(
+      col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst")), col("src")))
     val deg = mat(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val eDeg = mat(e.join(deg, Seq("src")))
     // node universe = src endpoints (dst ⊆ src for bidirectional
@@ -164,10 +169,14 @@ object Graph {
 
     var rank = baseOf(nodes)
       .select(col("node"), col("base").as("rank_ppb"))
-    // coalesce(1): V constant-zero rows are one map task's work, not 32
-    // tasks per iteration (the [[pageRankTop]] r13 note)
+    // zero-frame width tied to V, not a constant — the [[pageRankTop]]
+    // r14 shape (one task for thousand-node graphs, session width for
+    // billion-node ones; never a V-sized single-task straggler)
+    val nN = nodes.count()
+    val zeroParts = math.max(1L, math.min(
+      Par.width(nodes).toLong, nN / 2000000L + 1L)).toInt
     val zero = nodes.select(col("node").as("dst"), lit(0L).as("m"))
-      .coalesce(1)
+      .coalesce(zeroParts)
     for (_ <- 1 to iterations) {
       val msgs = eDeg
         .join(rank.filter(col("rank_ppb") > 0)
@@ -227,10 +236,17 @@ object Graph {
     def mat(df: DataFrame): DataFrame = {
       val p = df.persist(); cached += p; p
     }
-    val e0 = mat(edges.select(col("src").cast(LongType).as("src"),
-      col("dst").cast(LongType).as("dst")).distinct())
-    val eBySrc = mat(e0.repartition(col("src")))
-    val eByDst = mat(e0.repartition(col("dst")))
+    // r14: dedup FUSED into the src-side partitioning — dropDuplicates
+    // after a pinned repartition(src) needs no exchange of its own
+    // (HashPartitioning(src) satisfies the aggregate's clustering on
+    // (src, dst)), so the old distinct + two repartitions (3 exchanges,
+    // 3 persisted edge frames) become 2 exchanges and 2 frames; the dst
+    // copy derives from the already-distinct src copy.
+    val eBySrc = mat(Par.byKey(edges.select(
+        col("src").cast(LongType).as("src"),
+        col("dst").cast(LongType).as("dst")), col("src"))
+      .dropDuplicates("src", "dst"))
+    val eByDst = mat(Par.byKey(eBySrc, col("dst")))
     def normalized(raw0: DataFrame): DataFrame = {
       val raw = raw0.localCheckpoint(true)
       val nrm = raw.agg(
@@ -288,16 +304,20 @@ object Graph {
     def mat(df: DataFrame): DataFrame = {
       val p = df.persist(); cached += p; p
     }
-    val e0 = mat(edges.select(col("src").cast(LongType).as("src"),
-      col("dst").cast(LongType).as("dst")).distinct())
-    val eByDst = mat(e0.repartition(col("dst")))
+    // r14: dedup fused into the dst-side partitioning (the [[hitsTop]]
+    // shape) — distinct + repartition collapse to ONE exchange, and the
+    // separate e0 cache (a third full copy of E) goes away entirely.
+    val eByDst = mat(Par.byKey(edges.select(
+        col("src").cast(LongType).as("src"),
+        col("dst").cast(LongType).as("dst")), col("dst"))
+      .dropDuplicates("src", "dst"))
     def degreeAmong(alive: DataFrame): DataFrame =
       eByDst
         .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
         .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("degree"))
-    var alive = e0.select(col("src").as("node")).distinct()
+    var alive = eByDst.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     for (_ <- 1 to rounds)
       alive = degreeAmong(alive).filter(col("degree") >= k)
@@ -578,9 +598,12 @@ object Graph {
     def mat(df: DataFrame): DataFrame = {
       val p = df.persist(); cached += p; p
     }
-    val e = mat(edges.select(col("src").cast(LongType).as("src"),
-      col("dst").cast(LongType).as("dst")).distinct()
-      .repartition(col("src")))
+    // r14: dedup fused into the src-side partitioning (the [[hitsTop]]
+    // shape) — distinct + repartition collapse to one exchange
+    val e = mat(Par.byKey(edges.select(
+        col("src").cast(LongType).as("src"),
+        col("dst").cast(LongType).as("dst")), col("src"))
+      .dropDuplicates("src", "dst"))
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
     for (_ <- 1 to iterations) {

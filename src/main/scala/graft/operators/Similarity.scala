@@ -360,8 +360,14 @@ object Similarity {
     // per-pair score inside the cross join is pure long arithmetic.
     val q0 = queries.select(col(queryId).as("query_id"),
       V.quantize6(col(queryVec)).as("qv"))
-    val c0 = corpus.select(col(corpusId).as("corpus_id"),
-      V.quantize6(col(corpusVec)).as("cv"))
+    // r14: spread the corpus side at a pinned width BEFORE quantizing —
+    // the scoring stage (|queries|·n quantized dots) runs at the
+    // corpus's scan parallelism otherwise, and the corpus parquet is a
+    // single split at bench scale (guide §2.6). One small exchange of
+    // (id, vec) buys core-count parallelism for quantize + scoring.
+    val c0 = Par.byKey(corpus.select(col(corpusId).as("corpus_id"),
+        col(corpusVec).as("__cv0")), col("corpus_id"))
+      .select(col("corpus_id"), V.quantize6(col("__cv0")).as("cv"))
     val (q, c, score) =
       if (cosine) {
         val qn = q0.withColumn("qnorm", V.normQ12(col("qv")))

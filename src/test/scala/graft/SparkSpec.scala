@@ -12,7 +12,11 @@ trait SparkSpec extends AnyFunSuite {
 object SparkSpec {
   lazy val session: SparkSession = {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
-    val s = SparkSession.builder()
+    // EngineDefaults matters here for WALL-CLOCK: without the codegen
+    // cache sized to the inventory, a 690-test run re-Janino-compiles
+    // every plan (the round-13 bench bottleneck) — the r13 driver-side
+    // `sbt test` DNF'd on time with the default 100-entry cache.
+    val s = EngineDefaults(SparkSession.builder())
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
